@@ -1,0 +1,60 @@
+"""Pipeline configuration.
+
+Mirrors the reference's fixed constants and CLI-bound column roles:
+  - TF-IDF: top_n=10, absolute score floor 0.25, per-row 75th-percentile
+    keep rule (string_similarity.py:332, :264; main.py:107,144).
+  - ``umls_expand`` double-merge flag (clinical_concept_annotator.py:61,67).
+  - column-role indirection (clinical_concept_annotator.py:59-62) becomes
+    explicit field names on the pages table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # ---- column roles on the pages table (input_hint shape) ----
+    url_col: str = "url"
+    html_col: str = "html"
+    text_col: str = "text"
+    lang_col: str = "lang"
+
+    # ---- language filtering (reference: LANG=='ENG' filter,
+    #      clinical_concept_annotator.py:163) ----
+    languages: tuple[str, ...] = ("en",)
+
+    # ---- tier-3 TF-IDF constants (string_similarity.py:264,332) ----
+    sim_top_n: int = 10
+    sim_score_floor: float = 0.25
+    sim_percentile: float = 75.0
+    # final-aggregation similarity threshold (main.py:144, data_utils.py:412)
+    sim_threshold: float = 0.25
+
+    # ---- tier-2 double merge (clinical_concept_annotator.py:212-217) ----
+    umls_expand: bool = True
+
+    # ---- ontologies to link against ----
+    ontologies: tuple[str, ...] = ("hp", "mondo")
+
+    # ---- scale knobs ----
+    link_batch_size: int = 1024
+    link_concurrency: int = 4
+    score_batch_size: int = 1024
+    score_concurrency: int = 2
+    # salt buckets for head-surface-form skew at canonicalization (SURVEY §4)
+    canon_salt: int = 16
+    # output partitioning: subject-hash buckets (north_rule layout + resume unit)
+    subject_buckets: int = 16
+
+    # candidate unit for tier-3 similarity: sentences with no tier-1/2 hit
+    sim_max_candidates_per_page: int = 8
+
+    def with_(self, **kw) -> "PipelineConfig":
+        from dataclasses import replace
+
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,66 @@
+"""Deterministic HTML → text extraction.
+
+The per-row invariant (BASELINE.json input_hint) is *byte-identical
+extracted text per url*: for every page, ``extract_text(html) == text``.
+The extractor is therefore pinned and versioned (EXTRACTOR_VERSION);
+the manifest stores ``text_sha256`` per partition (SURVEY §7.4.7).
+
+Rules (fixed, documented, versioned):
+  1. drop ``<script>``/``<style>`` blocks and HTML comments
+  2. block-level tags (p, br, div, h1-h6, li, tr, title) become ``\\n``
+  3. all remaining tags are stripped
+  4. HTML entities are unescaped (``&amp;`` → ``&``)
+  5. each line: collapse runs of whitespace to one space, strip ends
+  6. drop empty lines; join with ``\\n``
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+EXTRACTOR_VERSION = "1.0"
+
+_SCRIPT_RE = re.compile(rb"<(script|style)\b.*?</\1\s*>", re.S | re.I)
+_COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
+_BLOCK_RE = re.compile(
+    rb"</?(?:p|br|div|h[1-6]|li|tr|title|ul|ol|table|section|article)\b[^>]*>",
+    re.I,
+)
+_TAG_RE = re.compile(rb"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_text(html_bytes: bytes) -> str:
+    """Extract canonical text from raw HTML bytes (deterministic)."""
+    if html_bytes is None:
+        return ""
+    b = _SCRIPT_RE.sub(b"", html_bytes)
+    b = _COMMENT_RE.sub(b"", b)
+    b = _BLOCK_RE.sub(b"\n", b)
+    b = _TAG_RE.sub(b"", b)
+    s = _html.unescape(b.decode("utf-8", "replace"))
+    lines = []
+    for line in s.split("\n"):
+        line = _WS_RE.sub(" ", line).strip()
+        if line:
+            lines.append(line)
+    return "\n".join(lines)
+
+
+def render_page_html(title: str, paragraphs: list[str]) -> bytes:
+    """Deterministic page template used by the fixture generator; the
+    inverse of :func:`extract_text` for tag/entity-free paragraphs."""
+    body = "".join(f"<p>{_html.escape(p)}</p>" for p in paragraphs)
+    return (
+        f"<html><head><title>{_html.escape(title)}</title>"
+        f"<script>var x=1;</script></head>"
+        f"<body><!-- gen --><div>{body}</div></body></html>"
+    ).encode("utf-8")
+
+
+def expected_text(title: str, paragraphs: list[str]) -> str:
+    """Ground-truth text for :func:`render_page_html` output."""
+    lines = [_WS_RE.sub(" ", title).strip()]
+    lines += [_WS_RE.sub(" ", p).strip() for p in paragraphs]
+    return "\n".join(x for x in lines if x)

@@ -1,0 +1,126 @@
+"""The flagship KG-construction pipeline (read → link → triples).
+
+Ray-Data-first re-expression of the reference's ``main.py:58-145`` flow
+(SURVEY §3.1), one lazy streaming Dataset plan end-to-end:
+
+    read_parquet(pages)                         # prune at the read
+      → map_batches(extract_text_batch)         # byte-identical invariant
+      → map_batches(lang_filter)                # LANG filter analogue
+      → map_batches(LinkerActor, concurrency=N) # tiers 1/2 + candidates
+      → map_batches(ScorerActor, concurrency=M) # tier 3 TF-IDF
+      → [canonical-map partial-agg groupby]     # skew-safe small shuffle
+      → groupby(url).map_groups(assemble)       # A6 evidence aggregation
+      → map_batches(finalize_triples)           # subject hash + bucket
+      → sort(subject_hash) → resumable write    # north_rule layout
+
+The lexicon is built once driver-side and broadcast with ``ray.put``;
+each actor pulls the handle in ``__init__`` (never re-shipped per batch).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from omop2obo_ray.config import DEFAULT_CONFIG, PipelineConfig
+from omop2obo_ray.stages.canonicalize import (
+    apply_canonical_map,
+    assemble_subject,
+    build_canonical_map,
+    finalize_triples,
+)
+from omop2obo_ray.stages.extract import extract_text_batch, lang_filter_batch
+from omop2obo_ray.stages.link import LinkerActor
+from omop2obo_ray.stages.score import ScorerActor
+from omop2obo_ray.state.lexicon import Lexicon
+
+
+def extract_pages(pages: Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> Dataset:
+    ds = pages.map_batches(extract_text_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        functools.partial(lang_filter_batch, languages=cfg.languages),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def link_pages(pages: Dataset, lexicon: Lexicon, cfg: PipelineConfig = DEFAULT_CONFIG,
+               lexicon_ref=None) -> Dataset:
+    """pages(url, text, lang) → long link records (LINKS schema)."""
+    if lexicon_ref is None:
+        lexicon_ref = ray.put(lexicon)
+    linked = pages.map_batches(
+        LinkerActor,
+        fn_constructor_kwargs={
+            "lexicon_ref": lexicon_ref,
+            "max_sim_candidates": cfg.sim_max_candidates_per_page,
+        },
+        batch_format="pyarrow",
+        batch_size=cfg.link_batch_size,
+        concurrency=cfg.link_concurrency,
+        num_cpus=1,
+    )
+    scored = linked.map_batches(
+        ScorerActor,
+        fn_constructor_kwargs={
+            "lexicon_ref": lexicon_ref,
+            "top_n": cfg.sim_top_n,
+            "floor": cfg.sim_score_floor,
+            "percentile": cfg.sim_percentile,
+        },
+        batch_format="pyarrow",
+        batch_size=cfg.score_batch_size,
+        concurrency=cfg.score_concurrency,
+        num_cpus=1,
+    )
+    return scored
+
+
+def links_to_triples(links: Dataset, lexicon: Lexicon,
+                     cfg: PipelineConfig = DEFAULT_CONFIG,
+                     canonicalize: bool = True) -> Dataset:
+    """links → canonicalized, aggregated, deduplicated triples."""
+    if canonicalize:
+        # the canonical map is lexicon-bounded: build via partial-agg
+        # shuffle, broadcast back (stages/canonicalize.py docstring)
+        canon = build_canonical_map(links)
+        labels = lexicon.labels
+        links = links.map_batches(
+            functools.partial(apply_canonical_map, canon=canon, labels=labels),
+            batch_format="pyarrow",
+        )
+    triples = links.groupby("url").map_groups(
+        functools.partial(
+            assemble_subject, ontologies=lexicon.ontologies, threshold=cfg.sim_threshold
+        ),
+        batch_format="pandas",
+    )
+    return triples.map_batches(
+        functools.partial(finalize_triples, n_buckets=cfg.subject_buckets),
+        batch_format="pyarrow",
+    )
+
+
+def build_kg(pages: Dataset, lexicon: Lexicon, cfg: PipelineConfig = DEFAULT_CONFIG,
+             canonicalize: bool = True) -> Dataset:
+    """Full pipeline: raw pages dataset → triples dataset (lazy)."""
+    lexicon_ref = ray.put(lexicon)
+    extracted = extract_pages(pages, cfg)
+    links = link_pages(extracted, lexicon, cfg, lexicon_ref=lexicon_ref)
+    return links_to_triples(links, lexicon, cfg, canonicalize=canonicalize)
+
+
+def run_kg_to_dir(pages: Dataset, lexicon: Lexicon, out_dir: str,
+                  cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
+    """Build + resumable partitioned write; returns the manifest."""
+    from omop2obo_ray.functions.html import EXTRACTOR_VERSION
+    from omop2obo_ray.stages.checkpoint import write_triples_resumable
+
+    triples = build_kg(pages, lexicon, cfg)
+    triples = triples.sort("subject_hash")
+    return write_triples_resumable(
+        triples, out_dir, cfg.subject_buckets, extractor_version=EXTRACTOR_VERSION
+    )
