@@ -60,7 +60,9 @@ def link_pages(pages: Dataset, lexicon: Lexicon, cfg: PipelineConfig = DEFAULT_C
         },
         batch_format="pyarrow",
         batch_size=cfg.link_batch_size,
-        concurrency=cfg.link_concurrency,
+        # autoscaling pool (1, N): starts with one actor, grows while CPUs
+        # are free — never deadlocks another stage out of the node
+        concurrency=(1, cfg.link_concurrency),
         num_cpus=1,
     )
     scored = linked.map_batches(
@@ -73,7 +75,7 @@ def link_pages(pages: Dataset, lexicon: Lexicon, cfg: PipelineConfig = DEFAULT_C
         },
         batch_format="pyarrow",
         batch_size=cfg.score_batch_size,
-        concurrency=cfg.score_concurrency,
+        concurrency=(1, cfg.score_concurrency),
         num_cpus=1,
     )
     return scored

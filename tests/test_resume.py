@@ -1,0 +1,82 @@
+"""Checkpoint/resume tests: kill-and-resume yields identical output
+(SURVEY §5d; north_rule resumability)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+
+def _write(fixture_dir, lexicon, out_dir):
+    from omop2obo_ray.config import DEFAULT_CONFIG
+    from omop2obo_ray.pipelines.kg import run_kg_to_dir
+
+    pages = rd.read_parquet(os.path.join(fixture_dir, "pages.parquet"))
+    return run_kg_to_dir(pages, lexicon, out_dir, DEFAULT_CONFIG)
+
+
+def _triple_set(out_dir):
+    from omop2obo_ray.stages.checkpoint import read_triples
+
+    t = read_triples(out_dir)
+    return set(zip(t["subj"].to_pylist(), t["pred"].to_pylist(), t["obj"].to_pylist()))
+
+
+def test_write_and_manifest(ray_session, fixture_dir, lexicon, tmp_path):
+    out = str(tmp_path / "triples")
+    manifest = _write(fixture_dir, lexicon, out)
+    assert len(manifest["partitions"]) == 16
+    total = sum(p["rows"] for p in manifest["partitions"].values())
+    assert total > 0
+    # partitioned layout: one directory per subject bucket
+    assert os.path.isdir(os.path.join(out, "subject_bucket=0"))
+    assert manifest["extractor_version"] == "1.0"
+
+
+def test_resume_after_partial_failure(ray_session, fixture_dir, lexicon, tmp_path):
+    out = str(tmp_path / "triples")
+    _write(fixture_dir, lexicon, out)
+    full = _triple_set(out)
+
+    # simulate a crash that lost buckets 3, 7 and their manifest entries
+    mpath = os.path.join(out, "manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    for b in ("3", "7"):
+        manifest["partitions"].pop(b)
+        shutil.rmtree(os.path.join(out, f"subject_bucket={b}"))
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+
+    # resume: only the missing buckets are recomputed
+    manifest2 = _write(fixture_dir, lexicon, out)
+    assert set(manifest2["partitions"].keys()) == {str(b) for b in range(16)}
+    assert _triple_set(out) == full
+
+
+def test_resume_is_noop_when_complete(ray_session, fixture_dir, lexicon, tmp_path):
+    out = str(tmp_path / "triples")
+    m1 = _write(fixture_dir, lexicon, out)
+    stamps = {
+        b: os.path.getmtime(os.path.join(out, f"subject_bucket={b}", "part-0.parquet"))
+        for b in range(16)
+    }
+    m2 = _write(fixture_dir, lexicon, out)
+    assert m1["partitions"] == m2["partitions"]
+    for b in range(16):
+        assert stamps[b] == os.path.getmtime(
+            os.path.join(out, f"subject_bucket={b}", "part-0.parquet")
+        ), "completed bucket was rewritten on resume"
+
+
+def test_bucket_files_sorted_by_subject_hash(ray_session, fixture_dir, lexicon, tmp_path):
+    out = str(tmp_path / "triples")
+    _write(fixture_dir, lexicon, out)
+    t = pq.read_table(os.path.join(out, "subject_bucket=1", "part-0.parquet"))
+    hashes = t["subject_hash"].to_pylist()
+    assert hashes == sorted(hashes)
