@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``      — flagship KG pipeline over /root/testdata/sf0.001.
+- ``queries()``    — one callable per implemented operator/pipeline
+                     (SURVEY.md §2 + training-data ops), keyed by name.
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+                     query (same column names; floats rounded on both
+                     sides). Non-SQL-expressible ops (the tiered KG
+                     pipeline itself, MinHash/SimHash, heuristic
+                     language-ID, IVF) are rows-only checked.
 """
 
 from __future__ import annotations
@@ -18,27 +18,253 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _round_cols(ds, cols: dict[str, int]):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        for c, nd in cols.items():
+            i = batch.column_names.index(c)
+            batch = batch.set_column(
+                i, c, pc.round(batch[c], ndigits=nd, round_mode="half_to_even")
+            )
+        return batch
+
+    return ds.map_batches(rnd, batch_format="pyarrow")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: documents-as-pages → tiered
+    entity linking → (subj, pred, obj) triples."""
+    from omop2obo_ray.pipelines.flagship import kg_over_documents
 
+    return kg_over_documents(SF0001)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from omop2obo_ray.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_filter_threshold(sf):
+        return _round_cols(R.q_filter_threshold(sf), {"avg_value": 6})
 
+    def q_lineitem_agg(sf):
+        return _round_cols(R.q_lineitem_agg(sf), {"revenue": 2})
+
+    def q_window_tumbling(sf):
+        return _round_cols(R.q_window_tumbling(sf), {"sum_value": 2})
+
+    def q_token_stats(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import analyze_text
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return analyze_text(docs).select_columns(["doc_id", "n_tokens_ws", "stop_ratio"])
+
+    def q_md5_fingerprint(sf):
+        import hashlib
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return docs.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "fp": pa.array(
+                        [hashlib.md5((t or "").encode()).hexdigest()
+                         for t in b["text"].to_pylist()],
+                        pa.string(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def q_embedding_topk(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import brute_force_topk
+
+        emb = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        q0 = emb.filter(lambda r: r["vec_id"] == 0).take(1)[0]
+        out = brute_force_topk(emb, [(0, list(q0["embedding"]))], k=10)
+        return out[["vec_id", "cos"]]
+
+    # ---- rows-only (non-SQL-expressible) ----
+    def q_kg_triples(sf):
+        from omop2obo_ray.pipelines.flagship import kg_over_documents
+
+        return kg_over_documents(sf).select_columns(
+            ["subj", "pred", "obj", "ontology", "evidence"]
+        )
+
+    def q_dedup_minhash(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import (
+            minhash_candidate_pairs,
+            verify_jaccard_pairs,
+        )
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        pairs = minhash_candidate_pairs(docs)
+        return verify_jaccard_pairs(docs, pairs, threshold=0.8)
+
+    def q_simhash(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import simhash_signatures
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return simhash_signatures(docs)
+
+    def q_langid(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import analyze_text
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return analyze_text(docs).select_columns(["doc_id", "lang_pred", "fingerprint"])
+
+    def q_ivf_buckets(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import ivf_bucket_assignments
+
+        emb = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        return ivf_bucket_assignments(emb).select_columns(["vec_id", "ivf_bucket"])
+
+    return {
+        # SURVEY §2 operator families (SQL-checked)
+        "normalize_codes": R.q_normalize_codes,          # M1
+        "explode_tokens": R.q_explode_tokens,            # M2
+        "melt_customer": R.q_melt_customer,              # M3
+        "pivot_orderstatus": R.q_pivot_orderstatus,      # M4/A2
+        "aggregate_values": R.q_aggregate_values,        # A1
+        "orders_customer_nation": R.q_orders_customer_nation,  # J1-J3
+        "customers_without_orders": R.q_customers_without_orders,  # J9 anti
+        "dedup_docs": R.q_dedup_docs,                    # A3 exact dedup
+        "lineitem_agg": q_lineitem_agg,                  # A5/A6 partial agg
+        "topk_orders_per_priority": R.q_topk_orders_per_priority,  # K1/K3
+        "filter_threshold": q_filter_threshold,          # K2
+        "sort_limit_docs": R.q_sort_limit_docs,          # K4
+        "ancestor_closure": R.q_ancestor_closure,        # DAG closure
+        "window_tumbling": q_window_tumbling,            # streaming-shaped
+        "exact_match_mentions": R.q_exact_match_mentions,  # J6 tier-1
+        # training-data ops (SQL-checked)
+        "token_stats": q_token_stats,
+        "md5_fingerprint": q_md5_fingerprint,
+        "embedding_topk": q_embedding_topk,
+        # rows-only (stateful / model-driven / sketch ops)
+        "kg_triples": q_kg_triples,
+        "dedup_minhash": q_dedup_minhash,
+        "simhash": q_simhash,
+        "langid": q_langid,
+        "ivf_buckets": q_ivf_buckets,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered per table)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = "('the','a','of','and','to','in','is','it','for','on')"
+    return {
+        "normalize_codes": (
+            "SELECT p_partkey, 'brand:' || lower(split_part(p_brand, '#', 2)) AS norm_code "
+            "FROM part"
+        ),
+        "explode_tokens": (
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+        ),
+        "melt_customer": (
+            "SELECT c_custkey, c_name AS CODE, 'c_name' AS CODE_COLUMN FROM customer "
+            "UNION ALL "
+            "SELECT c_custkey, c_mktsegment AS CODE, 'c_mktsegment' AS CODE_COLUMN FROM customer"
+        ),
+        "pivot_orderstatus": (
+            "SELECT o_orderpriority, "
+            "CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f, "
+            "CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o, "
+            "CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p "
+            "FROM orders GROUP BY o_orderpriority"
+        ),
+        "aggregate_values": (
+            "SELECT lang, array_to_string(list_sort(list(DISTINCT source)), ' | ') "
+            "AS agg_sources, count(*) AS n_docs FROM documents GROUP BY lang"
+        ),
+        "orders_customer_nation": (
+            "SELECT o_orderkey, o_totalprice, c_name, n_name FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "customers_without_orders": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')"
+        ),
+        "dedup_docs": (
+            "SELECT min(doc_id) AS keep_id FROM documents GROUP BY text"
+        ),
+        "lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "topk_orders_per_priority": (
+            "SELECT o_orderpriority, o_orderkey, o_totalprice FROM ("
+            "SELECT o_orderpriority, o_orderkey, o_totalprice, "
+            "row_number() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3"
+        ),
+        "filter_threshold": (
+            "SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value "
+            "FROM events WHERE value >= 150.0 GROUP BY event_type"
+        ),
+        "sort_limit_docs": (
+            "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "ancestor_closure": (
+            "WITH RECURSIVE edges AS ("
+            "SELECT p_partkey AS child, p_partkey // 2 AS parent FROM part "
+            "WHERE p_partkey // 2 >= 1 AND p_partkey // 2 <> p_partkey), "
+            "closure(child, anc) AS ("
+            "SELECT child, parent FROM edges "
+            "UNION "
+            "SELECT c.child, e.parent FROM closure c JOIN edges e ON c.anc = e.child) "
+            "SELECT child, anc FROM closure"
+        ),
+        "window_tumbling": (
+            "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "
+            "round(sum(value), 2) AS sum_value FROM events GROUP BY event_type, "
+            "date_trunc('hour', ts)"
+        ),
+        "exact_match_mentions": (
+            "WITH pw AS (SELECT DISTINCT word FROM "
+            "(SELECT unnest(string_split(p_name, ' ')) AS word FROM part)), "
+            "dw AS (SELECT DISTINCT doc_id, word FROM "
+            "(SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)) "
+            "SELECT doc_id, word FROM dw JOIN pw USING (word)"
+        ),
+        "token_stats": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws, "
+            f"round(len(list_filter(string_split(lower(text), ' '), x -> x IN {stop_list}))"
+            " / greatest(len(string_split(text, ' ')), 1), 6) AS stop_ratio FROM documents"
+        ),
+        "md5_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "embedding_topk": (
+            "SELECT vec_id, round(list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) "
+            "AS cos FROM embeddings WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10"
+        ),
+    }

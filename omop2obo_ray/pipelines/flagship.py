@@ -1,0 +1,118 @@
+"""Flagship pipeline over the driver testdata: KG construction on the
+``documents`` table treated as web pages.
+
+A small ontology is derived deterministically from the corpus vocabulary
+(top tokens become class labels, with a binary-tree ancestor DAG), the
+documents are wrapped in the canonical HTML template, and the full
+tiered pipeline runs end-to-end: extract (byte-identical) → Aho-Corasick
+linking → TF-IDF scoring → canonicalization → triples. Used by
+``__ray_entry__.entry()`` (smoke at sf0.001) and by ``bench.py``.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count
+
+from omop2obo_ray.config import DEFAULT_CONFIG, PipelineConfig
+from omop2obo_ray.functions.html import expected_text, render_page_html
+from omop2obo_ray.state.lexicon import Lexicon, build_lexicon
+
+
+def derive_lexicon_from_corpus(sf_dir: str, n_classes: int = 48,
+                               ontologies: tuple[str, ...] = ("hp",)) -> Lexicon:
+    """Build a deterministic ontology whose labels are the corpus's most
+    frequent tokens (distributed count → small driver-side build)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        return pa.table({"token": pc.list_flatten(toks)})
+
+    counts = (
+        docs.map_batches(tokens, batch_format="pyarrow")
+        .groupby("token").aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    counts = counts.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+    top = sorted(counts.head(n_classes)["token"].tolist())
+
+    ont = ontologies[0]
+    obo = "http://purl.obolibrary.org/obo/"
+    concepts, ancestors = [], []
+    for i, tok in enumerate(top, start=1):
+        uri = f"{obo}{ont.upper()}_{i:07d}"
+        concepts.append((ont, uri, "label", tok, "rdfs:label", False))
+        if i > 1:
+            ancestors.append((uri, f"{obo}{ont.upper()}_{i // 2:07d}"))
+    return build_lexicon(
+        concepts=pd.DataFrame(
+            concepts, columns=["ontology", "uri", "kind", "value", "value_type", "deprecated"]
+        ),
+        dbxrefs=pd.DataFrame(columns=["ontology", "uri", "code", "xref_type"]),
+        aliases=pd.DataFrame(columns=["cui", "lang", "sab", "code", "surface"]),
+        semtypes=pd.DataFrame(columns=["cui", "sty"]),
+        ancestors=pd.DataFrame(ancestors, columns=["child_uri", "parent_uri"]),
+        vocab_map=pd.DataFrame(
+            [("snomed", ["SNOMEDCT_US"])], columns=["primary_abbreviation", "abbreviations"]
+        ),
+        ontologies=(ont,),
+    )
+
+
+def documents_as_pages(sf_dir: str) -> Dataset:
+    """documents → pages (input_hint shape) with the canonical HTML
+    template, so the byte-identical extraction invariant is exercised."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    epoch = _dt.datetime(2024, 1, 1)
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        urls, tss, htmls, out_texts = [], [], [], []
+        for i, t in zip(ids, texts):
+            title = f"doc {i}"
+            urls.append(f"https://testdata.local/doc/{i}")
+            tss.append(epoch + _dt.timedelta(seconds=int(i)))
+            htmls.append(render_page_html(title, [t or ""]))
+            out_texts.append(expected_text(title, [t or ""]))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us")),
+                "html": pa.array(htmls, pa.large_binary()),
+                "text": pa.array(out_texts, pa.large_string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+
+    return docs.map_batches(to_pages, batch_format="pyarrow")
+
+
+def kg_over_documents(sf_dir: str, cfg: PipelineConfig | None = None,
+                      lexicon: Lexicon | None = None) -> Dataset:
+    """Full flagship: documents-as-pages → tiered linking → triples.
+
+    All languages are admitted (the documents table is multi-lingual by
+    construction; the ``lang`` filter is exercised by the KG fixture
+    tests instead)."""
+    from omop2obo_ray.pipelines.kg import build_kg
+
+    cfg = cfg or DEFAULT_CONFIG.with_(
+        languages=("en", "de", "es", "fr", "zh", ""),
+        # corpus-derived single-token lexicon: similarity tier adds cost
+        # but no new links (every candidate token is already tier-1) —
+        # keep a small candidate cap
+        sim_max_candidates_per_page=2,
+    )
+    lexicon = lexicon or derive_lexicon_from_corpus(sf_dir)
+    pages = documents_as_pages(sf_dir)
+    return build_kg(pages, lexicon, cfg)

@@ -1,0 +1,402 @@
+"""Relational operator library over the driver's TPC-H-ish testdata —
+one Ray-Data-first implementation per operator family from SURVEY §2,
+each with a DuckDB-checkable oracle (driver correctness gate).
+
+Every function takes ``sf_dir`` and returns a Dataset / DataFrame.
+Column names are chosen to match the oracle SQL exactly (the driver
+hashes values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
+    # prune at the read: only requested columns leave storage
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# M1 — code normalization (normalizes_source_codes semantics)
+# ---------------------------------------------------------------------------
+
+def q_normalize_codes(sf_dir: str) -> Dataset:
+    """``Brand#13`` → ``brand:13`` via the reference's prefix-normalize
+    kernel (data_utils.py:236-275) — vectorized over part.p_brand."""
+    from omop2obo_ray.functions.normalize import normalize_source_codes
+
+    vocab = {"Brand": "brand"}
+
+    def norm(batch: pa.Table) -> pa.Table:
+        raw = pc.replace_substring(batch["p_brand"], "#", ":")
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"],
+                "norm_code": pa.array(
+                    normalize_source_codes(raw.to_pylist(), vocab), pa.string()
+                ),
+            }
+        )
+
+    return _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        norm, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# M2 — multi-value explode (column_splitter semantics)
+# ---------------------------------------------------------------------------
+
+def q_explode_tokens(sf_dir: str) -> Dataset:
+    """documents.text → one row per whitespace token (data_utils.py:120-156
+    re-expressed as a vectorized Arrow list-flatten, no Python row loop)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        return pa.table(
+            {"doc_id": pc.take(batch["doc_id"], parents), "token": flat}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# M3 — melt to long (data_frame_subsetter semantics)
+# ---------------------------------------------------------------------------
+
+def q_melt_customer(sf_dir: str) -> Dataset:
+    """customer (c_name, c_mktsegment) → long (c_custkey, CODE,
+    CODE_COLUMN) — the universal join-input shape (data_utils.py:44-81),
+    built per batch with zero shuffle."""
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keys = pa.concat_arrays([batch["c_custkey"].combine_chunks()] * 2)
+        codes = pa.concat_arrays(
+            [batch["c_name"].combine_chunks().cast(pa.string()),
+             batch["c_mktsegment"].combine_chunks().cast(pa.string())]
+        )
+        cols = pa.array(["c_name"] * n + ["c_mktsegment"] * n)
+        return pa.table({"c_custkey": keys, "CODE": codes, "CODE_COLUMN": cols})
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).map_batches(
+        melt, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4 — pivot wide (data_frame_supersetter semantics)
+# ---------------------------------------------------------------------------
+
+def q_pivot_orderstatus(sf_dir: str) -> Dataset:
+    """long → wide pivot at presentation time (data_utils.py:84-117):
+    count of each o_orderstatus per o_orderpriority as columns."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = (
+            df.groupby("o_orderpriority")["o_orderstatus"]
+            .value_counts()
+            .unstack(fill_value=0)
+            .reindex(columns=["F", "O", "P"], fill_value=0)
+            .reset_index()
+        )
+        out.columns = ["o_orderpriority", "n_f", "n_o", "n_p"]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("o_orderpriority").aggregate(
+        Sum("n_f", alias_name="n_f"), Sum("n_o", alias_name="n_o"),
+        Sum("n_p", alias_name="n_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — ordered-distinct collect (aggregates_column_values semantics)
+# ---------------------------------------------------------------------------
+
+def q_aggregate_values(sf_dir: str) -> Dataset:
+    """groupby lang → ' | '-joined distinct sources. The reference
+    preserves first-seen input order (unique_everseen,
+    data_utils.py:159-183); distributed execution pins a deterministic
+    sorted order instead (SURVEY §7.4.1)."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def agg(group: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(set(group["source"]))
+        return pd.DataFrame(
+            {"lang": [group["lang"].iloc[0]], "agg_sources": [" | ".join(vals)],
+             "n_docs": [len(group)]}
+        )
+
+    return ds.groupby("lang").map_groups(agg, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# J1/J2 — chained hash joins with broadcast small sides
+# ---------------------------------------------------------------------------
+
+def q_orders_customer_nation(sf_dir: str) -> Dataset:
+    """orders × customer × nation — the double-merge join chain shape
+    (clinical_concept_annotator.py:212-224). customer+nation are
+    dimension tables → broadcast once via ray.put, looked up per batch
+    (no shuffle join, SURVEY §2.4)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    lookup_ref = ray.put(
+        {k: (nm, nn) for k, nm, nn in zip(cust["c_custkey"], cust["c_name"], cust["n_name"])}
+    )
+
+    def join(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lookup_ref)
+        keys = batch["o_custkey"].to_pylist()
+        hit = [lut.get(k) for k in keys]
+        mask = pa.array([h is not None for h in hit])
+        out = pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_totalprice": batch["o_totalprice"],
+                "c_name": pa.array([h[0] if h else None for h in hit], pa.string()),
+                "n_name": pa.array([h[1] if h else None for h in hit], pa.string()),
+            }
+        )
+        return out.filter(mask)
+
+    return _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        join, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# semi/anti join via broadcast key set
+# ---------------------------------------------------------------------------
+
+def q_customers_without_orders(sf_dir: str) -> Dataset:
+    """anti-join: customers having no 'P'-status orders
+    (analytic_utils.py:397-410 isin-style set ops) — broadcast the
+    order-custkey set, filter in map_batches."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    keys = set()
+    for b in orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "P")).select(["o_custkey"]),
+        batch_format="pyarrow",
+    ).iter_batches(batch_size=65536, batch_format="pyarrow"):
+        keys.update(b["o_custkey"].to_pylist())
+    keys_ref = ray.put(keys)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = pa.array([k not in ks for k in batch["c_custkey"].to_pylist()])
+        return batch.filter(mask)
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        anti, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — exact dedup (hash-partition + per-group min)
+# ---------------------------------------------------------------------------
+
+def q_dedup_docs(sf_dir: str) -> Dataset:
+    """drop_duplicates-on-content semantics (A3): keep min doc_id per
+    distinct text. The shuffle key is the 64-bit content hash — the
+    text payload itself never moves (the groupby ships hash+id only)."""
+    from omop2obo_ray.functions.hashing import hash64_array
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    hashed = ds.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"],
+             "text_hash": pa.array(hash64_array(b["text"]), pa.uint64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return hashed.groupby("text_hash").aggregate(Min("doc_id", alias_name="keep_id")) \
+        .select_columns(["keep_id"])
+
+
+# ---------------------------------------------------------------------------
+# A5/A6-shaped grouped aggregate with partial pre-aggregation (TPC-H Q1)
+# ---------------------------------------------------------------------------
+
+def q_lineitem_agg(sf_dir: str) -> Dataset:
+    """Pre-aggregate per batch (combiner), then a small groupby — the
+    canonical scale pattern for wide aggregations (SURVEY §4)."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=True)
+            .agg(sum_qty=("l_quantity", "sum"), revenue=("revenue", "sum"),
+                 n=("l_quantity", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("revenue", alias_name="revenue"),
+        Sum("n", alias_name="n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-family — per-group top-k, threshold filter, sort+limit
+# ---------------------------------------------------------------------------
+
+def q_topk_orders_per_priority(sf_dir: str) -> Dataset:
+    """top-3 orders by totalprice per priority (K1 per-row top-n analog,
+    string_similarity.py:223-228): groupby + per-group head, never a
+    global sort."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(3)
+
+    return ds.groupby("o_orderpriority").map_groups(topk, batch_format="pandas")
+
+
+def q_filter_threshold(sf_dir: str) -> Dataset:
+    """score-floor filter (K2, string_similarity.py:264) over events."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    filtered = ds.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["value"], 150.0)), batch_format="pyarrow"
+    )
+    return filtered.groupby("event_type").aggregate(
+        Count(alias_name="n"), Mean("value", alias_name="avg_value")
+    )
+
+
+def q_sort_limit_docs(sf_dir: str) -> pd.DataFrame:
+    """global top-10 by n_chars (K4 ordering) — sort + limit, consumed
+    driver-side as a small result."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+    return out.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# ancestor closure — distributed iterative join (SURVEY §7.4.5)
+# ---------------------------------------------------------------------------
+
+def q_ancestor_closure(sf_dir: str) -> Dataset:
+    """Transitive closure over the implicit part hierarchy
+    (child=p_partkey, parent=p_partkey//2) by iterated broadcast join:
+    frontier ⋈ edges until fixpoint — the distributed variant of the
+    reference's precomputed-ancestors input (bounded depth = log₂ n)."""
+    part = _read(sf_dir, "part", ["p_partkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["parent"] = df["p_partkey"] // 2
+        df = df[(df["parent"] >= 1) & (df["parent"] != df["p_partkey"])]
+        return pa.table({"child": pa.array(df["p_partkey"], pa.int64()),
+                         "parent": pa.array(df["parent"], pa.int64())})
+
+    edges_df = part.map_batches(to_edges, batch_format="pyarrow").to_pandas()
+    # parent map is dimension-sized → broadcast
+    parent_of = dict(zip(edges_df["child"], edges_df["parent"]))
+    parent_ref = ray.put(parent_of)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        po = ray.get(parent_ref)
+        childs, ancs = [], []
+        for c in batch["child"].to_pylist():
+            a = po.get(c)
+            seen = set()
+            while a is not None and a not in seen:
+                seen.add(a)
+                childs.append(c)
+                ancs.append(a)
+                a = po.get(a)
+        return pa.table({"child": pa.array(childs, pa.int64()),
+                         "anc": pa.array(ancs, pa.int64())})
+
+    closure = rd.from_pandas(pd.DataFrame({"child": sorted(parent_of.keys())})) \
+        .map_batches(expand, batch_format="pyarrow")
+    return closure
+
+
+# ---------------------------------------------------------------------------
+# streaming-shaped: tumbling window over events
+# ---------------------------------------------------------------------------
+
+def q_window_tumbling(sf_dir: str) -> Dataset:
+    """1-hour tumbling window counts per event_type: derive the window
+    key per batch, then a keyed aggregate (ray_guide streaming-shaped
+    pattern; ordering assumption: none — counts are order-free)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def windowed(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return pa.table(
+            {"event_type": batch["event_type"], "hour": hour, "value": batch["value"]}
+        )
+
+    return ds.map_batches(windowed, batch_format="pyarrow").groupby(
+        ["event_type", "hour"]
+    ).aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+
+
+# ---------------------------------------------------------------------------
+# tier-1 exact-match analog over testdata (J6 with a derived lexicon)
+# ---------------------------------------------------------------------------
+
+def q_exact_match_mentions(sf_dir: str) -> Dataset:
+    """Word-level exact matching of a part-name-derived lexicon against
+    document tokens — the reference's exact string join (J6,
+    clinical_concept_annotator.py:310-328) with the lexicon broadcast
+    into the match stage."""
+    words = set()
+    for b in _read(sf_dir, "part", ["p_name"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        for name in b["p_name"].to_pylist():
+            words.update(name.split(" "))
+    words_ref = ray.put(words)
+
+    def match(batch: pa.Table) -> pa.Table:
+        lex = ray.get(words_ref)
+        doc_ids, hits = [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            seen = set()
+            for tok in (text or "").split(" "):
+                if tok in lex and tok not in seen:
+                    seen.add(tok)
+                    doc_ids.append(did)
+                    hits.append(tok)
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                         "word": pa.array(hits, pa.string())})
+
+    matches = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        match, batch_format="pyarrow"
+    )
+    # distinct (doc_id, word)
+    return matches.groupby(["doc_id", "word"]).aggregate(Count(alias_name="n")) \
+        .select_columns(["doc_id", "word"])

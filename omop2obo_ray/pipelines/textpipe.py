@@ -1,0 +1,420 @@
+"""Training-data pipeline operators over the ``documents`` /
+``embeddings`` tables — the large-scale text-corpus operations a 100 TB
+pipeline needs beyond the reference's own operator set (dedup families,
+similarity search, text analysis). All stages are vectorized
+``map_batches`` bodies; stateful ones (hash seeds, query matrices,
+stopword sets) are actor classes so setup runs once per actor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min
+
+from omop2obo_ray.functions.hashing import hash64_array, stable_hash64
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-partition + per-group first — ray_guide pattern)
+# ---------------------------------------------------------------------------
+
+def add_text_hash(batch: pa.Table, col: str = "text") -> pa.Table:
+    return batch.append_column("text_hash", pa.array(hash64_array(batch[col]), pa.uint64()))
+
+
+def exact_dedup(docs: Dataset, key_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    """Keep the lowest-key row per distinct text. Content-hash added in a
+    vectorized map, then a groupby on the hash — the shuffle moves only
+    (hash, key), never the text payload."""
+    hashed = docs.map_batches(
+        lambda b: pa.table(
+            {key_col: b[key_col], "text_hash": pa.array(hash64_array(b[text_col]), pa.uint64())}
+        ),
+        batch_format="pyarrow",
+    )
+    keep = hashed.groupby("text_hash").aggregate(Min(key_col, alias_name="keep_id"))
+    # broadcast the kept-id set back; at 100 TB this set is ~#unique docs —
+    # partition it instead (join on key) when it outgrows memory.
+    keep_ids = set()
+    for b in keep.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        keep_ids.update(b["keep_id"].to_pylist())
+    ids_ref = ray.put(keep_ids)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        mask = pa.array([i in ids for i in batch[key_col].to_pylist()])
+        return batch.filter(mask)
+
+    return docs.map_batches(_filter, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (shingle → minhash → band → bucket groupby)
+# ---------------------------------------------------------------------------
+
+class MinHasher:
+    """Actor: deterministic 64-bit minhash over word shingles.
+
+    n_hashes permutations via (a*x+b) mod p; seeds derived from blake2b
+    so every actor computes identical signatures."""
+
+    P = (1 << 61) - 1
+
+    def __init__(self, n_hashes: int = 64, shingle: int = 3, n_bands: int = 16,
+                 key_col: str = "doc_id", text_col: str = "text"):
+        assert n_hashes % n_bands == 0
+        self.n_hashes, self.shingle, self.n_bands = n_hashes, shingle, n_bands
+        self.rows_per_band = n_hashes // n_bands
+        self.key_col, self.text_col = key_col, text_col
+        rng = np.random.RandomState(1234567)
+        self.a = rng.randint(1, self.P, size=n_hashes, dtype=np.int64).astype(np.uint64)
+        self.b = rng.randint(0, self.P, size=n_hashes, dtype=np.int64).astype(np.uint64)
+        self.word_re = re.compile(r"\w+")
+
+    def shingles(self, text: str) -> np.ndarray:
+        toks = self.word_re.findall(text.lower())
+        if len(toks) < self.shingle:
+            grams = [" ".join(toks)] if toks else []
+        else:
+            grams = [" ".join(toks[i:i + self.shingle]) for i in range(len(toks) - self.shingle + 1)]
+        if not grams:
+            return np.zeros(1, dtype=np.uint64)
+        return np.unique(np.array([stable_hash64(g) & 0x7FFFFFFFFFFFFFFF for g in grams],
+                                  dtype=np.uint64))
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self.shingles(text)  # (S,)
+        # (n_hashes, S): (a*x + b) mod p, vectorized
+        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(self.P)
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """docs → one row per (doc, band): (key, band_id, band_hash)."""
+        keys, bands, bhashes = [], [], []
+        for key, text in zip(batch[self.key_col].to_pylist(), batch[self.text_col].to_pylist()):
+            sig = self.signature(text or "")
+            for band in range(self.n_bands):
+                seg = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
+                bh = stable_hash64(seg.tobytes())
+                keys.append(key)
+                bands.append(band)
+                bhashes.append(bh)
+        return pa.table(
+            {
+                self.key_col: pa.array(keys),
+                "band_id": pa.array(bands, pa.int32()),
+                "band_hash": pa.array(bhashes, pa.uint64()),
+            }
+        )
+
+
+def _pairs_from_bucket(group: pd.DataFrame, key_col: str) -> pd.DataFrame:
+    ids = sorted(group[key_col].unique())
+    rows = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b"]) if rows else pd.DataFrame(
+        {"doc_a": pd.Series(dtype=group[key_col].dtype),
+         "doc_b": pd.Series(dtype=group[key_col].dtype)}
+    )
+
+
+def minhash_candidate_pairs(docs: Dataset, n_hashes: int = 64, n_bands: int = 16,
+                            shingle: int = 3, key_col: str = "doc_id",
+                            text_col: str = "text") -> Dataset:
+    """LSH candidate pairs: shingle→minhash→band rows, groupby
+    (band_id, band_hash), pairs within bucket, exact dedup of pairs."""
+    bands = docs.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(n_hashes=n_hashes, shingle=shingle, n_bands=n_bands,
+                                   key_col=key_col, text_col=text_col),
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    )
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        lambda g: _pairs_from_bucket(g, key_col), batch_format="pandas"
+    )
+    # same pair may surface from several bands → keyed dedup
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands_hit"))
+
+
+def verify_jaccard_pairs(docs: Dataset, pairs: Dataset, threshold: float = 0.8,
+                         shingle: int = 3, key_col: str = "doc_id",
+                         text_col: str = "text") -> pd.DataFrame:
+    """Verify LSH candidates with exact shingle-set Jaccard. The
+    candidate set is LSH-bounded (≪ n²); texts for candidate ids are
+    gathered once and verified driver-side — at cluster scale this
+    becomes a broadcast of the candidate-id set + a map_batches gather."""
+    cand = pairs.to_pandas()
+    if cand.empty:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
+    need = set(cand["doc_a"]) | set(cand["doc_b"])
+    hasher = MinHasher(shingle=shingle, key_col=key_col, text_col=text_col)
+    texts: dict = {}
+    for b in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for k, t in zip(b[key_col].to_pylist(), b[text_col].to_pylist()):
+            if k in need:
+                texts[k] = set(hasher.shingles(t or "").tolist())
+    rows = []
+    for a, b_ in zip(cand["doc_a"], cand["doc_b"]):
+        sa, sb = texts.get(a, set()), texts.get(b_, set())
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            rows.append((a, b_, round(j, 6)))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+class SimHasher:
+    """Actor: 64-bit simhash over word unigrams (token-hash bit voting)."""
+
+    def __init__(self, key_col: str = "doc_id", text_col: str = "text"):
+        self.key_col, self.text_col = key_col, text_col
+        self.word_re = re.compile(r"\w+")
+
+    def simhash(self, text: str) -> int:
+        votes = np.zeros(64, dtype=np.int64)
+        for tok in self.word_re.findall(text.lower()):
+            h = stable_hash64(tok)
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            votes += np.where(bits.astype(bool), 1, -1)
+        out = np.uint64(0)
+        for i in range(64):
+            if votes[i] > 0:
+                out |= np.uint64(1) << np.uint64(i)
+        return int(out)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sims = [self.simhash(t or "") for t in batch[self.text_col].to_pylist()]
+        return pa.table(
+            {self.key_col: batch[self.key_col], "simhash": pa.array(sims, pa.uint64())}
+        )
+
+
+def simhash_signatures(docs: Dataset, key_col: str = "doc_id",
+                       text_col: str = "text") -> Dataset:
+    return docs.map_batches(
+        SimHasher, fn_constructor_kwargs=dict(key_col=key_col, text_col=text_col),
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity search (brute-force cosine; IVF scale path)
+# ---------------------------------------------------------------------------
+
+class CosineTopK:
+    """Actor: batched cosine of every row against a broadcast query
+    matrix (numpy matmul per batch); emits per-(query, row) scores which
+    a downstream per-query top-k reduces. The baseline ANN path."""
+
+    def __init__(self, query_ref, key_col: str = "vec_id", vec_col: str = "embedding"):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.qids = np.array([x[0] for x in q])
+        qm = np.stack([np.asarray(x[1], dtype=np.float64) for x in q])
+        self.qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+        self.key_col, self.vec_col = key_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.key_col].to_pylist())
+        mat = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        scores = mat @ self.qm.T  # (rows, queries)
+        n_rows, n_q = scores.shape
+        return pa.table(
+            {
+                "qid": pa.array(np.repeat(self.qids, n_rows)),
+                self.key_col: pa.array(np.tile(ids, n_q)),
+                "cos": pa.array(np.round(scores.T.reshape(-1), 4), pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(embeddings: Dataset, queries: list[tuple[int, list[float]]],
+                     k: int = 10, key_col: str = "vec_id",
+                     vec_col: str = "embedding") -> pd.DataFrame:
+    """Exact cosine top-k for each query vector (self-matches excluded)."""
+    query_ref = ray.put(queries)
+    scored = embeddings.map_batches(
+        CosineTopK, fn_constructor_kwargs=dict(query_ref=query_ref, key_col=key_col,
+                                               vec_col=vec_col),
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1, batch_size=2048,
+    )
+
+    def per_query_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g[key_col] != g["qid"]]
+        g = g.sort_values(["cos", key_col], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    out = scored.groupby("qid").map_groups(per_query_topk, batch_format="pandas")
+    return out.to_pandas().sort_values(["qid", "cos", key_col],
+                                       ascending=[True, False, True]).reset_index(drop=True)
+
+
+class IvfIndexer:
+    """Scale path: coarse k-means-style bucketing by nearest centroid
+    (centroids broadcast), so search probes only matching buckets.
+    Centroids here are seeded deterministic samples — a stand-in for an
+    offline k-means fit at 100 TB."""
+
+    def __init__(self, centroids_ref, key_col: str = "vec_id", vec_col: str = "embedding"):
+        c = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref
+        self.centroids = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
+        self.key_col, self.vec_col = key_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        assign = (mat @ self.centroids.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("ivf_bucket", pa.array(assign, pa.int32()))
+
+
+def ivf_bucket_assignments(embeddings: Dataset, n_centroids: int = 8,
+                           vec_col: str = "embedding") -> Dataset:
+    sample = embeddings.take(n_centroids)
+    centroids = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    ref = ray.put(centroids)
+    return embeddings.map_batches(
+        IvfIndexer, fn_constructor_kwargs=dict(centroids_ref=ref, vec_col=vec_col),
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis: language-ID, quality, token count, fingerprints
+# ---------------------------------------------------------------------------
+
+_STOP_SET = {"the", "a", "of", "and", "to", "in", "is", "it", "for", "on"}
+
+_LANG_PROFILES = {
+    # tiny character-trigram heuristic profiles (deterministic, no model)
+    "en": {"the", "he ", " th", "ing", "and", "ion"},
+    "de": {"der", "ein", "sch", "ich", "und", "en "},
+    "es": {"de ", "la ", "os ", "el ", "ión", "que"},
+    "fr": {"le ", "es ", "de ", "ent", "que", "ion"},
+}
+
+
+class TextAnalyzer:
+    """Actor: language-ID (char-trigram overlap), quality scores
+    (length / punctuation / stopword ratios), whitespace + BPE-ish token
+    counts, and a rolling-hash document fingerprint."""
+
+    def __init__(self, key_col: str = "doc_id", text_col: str = "text"):
+        self.key_col, self.text_col = key_col, text_col
+        self.word_re = re.compile(r"\w+")
+        # BPE-ish segmentation: words, numbers, or single non-space symbols
+        self.bpe_re = re.compile(r"\w+|[^\w\s]")
+
+    def lang_of(self, text: str) -> str:
+        tl = text.lower()
+        tris = {tl[i:i + 3] for i in range(max(0, len(tl) - 2))}
+        best, best_n = "unknown", 0
+        for lang in sorted(_LANG_PROFILES):
+            n = len(tris & _LANG_PROFILES[lang])
+            if n > best_n:
+                best, best_n = lang, n
+        return best
+
+    def fingerprint(self, toks: list[str]) -> int:
+        # polynomial rolling hash over token hashes (order-sensitive)
+        h = 0
+        for t in toks:
+            h = (h * 1000003 + stable_hash64(t)) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        langs, stopr, punctr, nws, nbpe, fps = [], [], [], [], [], []
+        for t in texts:
+            t = t or ""
+            toks = self.word_re.findall(t.lower())
+            ws_toks = t.split()
+            n = max(1, len(toks))
+            langs.append(self.lang_of(t))
+            stopr.append(round(sum(tok in _STOP_SET for tok in toks) / n, 6))
+            punctr.append(round(sum(not c.isalnum() and not c.isspace() for c in t)
+                                / max(1, len(t)), 6))
+            nws.append(len(ws_toks))
+            nbpe.append(len(self.bpe_re.findall(t)))
+            fps.append(self.fingerprint(toks))
+        return pa.table(
+            {
+                self.key_col: batch[self.key_col],
+                "lang_pred": pa.array(langs, pa.string()),
+                "stop_ratio": pa.array(stopr, pa.float64()),
+                "punct_ratio": pa.array(punctr, pa.float64()),
+                "n_tokens_ws": pa.array(nws, pa.int64()),
+                "n_tokens_bpe": pa.array(nbpe, pa.int64()),
+                "fingerprint": pa.array(fps, pa.uint64()),
+            }
+        )
+
+
+def analyze_text(docs: Dataset, key_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    return docs.map_batches(
+        TextAnalyzer, fn_constructor_kwargs=dict(key_col=key_col, text_col=text_col),
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (decode stubbed — no image/audio libs in container)
+# ---------------------------------------------------------------------------
+
+class MediaDecoder:
+    """Actor-pool stage for opaque binary media columns.
+
+    The Ray-side plumbing (schema, small batch size for large payloads,
+    actor signature, typed output layout) is real; the actual
+    decode/resize/frame-sample kernel is a deterministic fake
+    (``mode='fake'``) because no image/audio codec libraries exist in
+    this container — swap ``_decode`` for a real library in production.
+    """
+
+    def __init__(self, media_col: str = "payload", mode: str = "fake",
+                 target_size: tuple[int, int] = (32, 32)):
+        self.media_col, self.mode, self.target = media_col, mode, target_size
+        if mode not in ("fake",):
+            raise NotImplementedError(
+                "real decoders (PIL/av/soundfile) are not available in this "
+                "environment; only the deterministic 'fake' mode is implemented"
+            )
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        # deterministic fake decode: bytes → seeded uint8 "pixels"
+        seed = stable_hash64(payload or b"") & 0x7FFFFFFF
+        rng = np.random.RandomState(seed)
+        h, w = self.target
+        return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, shapes = [], []
+        for payload in batch[self.media_col].to_pylist():
+            img = self._decode(payload)
+            feats.append([float(img.mean()), float(img.std()),
+                          float(img[..., 0].mean()), float(img[..., 1].mean()),
+                          float(img[..., 2].mean())])
+            shapes.append(list(img.shape))
+        out = batch.drop_columns([self.media_col])
+        return out.append_column(
+            "features", pa.array(feats, pa.list_(pa.float64()))
+        ).append_column("shape", pa.array(shapes, pa.list_(pa.int32())))
+
+
+def decode_media(ds: Dataset, media_col: str = "payload") -> Dataset:
+    """Large binary payloads → small batches (memory-aware, SURVEY §4)."""
+    return ds.map_batches(
+        MediaDecoder, fn_constructor_kwargs=dict(media_col=media_col),
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 4), num_cpus=1,
+    )
