@@ -1,0 +1,157 @@
+"""Benchmark harness.
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N}
+
+``--scaling`` runs the headline pipeline twice in fresh processes
+(num_cpus=8 then 32) on the same input and reports both throughputs plus
+the scaling efficiency (the sandbox evidence for the north_rule's
+N→4N-cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# deterministic input replication for the headline pipeline (scaling
+# mode raises it so compute dominates startup cost — same input at
+# both parallelism levels)
+REPEAT = int(os.environ.get("BENCH_REPEAT", "1"))
+
+
+def _consume(ds) -> int:
+    """Stream-consume a Dataset (or accept a DataFrame) → row count."""
+    try:
+        import pandas as pd
+
+        if isinstance(ds, pd.DataFrame):
+            return len(ds)
+    except ImportError:
+        pass
+    n = 0
+    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        n += b.num_rows
+    return n
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    # warm the OS page cache so we measure compute + shuffle, not first I/O
+    for t in ("documents", "lineitem", "orders", "part", "embeddings"):
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+
+    from omop2obo_ray.pipelines import relational as R
+    from omop2obo_ray.pipelines.flagship import derive_lexicon_from_corpus, kg_over_documents
+    from omop2obo_ray.pipelines.textpipe import minhash_candidate_pairs
+
+    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        rows = _consume(fn())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return rows
+
+    # headline FIRST in a clean session (the scaling metric); secondary
+    # query timings follow (skipped when BENCH_ONLY is set, e.g. during
+    # --scaling runs, so unrelated worker pools don't pollute the session)
+    lexicon = derive_lexicon_from_corpus(SF_DIR)  # untimed offline dim build
+    out_dir = "/tmp/bench_kg_out"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    # consume through the real sink: parallel partitioned parquet write
+    # (driver-side iter_batches of millions of triples would serialize
+    # the tail of the pipeline through one process)
+    kg_over_documents(SF_DIR, lexicon=lexicon, repeat=REPEAT).write_parquet(out_dir)
+    headline = round(time.perf_counter() - t0, 3)
+    timings["kg_pipeline"] = headline
+    n_docs *= REPEAT
+    n_triples = sum(
+        pq.read_metadata(os.path.join(out_dir, f)).num_rows
+        for f in os.listdir(out_dir) if f.endswith(".parquet")
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    if not os.environ.get("BENCH_ONLY"):
+        timed("lineitem_agg", lambda: R.q_lineitem_agg(SF_DIR))
+        timed("exact_match_mentions", lambda: R.q_exact_match_mentions(SF_DIR))
+        timed("dedup_minhash_candidates", lambda: minhash_candidate_pairs(
+            __import__("ray.data", fromlist=["read_parquet"]).read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])))
+        timed("explode_tokens", lambda: R.q_explode_tokens(SF_DIR))
+        timed("window_tumbling", lambda: R.q_window_tumbling(SF_DIR))
+
+    result = {
+        "metric": "kg_pipeline_seconds",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "n_triples": n_triples,
+        "pages_per_sec": round(n_docs / headline, 1) if headline else None,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same headline job at two parallelism levels in fresh processes."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_REPEAT=os.environ.get("BENCH_REPEAT", "96"),
+                   BENCH_ONLY="kg")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    thr_lo = r_lo["n_docs"] / r_lo["value"]
+    thr_hi = r_hi["n_docs"] / r_hi["value"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "pages_per_sec_8": round(thr_lo, 1),
+        "pages_per_sec_32": round(thr_hi, 1),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

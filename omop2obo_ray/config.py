@@ -39,10 +39,18 @@ class PipelineConfig:
     ontologies: tuple[str, ...] = ("hp", "mondo")
 
     # ---- scale knobs ----
-    link_batch_size: int = 1024
-    link_concurrency: int = 4
+    # batches sized so #tasks ≫ pool size (parallelism is bounded by
+    # #batches); pools autoscale (1, N) so small runs stay cheap
+    link_batch_size: int = 256
+    link_concurrency: int = 16
     score_batch_size: int = 1024
-    score_concurrency: int = 2
+    score_concurrency: int = 8
+    # hash buckets for per-subject assembly (≥ 2× cluster cores)
+    assembly_buckets: int = 64
+    # input contract: url is the pages primary key (FIXTURES.md §1), so
+    # links are page-local and assembly needs no shuffle; set False for
+    # inputs where the same url can appear on multiple rows
+    assume_unique_urls: bool = True
     # salt buckets for head-surface-form skew at canonicalization (SURVEY §4)
     canon_salt: int = 16
     # output partitioning: subject-hash buckets (north_rule layout + resume unit)

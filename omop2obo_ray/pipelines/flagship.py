@@ -66,9 +66,13 @@ def derive_lexicon_from_corpus(sf_dir: str, n_classes: int = 48,
     )
 
 
-def documents_as_pages(sf_dir: str) -> Dataset:
+def documents_as_pages(sf_dir: str, repeat: int = 1) -> Dataset:
     """documents → pages (input_hint shape) with the canonical HTML
-    template, so the byte-identical extraction invariant is exercised."""
+    template, so the byte-identical extraction invariant is exercised.
+
+    ``repeat`` deterministically replicates every document under
+    distinct urls (``…/doc/{i}?r={k}``) — used by the scaling benchmark
+    to grow the same input so compute dominates fixed startup cost."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang"])
     epoch = _dt.datetime(2024, 1, 1)
@@ -77,28 +81,35 @@ def documents_as_pages(sf_dir: str) -> Dataset:
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
         langs = batch["lang"].to_pylist()
-        urls, tss, htmls, out_texts = [], [], [], []
-        for i, t in zip(ids, texts):
-            title = f"doc {i}"
-            urls.append(f"https://testdata.local/doc/{i}")
-            tss.append(epoch + _dt.timedelta(seconds=int(i)))
-            htmls.append(render_page_html(title, [t or ""]))
-            out_texts.append(expected_text(title, [t or ""]))
+        urls, tss, htmls, out_texts, out_langs = [], [], [], [], []
+        for r in range(repeat):
+            suffix = "" if r == 0 else f"?r={r}"
+            for i, t, lg in zip(ids, texts, langs):
+                title = f"doc {i}"
+                urls.append(f"https://testdata.local/doc/{i}{suffix}")
+                tss.append(epoch + _dt.timedelta(seconds=int(i)))
+                htmls.append(render_page_html(title, [t or ""]))
+                out_texts.append(expected_text(title, [t or ""]))
+                out_langs.append(lg)
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
                 "warc_ts": pa.array(tss, pa.timestamp("us")),
                 "html": pa.array(htmls, pa.large_binary()),
                 "text": pa.array(out_texts, pa.large_string()),
-                "lang": pa.array(langs, pa.string()),
+                "lang": pa.array(out_langs, pa.string()),
             }
         )
 
-    return docs.map_batches(to_pages, batch_format="pyarrow")
+    # small batches → many downstream tasks (the fused page→link chain
+    # inherits this granularity; parallelism is bounded by #batches);
+    # adaptive to repeat so output stays ~2-4k pages per task
+    bs = max(16, 256 // max(1, repeat))
+    return docs.map_batches(to_pages, batch_format="pyarrow", batch_size=bs)
 
 
 def kg_over_documents(sf_dir: str, cfg: PipelineConfig | None = None,
-                      lexicon: Lexicon | None = None) -> Dataset:
+                      lexicon: Lexicon | None = None, repeat: int = 1) -> Dataset:
     """Full flagship: documents-as-pages → tiered linking → triples.
 
     All languages are admitted (the documents table is multi-lingual by
@@ -112,7 +123,11 @@ def kg_over_documents(sf_dir: str, cfg: PipelineConfig | None = None,
         # but no new links (every candidate token is already tier-1) —
         # keep a small candidate cap
         sim_max_candidates_per_page=2,
+        # task granularity is set by the (fused) linker batch size in
+        # INPUT doc rows; shrink it as repeat grows so the page count
+        # per task stays ~1-2k and parallelism scales with the cluster
+        link_batch_size=max(8, 256 // max(1, repeat)),
     )
     lexicon = lexicon or derive_lexicon_from_corpus(sf_dir)
-    pages = documents_as_pages(sf_dir)
+    pages = documents_as_pages(sf_dir, repeat=repeat)
     return build_kg(pages, lexicon, cfg)

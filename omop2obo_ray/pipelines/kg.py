@@ -27,8 +27,9 @@ from ray.data import Dataset
 
 from omop2obo_ray.config import DEFAULT_CONFIG, PipelineConfig
 from omop2obo_ray.stages.canonicalize import (
+    add_url_bucket,
     apply_canonical_map,
-    assemble_subject,
+    assemble_bucket,
     build_canonical_map,
     finalize_triples,
 )
@@ -52,6 +53,15 @@ def link_pages(pages: Dataset, lexicon: Lexicon, cfg: PipelineConfig = DEFAULT_C
     """pages(url, text, lang) → long link records (LINKS schema)."""
     if lexicon_ref is None:
         lexicon_ref = ray.put(lexicon)
+    # pool sizes follow the cluster: the linker is the dominant compute
+    # stage (≤ 3/4 of cores), the scorer mostly passes links through
+    # (≤ 1/4). Autoscaling ranges with a warm minimum — Ray's pool
+    # upscaler is reactive and slow to grow from 1, so pre-starting
+    # min actors matters for short jobs; never ≥ all cores (the read
+    # and assembly stages must not starve).
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    link_pool = (max(1, cpus // 2), max(2, (3 * cpus) // 4))
+    score_pool = (max(1, cpus // 8), max(1, cpus // 4))
     linked = pages.map_batches(
         LinkerActor,
         fn_constructor_kwargs={
@@ -60,9 +70,7 @@ def link_pages(pages: Dataset, lexicon: Lexicon, cfg: PipelineConfig = DEFAULT_C
         },
         batch_format="pyarrow",
         batch_size=cfg.link_batch_size,
-        # autoscaling pool (1, N): starts with one actor, grows while CPUs
-        # are free — never deadlocks another stage out of the node
-        concurrency=(1, cfg.link_concurrency),
+        concurrency=link_pool,
         num_cpus=1,
     )
     scored = linked.map_batches(
@@ -74,8 +82,8 @@ def link_pages(pages: Dataset, lexicon: Lexicon, cfg: PipelineConfig = DEFAULT_C
             "percentile": cfg.sim_percentile,
         },
         batch_format="pyarrow",
-        batch_size=cfg.score_batch_size,
-        concurrency=(1, cfg.score_concurrency),
+        batch_size=None,  # whole blocks: keeps every url's links in one block
+        concurrency=score_pool,
         num_cpus=1,
     )
     return scored
@@ -86,6 +94,12 @@ def links_to_triples(links: Dataset, lexicon: Lexicon,
                      canonicalize: bool = True) -> Dataset:
     """links → canonicalized, aggregated, deduplicated triples."""
     if canonicalize:
+        # links are consumed twice (canonical-map build + assembly) —
+        # materialize the link stream ONCE so the page scan does not
+        # re-execute; links are ~100× smaller than pages and spill to
+        # disk under object-store pressure. At 100 TB, swap for a
+        # parquet checkpoint of the links stage (same two-pass shape).
+        links = links.materialize()
         # the canonical map is lexicon-bounded: build via partial-agg
         # shuffle, broadcast back (stages/canonicalize.py docstring)
         canon = build_canonical_map(links)
@@ -93,12 +107,26 @@ def links_to_triples(links: Dataset, lexicon: Lexicon,
         links = links.map_batches(
             functools.partial(apply_canonical_map, canon=canon, labels=labels),
             batch_format="pyarrow",
+            batch_size=None,  # preserve block boundaries (page-locality)
         )
-    triples = links.groupby("url").map_groups(
+    # Per-subject assembly is PAGE-LOCAL: the linker emits every link of
+    # a page inside one output block and downstream maps run with
+    # batch_size=None (whole block in, whole block out), so all links of
+    # a url are already co-located — no shuffle is needed at all.
+    # Assumption (documented input contract, FIXTURES.md §1): url is the
+    # pages table's primary key, each url appears on exactly one input
+    # row. For inputs violating that, set cfg.assume_unique_urls=False
+    # to route through a hash exchange on url first.
+    if cfg.assume_unique_urls:
+        grouped = links
+    else:
+        grouped = links.repartition(cfg.assembly_buckets, keys=["url"], sort=False)
+    triples = grouped.map_batches(
         functools.partial(
-            assemble_subject, ontologies=lexicon.ontologies, threshold=cfg.sim_threshold
+            assemble_bucket, ontologies=lexicon.ontologies, threshold=cfg.sim_threshold
         ),
         batch_format="pandas",
+        batch_size=None,
     )
     return triples.map_batches(
         functools.partial(finalize_triples, n_buckets=cfg.subject_buckets),

@@ -47,6 +47,9 @@ def _partial_counts(batch: pa.Table) -> pa.Table:
     the reducer only ever sees one row per batch per key, so Zipf-headed
     surfaces cannot hot-spot a partition (SURVEY §4 skew row)."""
     df = batch.select(["surface", "ontology", "uri", "tier"]).to_pandas()
+    for c in df.columns:  # de-categorize dictionary-encoded link columns
+        if isinstance(df[c].dtype, pd.CategoricalDtype):
+            df[c] = df[c].astype(str)
     df = df[df["tier"].isin(["str", "dbxref", "umls"])]
     if df.empty:
         return pa.table(
@@ -56,120 +59,215 @@ def _partial_counts(batch: pa.Table) -> pa.Table:
         )
     df["tier_rank"] = df["tier"].map(TIER_RANK)
     agg = (
-        df.groupby(["surface", "ontology", "uri"], sort=True)
+        df.groupby(["surface", "ontology", "uri"], sort=True, observed=True)
         .agg(tier_rank=("tier_rank", "min"), n=("uri", "size"))
         .reset_index()
     )
-    return pa.Table.from_pandas(agg, preserve_index=False)
+    return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
 
-def build_canonical_map(links: Dataset) -> dict[tuple[str, str], str]:
+def build_canonical_map(links: Dataset, driver_merge: bool = True) -> dict[tuple[str, str], str]:
     """Distributed build of the (surface, ontology) → canonical uri map.
 
     The result is lexicon-bounded (≤ #surface forms × #ontologies), so
     collecting it driver-side and re-broadcasting via ``ray.put`` is the
-    broadcast-small-side pattern, not a materialization of page data."""
+    broadcast-small-side pattern, not a materialization of page data.
+
+    ``driver_merge=True`` streams the per-block partial counts to the
+    driver and merges there — the partials are already combined per
+    block, so the driver sees ≤ (lexicon × #blocks) rows and a whole
+    Ray shuffle's fixed cost disappears. For 10⁶-surface lexicons ×
+    10⁴ blocks set ``driver_merge=False`` to run the merge as a Ray
+    groupby (the salted-combiner two-phase aggregate)."""
     partials = links.map_batches(_partial_counts, batch_format="pyarrow")
-    merged = partials.groupby(["surface", "ontology", "uri"]).aggregate(
-        Min("tier_rank", alias_name="tier_rank"), Sum("n", alias_name="n")
-    )
-    canon: dict[tuple[str, str], tuple[int, int, str]] = {}
-    for b in merged.iter_batches(batch_size=65536, batch_format="pyarrow"):
+    if not driver_merge:
+        partials = partials.groupby(["surface", "ontology", "uri"]).aggregate(
+            Min("tier_rank", alias_name="tier_rank"), Sum("n", alias_name="n")
+        )
+    best: dict[tuple[str, str], tuple[int, int, str]] = {}
+    counts: dict[tuple[str, str, str], tuple[int, int]] = {}
+    for b in partials.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for surface, ont, uri, tr, n in zip(
             b["surface"].to_pylist(), b["ontology"].to_pylist(),
             b["uri"].to_pylist(), b["tier_rank"].to_pylist(), b["n"].to_pylist(),
         ):
-            key = (surface, ont)
-            cand = (int(tr), -int(n), uri)
-            if key not in canon or cand < canon[key]:
-                canon[key] = cand
-    return {k: v[2] for k, v in canon.items()}
+            k3 = (surface, ont, uri)
+            old = counts.get(k3, (9, 0))
+            counts[k3] = (min(old[0], int(tr)), old[1] + int(n))
+    n_uris: dict[tuple[str, str], int] = {}
+    for (surface, ont, uri), (tr, n) in counts.items():
+        key = (surface, ont)
+        n_uris[key] = n_uris.get(key, 0) + 1
+        cand = (tr, -n, uri)
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    # only AMBIGUOUS surfaces (>1 distinct uri) need rewriting — for the
+    # rest the rewrite is the identity, so the apply stage can skip them
+    # (and becomes a free pass-through when no ambiguity exists)
+    return {k: v[2] for k, v in best.items() if n_uris[k] > 1}
 
 
 def apply_canonical_map(batch: pa.Table, canon: dict[tuple[str, str], str],
                         labels: dict[str, str]) -> pa.Table:
-    """Rewrite concept-level exact links to their canonical uri."""
+    """Rewrite concept-level exact links whose surface is AMBIGUOUS to
+    the canonical uri (map holds only ambiguous surfaces). Fast path:
+    no ambiguous surface in this batch → zero-copy pass-through."""
+    if not canon:
+        return batch
+    import pyarrow.compute as pc
+
+    amb_surfaces = {s for s, _o in canon}
+    hit = pc.is_in(batch["surface"], value_set=pa.array(sorted(amb_surfaces)))
+    if not pc.any(hit).as_py():
+        return batch
     df = batch.to_pandas()
-    mask = df["tier"].isin(["str", "dbxref", "umls"])
+    for c in ("uri", "label"):  # rewrite target columns must not be categorical
+        if isinstance(df[c].dtype, pd.CategoricalDtype):
+            df[c] = df[c].astype(str)
+    mask = df["tier"].isin(["str", "dbxref", "umls"]) & df["surface"].isin(amb_surfaces)
     if mask.any():
         keys = list(zip(df.loc[mask, "surface"], df.loc[mask, "ontology"]))
         new_uri = [canon.get(k, u) for k, u in zip(keys, df.loc[mask, "uri"])]
         df.loc[mask, "uri"] = new_uri
         df.loc[mask, "label"] = [labels.get(u, "") for u in new_uri]
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 # ---------------------------------------------------------------------------
 # 2. per-subject assembly (A6)
 # ---------------------------------------------------------------------------
 
-def _unique_everseen(xs):
-    seen, out = set(), []
-    for x in xs:
-        if x not in seen:
-            seen.add(x)
-            out.append(x)
+# typed empty frame: object-dtype empties would surface as Arrow null
+# columns and break cross-block schema union
+_EMPTY_TRIPLES = pd.DataFrame(
+    {c: pd.Series(dtype="string")
+     for c in ["subj", "pred", "obj", "ontology", "evidence"]}
+)
+
+
+def add_url_bucket(batch, n_buckets: int):
+    """Hash-bucket links by url so per-subject assembly runs as P
+    bucket-groups (one pandas job each) instead of one Ray group per
+    url — #groups drops from |urls| to P and the groupby sort keys on a
+    small int column."""
+    import pyarrow as pa
+
+    h = hash64_array(batch["url"])
+    return batch.append_column("url_bucket", pa.array(bucket_of(h, n_buckets), pa.int32()))
+
+
+def _join_unique(series: pd.Series) -> str:
+    return " | ".join(dict.fromkeys(series))
+
+
+def assemble_links(df: pd.DataFrame, ontologies: tuple[str, ...],
+                   threshold: float = 0.25) -> pd.DataFrame:
+    """A6 over a set of complete url groups, fully vectorized: per
+    (url, ontology) emit exact triples (CONCEPT preferred, ANCESTOR
+    fallback — compiles_mapping_content's level loop,
+    data_utils.py:438-449) and sim triples (exact-1.0 else ≥threshold
+    else all — filters_mapping_content, data_utils.py:402-418), with
+    categories from assigns_mapping_category (data_utils.py:518-548).
+
+    Deterministic intra-subject order regardless of block arrival:
+    rows are pinned to (tier rank, surface, uri) before first-seen
+    dedup (the reference's unique_everseen is input-row order —
+    SURVEY §7.4.1)."""
+    # dictionary-encoded link columns arrive as pandas Categoricals
+    # whose category ORDER is block-insertion order — sorting on them
+    # would be nondeterministic across runs. Reordering the (small)
+    # category lists lexically makes every code-based sort/compare
+    # deterministic WITHOUT expanding millions of Python strings
+    # (a blanket astype(str) here was 8× the assembly's entire cost).
+    for c in df.columns:
+        if isinstance(df[c].dtype, pd.CategoricalDtype):
+            cats = df[c].cat.categories
+            if not cats.is_monotonic_increasing:
+                df[c] = df[c].cat.reorder_categories(cats.sort_values())
+    df = df[df["ontology"].isin(ontologies)]
+    if df.empty:
+        return _EMPTY_TRIPLES.copy()
+    if isinstance(df["tier"].dtype, pd.CategoricalDtype):
+        rank_of = df["tier"].cat.categories.map(lambda t: TIER_RANK.get(t, 9))
+        df = df.assign(_rank=rank_of.to_numpy()[df["tier"].cat.codes])
+    else:
+        df = df.assign(_rank=df["tier"].map(TIER_RANK))
+    df = df.sort_values(["_rank", "surface", "uri"], kind="mergesort")
+    key = ["url", "ontology"]
+    parts: list[pd.DataFrame] = []
+
+    exact_c = df[(df["level"] == "CONCEPT") & (df["tier"].isin(["str", "dbxref", "umls"]))]
+    anc = df[df["level"] == "ANCESTOR"]
+    sims = df[df["tier"] == "sim"]
+
+    def exact_block(rows: pd.DataFrame, pred_one: str, pred_many: str) -> pd.DataFrame:
+        uris = rows.drop_duplicates(key + ["uri"])
+        n = uris.groupby(key, sort=False, observed=True)["uri"].transform("size")
+        ev = (
+            rows.drop_duplicates(key + ["evidence"])
+            .groupby(key, sort=False, observed=True)["evidence"].agg(_join_unique).rename("evidence")
+        )
+        out = uris[key + ["uri"]].merge(ev, left_on=key, right_index=True)
+        out["pred"] = np.where(n.to_numpy() > 1, pred_many, pred_one)
+        return out
+
+    if len(exact_c):
+        parts.append(
+            exact_block(exact_c, "Automatic Exact - Concept",
+                        "Automatic Constructor - Concept")
+        )
+    if len(anc):
+        # ANCESTOR level only where the (url, ont) has no CONCEPT exact
+        have_exact = set(map(tuple, exact_c[key].drop_duplicates().to_numpy()))
+        mask = [t not in have_exact for t in map(tuple, anc[key].to_numpy())]
+        anc_f = anc[np.array(mask, dtype=bool)] if len(anc) else anc
+        if len(anc_f):
+            parts.append(
+                exact_block(anc_f, "Automatic Exact - Ancestor",
+                            "Automatic Constructor - Ancestor")
+            )
+
+    if len(sims):
+        is_one = sims["score"].to_numpy() == 1.0
+        ge_thr = sims["score"].to_numpy() >= threshold
+        flags = sims.assign(_one=is_one, _thr=ge_thr).groupby(key, sort=False, observed=True)[
+            ["_one", "_thr"]
+        ].transform("max")  # cythonized group-any
+        any_one = flags["_one"].to_numpy()
+        any_thr = flags["_thr"].to_numpy()
+        keep_mask = np.where(any_one, is_one, np.where(any_thr, ge_thr, True))
+        keep = sims[keep_mask].copy()
+        keep["sim_evid"] = "CONCEPT_SIMILARITY:" + keep["evidence"].astype(str)
+        ev_rows = keep.drop_duplicates(key + ["sim_evid"])
+        n_evid = ev_rows.groupby(key, sort=False, observed=True)["sim_evid"].agg("size")
+        ev = ev_rows.groupby(key, sort=False, observed=True)["sim_evid"].agg(_join_unique)
+        uris = keep.drop_duplicates(key + ["uri"])
+        out = uris[key + ["uri"]].merge(
+            pd.DataFrame({"evidence": ev, "n_evid": n_evid}), left_on=key, right_index=True
+        )
+        out["pred"] = np.where(out.pop("n_evid").to_numpy() > 1,
+                               "Automatic Constructor - Concept",
+                               "Manual Exact - Concept Similarity")
+        parts.append(out)
+
+    if not parts:
+        return _EMPTY_TRIPLES.copy()
+    out = pd.concat(parts, ignore_index=True).rename(columns={"url": "subj", "uri": "obj"})
+    out = out[["subj", "pred", "obj", "ontology", "evidence"]]
+    out = out.drop_duplicates(subset=["subj", "pred", "obj"])
+    # decode any categorical carry-over: triples are ~100× fewer rows
+    # than links, and downstream sort/write needs plain string columns
+    for c in out.columns:
+        if isinstance(out[c].dtype, pd.CategoricalDtype):
+            out[c] = out[c].astype(str)
     return out
 
 
-def assemble_subject(group: pd.DataFrame, ontologies: tuple[str, ...],
-                     threshold: float = 0.25) -> pd.DataFrame:
-    """A6 for one subject (url): per ontology emit exact triples
-    (CONCEPT preferred, ANCESTOR fallback — compiles_mapping_content's
-    level loop, data_utils.py:438-449) and sim triples (exact-1.0 else
-    ≥threshold else all — filters_mapping_content, data_utils.py:402-418),
-    with categories from assigns_mapping_category (data_utils.py:518-548)."""
-    url = group["url"].iloc[0]
-    rows: list[tuple] = []
-    # deterministic intra-subject order regardless of block arrival
-    # (reference order = input row order; we pin (tier, surface, uri) —
-    #  SURVEY §7.4.1)
-    group = group.sort_values(
-        by=["tier", "surface", "uri"],
-        key=lambda s: s.map(TIER_RANK) if s.name == "tier" else s,
-        kind="mergesort",
-    )
-    for ont in ontologies:
-        g = group[group["ontology"] == ont]
-        exact_c = g[(g["level"] == "CONCEPT") & (g["tier"].isin(["str", "dbxref", "umls"]))]
-        anc = g[g["level"] == "ANCESTOR"]
-        sims = g[g["tier"] == "sim"]
-
-        exact = exact_c if len(exact_c) else anc
-        if len(exact):
-            uris = _unique_everseen(exact["uri"].tolist())
-            evidence = " | ".join(_unique_everseen(exact["evidence"].tolist()))
-            is_anc = len(exact_c) == 0
-            if not is_anc:
-                pred = ("Automatic Constructor - Concept" if len(uris) > 1
-                        else "Automatic Exact - Concept")
-            else:
-                pred = ("Automatic Constructor - Ancestor" if len(uris) > 1
-                        else "Automatic Exact - Ancestor")
-            for uri in uris:
-                rows.append((url, pred, uri, ont, evidence))
-
-        if len(sims):
-            scores = sims["score"].to_numpy(dtype=float)
-            if (scores == 1.0).any():
-                keep = sims[scores == 1.0]
-            elif (scores >= threshold).any():
-                keep = sims[scores >= threshold]
-            else:
-                keep = sims
-            evid_parts = _unique_everseen(
-                ("CONCEPT_SIMILARITY:" + keep["evidence"]).tolist()
-            )
-            evidence = " | ".join(evid_parts)
-            pred = ("Automatic Constructor - Concept" if len(evid_parts) > 1
-                    else "Manual Exact - Concept Similarity")
-            for uri in _unique_everseen(keep["uri"].tolist()):
-                rows.append((url, pred, uri, ont, evidence))
-
-    if not rows:
-        return pd.DataFrame(columns=["subj", "pred", "obj", "ontology", "evidence"])
-    out = pd.DataFrame(rows, columns=["subj", "pred", "obj", "ontology", "evidence"])
-    return out.drop_duplicates(subset=["subj", "pred", "obj"])
+def assemble_bucket(group: pd.DataFrame, ontologies: tuple[str, ...],
+                    threshold: float = 0.25) -> pd.DataFrame:
+    """map_groups body for one url_bucket (complete url groups by
+    construction of the hash bucketing)."""
+    return assemble_links(group, ontologies, threshold)
 
 
 def finalize_triples(batch: pa.Table, n_buckets: int) -> pa.Table:

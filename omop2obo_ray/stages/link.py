@@ -61,37 +61,68 @@ class LinkerActor:
         # unigram vocabulary of the sim corpus, for cheap candidate pre-filter
         self.sim_vocab = {t for t in self.lex.sim_index.vocab if " " not in t}
         self.max_sim_candidates = max_sim_candidates
+        self._surface_cache: dict[str, tuple] = {}
+
+    def _surface_columns(self, surface: str):
+        """Cached per-surface link columns (tuple of per-field tuples) —
+        the emit hot path is list.extend of precomputed tuples, not one
+        Python append per field per link."""
+        cached = self._surface_cache.get(surface)
+        if cached is None:
+            links = self.lex.surface_links[surface]
+            labels = self.lex.labels
+            cached = (
+                tuple(surface for _ in links),
+                tuple(l[0] for l in links),          # level
+                tuple(l[1] for l in links),          # ontology
+                tuple(l[2] for l in links),          # uri
+                tuple(labels.get(l[2], "") for l in links),  # label
+                tuple(l[3] for l in links),          # tier
+                tuple(l[4] for l in links),          # evidence
+                len(links),
+            )
+            self._surface_cache[surface] = cached
+        return cached
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         texts = batch["text"].to_pylist()
-        out: dict[str, list] = {c: [] for c in LINK_COLS}
+        c_url: list[str] = []
+        c_surface: list[str] = []
+        c_level: list[str] = []
+        c_ont: list[str] = []
+        c_uri: list[str | None] = []
+        c_label: list[str] = []
+        c_tier: list[str] = []
+        c_evid: list[str] = []
 
-        def emit(url, surface, level, ont, uri, label, tier, evidence, score=None):
-            out["url"].append(url)
-            out["surface"].append(surface)
-            out["level"].append(level)
-            out["ontology"].append(ont)
-            out["uri"].append(uri)
-            out["label"].append(label)
-            out["tier"].append(tier)
-            out["evidence"].append(evidence)
-            out["score"].append(score)
-
-        labels = self.lex.labels
         surface_links = self.lex.surface_links
         for url, text in zip(urls, texts):
             low = (text or "").lower()
             spans = self.automaton.longest_nonoverlapping(low)
+            # one emission per DISTINCT surface per page: repeated
+            # occurrences add no information (assembly dedups on uri and
+            # evidence, A3/A6 semantics) and 4×-inflate the link stream
+            seen: set[str] = set()
             covered: list[tuple[int, int]] = []
             for s, e in spans:
                 surface = low[s:e]
-                links = surface_links.get(surface)
-                if not links:
+                if surface in seen:
+                    covered.append((s, e))
                     continue
+                if surface not in surface_links:
+                    continue
+                seen.add(surface)
                 covered.append((s, e))
-                for level, ont, uri, tier, evidence in links:
-                    emit(url, surface, level, ont, uri, labels.get(uri, ""), tier, evidence)
+                surf, level, ont, uri, label, tier, evid, n = self._surface_columns(surface)
+                c_url.extend([url] * n)
+                c_surface.extend(surf)
+                c_level.extend(level)
+                c_ont.extend(ont)
+                c_uri.extend(uri)
+                c_label.extend(label)
+                c_tier.extend(tier)
+                c_evid.extend(evid)
             # tier-3 candidates: sentences with no mention hit
             n_cand = 0
             pos = 0
@@ -108,20 +139,31 @@ class LinkerActor:
                 if n_cand >= self.max_sim_candidates:
                     break
                 n_cand += 1
-                emit(url, sent, "CONCEPT", "", None, "", "cand", "", None)
+                c_url.append(url)
+                c_surface.append(sent)
+                c_level.append("CONCEPT")
+                c_ont.append("")
+                c_uri.append(None)
+                c_label.append("")
+                c_tier.append("cand")
+                c_evid.append("")
 
-        if not out["url"]:
+        if not c_url:
             return _empty_links_table()
+        n_rows = len(c_url)
         return pa.table(
             {
-                "url": pa.array(out["url"], pa.string()),
-                "surface": pa.array(out["surface"], pa.string()),
-                "level": pa.array(out["level"], pa.string()),
-                "ontology": pa.array(out["ontology"], pa.string()),
-                "uri": pa.array(out["uri"], pa.string()),
-                "label": pa.array(out["label"], pa.string()),
-                "tier": pa.array(out["tier"], pa.string()),
-                "evidence": pa.array(out["evidence"], pa.string()),
-                "score": pa.array(out["score"], pa.float64()),
+                "url": pa.array(c_url, pa.string()),
+                # low-cardinality columns dictionary-encoded: the link
+                # stream crosses the object store between every stage —
+                # bytes moved matter more than kernel time here
+                "surface": pa.array(c_surface, pa.string()).dictionary_encode(),
+                "level": pa.array(c_level, pa.string()).dictionary_encode(),
+                "ontology": pa.array(c_ont, pa.string()).dictionary_encode(),
+                "uri": pa.array(c_uri, pa.string()).dictionary_encode(),
+                "label": pa.array(c_label, pa.string()).dictionary_encode(),
+                "tier": pa.array(c_tier, pa.string()).dictionary_encode(),
+                "evidence": pa.array(c_evid, pa.string()).dictionary_encode(),
+                "score": pa.array([None] * n_rows, pa.float64()),
             }
         )

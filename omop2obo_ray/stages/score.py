@@ -72,8 +72,19 @@ class ScorerActor:
                 cols["score"].append(float(score))
         if not cols["url"]:
             return passthrough
+        arrays = {}
+        for name in batch.column_names:
+            ftype = batch.schema.field(name).type
+            arr = pa.array(cols[name],
+                           type=ftype if not pa.types.is_dictionary(ftype) else None)
+            if pa.types.is_dictionary(ftype):
+                arr = arr.cast(ftype.value_type).dictionary_encode()
+            arrays[name] = arr
         sim_table = pa.table(
-            {name: pa.array(cols[name], type=batch.schema.field(name).type)
-             for name in batch.column_names}
+            {n: arrays[n].cast(batch.schema.field(n).type)
+             if not pa.types.is_dictionary(batch.schema.field(n).type) else arrays[n]
+             for n in batch.column_names}
         )
-        return pa.concat_tables([passthrough, sim_table])
+        return pa.concat_tables(
+            [passthrough, sim_table], promote_options="permissive"
+        )

@@ -82,14 +82,34 @@ def test_triples_unique(engine_triples):
 
 
 def test_canonicalization_map(ray_session, fixture_dir, lexicon):
-    """The salted/partial-agg canonical map resolves every exact surface
-    to a single uri per ontology."""
+    """The partial-agg canonical map holds ONLY ambiguous surfaces and
+    resolves them deterministically by (tier rank, support count, uri)."""
+    import pandas as pd
+
     from omop2obo_ray.pipelines.kg import extract_pages, link_pages
     from omop2obo_ray.stages.canonicalize import build_canonical_map
 
+    # the fixture lexicon is unambiguous by construction → empty map
     pages = rd.read_parquet(os.path.join(fixture_dir, "pages.parquet"))
     links = link_pages(extract_pages(pages), lexicon)
-    canon = build_canonical_map(links)
-    assert len(canon) > 0
-    for (surface, ont), uri in canon.items():
-        assert uri.split("_")[0].lower() == ont
+    assert build_canonical_map(links) == {}
+
+    # ambiguous surface: 'pain' → HP_1 (str ×1) and HP_2 (dbxref ×3):
+    # tier rank wins over count
+    amb = pd.DataFrame(
+        {
+            "url": ["u1", "u2", "u3", "u4"],
+            "surface": ["pain"] * 4,
+            "level": ["CONCEPT"] * 4,
+            "ontology": ["hp"] * 4,
+            "uri": ["HP_1", "HP_2", "HP_2", "HP_2"],
+            "label": [""] * 4,
+            "tier": ["str", "dbxref", "dbxref", "dbxref"],
+            "evidence": ["e"] * 4,
+            "score": [None] * 4,
+        }
+    )
+    canon = build_canonical_map(rd.from_pandas(amb))
+    assert canon == {("pain", "hp"): "HP_1"}
+    # both Ray-groupby and driver-merge paths agree
+    assert build_canonical_map(rd.from_pandas(amb), driver_merge=False) == canon
