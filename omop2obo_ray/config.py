@@ -51,6 +51,15 @@ class PipelineConfig:
     # links are page-local and assembly needs no shuffle; set False for
     # inputs where the same url can appear on multiple rows
     assume_unique_urls: bool = True
+    # canonicalization source: 'lexicon' derives the ambiguous-surface →
+    # canonical-uri map from the lexicon alone (data-free, keeps the
+    # pipeline single-pass streaming; matches the reference's
+    # non-frequency-weighted consolidation); 'corpus' additionally
+    # weights by corpus support counts via the partial-agg shuffle
+    canonical_mode: str = "lexicon"
+    # score tier-3 candidates inside the linker actor (one operator
+    # boundary less); False runs the standalone ScorerActor stage
+    fuse_scorer: bool = True
     # salt buckets for head-surface-form skew at canonicalization (SURVEY §4)
     canon_salt: int = 16
     # output partitioning: subject-hash buckets (north_rule layout + resume unit)

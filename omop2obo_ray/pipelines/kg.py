@@ -32,6 +32,7 @@ from omop2obo_ray.stages.canonicalize import (
     assemble_bucket,
     build_canonical_map,
     finalize_triples,
+    lexicon_canonical_map,
 )
 from omop2obo_ray.stages.extract import extract_text_batch, lang_filter_batch
 from omop2obo_ray.stages.link import LinkerActor
@@ -40,11 +41,16 @@ from omop2obo_ray.state.lexicon import Lexicon
 
 
 def extract_pages(pages: Dataset, cfg: PipelineConfig = DEFAULT_CONFIG) -> Dataset:
-    ds = pages.map_batches(extract_text_batch, batch_format="pyarrow", zero_copy_batch=True)
+    # batch_size=None throughout: whole blocks in, whole blocks out —
+    # the 1024-row default slices html/text blocks into thousands of
+    # tiny batches whose per-batch overhead dwarfs the kernels
+    ds = pages.map_batches(extract_text_batch, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
     return ds.map_batches(
         functools.partial(lang_filter_batch, languages=cfg.languages),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=None,
     )
 
 
@@ -67,13 +73,19 @@ def link_pages(pages: Dataset, lexicon: Lexicon, cfg: PipelineConfig = DEFAULT_C
         fn_constructor_kwargs={
             "lexicon_ref": lexicon_ref,
             "max_sim_candidates": cfg.sim_max_candidates_per_page,
+            "fuse_scorer": cfg.fuse_scorer,
+            "top_n": cfg.sim_top_n,
+            "floor": cfg.sim_score_floor,
+            "percentile": cfg.sim_percentile,
         },
         batch_format="pyarrow",
         batch_size=cfg.link_batch_size,
         concurrency=link_pool,
         num_cpus=1,
     )
-    scored = linked.map_batches(
+    if cfg.fuse_scorer:
+        return linked
+    return linked.map_batches(
         ScorerActor,
         fn_constructor_kwargs={
             "lexicon_ref": lexicon_ref,
@@ -86,7 +98,6 @@ def link_pages(pages: Dataset, lexicon: Lexicon, cfg: PipelineConfig = DEFAULT_C
         concurrency=score_pool,
         num_cpus=1,
     )
-    return scored
 
 
 def links_to_triples(links: Dataset, lexicon: Lexicon,
@@ -94,15 +105,19 @@ def links_to_triples(links: Dataset, lexicon: Lexicon,
                      canonicalize: bool = True) -> Dataset:
     """links → canonicalized, aggregated, deduplicated triples."""
     if canonicalize:
-        # links are consumed twice (canonical-map build + assembly) —
-        # materialize the link stream ONCE so the page scan does not
-        # re-execute; links are ~100× smaller than pages and spill to
-        # disk under object-store pressure. At 100 TB, swap for a
-        # parquet checkpoint of the links stage (same two-pass shape).
-        links = links.materialize()
-        # the canonical map is lexicon-bounded: build via partial-agg
-        # shuffle, broadcast back (stages/canonicalize.py docstring)
-        canon = build_canonical_map(links)
+        if cfg.canonical_mode == "lexicon":
+            # data-free: the ambiguity structure lives in the lexicon, so
+            # the map needs no pass over pages and the whole pipeline
+            # remains ONE streaming execution
+            canon = lexicon_canonical_map(lexicon)
+        else:
+            # corpus-weighted: links are consumed twice (map build +
+            # assembly) — materialize the link stream ONCE so the page
+            # scan does not re-execute; links are far smaller than pages
+            # and spill to disk under object-store pressure. At 100 TB,
+            # swap for a parquet checkpoint of the links stage.
+            links = links.materialize()
+            canon = build_canonical_map(links)
         labels = lexicon.labels
         links = links.map_batches(
             functools.partial(apply_canonical_map, canon=canon, labels=labels),
@@ -131,6 +146,8 @@ def links_to_triples(links: Dataset, lexicon: Lexicon,
     return triples.map_batches(
         functools.partial(finalize_triples, n_buckets=cfg.subject_buckets),
         batch_format="pyarrow",
+        batch_size=None,  # whole blocks — the 1024-row default shreds
+        # big-string blocks into ~10⁴ slices of pure overhead
     )
 
 

@@ -79,7 +79,8 @@ def build_canonical_map(links: Dataset, driver_merge: bool = True) -> dict[tuple
     Ray shuffle's fixed cost disappears. For 10⁶-surface lexicons ×
     10⁴ blocks set ``driver_merge=False`` to run the merge as a Ray
     groupby (the salted-combiner two-phase aggregate)."""
-    partials = links.map_batches(_partial_counts, batch_format="pyarrow")
+    partials = links.map_batches(_partial_counts, batch_format="pyarrow",
+                                 batch_size=None)
     if not driver_merge:
         partials = partials.groupby(["surface", "ontology", "uri"]).aggregate(
             Min("tier_rank", alias_name="tier_rank"), Sum("n", alias_name="n")
@@ -105,6 +106,30 @@ def build_canonical_map(links: Dataset, driver_merge: bool = True) -> dict[tuple
     # rest the rewrite is the identity, so the apply stage can skip them
     # (and becomes a free pass-through when no ambiguity exists)
     return {k: v[2] for k, v in best.items() if n_uris[k] > 1}
+
+
+def lexicon_canonical_map(lexicon) -> dict[tuple[str, str], str]:
+    """Data-free canonical map derived from the lexicon alone: for every
+    surface that is AMBIGUOUS within an ontology (maps to >1 concept at
+    CONCEPT level), pick the deterministic (best tier rank, lowest uri).
+
+    This mirrors the reference's consolidation, which is per-concept and
+    NOT corpus-frequency-weighted (data_utils.py:551-622) — and it needs
+    no pass over the pages, so the pipeline stays single-execution
+    streaming. ``build_canonical_map`` remains the corpus-weighted
+    variant (adds support counts as the tie-breaker)."""
+    per_key: dict[tuple[str, str], list[tuple[int, str]]] = {}
+    for surface, links in lexicon.surface_links.items():
+        for level, ont, uri, tier, _evid in links:
+            if level != "CONCEPT" or tier not in TIER_RANK or tier == "ancestor":
+                continue
+            per_key.setdefault((surface, ont), []).append((TIER_RANK[tier], uri))
+    out: dict[tuple[str, str], str] = {}
+    for key, cands in per_key.items():
+        uris = {u for _r, u in cands}
+        if len(uris) > 1:
+            out[key] = min(cands)[1]
+    return out
 
 
 def apply_canonical_map(batch: pa.Table, canon: dict[tuple[str, str], str],
@@ -272,8 +297,21 @@ def assemble_bucket(group: pd.DataFrame, ontologies: tuple[str, ...],
 
 def finalize_triples(batch: pa.Table, n_buckets: int) -> pa.Table:
     """Attach subject_hash / subject_bucket (content-derived, process-
-    stable) — the output partitioning key and resume unit (north_rule)."""
-    h = hash64_array(batch["subj"])
+    stable) — the output partitioning key and resume unit (north_rule).
+
+    Subjects repeat once per triple, so the column is dictionary-encoded
+    first and only the distinct values are hashed (~20× fewer blake2b
+    calls on typical pages)."""
+    if batch.num_rows == 0:
+        return batch.append_column(
+            "subject_hash", pa.array([], pa.uint64())
+        ).append_column("subject_bucket", pa.array([], pa.int32()))
+    dict_arr = batch["subj"].combine_chunks().dictionary_encode()
+    uniq_hash = hash64_array(dict_arr.dictionary)
+    import numpy as np
+
+    idx = dict_arr.indices.to_numpy(zero_copy_only=False)
+    h = uniq_hash[idx]
     return batch.append_column("subject_hash", pa.array(h, pa.uint64())).append_column(
         "subject_bucket", pa.array(bucket_of(h, n_buckets), pa.int32())
     )

@@ -52,7 +52,9 @@ def _empty_links_table() -> pa.Table:
 
 
 class LinkerActor:
-    def __init__(self, lexicon_ref, max_sim_candidates: int = 8):
+    def __init__(self, lexicon_ref, max_sim_candidates: int = 8,
+                 fuse_scorer: bool = False, top_n: int = 10, floor: float = 0.25,
+                 percentile: float = 75.0):
         # lexicon_ref may be a Lexicon (tests) or a ray ObjectRef (pipeline)
         self.lex: Lexicon = (
             ray.get(lexicon_ref) if isinstance(lexicon_ref, ray.ObjectRef) else lexicon_ref
@@ -62,6 +64,17 @@ class LinkerActor:
         self.sim_vocab = {t for t in self.lex.sim_index.vocab if " " not in t}
         self.max_sim_candidates = max_sim_candidates
         self._surface_cache: dict[str, tuple] = {}
+        # fused tier-3: score candidate sentences in-place instead of
+        # emitting tier='cand' rows for a separate scorer stage — one
+        # operator boundary (and one full link-stream serialization)
+        # less; the standalone ScorerActor stage remains available via
+        # cfg.fuse_scorer=False
+        self.scorer = None
+        if fuse_scorer:
+            from omop2obo_ray.stages.score import ScorerActor
+
+            self.scorer = ScorerActor(self.lex, top_n=top_n, floor=floor,
+                                      percentile=percentile)
 
     def _surface_columns(self, surface: str):
         """Cached per-surface link columns (tuple of per-field tuples) —
@@ -95,6 +108,7 @@ class LinkerActor:
         c_label: list[str] = []
         c_tier: list[str] = []
         c_evid: list[str] = []
+        c_score: list[float | None] = []
 
         surface_links = self.lex.surface_links
         for url, text in zip(urls, texts):
@@ -123,6 +137,7 @@ class LinkerActor:
                 c_label.extend(label)
                 c_tier.extend(tier)
                 c_evid.extend(evid)
+                c_score.extend([None] * n)
             # tier-3 candidates: sentences with no mention hit
             n_cand = 0
             pos = 0
@@ -139,18 +154,30 @@ class LinkerActor:
                 if n_cand >= self.max_sim_candidates:
                     break
                 n_cand += 1
-                c_url.append(url)
-                c_surface.append(sent)
-                c_level.append("CONCEPT")
-                c_ont.append("")
-                c_uri.append(None)
-                c_label.append("")
-                c_tier.append("cand")
-                c_evid.append("")
+                if self.scorer is not None:
+                    for ont, uri, score in self.scorer.score_text(sent):
+                        c_url.append(url)
+                        c_surface.append(sent)
+                        c_level.append("CONCEPT")
+                        c_ont.append(ont)
+                        c_uri.append(uri)
+                        c_label.append(self.lex.labels.get(uri, ""))
+                        c_tier.append("sim")
+                        c_evid.append(f"{uri}_{round(score, 3)}")
+                        c_score.append(float(score))
+                else:
+                    c_url.append(url)
+                    c_surface.append(sent)
+                    c_level.append("CONCEPT")
+                    c_ont.append("")
+                    c_uri.append(None)
+                    c_label.append("")
+                    c_tier.append("cand")
+                    c_evid.append("")
+                    c_score.append(None)
 
         if not c_url:
             return _empty_links_table()
-        n_rows = len(c_url)
         return pa.table(
             {
                 "url": pa.array(c_url, pa.string()),
@@ -164,6 +191,6 @@ class LinkerActor:
                 "label": pa.array(c_label, pa.string()).dictionary_encode(),
                 "tier": pa.array(c_tier, pa.string()).dictionary_encode(),
                 "evidence": pa.array(c_evid, pa.string()).dictionary_encode(),
-                "score": pa.array([None] * n_rows, pa.float64()),
+                "score": pa.array(c_score, pa.float64()),
             }
         )
