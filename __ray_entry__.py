@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SURVEY §2 operator families (SQL-checked)
         "normalize_codes": R.q_normalize_codes,          # M1
         "explode_tokens": R.q_explode_tokens,            # M2
+        "row_expansion": R.q_row_expansion,              # M11
         "melt_customer": R.q_melt_customer,              # M3
         "pivot_orderstatus": R.q_pivot_orderstatus,      # M4/A2
         "aggregate_values": R.q_aggregate_values,        # A1
@@ -186,6 +187,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "explode_tokens": (
             "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+        ),
+        "row_expansion": (
+            "SELECT p_partkey, unnest(CASE WHEN p_size > 30 "
+            "THEN string_split(p_name, ' ') ELSE [p_name] END) AS part_token FROM part"
         ),
         "melt_customer": (
             "SELECT c_custkey, c_name AS CODE, 'c_name' AS CODE_COLUMN FROM customer "

@@ -166,8 +166,11 @@ def run_kg_to_dir(pages: Dataset, lexicon: Lexicon, out_dir: str,
     from omop2obo_ray.functions.html import EXTRACTOR_VERSION
     from omop2obo_ray.stages.checkpoint import write_triples_resumable
 
+    # no global sort needed: the sink sorts WITHIN each subject_bucket
+    # partition (north_rule layout = partitioned by subject hash, sorted
+    # within partition) — a global all-to-all sort would add an exchange
+    # for ordering across partition files that nothing consumes
     triples = build_kg(pages, lexicon, cfg)
-    triples = triples.sort("subject_hash")
     return write_triples_resumable(
         triples, out_dir, cfg.subject_buckets, extractor_version=EXTRACTOR_VERSION
     )

@@ -128,6 +128,36 @@ def q_pivot_orderstatus(sf_dir: str) -> Dataset:
 
 
 # ---------------------------------------------------------------------------
+# M11 — conditional row expansion (LABS result-type fan-out semantics)
+# ---------------------------------------------------------------------------
+
+def q_row_expansion(sf_dir: str) -> Dataset:
+    """Conditional fan-out: rows matching a predicate explode into one
+    row per split value, others pass through — the reference's LABS
+    ``Normal/Low/High`` expansion (main.py:127-139, M11), expressed as a
+    vectorized conditional explode over part.p_name."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        big = df["p_size"] > 30
+        out_key, out_tok = [], []
+        for k, t, b in zip(df["p_partkey"], df["p_name"], big):
+            if b:
+                for tok in t.split(" "):
+                    out_key.append(k)
+                    out_tok.append(tok)
+            else:
+                out_key.append(k)
+                out_tok.append(t)
+        return pa.table({"p_partkey": pa.array(out_key, pa.int64()),
+                         "part_token": pa.array(out_tok, pa.string())})
+
+    return _read(sf_dir, "part", ["p_partkey", "p_name", "p_size"]).map_batches(
+        expand, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
 # A1 — ordered-distinct collect (aggregates_column_values semantics)
 # ---------------------------------------------------------------------------
 

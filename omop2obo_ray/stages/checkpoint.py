@@ -73,18 +73,31 @@ def write_triples_resumable(
     todo = [b for b in range(n_buckets) if str(b) not in done]
     if not todo:
         return manifest
+    todo_set = set(todo)
 
-    # accumulate per-bucket tables from the streamed sorted dataset
+    # single streaming pass: each batch is split into its buckets once
+    # (never one filter scan per bucket per batch)
+    import pyarrow.compute as pc
+
     buckets: dict[int, list[pa.Table]] = {b: [] for b in todo}
+    lineage_counts: dict[str, int] = {}
     for batch in triples.iter_batches(batch_size=65536, batch_format="pyarrow"):
         if batch.num_rows == 0:
             continue
-        import pyarrow.compute as pc
-
-        for b in todo:
-            part = batch.filter(pc.equal(batch["subject_bucket"], b))
-            if part.num_rows:
-                buckets[b].append(part)
+        if "pred" in batch.column_names:  # per-category counters (lineage)
+            vc = pc.value_counts(batch["pred"])
+            for entry in vc.to_pylist():
+                lineage_counts[entry["values"]] = (
+                    lineage_counts.get(entry["values"], 0) + entry["counts"]
+                )
+        present = pc.unique(batch["subject_bucket"]).to_pylist()
+        for b in present:
+            if b in todo_set:
+                part = batch.filter(pc.equal(batch["subject_bucket"], b))
+                if part.num_rows:
+                    buckets[b].append(part)
+    counters = dict(counters or {})
+    counters["triples_by_category"] = lineage_counts
 
     for b in todo:
         parts = buckets[b]

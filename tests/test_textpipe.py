@@ -1,0 +1,142 @@
+"""Training-data operator tests: dedup families, similarity search,
+text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data as rd
+
+
+@pytest.fixture(scope="module")
+def dup_docs(ray_session):
+    """Documents with planted exact and near duplicates."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from a warm windowsill in the afternoon sun near the garden"
+    )
+    near = base.replace("afternoon", "evening")  # one-token change
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},               # exact dup of 0
+        {"doc_id": 2, "text": near},               # near dup of 0
+        {"doc_id": 3, "text": "completely different content about ray data "
+                              "pipelines and arrow batches flowing downstream"},
+        {"doc_id": 4, "text": "another unrelated document mentioning minhash "
+                              "signatures and locality sensitive hashing"},
+    ]
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_exact_dedup(ray_session, dup_docs):
+    from omop2obo_ray.pipelines.textpipe import exact_dedup
+
+    kept = exact_dedup(dup_docs).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 2, 3, 4]  # doc 1 dropped (dup of 0)
+
+
+def test_minhash_finds_planted_near_dup(ray_session, dup_docs):
+    from omop2obo_ray.pipelines.textpipe import (
+        minhash_candidate_pairs,
+        verify_jaccard_pairs,
+    )
+
+    pairs = minhash_candidate_pairs(dup_docs)
+    verified = verify_jaccard_pairs(dup_docs, pairs, threshold=0.5)
+    got = set(zip(verified["doc_a"], verified["doc_b"]))
+    assert (0, 1) in got, "exact duplicate must be found"
+    assert (0, 2) in got or (1, 2) in got, "near duplicate must be found"
+    assert not any(3 in p or 4 in p for p in got), "unrelated docs must not pair"
+
+
+def test_minhash_signature_deterministic():
+    from omop2obo_ray.pipelines.textpipe import MinHasher
+
+    a = MinHasher().signature("some text about foxes and dogs")
+    b = MinHasher().signature("some text about foxes and dogs")
+    assert (a == b).all()
+
+
+def test_simhash_near_docs_close(ray_session, dup_docs):
+    from omop2obo_ray.pipelines.textpipe import simhash_signatures
+
+    sigs = simhash_signatures(dup_docs).to_pandas().set_index("doc_id")["simhash"]
+
+    def hamming(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert hamming(sigs[0], sigs[1]) == 0          # identical text
+    assert hamming(sigs[0], sigs[2]) <= 12         # near dup → close
+    assert hamming(sigs[0], sigs[3]) > 12          # unrelated → far
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    from omop2obo_ray.pipelines.textpipe import brute_force_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(50, 8).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(50), "embedding": [list(v) for v in vecs]})
+    ds = rd.from_pandas(df)
+    out = brute_force_topk(ds, [(0, list(vecs[0]))], k=5)
+    # numpy reference
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = np.round(m @ m[0], 4)
+    cos[0] = -np.inf  # self excluded
+    order = sorted(range(50), key=lambda i: (-cos[i], i))[:5]
+    assert out["vec_id"].tolist() == order
+
+
+def test_ivf_buckets_cover_all(ray_session):
+    from omop2obo_ray.pipelines.textpipe import ivf_bucket_assignments
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({"vec_id": range(40),
+                       "embedding": [list(rng.randn(8)) for _ in range(40)]})
+    out = ivf_bucket_assignments(rd.from_pandas(df), n_centroids=4).to_pandas()
+    assert len(out) == 40
+    assert out["ivf_bucket"].between(0, 3).all()
+
+
+def test_analyze_text_values(ray_session):
+    from omop2obo_ray.pipelines.textpipe import analyze_text
+
+    ds = rd.from_pandas(pd.DataFrame([{"doc_id": 1, "text": "the cat, the hat!"}]))
+    row = analyze_text(ds).to_pandas().iloc[0]
+    assert row["n_tokens_ws"] == 4
+    assert row["n_tokens_bpe"] == 6  # the cat , the hat !
+    assert row["stop_ratio"] == pytest.approx(0.5)  # 'the' ×2 of 4 word tokens
+    assert row["punct_ratio"] > 0
+    assert isinstance(row["lang_pred"], str)
+
+
+def test_fingerprint_order_sensitive(ray_session):
+    from omop2obo_ray.pipelines.textpipe import analyze_text
+
+    ds = rd.from_pandas(pd.DataFrame([
+        {"doc_id": 1, "text": "alpha beta gamma"},
+        {"doc_id": 2, "text": "gamma beta alpha"},
+        {"doc_id": 3, "text": "alpha beta gamma"},
+    ]))
+    fp = analyze_text(ds).to_pandas().set_index("doc_id")["fingerprint"]
+    assert fp[1] == fp[3] and fp[1] != fp[2]
+
+
+def test_media_decoder_plumbing(ray_session):
+    from omop2obo_ray.pipelines.textpipe import MediaDecoder, decode_media
+
+    df = pd.DataFrame({"media_id": [1, 2], "payload": [b"\x89PNGfake1", b"\x89PNGfake2"]})
+    out = decode_media(rd.from_pandas(df)).to_pandas()
+    assert list(out.columns) == ["media_id", "features", "shape"]
+    assert all(len(f) == 5 for f in out["features"])
+    assert all(list(s) == [32, 32, 3] for s in out["shape"])
+    # deterministic fake decode: same payload → same features
+    a = MediaDecoder()(
+        __import__("pyarrow").table({"payload": [b"\x89PNGfake1"]})
+    )["features"].to_pylist()
+    assert a[0] == list(out["features"].iloc[0])
+
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(mode="real")
