@@ -67,9 +67,14 @@ class MinHasher:
 
     P = (1 << 61) - 1
 
+    # odd multipliers for the positional shingle combine (vectorized)
+    _C = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+          0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63)
+
     def __init__(self, n_hashes: int = 64, shingle: int = 3, n_bands: int = 16,
                  key_col: str = "doc_id", text_col: str = "text"):
         assert n_hashes % n_bands == 0
+        assert shingle <= len(self._C)
         self.n_hashes, self.shingle, self.n_bands = n_hashes, shingle, n_bands
         self.rows_per_band = n_hashes // n_bands
         self.key_col, self.text_col = key_col, text_col
@@ -77,17 +82,36 @@ class MinHasher:
         self.a = rng.randint(1, self.P, size=n_hashes, dtype=np.int64).astype(np.uint64)
         self.b = rng.randint(0, self.P, size=n_hashes, dtype=np.int64).astype(np.uint64)
         self.word_re = re.compile(r"\w+")
+        # per-actor token-hash cache: corpora repeat tokens heavily, so
+        # blake2b runs once per distinct token, and shingle hashes are a
+        # vectorized positional combine of token hashes (no per-shingle
+        # string hashing)
+        self._tok_cache: dict[str, int] = {}
+
+    def _token_hashes(self, toks: list[str]) -> np.ndarray:
+        cache = self._tok_cache
+        out = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = cache.get(t)
+            if h is None:
+                h = stable_hash64(t)
+                cache[t] = h
+            out[i] = h
+        return out
 
     def shingles(self, text: str) -> np.ndarray:
         toks = self.word_re.findall(text.lower())
-        if len(toks) < self.shingle:
-            grams = [" ".join(toks)] if toks else []
-        else:
-            grams = [" ".join(toks[i:i + self.shingle]) for i in range(len(toks) - self.shingle + 1)]
-        if not grams:
+        if not toks:
             return np.zeros(1, dtype=np.uint64)
-        return np.unique(np.array([stable_hash64(g) & 0x7FFFFFFFFFFFFFFF for g in grams],
-                                  dtype=np.uint64))
+        th = self._token_hashes(toks)
+        k = self.shingle
+        if len(th) < k:
+            k = len(th)
+        with np.errstate(over="ignore"):
+            acc = th[: len(th) - k + 1] * np.uint64(self._C[0])
+            for j in range(1, k):
+                acc = acc ^ (th[j : len(th) - k + 1 + j] * np.uint64(self._C[j]))
+        return np.unique(acc & np.uint64(0x7FFFFFFFFFFFFFFF))
 
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingles(text)  # (S,)
@@ -127,15 +151,51 @@ def _pairs_from_bucket(group: pd.DataFrame, key_col: str) -> pd.DataFrame:
 def minhash_candidate_pairs(docs: Dataset, n_hashes: int = 64, n_bands: int = 16,
                             shingle: int = 3, key_col: str = "doc_id",
                             text_col: str = "text") -> Dataset:
-    """LSH candidate pairs: shingle→minhash→band rows, groupby
-    (band_id, band_hash), pairs within bucket, exact dedup of pairs."""
+    """LSH candidate pairs: shingle→minhash→band rows; only COLLIDING
+    buckets are grouped for pair expansion.
+
+    A naive ``groupby(band).map_groups`` invokes one group call per
+    band bucket (≈ n_docs × n_bands groups, nearly all singletons).
+    Instead: count per bucket (one small aggregate), broadcast the
+    collision keys (≪ bands — bounded by actual near-dup mass), filter
+    the band stream to those keys, and expand pairs per block."""
     bands = docs.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(n_hashes=n_hashes, shingle=shingle, n_bands=n_bands,
                                    key_col=key_col, text_col=text_col),
         batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
-    )
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+    ).materialize()  # consumed twice: collision count + pair expansion
+    counts = bands.groupby(["band_id", "band_hash"]).aggregate(Count(alias_name="n"))
+    collide: set[tuple[int, int]] = set()
+    for b in counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for bid, bh, n in zip(b["band_id"].to_pylist(), b["band_hash"].to_pylist(),
+                              b["n"].to_pylist()):
+            if n >= 2:
+                collide.add((bid, bh))
+    if not collide:
+        import pyarrow as _pa
+
+        return ray.data.from_arrow(
+            pa.table({"doc_a": _pa.array([], _pa.int64()),
+                      "doc_b": _pa.array([], _pa.int64()),
+                      "n_bands_hit": _pa.array([], _pa.int64())})
+        )
+    collide_ref = ray.put(collide)
+
+    def keep_colliding(batch: pa.Table) -> pa.Table:
+        cset = ray.get(collide_ref)
+        mask = [
+            (bid, bh) in cset
+            for bid, bh in zip(batch["band_id"].to_pylist(),
+                               batch["band_hash"].to_pylist())
+        ]
+        return batch.filter(pa.array(mask))
+
+    hits = bands.map_batches(keep_colliding, batch_format="pyarrow", batch_size=None)
+
+    # groupby now sees ONLY colliding buckets (K groups, K ≈ near-dup
+    # mass), so per-group overhead is proportional to real work
+    pairs = hits.groupby(["band_id", "band_hash"]).map_groups(
         lambda g: _pairs_from_bucket(g, key_col), batch_format="pandas"
     )
     # same pair may surface from several bands → keyed dedup
