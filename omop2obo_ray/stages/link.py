@@ -59,7 +59,9 @@ class LinkerActor:
         self.lex: Lexicon = (
             ray.get(lexicon_ref) if isinstance(lexicon_ref, ray.ObjectRef) else lexicon_ref
         )
-        self.automaton = AhoCorasick(self.lex.patterns)
+        # prefer the lexicon's prebuilt automaton (built once driver-side,
+        # unpickled from the object store); fall back to a local build
+        self.automaton = self.lex.automaton or AhoCorasick(self.lex.patterns)
         # unigram vocabulary of the sim corpus, for cheap candidate pre-filter
         self.sim_vocab = {t for t in self.lex.sim_index.vocab if " " not in t}
         self.max_sim_candidates = max_sim_candidates

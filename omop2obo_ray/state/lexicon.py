@@ -63,6 +63,13 @@ class Lexicon:
     ontologies: tuple[str, ...]
     # surface → synonym type (for evidence strings)
     synonym_types: dict[str, str] = field(default_factory=dict)
+    # CUI → semantic types (J3, MRSTY attach)
+    cui_semtypes: dict[str, tuple[str, ...]] = field(default_factory=dict)
+    # prebuilt Aho-Corasick automaton: constructed ONCE at lexicon-build
+    # time and shipped through the object store — each actor unpickles
+    # in ~0.2 s instead of rebuilding (~2 s per 10⁵ patterns, ×pool
+    # size); None → actors build their own
+    automaton: object | None = None
 
     @property
     def patterns(self) -> list[str]:
@@ -232,6 +239,13 @@ def build_lexicon(
         )
         for s, v in surface_links.items()
     }
+    cui_semtypes: dict[str, tuple[str, ...]] = {}
+    if len(semtypes):
+        for cui, sty in zip(semtypes["cui"], semtypes["sty"]):
+            cui_semtypes[cui] = cui_semtypes.get(cui, ()) + (sty,)
+
+    from omop2obo_ray.functions.aho import AhoCorasick
+
     return Lexicon(
         surface_links=frozen,
         labels=labels,
@@ -239,6 +253,8 @@ def build_lexicon(
         sim_index=sim_index,
         ontologies=tuple(ontologies),
         synonym_types=synonym_types,
+        cui_semtypes=cui_semtypes,
+        automaton=AhoCorasick(list(frozen.keys())),
     )
 
 

@@ -100,6 +100,19 @@ def test_language_and_nocode_filters():
     assert "nocode" not in lex.surface_links
 
 
+def test_semtypes_attached():
+    """J3: MRSTY semantic types keyed by CUI land in the lexicon."""
+    lex = build_lexicon(**_dims(), ontologies=("hp",))
+    assert lex.cui_semtypes["C0000001"] == ("Finding",)
+
+
+def test_prebuilt_automaton_shared():
+    lex = build_lexicon(**_dims(), ontologies=("hp",))
+    assert lex.automaton is not None
+    hits = lex.automaton.longest_nonoverlapping("has alpha root here")
+    assert hits, "prebuilt automaton must find lexicon surfaces"
+
+
 def test_deprecated_maps_to_ancestors():
     lex = build_lexicon(**_dims(), ontologies=("hp",))
     links = lex.surface_links["gamma dead"]
