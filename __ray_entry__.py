@@ -143,6 +143,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
         return ivf_bucket_assignments(emb).select_columns(["vec_id", "ivf_bucket"])
 
+    def q_ann_ivf(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import ivf_topk
+
+        emb = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        qs = [(r["vec_id"], list(r["embedding"]))
+              for r in emb.filter(lambda r: r["vec_id"] < 3).take(3)]
+        return ivf_topk(emb, qs, k=5, n_centroids=8, n_probe=3)
+
+    def q_dup_clusters(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import (
+            dup_clusters,
+            minhash_candidate_pairs,
+            verify_jaccard_pairs,
+        )
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        pairs = minhash_candidate_pairs(docs)
+        verified = verify_jaccard_pairs(docs, pairs, threshold=0.8)
+        return dup_clusters(verified)
+
     return {
         # SURVEY §2 operator families (SQL-checked)
         "normalize_codes": R.q_normalize_codes,          # M1
@@ -168,9 +192,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (stateful / model-driven / sketch ops)
         "kg_triples": q_kg_triples,
         "dedup_minhash": q_dedup_minhash,
+        "dup_clusters": q_dup_clusters,
         "simhash": q_simhash,
         "langid": q_langid,
         "ivf_buckets": q_ivf_buckets,
+        "ann_ivf": q_ann_ivf,
     }
 
 

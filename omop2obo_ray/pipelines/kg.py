@@ -132,17 +132,22 @@ def links_to_triples(links: Dataset, lexicon: Lexicon,
     # pages table's primary key, each url appears on exactly one input
     # row. For inputs violating that, set cfg.assume_unique_urls=False
     # to route through a hash exchange on url first.
-    if cfg.assume_unique_urls:
-        grouped = links
-    else:
-        grouped = links.repartition(cfg.assembly_buckets, keys=["url"], sort=False)
-    triples = grouped.map_batches(
-        functools.partial(
-            assemble_bucket, ontologies=lexicon.ontologies, threshold=cfg.sim_threshold
-        ),
-        batch_format="pandas",
-        batch_size=None,
+    assemble = functools.partial(
+        assemble_bucket, ontologies=lexicon.ontologies, threshold=cfg.sim_threshold
     )
+    if cfg.assume_unique_urls:
+        triples = links.map_batches(assemble, batch_format="pandas", batch_size=None)
+    else:
+        # co-locate each url's links via a bucket-keyed groupby (works
+        # under any shuffle strategy); P bucket-groups, one vectorized
+        # assembly each
+        bucketed = links.map_batches(
+            functools.partial(add_url_bucket, n_buckets=cfg.assembly_buckets),
+            batch_format="pyarrow", batch_size=None,
+        )
+        triples = bucketed.groupby("url_bucket").map_groups(
+            assemble, batch_format="pandas"
+        )
     return triples.map_batches(
         functools.partial(finalize_triples, n_buckets=cfg.subject_buckets),
         batch_format="pyarrow",

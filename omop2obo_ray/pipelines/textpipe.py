@@ -230,6 +230,31 @@ def verify_jaccard_pairs(docs: Dataset, pairs: Dataset, threshold: float = 0.8,
     return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
 
+def dup_clusters(verified_pairs: pd.DataFrame, key_col: str = "doc_id") -> pd.DataFrame:
+    """Near-dup clusters from verified pairs → (key, cluster_id) with
+    cluster_id = min member key.
+
+    Union-find on the driver: legitimate because the pair set is
+    LSH+verify bounded (≪ n²; see ray_guide — driver union-find "only if
+    the candidate set is provably small"; for larger pair sets iterate
+    min-label propagation as a groupby loop)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(verified_pairs["doc_a"], verified_pairs["doc_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+    rows = sorted((k, find(k)) for k in parent)
+    return pd.DataFrame(rows, columns=[key_col, "cluster_id"])
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -347,6 +372,56 @@ def ivf_bucket_assignments(embeddings: Dataset, n_centroids: int = 8,
         IvfIndexer, fn_constructor_kwargs=dict(centroids_ref=ref, vec_col=vec_col),
         batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
     )
+
+
+def ivf_topk(embeddings: Dataset, queries: list[tuple[int, list[float]]],
+             k: int = 10, n_centroids: int = 8, n_probe: int = 2,
+             key_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+    """IVF probe search — the ANN scale path: rows are bucketed by
+    nearest centroid, each query scans only its ``n_probe`` closest
+    buckets (a vectorized predicate pushdown instead of the full
+    brute-force matmul). Approximate: recall vs brute force grows with
+    n_probe; n_probe = n_centroids degrades to exact."""
+    sample = embeddings.take(n_centroids)
+    centroids = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
+    probe: dict[int, set[int]] = {}
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        q = q / max(np.linalg.norm(q), 1e-30)
+        order = np.argsort(-(cn @ q), kind="stable")[:n_probe]
+        probe[qid] = set(int(x) for x in order)
+    ref = ray.put(centroids)
+    bucketed = embeddings.map_batches(
+        IvfIndexer, fn_constructor_kwargs=dict(centroids_ref=ref, vec_col=vec_col),
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    ).materialize()  # consumed twice: probe filter + bucket lookup
+    all_probed = set().union(*probe.values()) if probe else set()
+    probed_ref = ray.put(all_probed)
+
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        ps = ray.get(probed_ref)
+        mask = [b in ps for b in batch["ivf_bucket"].to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    filtered = bucketed.map_batches(keep_probed, batch_format="pyarrow",
+                                    batch_size=None)
+    query_ref = ray.put(queries)
+    scored = filtered.map_batches(
+        CosineTopK, fn_constructor_kwargs=dict(query_ref=query_ref, key_col=key_col,
+                                               vec_col=vec_col),
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1, batch_size=2048,
+    )
+    df = scored.to_pandas()
+    # drop rows outside each query's own probed buckets
+    bdf = bucketed.select_columns([key_col, "ivf_bucket"]).to_pandas()
+    bucket_of_row = dict(zip(bdf[key_col], bdf["ivf_bucket"]))
+    df = df[[bucket_of_row.get(v) in probe.get(q, set())
+             for q, v in zip(df["qid"], df[key_col])]]
+    df = df[df[key_col] != df["qid"]]
+    df = df.sort_values(["qid", "cos", key_col], ascending=[True, False, True],
+                        kind="mergesort")
+    return df.groupby("qid", sort=True).head(k).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,37 @@
+"""Alternate-path equivalence: every config combination of
+{fused / standalone scorer} × {lexicon / corpus canonicalization} ×
+{page-local / hash-exchange assembly} must emit the same triples."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import ray.data as rd
+
+from omop2obo_ray.config import DEFAULT_CONFIG
+
+
+def _triples(fixture_dir, lexicon, cfg):
+    from omop2obo_ray.pipelines.kg import build_kg
+
+    pages = rd.read_parquet(os.path.join(fixture_dir, "pages.parquet"))
+    df = build_kg(pages, lexicon, cfg).to_pandas()
+    return set(zip(df.subj, df.pred, df.obj))
+
+
+@pytest.mark.parametrize(
+    "overrides",
+    [
+        {"fuse_scorer": False},
+        {"canonical_mode": "corpus"},
+        {"fuse_scorer": False, "canonical_mode": "corpus"},
+        {"assume_unique_urls": False},
+    ],
+    ids=["standalone-scorer", "corpus-canon", "both", "hash-exchange-assembly"],
+)
+def test_alternate_paths_match_default(ray_session, fixture_dir, lexicon, overrides):
+    base = _triples(fixture_dir, lexicon, DEFAULT_CONFIG)
+    alt = _triples(fixture_dir, lexicon, DEFAULT_CONFIG.with_(**overrides))
+    assert alt == base

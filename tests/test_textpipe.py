@@ -89,6 +89,37 @@ def test_brute_force_topk_matches_numpy(ray_session):
     assert out["vec_id"].tolist() == order
 
 
+def test_dup_clusters_union_find():
+    from omop2obo_ray.pipelines.textpipe import dup_clusters
+
+    pairs = pd.DataFrame({"doc_a": [0, 1, 5], "doc_b": [1, 2, 6]})
+    out = dup_clusters(pairs)
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert cl[0] == cl[1] == cl[2] == 0
+    assert cl[5] == cl[6] == 5
+
+
+def test_ivf_topk_recall_vs_bruteforce(ray_session):
+    from omop2obo_ray.pipelines.textpipe import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(120, 8).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(120), "embedding": [list(v) for v in vecs]})
+    ds = rd.from_pandas(df)
+    queries = [(0, list(vecs[0])), (1, list(vecs[1]))]
+    exact = brute_force_topk(ds, queries, k=5)
+    # full probe degrades to exact search
+    approx_full = ivf_topk(ds, queries, k=5, n_centroids=4, n_probe=4)
+    for q in (0, 1):
+        e = exact[exact["qid"] == q]["vec_id"].tolist()
+        a = approx_full[approx_full["qid"] == q]["vec_id"].tolist()
+        assert a == e
+    # partial probe returns a subset-quality result (valid rows, right k)
+    approx = ivf_topk(ds, queries, k=5, n_centroids=4, n_probe=2)
+    assert set(approx["qid"]) <= {0, 1}
+    assert (approx.groupby("qid").size() <= 5).all()
+
+
 def test_ivf_buckets_cover_all(ray_session):
     from omop2obo_ray.pipelines.textpipe import ivf_bucket_assignments
 
