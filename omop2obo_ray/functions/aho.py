@@ -30,10 +30,10 @@ class AhoCorasick:
         self.fail: list[int] = [0]
         self.out: list[tuple[int, ...]] = [()]  # pattern lengths ending here
         self._built = False
-        if patterns:
+        if patterns is not None:
             for p in patterns:
                 self.add(p)
-            self.build()
+            self.build()  # building an empty trie is valid (scan → [])
 
     def add(self, pattern: str) -> None:
         if not pattern:

@@ -46,11 +46,12 @@ def read_mrconso(path: str, english_only: bool = True) -> pd.DataFrame:
     ``CODE=='NOCODE'`` rows and (by default) keep ``LANG=='ENG'``
     (clinical_concept_annotator.py:163-166)."""
     df = read_rrf(path, _MRCONSO_KEEP)
+    for col in _MRCONSO_KEEP.values():  # tolerate truncated malformed rows
+        if col not in df.columns:
+            df[col] = ""
     df = df[df["code"] != "NOCODE"]
-    if english_only and "lang" in df.columns:
+    if english_only:
         df = df[df["lang"] == "ENG"]
-    if "surface" not in df.columns:
-        df["surface"] = ""
     return df.reset_index(drop=True)
 
 

@@ -1,0 +1,97 @@
+"""Error-path / degenerate-input tests (FIXTURES.md §9 empty and
+malformed variants; mirrors the reference's ``*_empty`` /
+``bad_format`` fixtures)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+
+def _empty_dims():
+    return dict(
+        concepts=pd.DataFrame(
+            columns=["ontology", "uri", "kind", "value", "value_type", "deprecated"]
+        ).astype({"deprecated": bool}),
+        dbxrefs=pd.DataFrame(columns=["ontology", "uri", "code", "xref_type"]),
+        aliases=pd.DataFrame(columns=["cui", "lang", "sab", "code", "surface"]),
+        semtypes=pd.DataFrame(columns=["cui", "sty"]),
+        ancestors=pd.DataFrame(columns=["child_uri", "parent_uri"]),
+        vocab_map=pd.DataFrame(columns=["primary_abbreviation", "abbreviations"]),
+    )
+
+
+def test_empty_lexicon_builds_and_links_nothing(ray_session):
+    from omop2obo_ray.pipelines.kg import build_kg
+    from omop2obo_ray.state.lexicon import build_lexicon
+
+    lex = build_lexicon(**_empty_dims(), ontologies=("hp",))
+    assert lex.patterns == []
+    pages = rd.from_pandas(pd.DataFrame(
+        [{"url": "u1", "warc_ts": pd.Timestamp("2024-01-01"),
+          "html": b"<p>some text</p>", "text": "some text", "lang": "en"}]
+    ))
+    out = build_kg(pages, lex).to_pandas()
+    assert len(out) == 0
+
+
+def test_empty_pages_dataset(ray_session, lexicon):
+    from omop2obo_ray.pipelines.kg import build_kg
+
+    pages = rd.from_pandas(pd.DataFrame(
+        {"url": pd.Series(dtype=str), "warc_ts": pd.Series(dtype="datetime64[us]"),
+         "html": pd.Series(dtype=object), "text": pd.Series(dtype=str),
+         "lang": pd.Series(dtype=str)}
+    ))
+    assert build_kg(pages, lexicon).count() == 0
+
+
+def test_pages_with_null_html_and_empty_text(ray_session, lexicon):
+    from omop2obo_ray.pipelines.kg import build_kg
+
+    pages = rd.from_pandas(pd.DataFrame(
+        [
+            {"url": "u1", "warc_ts": pd.Timestamp("2024-01-01"), "html": None,
+             "text": "", "lang": "en"},
+            {"url": "u2", "warc_ts": pd.Timestamp("2024-01-01"), "html": b"",
+             "text": "", "lang": "en"},
+        ]
+    ))
+    assert build_kg(pages, lexicon).count() == 0  # no crash, no links
+
+
+def test_malformed_rrf_missing_columns(tmp_path):
+    from omop2obo_ray.sources.readers import read_mrconso
+
+    p = tmp_path / "BAD.RRF"
+    p.write_text("only|three|cols\n")
+    df = read_mrconso(str(p))
+    # surviving columns parsed; absent positional columns tolerated
+    assert "cui" in df.columns and "surface" in df.columns
+
+
+def test_empty_rrf(tmp_path):
+    from omop2obo_ray.sources.readers import read_mrconso
+
+    p = tmp_path / "EMPTY.RRF"
+    p.write_text("")
+    with pytest.raises(Exception):
+        # pandas raises EmptyDataError — surfaced, not swallowed
+        read_mrconso(str(p))
+
+
+def test_obo_garbage_is_ignored():
+    from omop2obo_ray.sources.obo import parse_obo
+
+    out = parse_obo("this is not obo\nrandom: junk\n[Term]\nid: X:1\n", "hp")
+    assert len(out["concepts"]) == 0  # term without a name yields no rows
+    assert len(out["ancestors"]) == 0
+
+
+def test_normalize_handles_degenerate_codes():
+    from omop2obo_ray.functions.normalize import normalize_source_code
+
+    assert normalize_source_code(":", {}) == ":"  # nothing to split on
+    assert normalize_source_code("abc", {}) == ":abc"  # no separator at all
