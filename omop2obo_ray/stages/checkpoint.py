@@ -40,16 +40,11 @@ def _save_manifest(out_dir: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(out_dir, MANIFEST))
 
 
-def _content_hash(table: pa.Table, key_cols: list[str]) -> str:
-    """Order-insensitive content hash over the key columns."""
-    h = 0
-    cols = [table[c].to_pylist() for c in key_cols if c in table.column_names]
-    for row in zip(*cols):
-        h ^= int.from_bytes(
-            hashlib.blake2b("\x1f".join(map(str, row)).encode(), digest_size=8).digest(),
-            "big",
-        )
-    return f"{h:016x}"
+def _row_hash64(subj: str, pred: str, obj: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(f"{subj}\x1f{pred}\x1f{obj}".encode(), digest_size=8).digest(),
+        "big",
+    )
 
 
 def write_triples_resumable(
@@ -58,14 +53,24 @@ def write_triples_resumable(
     n_buckets: int,
     counters: dict | None = None,
     extractor_version: str | None = None,
+    presorted: bool = False,
 ) -> dict:
-    """Write triples partitioned by ``subject_bucket``; skip buckets the
-    manifest already records (resume-after-failure). Returns the manifest.
+    """Write triples partitioned by ``subject_bucket`` (sorted by
+    subject hash within each partition); skip buckets the manifest
+    already records (resume-after-failure). Returns the manifest.
 
-    Streaming caveat: within one run the dataset is consumed once via
-    ``iter_batches`` grouped to buckets (buckets are hash-uniform, so
-    each bucket is bounded at data/n_buckets; at cluster scale use
-    larger n_buckets so a bucket fits a worker)."""
+    Memory-bounded streaming: the dataset is globally sorted by
+    ``subject_hash`` (a distributed exchange), then streamed through the
+    driver once with one open ``ParquetWriter`` per pending bucket —
+    since the stream arrives hash-ascending, each bucket's file is
+    sorted without ever buffering a bucket in memory. Content hashes
+    and per-category counters accumulate incrementally.
+
+    At multi-node scale the same layout is also available fully
+    distributed via ``ds.write_parquet(partition_cols=['subject_bucket'])``
+    + per-bucket sort-on-read; this driver-streamed variant is the one
+    that owns the manifest/resume bookkeeping.
+    """
     os.makedirs(out_dir, exist_ok=True)
     manifest = load_manifest(out_dir)
     manifest["extractor_version"] = extractor_version
@@ -75,60 +80,74 @@ def write_triples_resumable(
         return manifest
     todo_set = set(todo)
 
-    # single streaming pass: each batch is split into its buckets once
-    # (never one filter scan per bucket per batch)
     import pyarrow.compute as pc
 
-    buckets: dict[int, list[pa.Table]] = {b: [] for b in todo}
+    if not presorted:
+        triples = triples.sort("subject_hash")
+
+    writers: dict[int, pq.ParquetWriter] = {}
+    tmp_dirs: dict[int, str] = {}
+    rows: dict[int, int] = {b: 0 for b in todo}
+    chash: dict[int, int] = {b: 0 for b in todo}
     lineage_counts: dict[str, int] = {}
+    schema: pa.Schema | None = None
+
     for batch in triples.iter_batches(batch_size=65536, batch_format="pyarrow"):
         if batch.num_rows == 0:
             continue
-        if "pred" in batch.column_names:  # per-category counters (lineage)
-            vc = pc.value_counts(batch["pred"])
-            for entry in vc.to_pylist():
-                lineage_counts[entry["values"]] = (
-                    lineage_counts.get(entry["values"], 0) + entry["counts"]
+        schema = batch.schema
+        vc = pc.value_counts(batch["pred"])
+        for entry in vc.to_pylist():
+            lineage_counts[entry["values"]] = (
+                lineage_counts.get(entry["values"], 0) + entry["counts"]
+            )
+        for b in pc.unique(batch["subject_bucket"]).to_pylist():
+            if b not in todo_set:
+                continue
+            part = batch.filter(pc.equal(batch["subject_bucket"], b))
+            if part.num_rows == 0:
+                continue
+            if b not in writers:
+                tmp = os.path.join(out_dir, f"subject_bucket={b}.tmp")
+                if os.path.exists(tmp):
+                    shutil.rmtree(tmp)
+                os.makedirs(tmp, exist_ok=True)
+                tmp_dirs[b] = tmp
+                writers[b] = pq.ParquetWriter(
+                    os.path.join(tmp, "part-0.parquet"), part.schema
                 )
-        present = pc.unique(batch["subject_bucket"]).to_pylist()
-        for b in present:
-            if b in todo_set:
-                part = batch.filter(pc.equal(batch["subject_bucket"], b))
-                if part.num_rows:
-                    buckets[b].append(part)
+            writers[b].write_table(part)
+            rows[b] += part.num_rows
+            for s, p, o in zip(part["subj"].to_pylist(), part["pred"].to_pylist(),
+                               part["obj"].to_pylist()):
+                chash[b] ^= _row_hash64(s, p, o)
+
     counters = dict(counters or {})
     counters["triples_by_category"] = lineage_counts
 
+    empty_schema = schema or pa.schema(
+        [pa.field("subj", pa.string()), pa.field("pred", pa.string()),
+         pa.field("obj", pa.string())]
+    )
     for b in todo:
-        parts = buckets[b]
-        table = (
-            pa.concat_tables(parts)
-            if parts
-            else pa.table({})
-        )
+        if b in writers:
+            writers[b].close()
+            tmp = tmp_dirs[b]
+        else:  # bucket had no rows — still record completion
+            tmp = os.path.join(out_dir, f"subject_bucket={b}.tmp")
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            os.makedirs(tmp, exist_ok=True)
+            pq.write_table(empty_schema.empty_table(),
+                           os.path.join(tmp, "part-0.parquet"))
         bucket_dir = os.path.join(out_dir, f"subject_bucket={b}")
-        tmp_dir = bucket_dir + ".tmp"
-        if os.path.exists(tmp_dir):
-            shutil.rmtree(tmp_dir)
-        os.makedirs(tmp_dir, exist_ok=True)
-        n_rows = table.num_rows if parts else 0
-        if parts:
-            table = table.sort_by([("subject_hash", "ascending"), ("pred", "ascending"),
-                                   ("obj", "ascending")])
-            pq.write_table(table, os.path.join(tmp_dir, "part-0.parquet"))
-        else:
-            pq.write_table(
-                pa.table({"subj": pa.array([], pa.string()), "pred": pa.array([], pa.string()),
-                          "obj": pa.array([], pa.string())}),
-                os.path.join(tmp_dir, "part-0.parquet"),
-            )
         if os.path.exists(bucket_dir):
             shutil.rmtree(bucket_dir)
-        os.replace(tmp_dir, bucket_dir)
+        os.replace(tmp, bucket_dir)
         manifest["partitions"][str(b)] = {
-            "rows": n_rows,
-            "content_hash": _content_hash(table, ["subj", "pred", "obj"]) if n_rows else "0" * 16,
-            "counters": dict(counters or {}),
+            "rows": rows[b],
+            "content_hash": f"{chash[b]:016x}" if rows[b] else "0" * 16,
+            "counters": counters,
         }
         _save_manifest(out_dir, manifest)  # after EVERY bucket → kill-safe
     return manifest
