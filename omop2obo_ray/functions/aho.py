@@ -109,3 +109,46 @@ class AhoCorasick:
                 chosen.append((s, e))
                 last_end = e
         return chosen
+
+
+class RegexScanner:
+    """C-speed alternation scanner for small/medium pattern sets.
+
+    A compiled ``re`` alternation with alternatives sorted longest-first
+    and token-boundary lookarounds produces exactly the greedy
+    leftmost-longest non-overlapping segmentation of
+    :meth:`AhoCorasick.longest_nonoverlapping` (finditer advances past
+    each match, matching the longest alternative at each position).
+    Python's regex engine degrades on huge alternations, so
+    :func:`make_scanner` switches to the automaton past a threshold.
+    """
+
+    def __init__(self, patterns: list[str]):
+        import re as _re
+
+        alts = sorted((p for p in patterns if p), key=len, reverse=True)
+        if alts:
+            self._re = _re.compile(
+                r"(?<![\w])(?:" + "|".join(_re.escape(p) for p in alts) + r")(?![\w])"
+            )
+        else:
+            self._re = None
+
+    def longest_nonoverlapping(self, text: str) -> list[tuple[int, int]]:
+        if self._re is None:
+            return []
+        return [(m.start(), m.end()) for m in self._re.finditer(text)]
+
+
+# above this many patterns the backtracking alternation loses to the
+# linear automaton (empirical; both paths are semantics-identical)
+REGEX_SCANNER_MAX_PATTERNS = 2000
+
+
+def make_scanner(patterns: list[str]):
+    """Pick the mention scanner for a pattern set: compiled-regex
+    alternation (C loop) for small/medium lexicons, Aho-Corasick for
+    large ones."""
+    if len(patterns) <= REGEX_SCANNER_MAX_PATTERNS:
+        return RegexScanner(patterns)
+    return AhoCorasick(patterns)

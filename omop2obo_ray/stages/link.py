@@ -26,7 +26,7 @@ from __future__ import annotations
 import pyarrow as pa
 import ray
 
-from omop2obo_ray.functions.aho import AhoCorasick
+from omop2obo_ray.functions.aho import make_scanner
 from omop2obo_ray.functions.textproc import preprocess_tokens, sentences
 from omop2obo_ray.state.lexicon import Lexicon
 
@@ -61,7 +61,7 @@ class LinkerActor:
         )
         # prefer the lexicon's prebuilt automaton (built once driver-side,
         # unpickled from the object store); fall back to a local build
-        self.automaton = self.lex.automaton or AhoCorasick(self.lex.patterns)
+        self.automaton = self.lex.automaton or make_scanner(self.lex.patterns)
         # unigram vocabulary of the sim corpus, for cheap candidate pre-filter
         self.sim_vocab = {t for t in self.lex.sim_index.vocab if " " not in t}
         self.max_sim_candidates = max_sim_candidates

@@ -244,7 +244,7 @@ def build_lexicon(
         for cui, sty in zip(semtypes["cui"], semtypes["sty"]):
             cui_semtypes[cui] = cui_semtypes.get(cui, ()) + (sty,)
 
-    from omop2obo_ray.functions.aho import AhoCorasick
+    from omop2obo_ray.functions.aho import make_scanner
 
     return Lexicon(
         surface_links=frozen,
@@ -254,7 +254,7 @@ def build_lexicon(
         ontologies=tuple(ontologies),
         synonym_types=synonym_types,
         cui_semtypes=cui_semtypes,
-        automaton=AhoCorasick(list(frozen.keys())),
+        automaton=make_scanner(list(frozen.keys())),
     )
 
 

@@ -31,6 +31,19 @@ def test_aho_matches_regex_reference(patterns, text):
 
 
 @settings(max_examples=60, deadline=None)
+@given(st.lists(phrases, min_size=1, max_size=8, unique=True),
+       st.lists(words, min_size=1, max_size=20).map(" ".join))
+def test_regex_scanner_equals_automaton(patterns, text):
+    """Both scanner implementations segment identically (word-bounded
+    phrase patterns, the lexicon's shape)."""
+    from omop2obo_ray.functions.aho import RegexScanner
+
+    ac = AhoCorasick(patterns)
+    rs = RegexScanner(patterns)
+    assert rs.longest_nonoverlapping(text) == ac.longest_nonoverlapping(text)
+
+
+@settings(max_examples=60, deadline=None)
 @given(st.lists(st.text(
     alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
     min_size=0, max_size=40), min_size=1, max_size=4),
