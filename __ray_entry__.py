@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_limit_docs": R.q_sort_limit_docs,          # K4
         "ancestor_closure": R.q_ancestor_closure,        # DAG closure
         "window_tumbling": q_window_tumbling,            # streaming-shaped
+        "window_session": R.q_window_session,            # gap sessions
         "exact_match_mentions": R.q_exact_match_mentions,  # J6 tier-1
         # training-data ops (SQL-checked)
         "token_stats": q_token_stats,
@@ -278,6 +279,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "
             "round(sum(value), 2) AS sum_value FROM events GROUP BY event_type, "
             "date_trunc('hour', ts)"
+        ),
+        "window_session": (
+            "WITH t AS (SELECT user_id, event_id, ts, "
+            "CASE WHEN ts - lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE "
+            "THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, event_id, ts, "
+            "CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM t) "
+            "SELECT user_id, session_id, count(*) AS n, "
+            "min(ts) AS t_start, max(ts) AS t_end "
+            "FROM s GROUP BY user_id, session_id"
         ),
         "exact_match_mentions": (
             "WITH pw AS (SELECT DISTINCT word FROM "

@@ -38,6 +38,12 @@ class PipelineConfig:
     # ---- ontologies to link against ----
     ontologies: tuple[str, ...] = ("hp", "mondo")
 
+    # ---- pluggable tier list (SURVEY §2.10 extension surface): each
+    # tier can be switched off independently, mirroring the reference's
+    # input-availability scenarios (tests ran the mapper with/without
+    # UMLS and similarity inputs, test_clinical_concept_annotator.py:310-362)
+    enabled_tiers: tuple[str, ...] = ("str", "dbxref", "umls", "ancestor", "sim")
+
     # ---- scale knobs ----
     # batches sized so #tasks ≫ pool size (parallelism is bounded by
     # #batches); pools autoscale (1, N) so small runs stay cheap

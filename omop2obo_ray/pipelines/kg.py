@@ -104,6 +104,16 @@ def links_to_triples(links: Dataset, lexicon: Lexicon,
                      cfg: PipelineConfig = DEFAULT_CONFIG,
                      canonicalize: bool = True) -> Dataset:
     """links → canonicalized, aggregated, deduplicated triples."""
+    if set(cfg.enabled_tiers) != {"str", "dbxref", "umls", "ancestor", "sim"}:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        allowed = pa.array(list(cfg.enabled_tiers))
+        links = links.map_batches(
+            lambda b: b.filter(pc.is_in(b["tier"].combine_chunks().cast(pa.string()),
+                                        value_set=allowed)),
+            batch_format="pyarrow", batch_size=None,
+        )
     if canonicalize:
         if cfg.canonical_mode == "lexicon":
             # data-free: the ambiguity structure lives in the lexicon, so
@@ -159,6 +169,9 @@ def links_to_triples(links: Dataset, lexicon: Lexicon,
 def build_kg(pages: Dataset, lexicon: Lexicon, cfg: PipelineConfig = DEFAULT_CONFIG,
              canonicalize: bool = True) -> Dataset:
     """Full pipeline: raw pages dataset → triples dataset (lazy)."""
+    if "sim" not in cfg.enabled_tiers:
+        # don't pay for candidate generation/scoring when tier-3 is off
+        cfg = cfg.with_(sim_max_candidates_per_page=0)
     lexicon_ref = ray.put(lexicon)
     extracted = extract_pages(pages, cfg)
     links = link_pages(extracted, lexicon, cfg, lexicon_ref=lexicon_ref)

@@ -394,6 +394,29 @@ def q_window_tumbling(sf_dir: str) -> Dataset:
     ).aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
 
 
+def q_window_session(sf_dir: str) -> Dataset:
+    """Gap-based session windows per user (30-min inactivity gap):
+    ``groupby(key).map_groups`` over ts-sorted groups with a cumulative
+    gap-break sum — the streaming-shaped pattern for session windows
+    (ray_guide); ordering assumption: (ts, event_id) is a total order
+    per user, pinned identically in the SQL oracle."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        g["session_id"] = gap.cumsum().astype("int64")
+        out = (
+            g.groupby("session_id", sort=True)
+            .agg(user_id=("user_id", "first"), n=("event_id", "size"),
+                 t_start=("ts", "min"), t_end=("ts", "max"))
+            .reset_index()
+        )
+        return out[["user_id", "session_id", "n", "t_start", "t_end"]]
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # tier-1 exact-match analog over testdata (J6 with a derived lexicon)
 # ---------------------------------------------------------------------------

@@ -21,6 +21,22 @@ def _triples(fixture_dir, lexicon, cfg):
     return set(zip(df.subj, df.pred, df.obj))
 
 
+def test_tier_toggle(ray_session, fixture_dir, lexicon):
+    """Pluggable tier list: disabling tiers removes exactly their
+    evidence classes (reference input-availability scenarios)."""
+    import pandas as pd
+
+    from omop2obo_ray.pipelines.kg import build_kg
+
+    pages = rd.read_parquet(os.path.join(fixture_dir, "pages.parquet"))
+    cfg = DEFAULT_CONFIG.with_(enabled_tiers=("str",))
+    df = build_kg(pages, lexicon, cfg).to_pandas()
+    assert len(df) > 0
+    assert not df["evidence"].str.contains("DBXREF|UMLS_CUI|CONCEPT_SIMILARITY|ANCESTOR").any()
+    full = _triples(fixture_dir, lexicon, DEFAULT_CONFIG)
+    assert set(zip(df.subj, df.pred, df.obj)) < full or len(df) < len(full)
+
+
 @pytest.mark.parametrize(
     "overrides",
     [
