@@ -112,6 +112,29 @@ def make_fixtures(
                 "alias_surfaces": [], "umls_surfaces": [],
             }
 
+    # ---- ambiguous surfaces: a shared synonym attached to TWO live
+    # concepts of the same ontology — exercises canonicalization
+    # (merge aliases into canonical ids; canonical = lowest uri at the
+    # same tier). Gold for mentions of these surfaces targets the
+    # canonical concept. ----
+    ambiguous: dict[str, str] = {}  # surface -> canonical short uri
+    for ont in ontologies:
+        live_ont = [su for su, m in cmeta.items()
+                    if m["ont"] == ont and not m["deprecated"]]
+        n_amb = max(1, len(live_ont) // 20)
+        for j in range(n_amb):
+            if len(live_ont) < 2:
+                break
+            a, b = rng.sample(live_ont, 2)
+            surface = f"shared {ont}ambiguous{j}"
+            for su in (a, b):
+                concepts_rows.append(
+                    (ont, cmeta[su]["uri"], "synonym", surface, "hasRelatedSynonym",
+                     False)
+                )
+                cmeta[su]["syns"].append(surface)
+            ambiguous[surface] = min(a, b)
+
     # ---- dbxrefs + aliases (single-merge, double-merge, ananke paths) ----
     for su, m in cmeta.items():
         if m["deprecated"]:
@@ -184,13 +207,20 @@ def make_fixtures(
         planted: list[tuple[str, str, str]] = []  # (surface, su, tier)
         for _ in range(n_mentions):
             tier = rng.choices(
-                ["str", "dbxref", "umls", "ancestor", "sim"],
-                weights=[40, 18, 14, 12, 16],
+                ["str", "dbxref", "umls", "ancestor", "sim", "ambig"],
+                weights=[36, 18, 14, 12, 16, 4],
             )[0]
-            if tier == "str":
+            if tier == "ambig" and ambiguous:
+                surface = rng.choice(sorted(ambiguous))
+                # engine canonicalizes ambiguous surfaces to the lowest
+                # uri at the best tier — gold targets the canonical id
+                planted.append((surface, ambiguous[surface], "str"))
+            elif tier == "str" or tier == "ambig":
                 su = live[int(np_rng.choice(len(live), p=zipf_w))]
                 m = cmeta[su]
                 surface = m["label"] if (not m["syns"] or rng.random() < 0.6) else rng.choice(m["syns"])
+                if surface in ambiguous:
+                    su = ambiguous[surface]
                 planted.append((surface, su, "str"))
             elif tier == "dbxref":
                 cands = [su for su in live if cmeta[su]["alias_surfaces"]]

@@ -102,6 +102,19 @@ def oracle_triples(
     surf_df = pd.DataFrame(
         rows, columns=["surface", "level", "ontology", "uri", "tier"]
     ).drop_duplicates()
+
+    # canonicalization (independent re-derivation of the engine's rule):
+    # surfaces ambiguous within an ontology at CONCEPT level resolve to
+    # the (best tier rank, lowest uri) concept
+    tier_rank = {"str": 0, "dbxref": 1, "umls": 2}
+    exact_rows = surf_df[(surf_df["level"] == "CONCEPT")
+                         & surf_df["tier"].isin(tier_rank)]
+    canon: dict[tuple[str, str], str] = {}
+    for (surface, ont), g in exact_rows.groupby(["surface", "ontology"]):
+        if g["uri"].nunique() > 1:
+            best = min((tier_rank[t], u) for t, u in zip(g["tier"], g["uri"]))
+            canon[(surface, ont)] = best[1]
+
     surfaces = sorted(surf_df["surface"].unique(), key=lambda s: (-len(s), s))
     surf_regex = {s: re.compile(r"(?<![\w])" + re.escape(s) + r"(?![\w])") for s in surfaces}
 
@@ -175,7 +188,10 @@ def oracle_triples(
         links = []
         for start, end, s in chosen:
             for _, r in surf_df[surf_df["surface"] == s].iterrows():
-                links.append((r["level"], r["ontology"], r["uri"], r["tier"], s))
+                uri = r["uri"]
+                if r["level"] == "CONCEPT" and r["tier"] in tier_rank:
+                    uri = canon.get((s, r["ontology"]), uri)
+                links.append((r["level"], r["ontology"], uri, r["tier"], s))
 
         sim_links = []  # (ont, uri, score)
         n_c = 0

@@ -89,10 +89,19 @@ def test_canonicalization_map(ray_session, fixture_dir, lexicon):
     from omop2obo_ray.pipelines.kg import extract_pages, link_pages
     from omop2obo_ray.stages.canonicalize import build_canonical_map
 
-    # the fixture lexicon is unambiguous by construction → empty map
+    from omop2obo_ray.stages.canonicalize import lexicon_canonical_map
+
+    # fixture plants shared synonyms → ambiguity exists, and the
+    # corpus-weighted map agrees with the data-free lexicon-derived map
+    # (shared-surface mentions emit both candidates, so counts tie and
+    # the (tier, uri) rule decides in both modes)
     pages = rd.read_parquet(os.path.join(fixture_dir, "pages.parquet"))
     links = link_pages(extract_pages(pages), lexicon)
-    assert build_canonical_map(links) == {}
+    canon_corpus = build_canonical_map(links)
+    canon_lex = lexicon_canonical_map(lexicon)
+    assert canon_lex, "fixture must contain ambiguous surfaces"
+    for k, v in canon_corpus.items():
+        assert canon_lex[k] == v
 
     # ambiguous surface: 'pain' → HP_1 (str ×1) and HP_2 (dbxref ×3):
     # tier rank wins over count
