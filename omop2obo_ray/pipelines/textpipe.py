@@ -8,6 +8,7 @@ stopword sets) are actor classes so setup runs once per actor.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 
@@ -29,19 +30,32 @@ def add_text_hash(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("text_hash", pa.array(hash64_array(batch[col]), pa.uint64()))
 
 
-def exact_dedup(docs: Dataset, key_col: str = "doc_id", text_col: str = "text") -> Dataset:
-    """Keep the lowest-key row per distinct text. Content-hash added in a
-    vectorized map, then a groupby on the hash — the shuffle moves only
-    (hash, key), never the text payload."""
+def exact_dedup(docs: Dataset, key_col: str = "doc_id", text_col: str = "text",
+                method: str = "shuffle") -> Dataset:
+    """Keep the lowest-key row per distinct text.
+
+    ``method='shuffle'`` (default, the scale path): add a 64-bit content
+    hash in a vectorized map, then ONE keyed shuffle
+    (``groupby(text_hash).map_groups``) keeping the min-key row per
+    group — no driver-side state at any input size (hash collisions of
+    *distinct* texts are ~n²/2⁶⁴: negligible, and acceptable for dedup).
+
+    ``method='broadcast'``: aggregate keep-ids and broadcast them back
+    as a filter — cheaper when the unique-id set fits comfortably in
+    memory (dimension-scale inputs), because the text payload never
+    moves."""
     hashed = docs.map_batches(
-        lambda b: pa.table(
-            {key_col: b[key_col], "text_hash": pa.array(hash64_array(b[text_col]), pa.uint64())}
-        ),
-        batch_format="pyarrow",
+        functools.partial(add_text_hash, col=text_col), batch_format="pyarrow",
+        batch_size=None,
     )
+    if method == "shuffle":
+        def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+            return g.sort_values(key_col, kind="mergesort").head(1)
+
+        out = hashed.groupby("text_hash").map_groups(keep_min, batch_format="pandas")
+        return out.drop_columns(["text_hash"])
+
     keep = hashed.groupby("text_hash").aggregate(Min(key_col, alias_name="keep_id"))
-    # broadcast the kept-id set back; at 100 TB this set is ~#unique docs —
-    # partition it instead (join on key) when it outgrows memory.
     keep_ids = set()
     for b in keep.iter_batches(batch_size=65536, batch_format="pyarrow"):
         keep_ids.update(b["keep_id"].to_pylist())

@@ -31,10 +31,11 @@ def dup_docs(ray_session):
     return rd.from_pandas(pd.DataFrame(rows))
 
 
-def test_exact_dedup(ray_session, dup_docs):
+@pytest.mark.parametrize("method", ["shuffle", "broadcast"])
+def test_exact_dedup(ray_session, dup_docs, method):
     from omop2obo_ray.pipelines.textpipe import exact_dedup
 
-    kept = exact_dedup(dup_docs).to_pandas()
+    kept = exact_dedup(dup_docs, method=method).to_pandas()
     assert sorted(kept["doc_id"]) == [0, 2, 3, 4]  # doc 1 dropped (dup of 0)
 
 
