@@ -175,7 +175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "melt_customer": R.q_melt_customer,              # M3
         "pivot_orderstatus": R.q_pivot_orderstatus,      # M4/A2
         "aggregate_values": R.q_aggregate_values,        # A1
-        "orders_customer_nation": R.q_orders_customer_nation,  # J1-J3
+        "orders_customer_nation": R.q_orders_customer_nation,  # J1-J3 broadcast
+        "orders_customer_join_native": R.q_orders_customer_join_native,  # native hash join
+        "top_tokens": R.q_top_tokens,                    # combiner agg + topk
         "customers_without_orders": R.q_customers_without_orders,  # J9 anti
         "dedup_docs": R.q_dedup_docs,                    # A3 exact dedup
         "lineitem_agg": q_lineitem_agg,                  # A5/A6 partial agg
@@ -195,6 +197,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": q_dedup_minhash,
         "dup_clusters": q_dup_clusters,
         "simhash": q_simhash,
+        "simhash_near_pairs": (lambda sf: __import__(
+            "omop2obo_ray.pipelines.textpipe", fromlist=["simhash_near_pairs"]
+        ).simhash_near_pairs(__import__("ray.data", fromlist=["read_parquet"])
+            .read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"]))),
         "langid": q_langid,
         "ivf_buckets": q_ivf_buckets,
         "ann_ivf": q_ann_ivf,
@@ -239,6 +245,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_totalprice, c_name, n_name FROM orders "
             "JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "orders_customer_join_native": (
+            "SELECT o_orderkey, o_totalprice, c_name, n_name FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "top_tokens": (
+            "SELECT token, count(*) AS n FROM "
+            "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
+            "GROUP BY token ORDER BY n DESC, token LIMIT 20"
         ),
         "customers_without_orders": (
             "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "

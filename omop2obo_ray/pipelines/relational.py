@@ -214,6 +214,20 @@ def q_orders_customer_nation(sf_dir: str) -> Dataset:
     )
 
 
+def q_orders_customer_join_native(sf_dir: str) -> Dataset:
+    """Same join chain via Ray Data's native hash-partitioned
+    ``Dataset.join`` — the both-sides-large path (ray_guide joins
+    section) complementing the broadcast variant above."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    j1 = orders.join(cust, join_type="inner", num_partitions=8,
+                     on=("o_custkey",), right_on=("c_custkey",))
+    j2 = j1.join(nation, join_type="inner", num_partitions=8,
+                 on=("c_nationkey",), right_on=("n_nationkey",))
+    return j2.select_columns(["o_orderkey", "o_totalprice", "c_name", "n_name"])
+
+
 # ---------------------------------------------------------------------------
 # semi/anti join via broadcast key set
 # ---------------------------------------------------------------------------
@@ -392,6 +406,23 @@ def q_window_tumbling(sf_dir: str) -> Dataset:
     return ds.map_batches(windowed, batch_format="pyarrow").groupby(
         ["event_type", "hour"]
     ).aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+
+
+def q_top_tokens(sf_dir: str) -> pd.DataFrame:
+    """Corpus vocabulary top-20 by frequency: vectorized explode →
+    per-batch partial counts (combiner) → small groupby → sort+limit —
+    the canonical pre-aggregated wide aggregation."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        vc = toks.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    counts = _read(sf_dir, "documents", ["text"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).groupby("token").aggregate(Sum("n", alias_name="n"))
+    return counts.sort(["n", "token"], descending=[True, False]).limit(20).to_pandas()
 
 
 def q_window_session(sf_dir: str) -> Dataset:

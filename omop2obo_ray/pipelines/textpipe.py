@@ -307,6 +307,52 @@ def simhash_signatures(docs: Dataset, key_col: str = "doc_id",
     )
 
 
+def simhash_near_pairs(docs: Dataset, max_hamming: int = 8,
+                       key_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
+    chunks (pigeonhole: any pair within hamming ≤ 3·chunks shares a
+    chunk), groupby colliding chunks for candidates, verify exact
+    hamming distance. Same collide-then-verify shape as the MinHash
+    path."""
+    sigs = simhash_signatures(docs, key_col, text_col).materialize()
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        keys, bands, vals, full = [], [], [], []
+        for k, h in zip(batch[key_col].to_pylist(), batch["simhash"].to_pylist()):
+            for band in range(4):
+                keys.append(k)
+                bands.append(band)
+                vals.append((int(h) >> (16 * band)) & 0xFFFF)
+                full.append(int(h))
+        return pa.table({key_col: pa.array(keys), "band": pa.array(bands, pa.int32()),
+                         "chunk": pa.array(vals, pa.int32()),
+                         "simhash": pa.array(full, pa.uint64())})
+
+    bands = sigs.map_batches(to_bands, batch_format="pyarrow", batch_size=None)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(zip(g[key_col], g["simhash"]))
+        out = []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                (a, ha), (b, hb) = rows[i], rows[j]
+                d = bin(int(ha) ^ int(hb)).count("1")
+                if d <= max_hamming:
+                    out.append((a, b, d))
+        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"]) if out else \
+            pd.DataFrame({"doc_a": pd.Series(dtype=g[key_col].dtype),
+                          "doc_b": pd.Series(dtype=g[key_col].dtype),
+                          "hamming": pd.Series(dtype="int64")})
+
+    pairs = bands.groupby(["band", "chunk"]).map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    ).to_pandas()
+    if pairs.empty:
+        return pairs
+    return pairs.drop_duplicates(["doc_a", "doc_b"]).sort_values(
+        ["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # embedding similarity search (brute-force cosine; IVF scale path)
 # ---------------------------------------------------------------------------
