@@ -127,6 +127,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         return simhash_signatures(docs)
 
+    def q_simhash_near_pairs(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import simhash_near_pairs
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return simhash_near_pairs(docs)
+
     def q_langid(sf):
         import ray.data as rd
 
@@ -197,10 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": q_dedup_minhash,
         "dup_clusters": q_dup_clusters,
         "simhash": q_simhash,
-        "simhash_near_pairs": (lambda sf: __import__(
-            "omop2obo_ray.pipelines.textpipe", fromlist=["simhash_near_pairs"]
-        ).simhash_near_pairs(__import__("ray.data", fromlist=["read_parquet"])
-            .read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"]))),
+        "simhash_near_pairs": q_simhash_near_pairs,
         "langid": q_langid,
         "ivf_buckets": q_ivf_buckets,
         "ann_ivf": q_ann_ivf,

@@ -10,7 +10,7 @@ Mirrors the reference's fixed constants and CLI-bound column roles:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

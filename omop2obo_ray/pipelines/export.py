@@ -12,7 +12,6 @@ from __future__ import annotations
 import json
 
 import pandas as pd
-import pyarrow as pa
 from ray.data import Dataset
 
 

@@ -9,17 +9,13 @@ hashes values after sorting columns by name).
 
 from __future__ import annotations
 
-import functools
-import json
-
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data import Dataset
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Mean, Min, Sum
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:

@@ -9,13 +9,11 @@ stopword sets) are actor classes so setup runs once per actor.
 from __future__ import annotations
 
 import functools
-import hashlib
 import re
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
