@@ -115,8 +115,20 @@ def oracle_triples(
             best = min((tier_rank[t], u) for t, u in zip(g["tier"], g["uri"]))
             canon[(surface, ont)] = best[1]
 
+    surf_rows: dict[str, list[tuple[str, str, str, str]]] = {}
+    for srow in surf_df.itertuples():
+        surf_rows.setdefault(srow.surface, []).append(
+            (srow.level, srow.ontology, srow.uri, srow.tier)
+        )
     surfaces = sorted(surf_df["surface"].unique(), key=lambda s: (-len(s), s))
-    surf_regex = {s: re.compile(r"(?<![\w])" + re.escape(s) + r"(?![\w])") for s in surfaces}
+    # one longest-first alternation per page instead of one regex pass
+    # per surface (O(patterns × pages) → O(pages)); finditer's
+    # leftmost-longest-advance IS the greedy non-overlap selection
+    alternation = (
+        re.compile(r"(?<![\w])(?:" + "|".join(re.escape(s) for s in surfaces)
+                   + r")(?![\w])")
+        if surfaces else None
+    )
 
     # ---- tier-3 corpus: dense tfidf (sklearn-formula, smooth idf) ----
     sim_rows = live[live["kind"].isin(["label", "synonym", "definition"])].copy()
@@ -173,25 +185,18 @@ def oracle_triples(
         url = page["url"]
         low = page["text"].lower()
         # leftmost-longest non-overlapping mention selection (same rule
-        # the engine's automaton applies)
-        hits = []
-        for s in surfaces:
-            for m in surf_regex[s].finditer(low):
-                hits.append((m.start(), -(m.end() - m.start()), m.end(), s))
-        hits.sort()
-        chosen, last_end = [], -1
-        for start, _neg, end, s in hits:
-            if start >= last_end:
-                chosen.append((start, end, s))
-                last_end = end
+        # the engine's scanner applies)
+        chosen = (
+            [(m.start(), m.end(), m.group(0)) for m in alternation.finditer(low)]
+            if alternation else []
+        )
         covered = [(s, e) for s, e, _ in chosen]
         links = []
         for start, end, s in chosen:
-            for _, r in surf_df[surf_df["surface"] == s].iterrows():
-                uri = r["uri"]
-                if r["level"] == "CONCEPT" and r["tier"] in tier_rank:
-                    uri = canon.get((s, r["ontology"]), uri)
-                links.append((r["level"], r["ontology"], uri, r["tier"], s))
+            for level, ont, uri, tier in surf_rows.get(s, ()):
+                if level == "CONCEPT" and tier in tier_rank:
+                    uri = canon.get((s, ont), uri)
+                links.append((level, ont, uri, tier, s))
 
         sim_links = []  # (ont, uri, score)
         n_c = 0
