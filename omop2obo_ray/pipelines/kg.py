@@ -150,8 +150,13 @@ def links_to_triples(links: Dataset, lexicon: Lexicon,
     else:
         # co-locate each url's links via a bucket-keyed groupby (works
         # under any shuffle strategy); P bucket-groups, one vectorized
-        # assembly each
-        bucketed = links.map_batches(
+        # assembly each. Only assembly-relevant columns enter the
+        # shuffle (label is display-only).
+        slim = links.select_columns(
+            ["url", "surface", "level", "ontology", "uri", "tier",
+             "evidence", "score"]
+        )
+        bucketed = slim.map_batches(
             functools.partial(add_url_bucket, n_buckets=cfg.assembly_buckets),
             batch_format="pyarrow", batch_size=None,
         )
