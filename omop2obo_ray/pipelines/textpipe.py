@@ -177,13 +177,24 @@ def minhash_candidate_pairs(docs: Dataset, n_hashes: int = 64, n_bands: int = 16
                                    key_col=key_col, text_col=text_col),
         batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
     ).materialize()  # consumed twice: collision count + pair expansion
-    counts = bands.groupby(["band_id", "band_hash"]).aggregate(Count(alias_name="n"))
-    collide: set[tuple[int, int]] = set()
-    for b in counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
+
+    def _bucket_counts(batch: pa.Table) -> pa.Table:
+        # per-block combiner: one (bucket, n) row per distinct bucket
+        df = batch.select(["band_id", "band_hash"]).to_pandas()
+        agg = df.value_counts().reset_index(name="n")
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+
+    # partial counts merged driver-side (≤ distinct buckets per block):
+    # saves a whole Ray shuffle vs a groupby over the raw band rows
+    merged: dict[tuple[int, int], int] = {}
+    for b in bands.map_batches(_bucket_counts, batch_format="pyarrow",
+                               batch_size=None).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
         for bid, bh, n in zip(b["band_id"].to_pylist(), b["band_hash"].to_pylist(),
                               b["n"].to_pylist()):
-            if n >= 2:
-                collide.add((bid, bh))
+            key = (bid, bh)
+            merged[key] = merged.get(key, 0) + n
+    collide = {k for k, n in merged.items() if n >= 2}
     if not collide:
         import pyarrow as _pa
 
@@ -218,19 +229,32 @@ def verify_jaccard_pairs(docs: Dataset, pairs: Dataset, threshold: float = 0.8,
                          shingle: int = 3, key_col: str = "doc_id",
                          text_col: str = "text") -> pd.DataFrame:
     """Verify LSH candidates with exact shingle-set Jaccard. The
-    candidate set is LSH-bounded (≪ n²); texts for candidate ids are
-    gathered once and verified driver-side — at cluster scale this
-    becomes a broadcast of the candidate-id set + a map_batches gather."""
+    candidate set is LSH-bounded (≪ n²); the candidate-id set is
+    broadcast and candidate shingle-sets are computed IN the cluster
+    (map_batches filter+shingle), so only candidate rows reach the
+    driver."""
     cand = pairs.to_pandas()
     if cand.empty:
         return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
     need = set(cand["doc_a"]) | set(cand["doc_b"])
-    hasher = MinHasher(shingle=shingle, key_col=key_col, text_col=text_col)
+    need_ref = ray.put(need)
+
+    def gather(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)
+        mask = pa.array([k in wanted for k in batch[key_col].to_pylist()])
+        part = batch.filter(mask)
+        hasher = MinHasher(shingle=shingle, key_col=key_col, text_col=text_col)
+        sh = [hasher.shingles(t or "").tobytes()
+              for t in part[text_col].to_pylist()]
+        return pa.table({key_col: part[key_col],
+                         "shingles": pa.array(sh, pa.large_binary())})
+
     texts: dict = {}
-    for b in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for k, t in zip(b[key_col].to_pylist(), b[text_col].to_pylist()):
-            if k in need:
-                texts[k] = set(hasher.shingles(t or "").tolist())
+    for b in docs.map_batches(gather, batch_format="pyarrow",
+                              batch_size=None).iter_batches(
+            batch_size=4096, batch_format="pyarrow"):
+        for k, raw in zip(b[key_col].to_pylist(), b["shingles"].to_pylist()):
+            texts[k] = set(np.frombuffer(raw, dtype=np.uint64).tolist())
     rows = []
     for a, b_ in zip(cand["doc_a"], cand["doc_b"]):
         sa, sb = texts.get(a, set()), texts.get(b_, set())
