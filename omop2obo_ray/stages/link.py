@@ -65,7 +65,7 @@ class LinkerActor:
         # unigram vocabulary of the sim corpus, for cheap candidate pre-filter
         self.sim_vocab = {t for t in self.lex.sim_index.vocab if " " not in t}
         self.max_sim_candidates = max_sim_candidates
-        self._surface_cache: dict[str, tuple] = {}
+        self._build_interned()
         # fused tier-3: score candidate sentences in-place instead of
         # emitting tier='cand' rows for a separate scorer stage — one
         # operator boundary (and one full link-stream serialization)
@@ -78,30 +78,55 @@ class LinkerActor:
             self.scorer = ScorerActor(self.lex, top_n=top_n, floor=floor,
                                       percentile=percentile)
 
-    def _surface_columns(self, surface: str):
-        """Cached per-surface link columns (tuple of per-field tuples) —
-        the emit hot path is list.extend of precomputed tuples, not one
-        Python append per field per link."""
-        cached = self._surface_cache.get(surface)
-        if cached is None:
-            links = self.lex.surface_links[surface]
-            labels = self.lex.labels
-            cached = (
-                tuple(surface for _ in links),
-                tuple(l[0] for l in links),          # level
-                tuple(l[1] for l in links),          # ontology
-                tuple(l[2] for l in links),          # uri
-                tuple(labels.get(l[2], "") for l in links),  # label
-                tuple(l[3] for l in links),          # tier
-                tuple(l[4] for l in links),          # evidence
-                len(links),
-            )
-            self._surface_cache[surface] = cached
-        return cached
+    def _build_interned(self) -> None:
+        """Intern every surface to an int id and flatten all link fields
+        into global dictionary-encoded Arrow arrays, with (offset, len)
+        per surface. The per-batch emit then reduces to ONE int append
+        per mention plus a C-speed ``take`` per column — no Python work
+        proportional to links × fields."""
+        import numpy as np
+
+        labels = self.lex.labels
+        sid_of: dict[str, int] = {}
+        offs, lens = [], []
+        f_surface, f_level, f_ont, f_uri, f_label, f_tier, f_evid = \
+            [], [], [], [], [], [], []
+        pos = 0
+        for surface, links in self.lex.surface_links.items():
+            sid_of[surface] = len(offs)
+            offs.append(pos)
+            lens.append(len(links))
+            pos += len(links)
+            for level, ont, uri, tier, evid in links:
+                f_surface.append(surface)
+                f_level.append(level)
+                f_ont.append(ont)
+                f_uri.append(uri)
+                f_label.append(labels.get(uri, ""))
+                f_tier.append(tier)
+                f_evid.append(evid)
+        self._sid_of = sid_of
+        self._off = np.asarray(offs, dtype=np.int64)
+        self._len = np.asarray(lens, dtype=np.int64)
+        self._fields = {
+            "surface": pa.array(f_surface, pa.string()).dictionary_encode(),
+            "level": pa.array(f_level, pa.string()).dictionary_encode(),
+            "ontology": pa.array(f_ont, pa.string()).dictionary_encode(),
+            "uri": pa.array(f_uri, pa.string()).dictionary_encode(),
+            "label": pa.array(f_label, pa.string()).dictionary_encode(),
+            "tier": pa.array(f_tier, pa.string()).dictionary_encode(),
+            "evidence": pa.array(f_evid, pa.string()).dictionary_encode(),
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         urls = batch["url"].to_pylist()
         texts = batch["text"].to_pylist()
+        # exact-tier emit: one interned surface id per distinct mention
+        m_sid: list[int] = []       # surface id per mention
+        m_url_idx: list[int] = []   # page index per mention
+        # sim/candidate rows (few): plain python columns
         c_url: list[str] = []
         c_surface: list[str] = []
         c_level: list[str] = []
@@ -112,34 +137,25 @@ class LinkerActor:
         c_evid: list[str] = []
         c_score: list[float | None] = []
 
-        surface_links = self.lex.surface_links
-        for url, text in zip(urls, texts):
+        sid_of = self._sid_of
+        for page_idx, (url, text) in enumerate(zip(urls, texts)):
             low = (text or "").lower()
             spans = self.automaton.longest_nonoverlapping(low)
             # one emission per DISTINCT surface per page: repeated
             # occurrences add no information (assembly dedups on uri and
             # evidence, A3/A6 semantics) and 4×-inflate the link stream
-            seen: set[str] = set()
+            seen: set[int] = set()
             covered: list[tuple[int, int]] = []
             for s, e in spans:
-                surface = low[s:e]
-                if surface in seen:
-                    covered.append((s, e))
+                sid = sid_of.get(low[s:e])
+                if sid is None:
                     continue
-                if surface not in surface_links:
-                    continue
-                seen.add(surface)
                 covered.append((s, e))
-                surf, level, ont, uri, label, tier, evid, n = self._surface_columns(surface)
-                c_url.extend([url] * n)
-                c_surface.extend(surf)
-                c_level.extend(level)
-                c_ont.extend(ont)
-                c_uri.extend(uri)
-                c_label.extend(label)
-                c_tier.extend(tier)
-                c_evid.extend(evid)
-                c_score.extend([None] * n)
+                if sid in seen:
+                    continue
+                seen.add(sid)
+                m_sid.append(sid)
+                m_url_idx.append(page_idx)
             # tier-3 candidates: sentences with no mention hit
             n_cand = 0
             pos = 0
@@ -178,21 +194,54 @@ class LinkerActor:
                     c_evid.append("")
                     c_score.append(None)
 
-        if not c_url:
+        tables = []
+        if m_sid:
+            sids = np.asarray(m_sid, dtype=np.int64)
+            # gather link rows: concatenated per-surface index ranges into
+            # the global flattened field arrays (C-speed take per column)
+            counts = self._len[sids]
+            starts = self._off[sids]
+            total = int(counts.sum())
+            # [start..start+len) runs via cumulative offsets, vectorized
+            inner = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+            )
+            row_idx = np.repeat(starts, counts) + inner
+            url_idx = np.repeat(np.asarray(m_url_idx, dtype=np.int64), counts)
+            idx = pa.array(row_idx)
+            url_col = pa.array(urls, pa.string()).take(pa.array(url_idx))
+            f = self._fields
+            tables.append(pa.table(
+                {
+                    "url": url_col,
+                    # low-cardinality columns stay dictionary-encoded:
+                    # the link stream crosses the object store between
+                    # every stage — bytes moved matter more than kernels
+                    "surface": f["surface"].take(idx),
+                    "level": f["level"].take(idx),
+                    "ontology": f["ontology"].take(idx),
+                    "uri": f["uri"].take(idx),
+                    "label": f["label"].take(idx),
+                    "tier": f["tier"].take(idx),
+                    "evidence": f["evidence"].take(idx),
+                    "score": pa.nulls(total, pa.float64()),
+                }
+            ))
+        if c_url:
+            tables.append(pa.table(
+                {
+                    "url": pa.array(c_url, pa.string()),
+                    "surface": pa.array(c_surface, pa.string()).dictionary_encode(),
+                    "level": pa.array(c_level, pa.string()).dictionary_encode(),
+                    "ontology": pa.array(c_ont, pa.string()).dictionary_encode(),
+                    "uri": pa.array(c_uri, pa.string()).dictionary_encode(),
+                    "label": pa.array(c_label, pa.string()).dictionary_encode(),
+                    "tier": pa.array(c_tier, pa.string()).dictionary_encode(),
+                    "evidence": pa.array(c_evid, pa.string()).dictionary_encode(),
+                    "score": pa.array(c_score, pa.float64()),
+                }
+            ))
+        if not tables:
             return _empty_links_table()
-        return pa.table(
-            {
-                "url": pa.array(c_url, pa.string()),
-                # low-cardinality columns dictionary-encoded: the link
-                # stream crosses the object store between every stage —
-                # bytes moved matter more than kernel time here
-                "surface": pa.array(c_surface, pa.string()).dictionary_encode(),
-                "level": pa.array(c_level, pa.string()).dictionary_encode(),
-                "ontology": pa.array(c_ont, pa.string()).dictionary_encode(),
-                "uri": pa.array(c_uri, pa.string()).dictionary_encode(),
-                "label": pa.array(c_label, pa.string()).dictionary_encode(),
-                "tier": pa.array(c_tier, pa.string()).dictionary_encode(),
-                "evidence": pa.array(c_evid, pa.string()).dictionary_encode(),
-                "score": pa.array(c_score, pa.float64()),
-            }
-        )
+        return (tables[0] if len(tables) == 1
+                else pa.concat_tables(tables, promote_options="permissive"))
