@@ -129,7 +129,7 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """Same headline job at two parallelism levels in fresh processes."""
 
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    BENCH_REPEAT=os.environ.get("BENCH_REPEAT", "96"),
                    BENCH_ONLY="kg")
@@ -138,6 +138,12 @@ def run_scaling() -> dict:
             capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        # best-of-2: single-shot walls vary ±30% on this shared machine;
+        # the min is the standard noise-robust estimator for fixed work
+        a, b = run_once(ncpu), run_once(ncpu)
+        return a if a["value"] <= b["value"] else b
 
     lo, hi = 8, 32
     r_lo, r_hi = run(lo), run(hi)
