@@ -175,6 +175,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         verified = verify_jaccard_pairs(docs, pairs, threshold=0.8)
         return dup_clusters(verified)
 
+    def q_dup_clusters_distributed(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import (
+            dup_clusters_distributed,
+            minhash_candidate_pairs,
+            verify_jaccard_pairs,
+        )
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        pairs = minhash_candidate_pairs(docs)
+        verified = verify_jaccard_pairs(docs, pairs, threshold=0.8)
+        return dup_clusters_distributed(verified)
+
     return {
         # SURVEY §2 operator families (SQL-checked)
         "normalize_codes": R.q_normalize_codes,          # M1
@@ -204,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": q_kg_triples,
         "dedup_minhash": q_dedup_minhash,
         "dup_clusters": q_dup_clusters,
+        "dup_clusters_distributed": q_dup_clusters_distributed,
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
         "langid": q_langid,
@@ -321,9 +336,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, word FROM dw JOIN pw USING (word)"
         ),
         "token_stats": (
-            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws, "
-            f"round(len(list_filter(string_split(lower(text), ' '), x -> x IN {stop_list}))"
-            " / greatest(len(string_split(text, ' ')), 1), 6) AS stop_ratio FROM documents"
+            # whitespace tokens = \S+ runs (matches Python str.split on any
+            # whitespace); stop_ratio over ASCII word tokens, numerator AND
+            # denominator — byte-identical to TextAnalyzer on any input
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens_ws, "
+            f"round(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), "
+            f"x -> x IN {stop_list})) "
+            "/ greatest(len(regexp_extract_all(lower(text), '[a-z0-9_]+')), 1), 6) "
+            "AS stop_ratio FROM documents"
         ),
         "md5_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
         "embedding_topk": (

@@ -20,6 +20,45 @@ from ray.data.aggregate import Count, Min
 
 from omop2obo_ray.functions.hashing import hash64_array, stable_hash64
 
+
+def _np_col(batch: pa.Table, col: str) -> np.ndarray:
+    return batch[col].combine_chunks().to_numpy(zero_copy_only=False)
+
+
+def _pa_schema_of(ds: Dataset) -> pa.Schema:
+    """Arrow schema of a dataset, robust to pandas-backed blocks (whose
+    ``Schema.types`` can surface numpy dtypes / Python classes)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for n, t in zip(s.names, s.types):
+        if not isinstance(t, pa.DataType):
+            try:
+                t = pa.from_numpy_dtype(t)
+            except (pa.ArrowNotImplementedError, TypeError):
+                t = pa.large_string() if t in (str, object) else pa.large_binary()
+        fields.append((n, t))
+    return pa.schema(fields)
+
+
+def _sanitize_join_output(ds: Dataset, empty_schema: pa.Schema) -> Dataset:
+    """Ray 2.49's hash-join surfaces zero-row partitions as SCHEMA-LESS
+    blocks (the aggregator's empty builder), which poison any downstream
+    join/union/groupby — and ``map_batches`` bypasses zero-row blocks,
+    so they cannot be repaired in a map. The join output is already
+    fully materialized at its aggregators, so materializing here adds
+    no extra pass: rebuild the dataset from the non-empty blocks only
+    (zero-copy refs), with a typed empty fallback."""
+    mat = ds.materialize()
+    refs = [ref for bundle in mat.iter_internal_ref_bundles()
+            for ref, meta in bundle.blocks if meta.num_rows]
+    if not refs:
+        return ray.data.from_arrow(empty_schema.empty_table())
+    return ray.data.from_arrow_refs(refs)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup (hash-partition + per-group first — ray_guide pattern)
 # ---------------------------------------------------------------------------
@@ -29,31 +68,39 @@ def add_text_hash(batch: pa.Table, col: str = "text") -> pa.Table:
 
 
 def exact_dedup(docs: Dataset, key_col: str = "doc_id", text_col: str = "text",
-                method: str = "shuffle") -> Dataset:
+                method: str = "shuffle", shuffle_partitions: int = 16) -> Dataset:
     """Keep the lowest-key row per distinct text.
 
-    ``method='shuffle'`` (default, the scale path): add a 64-bit content
-    hash in a vectorized map, then ONE keyed shuffle
-    (``groupby(text_hash).map_groups``) keeping the min-key row per
-    group — no driver-side state at any input size (hash collisions of
-    *distinct* texts are ~n²/2⁶⁴: negligible, and acceptable for dedup).
+    ``method='shuffle'`` (default, the scale path): hash the text in a
+    vectorized map, then shuffle ONLY the slim ``(key, text_hash)``
+    projection through ``groupby(text_hash) → Min(key)`` and semi-join
+    the keep-ids back with a native hash join — the text payload never
+    enters an exchange, and there is no driver-side state at any input
+    size (hash collisions of *distinct* texts are ~n²/2⁶⁴: negligible,
+    and acceptable for dedup). The input is consumed twice (hash pass +
+    join pass) — with a parquet source that is two pruned reads, the
+    normal price of a semi-join.
 
     ``method='broadcast'``: aggregate keep-ids and broadcast them back
-    as a filter — cheaper when the unique-id set fits comfortably in
-    memory (dimension-scale inputs), because the text payload never
-    moves."""
-    hashed = docs.map_batches(
-        functools.partial(add_text_hash, col=text_col), batch_format="pyarrow",
-        batch_size=None,
-    )
-    if method == "shuffle":
-        def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-            return g.sort_values(key_col, kind="mergesort").head(1)
+    as a driver-held filter set — cheaper when the unique-id set fits
+    comfortably in memory (dimension-scale inputs), because the join
+    exchange disappears entirely."""
+    def slim_hash(batch: pa.Table) -> pa.Table:
+        # 63-bit int64 keys: uint64 would overflow Python→C long in the
+        # aggregate and fall back to pickled objects
+        h = hash64_array(batch[text_col]) >> np.uint64(1)
+        return pa.table({key_col: batch[key_col],
+                         "text_hash": pa.array(h.astype(np.int64), pa.int64())})
 
-        out = hashed.groupby("text_hash").map_groups(keep_min, batch_format="pandas")
-        return out.drop_columns(["text_hash"])
-
+    hashed = docs.map_batches(slim_hash, batch_format="pyarrow", batch_size=None)
     keep = hashed.groupby("text_hash").aggregate(Min(key_col, alias_name="keep_id"))
+    if method == "shuffle":
+        out = docs.join(
+            keep.select_columns(["keep_id"]), join_type="inner",
+            num_partitions=shuffle_partitions, on=(key_col,), right_on=("keep_id",),
+        )
+        return _sanitize_join_output(out, _pa_schema_of(docs))
+
     keep_ids = set()
     for b in keep.iter_batches(batch_size=65536, batch_format="pyarrow"):
         keep_ids.update(b["keep_id"].to_pylist())
@@ -132,45 +179,100 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """docs → one row per (doc, band): (key, band_id, band_hash)."""
-        keys, bands, bhashes = [], [], []
+        """docs → one row per (doc, band): (key, band_hash).
+
+        The band index is folded INTO the hash input, so a single
+        uint64 ``band_hash`` is the complete LSH bucket key — one
+        groupby column instead of two, and vectorizable membership
+        tests downstream."""
+        keys, bhashes = [], []
         for key, text in zip(batch[self.key_col].to_pylist(), batch[self.text_col].to_pylist()):
             sig = self.signature(text or "")
             for band in range(self.n_bands):
                 seg = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
-                bh = stable_hash64(seg.tobytes())
+                # 63-bit (int64-safe): uint64 group keys round-trip
+                # through Arrow→Python as ints > C long and knock the
+                # whole aggregate into pickled-object fallback
+                bh = stable_hash64(band.to_bytes(4, "little") + seg.tobytes()) >> 1
                 keys.append(key)
-                bands.append(band)
                 bhashes.append(bh)
         return pa.table(
             {
                 self.key_col: pa.array(keys),
-                "band_id": pa.array(bands, pa.int32()),
-                "band_hash": pa.array(bhashes, pa.uint64()),
+                "band_hash": pa.array(bhashes, pa.int64()),
             }
         )
 
 
-def _pairs_from_bucket(group: pd.DataFrame, key_col: str) -> pd.DataFrame:
-    ids = sorted(group[key_col].unique())
-    rows = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b"]) if rows else pd.DataFrame(
-        {"doc_a": pd.Series(dtype=group[key_col].dtype),
-         "doc_b": pd.Series(dtype=group[key_col].dtype)}
+def _empty_pairs(extra: dict | None = None) -> Dataset:
+    cols = {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    cols.update(extra or {})
+    return ray.data.from_arrow(pa.table(cols))
+
+
+def _collect_colliding_keys(bands: Dataset, key: str) -> np.ndarray:
+    """Distributed LSH collision detection: groupby-count IN the
+    cluster, filter ``n >= 2`` there, and collect only the colliding
+    keys. Unlike the full bucket set (O(n_docs × n_bands) — mostly
+    singletons on a real corpus), the colliding-key set is bounded by
+    actual near-dup mass, so driver-collecting it is the
+    broadcast-small-side pattern, not a scale hazard."""
+    import pyarrow.compute as pc
+
+    counts = bands.groupby(key).aggregate(Count(alias_name="n"))
+    colliding = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n"], 2)).select([key]),
+        batch_format="pyarrow",
     )
+    parts = [_np_col(b, key)
+             for b in colliding.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.sort(np.concatenate(parts))
+
+
+def _keep_keys_in(batch: pa.Table, col: str, keys_ref) -> pa.Table:
+    """Vectorized membership filter against a broadcast sorted key array."""
+    keys = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+    mask = np.isin(_np_col(batch, col), keys)
+    return batch.filter(pa.array(mask))
+
+
+def _pairs_from_bucket(group: pd.DataFrame, key_col: str, cap: int) -> pd.DataFrame:
+    """Pair expansion for one colliding bucket, vectorized.
+
+    Buckets beyond ``cap`` members (degenerate content — e.g. a crawl
+    where millions of near-empty pages hash alike) would emit O(k²)
+    pairs; instead they fall back to STAR pairs against the min id,
+    which preserves cluster connectivity (what dedup consumes) at O(k)
+    pairs. Capped buckets are near-certain duplicates anyway — every
+    member shares a full band signature."""
+    ids = np.sort(pd.unique(group[key_col]))
+    k = len(ids)
+    if k < 2:
+        return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0]})
+    if k <= cap:
+        iu, ju = np.triu_indices(k, 1)
+        return pd.DataFrame({"doc_a": ids[iu], "doc_b": ids[ju]})
+    return pd.DataFrame({"doc_a": np.full(k - 1, ids[0], dtype=ids.dtype),
+                         "doc_b": ids[1:]})
 
 
 def minhash_candidate_pairs(docs: Dataset, n_hashes: int = 64, n_bands: int = 16,
                             shingle: int = 3, key_col: str = "doc_id",
-                            text_col: str = "text") -> Dataset:
+                            text_col: str = "text", bucket_cap: int = 256) -> Dataset:
     """LSH candidate pairs: shingle→minhash→band rows; only COLLIDING
     buckets are grouped for pair expansion.
 
-    A naive ``groupby(band).map_groups`` invokes one group call per
-    band bucket (≈ n_docs × n_bands groups, nearly all singletons).
-    Instead: count per bucket (one small aggregate), broadcast the
-    collision keys (≪ bands — bounded by actual near-dup mass), filter
-    the band stream to those keys, and expand pairs per block."""
+    Collision detection runs entirely in the cluster: a naive
+    ``groupby(band).map_groups`` would invoke one group call per band
+    bucket (≈ n_docs × n_bands groups, nearly all singletons), and a
+    driver-merged bucket-count dict would hold O(n_docs × n_bands)
+    entries. Instead: distributed ``groupby(band_hash).count`` →
+    ``n ≥ 2`` filter in-cluster → broadcast ONLY the colliding keys
+    (near-dup-mass bounded) → vectorized ``np.isin`` filter over the
+    band stream → pair expansion per colliding bucket (star-capped,
+    see ``_pairs_from_bucket``)."""
     bands = docs.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(n_hashes=n_hashes, shingle=shingle, n_bands=n_bands,
@@ -178,102 +280,133 @@ def minhash_candidate_pairs(docs: Dataset, n_hashes: int = 64, n_bands: int = 16
         batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
     ).materialize()  # consumed twice: collision count + pair expansion
 
-    def _bucket_counts(batch: pa.Table) -> pa.Table:
-        # per-block combiner: one (bucket, n) row per distinct bucket
-        df = batch.select(["band_id", "band_hash"]).to_pandas()
-        agg = df.value_counts().reset_index(name="n")
-        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
-
-    # partial counts merged driver-side (≤ distinct buckets per block):
-    # saves a whole Ray shuffle vs a groupby over the raw band rows
-    merged: dict[tuple[int, int], int] = {}
-    for b in bands.map_batches(_bucket_counts, batch_format="pyarrow",
-                               batch_size=None).iter_batches(
-            batch_size=65536, batch_format="pyarrow"):
-        for bid, bh, n in zip(b["band_id"].to_pylist(), b["band_hash"].to_pylist(),
-                              b["n"].to_pylist()):
-            key = (bid, bh)
-            merged[key] = merged.get(key, 0) + n
-    collide = {k for k, n in merged.items() if n >= 2}
-    if not collide:
-        import pyarrow as _pa
-
-        return ray.data.from_arrow(
-            pa.table({"doc_a": _pa.array([], _pa.int64()),
-                      "doc_b": _pa.array([], _pa.int64()),
-                      "n_bands_hit": _pa.array([], _pa.int64())})
-        )
+    collide = _collect_colliding_keys(bands, "band_hash")
+    if collide.size == 0:
+        return _empty_pairs({"n_bands_hit": pa.array([], pa.int64())})
     collide_ref = ray.put(collide)
 
-    def keep_colliding(batch: pa.Table) -> pa.Table:
-        cset = ray.get(collide_ref)
-        mask = [
-            (bid, bh) in cset
-            for bid, bh in zip(batch["band_id"].to_pylist(),
-                               batch["band_hash"].to_pylist())
-        ]
-        return batch.filter(pa.array(mask))
-
-    hits = bands.map_batches(keep_colliding, batch_format="pyarrow", batch_size=None)
-
+    hits = bands.map_batches(
+        functools.partial(_keep_keys_in, col="band_hash", keys_ref=collide_ref),
+        batch_format="pyarrow", batch_size=None,
+    )
     # groupby now sees ONLY colliding buckets (K groups, K ≈ near-dup
     # mass), so per-group overhead is proportional to real work
-    pairs = hits.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: _pairs_from_bucket(g, key_col), batch_format="pandas"
+    pairs = hits.groupby("band_hash").map_groups(
+        functools.partial(_pairs_from_bucket, key_col=key_col, cap=bucket_cap),
+        batch_format="pandas",
     )
     # same pair may surface from several bands → keyed dedup
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands_hit"))
 
 
-def verify_jaccard_pairs(docs: Dataset, pairs: Dataset, threshold: float = 0.8,
-                         shingle: int = 3, key_col: str = "doc_id",
-                         text_col: str = "text") -> pd.DataFrame:
-    """Verify LSH candidates with exact shingle-set Jaccard. The
-    candidate set is LSH-bounded (≪ n²); the candidate-id set is
-    broadcast and candidate shingle-sets are computed IN the cluster
-    (map_batches filter+shingle), so only candidate rows reach the
-    driver."""
-    cand = pairs.to_pandas()
-    if cand.empty:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
-    need = set(cand["doc_a"]) | set(cand["doc_b"])
-    need_ref = ray.put(need)
+class ShingleGatherer:
+    """Actor: filter to candidate docs and compute their exact shingle
+    sets (sorted-unique uint64 arrays, serialized as one binary cell).
+    The candidate-id set is broadcast once; shingling reuses the
+    MinHasher's token-hash cache per actor."""
 
-    def gather(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)
-        mask = pa.array([k in wanted for k in batch[key_col].to_pylist()])
+    def __init__(self, need_ref, shingle: int, key_col: str, text_col: str):
+        self.need = ray.get(need_ref) if isinstance(need_ref, ray.ObjectRef) else need_ref
+        self.key_col, self.text_col = key_col, text_col
+        self.hasher = MinHasher(shingle=shingle, key_col=key_col, text_col=text_col)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = pa.array([k in self.need for k in batch[self.key_col].to_pylist()])
         part = batch.filter(mask)
-        hasher = MinHasher(shingle=shingle, key_col=key_col, text_col=text_col)
-        sh = [hasher.shingles(t or "").tobytes()
-              for t in part[text_col].to_pylist()]
-        return pa.table({key_col: part[key_col],
+        sh = [self.hasher.shingles(t or "").tobytes()
+              for t in part[self.text_col].to_pylist()]
+        return pa.table({self.key_col: part[self.key_col],
                          "shingles": pa.array(sh, pa.large_binary())})
 
-    texts: dict = {}
-    for b in docs.map_batches(gather, batch_format="pyarrow",
-                              batch_size=None).iter_batches(
-            batch_size=4096, batch_format="pyarrow"):
-        for k, raw in zip(b[key_col].to_pylist(), b["shingles"].to_pylist()):
-            texts[k] = set(np.frombuffer(raw, dtype=np.uint64).tolist())
-    rows = []
-    for a, b_ in zip(cand["doc_a"], cand["doc_b"]):
-        sa, sb = texts.get(a, set()), texts.get(b_, set())
-        if not sa or not sb:
-            continue
-        j = len(sa & sb) / len(sa | sb)
-        if j >= threshold:
-            rows.append((a, b_, round(j, 6)))
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+def verify_jaccard_pairs(docs: Dataset, pairs: Dataset, threshold: float = 0.8,
+                         shingle: int = 3, key_col: str = "doc_id",
+                         text_col: str = "text", num_partitions: int = 8) -> Dataset:
+    """Verify LSH candidates with exact shingle-set Jaccard — fully
+    distributed: candidate shingle sets are computed in the cluster,
+    attached to the pair stream via two native hash joins (partitioned
+    by doc key), and Jaccard runs inside ``map_batches`` over sorted
+    uint64 arrays (``np.intersect1d``). Web-scale dup mass never
+    touches the driver; only the candidate-ID set (near-dup bounded)
+    is broadcast for the shingle gather."""
+    pairs = pairs.materialize()  # dup-mass bounded; consumed twice below
+    # aggregate outputs can also carry schema-less zero-row blocks —
+    # sanitize before feeding the join
+    pairs = _sanitize_join_output(pairs, _pa_schema_of(pairs))
+    need = set()
+    for b in pairs.select_columns(["doc_a", "doc_b"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        need.update(b["doc_a"].to_pylist())
+        need.update(b["doc_b"].to_pylist())
+    if not need:
+        return _empty_pairs({"jaccard": pa.array([], pa.float64())})
+    need_ref = ray.put(need)
+
+    shingles = docs.map_batches(
+        ShingleGatherer,
+        fn_constructor_kwargs=dict(need_ref=need_ref, shingle=shingle,
+                                   key_col=key_col, text_col=text_col),
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1, batch_size=None,
+    ).materialize()  # joined twice (doc_a side + doc_b side)
+
+    # the equi-join folds the right key column into the left one, so
+    # only the shingle payload columns need renaming between the passes
+    # (in a map_batches — Dataset.rename_columns' Project op passes
+    # zero-row blocks through unrenamed). Join outputs are sanitized:
+    # see _sanitize_join_output.
+    pair_fields = list(_pa_schema_of(pairs))
+    sh_type = pa.large_binary()
+
+    def _ren(batch: pa.Table, out_col: str) -> pa.Table:
+        return batch.rename_columns(
+            [out_col if c == "shingles" else c for c in batch.column_names])
+
+    join_kw = dict(join_type="inner", num_partitions=num_partitions)
+    with_a = _sanitize_join_output(
+        pairs.join(shingles, on=("doc_a",), right_on=(key_col,), **join_kw),
+        pa.schema(pair_fields + [("shingles_a", sh_type)]),
+    ).map_batches(functools.partial(_ren, out_col="shingles_a"),
+                  batch_format="pyarrow", batch_size=None)
+    with_ab = _sanitize_join_output(
+        with_a.join(shingles, on=("doc_b",), right_on=(key_col,), **join_kw),
+        pa.schema(pair_fields + [("shingles_a", sh_type), ("shingles_b", sh_type)]),
+    ).map_batches(functools.partial(_ren, out_col="shingles_b"),
+                  batch_format="pyarrow", batch_size=None)
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        das, dbs, js = [], [], []
+        for a, b, ra, rb in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist(),
+                                batch["shingles_a"].to_pylist(),
+                                batch["shingles_b"].to_pylist()):
+            xa = np.frombuffer(ra, dtype=np.uint64)
+            xb = np.frombuffer(rb, dtype=np.uint64)
+            if not xa.size or not xb.size:
+                continue
+            inter = np.intersect1d(xa, xb, assume_unique=True).size
+            j = inter / (xa.size + xb.size - inter)
+            if j >= threshold:
+                das.append(a)
+                dbs.append(b)
+                js.append(round(j, 6))
+        return pa.table({"doc_a": pa.array(das), "doc_b": pa.array(dbs),
+                         "jaccard": pa.array(js, pa.float64())}) if das else pa.table(
+            {"doc_a": pa.array([], batch["doc_a"].type),
+             "doc_b": pa.array([], batch["doc_b"].type),
+             "jaccard": pa.array([], pa.float64())})
+
+    return with_ab.map_batches(_verify, batch_format="pyarrow")
 
 
-def dup_clusters(verified_pairs: pd.DataFrame, key_col: str = "doc_id") -> pd.DataFrame:
+def dup_clusters(verified_pairs, key_col: str = "doc_id") -> pd.DataFrame:
     """Near-dup clusters from verified pairs → (key, cluster_id) with
     cluster_id = min member key.
 
-    Union-find on the driver: legitimate because the pair set is
-    LSH+verify bounded (≪ n²; see ray_guide — driver union-find "only if
-    the candidate set is provably small"; for larger pair sets iterate
-    min-label propagation as a groupby loop)."""
+    Union-find on the driver: legitimate only when the pair set is
+    provably small (see ray_guide). Web corpora have huge dup mass —
+    use ``dup_clusters_distributed`` for the scale path (iterative
+    min-label propagation, no driver state)."""
+    if isinstance(verified_pairs, Dataset):
+        verified_pairs = verified_pairs.to_pandas()
     parent: dict = {}
 
     def find(x):
@@ -289,6 +422,62 @@ def dup_clusters(verified_pairs: pd.DataFrame, key_col: str = "doc_id") -> pd.Da
             parent[hi] = lo
     rows = sorted((k, find(k)) for k in parent)
     return pd.DataFrame(rows, columns=[key_col, "cluster_id"])
+
+
+def dup_clusters_distributed(pairs: Dataset, key_col: str = "doc_id",
+                             num_partitions: int = 16,
+                             max_iters: int = 50) -> Dataset:
+    """Connected components over the verified-pair graph WITHOUT driver
+    state — the 100-TB clustering path. Iterative min-label
+    propagation: each round joins edge endpoints to current labels and
+    takes the per-node min (one hash join + one keyed groupby per
+    round). Labels only decrease, so ``sum(label)`` is a monotone
+    convergence witness; rounds needed = graph diameter (near-dup
+    clusters are shallow). Output matches ``dup_clusters``:
+    (key, cluster_id = min member id)."""
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.concat_arrays([batch["doc_a"].combine_chunks(),
+                                     batch["doc_b"].combine_chunks()]),
+            "dst": pa.concat_arrays([batch["doc_b"].combine_chunks(),
+                                     batch["doc_a"].combine_chunks()]),
+        })
+
+    edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
+        both_dirs, batch_format="pyarrow").materialize()
+    key_type = _pa_schema_of(edges).types[0]
+    labels = _sanitize_join_output(
+        edges.groupby("src").aggregate(Count(alias_name="_n"))
+        .map_batches(lambda b: pa.table({"node": b["src"], "label": b["src"]}),
+                     batch_format="pyarrow"),
+        pa.schema([("node", key_type), ("label", key_type)]),
+    )  # labels are dup-node bounded; re-used every round
+    joined_schema = pa.schema(
+        [("src", key_type), ("dst", key_type), ("label", key_type)])
+
+    def _prop(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["dst"], "label": b["label"]})
+
+    prev_sum = None
+    for _ in range(max_iters):
+        joined = _sanitize_join_output(
+            edges.join(labels, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("src",), right_on=("node",)),
+            joined_schema,
+        )
+        prop = joined.map_batches(_prop, batch_format="pyarrow")
+        labels = _sanitize_join_output(
+            labels.union(prop).groupby("node").aggregate(
+                Min("label", alias_name="label")),
+            pa.schema([("node", key_type), ("label", key_type)]))
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.map_batches(
+        lambda b: pa.table({key_col: b["node"], "cluster_id": b["label"]}),
+        batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -329,50 +518,104 @@ def simhash_signatures(docs: Dataset, key_col: str = "doc_id",
     )
 
 
-def simhash_near_pairs(docs: Dataset, max_hamming: int = 8,
-                       key_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
-    """SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
-    chunks (pigeonhole: any pair within hamming ≤ 3·chunks shares a
-    chunk), groupby colliding chunks for candidates, verify exact
-    hamming distance. Same collide-then-verify shape as the MinHash
-    path."""
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    return np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * x.itemsize).sum(
+        axis=1).astype(np.int64)
+
+
+def _simhash_pairs_in_bucket(g: pd.DataFrame, key_col: str, max_hamming: int,
+                             cap: int) -> pd.DataFrame:
+    """Exact-hamming verify for one colliding chunk bucket, vectorized
+    (xor + popcount over all pair combinations). Buckets beyond ``cap``
+    members fall back to star pairs vs the min id — connectivity-
+    preserving at O(k), so a degenerate bucket (e.g. 10⁴ identical
+    signatures) cannot hot-spot one group with O(k²) work."""
+    g = g.drop_duplicates(key_col).sort_values(key_col, kind="mergesort")
+    ids = g[key_col].to_numpy()
+    sig = g["simhash"].to_numpy().astype(np.uint64)
+    k = len(ids)
+    empty = pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0],
+                          "hamming": np.array([], dtype=np.int64)})
+    if k < 2:
+        return empty
+    if k <= cap:
+        iu, ju = np.triu_indices(k, 1)
+    else:
+        iu = np.zeros(k - 1, dtype=np.int64)
+        ju = np.arange(1, k)
+    d = _popcount64(sig[iu] ^ sig[ju])
+    keep = d <= max_hamming
+    if not keep.any():
+        return empty
+    return pd.DataFrame({"doc_a": ids[iu[keep]], "doc_b": ids[ju[keep]],
+                         "hamming": d[keep]})
+
+
+def simhash_near_pairs(docs: Dataset, max_hamming: int = 3,
+                       n_chunks: int | None = None,
+                       key_col: str = "doc_id", text_col: str = "text",
+                       bucket_cap: int = 256) -> Dataset:
+    """SimHash near-dup pairs, banded pigeonhole: split the 64-bit
+    signature into C chunks — any pair within hamming ≤ C−1 MUST share
+    a whole chunk, so grouping by (chunk index, chunk bits) finds every
+    such pair. C defaults to ``max_hamming + 1``, which makes the
+    advertised recall bound exact (for hamming ≤ 3 that is the classic
+    4×16-bit layout). Caller-raised ``max_hamming`` widens C and thus
+    shrinks chunks — more random collisions, still exact recall.
+
+    Same fully-distributed collide-then-verify shape as the MinHash
+    path: cluster-side bucket counts → ``n ≥ 2`` filter → broadcast
+    colliding keys → vectorized bucket filter → per-bucket exact
+    hamming verify (capped, see ``_simhash_pairs_in_bucket``) → keyed
+    pair dedup. Returns a Dataset (doc_a, doc_b, hamming)."""
+    C = n_chunks or (max_hamming + 1)
+    if not 2 <= C <= 32:
+        raise ValueError("n_chunks must be in [2, 32]")
+    width = 64 // C
     sigs = simhash_signatures(docs, key_col, text_col).materialize()
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        keys, bands, vals, full = [], [], [], []
-        for k, h in zip(batch[key_col].to_pylist(), batch["simhash"].to_pylist()):
-            for band in range(4):
-                keys.append(k)
-                bands.append(band)
-                vals.append((int(h) >> (16 * band)) & 0xFFFF)
-                full.append(int(h))
-        return pa.table({key_col: pa.array(keys), "band": pa.array(bands, pa.int32()),
-                         "chunk": pa.array(vals, pa.int32()),
-                         "simhash": pa.array(full, pa.uint64())})
+        h = _np_col(batch, "simhash").astype(np.uint64)
+        n = len(h)
+        keys_out, bucket_out, sig_out = [], [], []
+        for band in range(C):
+            lo = width * band
+            bits = 64 - lo if band == C - 1 else width
+            chunk = (h >> np.uint64(lo)) & np.uint64((1 << bits) - 1)
+            # (band, chunk) folded into one int64 bucket key: chunk
+            # occupies ≤ 33 bits for C ≥ 2, band ≤ 31 sits above it —
+            # int64-safe (uint64 group keys degrade Arrow aggregates to
+            # pickled-object fallback)
+            bucket_out.append(
+                (((np.uint64(band) << np.uint64(56)) | chunk).astype(np.int64)))
+            keys_out.append(batch[key_col].combine_chunks())
+            sig_out.append(h)
+        return pa.table({
+            key_col: pa.concat_arrays([k for k in keys_out]),
+            "bucket_key": pa.array(np.concatenate(bucket_out), pa.int64()),
+            "simhash": pa.array(np.concatenate(sig_out), pa.uint64()),
+        })
 
-    bands = sigs.map_batches(to_bands, batch_format="pyarrow", batch_size=None)
-
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(zip(g[key_col], g["simhash"]))
-        out = []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                (a, ha), (b, hb) = rows[i], rows[j]
-                d = bin(int(ha) ^ int(hb)).count("1")
-                if d <= max_hamming:
-                    out.append((a, b, d))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"]) if out else \
-            pd.DataFrame({"doc_a": pd.Series(dtype=g[key_col].dtype),
-                          "doc_b": pd.Series(dtype=g[key_col].dtype),
-                          "hamming": pd.Series(dtype="int64")})
-
-    pairs = bands.groupby(["band", "chunk"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
-    ).to_pandas()
-    if pairs.empty:
-        return pairs
-    return pairs.drop_duplicates(["doc_a", "doc_b"]).sort_values(
-        ["doc_a", "doc_b"]).reset_index(drop=True)
+    bands = sigs.map_batches(to_bands, batch_format="pyarrow",
+                             batch_size=None).materialize()
+    collide = _collect_colliding_keys(bands, "bucket_key")
+    if collide.size == 0:
+        return _empty_pairs({"hamming": pa.array([], pa.int64())})
+    collide_ref = ray.put(collide)
+    hits = bands.map_batches(
+        functools.partial(_keep_keys_in, col="bucket_key", keys_ref=collide_ref),
+        batch_format="pyarrow", batch_size=None,
+    )
+    pairs = hits.groupby("bucket_key").map_groups(
+        functools.partial(_simhash_pairs_in_bucket, key_col=key_col,
+                          max_hamming=max_hamming, cap=bucket_cap),
+        batch_format="pandas",
+    )
+    # same pair may collide in several chunks → keyed dedup, keep the
+    # (single, exact) hamming distance
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
 
 
 # ---------------------------------------------------------------------------
@@ -384,12 +627,14 @@ class CosineTopK:
     matrix (numpy matmul per batch); emits per-(query, row) scores which
     a downstream per-query top-k reduces. The baseline ANN path."""
 
-    def __init__(self, query_ref, key_col: str = "vec_id", vec_col: str = "embedding"):
+    def __init__(self, query_ref, key_col: str = "vec_id", vec_col: str = "embedding",
+                 passthrough_cols: tuple[str, ...] = ()):
         q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
         self.qids = np.array([x[0] for x in q])
         qm = np.stack([np.asarray(x[1], dtype=np.float64) for x in q])
         self.qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
         self.key_col, self.vec_col = key_col, vec_col
+        self.passthrough_cols = tuple(passthrough_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[self.key_col].to_pylist())
@@ -397,13 +642,14 @@ class CosineTopK:
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
         scores = mat @ self.qm.T  # (rows, queries)
         n_rows, n_q = scores.shape
-        return pa.table(
-            {
-                "qid": pa.array(np.repeat(self.qids, n_rows)),
-                self.key_col: pa.array(np.tile(ids, n_q)),
-                "cos": pa.array(np.round(scores.T.reshape(-1), 4), pa.float64()),
-            }
-        )
+        cols = {
+            "qid": pa.array(np.repeat(self.qids, n_rows)),
+            self.key_col: pa.array(np.tile(ids, n_q)),
+            "cos": pa.array(np.round(scores.T.reshape(-1), 4), pa.float64()),
+        }
+        for c in self.passthrough_cols:  # e.g. ivf_bucket, tiled like ids
+            cols[c] = pa.array(np.tile(_np_col(batch, c), n_q))
+        return pa.table(cols)
 
 
 def brute_force_topk(embeddings: Dataset, queries: list[tuple[int, list[float]]],
@@ -463,7 +709,14 @@ def ivf_topk(embeddings: Dataset, queries: list[tuple[int, list[float]]],
     nearest centroid, each query scans only its ``n_probe`` closest
     buckets (a vectorized predicate pushdown instead of the full
     brute-force matmul). Approximate: recall vs brute force grows with
-    n_probe; n_probe = n_centroids degrades to exact."""
+    n_probe; n_probe = n_centroids degrades to exact.
+
+    Fully streaming: ``ivf_bucket`` rides through the scorer as a
+    passthrough column, per-(query, bucket) probe membership is a
+    vectorized ``np.isin`` on a broadcast key array, and the per-query
+    top-k reduces via ``groupby(qid).map_groups`` — the scored set is
+    never materialized on the driver (only the final ≤ |queries|·k
+    rows are)."""
     sample = embeddings.take(n_centroids)
     centroids = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
     cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
@@ -477,13 +730,13 @@ def ivf_topk(embeddings: Dataset, queries: list[tuple[int, list[float]]],
     bucketed = embeddings.map_batches(
         IvfIndexer, fn_constructor_kwargs=dict(centroids_ref=ref, vec_col=vec_col),
         batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
-    ).materialize()  # consumed twice: probe filter + bucket lookup
-    all_probed = set().union(*probe.values()) if probe else set()
+    )
+    all_probed = np.sort(np.fromiter(set().union(*probe.values()), dtype=np.int64)) \
+        if probe else np.empty(0, dtype=np.int64)
     probed_ref = ray.put(all_probed)
 
     def keep_probed(batch: pa.Table) -> pa.Table:
-        ps = ray.get(probed_ref)
-        mask = [b in ps for b in batch["ivf_bucket"].to_pylist()]
+        mask = np.isin(_np_col(batch, "ivf_bucket"), ray.get(probed_ref))
         return batch.filter(pa.array(mask))
 
     filtered = bucketed.map_batches(keep_probed, batch_format="pyarrow",
@@ -491,19 +744,35 @@ def ivf_topk(embeddings: Dataset, queries: list[tuple[int, list[float]]],
     query_ref = ray.put(queries)
     scored = filtered.map_batches(
         CosineTopK, fn_constructor_kwargs=dict(query_ref=query_ref, key_col=key_col,
-                                               vec_col=vec_col),
+                                               vec_col=vec_col,
+                                               passthrough_cols=("ivf_bucket",)),
         batch_format="pyarrow", concurrency=(1, 4), num_cpus=1, batch_size=2048,
     )
-    df = scored.to_pandas()
-    # drop rows outside each query's own probed buckets
-    bdf = bucketed.select_columns([key_col, "ivf_bucket"]).to_pandas()
-    bucket_of_row = dict(zip(bdf[key_col], bdf["ivf_bucket"]))
-    df = df[[bucket_of_row.get(v) in probe.get(q, set())
-             for q, v in zip(df["qid"], df[key_col])]]
-    df = df[df[key_col] != df["qid"]]
-    df = df.sort_values(["qid", "cos", key_col], ascending=[True, False, True],
-                        kind="mergesort")
-    return df.groupby("qid", sort=True).head(k).reset_index(drop=True)
+    # per-query probe membership: (qid, bucket) folded into one int64
+    # key, matched against the broadcast allowed set (|queries|·n_probe)
+    allowed = np.sort(np.array(
+        [int(q) * n_centroids + b for q, bs in probe.items() for b in bs],
+        dtype=np.int64))
+    allowed_ref = ray.put(allowed)
+
+    def probe_filter(batch: pa.Table) -> pa.Table:
+        qids = _np_col(batch, "qid").astype(np.int64)
+        buckets = _np_col(batch, "ivf_bucket").astype(np.int64)
+        ids = _np_col(batch, key_col)
+        mask = np.isin(qids * n_centroids + buckets, ray.get(allowed_ref))
+        mask &= ids != qids  # self-match excluded
+        return batch.filter(pa.array(mask)).drop_columns(["ivf_bucket"])
+
+    kept = scored.map_batches(probe_filter, batch_format="pyarrow", batch_size=None)
+
+    def per_query_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", key_col], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    out = kept.groupby("qid").map_groups(per_query_topk, batch_format="pandas")
+    return out.to_pandas().sort_values(
+        ["qid", "cos", key_col], ascending=[True, False, True],
+        kind="mergesort").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -528,7 +797,10 @@ class TextAnalyzer:
 
     def __init__(self, key_col: str = "doc_id", text_col: str = "text"):
         self.key_col, self.text_col = key_col, text_col
-        self.word_re = re.compile(r"\w+")
+        # ASCII word class, not \w: matches RE2 semantics so the DuckDB
+        # oracle (`regexp_extract_all(lower(text), '[a-z0-9_]+')`) is
+        # byte-identical on ANY input, not just punctuation-free ASCII
+        self.word_re = re.compile(r"[a-z0-9_]+")
         # BPE-ish segmentation: words, numbers, or single non-space symbols
         self.bpe_re = re.compile(r"\w+|[^\w\s]")
 

@@ -46,11 +46,72 @@ def test_minhash_finds_planted_near_dup(ray_session, dup_docs):
     )
 
     pairs = minhash_candidate_pairs(dup_docs)
-    verified = verify_jaccard_pairs(dup_docs, pairs, threshold=0.5)
+    verified = verify_jaccard_pairs(dup_docs, pairs, threshold=0.5).to_pandas()
     got = set(zip(verified["doc_a"], verified["doc_b"]))
     assert (0, 1) in got, "exact duplicate must be found"
     assert (0, 2) in got or (1, 2) in got, "near duplicate must be found"
     assert not any(3 in p or 4 in p for p in got), "unrelated docs must not pair"
+
+
+def _oracle_minhash_pairs(texts: dict[int, str], n_hashes=64, n_bands=16, shingle=3):
+    """Pure-python LSH oracle: same signatures, naive bucket → pair
+    expansion — the semantics the distributed path must reproduce."""
+    from omop2obo_ray.pipelines.textpipe import MinHasher
+
+    mh = MinHasher(n_hashes=n_hashes, shingle=shingle, n_bands=n_bands)
+    buckets: dict[int, list[int]] = {}
+    from omop2obo_ray.functions.hashing import stable_hash64
+
+    for k in sorted(texts):
+        sig = mh.signature(texts[k])
+        for band in range(n_bands):
+            seg = sig[band * mh.rows_per_band:(band + 1) * mh.rows_per_band]
+            bh = stable_hash64(band.to_bytes(4, "little") + seg.tobytes())
+            buckets.setdefault(bh, []).append(k)
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                pairs.add((a, b))
+    return pairs
+
+
+def test_minhash_pairs_match_naive_oracle(ray_session):
+    """Distributed collide-then-expand must emit exactly the naive
+    all-buckets candidate set (below the bucket cap)."""
+    from omop2obo_ray.pipelines.textpipe import minhash_candidate_pairs
+
+    base = ("word" + " filler token alpha beta gamma delta epsilon zeta eta "
+            "theta iota kappa") * 2
+    texts = {i: base.replace("alpha", f"v{i % 3}") for i in range(12)}
+    texts[20] = "entirely different content with no shared shingles at all here"
+    ds = rd.from_pandas(pd.DataFrame(
+        [{"doc_id": k, "text": v} for k, v in sorted(texts.items())]))
+    got = minhash_candidate_pairs(ds).to_pandas()
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert got_pairs == _oracle_minhash_pairs(texts)
+
+
+def test_minhash_degenerate_bucket_star_capped(ray_session):
+    """10k identical docs: the bucket cap must avoid O(k²) pair
+    expansion while preserving cluster connectivity."""
+    from omop2obo_ray.pipelines.textpipe import (
+        dup_clusters,
+        minhash_candidate_pairs,
+        verify_jaccard_pairs,
+    )
+
+    n = 2000
+    text = "identical content repeated across every page of a template farm"
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(n), "text": [text] * n}))
+    pairs = minhash_candidate_pairs(ds, bucket_cap=64)
+    pdf = pairs.to_pandas()
+    assert len(pdf) == n - 1, "star cap: O(k) pairs, not O(k²)"
+    verified = verify_jaccard_pairs(ds, pairs, threshold=0.9)
+    clusters = dup_clusters(verified)
+    assert set(clusters["cluster_id"]) == {0}, "all docs in one cluster"
+    assert len(clusters) == n
 
 
 def test_minhash_signature_deterministic():
@@ -98,6 +159,47 @@ def test_dup_clusters_union_find():
     cl = dict(zip(out["doc_id"], out["cluster_id"]))
     assert cl[0] == cl[1] == cl[2] == 0
     assert cl[5] == cl[6] == 5
+
+
+def test_dup_clusters_distributed_matches_driver(ray_session):
+    """Min-label propagation (no driver state) must agree with the
+    driver union-find, including a chain that needs >1 round."""
+    from omop2obo_ray.pipelines.textpipe import dup_clusters, dup_clusters_distributed
+
+    pairs = pd.DataFrame({
+        "doc_a": [9, 8, 7, 6, 1, 20],
+        "doc_b": [8, 7, 6, 5, 2, 21],  # chain 5-6-7-8-9, pair 1-2, pair 20-21
+    })
+    ds = rd.from_pandas(pairs)
+    got = dup_clusters_distributed(ds).to_pandas().sort_values("doc_id")
+    want = dup_clusters(pairs).sort_values("doc_id")
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["cluster_id"].tolist() == want["cluster_id"].tolist()
+
+
+def test_simhash_near_pairs_planted(ray_session, dup_docs):
+    from omop2obo_ray.pipelines.textpipe import simhash_near_pairs
+
+    out = simhash_near_pairs(dup_docs, max_hamming=12).to_pandas()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in got, "identical docs must pair (hamming 0)"
+    assert not any((a in (3, 4)) != (b in (3, 4)) for a, b in got), \
+        "unrelated docs must not pair with the dup family"
+    h = dict(zip(zip(out["doc_a"], out["doc_b"]), out["hamming"]))
+    assert h[(0, 1)] == 0
+
+
+def test_simhash_degenerate_bucket_capped(ray_session):
+    """Thousands of identical signatures in one chunk bucket: star cap
+    keeps pair count linear and the job finishes without a hot group."""
+    from omop2obo_ray.pipelines.textpipe import simhash_near_pairs
+
+    n = 2000
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": range(n), "text": ["same text every time"] * n}))
+    out = simhash_near_pairs(ds, max_hamming=3, bucket_cap=64).to_pandas()
+    assert len(out) == n - 1
+    assert (out["doc_a"] == 0).all() and (out["hamming"] == 0).all()
 
 
 def test_ivf_topk_recall_vs_bruteforce(ray_session):
