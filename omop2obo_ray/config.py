@@ -74,6 +74,13 @@ class PipelineConfig:
     # candidate unit for tier-3 similarity: sentences with no tier-1/2 hit
     sim_max_candidates_per_page: int = 8
 
+    # page-aligned linker output chunking (None = 1/4 of the Ray
+    # target_max_block_size): every linker yield stays under this cap,
+    # which guarantees Ray's output buffer never slices a block
+    # mid-page — the invariant the shuffle-free page-local assembly
+    # relies on (see LinkerActor.__init__)
+    link_yield_byte_cap: int | None = None
+
     def with_(self, **kw) -> "PipelineConfig":
         from dataclasses import replace
 

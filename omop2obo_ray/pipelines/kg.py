@@ -77,6 +77,7 @@ def link_pages(pages: Dataset, lexicon: Lexicon, cfg: PipelineConfig = DEFAULT_C
             "top_n": cfg.sim_top_n,
             "floor": cfg.sim_score_floor,
             "percentile": cfg.sim_percentile,
+            "yield_byte_cap": cfg.link_yield_byte_cap,
         },
         batch_format="pyarrow",
         batch_size=cfg.link_batch_size,

@@ -155,7 +155,17 @@ def apply_canonical_map(batch: pa.Table, canon: dict[tuple[str, str], str],
         new_uri = [canon.get(k, u) for k, u in zip(keys, df.loc[mask, "uri"])]
         df.loc[mask, "uri"] = new_uri
         df.loc[mask, "label"] = [labels.get(u, "") for u in new_uri]
-    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+    out = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+    # re-dictionary-encode the rewritten columns: the pandas round-trip
+    # decoded them to plain strings, which would inflate this stage's
+    # output well past its input size (block-size growth is what lets
+    # the output buffer slice a block mid-page — see LinkerActor)
+    for c in ("uri", "label"):
+        i = out.column_names.index(c)
+        col = out[c].combine_chunks()
+        if not pa.types.is_dictionary(col.type):
+            out = out.set_column(i, c, col.dictionary_encode())
+    return out
 
 
 # ---------------------------------------------------------------------------

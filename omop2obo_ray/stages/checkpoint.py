@@ -4,25 +4,47 @@ The reference's "checkpointing" is file-existence caching and a CSV
 rewritten after each stage (ontology_downloader.py:111,
 ontology_explorer.py:91, main.py:104,124,145). Here the unit of resume
 is the ``subject_bucket`` output partition: each bucket directory is
-written atomically (temp dir + rename) and recorded in a JSON manifest
-with row counts and a content hash, so a re-run reads the manifest and
+written atomically (temp dir + rename) by a DISTRIBUTED task and
+recorded in a JSON manifest with row counts, a content hash and
+per-category lineage counters, so a re-run reads the manifest and
 recomputes only missing buckets — never one giant file, always
 per-partition skippability (SURVEY §4 checkpoint row).
+
+Scale shape: pending buckets are filtered vectorized, then ONE keyed
+exchange (``groupby(subject_bucket)``) routes each bucket to a task
+that sorts it by subject hash, writes its parquet file, publishes the
+directory atomically, and returns a one-row manifest entry. The driver
+only ever sees the entry stream (n_buckets rows) — never the triples —
+and saves the manifest incrementally per entry, so a kill mid-run
+loses at most unpublished buckets (orphan dirs are overwritten on
+resume). Per-bucket memory = one bucket's triples: size ``n_buckets``
+so that fits a worker heap. On a multi-node cluster ``out_dir`` must
+be shared storage (the write tasks run on arbitrary nodes).
 """
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import shutil
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ray.data import Dataset
 
+from omop2obo_ray.functions.hashing import hash64_array
+
 MANIFEST = "manifest.json"
+
+# fallback for buckets that receive no rows before any schema is seen
+_TRIPLE_SCHEMA = pa.schema([
+    ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
+    ("ontology", pa.string()), ("evidence", pa.string()),
+    ("subject_hash", pa.uint64()), ("subject_bucket", pa.int32()),
+])
 
 
 def load_manifest(out_dir: str) -> dict:
@@ -34,17 +56,59 @@ def load_manifest(out_dir: str) -> dict:
 
 
 def _save_manifest(out_dir: str, manifest: dict) -> None:
+    # top-level lineage counters are always RECOMPUTED from the
+    # per-partition entries, so they stay correct across resumes and
+    # never double-count (each entry's counts cover exactly its bucket)
+    totals: dict[str, int] = {}
+    for part in manifest["partitions"].values():
+        for k, v in part.get("preds", {}).items():
+            totals[k] = totals.get(k, 0) + v
+    manifest.setdefault("counters", {})["triples_by_category"] = totals
     tmp = os.path.join(out_dir, MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(out_dir, MANIFEST))
 
 
-def _row_hash64(subj: str, pred: str, obj: str) -> int:
-    return int.from_bytes(
-        hashlib.blake2b(f"{subj}\x1f{pred}\x1f{obj}".encode(), digest_size=8).digest(),
-        "big",
+def _content_hash64(table: pa.Table) -> int:
+    """Order-insensitive 64-bit content hash: xor of per-row
+    blake2b(subj\\x1fpred\\x1fobj), built vectorized (one Arrow
+    binary-join kernel + C-speed blake2b per row)."""
+    if table.num_rows == 0:
+        return 0
+    joined = pc.binary_join_element_wise(
+        table["subj"].cast(pa.string()),
+        table["pred"].cast(pa.string()),
+        table["obj"].cast(pa.string()),
+        "\x1f",
     )
+    h = hash64_array(joined.combine_chunks())
+    return int(np.bitwise_xor.reduce(h))
+
+
+def _write_bucket_group(group: pa.Table, out_dir: str) -> pa.Table:
+    """map_groups body: one complete subject bucket in, one manifest
+    entry row out. Sorts by subject hash (hash-ascending file), writes
+    atomically (tmp dir + rename), publishes the bucket directory."""
+    b = int(group["subject_bucket"][0].as_py())
+    part = group.sort_by("subject_hash")
+    tmp = os.path.join(out_dir, f"subject_bucket={b}.tmp")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(part, os.path.join(tmp, "part-0.parquet"))
+    bucket_dir = os.path.join(out_dir, f"subject_bucket={b}")
+    if os.path.exists(bucket_dir):
+        shutil.rmtree(bucket_dir)
+    os.replace(tmp, bucket_dir)
+    preds = {e["values"]: e["counts"]
+             for e in pc.value_counts(part["pred"].cast(pa.string())).to_pylist()}
+    return pa.table({
+        "bucket": pa.array([b], pa.int32()),
+        "rows": pa.array([part.num_rows], pa.int64()),
+        "content_hash": pa.array([f"{_content_hash64(part):016x}"], pa.string()),
+        "preds_json": pa.array([json.dumps(preds, sort_keys=True)], pa.string()),
+    })
 
 
 def write_triples_resumable(
@@ -53,103 +117,82 @@ def write_triples_resumable(
     n_buckets: int,
     counters: dict | None = None,
     extractor_version: str | None = None,
-    presorted: bool = False,
 ) -> dict:
     """Write triples partitioned by ``subject_bucket`` (sorted by
     subject hash within each partition); skip buckets the manifest
     already records (resume-after-failure). Returns the manifest.
 
-    Memory-bounded streaming: the dataset is globally sorted by
-    ``subject_hash`` (a distributed exchange), then streamed through the
-    driver once with one open ``ParquetWriter`` per pending bucket —
-    since the stream arrives hash-ascending, each bucket's file is
-    sorted without ever buffering a bucket in memory. Content hashes
-    and per-category counters accumulate incrementally.
-
-    At multi-node scale the same layout is also available fully
-    distributed via ``ds.write_parquet(partition_cols=['subject_bucket'])``
-    + per-bucket sort-on-read; this driver-streamed variant is the one
-    that owns the manifest/resume bookkeeping.
+    Fully distributed: no global sort, no driver pass over the triples.
+    See the module docstring for the scale shape.
     """
+    import functools
+
     os.makedirs(out_dir, exist_ok=True)
     manifest = load_manifest(out_dir)
     manifest["extractor_version"] = extractor_version
+    if counters:
+        manifest["run_counters"] = dict(counters)
     done = set(manifest["partitions"].keys())
     todo = [b for b in range(n_buckets) if str(b) not in done]
     if not todo:
+        _save_manifest(out_dir, manifest)
         return manifest
-    todo_set = set(todo)
+    todo_arr = np.asarray(sorted(todo), dtype=np.int64)
 
-    import pyarrow.compute as pc
+    def keep_todo(batch: pa.Table) -> pa.Table:
+        vals = batch["subject_bucket"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(np.isin(vals, todo_arr)))
 
-    if not presorted:
-        triples = triples.sort("subject_hash")
-
-    writers: dict[int, pq.ParquetWriter] = {}
-    tmp_dirs: dict[int, str] = {}
-    rows: dict[int, int] = {b: 0 for b in todo}
-    chash: dict[int, int] = {b: 0 for b in todo}
-    lineage_counts: dict[str, int] = {}
-    schema: pa.Schema | None = None
-
-    for batch in triples.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        if batch.num_rows == 0:
-            continue
-        schema = batch.schema
-        vc = pc.value_counts(batch["pred"])
-        for entry in vc.to_pylist():
-            lineage_counts[entry["values"]] = (
-                lineage_counts.get(entry["values"], 0) + entry["counts"]
-            )
-        for b in pc.unique(batch["subject_bucket"]).to_pylist():
-            if b not in todo_set:
-                continue
-            part = batch.filter(pc.equal(batch["subject_bucket"], b))
-            if part.num_rows == 0:
-                continue
-            if b not in writers:
-                tmp = os.path.join(out_dir, f"subject_bucket={b}.tmp")
-                if os.path.exists(tmp):
-                    shutil.rmtree(tmp)
-                os.makedirs(tmp, exist_ok=True)
-                tmp_dirs[b] = tmp
-                writers[b] = pq.ParquetWriter(
-                    os.path.join(tmp, "part-0.parquet"), part.schema
-                )
-            writers[b].write_table(part)
-            rows[b] += part.num_rows
-            for s, p, o in zip(part["subj"].to_pylist(), part["pred"].to_pylist(),
-                               part["obj"].to_pylist()):
-                chash[b] ^= _row_hash64(s, p, o)
-
-    counters = dict(counters or {})
-    counters["triples_by_category"] = lineage_counts
-
-    empty_schema = schema or pa.schema(
-        [pa.field("subj", pa.string()), pa.field("pred", pa.string()),
-         pa.field("obj", pa.string())]
+    pending = triples.map_batches(keep_todo, batch_format="pyarrow",
+                                  batch_size=None)
+    entries = pending.groupby("subject_bucket").map_groups(
+        functools.partial(_write_bucket_group, out_dir=out_dir),
+        batch_format="pyarrow",
     )
-    for b in todo:
-        if b in writers:
-            writers[b].close()
-            tmp = tmp_dirs[b]
-        else:  # bucket had no rows — still record completion
+
+    # stream the (n_buckets-row) entry stream; save the manifest after
+    # EVERY entry → kill-safe resume at bucket granularity
+    seen: set[int] = set()
+    for batch in entries.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for b, rows, chash, preds_json in zip(
+            batch["bucket"].to_pylist(), batch["rows"].to_pylist(),
+            batch["content_hash"].to_pylist(), batch["preds_json"].to_pylist(),
+        ):
+            seen.add(int(b))
+            manifest["partitions"][str(b)] = {
+                "rows": int(rows),
+                "content_hash": chash if rows else "0" * 16,
+                "preds": json.loads(preds_json),
+            }
+            _save_manifest(out_dir, manifest)
+
+    # buckets with zero rows produce no group — record them with an
+    # empty (schema-matching) file so resume treats them as complete
+    missing = [b for b in todo if b not in seen]
+    if missing:
+        schema = None
+        for b in seen:
+            path = os.path.join(out_dir, f"subject_bucket={b}", "part-0.parquet")
+            if os.path.exists(path):
+                schema = pq.read_schema(path)
+                break
+        schema = schema or _TRIPLE_SCHEMA
+        for b in missing:
             tmp = os.path.join(out_dir, f"subject_bucket={b}.tmp")
             if os.path.exists(tmp):
                 shutil.rmtree(tmp)
             os.makedirs(tmp, exist_ok=True)
-            pq.write_table(empty_schema.empty_table(),
+            pq.write_table(schema.empty_table(),
                            os.path.join(tmp, "part-0.parquet"))
-        bucket_dir = os.path.join(out_dir, f"subject_bucket={b}")
-        if os.path.exists(bucket_dir):
-            shutil.rmtree(bucket_dir)
-        os.replace(tmp, bucket_dir)
-        manifest["partitions"][str(b)] = {
-            "rows": rows[b],
-            "content_hash": f"{chash[b]:016x}" if rows[b] else "0" * 16,
-            "counters": counters,
-        }
-        _save_manifest(out_dir, manifest)  # after EVERY bucket → kill-safe
+            bucket_dir = os.path.join(out_dir, f"subject_bucket={b}")
+            if os.path.exists(bucket_dir):
+                shutil.rmtree(bucket_dir)
+            os.replace(tmp, bucket_dir)
+            manifest["partitions"][str(b)] = {
+                "rows": 0, "content_hash": "0" * 16, "preds": {},
+            }
+            _save_manifest(out_dir, manifest)
     return manifest
 
 

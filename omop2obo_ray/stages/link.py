@@ -54,7 +54,7 @@ def _empty_links_table() -> pa.Table:
 class LinkerActor:
     def __init__(self, lexicon_ref, max_sim_candidates: int = 8,
                  fuse_scorer: bool = False, top_n: int = 10, floor: float = 0.25,
-                 percentile: float = 75.0):
+                 percentile: float = 75.0, yield_byte_cap: int | None = None):
         # lexicon_ref may be a Lexicon (tests) or a ray ObjectRef (pipeline)
         self.lex: Lexicon = (
             ray.get(lexicon_ref) if isinstance(lexicon_ref, ray.ObjectRef) else lexicon_ref
@@ -65,6 +65,22 @@ class LinkerActor:
         # unigram vocabulary of the sim corpus, for cheap candidate pre-filter
         self.sim_vocab = {t for t in self.lex.sim_index.vocab if " " not in t}
         self.max_sim_candidates = max_sim_candidates
+        # Page-aligned output chunking (correctness guard for the
+        # page-local assembly contract): Ray's BlockOutputBuffer slices
+        # an accumulated output block at an ARBITRARY row offset only
+        # when it reaches 1.5× target_max_block_size; with every yield
+        # < 0.5× target the buffer can never get there, so downstream
+        # blocks always break at yield (= page) boundaries and a url's
+        # links can never straddle two blocks. 0.25× leaves margin.
+        # (Residual contract: a SINGLE page's links must stay under the
+        # cap — 32 MB of links for one page at the default 128 MB
+        # target — or its block may still be sliced.)
+        if yield_byte_cap is None:
+            from ray.data.context import DataContext
+
+            target = DataContext.get_current().target_max_block_size or (128 << 20)
+            yield_byte_cap = target // 4
+        self.yield_byte_cap = yield_byte_cap
         self._build_interned()
         # fused tier-3: score candidate sentences in-place instead of
         # emitting tier='cand' rows for a separate scorer stage — one
@@ -118,7 +134,7 @@ class LinkerActor:
             "evidence": pa.array(f_evid, pa.string()).dictionary_encode(),
         }
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table):
         import numpy as np
 
         urls = batch["url"].to_pylist()
@@ -127,6 +143,7 @@ class LinkerActor:
         m_sid: list[int] = []       # surface id per mention
         m_url_idx: list[int] = []   # page index per mention
         # sim/candidate rows (few): plain python columns
+        c_page: list[int] = []      # page index per candidate row
         c_url: list[str] = []
         c_surface: list[str] = []
         c_level: list[str] = []
@@ -174,6 +191,7 @@ class LinkerActor:
                 n_cand += 1
                 if self.scorer is not None:
                     for ont, uri, score in self.scorer.score_text(sent):
+                        c_page.append(page_idx)
                         c_url.append(url)
                         c_surface.append(sent)
                         c_level.append("CONCEPT")
@@ -184,6 +202,7 @@ class LinkerActor:
                         c_evid.append(f"{uri}_{round(score, 3)}")
                         c_score.append(float(score))
                 else:
+                    c_page.append(page_idx)
                     c_url.append(url)
                     c_surface.append(sent)
                     c_level.append("CONCEPT")
@@ -195,6 +214,7 @@ class LinkerActor:
                     c_score.append(None)
 
         tables = []
+        page_idx_parts = []
         if m_sid:
             sids = np.asarray(m_sid, dtype=np.int64)
             # gather link rows: concatenated per-surface index ranges into
@@ -227,6 +247,7 @@ class LinkerActor:
                     "score": pa.nulls(total, pa.float64()),
                 }
             ))
+            page_idx_parts.append(url_idx)
         if c_url:
             tables.append(pa.table(
                 {
@@ -241,7 +262,34 @@ class LinkerActor:
                     "score": pa.array(c_score, pa.float64()),
                 }
             ))
+            page_idx_parts.append(np.asarray(c_page, dtype=np.int64))
         if not tables:
-            return _empty_links_table()
-        return (tables[0] if len(tables) == 1
-                else pa.concat_tables(tables, promote_options="permissive"))
+            yield _empty_links_table()
+            return
+        out = (tables[0] if len(tables) == 1
+               else pa.concat_tables(tables, promote_options="permissive"))
+        if out.nbytes <= self.yield_byte_cap:
+            # common case: whole batch in one page-complete yield
+            yield out
+            return
+        # Oversized output: re-group rows by page (stable sort keeps the
+        # exact-before-candidate emission order within a page), then
+        # yield page-aligned slices each under the byte cap so the
+        # output buffer never slices mid-page (see __init__ comment).
+        page_of_row = np.concatenate(page_idx_parts)
+        order = np.argsort(page_of_row, kind="stable")
+        out = out.take(pa.array(order))
+        page_sorted = page_of_row[order]
+        # row offsets where a new page starts
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(page_sorted)) + 1, [len(page_sorted)]))
+        bytes_per_row = max(1, out.nbytes // max(1, out.num_rows))
+        max_rows = max(1, int(self.yield_byte_cap // bytes_per_row))
+        start = 0
+        for i in range(1, len(bounds)):
+            # emit when adding the next page would exceed the cap
+            if bounds[i] - start > max_rows and bounds[i - 1] > start:
+                yield out.slice(start, bounds[i - 1] - start)
+                start = bounds[i - 1]
+        if start < out.num_rows:
+            yield out.slice(start, out.num_rows - start)

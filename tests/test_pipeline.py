@@ -122,3 +122,54 @@ def test_canonicalization_map(ray_session, fixture_dir, lexicon):
     assert canon == {("pain", "hp"): "HP_1"}
     # both Ray-groupby and driver-merge paths agree
     assert build_canonical_map(rd.from_pandas(amb), driver_merge=False) == canon
+
+
+def test_linker_yield_chunks_are_page_aligned(ray_session, fixture_dir, lexicon):
+    """With a tiny yield cap the linker must emit MANY chunks, each
+    page-complete (no url straddles two chunks), and the union of
+    chunks must equal the single-chunk output."""
+    import pyarrow as pa
+
+    from omop2obo_ray.stages.extract import extract_text_batch
+    from omop2obo_ray.stages.link import LinkerActor
+
+    pages = rd.read_parquet(os.path.join(fixture_dir, "pages.parquet"))
+    batch = extract_text_batch(pages.take_batch(80, batch_format="pyarrow"))
+
+    big = LinkerActor(lexicon, fuse_scorer=True, yield_byte_cap=1 << 30)
+    whole = list(big(batch))
+    assert len(whole) == 1
+
+    small = LinkerActor(lexicon, fuse_scorer=True, yield_byte_cap=2048)
+    chunks = list(small(batch))
+    assert len(chunks) > 3, "tiny cap must force multiple yields"
+    seen_urls: set[str] = set()
+    for c in chunks:
+        urls_here = set(c["url"].to_pylist())
+        assert not (urls_here & seen_urls), "a url straddled two chunks"
+        seen_urls |= urls_here
+    merged = pa.concat_tables(chunks, promote_options="permissive")
+    def key_set(t):
+        return set(zip(t["url"].to_pylist(), t["surface"].to_pylist(),
+                       [str(x) for x in t["uri"].to_pylist()],
+                       t["tier"].to_pylist()))
+    assert key_set(merged) == key_set(whole[0])
+    assert merged.num_rows == whole[0].num_rows
+
+
+def test_kg_identical_under_forced_linker_chunking(
+        ray_session, fixture_dir, lexicon, engine_triples):
+    """End-to-end: forcing the linker to chunk its output (as it would
+    at scale) must not change a single triple — the guard for the
+    block-splitting hazard in the page-local assembly contract."""
+    from omop2obo_ray.config import DEFAULT_CONFIG
+    from omop2obo_ray.pipelines.kg import build_kg
+
+    pages = rd.read_parquet(os.path.join(fixture_dir, "pages.parquet"))
+    cfg = DEFAULT_CONFIG.with_(link_yield_byte_cap=2048)
+    got = build_kg(pages, lexicon, cfg).to_pandas()
+    want = engine_triples
+    key = ["subj", "pred", "obj", "ontology", "evidence"]
+    got_s = got[key].sort_values(key).reset_index(drop=True)
+    want_s = want[key].sort_values(key).reset_index(drop=True)
+    assert got_s.equals(want_s)

@@ -80,3 +80,28 @@ def test_bucket_files_sorted_by_subject_hash(ray_session, fixture_dir, lexicon, 
     t = pq.read_table(os.path.join(out, "subject_bucket=1", "part-0.parquet"))
     hashes = t["subject_hash"].to_pylist()
     assert hashes == sorted(hashes)
+
+
+def test_lineage_counters_per_bucket_and_stable_on_resume(
+        ray_session, fixture_dir, lexicon, tmp_path):
+    """Each partition entry counts ONLY its own bucket's rows; the
+    top-level lineage totals equal the sum over partitions and do not
+    inflate across a resume run."""
+    from omop2obo_ray.stages.checkpoint import read_triples
+
+    out = str(tmp_path / "triples")
+    m1 = _write(fixture_dir, lexicon, out)
+    # per-bucket counts sum to per-bucket rows
+    for part in m1["partitions"].values():
+        assert sum(part["preds"].values()) == part["rows"]
+    # top-level totals = sum over partitions = total written rows
+    t = read_triples(out)
+    totals = m1["counters"]["triples_by_category"]
+    assert sum(totals.values()) == t.num_rows
+    # category totals match the actual pred column
+    import collections
+    actual = collections.Counter(t["pred"].to_pylist())
+    assert totals == dict(actual)
+    # a (noop) resume must not change the totals
+    m2 = _write(fixture_dir, lexicon, out)
+    assert m2["counters"]["triples_by_category"] == totals
