@@ -189,6 +189,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         verified = verify_jaccard_pairs(docs, pairs, threshold=0.8)
         return dup_clusters_distributed(verified)
 
+    def q_n3c_mapping_table(sf):
+        from omop2obo_ray.pipelines.export import triples_to_mapping_table
+        from omop2obo_ray.pipelines.flagship import kg_over_documents
+
+        return triples_to_mapping_table(
+            kg_over_documents(sf).select_columns(
+                ["subj", "pred", "obj", "ontology", "evidence"]))
+
     return {
         # SURVEY §2 operator families (SQL-checked)
         "normalize_codes": R.q_normalize_codes,          # M1
@@ -224,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "ivf_buckets": q_ivf_buckets,
         "ann_ivf": q_ann_ivf,
+        "n3c_mapping_table": q_n3c_mapping_table,
     }
 
 

@@ -100,3 +100,119 @@ def test_export_release(ray_session, tmp_path):
     subj_map = {r["subj"]: r for r in recs}
     assert subj_map["u1"]["n_concepts"] == 1
     assert json.loads(subj_map["u2"]["expression"])["items"][0]["concept"] == "MONDO_2"
+
+
+def _mini_mappings():
+    import pandas as pd
+
+    return pd.DataFrame([
+        {"CONCEPT_ID": 101, "CONCEPT_NAME": "pain of head", "CONCEPT_CODE": "101",
+         "CONCEPT_VOCAB": "URL", "MAPPING_CATEGORY": "Automatic Exact - Concept",
+         "MAPPING_EVIDENCE": "OBO_LABEL:pain", "ONTOLOGY_LOGIC": "N/A",
+         "ONTOLOGY_URI": "HP_0000001", "ONTOLOGY_LABEL": "pain"},
+        {"CONCEPT_ID": 102, "CONCEPT_NAME": "rare thing", "CONCEPT_CODE": "102",
+         "CONCEPT_VOCAB": "URL", "MAPPING_CATEGORY": "Automatic Constructor - Concept",
+         "MAPPING_EVIDENCE": "OBO_LABEL:rare | OBO_DbXref:x", "ONTOLOGY_LOGIC": "AND",
+         "ONTOLOGY_URI": "HP_0000002 | MONDO_0000003",
+         "ONTOLOGY_LABEL": "rare a | rare b"},
+    ])
+
+
+def test_export_n3c_artifact_set(ray_session, tmp_path):
+    """Artifact fidelity vs n3c_mapping_conversion.py:116-324: per-
+    concept Atlas JSON, persisted + versioned codeset-id dicts, and the
+    three Enclave CSVs with the reference's exact column sets."""
+    import json
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.export import export_n3c_release
+
+    out = str(tmp_path / "n3c")
+    arts = export_n3c_release(rd.from_pandas(_mini_mappings()), out)
+    # per-concept JSON files named {id}-{sanitized_label}.json
+    files = sorted(os.listdir(arts["atlas_json_dir"]))
+    assert files == ["101-pain_of_head.json", "102-rare_thing.json"]
+    atlas = json.load(open(os.path.join(arts["atlas_json_dir"], files[0])))
+    assert atlas["items"]["concept"]["CONCEPT_ID"] == 101
+    assert atlas["items"]["ONTOLOGY_CONCEPT_MAPPING_MEMBERS"]["identifiers"] == "hp_0000001"
+    # codeset ids start at the reference's 900000000 counter
+    ids = json.load(open(arts["codeset_id_dict"]))
+    assert sorted(ids.values()) == [900000000, 900000001]
+    # three Enclave CSVs with the reference's exact columns
+    container = pd.read_csv(arts["container_csv"])
+    assert list(container.columns) == [
+        "concept_set_id", "concept_set_name", "intention",
+        "assigned_informatician", "assigned_sme", "project_id", "status",
+        "stage", "n3c_reviewer", "alias", "archived", "created_by", "created_at"]
+    version = pd.read_csv(arts["version_csv"])
+    assert list(version.columns) == [
+        "codeset_id", "concept_set_id", "concept_set_version_title", "project",
+        "source_application", "source_application_version", "created_at",
+        "atlas_json", "most_recent_version", "comments", "intention",
+        "limitations", "issues", "update_message", "status", "has_review",
+        "reviewed_by", "created_by", "provenance", "atlas_json_resource_url",
+        "parent_version_id", "is_draft"]
+    items = pd.read_csv(arts["items_csv"])
+    assert list(items.columns) == [
+        "codeset_id", "concept_id", "code", "codeSystem", "ontology_id",
+        "ontology_label", "mapping_category", "mapping_logic",
+        "mapping_evidence", "isExcluded", "includeDescendants", "includeMapped",
+        "item_id", "annotation", "created_by", "created_at"]
+    assert container["concept_set_id"].tolist() == [
+        "[OMOP2OBO] 101-pain_of_head", "[OMOP2OBO] 102-rare_thing"]
+
+
+def test_export_n3c_codeset_ids_stable_across_reruns(ray_session, tmp_path):
+    """Re-exports reuse persisted codeset ids; new concepts get the
+    next free id (n3c_mapping_conversion.py:382-388 resume semantics)."""
+    import json
+
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.export import export_n3c_release
+
+    out = str(tmp_path / "n3c")
+    m = _mini_mappings()
+    arts1 = export_n3c_release(rd.from_pandas(m), out)
+    ids1 = json.load(open(arts1["codeset_id_dict"]))
+    # second run with one extra concept: old ids unchanged, new appended
+    extra = pd.concat([m, pd.DataFrame([{
+        "CONCEPT_ID": 103, "CONCEPT_NAME": "new thing", "CONCEPT_CODE": "103",
+        "CONCEPT_VOCAB": "URL", "MAPPING_CATEGORY": "Manual Exact - Concept Similarity",
+        "MAPPING_EVIDENCE": "CONCEPT_SIMILARITY:HP_0000009_0.7",
+        "ONTOLOGY_LOGIC": "N/A", "ONTOLOGY_URI": "HP_0000009",
+        "ONTOLOGY_LABEL": "newly mapped"}])], ignore_index=True)
+    arts2 = export_n3c_release(rd.from_pandas(extra), out)
+    ids2 = json.load(open(arts2["codeset_id_dict"]))
+    assert {k: ids2[k] for k in ids1} == ids1
+    assert ids2["103"] == max(ids1.values()) + 1
+    # version CSV rows carry the stable ids
+    version = pd.read_csv(arts2["version_csv"])
+    assert set(version["codeset_id"]) == set(ids2.values())
+
+
+def test_triples_to_mapping_table(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.export import triples_to_mapping_table
+
+    triples = rd.from_pandas(pd.DataFrame([
+        {"subj": "http://a", "pred": "Automatic Exact - Concept",
+         "obj": "HP_1", "ontology": "hp", "evidence": "OBO_LABEL:x"},
+        {"subj": "http://a", "pred": "Automatic Exact - Concept",
+         "obj": "MONDO_2", "ontology": "mondo", "evidence": "OBO_LABEL:y"},
+        {"subj": "http://b", "pred": "Automatic Exact - Ancestor",
+         "obj": "HP_3", "ontology": "hp", "evidence": "OBO_LABEL:z"},
+    ]))
+    df = triples_to_mapping_table(triples).to_pandas().sort_values(
+        "CONCEPT_NAME").reset_index(drop=True)
+    assert df["CONCEPT_NAME"].tolist() == ["http://a", "http://b"]
+    assert df.loc[0, "ONTOLOGY_URI"] == "HP_1 | MONDO_2"
+    assert df.loc[0, "ONTOLOGY_LOGIC"] == "AND"
+    assert df.loc[1, "ONTOLOGY_LOGIC"] == "N/A"
+    assert (df["CONCEPT_ID"] == df["CONCEPT_CODE"].astype(int)).all()
