@@ -69,3 +69,63 @@ def category_contingency(triples: Dataset) -> pd.DataFrame:
         .reset_index()
         .rename_axis(None, axis=1)
     )
+
+
+def posthoc_chi_square(contingency: pd.DataFrame,
+                       correction: str = "fdr_bh") -> pd.DataFrame:
+    """Pairwise post-hoc chi² over row pairs of a contingency table with
+    multiple-testing correction (analytic_utils.py:199-244: omnibus chi²
+    then per-row-pair chi² + correction; statsmodels is unavailable, so
+    Benjamini–Hochberg ('fdr_bh') and Bonferroni are hand-rolled).
+
+    Input rows are the groups (e.g. ontologies); columns are counts.
+    Returns the reference's result shape: comparison / original_pvalue /
+    corrected_pvalue / reject_h0, alpha = 0.05."""
+    from itertools import combinations
+
+    if correction not in ("fdr_bh", "bonferroni"):
+        raise ValueError("correction must be 'fdr_bh' or 'bonferroni'")
+    idx = list(contingency.index)
+    combos = list(combinations(idx, 2))
+    pvals = []
+    for a, b in combos:
+        sub = contingency.loc[[a, b]].to_numpy()
+        # drop all-zero columns (chi² undefined on empty margins)
+        sub = sub[:, sub.sum(axis=0) > 0]
+        _stat, _dof, p = chi_square(sub)
+        pvals.append(p)
+    m = len(pvals)
+    p_arr = np.asarray(pvals, dtype=np.float64)
+    alpha = 0.05
+    if m == 0:
+        corrected = p_arr
+        reject = np.zeros(0, dtype=bool)
+    elif correction == "bonferroni":
+        corrected = np.minimum(p_arr * m, 1.0)
+        reject = corrected < alpha
+    else:  # Benjamini-Hochberg step-up
+        order = np.argsort(p_arr, kind="stable")
+        ranked = p_arr[order] * m / (np.arange(m) + 1)
+        # enforce monotonicity from the largest rank down
+        ranked = np.minimum.accumulate(ranked[::-1])[::-1]
+        corrected = np.empty(m)
+        corrected[order] = np.minimum(ranked, 1.0)
+        reject = corrected < alpha
+    return pd.DataFrame({
+        "comparison": ["-".join(map(str, c)) for c in combos],
+        "original_pvalue": pvals,
+        "corrected_pvalue": corrected,
+        "reject_h0": reject,
+    })
+
+
+def min_max_scale(scores: list[list[float]]) -> list[list[float]]:
+    """Per-row min-max scaling to [0, 1] (analytic_utils.py:288-297's
+    sklearn MinMaxScaler loop, vectorized per row; constant rows → 0)."""
+    out = []
+    for row in scores:
+        x = np.asarray(row, dtype=np.float64)
+        span = x.max() - x.min()
+        out.append(((x - x.min()) / span).tolist() if span > 0
+                   else np.zeros_like(x).tolist())
+    return out

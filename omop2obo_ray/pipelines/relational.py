@@ -185,28 +185,21 @@ def q_orders_customer_nation(sf_dir: str) -> Dataset:
     (no shuffle join, SURVEY §2.4)."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    lookup_ref = ray.put(
-        {k: (nm, nn) for k, nm, nn in zip(cust["c_custkey"], cust["c_name"], cust["n_name"])}
-    )
+    # pre-join the dimensions once, broadcast the merged frame; the per-
+    # batch probe is then ONE vectorized pandas hash merge (no Python
+    # per-key loop in the hot path)
+    side = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "c_name", "n_name"]]
+    side_ref = ray.put(side)
 
-    def join(batch: pa.Table) -> pa.Table:
-        lut = ray.get(lookup_ref)
-        keys = batch["o_custkey"].to_pylist()
-        hit = [lut.get(k) for k in keys]
-        mask = pa.array([h is not None for h in hit])
-        out = pa.table(
-            {
-                "o_orderkey": batch["o_orderkey"],
-                "o_totalprice": batch["o_totalprice"],
-                "c_name": pa.array([h[0] if h else None for h in hit], pa.string()),
-                "n_name": pa.array([h[1] if h else None for h in hit], pa.string()),
-            }
-        )
-        return out.filter(mask)
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(side_ref)
+        out = batch.merge(lut, left_on="o_custkey", right_on="c_custkey",
+                          how="inner")
+        return out[["o_orderkey", "o_totalprice", "c_name", "n_name"]]
 
     return _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
-        join, batch_format="pyarrow"
+        join, batch_format="pandas"
     )
 
 

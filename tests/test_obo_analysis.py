@@ -128,3 +128,34 @@ def test_category_contingency(ray_session, engine_triples):
     ct = category_contingency(rd.from_pandas(engine_triples))
     assert "hp" in ct.columns and "mondo" in ct.columns
     assert ct.drop(columns="pred").to_numpy().sum() == len(engine_triples)
+
+
+def test_posthoc_chi_square_pairwise():
+    import numpy as np
+    import pandas as pd
+
+    from omop2obo_ray.pipelines.analysis import posthoc_chi_square
+
+    # three groups: A and B share a distribution, C differs sharply
+    tbl = pd.DataFrame(
+        [[50, 50], [48, 52], [95, 5]],
+        index=["A", "B", "C"], columns=["x", "y"])
+    res = posthoc_chi_square(tbl)
+    assert res["comparison"].tolist() == ["A-B", "A-C", "B-C"]
+    r = res.set_index("comparison")
+    assert not r.loc["A-B", "reject_h0"]
+    assert r.loc["A-C", "reject_h0"] and r.loc["B-C", "reject_h0"]
+    # corrected p-values are >= originals and monotone under BH
+    assert (res["corrected_pvalue"] >= res["original_pvalue"] - 1e-12).all()
+    # bonferroni is at least as conservative as BH
+    bon = posthoc_chi_square(tbl, correction="bonferroni")
+    assert (bon["corrected_pvalue"] >= res["corrected_pvalue"] - 1e-12).all()
+
+
+def test_min_max_scale():
+    from omop2obo_ray.pipelines.analysis import min_max_scale
+
+    out = min_max_scale([[1.0, 2.0, 3.0], [5.0, 5.0], [0.0, 10.0]])
+    assert out[0] == [0.0, 0.5, 1.0]
+    assert out[1] == [0.0, 0.0]  # constant rows scale to zero
+    assert out[2] == [0.0, 1.0]
