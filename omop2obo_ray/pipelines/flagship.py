@@ -109,7 +109,8 @@ def documents_as_pages(sf_dir: str, repeat: int = 1) -> Dataset:
 
 
 def kg_over_documents(sf_dir: str, cfg: PipelineConfig | None = None,
-                      lexicon: Lexicon | None = None, repeat: int = 1) -> Dataset:
+                      lexicon: Lexicon | None = None, repeat: int = 1,
+                      cfg_overrides: dict | None = None) -> Dataset:
     """Full flagship: documents-as-pages → tiered linking → triples.
 
     All languages are admitted (the documents table is multi-lingual by
@@ -128,6 +129,8 @@ def kg_over_documents(sf_dir: str, cfg: PipelineConfig | None = None,
         # per task stays ~1-2k and parallelism scales with the cluster
         link_batch_size=max(8, 256 // max(1, repeat)),
     )
+    if cfg_overrides:
+        cfg = cfg.with_(**cfg_overrides)
     lexicon = lexicon or derive_lexicon_from_corpus(sf_dir)
     pages = documents_as_pages(sf_dir, repeat=repeat)
     return build_kg(pages, lexicon, cfg)

@@ -128,7 +128,13 @@ def links_to_triples(links: Dataset, lexicon: Lexicon,
             # and spill to disk under object-store pressure. At 100 TB,
             # swap for a parquet checkpoint of the links stage.
             links = links.materialize()
-            canon = build_canonical_map(links)
+            # driver-merge streams one batch per BLOCK through the
+            # driver (~0.7 ms each): fine for hundreds of blocks, a
+            # serial ~70 s wall for ~10⁵ small blocks. Above a block-
+            # count threshold, run the merge as a distributed groupby
+            # and only collect the (lexicon-bounded) aggregate.
+            canon = build_canonical_map(
+                links, driver_merge=links.num_blocks() < 2048)
         labels = lexicon.labels
         links = links.map_batches(
             functools.partial(apply_canonical_map, canon=canon, labels=labels),
@@ -157,8 +163,21 @@ def links_to_triples(links: Dataset, lexicon: Lexicon,
             ["url", "surface", "level", "ontology", "uri", "tier",
              "evidence", "score"]
         )
+
+        if cfg.dedup_before_assembly_shuffle:
+            # pre-exchange combiner: assembly dedups on (uri, evidence)
+            # anyway, so identical link rows can die block-locally
+            # before the shuffle. Worth its full-row hash (~25% of the
+            # fallback wall on all-unique input) ONLY when the
+            # uniqueness contract is violated by content-identical
+            # duplicate urls — then the exchange carries just the
+            # distinct mass. Off by default.
+            slim = slim.map_batches(lambda df: df.drop_duplicates(),
+                                    batch_format="pandas", batch_size=None)
+        n_buckets = cfg.assembly_buckets or 24 * int(
+            ray.cluster_resources().get("CPU", 8))
         bucketed = slim.map_batches(
-            functools.partial(add_url_bucket, n_buckets=cfg.assembly_buckets),
+            functools.partial(add_url_bucket, n_buckets=n_buckets),
             batch_format="pyarrow", batch_size=None,
         )
         triples = bucketed.groupby("url_bucket").map_groups(

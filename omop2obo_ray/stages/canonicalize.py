@@ -73,14 +73,21 @@ def build_canonical_map(links: Dataset, driver_merge: bool = True) -> dict[tuple
     collecting it driver-side and re-broadcasting via ``ray.put`` is the
     broadcast-small-side pattern, not a materialization of page data.
 
-    ``driver_merge=True`` streams the per-block partial counts to the
+    ``driver_merge=True`` streams the per-batch partial counts to the
     driver and merges there — the partials are already combined per
-    block, so the driver sees ≤ (lexicon × #blocks) rows and a whole
+    batch, so the driver sees ≤ (lexicon × #batches) rows and a whole
     Ray shuffle's fixed cost disappears. For 10⁶-surface lexicons ×
-    10⁴ blocks set ``driver_merge=False`` to run the merge as a Ray
+    10⁴ batches set ``driver_merge=False`` to run the merge as a Ray
     groupby (the salted-combiner two-phase aggregate)."""
-    partials = links.map_batches(_partial_counts, batch_format="pyarrow",
-                                 batch_size=None)
+    # project FIRST, then coalesce with a row-based batch size: the
+    # link stream can arrive as ~10⁵ page-aligned mini-blocks, and a
+    # per-block combiner would emit just as many partial blocks —
+    # every downstream consumer (driver iteration or shuffle) then
+    # pays per-block overhead ~10⁵ times. Coalescing the slim 4-column
+    # projection costs one cheap concat per 64 k rows.
+    partials = links.select_columns(
+        ["surface", "ontology", "uri", "tier"]
+    ).map_batches(_partial_counts, batch_format="pyarrow", batch_size=65536)
     if not driver_merge:
         partials = partials.groupby(["surface", "ontology", "uri"]).aggregate(
             Min("tier_rank", alias_name="tier_rank"), Sum("n", alias_name="n")

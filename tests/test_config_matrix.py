@@ -51,3 +51,26 @@ def test_alternate_paths_match_default(ray_session, fixture_dir, lexicon, overri
     base = _triples(fixture_dir, lexicon, DEFAULT_CONFIG)
     alt = _triples(fixture_dir, lexicon, DEFAULT_CONFIG.with_(**overrides))
     assert alt == base
+
+
+def test_duplicate_url_input_with_dedup_combiner(
+        ray_session, fixture_dir, lexicon, engine_triples):
+    """Inputs violating the url-uniqueness contract (every page fed
+    twice) must produce the SAME triples via the bucketed fallback,
+    with the pre-exchange dedup combiner enabled."""
+    import os
+
+    import ray.data as rd
+
+    from omop2obo_ray.config import DEFAULT_CONFIG
+    from omop2obo_ray.pipelines.kg import build_kg
+
+    pages = rd.read_parquet(os.path.join(fixture_dir, "pages.parquet"))
+    doubled = pages.union(pages)
+    cfg = DEFAULT_CONFIG.with_(assume_unique_urls=False,
+                               dedup_before_assembly_shuffle=True)
+    got = build_kg(doubled, lexicon, cfg).to_pandas()
+    key = ["subj", "pred", "obj", "ontology", "evidence"]
+    got_s = got[key].sort_values(key).reset_index(drop=True)
+    want_s = engine_triples[key].sort_values(key).reset_index(drop=True)
+    assert got_s.equals(want_s)
