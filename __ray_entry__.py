@@ -189,6 +189,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         verified = verify_jaccard_pairs(docs, pairs, threshold=0.8)
         return dup_clusters_distributed(verified)
 
+    def q_embedding_near_pairs(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import embedding_near_pairs
+
+        emb = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        return embedding_near_pairs(emb, threshold=0.3)
+
+    def q_embedding_near_pairs_lsh(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import embedding_near_pairs_lsh
+
+        emb = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        return embedding_near_pairs_lsh(emb, threshold=0.3)
+
     def q_n3c_mapping_table(sf):
         from omop2obo_ray.pipelines.export import triples_to_mapping_table
         from omop2obo_ray.pipelines.flagship import kg_over_documents
@@ -232,6 +248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "ivf_buckets": q_ivf_buckets,
         "ann_ivf": q_ann_ivf,
+        "embedding_near_pairs": q_embedding_near_pairs,
+        "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "n3c_mapping_table": q_n3c_mapping_table,
     }
 
@@ -356,6 +374,14 @@ def oracle_sql() -> dict[str, str]:
             "AS stop_ratio FROM documents"
         ),
         "md5_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "embedding_near_pairs": (
+            "SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS cos "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.3"
+        ),
         "embedding_topk": (
             "SELECT vec_id, round(list_cosine_similarity("
             "CAST(embedding AS DOUBLE[]), "

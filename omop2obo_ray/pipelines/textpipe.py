@@ -907,3 +907,174 @@ def decode_media(ds: Dataset, media_col: str = "payload") -> Dataset:
         MediaDecoder, fn_constructor_kwargs=dict(media_col=media_col),
         batch_format="pyarrow", batch_size=64, concurrency=(1, 4), num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (exact small-side path + hyperplane-LSH scale path)
+# ---------------------------------------------------------------------------
+
+class CosinePairScanner:
+    """Actor: emit (a, b, cos) for every pair with cosine ≥ threshold
+    between this batch's rows and a broadcast normalized matrix of the
+    full (small-side) embedding table — one numpy matmul per batch.
+    Each unordered pair is emitted once (a < b)."""
+
+    def __init__(self, mat_ref, ids_ref, threshold: float,
+                 key_col: str = "vec_id", vec_col: str = "embedding"):
+        self.mat = ray.get(mat_ref) if isinstance(mat_ref, ray.ObjectRef) else mat_ref
+        self.ids = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
+        self.threshold = threshold
+        self.key_col, self.vec_col = key_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.key_col].to_pylist())
+        mat = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        cos = mat @ self.mat.T  # (batch, all)
+        ri, ci = np.nonzero(cos >= self.threshold)
+        a, b = ids[ri], self.ids[ci]
+        keep = a < b  # one emission per unordered pair, no self-pairs
+        return pa.table({
+            "doc_a": pa.array(a[keep]),
+            "doc_b": pa.array(b[keep]),
+            "cos": pa.array(np.round(cos[ri, ci][keep], 6), pa.float64()),
+        })
+
+
+def embedding_near_pairs(embeddings: Dataset, threshold: float = 0.9,
+                         key_col: str = "vec_id",
+                         vec_col: str = "embedding") -> Dataset:
+    """EXACT embedding-cosine near-dup pairs: every unordered pair with
+    cosine ≥ threshold. The full normalized matrix is broadcast once
+    (``ray.put``) and each batch scans against it with one matmul —
+    the small-side path (the matrix must fit a worker: n×d float64).
+    For corpus-scale inputs use ``embedding_near_pairs_lsh``."""
+    rows = embeddings.select_columns([key_col, vec_col]).take_all()
+    ids = np.asarray([r[key_col] for r in rows])
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    mat_ref, ids_ref = ray.put(mat), ray.put(ids)
+    return embeddings.map_batches(
+        CosinePairScanner,
+        fn_constructor_kwargs=dict(mat_ref=mat_ref, ids_ref=ids_ref,
+                                   threshold=threshold, key_col=key_col,
+                                   vec_col=vec_col),
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1, batch_size=1024,
+    )
+
+
+class HyperplaneHasher:
+    """Actor: random-hyperplane LSH — band the sign pattern of ``n_planes``
+    projections into ``n_bands`` chunk keys (same banding idea as
+    SimHash, but on real-valued embeddings). Deterministic planes from a
+    fixed seed, so every actor agrees."""
+
+    def __init__(self, dim: int, n_planes: int = 32, n_bands: int = 8,
+                 key_col: str = "vec_id", vec_col: str = "embedding"):
+        assert n_planes % n_bands == 0
+        rng = np.random.RandomState(424242)
+        self.planes = rng.randn(dim, n_planes)
+        self.n_bands = n_bands
+        self.rows_per_band = n_planes // n_bands
+        self.key_col, self.vec_col = key_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.key_col].combine_chunks()
+        mat = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        bits = (mat @ self.planes) >= 0  # (rows, n_planes)
+        keys_out, bucket_out = [], []
+        w = self.rows_per_band
+        for band in range(self.n_bands):
+            seg = bits[:, band * w:(band + 1) * w]
+            code = seg @ (1 << np.arange(w, dtype=np.int64))
+            # fold band id above the code bits (w ≤ 56)
+            bucket_out.append((np.int64(band) << np.int64(56)) | code)
+            keys_out.append(ids)
+        return pa.table({
+            self.key_col: pa.concat_arrays([k for k in keys_out]),
+            "bucket_key": pa.array(np.concatenate(bucket_out), pa.int64()),
+        })
+
+
+def embedding_near_pairs_lsh(embeddings: Dataset, threshold: float = 0.9,
+                             n_planes: int = 32, n_bands: int = 8,
+                             key_col: str = "vec_id", vec_col: str = "embedding",
+                             bucket_cap: int = 256,
+                             num_partitions: int = 8) -> Dataset:
+    """Scale path for embedding-cosine near-dup: random-hyperplane LSH
+    banding → distributed collide-then-verify, the same shape as the
+    MinHash/SimHash paths. Candidate recall grows with bands (a pair at
+    angle θ collides on one band with p = 1-(1-(1-θ/π)^w)^b); verification
+    computes exact cosine inside ``map_batches`` after attaching both
+    vectors via partitioned hash joins. Approximate (LSH-bounded recall),
+    no driver-side state beyond the colliding-key broadcast."""
+    dim = len(embeddings.take(1)[0][vec_col])
+    bands = embeddings.map_batches(
+        HyperplaneHasher,
+        fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, n_bands=n_bands,
+                                   key_col=key_col, vec_col=vec_col),
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    ).materialize()
+    collide = _collect_colliding_keys(bands, "bucket_key")
+    if collide.size == 0:
+        return _empty_pairs({"cos": pa.array([], pa.float64())})
+    collide_ref = ray.put(collide)
+    hits = bands.map_batches(
+        functools.partial(_keep_keys_in, col="bucket_key", keys_ref=collide_ref),
+        batch_format="pyarrow", batch_size=None,
+    )
+    cand = hits.groupby("bucket_key").map_groups(
+        functools.partial(_pairs_from_bucket, key_col=key_col, cap=bucket_cap),
+        batch_format="pandas",
+    ).groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands_hit"))
+    cand = _sanitize_join_output(cand, _pa_schema_of(cand))
+
+    # acero hash joins reject list<float> payload columns — ship each
+    # vector as one float64 binary blob (same trick as the shingle join)
+    def to_blob(batch: pa.Table) -> pa.Table:
+        blobs = [np.asarray(v, dtype=np.float64).tobytes()
+                 for v in batch[vec_col].to_pylist()]
+        return pa.table({key_col: batch[key_col],
+                         "vec_blob": pa.array(blobs, pa.large_binary())})
+
+    vecs = embeddings.select_columns([key_col, vec_col]).map_batches(
+        to_blob, batch_format="pyarrow", batch_size=None).materialize()
+    vec_type = pa.large_binary()
+
+    def _ren(batch: pa.Table, out_col: str) -> pa.Table:
+        return batch.rename_columns(
+            [out_col if c == "vec_blob" else c for c in batch.column_names])
+
+    pair_fields = list(_pa_schema_of(cand))
+    join_kw = dict(join_type="inner", num_partitions=num_partitions)
+    with_a = _sanitize_join_output(
+        cand.join(vecs, on=("doc_a",), right_on=(key_col,), **join_kw),
+        pa.schema(pair_fields + [("vec_a", vec_type)]),
+    ).map_batches(functools.partial(_ren, out_col="vec_a"),
+                  batch_format="pyarrow", batch_size=None)
+    with_ab = _sanitize_join_output(
+        with_a.join(vecs, on=("doc_b",), right_on=(key_col,), **join_kw),
+        pa.schema(pair_fields + [("vec_a", vec_type), ("vec_b", vec_type)]),
+    ).map_batches(functools.partial(_ren, out_col="vec_b"),
+                  batch_format="pyarrow", batch_size=None)
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], batch["doc_a"].type),
+                             "doc_b": pa.array([], batch["doc_b"].type),
+                             "cos": pa.array([], pa.float64())})
+        va = np.stack([np.frombuffer(x, dtype=np.float64)
+                       for x in batch["vec_a"].to_pylist()])
+        vb = np.stack([np.frombuffer(x, dtype=np.float64)
+                       for x in batch["vec_b"].to_pylist()])
+        va = va / np.maximum(np.linalg.norm(va, axis=1, keepdims=True), 1e-30)
+        vb = vb / np.maximum(np.linalg.norm(vb, axis=1, keepdims=True), 1e-30)
+        cos = np.round((va * vb).sum(axis=1), 6)
+        keep = cos >= threshold
+        return pa.table({
+            "doc_a": batch["doc_a"].combine_chunks().filter(pa.array(keep)),
+            "doc_b": batch["doc_b"].combine_chunks().filter(pa.array(keep)),
+            "cos": pa.array(cos[keep], pa.float64()),
+        })
+
+    return with_ab.map_batches(_verify, batch_format="pyarrow", batch_size=None)

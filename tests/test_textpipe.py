@@ -274,3 +274,41 @@ def test_media_decoder_plumbing(ray_session):
 
     with pytest.raises(NotImplementedError):
         MediaDecoder(mode="real")
+
+
+def test_embedding_near_pairs_exact(ray_session):
+    """Exact cosine near-dup pairs match a numpy all-pairs reference."""
+    from omop2obo_ray.pipelines.textpipe import embedding_near_pairs
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(6, 8)
+    vecs = list(base) + [base[0] + 0.01 * rng.randn(8),   # near-dup of 0
+                         base[3] + 0.01 * rng.randn(8)]   # near-dup of 3
+    df = pd.DataFrame({"vec_id": range(len(vecs)),
+                       "embedding": [list(v) for v in vecs]})
+    out = embedding_near_pairs(rd.from_pandas(df), threshold=0.95).to_pandas()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    m = np.stack(vecs)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = m @ m.T
+    want = {(a, b) for a in range(len(vecs)) for b in range(a + 1, len(vecs))
+            if cos[a, b] >= 0.95}
+    assert got == want
+    assert (0, 6) in got and (3, 7) in got
+
+
+def test_embedding_near_pairs_lsh_recalls_planted(ray_session):
+    """LSH-bucketed variant finds planted near-identical vectors and
+    never emits a below-threshold pair (verification is exact)."""
+    from omop2obo_ray.pipelines.textpipe import embedding_near_pairs_lsh
+
+    rng = np.random.RandomState(9)
+    base = rng.randn(40, 16)
+    vecs = list(base) + [base[i] + 0.001 * rng.randn(16) for i in range(3)]
+    df = pd.DataFrame({"vec_id": range(len(vecs)),
+                       "embedding": [list(v) for v in vecs]})
+    out = embedding_near_pairs_lsh(rd.from_pandas(df), threshold=0.99).to_pandas()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    for i in range(3):
+        assert (i, 40 + i) in got, f"planted near-dup {i} missed"
+    assert (out["cos"] >= 0.99).all()
