@@ -485,23 +485,37 @@ def dup_clusters_distributed(pairs: Dataset, key_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """Actor: 64-bit simhash over word unigrams (token-hash bit voting)."""
+    """Actor: 64-bit simhash over word unigrams (token-hash bit voting).
+
+    Vectorized per document: token hashes come from a per-actor cache
+    (one blake2b per DISTINCT token ever seen by the actor), the 64-bit
+    → bit-matrix expansion is one ``unpackbits`` over the whole token
+    array, and the vote/threshold reduction is two numpy ops."""
 
     def __init__(self, key_col: str = "doc_id", text_col: str = "text"):
         self.key_col, self.text_col = key_col, text_col
         self.word_re = re.compile(r"\w+")
+        self._tok_cache: dict[str, int] = {}
+        self._weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
     def simhash(self, text: str) -> int:
-        votes = np.zeros(64, dtype=np.int64)
-        for tok in self.word_re.findall(text.lower()):
-            h = stable_hash64(tok)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            votes += np.where(bits.astype(bool), 1, -1)
-        out = np.uint64(0)
-        for i in range(64):
-            if votes[i] > 0:
-                out |= np.uint64(1) << np.uint64(i)
-        return int(out)
+        toks = self.word_re.findall(text.lower())
+        if not toks:
+            return 0
+        cache = self._tok_cache
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = cache.get(t)
+            if h is None:
+                h = stable_hash64(t)
+                cache[t] = h
+            hs[i] = h
+        # (n_tokens, 64) bit matrix in one kernel: little-endian byte
+        # view + bitorder='little' puts bit i of the uint64 at column i
+        bits = np.unpackbits(
+            hs[:, None].view(np.uint8), axis=1, bitorder="little").astype(np.int32)
+        votes = 2 * bits.sum(axis=0) - len(toks)  # (+1/-1 voting)
+        return int((self._weights[votes > 0]).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sims = [self.simhash(t or "") for t in batch[self.text_col].to_pylist()]
