@@ -21,6 +21,13 @@ from ray.data.aggregate import Count, Min
 from omop2obo_ray.functions.hashing import hash64_array, stable_hash64
 
 
+
+def _pool() -> tuple[int, int]:
+    """Actor-pool sizing for textpipe stages: scale with the cluster
+    instead of a fixed small cap (a (1, 4) pool starves a 32-cpu run)."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (1, max(4, cpus))
+
 def _np_col(batch: pa.Table, col: str) -> np.ndarray:
     return batch[col].combine_chunks().to_numpy(zero_copy_only=False)
 
@@ -277,7 +284,7 @@ def minhash_candidate_pairs(docs: Dataset, n_hashes: int = 64, n_bands: int = 16
         MinHasher,
         fn_constructor_kwargs=dict(n_hashes=n_hashes, shingle=shingle, n_bands=n_bands,
                                    key_col=key_col, text_col=text_col),
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+        batch_format="pyarrow", concurrency=_pool(), num_cpus=1,
     ).materialize()  # consumed twice: collision count + pair expansion
 
     collide = _collect_colliding_keys(bands, "band_hash")
@@ -346,7 +353,7 @@ def verify_jaccard_pairs(docs: Dataset, pairs: Dataset, threshold: float = 0.8,
         ShingleGatherer,
         fn_constructor_kwargs=dict(need_ref=need_ref, shingle=shingle,
                                    key_col=key_col, text_col=text_col),
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1, batch_size=None,
+        batch_format="pyarrow", concurrency=_pool(), num_cpus=1, batch_size=None,
     ).materialize()  # joined twice (doc_a side + doc_b side)
 
     # the equi-join folds the right key column into the left one, so
@@ -528,7 +535,7 @@ def simhash_signatures(docs: Dataset, key_col: str = "doc_id",
                        text_col: str = "text") -> Dataset:
     return docs.map_batches(
         SimHasher, fn_constructor_kwargs=dict(key_col=key_col, text_col=text_col),
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+        batch_format="pyarrow", concurrency=_pool(), num_cpus=1,
     )
 
 
@@ -674,7 +681,7 @@ def brute_force_topk(embeddings: Dataset, queries: list[tuple[int, list[float]]]
     scored = embeddings.map_batches(
         CosineTopK, fn_constructor_kwargs=dict(query_ref=query_ref, key_col=key_col,
                                                vec_col=vec_col),
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1, batch_size=2048,
+        batch_format="pyarrow", concurrency=_pool(), num_cpus=1, batch_size=2048,
     )
 
     def per_query_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -712,7 +719,7 @@ def ivf_bucket_assignments(embeddings: Dataset, n_centroids: int = 8,
     ref = ray.put(centroids)
     return embeddings.map_batches(
         IvfIndexer, fn_constructor_kwargs=dict(centroids_ref=ref, vec_col=vec_col),
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+        batch_format="pyarrow", concurrency=_pool(), num_cpus=1,
     )
 
 
@@ -743,7 +750,7 @@ def ivf_topk(embeddings: Dataset, queries: list[tuple[int, list[float]]],
     ref = ray.put(centroids)
     bucketed = embeddings.map_batches(
         IvfIndexer, fn_constructor_kwargs=dict(centroids_ref=ref, vec_col=vec_col),
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+        batch_format="pyarrow", concurrency=_pool(), num_cpus=1,
     )
     all_probed = np.sort(np.fromiter(set().union(*probe.values()), dtype=np.int64)) \
         if probe else np.empty(0, dtype=np.int64)
@@ -760,7 +767,7 @@ def ivf_topk(embeddings: Dataset, queries: list[tuple[int, list[float]]],
         CosineTopK, fn_constructor_kwargs=dict(query_ref=query_ref, key_col=key_col,
                                                vec_col=vec_col,
                                                passthrough_cols=("ivf_bucket",)),
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1, batch_size=2048,
+        batch_format="pyarrow", concurrency=_pool(), num_cpus=1, batch_size=2048,
     )
     # per-query probe membership: (qid, bucket) folded into one int64
     # key, matched against the broadcast allowed set (|queries|·n_probe)
@@ -867,7 +874,7 @@ class TextAnalyzer:
 def analyze_text(docs: Dataset, key_col: str = "doc_id", text_col: str = "text") -> Dataset:
     return docs.map_batches(
         TextAnalyzer, fn_constructor_kwargs=dict(key_col=key_col, text_col=text_col),
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+        batch_format="pyarrow", concurrency=_pool(), num_cpus=1,
     )
 
 
@@ -919,7 +926,7 @@ def decode_media(ds: Dataset, media_col: str = "payload") -> Dataset:
     """Large binary payloads → small batches (memory-aware, SURVEY §4)."""
     return ds.map_batches(
         MediaDecoder, fn_constructor_kwargs=dict(media_col=media_col),
-        batch_format="pyarrow", batch_size=64, concurrency=(1, 4), num_cpus=1,
+        batch_format="pyarrow", batch_size=64, concurrency=_pool(), num_cpus=1,
     )
 
 
@@ -973,7 +980,7 @@ def embedding_near_pairs(embeddings: Dataset, threshold: float = 0.9,
         fn_constructor_kwargs=dict(mat_ref=mat_ref, ids_ref=ids_ref,
                                    threshold=threshold, key_col=key_col,
                                    vec_col=vec_col),
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1, batch_size=1024,
+        batch_format="pyarrow", concurrency=_pool(), num_cpus=1, batch_size=1024,
     )
 
 
@@ -1027,7 +1034,7 @@ def embedding_near_pairs_lsh(embeddings: Dataset, threshold: float = 0.9,
         HyperplaneHasher,
         fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, n_bands=n_bands,
                                    key_col=key_col, vec_col=vec_col),
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+        batch_format="pyarrow", concurrency=_pool(), num_cpus=1,
     ).materialize()
     collide = _collect_colliding_keys(bands, "bucket_key")
     if collide.size == 0:
