@@ -189,6 +189,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         verified = verify_jaccard_pairs(docs, pairs, threshold=0.8)
         return dup_clusters_distributed(verified)
 
+    def q_near_dedup_corpus(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import near_dedup_corpus
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return near_dedup_corpus(docs, threshold=0.8).select_columns(["doc_id"])
+
     def q_embedding_near_pairs(sf):
         import ray.data as rd
 
@@ -243,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": q_dedup_minhash,
         "dup_clusters": q_dup_clusters,
         "dup_clusters_distributed": q_dup_clusters_distributed,
+        "near_dedup_corpus": q_near_dedup_corpus,
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
         "langid": q_langid,

@@ -1099,3 +1099,47 @@ def embedding_near_pairs_lsh(embeddings: Dataset, threshold: float = 0.9,
         })
 
     return with_ab.map_batches(_verify, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end near-dedup pipeline (minhash → verify → cluster → filter)
+# ---------------------------------------------------------------------------
+
+def near_dedup_corpus(docs: Dataset, threshold: float = 0.8,
+                      n_hashes: int = 64, n_bands: int = 16, shingle: int = 3,
+                      key_col: str = "doc_id", text_col: str = "text",
+                      distributed_clusters: bool = True) -> Dataset:
+    """The full near-dedup pipeline a training-data run actually wants:
+    MinHash+LSH candidates → exact-Jaccard verification → connected
+    components → keep ONE representative (min key) per duplicate
+    cluster, pass every unclustered doc through.
+
+    Every stage is the distributed variant; the only driver-side state
+    is the near-dup-bounded colliding-key / candidate-id broadcasts.
+    The removal set (non-representative cluster members) is dup-mass
+    bounded and broadcast for the final vectorized filter."""
+    pairs = minhash_candidate_pairs(docs, n_hashes=n_hashes, n_bands=n_bands,
+                                    shingle=shingle, key_col=key_col,
+                                    text_col=text_col)
+    verified = verify_jaccard_pairs(docs, pairs, threshold=threshold,
+                                    shingle=shingle, key_col=key_col,
+                                    text_col=text_col)
+    clusters = (dup_clusters_distributed(verified, key_col=key_col)
+                if distributed_clusters else
+                ray.data.from_pandas(dup_clusters(verified, key_col=key_col)))
+    # drop cluster members that are not the representative (min id)
+    drop: set = set()
+    for b in clusters.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for k, c in zip(b[key_col].to_pylist(), b["cluster_id"].to_pylist()):
+            if k != c:
+                drop.add(k)
+    if not drop:
+        return docs
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        mask = pa.array([k not in d for k in batch[key_col].to_pylist()])
+        return batch.filter(mask)
+
+    return docs.map_batches(keep, batch_format="pyarrow", batch_size=None)

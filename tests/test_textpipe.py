@@ -312,3 +312,13 @@ def test_embedding_near_pairs_lsh_recalls_planted(ray_session):
     for i in range(3):
         assert (i, 40 + i) in got, f"planted near-dup {i} missed"
     assert (out["cos"] >= 0.99).all()
+
+
+def test_near_dedup_corpus_end_to_end(ray_session, dup_docs):
+    """Full pipeline: exact dup removed, near dup below threshold kept."""
+    from omop2obo_ray.pipelines.textpipe import near_dedup_corpus
+
+    kept = near_dedup_corpus(dup_docs, threshold=0.9).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 2, 3, 4]  # 1 is an exact dup of 0
+    kept_loose = near_dedup_corpus(dup_docs, threshold=0.5).to_pandas()
+    assert sorted(kept_loose["doc_id"]) == [0, 3, 4]  # 2 also folds into 0
