@@ -1143,3 +1143,55 @@ def near_dedup_corpus(docs: Dataset, threshold: float = 0.8,
         return batch.filter(mask)
 
     return docs.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+class FrameSampler:
+    """Actor-pool stage for opaque binary VIDEO payloads: deterministic
+    frame sampling → per-frame feature rows (one output row per sampled
+    frame, ``list<float>`` features + frame index).
+
+    Same honesty contract as ``MediaDecoder``: the container has no
+    video codecs, so ``_frames`` is a deterministic fake (seeded from
+    the payload bytes); the Ray-side plumbing — small batches for large
+    payloads, one→many row expansion, typed output schema — is real."""
+
+    def __init__(self, media_col: str = "payload", n_frames: int = 4,
+                 target_size: tuple[int, int] = (16, 16), mode: str = "fake"):
+        self.media_col, self.n_frames, self.target = media_col, n_frames, target_size
+        if mode not in ("fake",):
+            raise NotImplementedError(
+                "real frame decoders (av/ffmpeg) are not available in this "
+                "environment; only the deterministic 'fake' mode is implemented")
+
+    def _frames(self, payload: bytes) -> list[np.ndarray]:
+        seed = stable_hash64(payload or b"") & 0x7FFFFFFF
+        rng = np.random.RandomState(seed)
+        h, w = self.target
+        return [rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+                for _ in range(self.n_frames)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        other_cols = [c for c in batch.column_names if c != self.media_col]
+        out_rows: dict[str, list] = {c: [] for c in other_cols}
+        frame_idx, feats = [], []
+        for i, payload in enumerate(batch[self.media_col].to_pylist()):
+            for j, img in enumerate(self._frames(payload)):
+                for c in other_cols:
+                    out_rows[c].append(batch[c][i].as_py())
+                frame_idx.append(j)
+                feats.append([float(img.mean()), float(img.std())])
+        cols = {c: pa.array(v) for c, v in out_rows.items()}
+        cols["frame_idx"] = pa.array(frame_idx, pa.int32())
+        cols["features"] = pa.array(feats, pa.list_(pa.float64()))
+        return pa.table(cols)
+
+
+def sample_frames(ds: Dataset, media_col: str = "payload",
+                  n_frames: int = 4) -> Dataset:
+    """Video payloads → per-frame feature rows (flat_map-shaped row
+    expansion; small batches because payloads are large)."""
+    return ds.map_batches(
+        FrameSampler, fn_constructor_kwargs=dict(media_col=media_col,
+                                                 n_frames=n_frames),
+        batch_format="pyarrow", batch_size=32, concurrency=_pool(), num_cpus=1,
+    )

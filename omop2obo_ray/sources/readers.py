@@ -109,3 +109,45 @@ def write_lexicon_tables(out_dir: str, concepts: pd.DataFrame,
         json.dump({"version": version,
                    "tables": ["concepts", "dbxrefs", "aliases", "semtypes",
                               "ancestors", "vocab_map"]}, f)
+
+
+def read_rrf_ray(path: str, keep: dict[int, str] | None = None,
+                 english_only: bool = True):
+    """Distributed RRF (MRCONSO-style) reader — the scale path for the
+    multi-GB production files (SURVEY §2.3 T5): ``ray.data.read_csv``
+    with a pipe-delimiter parse, column pruning and the reference's
+    NOCODE/ENG filters applied vectorized per batch
+    (clinical_concept_annotator.py:158-169). Returns a Dataset; the
+    pandas ``read_mrconso`` stays the dimension-sized path."""
+    import pyarrow as pa
+    from pyarrow import csv as pacsv
+
+    import ray.data as rd
+
+    keep = keep or _MRCONSO_KEEP
+    # 18 data fields + the empty 19th from the trailing '|' every RRF
+    # line carries
+    names = [f"c{i}" for i in range(19)]
+    ds = rd.read_csv(
+        path,
+        read_options=pacsv.ReadOptions(column_names=names),
+        parse_options=pacsv.ParseOptions(delimiter="|"),
+        convert_options=pacsv.ConvertOptions(
+            column_types={n: pa.string() for n in names},
+            # RRF lines end with a trailing '|' → a 19th empty column
+            include_columns=[f"c{i}" for i in sorted(keep)],
+            include_missing_columns=True,
+        ),
+    )
+
+    def clean(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = pa.table({name: batch[f"c{i}"] for i, name in sorted(keep.items())})
+        if "code" in out.column_names:
+            out = out.filter(pc.invert(pc.equal(out["code"], "NOCODE")))
+        if english_only and "lang" in out.column_names:
+            out = out.filter(pc.equal(out["lang"], "ENG"))
+        return out
+
+    return ds.map_batches(clean, batch_format="pyarrow", batch_size=None)

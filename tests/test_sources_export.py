@@ -216,3 +216,24 @@ def test_triples_to_mapping_table(ray_session, tmp_path):
     assert df.loc[0, "ONTOLOGY_LOGIC"] == "AND"
     assert df.loc[1, "ONTOLOGY_LOGIC"] == "N/A"
     assert (df["CONCEPT_ID"] == df["CONCEPT_CODE"].astype(int)).all()
+
+
+def test_read_rrf_ray_matches_pandas(ray_session, tmp_path):
+    """The distributed RRF reader applies the same NOCODE/ENG filters
+    as the pandas path and returns identical rows."""
+    import pandas as pd
+
+    from omop2obo_ray.sources.readers import read_mrconso, read_rrf_ray
+
+    lines = [
+        "C001|ENG|x|x|x|x|x|x|x|x|x|SNOMED|x|111|headache pain|x|x|x|",
+        "C002|FRE|x|x|x|x|x|x|x|x|x|SNOMED|x|222|douleur|x|x|x|",
+        "C003|ENG|x|x|x|x|x|x|x|x|x|ICD10|x|NOCODE|nothing|x|x|x|",
+        "C004|ENG|x|x|x|x|x|x|x|x|x|ICD10|x|333|fever|x|x|x|",
+    ]
+    p = tmp_path / "MRCONSO.RRF"
+    p.write_text("\n".join(lines) + "\n")
+    want = read_mrconso(str(p)).sort_values("cui").reset_index(drop=True)
+    got = read_rrf_ray(str(p)).to_pandas().sort_values("cui").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    assert got["cui"].tolist() == ["C001", "C004"]

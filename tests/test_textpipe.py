@@ -322,3 +322,21 @@ def test_near_dedup_corpus_end_to_end(ray_session, dup_docs):
     assert sorted(kept["doc_id"]) == [0, 2, 3, 4]  # 1 is an exact dup of 0
     kept_loose = near_dedup_corpus(dup_docs, threshold=0.5).to_pandas()
     assert sorted(kept_loose["doc_id"]) == [0, 3, 4]  # 2 also folds into 0
+
+
+def test_frame_sampler_plumbing(ray_session):
+    from omop2obo_ray.pipelines.textpipe import FrameSampler, sample_frames
+
+    df = pd.DataFrame({"media_id": [1, 2],
+                       "payload": [b"\x00fakevid1", b"\x00fakevid2"]})
+    out = sample_frames(rd.from_pandas(df), n_frames=3).to_pandas()
+    assert len(out) == 6  # one row per (video, frame)
+    assert sorted(out.columns) == ["features", "frame_idx", "media_id"]
+    assert out.groupby("media_id")["frame_idx"].apply(list).tolist() == [
+        [0, 1, 2], [0, 1, 2]]
+    # deterministic fake frames: same payload → same features
+    again = sample_frames(rd.from_pandas(df), n_frames=3).to_pandas()
+    assert out["features"].apply(tuple).tolist() == again["features"].apply(tuple).tolist()
+
+    with pytest.raises(NotImplementedError):
+        FrameSampler(mode="real")
