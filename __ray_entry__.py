@@ -189,6 +189,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         verified = verify_jaccard_pairs(docs, pairs, threshold=0.8)
         return dup_clusters_distributed(verified)
 
+    def q_clip_cells(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.export import clip_excel_cells
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return clip_excel_cells(docs, max_len=100)
+
     def q_near_dedup_corpus(sf):
         import ray.data as rd
 
@@ -243,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_session": R.q_window_session,            # gap sessions
         "exact_match_mentions": R.q_exact_match_mentions,  # J6 tier-1
         # training-data ops (SQL-checked)
+        "clip_cells": q_clip_cells,        # M10 Excel-width truncation
         "token_stats": q_token_stats,
         "md5_fingerprint": q_md5_fingerprint,
         "embedding_topk": q_embedding_topk,
@@ -383,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
             "AS stop_ratio FROM documents"
         ),
         "md5_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "clip_cells": "SELECT doc_id, left(text, 100) AS text FROM documents",
         "embedding_near_pairs": (
             "SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, "
             "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "

@@ -325,3 +325,26 @@ def export_n3c_release(mappings: Dataset, out_dir: str,
         "version_csv": version_path,
         "items_csv": items_path,
     }
+
+
+def clip_excel_cells(ds: Dataset, max_len: int = 32500,
+                     columns: list[str] | None = None) -> Dataset:
+    """Excel-width cell truncation (M10, data_utils.py:617-620: clip
+    every cell to 32,500 chars before the xlsx write). One vectorized
+    Arrow kernel per string column; the xlsx WRITE itself needs
+    openpyxl (absent from this container), but the transform is the
+    data-plane part."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def clip(batch: pa.Table) -> pa.Table:
+        for i, name in enumerate(batch.column_names):
+            if columns is not None and name not in columns:
+                continue
+            col = batch[name]
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                batch = batch.set_column(
+                    i, name, pc.utf8_slice_codeunits(col, 0, max_len))
+        return batch
+
+    return ds.map_batches(clip, batch_format="pyarrow", batch_size=None)
