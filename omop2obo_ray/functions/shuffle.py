@@ -1,0 +1,77 @@
+"""High-cardinality keyed aggregation for Ray Data.
+
+Ray 2.49's sort-based ``groupby(...).aggregate(...)`` and
+``map_groups`` pay ~0.1–0.15 ms of per-GROUP overhead (one Python
+aggregation step / UDF call per distinct key). Bounded-key groupbys
+(priority levels, buckets, languages) don't care; high-cardinality
+keys — distinct texts, (doc_a, doc_b) pairs, users, tokens — turn
+O(groups) overhead into minutes: a measured 740 k-group two-column
+count took 105 s on 32 cpus while the same aggregate via this module
+took 1.9 s (55×).
+
+Pattern: hash the key tuple to a COARSE bucket (vectorized,
+deterministic `pd.util.hash_pandas_object`), run ONE Ray groupby over
+the ~24·CPU coarse buckets, and aggregate all real keys inside each
+coarse group with a vectorized pandas groupby (~µs per key). A key
+never splits across coarse groups (the bucket is a pure function of
+the key), so results are exact.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+
+import ray
+from ray.data import Dataset
+
+_COARSE = "_coarse"
+
+
+def _n_coarse_default() -> int:
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return 24 * cpus
+
+
+def coarse_aggregate(ds: Dataset, keys: list[str],
+                     frame_fn: Callable[[pd.DataFrame], pd.DataFrame],
+                     n_coarse: int | None = None) -> Dataset:
+    """Keyed aggregate for high-cardinality ``keys``.
+
+    ``frame_fn`` receives one coarse group's frame (every row of every
+    key hashed into that bucket, ``_coarse`` column removed) and must
+    aggregate it per key — typically one vectorized pandas groupby,
+    e.g. ``lambda df: df.groupby(keys, sort=False).size().reset_index()``.
+    """
+    n = n_coarse or _n_coarse_default()
+
+    def add_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[list(keys)], index=False).to_numpy()
+        out = df.copy(deep=False)
+        out[_COARSE] = (h % np.uint64(n)).astype(np.int32)
+        return out
+
+    def apply(g: pd.DataFrame) -> pd.DataFrame:
+        return frame_fn(g.drop(columns=[_COARSE]))
+
+    return ds.map_batches(add_coarse, batch_format="pandas",
+                          batch_size=None).groupby(_COARSE).map_groups(
+        apply, batch_format="pandas")
+
+
+def coarse_apply_per_key(ds: Dataset, keys: list[str],
+                         group_fn: Callable[[pd.DataFrame], pd.DataFrame],
+                         n_coarse: int | None = None) -> Dataset:
+    """``map_groups``-per-key semantics without the per-group Ray
+    overhead: ``group_fn`` runs once per DISTINCT key tuple (a pandas
+    groupby iteration inside each coarse group)."""
+    def frame_fn(df: pd.DataFrame) -> pd.DataFrame:
+        parts = [group_fn(g) for _k, g in df.groupby(list(keys), sort=False)]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return group_fn(df.iloc[:0])
+        return pd.concat(parts, ignore_index=True)
+
+    return coarse_aggregate(ds, keys, frame_fn, n_coarse=n_coarse)

@@ -17,6 +17,8 @@ import ray.data as rd
 from ray.data import Dataset
 from ray.data.aggregate import Count, Mean, Min, Sum
 
+from omop2obo_ray.functions.shuffle import coarse_aggregate, coarse_apply_per_key
+
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
     # prune at the read: only requested columns leave storage
@@ -262,8 +264,12 @@ def q_dedup_docs(sf_dir: str) -> Dataset:
         ),
         batch_format="pyarrow",
     )
-    return hashed.groupby("text_hash").aggregate(Min("doc_id", alias_name="keep_id")) \
-        .select_columns(["keep_id"])
+    # text_hash cardinality ≈ n_docs → coarse aggregate (see
+    # functions/shuffle.py: per-group sort-aggregate overhead is the
+    # scale trap here)
+    return coarse_aggregate(hashed, ["text_hash"], lambda df: df.groupby(
+        "text_hash", sort=False)["doc_id"].min().rename("keep_id").reset_index()
+    ).select_columns(["keep_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -408,9 +414,12 @@ def q_top_tokens(sf_dir: str) -> pd.DataFrame:
         return pa.table({"token": vc.field("values"),
                          "n": vc.field("counts").cast(pa.int64())})
 
-    counts = _read(sf_dir, "documents", ["text"]).map_batches(
-        partial, batch_format="pyarrow"
-    ).groupby("token").aggregate(Sum("n", alias_name="n"))
+    partials = _read(sf_dir, "documents", ["text"]).map_batches(
+        partial, batch_format="pyarrow")
+    # token cardinality = corpus vocabulary (10⁷⁺ at web scale) →
+    # coarse aggregate instead of the per-group sort aggregate
+    counts = coarse_aggregate(partials, ["token"], lambda df: df.groupby(
+        "token", sort=False)["n"].sum().reset_index())
     return counts.sort(["n", "token"], descending=[True, False]).limit(20).to_pandas()
 
 
@@ -434,7 +443,9 @@ def q_window_session(sf_dir: str) -> Dataset:
         )
         return out[["user_id", "session_id", "n", "t_start", "t_end"]]
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    # per-user map_groups would pay Ray's per-group overhead once per
+    # user (unbounded cardinality) → coarse-bucketed per-key apply
+    return coarse_apply_per_key(ds, ["user_id"], sessionize)
 
 
 # ---------------------------------------------------------------------------
@@ -470,6 +481,7 @@ def q_exact_match_mentions(sf_dir: str) -> Dataset:
     matches = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         match, batch_format="pyarrow"
     )
-    # distinct (doc_id, word)
-    return matches.groupby(["doc_id", "word"]).aggregate(Count(alias_name="n")) \
-        .select_columns(["doc_id", "word"])
+    # distinct (doc_id, word): docs × words cardinality → coarse
+    return coarse_aggregate(matches, ["doc_id", "word"], lambda df:
+                            df.drop_duplicates(["doc_id", "word"])
+                            ).select_columns(["doc_id", "word"])

@@ -19,6 +19,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
 from omop2obo_ray.functions.hashing import hash64_array, stable_hash64
+from omop2obo_ray.functions.shuffle import coarse_aggregate, coarse_apply_per_key
 
 
 
@@ -100,7 +101,10 @@ def exact_dedup(docs: Dataset, key_col: str = "doc_id", text_col: str = "text",
                          "text_hash": pa.array(h.astype(np.int64), pa.int64())})
 
     hashed = docs.map_batches(slim_hash, batch_format="pyarrow", batch_size=None)
-    keep = hashed.groupby("text_hash").aggregate(Min(key_col, alias_name="keep_id"))
+    # text_hash cardinality ≈ n_docs → coarse aggregate, not the
+    # per-group sort aggregate (functions/shuffle.py)
+    keep = coarse_aggregate(hashed, ["text_hash"], lambda df: df.groupby(
+        "text_hash", sort=False)[key_col].min().rename("keep_id").reset_index())
     if method == "shuffle":
         out = docs.join(
             keep.select_columns(["keep_id"]), join_type="inner",
@@ -218,23 +222,25 @@ def _empty_pairs(extra: dict | None = None) -> Dataset:
 
 
 def _collect_colliding_keys(bands: Dataset, key: str) -> np.ndarray:
-    """Distributed LSH collision detection: groupby-count IN the
-    cluster, filter ``n >= 2`` there, and collect only the colliding
-    keys. Unlike the full bucket set (O(n_docs × n_bands) — mostly
+    """Distributed LSH collision detection: per-bucket counts and the
+    ``n >= 2`` filter both run IN the cluster (coarse-bucketed — the
+    bucket-key cardinality is O(n_docs × n_bands), exactly the regime
+    where Ray's per-group aggregate overhead explodes); only the
+    colliding keys come back. Unlike the full bucket set (mostly
     singletons on a real corpus), the colliding-key set is bounded by
     actual near-dup mass, so driver-collecting it is the
     broadcast-small-side pattern, not a scale hazard."""
-    import pyarrow.compute as pc
+    def colliding_in_group(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[key].value_counts()
+        return pd.DataFrame({key: vc.index[vc.to_numpy() >= 2]})
 
-    counts = bands.groupby(key).aggregate(Count(alias_name="n"))
-    colliding = counts.map_batches(
-        lambda b: b.filter(pc.greater_equal(b["n"], 2)).select([key]),
-        batch_format="pyarrow",
-    )
+    colliding = coarse_aggregate(bands.select_columns([key]), [key],
+                                 colliding_in_group)
     parts = [_np_col(b, key)
              for b in colliding.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    parts = [p for p in parts if p.size]
     if not parts:
-        return np.empty(0, dtype=np.uint64)
+        return np.empty(0, dtype=np.int64)
     return np.sort(np.concatenate(parts))
 
 
@@ -263,6 +269,16 @@ def _pairs_from_bucket(group: pd.DataFrame, key_col: str, cap: int) -> pd.DataFr
         return pd.DataFrame({"doc_a": ids[iu], "doc_b": ids[ju]})
     return pd.DataFrame({"doc_a": np.full(k - 1, ids[0], dtype=ids.dtype),
                          "doc_b": ids[1:]})
+
+
+def _expand_colliding_pairs(hits: Dataset, bucket_col: str, key_col: str,
+                            cap: int) -> Dataset:
+    """Pair expansion over ALL colliding buckets (coarse-grouped — see
+    functions/shuffle.py for why per-bucket ``map_groups`` is a trap
+    at 10⁴⁺ buckets)."""
+    return coarse_apply_per_key(
+        hits, [bucket_col],
+        functools.partial(_pairs_from_bucket, key_col=key_col, cap=cap))
 
 
 def minhash_candidate_pairs(docs: Dataset, n_hashes: int = 64, n_bands: int = 16,
@@ -296,14 +312,14 @@ def minhash_candidate_pairs(docs: Dataset, n_hashes: int = 64, n_bands: int = 16
         functools.partial(_keep_keys_in, col="band_hash", keys_ref=collide_ref),
         batch_format="pyarrow", batch_size=None,
     )
-    # groupby now sees ONLY colliding buckets (K groups, K ≈ near-dup
-    # mass), so per-group overhead is proportional to real work
-    pairs = hits.groupby("band_hash").map_groups(
-        functools.partial(_pairs_from_bucket, key_col=key_col, cap=bucket_cap),
-        batch_format="pandas",
-    )
-    # same pair may surface from several bands → keyed dedup
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands_hit"))
+    # expansion sees ONLY colliding buckets, grouped coarsely so Ray's
+    # per-group overhead cannot dominate when collision buckets number
+    # in the 10⁴⁺ (see _expand_colliding_pairs)
+    pairs = _expand_colliding_pairs(hits, "band_hash", key_col, bucket_cap)
+    # same pair may surface from several bands → keyed dedup (coarse:
+    # pair cardinality ≈ near-dup mass, far beyond the per-group regime)
+    return coarse_aggregate(pairs, ["doc_a", "doc_b"], lambda df: df.groupby(
+        ["doc_a", "doc_b"], sort=False).size().rename("n_bands_hit").reset_index())
 
 
 class ShingleGatherer:
@@ -454,9 +470,10 @@ def dup_clusters_distributed(pairs: Dataset, key_col: str = "doc_id",
         both_dirs, batch_format="pyarrow").materialize()
     key_type = _pa_schema_of(edges).types[0]
     labels = _sanitize_join_output(
-        edges.groupby("src").aggregate(Count(alias_name="_n"))
-        .map_batches(lambda b: pa.table({"node": b["src"], "label": b["src"]}),
-                     batch_format="pyarrow"),
+        coarse_aggregate(
+            edges.select_columns(["src"]), ["src"],
+            lambda df: df.drop_duplicates("src").rename(
+                columns={"src": "node"}).assign(label=lambda d: d["node"])),
         pa.schema([("node", key_type), ("label", key_type)]),
     )  # labels are dup-node bounded; re-used every round
     joined_schema = pa.schema(
@@ -475,8 +492,9 @@ def dup_clusters_distributed(pairs: Dataset, key_col: str = "doc_id",
         )
         prop = joined.map_batches(_prop, batch_format="pyarrow")
         labels = _sanitize_join_output(
-            labels.union(prop).groupby("node").aggregate(
-                Min("label", alias_name="label")),
+            coarse_aggregate(labels.union(prop), ["node"],
+                             lambda df: df.groupby("node", sort=False)[
+                                 "label"].min().reset_index()),
             pa.schema([("node", key_type), ("label", key_type)]))
         s = labels.sum("label")
         if s == prev_sum:
@@ -628,15 +646,14 @@ def simhash_near_pairs(docs: Dataset, max_hamming: int = 3,
         functools.partial(_keep_keys_in, col="bucket_key", keys_ref=collide_ref),
         batch_format="pyarrow", batch_size=None,
     )
-    pairs = hits.groupby("bucket_key").map_groups(
+    pairs = coarse_apply_per_key(
+        hits, ["bucket_key"],
         functools.partial(_simhash_pairs_in_bucket, key_col=key_col,
-                          max_hamming=max_hamming, cap=bucket_cap),
-        batch_format="pandas",
-    )
+                          max_hamming=max_hamming, cap=bucket_cap))
     # same pair may collide in several chunks → keyed dedup, keep the
     # (single, exact) hamming distance
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    return coarse_aggregate(pairs, ["doc_a", "doc_b"], lambda df: df.groupby(
+        ["doc_a", "doc_b"], sort=False)["hamming"].min().reset_index())
 
 
 # ---------------------------------------------------------------------------
@@ -1044,10 +1061,10 @@ def embedding_near_pairs_lsh(embeddings: Dataset, threshold: float = 0.9,
         functools.partial(_keep_keys_in, col="bucket_key", keys_ref=collide_ref),
         batch_format="pyarrow", batch_size=None,
     )
-    cand = hits.groupby("bucket_key").map_groups(
-        functools.partial(_pairs_from_bucket, key_col=key_col, cap=bucket_cap),
-        batch_format="pandas",
-    ).groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands_hit"))
+    cand = coarse_aggregate(
+        _expand_colliding_pairs(hits, "bucket_key", key_col, bucket_cap),
+        ["doc_a", "doc_b"], lambda df: df.groupby(
+            ["doc_a", "doc_b"], sort=False).size().rename("n_bands_hit").reset_index())
     cand = _sanitize_join_output(cand, _pa_schema_of(cand))
 
     # acero hash joins reject list<float> payload columns — ship each

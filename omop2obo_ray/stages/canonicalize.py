@@ -89,9 +89,15 @@ def build_canonical_map(links: Dataset, driver_merge: bool = True) -> dict[tuple
         ["surface", "ontology", "uri", "tier"]
     ).map_batches(_partial_counts, batch_format="pyarrow", batch_size=65536)
     if not driver_merge:
-        partials = partials.groupby(["surface", "ontology", "uri"]).aggregate(
-            Min("tier_rank", alias_name="tier_rank"), Sum("n", alias_name="n")
-        )
+        from omop2obo_ray.functions.shuffle import coarse_aggregate
+
+        # (surface, ontology, uri) cardinality is lexicon-bounded but
+        # can reach 10⁶ in production — coarse aggregate, not the
+        # per-group sort aggregate (functions/shuffle.py)
+        partials = coarse_aggregate(
+            partials, ["surface", "ontology", "uri"],
+            lambda df: df.groupby(["surface", "ontology", "uri"], sort=False)
+            .agg(tier_rank=("tier_rank", "min"), n=("n", "sum")).reset_index())
     best: dict[tuple[str, str], tuple[int, int, str]] = {}
     counts: dict[tuple[str, str, str], tuple[int, int]] = {}
     for b in partials.iter_batches(batch_size=65536, batch_format="pyarrow"):
