@@ -1144,22 +1144,26 @@ def near_dedup_corpus(docs: Dataset, threshold: float = 0.8,
     clusters = (dup_clusters_distributed(verified, key_col=key_col)
                 if distributed_clusters else
                 ray.data.from_pandas(dup_clusters(verified, key_col=key_col)))
-    # drop cluster members that are not the representative (min id)
-    drop: set = set()
-    for b in clusters.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for k, c in zip(b[key_col].to_pylist(), b["cluster_id"].to_pylist()):
-            if k != c:
-                drop.add(k)
-    if not drop:
+    # drop cluster members that are not the representative (min id) via
+    # a cluster-side ANTI-join: at web-scale dup mass the removal set
+    # is a large fraction of the corpus, so a driver-held filter set
+    # would be the exact driver-state anti-pattern the rest of this
+    # pipeline avoids
+    def non_reps(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].combine_chunks()
+        cl = batch["cluster_id"].combine_chunks()
+        import pyarrow.compute as pc
+
+        mask = pc.invert(pc.equal(keys, cl.cast(keys.type)))
+        return pa.table({"_drop_key": keys.filter(mask)})
+
+    drops = clusters.map_batches(non_reps, batch_format="pyarrow",
+                                 batch_size=None).materialize()
+    if drops.count() == 0:
         return docs
-    drop_ref = ray.put(drop)
-
-    def keep(batch: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        mask = pa.array([k not in d for k in batch[key_col].to_pylist()])
-        return batch.filter(mask)
-
-    return docs.map_batches(keep, batch_format="pyarrow", batch_size=None)
+    kept = docs.join(drops, join_type="left_anti", num_partitions=16,
+                     on=(key_col,), right_on=("_drop_key",))
+    return _sanitize_join_output(kept, _pa_schema_of(docs))
 
 
 class FrameSampler:
