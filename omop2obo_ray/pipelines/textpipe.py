@@ -322,23 +322,20 @@ def minhash_candidate_pairs(docs: Dataset, n_hashes: int = 64, n_bands: int = 16
         ["doc_a", "doc_b"], sort=False).size().rename("n_bands_hit").reset_index())
 
 
-class ShingleGatherer:
-    """Actor: filter to candidate docs and compute their exact shingle
-    sets (sorted-unique uint64 arrays, serialized as one binary cell).
-    The candidate-id set is broadcast once; shingling reuses the
-    MinHasher's token-hash cache per actor."""
+class ShingleComputer:
+    """Actor: exact shingle sets (sorted-unique uint64 arrays,
+    serialized as one binary cell per doc) for an already-filtered
+    candidate stream; reuses the MinHasher's token-hash cache per
+    actor."""
 
-    def __init__(self, need_ref, shingle: int, key_col: str, text_col: str):
-        self.need = ray.get(need_ref) if isinstance(need_ref, ray.ObjectRef) else need_ref
+    def __init__(self, shingle: int, key_col: str, text_col: str):
         self.key_col, self.text_col = key_col, text_col
         self.hasher = MinHasher(shingle=shingle, key_col=key_col, text_col=text_col)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mask = pa.array([k in self.need for k in batch[self.key_col].to_pylist()])
-        part = batch.filter(mask)
         sh = [self.hasher.shingles(t or "").tobytes()
-              for t in part[self.text_col].to_pylist()]
-        return pa.table({self.key_col: part[self.key_col],
+              for t in batch[self.text_col].to_pylist()]
+        return pa.table({self.key_col: batch[self.key_col],
                          "shingles": pa.array(sh, pa.large_binary())})
 
 
@@ -346,29 +343,40 @@ def verify_jaccard_pairs(docs: Dataset, pairs: Dataset, threshold: float = 0.8,
                          shingle: int = 3, key_col: str = "doc_id",
                          text_col: str = "text", num_partitions: int = 8) -> Dataset:
     """Verify LSH candidates with exact shingle-set Jaccard — fully
-    distributed: candidate shingle sets are computed in the cluster,
-    attached to the pair stream via two native hash joins (partitioned
-    by doc key), and Jaccard runs inside ``map_batches`` over sorted
-    uint64 arrays (``np.intersect1d``). Web-scale dup mass never
-    touches the driver; only the candidate-ID set (near-dup bounded)
-    is broadcast for the shingle gather."""
+    distributed: the candidate-doc set is selected with a LEFT SEMI
+    join (no driver-held id set at any dup mass), shingle sets are
+    computed in the cluster, attached to the pair stream via two
+    native hash joins (partitioned by doc key), and Jaccard runs
+    inside ``map_batches`` over sorted uint64 arrays
+    (``np.intersect1d``). Web-scale dup mass never touches the
+    driver."""
     pairs = pairs.materialize()  # dup-mass bounded; consumed twice below
     # aggregate outputs can also carry schema-less zero-row blocks —
     # sanitize before feeding the join
     pairs = _sanitize_join_output(pairs, _pa_schema_of(pairs))
-    need = set()
-    for b in pairs.select_columns(["doc_a", "doc_b"]).iter_batches(
-            batch_size=65536, batch_format="pyarrow"):
-        need.update(b["doc_a"].to_pylist())
-        need.update(b["doc_b"].to_pylist())
-    if not need:
+    if pairs.count() == 0:
         return _empty_pairs({"jaccard": pa.array([], pa.float64())})
-    need_ref = ray.put(need)
 
-    shingles = docs.map_batches(
-        ShingleGatherer,
-        fn_constructor_kwargs=dict(need_ref=need_ref, shingle=shingle,
-                                   key_col=key_col, text_col=text_col),
+    # candidate doc ids as a DATASET (cluster-side distinct via the
+    # coarse aggregate); the docs table is then filtered with a
+    # LEFT SEMI join — no driver-held candidate set at any dup mass
+    def both_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"_need_key": pa.concat_arrays(
+            [batch["doc_a"].combine_chunks(), batch["doc_b"].combine_chunks()])})
+
+    cand_ids = coarse_aggregate(
+        pairs.select_columns(["doc_a", "doc_b"]).map_batches(
+            both_ids, batch_format="pyarrow"),
+        ["_need_key"], lambda df: df.drop_duplicates("_need_key"))
+    cand_docs = _sanitize_join_output(
+        docs.join(cand_ids, join_type="left_semi",
+                  num_partitions=num_partitions,
+                  on=(key_col,), right_on=("_need_key",)),
+        _pa_schema_of(docs))
+    shingles = cand_docs.map_batches(
+        ShingleComputer,
+        fn_constructor_kwargs=dict(shingle=shingle, key_col=key_col,
+                                   text_col=text_col),
         batch_format="pyarrow", concurrency=_pool(), num_cpus=1, batch_size=None,
     ).materialize()  # joined twice (doc_a side + doc_b side)
 
