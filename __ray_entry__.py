@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ancestor_closure": R.q_ancestor_closure,        # DAG closure
         "window_tumbling": q_window_tumbling,            # streaming-shaped
         "window_session": R.q_window_session,            # gap sessions
+        "asof_join": R.q_asof_join,                      # temporal most-recent match
         "exact_match_mentions": R.q_exact_match_mentions,  # J6 tier-1
         # training-data ops (SQL-checked)
         "clip_cells": q_clip_cells,        # M10 Excel-width truncation
@@ -372,6 +373,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, session_id, count(*) AS n, "
             "min(ts) AS t_start, max(ts) AS t_end "
             "FROM s GROUP BY user_id, session_id"
+        ),
+        "asof_join": (
+            "WITH o AS (SELECT o_custkey, o_orderdate, "
+            "max(o_orderkey) AS o_orderkey, "
+            "arg_max(o_totalprice, o_orderkey) AS o_totalprice "
+            "FROM orders GROUP BY o_custkey, o_orderdate) "
+            "SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice "
+            "FROM events e ASOF JOIN o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
         ),
         "exact_match_mentions": (
             "WITH pw AS (SELECT DISTINCT word FROM "

@@ -485,3 +485,106 @@ def q_exact_match_mentions(sf_dir: str) -> Dataset:
     return coarse_aggregate(matches, ["doc_id", "word"], lambda df:
                             df.drop_duplicates(["doc_id", "word"])
                             ).select_columns(["doc_id", "word"])
+
+
+# ---------------------------------------------------------------------------
+# §2.9 extension — distributed AS-OF join (temporal most-recent match)
+# ---------------------------------------------------------------------------
+
+def asof_join(left: Dataset, right: Dataset, key_left: str, key_right: str,
+              ts_left: str, ts_right: str,
+              right_cols: list[str]) -> Dataset:
+    """AS-OF join: for each left row, attach the right row with the
+    LARGEST ``ts_right ≤ ts_left`` for the same key (inner semantics —
+    left rows with no earlier right row are dropped). Ray Data has no
+    native as-of join, so this composes one from primitives:
+
+      - both sides are tagged into a UNIFIED schema and hash-bucketed
+        by key (one coarse exchange — the documented partitioning
+        assumption: a key's rows all meet in one group);
+      - inside each coarse group, pandas ``merge_asof(by=key)`` does
+        the per-key temporal match fully vectorized.
+
+    Determinism: callers must ensure ``(key_right, ts_right)`` is
+    unique on the right side (pre-aggregate ties first) — pandas and
+    SQL engines break exact-timestamp ties differently."""
+    import numpy as np
+
+    def _types(ds: Dataset) -> dict[str, pa.DataType]:
+        sch = ds.schema()
+        out = {}
+        for n, t in zip(sch.names, sch.types):
+            out[n] = t if isinstance(t, pa.DataType) else pa.int64()
+        return out
+
+    l_types, r_types = _types(left), _types(right)
+    lcols = [c for c in l_types if c not in (key_left, ts_left)]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {"_key": batch[key_left], "_ts": batch[ts_left],
+                "_side": pa.array(np.zeros(batch.num_rows, dtype=np.int8))}
+        for c in lcols:
+            cols[c] = batch[c]
+        for c in right_cols:
+            cols[c] = pa.nulls(batch.num_rows, r_types[c])
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols = {"_key": batch[key_right], "_ts": batch[ts_right],
+                "_side": pa.array(np.ones(batch.num_rows, dtype=np.int8))}
+        for c in lcols:
+            cols[c] = pa.nulls(batch.num_rows, l_types[c])
+        for c in right_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(tag_right, batch_format="pyarrow", batch_size=None)
+    both = lt.union(rt)
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0].sort_values("_ts", kind="mergesort")
+        r = df[df["_side"] == 1].sort_values("_ts", kind="mergesort")
+        empty = pd.DataFrame({c: pd.Series(dtype=df[c].dtype)
+                              for c in ["_key", "_ts", *lcols, *right_cols]})
+        if l.empty or r.empty:
+            return empty
+        out = pd.merge_asof(
+            l[["_key", "_ts", *lcols]], r[["_key", "_ts", *right_cols]],
+            on="_ts", by="_key", direction="backward")
+        out = out.dropna(subset=[right_cols[0]])  # inner semantics
+        return out[["_key", "_ts", *lcols, *right_cols]]
+
+    return coarse_aggregate(both, ["_key"], per_group)
+
+
+def q_asof_join(sf_dir: str) -> Dataset:
+    """events ASOF orders: each event joined to the user's most recent
+    order at event time. Exact-date order ties are pre-aggregated to a
+    deterministic representative (max orderkey) so the DuckDB ASOF
+    oracle and pandas merge_asof agree."""
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+    dedup = coarse_aggregate(
+        orders, ["o_custkey", "o_orderdate"],
+        lambda df: df.sort_values("o_orderkey").groupby(
+            ["o_custkey", "o_orderdate"], sort=False).last().reset_index())
+
+    out = asof_join(events, dedup, key_left="user_id", key_right="o_custkey",
+                    ts_left="ts", ts_right="o_orderdate",
+                    right_cols=["o_orderkey", "o_totalprice"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # the unified tag schema carries nulls for the other side, so
+        # int columns surface as float64 after the pandas asof — cast back
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": batch["_key"],
+            "ts": batch["_ts"],
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "o_totalprice": batch["o_totalprice"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -155,3 +155,32 @@ class TestHtml:
 
     def test_empty(self):
         assert extract_text(b"") == ""
+
+
+def test_asof_join_semantics(ray_session):
+    """Distributed as-of join: latest right row at-or-before each left
+    ts per key; left rows with no earlier right row are dropped."""
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.relational import asof_join
+
+    left = rd.from_pandas(pd.DataFrame({
+        "k": [1, 1, 1, 2, 3],
+        "t": pd.to_datetime(["2024-01-05", "2024-01-10", "2024-01-01",
+                             "2024-01-07", "2024-01-07"]),
+        "lv": [10, 11, 12, 20, 30],
+    }))
+    right = rd.from_pandas(pd.DataFrame({
+        "rk": [1, 1, 2],
+        "rt": pd.to_datetime(["2024-01-04", "2024-01-08", "2024-01-07"]),
+        "rv": [100, 200, 300],
+    }))
+    out = asof_join(left, right, key_left="k", key_right="rk",
+                    ts_left="t", ts_right="rt", right_cols=["rv"]).to_pandas()
+    got = {(r["_key"], r["lv"]): r["rv"] for _, r in out.iterrows()}
+    assert got == {
+        (1, 10): 100,   # 01-05 → latest ≤ is 01-04
+        (1, 11): 200,   # 01-10 → 01-08
+        (2, 20): 300,   # exact-date match is inclusive
+    }  # (1,12) has no earlier right row; key 3 has no right rows at all
