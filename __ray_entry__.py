@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": q_window_tumbling,            # streaming-shaped
         "window_session": R.q_window_session,            # gap sessions
         "asof_join": R.q_asof_join,                      # temporal most-recent match
+        "range_join": R.q_range_join,                    # keyed interval join
         "exact_match_mentions": R.q_exact_match_mentions,  # J6 tier-1
         # training-data ops (SQL-checked)
         "clip_cells": q_clip_cells,        # M10 Excel-width truncation
@@ -382,6 +383,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice "
             "FROM events e ASOF JOIN o "
             "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+        ),
+        "range_join": (
+            "SELECT e1.event_id, e2.event_id AS prior_event_id "
+            "FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id "
+            "AND e2.ts < e1.ts AND e2.ts >= e1.ts - INTERVAL 1 HOUR"
         ),
         "exact_match_mentions": (
             "WITH pw AS (SELECT DISTINCT word FROM "

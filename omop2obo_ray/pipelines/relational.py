@@ -588,3 +588,33 @@ def q_asof_join(sf_dir: str) -> Dataset:
         })
 
     return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def q_range_join(sf_dir: str) -> Dataset:
+    """Keyed RANGE join (self): for every event, the user's STRICTLY
+    EARLIER events within the preceding hour — an equi-key hash join
+    with a vectorized interval filter (the standard decomposition for
+    keyed range joins; keyless ranges would bucket by range instead,
+    same coarse pattern as asof_join)."""
+    cols = ["event_id", "user_id", "ts"]
+    left = _read(sf_dir, "events", cols)
+    right = _read(sf_dir, "events", cols).map_batches(
+        lambda b: pa.table({"r_user": b["user_id"], "r_event": b["event_id"],
+                            "r_ts": b["ts"]}),
+        batch_format="pyarrow", batch_size=None)
+    joined = left.join(right, join_type="inner", num_partitions=8,
+                       on=("user_id",), right_on=("r_user",))
+
+    def in_range(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "prior_event_id": pa.array([], pa.int64())})
+        ts = batch["ts"].cast(pa.timestamp("us"))
+        rts = batch["r_ts"].cast(pa.timestamp("us"))
+        lo = pc.subtract(ts, pa.scalar(3600 * 1_000_000, pa.duration("us")))
+        mask = pc.and_(pc.less(rts, ts), pc.greater_equal(rts, lo))
+        out = batch.filter(mask)
+        return pa.table({"event_id": out["event_id"],
+                         "prior_event_id": out["r_event"]})
+
+    return joined.map_batches(in_range, batch_format="pyarrow", batch_size=None)
