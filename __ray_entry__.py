@@ -66,7 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from omop2obo_ray.pipelines.textpipe import analyze_text
 
         docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
-        return analyze_text(docs).select_columns(["doc_id", "n_tokens_ws", "stop_ratio"])
+        return analyze_text(docs).select_columns(
+            ["doc_id", "n_tokens_ws", "n_tokens_bpe", "stop_ratio"])
 
     def q_md5_fingerprint(sf):
         import hashlib
@@ -402,6 +403,9 @@ def oracle_sql() -> dict[str, str]:
             # denominator — byte-identical to TextAnalyzer on any input
             "SELECT doc_id, "
             "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens_ws, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[a-zA-Z0-9_]+|[^a-zA-Z0-9_ \\t\\r\\n\\f\\v]')) AS BIGINT) "
+            "AS n_tokens_bpe, "
             f"round(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'), "
             f"x -> x IN {stop_list})) "
             "/ greatest(len(regexp_extract_all(lower(text), '[a-z0-9_]+')), 1), 6) "

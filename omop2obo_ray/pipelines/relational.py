@@ -398,9 +398,13 @@ def q_window_tumbling(sf_dir: str) -> Dataset:
             {"event_type": batch["event_type"], "hour": hour, "value": batch["value"]}
         )
 
-    return ds.map_batches(windowed, batch_format="pyarrow").groupby(
-        ["event_type", "hour"]
-    ).aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    # window-key cardinality grows with the time range (types × hours)
+    # → coarse aggregate (functions/shuffle.py)
+    return coarse_aggregate(
+        ds.map_batches(windowed, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        lambda df: df.groupby(["event_type", "hour"], sort=False)
+        .agg(n=("value", "size"), sum_value=("value", "sum")).reset_index())
 
 
 def q_top_tokens(sf_dir: str) -> pd.DataFrame:

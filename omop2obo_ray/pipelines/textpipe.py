@@ -847,8 +847,10 @@ class TextAnalyzer:
         # oracle (`regexp_extract_all(lower(text), '[a-z0-9_]+')`) is
         # byte-identical on ANY input, not just punctuation-free ASCII
         self.word_re = re.compile(r"[a-z0-9_]+")
-        # BPE-ish segmentation: words, numbers, or single non-space symbols
-        self.bpe_re = re.compile(r"\w+|[^\w\s]")
+        # BPE-ish segmentation: words, numbers, or single non-space
+        # symbols — explicit ASCII classes so the DuckDB RE2 oracle
+        # tokenizes byte-identically on any input
+        self.bpe_re = re.compile(r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_ \t\r\n\f\v]")
 
     def lang_of(self, text: str) -> str:
         tl = text.lower()
