@@ -15,7 +15,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data import Dataset
-from ray.data.aggregate import Count, Mean, Min, Sum
+from ray.data.aggregate import Count, Mean, Sum
 
 from omop2obo_ray.functions.shuffle import coarse_aggregate, coarse_apply_per_key
 

@@ -16,7 +16,6 @@ import pandas as pd
 import pyarrow as pa
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count, Min
 
 from omop2obo_ray.functions.hashing import hash64_array, stable_hash64
 from omop2obo_ray.functions.shuffle import coarse_aggregate, coarse_apply_per_key

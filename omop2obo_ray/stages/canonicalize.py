@@ -27,9 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-import ray
 from ray.data import Dataset
-from ray.data.aggregate import Min, Sum
 
 from omop2obo_ray.functions.hashing import bucket_of, hash64_array
 
