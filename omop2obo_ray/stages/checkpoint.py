@@ -10,16 +10,23 @@ per-category lineage counters, so a re-run reads the manifest and
 recomputes only missing buckets — never one giant file, always
 per-partition skippability (SURVEY §4 checkpoint row).
 
-Scale shape: pending buckets are filtered vectorized, then ONE keyed
-exchange (``groupby(subject_bucket)``) routes each bucket to a task
-that sorts it by subject hash, writes its parquet file, publishes the
-directory atomically, and returns a one-row manifest entry. The driver
-only ever sees the entry stream (n_buckets rows) — never the triples —
-and saves the manifest incrementally per entry, so a kill mid-run
-loses at most unpublished buckets (orphan dirs are overwritten on
-resume). Per-bucket memory = one bucket's triples: size ``n_buckets``
-so that fits a worker heap. On a multi-node cluster ``out_dir`` must
-be shared storage (the write tasks run on arbitrary nodes).
+Scale shape — a DISK-MEDIATED two-phase shuffle (Ray's sort-based
+groupby exchange measured 56 s just to route 4.6 M string-heavy triple
+rows; spilling slices streams at disk speed):
+
+  1. a streaming actor stage appends each batch's rows to per-bucket
+     slice files under ``out_dir/_stage`` (no Ray exchange touches the
+     payload; only a tiny (bucket, rows) stream reaches the driver);
+  2. one merge task per pending bucket concatenates its slices, sorts
+     by subject hash, publishes ``subject_bucket=B/part-0.parquet``
+     atomically and returns the manifest entry; the driver saves the
+     manifest after every completed bucket (kill-safe — orphan dirs
+     and stale slices are recomputed/cleared on resume).
+
+Per-bucket memory = one bucket's triples: size ``n_buckets`` so that
+fits a worker heap. On a multi-node cluster ``out_dir`` (including
+``_stage``) must be shared storage — the spill and merge tasks run on
+arbitrary nodes.
 """
 
 from __future__ import annotations
@@ -86,12 +93,55 @@ def _content_hash64(table: pa.Table) -> int:
     return int(np.bitwise_xor.reduce(h))
 
 
-def _write_bucket_group(group: pa.Table, out_dir: str) -> pa.Table:
-    """map_groups body: one complete subject bucket in, one manifest
-    entry row out. Sorts by subject hash (hash-ascending file), writes
-    atomically (tmp dir + rename), publishes the bucket directory."""
-    b = int(group["subject_bucket"][0].as_py())
-    part = group.sort_by("subject_hash")
+class _SliceSpiller:
+    """Actor: phase-1 of the disk-mediated bucket shuffle. Each actor
+    appends its batches' rows to per-bucket slice files under
+    ``_stage/`` — no Ray exchange touches the triple payload (a Ray
+    sort-based groupby over the string-heavy triples measured 56 s for
+    4.6 M rows; writing slices streams at disk speed)."""
+
+    def __init__(self, out_dir: str, todo: list[int]):
+        self.stage = os.path.join(out_dir, "_stage")
+        self.todo = np.asarray(sorted(todo), dtype=np.int64)
+        self.seq = 0
+        os.makedirs(self.stage, exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = batch["subject_bucket"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        batch = batch.filter(pa.array(np.isin(vals, self.todo)))
+        if batch.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "rows": pa.array([], pa.int64())})
+        buckets, rows = [], []
+        vals = batch["subject_bucket"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        for b in np.unique(vals):
+            part = batch.filter(pa.array(vals == b))
+            self.seq += 1
+            path = os.path.join(
+                self.stage, f"{int(b)}-{os.getpid()}-{self.seq}.parquet")
+            pq.write_table(part, path)
+            buckets.append(int(b))
+            rows.append(part.num_rows)
+        return pa.table({"bucket": pa.array(buckets, pa.int32()),
+                         "rows": pa.array(rows, pa.int64())})
+
+
+def _finalize_bucket(b: int, out_dir: str) -> dict:
+    """Phase-2 task: merge one bucket's slices, sort by subject hash,
+    publish ``subject_bucket=B/part-0.parquet`` atomically, return the
+    manifest entry. Memory = one bucket's triples."""
+    stage = os.path.join(out_dir, "_stage")
+    prefix = f"{b}-"
+    slices = sorted(f for f in os.listdir(stage)
+                    if f.startswith(prefix) and f.endswith(".parquet"))
+    if slices:
+        part = pa.concat_tables(
+            [pq.read_table(os.path.join(stage, f)) for f in slices],
+            promote_options="default").sort_by("subject_hash")
+    else:
+        part = _TRIPLE_SCHEMA.empty_table()
     tmp = os.path.join(out_dir, f"subject_bucket={b}.tmp")
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
@@ -102,13 +152,14 @@ def _write_bucket_group(group: pa.Table, out_dir: str) -> pa.Table:
         shutil.rmtree(bucket_dir)
     os.replace(tmp, bucket_dir)
     preds = {e["values"]: e["counts"]
-             for e in pc.value_counts(part["pred"].cast(pa.string())).to_pylist()}
-    return pa.table({
-        "bucket": pa.array([b], pa.int32()),
-        "rows": pa.array([part.num_rows], pa.int64()),
-        "content_hash": pa.array([f"{_content_hash64(part):016x}"], pa.string()),
-        "preds_json": pa.array([json.dumps(preds, sort_keys=True)], pa.string()),
-    })
+             for e in pc.value_counts(part["pred"].cast(pa.string())).to_pylist()} \
+        if part.num_rows else {}
+    return {
+        "bucket": int(b),
+        "rows": part.num_rows,
+        "content_hash": f"{_content_hash64(part):016x}" if part.num_rows else "0" * 16,
+        "preds_json": json.dumps(preds, sort_keys=True),
+    }
 
 
 def write_triples_resumable(
@@ -122,10 +173,11 @@ def write_triples_resumable(
     subject hash within each partition); skip buckets the manifest
     already records (resume-after-failure). Returns the manifest.
 
-    Fully distributed: no global sort, no driver pass over the triples.
-    See the module docstring for the scale shape.
+    Fully distributed: no global sort, no Ray exchange over the triple
+    payload, no driver pass over the triples. See the module docstring
+    for the scale shape.
     """
-    import functools
+    import ray as _ray
 
     os.makedirs(out_dir, exist_ok=True)
     manifest = load_manifest(out_dir)
@@ -137,62 +189,41 @@ def write_triples_resumable(
     if not todo:
         _save_manifest(out_dir, manifest)
         return manifest
-    todo_arr = np.asarray(sorted(todo), dtype=np.int64)
 
-    def keep_todo(batch: pa.Table) -> pa.Table:
-        vals = batch["subject_bucket"].combine_chunks().to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        return batch.filter(pa.array(np.isin(vals, todo_arr)))
+    # stale slices from a previous crashed run would double-count —
+    # pending buckets are recomputed from scratch, so clear the stage
+    stage = os.path.join(out_dir, "_stage")
+    if os.path.exists(stage):
+        shutil.rmtree(stage)
+    os.makedirs(stage, exist_ok=True)
 
-    pending = triples.map_batches(keep_todo, batch_format="pyarrow",
-                                  batch_size=None)
-    entries = pending.groupby("subject_bucket").map_groups(
-        functools.partial(_write_bucket_group, out_dir=out_dir),
-        batch_format="pyarrow",
+    # ---- phase 1: spill per-bucket slices (streaming, no exchange) ----
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    spilled = triples.map_batches(
+        _SliceSpiller,
+        fn_constructor_kwargs=dict(out_dir=out_dir, todo=todo),
+        batch_format="pyarrow", batch_size=None,
+        concurrency=(1, max(4, cpus)), num_cpus=1,
     )
+    # drive phase 1 to completion (tiny (bucket, rows) stream)
+    for _ in spilled.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        pass
 
-    # stream the (n_buckets-row) entry stream; save the manifest after
-    # EVERY entry → kill-safe resume at bucket granularity
-    seen: set[int] = set()
-    for batch in entries.iter_batches(batch_size=256, batch_format="pyarrow"):
-        for b, rows, chash, preds_json in zip(
-            batch["bucket"].to_pylist(), batch["rows"].to_pylist(),
-            batch["content_hash"].to_pylist(), batch["preds_json"].to_pylist(),
-        ):
-            seen.add(int(b))
-            manifest["partitions"][str(b)] = {
-                "rows": int(rows),
-                "content_hash": chash if rows else "0" * 16,
-                "preds": json.loads(preds_json),
-            }
-            _save_manifest(out_dir, manifest)
-
-    # buckets with zero rows produce no group — record them with an
-    # empty (schema-matching) file so resume treats them as complete
-    missing = [b for b in todo if b not in seen]
-    if missing:
-        schema = None
-        for b in seen:
-            path = os.path.join(out_dir, f"subject_bucket={b}", "part-0.parquet")
-            if os.path.exists(path):
-                schema = pq.read_schema(path)
-                break
-        schema = schema or _TRIPLE_SCHEMA
-        for b in missing:
-            tmp = os.path.join(out_dir, f"subject_bucket={b}.tmp")
-            if os.path.exists(tmp):
-                shutil.rmtree(tmp)
-            os.makedirs(tmp, exist_ok=True)
-            pq.write_table(schema.empty_table(),
-                           os.path.join(tmp, "part-0.parquet"))
-            bucket_dir = os.path.join(out_dir, f"subject_bucket={b}")
-            if os.path.exists(bucket_dir):
-                shutil.rmtree(bucket_dir)
-            os.replace(tmp, bucket_dir)
-            manifest["partitions"][str(b)] = {
-                "rows": 0, "content_hash": "0" * 16, "preds": {},
-            }
-            _save_manifest(out_dir, manifest)
+    # ---- phase 2: one merge/publish task per pending bucket ----
+    finalize = _ray.remote(num_cpus=1)(_finalize_bucket)
+    refs = {finalize.remote(b, out_dir): b for b in todo}
+    pending_refs = list(refs)
+    # save the manifest after EVERY completed bucket → kill-safe resume
+    while pending_refs:
+        ready, pending_refs = _ray.wait(pending_refs, num_returns=1)
+        e = _ray.get(ready[0])
+        manifest["partitions"][str(e["bucket"])] = {
+            "rows": int(e["rows"]),
+            "content_hash": e["content_hash"],
+            "preds": json.loads(e["preds_json"]),
+        }
+        _save_manifest(out_dir, manifest)
+    shutil.rmtree(stage, ignore_errors=True)
     return manifest
 
 
