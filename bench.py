@@ -99,25 +99,41 @@ def run_bench() -> dict:
     # BENCH_MODE=corpus routes the headline through the corpus-weighted
     # canonicalization (links materialize + partial-agg shuffle) — the
     # wide-shuffle path gets its own tracked number; BENCH_MODE=bucketed
-    # forces the hash-exchange assembly fallback
+    # forces the hash-exchange assembly fallback; BENCH_MODE=sink
+    # consumes through the RESUMABLE manifest sink (north_rule layout)
+    # instead of the plain partitioned parquet write
     mode = os.environ.get("BENCH_MODE", "default")
     overrides = {"corpus": {"canonical_mode": "corpus"},
                  "bucketed": {"assume_unique_urls": False}}.get(mode)
 
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    # consume through the real sink: parallel partitioned parquet write
-    # (driver-side iter_batches of millions of triples would serialize
-    # the tail of the pipeline through one process)
-    kg_over_documents(SF_DIR, lexicon=lexicon, repeat=REPEAT,
-                      cfg_overrides=overrides).write_parquet(out_dir)
-    headline = round(time.perf_counter() - t0, 3)
+    if mode == "sink":
+        from omop2obo_ray.pipelines.flagship import documents_as_pages
+        from omop2obo_ray.pipelines.kg import run_kg_to_dir
+        from omop2obo_ray.config import DEFAULT_CONFIG
+
+        cfg = DEFAULT_CONFIG.with_(
+            languages=("en", "de", "es", "fr", "zh", ""),
+            sim_max_candidates_per_page=2,
+            link_batch_size=max(8, 256 // max(1, REPEAT)))
+        manifest = run_kg_to_dir(
+            documents_as_pages(SF_DIR, repeat=REPEAT), lexicon, out_dir, cfg)
+        headline = round(time.perf_counter() - t0, 3)
+        n_triples = sum(p["rows"] for p in manifest["partitions"].values())
+    else:
+        # consume through a real sink: parallel partitioned parquet
+        # write (driver-side iter_batches of millions of triples would
+        # serialize the tail of the pipeline through one process)
+        kg_over_documents(SF_DIR, lexicon=lexicon, repeat=REPEAT,
+                          cfg_overrides=overrides).write_parquet(out_dir)
+        headline = round(time.perf_counter() - t0, 3)
+        n_triples = sum(
+            pq.read_metadata(os.path.join(out_dir, f)).num_rows
+            for f in os.listdir(out_dir) if f.endswith(".parquet")
+        )
     timings["kg_pipeline"] = headline
     n_docs *= REPEAT
-    n_triples = sum(
-        pq.read_metadata(os.path.join(out_dir, f)).num_rows
-        for f in os.listdir(out_dir) if f.endswith(".parquet")
-    )
     shutil.rmtree(out_dir, ignore_errors=True)
 
     result = {
