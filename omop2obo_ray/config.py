@@ -69,6 +69,12 @@ class PipelineConfig:
     # non-frequency-weighted consolidation); 'corpus' additionally
     # weights by corpus support counts via the partial-agg shuffle
     canonical_mode: str = "lexicon"
+    # corpus mode: when set, the link stream is checkpointed to this
+    # parquet directory instead of materialized in the object store —
+    # both consumers (canonical-map build + assembly) then read from
+    # disk, and a resumed run can reuse the checkpoint across driver
+    # restarts (multi-node: must be shared storage)
+    links_checkpoint_dir: str | None = None
     # score tier-3 candidates inside the linker actor (one operator
     # boundary less); False runs the standalone ScorerActor stage
     fuse_scorer: bool = True

@@ -127,14 +127,29 @@ def links_to_triples(links: Dataset, lexicon: Lexicon,
             # scan does not re-execute; links are far smaller than pages
             # and spill to disk under object-store pressure. At 100 TB,
             # swap for a parquet checkpoint of the links stage.
-            links = links.materialize()
+            if cfg.links_checkpoint_dir:
+                # parquet checkpoint: survives driver restarts and
+                # keeps the link stream out of the object store
+                import os
+
+                import ray.data as _rd
+
+                ckpt = cfg.links_checkpoint_dir
+                if not (os.path.isdir(ckpt) and any(
+                        f.endswith(".parquet") for f in os.listdir(ckpt))):
+                    links.write_parquet(ckpt)
+                links = _rd.read_parquet(ckpt)
+                n_chunks = sum(f.endswith(".parquet")
+                               for f in os.listdir(ckpt))
+            else:
+                links = links.materialize()
+                n_chunks = links.num_blocks()
             # driver-merge streams one batch per BLOCK through the
             # driver (~0.7 ms each): fine for hundreds of blocks, a
             # serial ~70 s wall for ~10⁵ small blocks. Above a block-
             # count threshold, run the merge as a distributed groupby
             # and only collect the (lexicon-bounded) aggregate.
-            canon = build_canonical_map(
-                links, driver_merge=links.num_blocks() < 2048)
+            canon = build_canonical_map(links, driver_merge=n_chunks < 2048)
         labels = lexicon.labels
         links = links.map_batches(
             functools.partial(apply_canonical_map, canon=canon, labels=labels),
@@ -152,7 +167,14 @@ def links_to_triples(links: Dataset, lexicon: Lexicon,
     assemble = functools.partial(
         assemble_bucket, ontologies=lexicon.ontologies, threshold=cfg.sim_threshold
     )
-    if cfg.assume_unique_urls:
+    # a parquet links checkpoint does NOT preserve page-aligned block
+    # boundaries (read_parquet splits at row-group offsets), so the
+    # shuffle-free page-local assembly contract no longer holds —
+    # route through the bucketed exchange in that case
+    page_local = cfg.assume_unique_urls and not (
+        canonicalize and cfg.canonical_mode != "lexicon"
+        and cfg.links_checkpoint_dir)
+    if page_local:
         triples = links.map_batches(assemble, batch_format="pandas", batch_size=None)
     else:
         # co-locate each url's links via a bucket-keyed groupby (works

@@ -74,3 +74,33 @@ def test_duplicate_url_input_with_dedup_combiner(
     got_s = got[key].sort_values(key).reset_index(drop=True)
     want_s = engine_triples[key].sort_values(key).reset_index(drop=True)
     assert got_s.equals(want_s)
+
+
+def test_corpus_mode_links_checkpoint(ray_session, fixture_dir, lexicon,
+                                      engine_triples, tmp_path):
+    """Corpus canonicalization with a parquet links checkpoint produces
+    identical triples, and a second run REUSES the checkpoint."""
+    import os
+
+    import ray.data as rd
+
+    from omop2obo_ray.config import DEFAULT_CONFIG
+    from omop2obo_ray.pipelines.kg import build_kg
+
+    ckpt = str(tmp_path / "links_ckpt")
+    cfg = DEFAULT_CONFIG.with_(canonical_mode="corpus",
+                               links_checkpoint_dir=ckpt)
+    pages = rd.read_parquet(os.path.join(fixture_dir, "pages.parquet"))
+    got = build_kg(pages, lexicon, cfg).to_pandas()
+    key = ["subj", "pred", "obj", "ontology", "evidence"]
+    want = engine_triples
+    assert got[key].sort_values(key).reset_index(drop=True).equals(
+        want[key].sort_values(key).reset_index(drop=True))
+    files = {f for f in os.listdir(ckpt) if f.endswith(".parquet")}
+    assert files, "checkpoint must contain parquet files"
+    stamps = {f: os.path.getmtime(os.path.join(ckpt, f)) for f in files}
+    got2 = build_kg(pages, lexicon, cfg).to_pandas()
+    assert got2[key].sort_values(key).reset_index(drop=True).equals(
+        want[key].sort_values(key).reset_index(drop=True))
+    for f in files:  # second run read, not rewrote, the checkpoint
+        assert os.path.getmtime(os.path.join(ckpt, f)) == stamps[f]
