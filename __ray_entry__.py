@@ -100,6 +100,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = brute_force_topk(emb, [(0, list(q0["embedding"]))], k=10)
         return out[["vec_id", "cos"]]
 
+    # ---- corpus-curation operators (curate.py) ----
+    def q_pii_redact(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import pii_redact
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return pii_redact(docs)
+
+    def q_repetition_stats(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import repetition_stats
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return repetition_stats(docs)
+
+    def q_quality_filter(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import quality_filter
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return quality_filter(docs)
+
+    def q_hash_sample(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import hash_sample
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return hash_sample(docs)
+
+    def q_group_quantiles(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import group_quantiles
+
+        li = rd.read_parquet(
+            f"{sf}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"])
+        return group_quantiles(li, "l_returnflag", "l_extendedprice")
+
+    def q_source_stats(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import source_stats
+
+        docs = rd.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text", "source"])
+        return source_stats(docs)
+
+    def q_normalize_text(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import normalize_text
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return normalize_text(docs)
+
     # ---- rows-only (non-SQL-expressible) ----
     def q_kg_triples(sf):
         from omop2obo_ray.pipelines.flagship import kg_over_documents
@@ -255,6 +314,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_match_mentions": R.q_exact_match_mentions,  # J6 tier-1
         # training-data ops (SQL-checked)
         "clip_cells": q_clip_cells,        # M10 Excel-width truncation
+        # corpus-curation family (SQL-checked; RE2 semantics shared with
+        # the oracle so the checks are data-independent)
+        "pii_redact": q_pii_redact,
+        "repetition_stats": q_repetition_stats,
+        "quality_filter": q_quality_filter,
+        "hash_sample": q_hash_sample,
+        "group_quantiles": q_group_quantiles,
+        "source_stats": q_source_stats,
+        "normalize_text": q_normalize_text,
         "token_stats": q_token_stats,
         "md5_fingerprint": q_md5_fingerprint,
         "embedding_topk": q_embedding_topk,
@@ -281,6 +349,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     stop_list = "('the','a','of','and','to','in','is','it','for','on')"
+    # shared by repetition_stats and quality_filter: lowercase word-token
+    # counts per document (token-less docs drop, as in the engine).
+    _REPETITION_SQL = (
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok "
+        "FROM documents), "
+        "tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2) "
+        "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+        "CAST(count(*) AS BIGINT) AS distinct_tokens, "
+        "round(max(c)::DOUBLE / sum(c), 6) AS top_token_ratio, "
+        "round(sum(c * len(tok))::DOUBLE / sum(c), 6) AS mean_token_len "
+        "FROM tc GROUP BY doc_id"
+    )
     return {
         "normalize_codes": (
             "SELECT p_partkey, 'brand:' || lower(split_part(p_brand, '#', 2)) AS norm_code "
@@ -412,6 +493,40 @@ def oracle_sql() -> dict[str, str]:
             "AS stop_ratio FROM documents"
         ),
         "md5_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        # corpus-curation family. All regexes are RE2 (Arrow compute and
+        # DuckDB share the engine), so engine/oracle agree on ANY input.
+        "pii_redact": (
+            "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,"
+            "'[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}','<EMAIL>','g'),"
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b','<IP>','g'),"
+            "'\\+?\\d[\\d\\- ]{7,}\\d','<PHONE>','g') AS text FROM documents"
+        ),
+        "repetition_stats": _REPETITION_SQL,
+        "quality_filter": (
+            f"SELECT * FROM ({_REPETITION_SQL}) WHERE n_tokens >= 8 "
+            "AND top_token_ratio <= 0.2 "
+            "AND distinct_tokens::DOUBLE / greatest(n_tokens, 1) >= 0.3 "
+            "AND mean_token_len BETWEEN 2.0 AND 12.0"
+        ),
+        "hash_sample": (
+            "SELECT doc_id, text FROM documents WHERE "
+            "(((doc_id % 2147483648) * 2654435761 + 17) % 4294967296) % 100 < 30"
+        ),
+        "group_quantiles": (
+            "SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) "
+            "AS q50, round(quantile_cont(l_extendedprice, 0.95), 4) AS q95 "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "source_stats": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(count(DISTINCT text) AS BIGINT) AS distinct_texts, "
+            "round(sum(length(text))::DOUBLE / count(*), 4) AS avg_chars "
+            "FROM documents GROUP BY source"
+        ),
+        "normalize_text": (
+            "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) "
+            "AS text FROM documents"
+        ),
         "clip_cells": "SELECT doc_id, left(text, 100) AS text FROM documents",
         "embedding_near_pairs": (
             "SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, "

@@ -1,0 +1,279 @@
+"""Corpus-curation operators for a web-scale training-data pipeline:
+PII redaction, repetition/quality metrics (Gopher-style), deterministic
+hash sampling, per-group exact quantiles, per-source corpus statistics
+and text normalization.
+
+Design rules (same as the rest of the engine):
+
+- Every per-document kernel is a vectorized ``map_batches`` body over
+  Arrow batches — string kernels are ``pyarrow.compute`` (RE2-backed,
+  so semantics are *identical* to DuckDB's RE2 ``regexp_*`` functions:
+  the SQL oracles are data-independent, not fixture-coincidences).
+- No driver-side materialization: filters/metrics stream; the only
+  aggregations are bounded-key (sources, return flags) or per-batch.
+- Reference parity: the reference has no corpus-curation stage (it is a
+  clinical-concept mapper); these operators extend the engine for the
+  LLM-training-data use case the 100 TB deployment targets, reusing the
+  same text_preprocessor conventions (string_similarity.py:141 md5 keys,
+  lowercase word tokens) where they overlap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# RE2-safe patterns (no lookaround/backrefs) shared verbatim with the
+# DuckDB oracle. Order matters: emails first (their local part can look
+# like a phone run), then IPv4 (dotted digits would otherwise be eaten
+# by the phone rule), then phone-ish digit runs.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def _pii_batch(batch: pa.Table) -> pa.Table:
+    text = batch["text"]
+    for pattern, token in PII_PATTERNS:
+        text = pc.replace_substring_regex(text, pattern=pattern,
+                                          replacement=token)
+    return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+
+def pii_redact(docs: Dataset) -> Dataset:
+    """Replace emails / IPv4s / phone-number runs with typed tokens.
+
+    Pure streaming projection: one RE2 pass per pattern inside each
+    block, zero shuffles, zero driver state — at 100 TB this is
+    embarrassingly parallel and bound by string throughput.
+    """
+    return docs.map_batches(_pii_batch, batch_format="pyarrow",
+                            batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Repetition / quality metrics (Gopher-style)
+# ---------------------------------------------------------------------------
+
+_TOKEN_SPLIT = "[^a-z0-9_]+"   # complement of the engine's word tokens
+
+
+def _repetition_batch(batch: pa.Table) -> pa.Table:
+    """Per-document token statistics, fully vectorized.
+
+    Tokens are lowercase ``[a-z0-9_]+`` runs (the engine's word-token
+    convention, shared with TextAnalyzer.stop_ratio). Flattens the
+    token lists once, then computes every metric with numpy
+    bincount/pandas C-groupbys — no Python loop over documents.
+    """
+    lower = pc.utf8_lower(batch["text"])
+    toks = pc.split_pattern_regex(lower, pattern=_TOKEN_SPLIT)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n_docs = len(batch)
+    flat = toks.flatten()
+    counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+    parent = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = lens > 0                      # split() yields '' at edges
+    parent, lens = parent[keep], lens[keep]
+    flat = flat.filter(pa.array(keep))
+
+    n_tokens = np.bincount(parent, minlength=n_docs).astype(np.int64)
+    sum_len = np.bincount(parent, weights=lens, minlength=n_docs).astype(np.int64)
+
+    # distinct + modal counts: group on (doc, token) — pandas C-groupby
+    # over the flat token column (no per-doc Python).
+    df = pd.DataFrame({
+        "p": parent,
+        "t": flat.to_pandas(),
+    })
+    per_tok = df.groupby(["p", "t"], sort=False).size()
+    by_doc = per_tok.groupby(level=0)
+    distinct = np.zeros(n_docs, dtype=np.int64)
+    top = np.zeros(n_docs, dtype=np.int64)
+    idx = by_doc.size().index.to_numpy()
+    distinct[idx] = by_doc.size().to_numpy()
+    top[idx] = by_doc.max().to_numpy()
+
+    mask = n_tokens > 0                  # SQL unnest drops token-less docs
+    nt = n_tokens[mask]
+    doc_id = batch["doc_id"]
+    if isinstance(doc_id, pa.ChunkedArray):
+        doc_id = doc_id.combine_chunks()
+    return pa.table({
+        "doc_id": doc_id.filter(pa.array(mask)),
+        "n_tokens": pa.array(nt),
+        "distinct_tokens": pa.array(distinct[mask]),
+        "top_token_ratio": pa.array(np.round(top[mask] / nt, 6)),
+        "mean_token_len": pa.array(np.round(sum_len[mask] / nt, 6)),
+    })
+
+
+def repetition_stats(docs: Dataset) -> Dataset:
+    """Gopher-style per-document repetition metrics.
+
+    ``top_token_ratio`` (modal-token mass) and ``distinct_tokens /
+    n_tokens`` are the classic web-text repetition signals (Gopher
+    §A.1.1 repetition filters). Streaming per-block map — each document
+    is scored independently, so this scales linearly with corpus size.
+    """
+    return docs.map_batches(_repetition_batch, batch_format="pyarrow",
+                            batch_size=None)
+
+
+def quality_filter(docs: Dataset, *, min_tokens: int = 8,
+                   max_top_token_ratio: float = 0.2,
+                   min_distinct_ratio: float = 0.3,
+                   min_mean_token_len: float = 2.0,
+                   max_mean_token_len: float = 12.0) -> Dataset:
+    """Keep documents passing the repetition/shape gates (Gopher-style
+    thresholds, tunable). Returns the surviving metric rows."""
+    stats = repetition_stats(docs)
+
+    def _gate(batch: pa.Table) -> pa.Table:
+        nt = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        top = batch["top_token_ratio"].to_numpy(zero_copy_only=False)
+        dis = batch["distinct_tokens"].to_numpy(zero_copy_only=False)
+        mlen = batch["mean_token_len"].to_numpy(zero_copy_only=False)
+        keep = ((nt >= min_tokens)
+                & (top <= max_top_token_ratio)
+                & (dis / np.maximum(nt, 1) >= min_distinct_ratio)
+                & (mlen >= min_mean_token_len)
+                & (mlen <= max_mean_token_len))
+        return batch.filter(pa.array(keep))
+
+    return stats.map_batches(_gate, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+_KNUTH = 2654435761          # Knuth multiplicative constant
+_M31 = 2_147_483_648         # 2**31
+_M32 = 4_294_967_296         # 2**32
+
+
+def hash_sample(ds: Dataset, *, key: str = "doc_id", rate_pct: int = 30,
+                salt: int = 17) -> Dataset:
+    """Deterministic multiplicative-hash sample: keep rows where
+    ``((key mod 2^31) * 2654435761 + salt) mod 2^32 mod 100 < rate_pct``.
+
+    Content-addressed sampling (not ``random()``) so the sample is
+    reproducible across runs / resumes / engines — the property a 100 TB
+    curation pipeline needs for resumable, auditable subsampling. All
+    arithmetic stays in int64 (max intermediate ≈ 5.7e18 < 2^63), and is
+    expressible verbatim in ANSI SQL for the oracle.
+    """
+    def _keep(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((k % _M31) * _KNUTH + salt) % _M32 % 100
+        return batch.filter(pa.array(h < rate_pct))
+
+    return ds.map_batches(_keep, batch_format="pyarrow", batch_size=None)
+
+
+def hash_sample_sql(*, table: str = "documents", key: str = "doc_id",
+                    rate_pct: int = 30, salt: int = 17,
+                    columns: str = "*") -> str:
+    """The exact-same predicate as :func:`hash_sample`, in SQL."""
+    return (f"SELECT {columns} FROM {table} WHERE "
+            f"((({key} % {_M31}) * {_KNUTH} + {salt}) % {_M32}) % 100 "
+            f"< {rate_pct}")
+
+
+# ---------------------------------------------------------------------------
+# Per-group exact quantiles
+# ---------------------------------------------------------------------------
+
+def group_quantiles(ds: Dataset, key: str, value: str,
+                    qs: tuple[float, ...] = (0.5, 0.95)) -> Dataset:
+    """Exact per-group quantiles (linear interpolation — matches SQL
+    ``quantile_cont``) for BOUNDED-cardinality keys.
+
+    Partitioning contract: the group is the unit of parallelism — valid
+    when the key has few distinct values (return flags, priorities,
+    languages), so each group's values fit one task even at 100 TB of
+    input (the groupby shuffle reduces to value columns only: inputs
+    are projected to (key, value) before the exchange). For
+    high-cardinality keys use an approximate sketch instead; exact
+    arbitrary-key quantiles at scale require a full sort by (key, value)
+    — intentionally not hidden behind this API.
+    """
+    slim = ds.select_columns([key, value])
+
+    def _q(group: pd.DataFrame) -> pd.DataFrame:
+        vals = group[value].to_numpy()
+        row: dict = {key: [group[key].iloc[0]]}
+        for q in qs:
+            row[f"q{int(q * 100)}"] = [round(float(np.quantile(vals, q)), 4)]
+        return pd.DataFrame(row)
+
+    return slim.groupby(key).map_groups(_q, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus statistics
+# ---------------------------------------------------------------------------
+
+def source_stats(docs: Dataset) -> Dataset:
+    """Per-source (per-domain) corpus health: volume, mean length, and
+    exact-duplicate rate. Two-phase: vectorized per-block partials
+    (count/sum/distinct-hash sets are computed inside ``map_batches``),
+    then a bounded-key groupby over sources only — the text payload
+    never enters the shuffle (only md5 hashes of it).
+    """
+    from omop2obo_ray.functions.hashing import hash64_array
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        nch = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False)
+        h = (hash64_array(batch["text"]) >> np.uint64(1)).astype(np.int64)
+        df = pd.DataFrame({"source": src, "n": 1, "chars": nch, "h": h})
+        g = df.groupby("source", sort=False).agg(
+            n_docs=("n", "sum"), sum_chars=("chars", "sum"))
+        g["hashes"] = df.groupby("source", sort=False)["h"].agg(
+            lambda s: s.drop_duplicates().to_numpy().tobytes())
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        hashes = np.unique(np.concatenate(
+            [np.frombuffer(b, dtype=np.int64) for b in group["hashes"]]))
+        n_docs = int(group["n_docs"].sum())
+        return pd.DataFrame({
+            "source": [group["source"].iloc[0]],
+            "n_docs": [n_docs],
+            "distinct_texts": [len(hashes)],
+            "avg_chars": [round(float(group["sum_chars"].sum()) / n_docs, 4)],
+        })
+
+    partials = docs.select_columns(["source", "text"]).map_batches(
+        _partial, batch_format="pyarrow", batch_size=None)
+    return partials.groupby("source").map_groups(_merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Text normalization
+# ---------------------------------------------------------------------------
+
+def normalize_text(docs: Dataset) -> Dataset:
+    """Lowercase, collapse whitespace runs, trim — the standard
+    pre-tokenization cleanup. Single streaming RE2 pass; the ``\\s``
+    class is identical between Arrow's RE2 and DuckDB's RE2."""
+    def _norm(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch["text"])
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({"doc_id": batch["doc_id"], "text": t})
+
+    return docs.map_batches(_norm, batch_format="pyarrow", batch_size=None)
