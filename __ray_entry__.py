@@ -159,6 +159,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         return normalize_text(docs)
 
+    def q_histogram_quantile(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import histogram_quantile
+
+        ev = rd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "value"])
+        return histogram_quantile(ev, "user_id", "value", width=20.0)
+
+    def q_jaccard_pairs(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import jaccard_ngram_pairs
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return jaccard_ngram_pairs(docs, n=3, threshold=0.8, max_df=50)
+
     # ---- rows-only (non-SQL-expressible) ----
     def q_kg_triples(sf):
         from omop2obo_ray.pipelines.flagship import kg_over_documents
@@ -309,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ancestor_closure": R.q_ancestor_closure,        # DAG closure
         "window_tumbling": q_window_tumbling,            # streaming-shaped
         "window_session": R.q_window_session,            # gap sessions
+        "window_sliding": R.q_window_sliding,            # hopping windows
         "asof_join": R.q_asof_join,                      # temporal most-recent match
         "range_join": R.q_range_join,                    # keyed interval join
         "exact_match_mentions": R.q_exact_match_mentions,  # J6 tier-1
@@ -323,6 +340,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": q_group_quantiles,
         "source_stats": q_source_stats,
         "normalize_text": q_normalize_text,
+        "histogram_quantile": q_histogram_quantile,  # mergeable sketch path
+        "jaccard_pairs": q_jaccard_pairs,  # exact n-gram Jaccard (dedup family)
         "token_stats": q_token_stats,
         "md5_fingerprint": q_md5_fingerprint,
         "embedding_topk": q_embedding_topk,
@@ -526,6 +545,45 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": (
             "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) "
             "AS text FROM documents"
+        ),
+        # identical deterministic rule: q = lower edge (bin*width) of the
+        # first bin whose cumulative count reaches q*n, bin=floor(v/20)
+        "histogram_quantile": (
+            "WITH b AS (SELECT user_id, CAST(floor(value / 20.0) AS BIGINT) "
+            "AS bin, count(*) AS c FROM events GROUP BY 1, 2), "
+            "t AS (SELECT user_id, bin, "
+            "sum(c) OVER (PARTITION BY user_id ORDER BY bin) AS cum, "
+            "sum(c) OVER (PARTITION BY user_id) AS n FROM b) "
+            "SELECT user_id, "
+            "round(min(CASE WHEN cum >= 0.5 * n THEN bin END) * 20.0, 6) AS q50, "
+            "round(min(CASE WHEN cum >= 0.95 * n THEN bin END) * 20.0, 6) AS q95 "
+            "FROM t GROUP BY user_id"
+        ),
+        # exact word-3-gram Jaccard with the engine's stop-gram contract
+        # (df in [2, 50] grams only count toward the intersection)
+        "jaccard_pairs": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents), "
+            "tg AS (SELECT doc_id, ts, "
+            "unnest(generate_series(1, len(ts) - 2)) AS i FROM toks), "
+            "d AS (SELECT DISTINCT doc_id, "
+            "ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh FROM tg), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1), "
+            "df AS (SELECT sh FROM d GROUP BY sh HAVING count(*) BETWEEN 2 AND 50), "
+            "p AS (SELECT * FROM d SEMI JOIN df USING (sh)), "
+            "co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS co "
+            "FROM p a JOIN p b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT co.doc_a, co.doc_b, "
+            "round(co.co::DOUBLE / (sa.n + sb.n - co.co), 6) AS jaccard "
+            "FROM co JOIN sizes sa ON sa.doc_id = co.doc_a "
+            "JOIN sizes sb ON sb.doc_id = co.doc_b "
+            "WHERE co.co::DOUBLE / (sa.n + sb.n - co.co) >= 0.8"
+        ),
+        "window_sliding": (
+            "SELECT event_type, "
+            "(CAST(floor(epoch(ts) / 1200) AS BIGINT) - g.k) * 1200 "
+            "AS window_start, count(*) AS n, round(sum(value), 2) AS sum_value "
+            "FROM events, generate_series(0, 2) AS g(k) GROUP BY 1, 2"
         ),
         "clip_cells": "SELECT doc_id, left(text, 100) AS text FROM documents",
         "embedding_near_pairs": (

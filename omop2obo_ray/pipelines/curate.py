@@ -223,6 +223,57 @@ def group_quantiles(ds: Dataset, key: str, value: str,
 
 
 # ---------------------------------------------------------------------------
+# Histogram quantile sketch (high-cardinality keys)
+# ---------------------------------------------------------------------------
+
+def histogram_quantile(ds: Dataset, key: str, value: str, *,
+                       width: float = 20.0,
+                       qs: tuple[float, ...] = (0.5, 0.95)) -> Dataset:
+    """Per-key quantile ESTIMATES from a fixed-width histogram — the
+    scale path for ARBITRARY-cardinality keys that
+    :func:`group_quantiles` (exact, bounded keys only) deliberately
+    refuses.
+
+    Mergeable-sketch shape: phase 1 reduces each block to
+    (key, bin, count) partials inside ``map_batches`` (bin =
+    floor(value/width)); phase 2 merges partials per key with a coarse
+    aggregate, so the shuffle carries only bin counts — never values —
+    and per-key state is bounded by the value range / width, not by
+    row count. The estimate is deterministic: the q-quantile is the
+    LOWER EDGE (bin*width) of the first bin whose cumulative count
+    reaches q*n — the same rule the DuckDB oracle implements with a
+    window cumsum, so the gate is data-independent (both sides do the
+    identical float arithmetic)."""
+    from omop2obo_ray.functions.shuffle import coarse_apply_per_key
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        v = batch[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(v / width).astype(np.int64)
+        g = (pd.DataFrame({key: k, "bin": b})
+             .groupby([key, "bin"], sort=False).size().rename("c").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.select_columns([key, value]).map_batches(
+        _partial, batch_format="pyarrow", batch_size=None)
+
+    def _quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        merged = g.groupby("bin", sort=True)["c"].sum()
+        cum = merged.cumsum().to_numpy()
+        n = cum[-1]
+        bins = merged.index.to_numpy()
+        row: dict = {key: [g[key].iloc[0]]}
+        for q in qs:
+            # first bin whose cumulative count reaches q*n (searchsorted
+            # 'left' = first cum >= target; q <= 1 so target <= cum[-1])
+            idx = int(np.searchsorted(cum, q * n, side="left"))
+            row[f"q{int(q * 100)}"] = [round(float(bins[idx]) * width, 6)]
+        return pd.DataFrame(row)
+
+    return coarse_apply_per_key(partials, [key], _quantiles)
+
+
+# ---------------------------------------------------------------------------
 # Per-source corpus statistics
 # ---------------------------------------------------------------------------
 

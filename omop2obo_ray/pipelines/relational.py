@@ -9,6 +9,7 @@ hashes values after sorting columns by name).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -450,6 +451,46 @@ def q_window_session(sf_dir: str) -> Dataset:
     # per-user map_groups would pay Ray's per-group overhead once per
     # user (unbounded cardinality) → coarse-bucketed per-key apply
     return coarse_apply_per_key(ds, ["user_id"], sessionize)
+
+
+def q_window_sliding(sf_dir: str) -> Dataset:
+    """1-hour sliding (hopping) window per event_type, 20-min step —
+    each event contributes to exactly size/step = 3 windows. The
+    per-event window expansion is a vectorized np.repeat inside
+    ``map_batches`` (stream-friendly: 3× row fan-out per block, no
+    sort, no driver state); window-key cardinality grows with the time
+    range → coarse aggregate for the reduction. Window starts are epoch
+    seconds, identical to the oracle's integer arithmetic (all-positive
+    timestamps, so int64 floor-division == floor)."""
+    SIZE, STEP = 3600, 1200
+    K = SIZE // STEP
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        base = (ts_us // (STEP * 1_000_000)) * STEP
+        ks = np.tile(np.arange(K, dtype=np.int64) * STEP, len(batch))
+        et = batch["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+        val = batch["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": pa.array(np.repeat(et, K)),
+            "window_start": pa.array(np.repeat(base, K) - ks, pa.int64()),
+            "value": pa.array(np.repeat(val, K), pa.float64()),
+        })
+
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["event_type", "window_start"], sort=False)
+               .agg(n=("value", "size"), sum_value=("value", "sum"))
+               .reset_index())
+        # rounded like the oracle (2-decimal inputs → sums are never
+        # near a .005 boundary, so both rounding rules coincide)
+        out["sum_value"] = out["sum_value"].round(2)
+        return out
+
+    return coarse_aggregate(
+        ds.map_batches(expand, batch_format="pyarrow"),
+        ["event_type", "window_start"], _agg)
 
 
 # ---------------------------------------------------------------------------

@@ -427,6 +427,170 @@ def verify_jaccard_pairs(docs: Dataset, pairs: Dataset, threshold: float = 0.8,
     return with_ab.map_batches(_verify, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard pairs (distributed inverted index, SQL-checkable)
+# ---------------------------------------------------------------------------
+
+def ngram_postings(docs: Dataset, n: int = 3, key_col: str = "doc_id",
+                   text_col: str = "text") -> Dataset:
+    """Distinct (key, gram) posting rows: lowercase ``[a-z0-9_]+`` word
+    n-grams kept as PLAIN STRINGS (no hashing) so the DuckDB oracle can
+    join on the identical grams — the correctness check is therefore
+    data-independent, not a hash-coincidence. Vectorized: one Arrow
+    regex split per block, a numpy window over the flat token array,
+    one pandas drop_duplicates — no per-document Python loop."""
+    def _grams(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lower = pc.utf8_lower(batch[text_col])
+        toks = pc.split_pattern_regex(lower, pattern=r"[^a-z0-9_]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        parent = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        parent = parent[keep]
+        words = flat.to_numpy(zero_copy_only=False)[keep]
+        empty = pa.table({key_col: pa.array([], batch[key_col].type),
+                          "gram": pa.array([], pa.string())})
+        if words.size < n:
+            return empty
+        m = words.size - n + 1
+        # a window is a valid n-gram iff its first and last token share
+        # a parent document (parent is monotonic)
+        ok = parent[:m] == parent[n - 1:]
+        if not ok.any():
+            return empty
+        gram = words[:m]
+        for j in range(1, n):
+            gram = gram + " "
+            gram = gram + words[j:m + j]
+        keys = batch[key_col].to_numpy(zero_copy_only=False)[parent[:m][ok]]
+        out = pd.DataFrame({key_col: keys, "gram": gram[ok]}).drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return docs.map_batches(_grams, batch_format="pyarrow", batch_size=None)
+
+
+def jaccard_ngram_pairs(docs: Dataset, n: int = 3, threshold: float = 0.8,
+                        max_df: int = 50, key_col: str = "doc_id",
+                        text_col: str = "text",
+                        num_partitions: int = 8) -> Dataset:
+    """EXACT n-gram-set Jaccard near-duplicate pairs via a distributed
+    inverted index — the SQL-checkable exact baseline of the dedup
+    family (MinHash+verify is the probabilistic scale path; this op
+    computes the same word-shingle Jaccard without hashing or banding,
+    reference semantics: string_similarity.py's shingle overlap).
+
+    Stop-gram contract (shared verbatim by the DuckDB oracle, so the
+    gate is data-independent): grams with document frequency > max_df
+    are excluded from the INTERSECTION counts (standard stop-shingle
+    pruning — it also bounds every posting list, capping the pair
+    expansion at df² rows per gram); denominators count ALL distinct
+    grams per document.
+
+    Scale shape: no driver state at any dup mass — postings, df counts,
+    co-occurrence counts and sizes are all Datasets; the shuffles carry
+    (key, gram) and (doc_a, doc_b, count) rows only, never text. The
+    self-join output is sum(df²) rows, bounded by max_df × n_postings.
+    """
+    import pyarrow.compute as pc
+
+    grams = ngram_postings(docs, n=n, key_col=key_col,
+                           text_col=text_col).materialize()
+    kt = _pa_schema_of(grams).field(key_col).type
+    gt = _pa_schema_of(grams).field("gram").type
+    # per-doc distinct-gram counts (denominators) — high-cardinality key
+    sizes = _sanitize_join_output(coarse_aggregate(
+        grams.select_columns([key_col]), [key_col],
+        lambda df: df.groupby(key_col, sort=False).size()
+        .rename("n").reset_index()), pa.schema([(key_col, kt), ("n", pa.int64())]))
+    # shared, non-stop grams: 2 <= df <= max_df (corpus-vocabulary
+    # cardinality → coarse aggregate, never a driver dict)
+    shared = coarse_aggregate(
+        grams.select_columns(["gram"]), ["gram"],
+        lambda df: df.groupby("gram", sort=False).size()
+        .rename("df").reset_index())
+
+    def _df_gate(batch: pa.Table) -> pa.Table:
+        dfv = batch["df"]
+        keepm = pc.and_(pc.greater_equal(dfv, pa.scalar(2)),
+                        pc.less_equal(dfv, pa.scalar(max_df)))
+        return batch.filter(keepm).select(["gram"])
+
+    shared = _sanitize_join_output(
+        shared.map_batches(_df_gate, batch_format="pyarrow"),
+        pa.schema([("gram", gt)]))
+    # a fully-empty join side still surfaces schema-less aggregator
+    # partitions in Ray 2.49 — short-circuit instead of joining on it
+    if shared.count() == 0:
+        return _empty_pairs({"jaccard": pa.array([], pa.float64())})
+    posts = _sanitize_join_output(
+        grams.join(shared, join_type="left_semi",
+                   num_partitions=num_partitions, on=("gram",)),
+        _pa_schema_of(grams))
+    if posts.count() == 0:
+        return _empty_pairs({"jaccard": pa.array([], pa.float64())})
+    # self-join the posting lists on gram (right key renamed in a map —
+    # Dataset.rename_columns passes zero-row blocks through unrenamed)
+    right = posts.map_batches(
+        lambda b: b.rename_columns(
+            ["doc_b" if c == key_col else c for c in b.column_names]),
+        batch_format="pyarrow", batch_size=None)
+    joined = _sanitize_join_output(
+        posts.join(right, join_type="inner",
+                   num_partitions=num_partitions, on=("gram",)),
+        pa.schema([(key_col, kt), ("gram", gt), ("doc_b", kt)]))
+
+    def _ordered(batch: pa.Table) -> pa.Table:
+        a = batch[key_col].combine_chunks()
+        b = batch["doc_b"].combine_chunks()
+        return pa.table({"doc_a": a, "doc_b": b}).filter(pc.less(a, b))
+
+    pairs = joined.map_batches(_ordered, batch_format="pyarrow")
+    # |A ∩ B| per pair — (doc_a, doc_b) cardinality is unbounded →
+    # coarse aggregate
+    co = _sanitize_join_output(coarse_aggregate(
+        pairs, ["doc_a", "doc_b"],
+        lambda df: df.groupby(["doc_a", "doc_b"], sort=False).size()
+        .rename("co").reset_index()),
+        pa.schema([("doc_a", kt), ("doc_b", kt), ("co", pa.int64())]))
+
+    def _ren(batch: pa.Table, out_col: str) -> pa.Table:
+        return batch.rename_columns(
+            [out_col if c == "n" else c for c in batch.column_names])
+
+    with_a = _sanitize_join_output(
+        co.join(sizes, join_type="inner", num_partitions=num_partitions,
+                on=("doc_a",), right_on=(key_col,)),
+        pa.schema([("doc_a", kt), ("doc_b", kt), ("co", pa.int64()),
+                   ("n_a", pa.int64())]),
+    ).map_batches(functools.partial(_ren, out_col="n_a"),
+                  batch_format="pyarrow", batch_size=None)
+    with_ab = _sanitize_join_output(
+        with_a.join(sizes, join_type="inner", num_partitions=num_partitions,
+                    on=("doc_b",), right_on=(key_col,)),
+        pa.schema([("doc_a", kt), ("doc_b", kt), ("co", pa.int64()),
+                   ("n_a", pa.int64()), ("n_b", pa.int64())]),
+    ).map_batches(functools.partial(_ren, out_col="n_b"),
+                  batch_format="pyarrow", batch_size=None)
+
+    def _jaccard(batch: pa.Table) -> pa.Table:
+        cov = _np_col(batch, "co").astype(np.float64)
+        na = _np_col(batch, "n_a").astype(np.float64)
+        nb = _np_col(batch, "n_b").astype(np.float64)
+        j = cov / (na + nb - cov)
+        keepm = j >= threshold
+        return pa.table({
+            "doc_a": batch["doc_a"].combine_chunks().filter(pa.array(keepm)),
+            "doc_b": batch["doc_b"].combine_chunks().filter(pa.array(keepm)),
+            "jaccard": pa.array(np.round(j[keepm], 6), pa.float64()),
+        })
+
+    return with_ab.map_batches(_jaccard, batch_format="pyarrow")
+
+
 def dup_clusters(verified_pairs, key_col: str = "doc_id") -> pd.DataFrame:
     """Near-dup clusters from verified pairs → (key, cluster_id) with
     cluster_id = min member key.

@@ -179,3 +179,49 @@ def test_normalize_text_unicode_whitespace(ray_session):
     out = out.set_index("doc_id")["text"]
     assert out[0] == "mixed case runs"
     assert out[1] == "already clean"
+
+
+def test_histogram_quantile_known_bins(ray_session):
+    """Hand-computable histogram: key 1 has 10 values in bins 0..4 (two
+    per bin, width 10) -> q50 = lower edge of first bin reaching 5 of
+    10 = bin 2 -> 20.0; q95 -> bin 4 -> 40.0. Key 2 single value."""
+    from omop2obo_ray.pipelines.curate import histogram_quantile
+
+    vals = [1, 5, 12, 18, 23, 27, 33, 38, 44, 49]
+    rows = [{"k": 1, "v": float(v)} for v in vals] + [{"k": 2, "v": 7.0}]
+    out = histogram_quantile(
+        rd.from_pandas(pd.DataFrame(rows)), "k", "v", width=10.0
+    ).to_pandas().set_index("k")
+    assert out.loc[1, "q50"] == 20.0
+    assert out.loc[1, "q95"] == 40.0
+    assert out.loc[2, "q50"] == 0.0 and out.loc[2, "q95"] == 0.0
+
+
+def test_histogram_quantile_partials_merge_across_blocks(ray_session):
+    """The same key split across many blocks must merge its partial bin
+    counts exactly (the mergeable-sketch property)."""
+    from omop2obo_ray.pipelines.curate import histogram_quantile
+
+    df = pd.DataFrame({"k": [7] * 100, "v": np.arange(100, dtype=float)})
+    ds = rd.from_pandas(df).repartition(10)
+    out = histogram_quantile(ds, "k", "v", width=10.0).to_pandas()
+    assert len(out) == 1
+    # cum counts 10 per bin; q50 -> first cum >= 50 -> bin 4 -> 40.0;
+    # q95 -> first cum >= 95 -> bin 9 -> 90.0
+    assert out["q50"].iloc[0] == 40.0
+    assert out["q95"].iloc[0] == 90.0
+
+
+def test_window_sliding_fanout_invariant(ray_session):
+    """Every event lands in exactly size/step = 3 hopping windows, so
+    the window counts must sum to 3x the event count, and each window's
+    span must cover its events (spot-checked via the tumbling hour)."""
+    import pyarrow.parquet as pq
+
+    from omop2obo_ray.pipelines.relational import q_window_sliding
+
+    sf = "/root/testdata/sf0.001"
+    out = q_window_sliding(sf).to_pandas()
+    n_events = pq.read_metadata(f"{sf}/events.parquet").num_rows
+    assert out["n"].sum() == 3 * n_events
+    assert (out["window_start"] % 1200 == 0).all()

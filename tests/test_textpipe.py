@@ -340,3 +340,57 @@ def test_frame_sampler_plumbing(ray_session):
 
     with pytest.raises(NotImplementedError):
         FrameSampler(mode="real")
+
+
+def test_jaccard_ngram_pairs_planted(ray_session):
+    """Exact 3-gram Jaccard on hand-computable docs: doc 0 and 1 share
+    most grams; doc 2 is unrelated. Gram sets: doc0 has grams of
+    'a b c d e' = {abc, bcd, cde} (3), doc1 'a b c d e f' adds def
+    (4); intersection 3 -> J = 3/4 = 0.75."""
+    from omop2obo_ray.pipelines.textpipe import jaccard_ngram_pairs
+
+    rows = [
+        {"doc_id": 0, "text": "a b c d e"},
+        {"doc_id": 1, "text": "a b c d e f"},
+        {"doc_id": 2, "text": "x y z w q r"},
+    ]
+    docs = rd.from_pandas(pd.DataFrame(rows))
+    out = jaccard_ngram_pairs(docs, n=3, threshold=0.5, max_df=50).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["doc_a"] == 0 and out.iloc[0]["doc_b"] == 1
+    assert out.iloc[0]["jaccard"] == pytest.approx(0.75)
+
+
+def test_jaccard_ngram_stop_gram_cap(ray_session):
+    """A gram present in > max_df docs is excluded from intersections:
+    with max_df=2 the shared gram appears in 3 docs and is dropped, so
+    no pair survives."""
+    from omop2obo_ray.pipelines.textpipe import jaccard_ngram_pairs
+
+    rows = [{"doc_id": i, "text": "common gram here plus unique%d token" % i}
+            for i in range(3)]
+    docs = rd.from_pandas(pd.DataFrame(rows))
+    out = jaccard_ngram_pairs(docs, n=3, threshold=0.1, max_df=2).to_pandas()
+    # 'common gram here' has df=3 > 2 -> stop gram; remaining grams are
+    # doc-unique ('here plus uniqueN', 'plus uniqueN token') -> df=1
+    assert len(out) == 0
+
+
+def test_jaccard_matches_minhash_verified_pairs(ray_session, dup_docs):
+    """On the planted near-dup corpus, the exact inverted-index path
+    must find at least every pair the MinHash+verify path confirms at
+    the same threshold (LSH can only MISS pairs, never add)."""
+    from omop2obo_ray.pipelines.textpipe import (
+        jaccard_ngram_pairs,
+        minhash_candidate_pairs,
+        verify_jaccard_pairs,
+    )
+
+    exact = jaccard_ngram_pairs(dup_docs, n=3, threshold=0.8,
+                                max_df=10_000).to_pandas()
+    cands = minhash_candidate_pairs(dup_docs)
+    lsh = verify_jaccard_pairs(dup_docs, cands, threshold=0.8).to_pandas()
+    exact_set = {(a, b) for a, b in zip(exact.doc_a, exact.doc_b)}
+    lsh_set = {(a, b) for a, b in zip(lsh.doc_a, lsh.doc_b)}
+    assert lsh_set <= exact_set
+    assert exact_set  # the planted dups are found
