@@ -20,6 +20,12 @@ assembly in ``ontology_explorer.py:49-72``) without rdflib or a JVM:
   - dbxrefs: predicate containing ``hasdbxref`` → type ``DbXref``;
     predicate containing ``exactmatch`` → type ``ExactMatch``
     (``gets_ontology_class_dbxrefs``, :162-175)
+  - anonymous subClassOf restrictions (``owl:Restriction`` with
+    ``owl:onProperty`` + ``owl:someValuesFrom``/``allValuesFrom``) →
+    typed (class, property, quantifier, filler) relations, kept apart
+    from the is-a ancestor edges (the reference's is-a walk ignores
+    restriction parents; the relation itself is what rdflib users
+    extract for part-of style axioms)
 
 Memory stays bounded: elements are cleared as soon as each top-level
 subject is consumed, so a multi-GB ``ncbitaxon.owl``-sized file streams
@@ -98,6 +104,24 @@ def parse_owl_xml(path: str, ont_id: str) -> dict:
             pred_lc = pred.lower()
             val = _obj_value(child)
             if val is None:
+                # anonymous subClassOf parents: an owl:Restriction
+                # (onProperty P, someValuesFrom/allValuesFrom C) —
+                # captured as a typed relation, NOT an is-a ancestor
+                # (rdflib exposes the same triple shape; the reference's
+                # is-a walk ignores restrictions too)
+                if pred_lc.endswith("subclassof"):
+                    for restr in child.iter(f"{{{OWL_NS}}}Restriction"):
+                        prop = filler = quant = None
+                        for part in restr:
+                            p_lc = _pred_uri(part.tag).lower()
+                            if p_lc.endswith("#onproperty"):
+                                prop = part.get(_RESOURCE)
+                            elif p_lc.endswith("valuesfrom") and part.get(_RESOURCE):
+                                quant = _pred_uri(part.tag).split("#")[-1]
+                                filler = part.get(_RESOURCE)
+                        if prop and filler:
+                            rows.append(("restriction", prop,
+                                         f"{quant}|{filler}"))
                 continue
             if pred_lc.endswith("#deprecated") and val.lower() == "true":
                 deprecated = True
@@ -112,8 +136,7 @@ def parse_owl_xml(path: str, ont_id: str) -> dict:
             elif "iao_0000115" in pred_lc:
                 rows.append(("definition", pred, val))
             elif pred_lc.endswith("subclassof") and child.get(_RESOURCE):
-                # named-class parents only (anonymous restriction
-                # parents carry no rdf:resource)
+                # named-class parents → the is-a ancestor tier
                 rows.append(("subclassof", pred, val))
         per_class.append((uri, deprecated, rows))
         elem.clear()
@@ -122,13 +145,16 @@ def parse_owl_xml(path: str, ont_id: str) -> dict:
     # (ontology_explorer.py:60)
     out = {"label": {}, "definition": {}, "dbxref": {}, "dbxref_type": {},
            "synonym": {}, "synonym_type": {}, "ancestors": [],
-           "deprecated": set()}
+           "restrictions": [], "deprecated": set()}
     for uri, dep, rows in per_class:
         if dep:
             out["deprecated"].add(uri)
         for kind, pred, val in rows:
             if kind == "subclassof":
                 out["ancestors"].append((uri, val))
+            elif kind == "restriction":
+                quant, filler = val.split("|", 1)
+                out["restrictions"].append((uri, pred, quant, filler))
         if dep:
             continue
         for kind, pred, val in rows:
@@ -177,6 +203,8 @@ def owl_to_tables(path: str, ontology: str, ont_id: str | None = None
         ancestors.append((child, parent))
     for uri in sorted(dep):
         concepts.append((ontology, uri, "deprecated", "", "owl:deprecated", True))
+    restrictions = [(ontology, u, p, q, f)
+                    for u, p, q, f in explorer["restrictions"]]
     return {
         "concepts": pd.DataFrame(
             concepts,
@@ -186,4 +214,9 @@ def owl_to_tables(path: str, ontology: str, ont_id: str | None = None
             dbxrefs, columns=["ontology", "uri", "code", "xref_type"]
         ),
         "ancestors": pd.DataFrame(ancestors, columns=["child_uri", "parent_uri"]),
+        "restrictions": pd.DataFrame(
+            restrictions,
+            columns=["ontology", "uri", "property_uri", "quantifier",
+                     "filler_uri"],
+        ),
     }

@@ -107,6 +107,12 @@ def test_explorer_dict_counts(owl_path):
         ("http://purl.obolibrary.org/obo/SO_0000001",
          "http://purl.obolibrary.org/obo/SO_0000000")]
     assert res["deprecated"] == {"http://purl.obolibrary.org/obo/SO_0000003"}
+    # anonymous restriction parent surfaces as a typed relation instead
+    assert res["restrictions"] == [
+        ("http://purl.obolibrary.org/obo/SO_0000001",
+         "http://purl.obolibrary.org/obo/BFO_0000050",
+         "someValuesFrom",
+         "http://purl.obolibrary.org/obo/SO_0000999")]
 
 
 def test_owl_tables_match_obo_shape(owl_path):
@@ -144,6 +150,13 @@ def test_owl_tables_match_obo_shape(owl_path):
     # deprecated class present in tables with flag (ancestor tier needs it)
     dep_rows = owl_tables["concepts"][owl_tables["concepts"]["deprecated"]]
     assert set(dep_rows["uri"]) == {"http://purl.obolibrary.org/obo/SO_0000003"}
+    # restriction relations carried as their own table (part-of axioms)
+    restr = owl_tables["restrictions"]
+    assert list(restr.columns) == [
+        "ontology", "uri", "property_uri", "quantifier", "filler_uri"]
+    assert len(restr) == 1
+    assert restr.iloc[0]["property_uri"].endswith("BFO_0000050")
+    assert restr.iloc[0]["quantifier"] == "someValuesFrom"
 
 
 def test_owl_lexicon_roundtrip(owl_path, tmp_path):
