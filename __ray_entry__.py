@@ -175,6 +175,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         return jaccard_ngram_pairs(docs, n=3, threshold=0.8, max_df=50)
 
+    def q_dup_span_stats(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import dup_span_stats
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return dup_span_stats(docs, n=5, min_df=2)
+
+    def q_canonical_urls(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import canonicalize_urls, synth_urls
+
+        docs = rd.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "source", "lang"])
+        return canonicalize_urls(synth_urls(docs))
+
+    def q_host_stats(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import (
+            canonicalize_urls, host_stats, synth_urls)
+
+        docs = rd.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "source", "lang"])
+        return host_stats(canonicalize_urls(synth_urls(docs)))
+
     # ---- rows-only (non-SQL-expressible) ----
     def q_kg_triples(sf):
         from omop2obo_ray.pipelines.flagship import kg_over_documents
@@ -342,6 +369,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "histogram_quantile": q_histogram_quantile,  # mergeable sketch path
         "jaccard_pairs": q_jaccard_pairs,  # exact n-gram Jaccard (dedup family)
+        "dup_span_stats": q_dup_span_stats,  # duplicated-span signal (Lee'22)
+        "canonical_urls": q_canonical_urls,  # CC url canonicalization
+        "host_stats": q_host_stats,          # per-host crawl stats
         "token_stats": q_token_stats,
         "md5_fingerprint": q_md5_fingerprint,
         "embedding_topk": q_embedding_topk,
@@ -578,6 +608,66 @@ def oracle_sql() -> dict[str, str]:
             "FROM co JOIN sizes sa ON sa.doc_id = co.doc_a "
             "JOIN sizes sb ON sb.doc_id = co.doc_b "
             "WHERE co.co::DOUBLE / (sa.n + sb.n - co.co) >= 0.8"
+        ),
+        # duplicated word-5-gram spans per doc (df >= 2 corpus-wide);
+        # docs with < 5 tokens emit no row on both sides
+        "dup_span_stats": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents), "
+            "tg AS (SELECT doc_id, ts, "
+            "unnest(generate_series(1, len(ts) - 4)) AS i FROM toks), "
+            "d AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || "
+            "ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS sh FROM tg), "
+            "df AS (SELECT sh, count(*) AS df FROM d GROUP BY sh) "
+            "SELECT doc_id, count(*) AS total_ngrams, "
+            "CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS dup_ngrams, "
+            "round(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::DOUBLE "
+            "/ count(*), 6) AS dup_fraction "
+            "FROM d JOIN df USING (sh) GROUP BY doc_id"
+        ),
+        # url canonicalization: the synthesis expression and every RE2
+        # pattern are shared verbatim with the engine (curate.py), so
+        # the check is data-independent (both sides are RE2-backed)
+        "canonical_urls": (
+            "WITH u0 AS (SELECT doc_id, "
+            "'HTTPS://WWW.' || source || '.Example.com/' || lang || '/p' || "
+            "(doc_id % 50) || '/?utm_source=feed&utm_campaign=c' || "
+            "(doc_id % 7) || '&id=' || doc_id || '&ref=tw#sec-' || "
+            "(doc_id % 5) AS url FROM documents), "
+            "u1 AS (SELECT doc_id, regexp_replace(regexp_replace(url, "
+            r"'#.*$', ''), '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS u FROM u0), "
+            "u2 AS (SELECT doc_id, "
+            "regexp_replace(lower(regexp_replace(u, '[/?].*$', '')), "
+            r"'^www\.', '') AS host, "
+            "regexp_replace(u, '^[^/?]*', '') AS rest FROM u1), "
+            "u3 AS (SELECT doc_id, host, regexp_replace(regexp_replace("
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            "rest, '([?&])(utm_[a-z0-9_]*|ref|fbclid|gclid)=[^&#]*', "
+            r"'\1', 'g'), '&&+', '&', 'g'), '\?&', '?'), '[?&]+$', ''), "
+            r"'/\?', '?'), '/$', '') AS rest FROM u2) "
+            "SELECT doc_id, host || rest AS url FROM u3"
+        ),
+        "host_stats": (
+            "WITH u0 AS (SELECT doc_id, "
+            "'HTTPS://WWW.' || source || '.Example.com/' || lang || '/p' || "
+            "(doc_id % 50) || '/?utm_source=feed&utm_campaign=c' || "
+            "(doc_id % 7) || '&id=' || doc_id || '&ref=tw#sec-' || "
+            "(doc_id % 5) AS url FROM documents), "
+            "u1 AS (SELECT doc_id, regexp_replace(regexp_replace(url, "
+            r"'#.*$', ''), '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS u FROM u0), "
+            "u2 AS (SELECT doc_id, "
+            "regexp_replace(lower(regexp_replace(u, '[/?].*$', '')), "
+            r"'^www\.', '') AS host, "
+            "regexp_replace(u, '^[^/?]*', '') AS rest FROM u1), "
+            "u3 AS (SELECT doc_id, host, regexp_replace(regexp_replace("
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            "rest, '([?&])(utm_[a-z0-9_]*|ref|fbclid|gclid)=[^&#]*', "
+            r"'\1', 'g'), '&&+', '&', 'g'), '\?&', '?'), '[?&]+$', ''), "
+            r"'/\?', '?'), '/$', '') AS rest FROM u2) "
+            "SELECT host, count(*) AS n_pages, "
+            r"count(DISTINCT regexp_replace(rest, '\?.*$', '')) AS n_paths "
+            "FROM u3 GROUP BY host"
         ),
         "window_sliding": (
             "SELECT event_type, "

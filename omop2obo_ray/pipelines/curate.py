@@ -328,3 +328,119 @@ def normalize_text(docs: Dataset) -> Dataset:
         return pa.table({"doc_id": batch["doc_id"], "text": t})
 
     return docs.map_batches(_norm, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + host-level stats (Common-Crawl curation)
+# ---------------------------------------------------------------------------
+
+# Tracking query parameters removed during canonicalization. Anchored to
+# the preceding '?'/'&' so a path segment or non-parameter text can
+# never match; the separator is preserved via the \1 rewrite. RE2-safe
+# and shared VERBATIM with the DuckDB oracle (both engines are
+# RE2-backed), so the correctness gate is data-independent.
+URL_TRACKING_PATTERN = r"([?&])(utm_[a-z0-9_]*|ref|fbclid|gclid)=[^&#]*"
+URL_SCHEME_PATTERN = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
+
+
+def synth_urls(docs: Dataset) -> Dataset:
+    """Deterministic Common-Crawl-style URL per document (test/bench
+    support — the sandbox's documents table has no url column; the
+    production input per BASELINE.json's input_hint does). The
+    expression is a shared contract with the SQL oracle: mixed-case
+    scheme/host, a www prefix, a shared path bucket (doc_id % 50, so
+    paths genuinely collide across docs), tracking params, a real
+    param (id) that must survive, and a fragment.
+    """
+    def _synth(batch: pa.Table) -> pa.Table:
+        df = batch.select(["doc_id", "source", "lang"]).to_pandas()
+        did = df["doc_id"].astype(str)
+        url = ("HTTPS://WWW." + df["source"] + ".Example.com/" + df["lang"]
+               + "/p" + (df["doc_id"] % 50).astype(str)
+               + "/?utm_source=feed&utm_campaign=c"
+               + (df["doc_id"] % 7).astype(str)
+               + "&id=" + did + "&ref=tw#sec-"
+               + (df["doc_id"] % 5).astype(str))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "url": pa.array(url, pa.string())})
+
+    return docs.map_batches(_synth, batch_format="pyarrow", batch_size=None)
+
+
+def _canonicalize_url_array(u: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """The canonicalization kernel, on a raw Arrow string array:
+    strip fragment → strip scheme → lowercase host (host only — paths
+    are case-sensitive) → strip leading ``www.`` → drop tracking query
+    params (keeping real ones) → tidy separators → strip the trailing
+    slash. All single-pass RE2 kernels."""
+    u = pc.replace_substring_regex(u, pattern=r"#.*$", replacement="")
+    u = pc.replace_substring_regex(u, pattern=URL_SCHEME_PATTERN,
+                                   replacement="")
+    host = pc.utf8_lower(
+        pc.replace_substring_regex(u, pattern=r"[/?].*$", replacement=""))
+    host = pc.replace_substring_regex(host, pattern=r"^www\.",
+                                      replacement="")
+    rest = pc.replace_substring_regex(u, pattern=r"^[^/?]*", replacement="")
+    rest = pc.replace_substring_regex(rest, pattern=URL_TRACKING_PATTERN,
+                                      replacement=r"\1")
+    rest = pc.replace_substring_regex(rest, pattern=r"&&+", replacement="&")
+    rest = pc.replace_substring_regex(rest, pattern=r"\?&", replacement="?")
+    rest = pc.replace_substring_regex(rest, pattern=r"[?&]+$", replacement="")
+    rest = pc.replace_substring_regex(rest, pattern=r"/\?", replacement="?")
+    rest = pc.replace_substring_regex(rest, pattern=r"/$", replacement="")
+    if isinstance(host, pa.ChunkedArray):
+        host = host.combine_chunks()
+    if isinstance(rest, pa.ChunkedArray):
+        rest = rest.combine_chunks()
+    return pc.binary_join_element_wise(host, rest, "")
+
+
+def canonicalize_urls(pages: Dataset, url_col: str = "url",
+                      key_col: str = "doc_id") -> Dataset:
+    """Canonical-URL projection → (key, url). Pure streaming map (zero
+    shuffles, zero driver state); the canonical url is the dedup /
+    refetch key for Common-Crawl-style corpora, where the same page is
+    crawled under scheme/www/tracking-param variants.
+    """
+    def _canon(batch: pa.Table) -> pa.Table:
+        return pa.table({key_col: batch[key_col],
+                         "url": _canonicalize_url_array(batch[url_col])})
+
+    return pages.map_batches(_canon, batch_format="pyarrow",
+                             batch_size=None)
+
+
+def host_stats(canon: Dataset, url_col: str = "url") -> Dataset:
+    """Per-host crawl stats over canonical urls → (host, n_pages,
+    n_paths). n_paths counts distinct query-stripped paths. The
+    distinct-path rollup is a coarse aggregate over (host, path) — path
+    cardinality is unbounded at crawl scale — followed by a second
+    coarse aggregate over hosts; urls never re-enter a shuffle after
+    the first projection."""
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+
+    def _hp(batch: pa.Table) -> pa.Table:
+        u = batch[url_col]
+        host = pc.replace_substring_regex(u, pattern=r"[/?].*$",
+                                          replacement="")
+        path = pc.replace_substring_regex(u, pattern=r"^[^/?]*",
+                                          replacement="")
+        path = pc.replace_substring_regex(path, pattern=r"\?.*$",
+                                          replacement="")
+        return pa.table({"host": host, "path": path})
+
+    hp = canon.map_batches(_hp, batch_format="pyarrow", batch_size=None)
+    per_path = coarse_aggregate(
+        hp, ["host", "path"],
+        lambda df: df.groupby(["host", "path"], sort=False).size()
+        .rename("n").reset_index())
+
+    def _per_host(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("host", sort=False)
+               .agg(n_pages=("n", "sum"), n_paths=("n", "size"))
+               .reset_index())
+        out["n_pages"] = out["n_pages"].astype(np.int64)
+        out["n_paths"] = out["n_paths"].astype(np.int64)
+        return out
+
+    return coarse_aggregate(per_path, ["host"], _per_host)

@@ -591,6 +591,60 @@ def jaccard_ngram_pairs(docs: Dataset, n: int = 3, threshold: float = 0.8,
     return with_ab.map_batches(_jaccard, batch_format="pyarrow")
 
 
+def dup_span_stats(docs: Dataset, n: int = 5, min_df: int = 2,
+                   key_col: str = "doc_id", text_col: str = "text",
+                   num_partitions: int = 8) -> Dataset:
+    """Exact duplicated-span detection: for each document, how many of
+    its distinct word ``n``-grams occur in >= ``min_df`` documents
+    corpus-wide ("Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022 — this is the per-document decision signal
+    for substring-level dedup: documents with high ``dup_fraction`` are
+    boilerplate/mirror candidates even when whole-doc hashes differ).
+
+    Returns (key, total_ngrams, dup_ngrams, dup_fraction); documents
+    with fewer than ``n`` word tokens emit no row (they have no
+    n-grams) — the DuckDB oracle shares that contract.
+
+    Scale shape: postings, document frequencies and per-doc rollups are
+    all Datasets (coarse aggregates for the high-cardinality keys); the
+    one join carries (key, gram)×(gram, df) rows, never text. No driver
+    state at any dup mass.
+    """
+    grams = ngram_postings(docs, n=n, key_col=key_col,
+                           text_col=text_col).materialize()
+    if grams.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            key_col: pa.array([], pa.int64()),
+            "total_ngrams": pa.array([], pa.int64()),
+            "dup_ngrams": pa.array([], pa.int64()),
+            "dup_fraction": pa.array([], pa.float64())}))
+    kt = _pa_schema_of(grams).field(key_col).type
+    gt = _pa_schema_of(grams).field("gram").type
+    # corpus-wide document frequency per gram (vocabulary cardinality →
+    # coarse aggregate, never a driver dict)
+    df_tbl = _sanitize_join_output(coarse_aggregate(
+        grams.select_columns(["gram"]), ["gram"],
+        lambda df: df.groupby("gram", sort=False).size()
+        .rename("df").reset_index()),
+        pa.schema([("gram", gt), ("df", pa.int64())]))
+    joined = _sanitize_join_output(
+        grams.join(df_tbl, join_type="inner",
+                   num_partitions=num_partitions, on=("gram",)),
+        pa.schema([(key_col, kt), ("gram", gt), ("df", pa.int64())]))
+
+    def _per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_dup=(df["df"] >= min_df).astype(np.int64))
+        out = (df.groupby(key_col, sort=False)
+               .agg(total_ngrams=("df", "size"), dup_ngrams=("_dup", "sum"))
+               .reset_index())
+        out["dup_fraction"] = np.round(
+            out["dup_ngrams"] / out["total_ngrams"], 6)
+        return out
+
+    return coarse_aggregate(joined.select_columns([key_col, "df"]),
+                            [key_col], _per_doc)
+
+
 def dup_clusters(verified_pairs, key_col: str = "doc_id") -> pd.DataFrame:
     """Near-dup clusters from verified pairs → (key, cluster_id) with
     cluster_id = min member key.

@@ -1,0 +1,97 @@
+"""Planted-input tests for the URL-canonicalization family and the
+duplicated-span (substring-dedup) signal — adversarial cases the
+synthetic corpus never exercises: crawl variants of one page that must
+collapse to a single canonical url, params that must survive, and
+documents with known shared/unique 5-gram structure."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+
+@pytest.fixture(scope="module")
+def crawl_variants(ray_session):
+    # five crawl-time variants of the SAME logical page + two controls
+    rows = [
+        {"doc_id": 0, "url": "https://www.News.Example.com/World/p1/?utm_source=tw&id=9#top"},
+        {"doc_id": 1, "url": "HTTP://news.example.com/World/p1?id=9&utm_campaign=x"},
+        {"doc_id": 2, "url": "https://News.EXAMPLE.com/World/p1/?ref=feed&id=9"},
+        {"doc_id": 3, "url": "news.example.com/World/p1?id=9"},  # schemeless
+        {"doc_id": 4, "url": "https://www.news.example.com/World/p1?fbclid=abc&id=9&gclid=z"},
+        # controls: different path case / different real param
+        {"doc_id": 5, "url": "https://news.example.com/world/p1?id=9"},
+        {"doc_id": 6, "url": "https://news.example.com/World/p1?id=10"},
+    ]
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_canonicalize_collapses_crawl_variants(crawl_variants):
+    from omop2obo_ray.pipelines.curate import canonicalize_urls
+
+    out = (canonicalize_urls(crawl_variants).to_pandas()
+           .set_index("doc_id")["url"])
+    # all five variants collapse to one canonical form
+    assert set(out[[0, 1, 2, 3, 4]]) == {"news.example.com/World/p1?id=9"}
+    # paths stay case-sensitive; real params distinguish pages
+    assert out[5] == "news.example.com/world/p1?id=9"
+    assert out[6] == "news.example.com/World/p1?id=10"
+
+
+def test_canonicalize_edge_urls(ray_session):
+    from omop2obo_ray.pipelines.curate import canonicalize_urls
+
+    rows = [
+        # bare host with trailing slash and only-tracking query
+        {"doc_id": 0, "url": "https://www.a.com/?utm_source=x"},
+        # no query, fragment only
+        {"doc_id": 1, "url": "http://a.com/path/#frag"},
+        # tracking param in the middle of real ones
+        {"doc_id": 2, "url": "a.com/p?x=1&utm_medium=email&y=2"},
+    ]
+    out = (canonicalize_urls(rd.from_pandas(pd.DataFrame(rows)))
+           .to_pandas().set_index("doc_id")["url"])
+    assert out[0] == "a.com"
+    assert out[1] == "a.com/path"
+    assert out[2] == "a.com/p?x=1&y=2"
+
+
+def test_host_stats_counts(crawl_variants):
+    from omop2obo_ray.pipelines.curate import canonicalize_urls, host_stats
+
+    out = (host_stats(canonicalize_urls(crawl_variants)).to_pandas()
+           .set_index("host"))
+    assert set(out.index) == {"news.example.com"}
+    assert int(out.loc["news.example.com", "n_pages"]) == 7
+    # distinct query-stripped paths: /World/p1 and /world/p1
+    assert int(out.loc["news.example.com", "n_paths"]) == 2
+
+
+def test_dup_span_stats_planted(ray_session):
+    from omop2obo_ray.pipelines.textpipe import dup_span_stats
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    rows = [
+        # A and B share the 9-token span (5 shared 5-grams) inside
+        # otherwise-unique text
+        {"doc_id": 0, "text": f"alpha beta gamma delta {shared} epsilon"},
+        {"doc_id": 1, "text": f"{shared} zeta eta theta iota kappa"},
+        # C: fully unique
+        {"doc_id": 2, "text": "one two three four five six seven eight"},
+        # D: too short for any 5-gram -> no row
+        {"doc_id": 3, "text": "just four tokens here"},
+    ]
+    docs = rd.from_pandas(pd.DataFrame(rows))
+    out = (dup_span_stats(docs, n=5, min_df=2).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert list(out.index) == [0, 1, 2]  # doc 3 emits no row
+    # doc0: 10 total 5-grams (14 tokens), 5 of them inside the shared span
+    assert out.loc[0, "total_ngrams"] == 10
+    assert out.loc[0, "dup_ngrams"] == 5
+    assert out.loc[0, "dup_fraction"] == pytest.approx(0.5)
+    assert out.loc[1, "total_ngrams"] == 10
+    assert out.loc[1, "dup_ngrams"] == 5
+    assert out.loc[2, "dup_ngrams"] == 0
+    assert out.loc[2, "dup_fraction"] == 0.0
