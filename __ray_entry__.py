@@ -202,6 +202,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf}/documents.parquet", columns=["doc_id", "source", "lang"])
         return host_stats(canonicalize_urls(synth_urls(docs)))
 
+    def _lineitem_edges(sf):
+        # order→part bipartite edge list, namespaced node ids (the
+        # expression is a shared contract with the SQL oracle)
+        import pandas as pd
+        import ray.data as rd
+
+        lin = rd.read_parquet(f"{sf}/lineitem.parquet",
+                              columns=["l_orderkey", "l_partkey"])
+
+        def _e(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "src": "o" + df["l_orderkey"].astype(str),
+                "dst": "p" + df["l_partkey"].astype(str)})
+
+        return lin.map_batches(_e, batch_format="pandas", batch_size=None)
+
+    def q_pagerank(sf):
+        # gate column: epsilon-shifted floor quantization to 1e-4.
+        # The ranks are rationals that terminate in decimal, so they sit
+        # EXACTLY on round()'s .5 boundaries; partition-order float
+        # noise (~1e-15 relative) then flips round(…, k) run-to-run.
+        # floor(x*1e4 + 1e-6) moves the decision boundary to
+        # k - 1e-6 — a value these rational sums never come within
+        # noise distance of. Same expression verbatim in the oracle.
+        import numpy as np
+        import pyarrow as pa
+
+        from omop2obo_ray.pipelines.graph import pagerank
+
+        ranks = pagerank(_lineitem_edges(sf), iterations=3, damping=0.85)
+
+        def _q(batch: pa.Table) -> pa.Table:
+            r = batch["rank"].combine_chunks().to_numpy(zero_copy_only=False)
+            q = np.floor(r * 1e4 + 1e-6).astype(np.int64)
+            return pa.table({"node": batch["node"],
+                             "rank_q": pa.array(q, pa.int64())})
+
+        return ranks.map_batches(_q, batch_format="pyarrow", batch_size=None)
+
+    def q_degree_stats(sf):
+        from omop2obo_ray.pipelines.graph import degree_stats
+
+        return degree_stats(_lineitem_edges(sf))
+
     # ---- rows-only (non-SQL-expressible) ----
     def q_kg_triples(sf):
         from omop2obo_ray.pipelines.flagship import kg_over_documents
@@ -372,6 +416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": q_dup_span_stats,  # duplicated-span signal (Lee'22)
         "canonical_urls": q_canonical_urls,  # CC url canonicalization
         "host_stats": q_host_stats,          # per-host crawl stats
+        "pagerank": q_pagerank,              # iterative join-based centrality
+        "degree_stats": q_degree_stats,      # out-degree histogram
         "token_stats": q_token_stats,
         "md5_fingerprint": q_md5_fingerprint,
         "embedding_topk": q_embedding_topk,
@@ -668,6 +714,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT host, count(*) AS n_pages, "
             r"count(DISTINCT regexp_replace(rest, '\?.*$', '')) AS n_paths "
             "FROM u3 GROUP BY host"
+        ),
+        # 3-iteration damped PageRank over the order→part edge list,
+        # unrolled to the exact recurrence the engine executes
+        # (r0 = 1/N; r_{k+1} = 0.15/N + 0.85 * sum(r_k(src)/outdeg);
+        # dangling mass leaks on both sides; rank reported ×N)
+        "pagerank": (
+            "WITH e AS (SELECT 'o' || l_orderkey AS src, "
+            "'p' || l_partkey AS dst FROM lineitem), "
+            "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+            "p AS (SELECT count(*)::DOUBLE AS n FROM nodes), "
+            "deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src), "
+            "r0 AS (SELECT node, 1.0 / (SELECT n FROM p) AS r FROM nodes), "
+            "s1 AS (SELECT e.dst, sum(r0.r / deg.d) AS c FROM e "
+            "JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY e.dst), "
+            "r1 AS (SELECT nodes.node, 0.15 / (SELECT n FROM p) + "
+            "0.85 * coalesce(s1.c, 0) AS r FROM nodes "
+            "LEFT JOIN s1 ON s1.dst = nodes.node), "
+            "s2 AS (SELECT e.dst, sum(r1.r / deg.d) AS c FROM e "
+            "JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst), "
+            "r2 AS (SELECT nodes.node, 0.15 / (SELECT n FROM p) + "
+            "0.85 * coalesce(s2.c, 0) AS r FROM nodes "
+            "LEFT JOIN s2 ON s2.dst = nodes.node), "
+            "s3 AS (SELECT e.dst, sum(r2.r / deg.d) AS c FROM e "
+            "JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY e.dst), "
+            "r3 AS (SELECT nodes.node, 0.15 / (SELECT n FROM p) + "
+            "0.85 * coalesce(s3.c, 0) AS r FROM nodes "
+            "LEFT JOIN s3 ON s3.dst = nodes.node) "
+            "SELECT node, CAST(floor(r * (SELECT n FROM p) * 10000 "
+            "+ 0.000001) AS BIGINT) AS rank_q FROM r3"
+        ),
+        "degree_stats": (
+            "WITH e AS (SELECT 'o' || l_orderkey AS src, "
+            "'p' || l_partkey AS dst FROM lineitem), "
+            "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src) "
+            "SELECT d AS degree, count(*) AS n_nodes FROM deg GROUP BY d"
         ),
         "window_sliding": (
             "SELECT event_type, "
