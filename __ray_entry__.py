@@ -202,6 +202,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf}/documents.parquet", columns=["doc_id", "source", "lang"])
         return host_stats(canonicalize_urls(synth_urls(docs)))
 
+    def q_dedup_lines(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import dedup_lines_corpus
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return dedup_lines_corpus(docs)
+
     def _lineitem_edges(sf):
         # order→part bipartite edge list, namespaced node ids (the
         # expression is a shared contract with the SQL oracle)
@@ -416,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": q_dup_span_stats,  # duplicated-span signal (Lee'22)
         "canonical_urls": q_canonical_urls,  # CC url canonicalization
         "host_stats": q_host_stats,          # per-host crawl stats
+        "dedup_lines": q_dedup_lines,        # C4 global line dedup
         "pagerank": q_pagerank,              # iterative join-based centrality
         "degree_stats": q_degree_stats,      # out-degree histogram
         "token_stats": q_token_stats,
@@ -714,6 +724,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT host, count(*) AS n_pages, "
             r"count(DISTINCT regexp_replace(rest, '\?.*$', '')) AS n_paths "
             "FROM u3 GROUP BY host"
+        ),
+        # C4 global line dedup: first occurrence = lexicographic min
+        # (doc_id, line index); docs reassembled from surviving lines,
+        # emptied docs dropped (both sides)
+        "dedup_lines": (
+            "WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS a "
+            "FROM documents), "
+            "lx AS (SELECT doc_id, a, "
+            "unnest(generate_series(1, len(a))) AS i FROM ls), "
+            "lines AS (SELECT doc_id, i, a[i] AS line FROM lx), "
+            "k1 AS (SELECT line, min(doc_id) AS kd FROM lines GROUP BY line), "
+            "k2 AS (SELECT l.line, min(l.i) AS ki FROM lines l "
+            "JOIN k1 ON l.line = k1.line AND l.doc_id = k1.kd "
+            "GROUP BY l.line), "
+            "kept AS (SELECT l.doc_id, l.i, l.line FROM lines l "
+            "JOIN k1 ON l.line = k1.line AND l.doc_id = k1.kd "
+            "JOIN k2 ON l.line = k2.line AND l.i = k2.ki) "
+            "SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text "
+            "FROM kept GROUP BY doc_id"
         ),
         # 3-iteration damped PageRank over the order→part edge list,
         # unrolled to the exact recurrence the engine executes

@@ -444,3 +444,93 @@ def host_stats(canon: Dataset, url_col: str = "url") -> Dataset:
         return out
 
     return coarse_aggregate(per_path, ["host"], _per_host)
+
+
+# ---------------------------------------------------------------------------
+# C4-style global line deduplication
+# ---------------------------------------------------------------------------
+
+def _explode_lines(docs: Dataset, key_col: str = "doc_id",
+                   text_col: str = "text") -> Dataset:
+    """(key, line_idx, line, line_h) rows — one per newline-split line,
+    vectorized (Arrow split + offsets math, no per-document loop).
+    line_h is a 63-bit content hash; the slim dedup exchange ships
+    hashes, the line text stays in this dataset only."""
+    from omop2obo_ray.functions.hashing import hash64_array
+
+    def _ex(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch[text_col], pattern="\n")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = parts.flatten()
+        counts = np.diff(parts.offsets.to_numpy(zero_copy_only=False))
+        parent = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        idx = np.arange(parent.size, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)[parent]
+        h = (hash64_array(flat) >> np.uint64(1)).astype(np.int64)
+        return pa.table({key_col: pa.array(keys),
+                         "line_idx": pa.array(idx, pa.int64()),
+                         "line": flat,
+                         "line_h": pa.array(h, pa.int64())})
+
+    return docs.map_batches(_ex, batch_format="pyarrow", batch_size=None)
+
+
+def dedup_lines_corpus(docs: Dataset, key_col: str = "doc_id",
+                       text_col: str = "text",
+                       num_partitions: int = 8) -> Dataset:
+    """C4-style GLOBAL line dedup: every distinct line is kept exactly
+    once corpus-wide — at its first occurrence, defined as the
+    lexicographically smallest (doc, line_idx) — all other occurrences
+    are removed, documents are reassembled from their surviving lines
+    in order, and documents left with no lines are dropped
+    ("Exploring the Limits of Transfer Learning with T5/C4", Raffel et
+    al. 2020 §2.2 line-level dedup).
+
+    Scale shape: the first-occurrence election runs over (line_h, key,
+    idx) only — line text never enters that exchange (63-bit content
+    hashes; distinct-line collisions ~n²/2⁶³, the same accepted risk as
+    ``exact_dedup``). One hash join attaches winners back; reassembly
+    is a coarse per-doc apply. No driver state at any dup mass.
+    """
+    from omop2obo_ray.functions.shuffle import (coarse_aggregate,
+                                                coarse_apply_per_key)
+    from omop2obo_ray.pipelines.textpipe import (_pa_schema_of,
+                                                 _sanitize_join_output)
+
+    lines = _explode_lines(docs, key_col, text_col).materialize()
+    kt = _pa_schema_of(lines).field(key_col).type
+    # first occurrence per line: min (doc, idx) lexicographic
+    keep = _sanitize_join_output(coarse_aggregate(
+        lines.select_columns(["line_h", key_col, "line_idx"]), ["line_h"],
+        lambda df: df.sort_values(["line_h", key_col, "line_idx"])
+        .drop_duplicates("line_h")
+        .rename(columns={key_col: "kd", "line_idx": "ki"})),
+        pa.schema([("line_h", pa.int64()), ("kd", kt),
+                   ("ki", pa.int64())]))
+    joined = _sanitize_join_output(
+        lines.join(keep, join_type="inner",
+                   num_partitions=num_partitions, on=("line_h",)),
+        pa.schema([(key_col, kt), ("line_idx", pa.int64()),
+                   ("line", pa.string()), ("line_h", pa.int64()),
+                   ("kd", kt), ("ki", pa.int64())]))
+
+    def _winners(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].combine_chunks()
+        i = batch["line_idx"].combine_chunks()
+        m = pc.and_(pc.equal(k, batch["kd"].combine_chunks()),
+                    pc.equal(i, batch["ki"].combine_chunks()))
+        t = pa.table({key_col: k, "line_idx": i,
+                      "line": batch["line"].combine_chunks()})
+        return t.filter(m)
+
+    kept = joined.map_batches(_winners, batch_format="pyarrow",
+                              batch_size=None)
+
+    def _reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("line_idx")
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]],
+                             text_col: ["\n".join(g["line"])]})
+
+    return coarse_apply_per_key(kept, [key_col], _reassemble)

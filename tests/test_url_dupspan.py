@@ -95,3 +95,27 @@ def test_dup_span_stats_planted(ray_session):
     assert out.loc[1, "dup_ngrams"] == 5
     assert out.loc[2, "dup_ngrams"] == 0
     assert out.loc[2, "dup_fraction"] == 0.0
+
+
+def test_dedup_lines_corpus_planted(ray_session):
+    from omop2obo_ray.pipelines.curate import dedup_lines_corpus
+
+    rows = [
+        # doc0 owns every one of its lines (first occurrence), including
+        # the within-doc repeat of "dup line" (kept once, at idx 1)
+        {"doc_id": 0, "text": "alpha\ndup line\nbeta\ndup line"},
+        # doc1: loses "dup line", keeps its own two
+        {"doc_id": 1, "text": "dup line\ngamma\ndelta"},
+        # doc2: identical single line to doc1's "gamma" -> emptied, dropped
+        {"doc_id": 2, "text": "gamma"},
+        # doc3: untouched
+        {"doc_id": 3, "text": "epsilon"},
+    ]
+    docs = rd.from_pandas(pd.DataFrame(rows))
+    out = (dedup_lines_corpus(docs).to_pandas()
+           .set_index("doc_id")["text"].to_dict())
+    assert out == {
+        0: "alpha\ndup line\nbeta",
+        1: "gamma\ndelta",
+        3: "epsilon",
+    }
