@@ -123,10 +123,16 @@ def pagerank(edges: Dataset, iterations: int = 3, damping: float = 0.85,
                        ("r", pa.float64())]))
 
         def _w(batch: pa.Table) -> pa.Table:
+            # block-local combiner: partial-sum per dst BEFORE the
+            # coarse exchange, so a hub node (head dst with 10⁹
+            # in-edges) ships one partial row per block instead of
+            # concentrating every edge row into its coarse group
             r = batch["r"].combine_chunks().to_numpy(zero_copy_only=False)
             d = batch["d"].combine_chunks().to_numpy(zero_copy_only=False)
-            return pa.table({"dst": batch["dst"],
-                             "w": pa.array(r / d, pa.float64())})
+            dst = batch["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+            part = (pd.DataFrame({"dst": dst, "w": r / d})
+                    .groupby("dst", sort=False)["w"].sum().reset_index())
+            return pa.Table.from_pandas(part, preserve_index=False)
 
         contrib = _sanitize_join_output(coarse_aggregate(
             sent.map_batches(_w, batch_format="pyarrow", batch_size=None),
