@@ -202,6 +202,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf}/documents.parquet", columns=["doc_id", "source", "lang"])
         return host_stats(canonicalize_urls(synth_urls(docs)))
 
+    def q_tfidf_scores(sf):
+        # same epsilon-floor quantized gate as pagerank (float sums +
+        # ln(); full-precision scores stay on the operator)
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import tfidf_corpus_scores
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        scores = tfidf_corpus_scores(docs)
+
+        def _q(batch: pa.Table) -> pa.Table:
+            s = batch["score"].combine_chunks().to_numpy(zero_copy_only=False)
+            q = np.floor(s * 1e4 + 1e-6).astype(np.int64)
+            return pa.table({"doc_id": batch["doc_id"],
+                             "token": batch["token"],
+                             "score_q": pa.array(q, pa.int64())})
+
+        return scores.map_batches(_q, batch_format="pyarrow",
+                                  batch_size=None)
+
     def q_dedup_lines(sf):
         import ray.data as rd
 
@@ -426,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_urls": q_canonical_urls,  # CC url canonicalization
         "host_stats": q_host_stats,          # per-host crawl stats
         "dedup_lines": q_dedup_lines,        # C4 global line dedup
+        "tfidf_scores": q_tfidf_scores,      # corpus TF-IDF vectors
         "pagerank": q_pagerank,              # iterative join-based centrality
         "degree_stats": q_degree_stats,      # out-degree histogram
         "token_stats": q_token_stats,
@@ -724,6 +748,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT host, count(*) AS n_pages, "
             r"count(DISTINCT regexp_replace(rest, '\?.*$', '')) AS n_paths "
             "FROM u3 GROUP BY host"
+        ),
+        # corpus TF-IDF (sklearn smooth idf, L2 per doc), epsilon-floor
+        # quantized gate
+        "tfidf_scores": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks "
+            "GROUP BY 1, 2), "
+            "df AS (SELECT token, count(*) AS df FROM tf GROUP BY token), "
+            "p AS (SELECT count(*)::DOUBLE AS n FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.token, tf.tf * "
+            "(ln((1 + (SELECT n FROM p)) / (1 + df.df)) + 1) AS w "
+            "FROM tf JOIN df USING (token)), "
+            "nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS z FROM s "
+            "GROUP BY doc_id) "
+            "SELECT s.doc_id, s.token, CAST(floor(s.w / nrm.z * 10000 "
+            "+ 0.000001) AS BIGINT) AS score_q FROM s JOIN nrm "
+            "USING (doc_id)"
         ),
         # C4 global line dedup: first occurrence = lexicographic min
         # (doc_id, line index); docs reassembled from surviving lines,

@@ -92,6 +92,14 @@ def run_bench() -> dict:
         timed("explode_tokens", lambda: R.q_explode_tokens(SF_DIR))
         timed("window_tumbling", lambda: R.q_window_tumbling(SF_DIR))
 
+        def _dedup_lines():
+            from omop2obo_ray.pipelines.curate import dedup_lines_corpus
+
+            return dedup_lines_corpus(rd.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]))
+
+        timed("dedup_lines", _dedup_lines)
+
     lexicon = derive_lexicon_from_corpus(SF_DIR)  # untimed offline dim build
     out_dir = "/tmp/bench_kg_out"
     import shutil

@@ -1443,3 +1443,65 @@ def sample_frames(ds: Dataset, media_col: str = "payload",
                                                  n_frames=n_frames),
         batch_format="pyarrow", batch_size=32, concurrency=_pool(), num_cpus=1,
     )
+
+
+def tfidf_corpus_scores(docs: Dataset, key_col: str = "doc_id",
+                        text_col: str = "text",
+                        num_partitions: int = 8) -> Dataset:
+    """Corpus-wide TF-IDF vectors in long form → (key, token, score):
+    sklearn-formula parity with the engine's tier-3 vectorizer
+    (``functions/tfidf.py``: smooth idf ``ln((1+N)/(1+df)) + 1``,
+    L2-normalized per document), but over the open corpus vocabulary
+    instead of the lexicon — the standard relevance-weighting stage of
+    a training-data pipeline.
+
+    Scale shape: term frequencies and document frequencies are coarse
+    aggregates over (key, token) / (token); the single join ships
+    (token, df) rows; normalization is a per-document coarse apply. No
+    driver state except the scalar document count.
+    """
+    import pyarrow.compute as pc
+
+    n_docs = docs.count()
+
+    def _toks(batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(batch[text_col])
+        toks = pc.split_pattern_regex(lower, pattern=r"[^a-z0-9_]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        parent = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        keys = batch[key_col].to_numpy(zero_copy_only=False)[parent[keep]]
+        return pa.table({key_col: pa.array(keys),
+                         "token": flat.filter(pa.array(keep))})
+
+    toks = docs.map_batches(_toks, batch_format="pyarrow", batch_size=None)
+    tf = coarse_aggregate(
+        toks, [key_col, "token"],
+        lambda df: df.groupby([key_col, "token"], sort=False).size()
+        .rename("tf").reset_index()).materialize()
+    kt = _pa_schema_of(tf).field(key_col).type
+    df_tbl = _sanitize_join_output(coarse_aggregate(
+        tf.select_columns(["token"]), ["token"],
+        lambda df: df.groupby("token", sort=False).size()
+        .rename("df").reset_index()),
+        pa.schema([("token", pa.string()), ("df", pa.int64())]))
+    joined = _sanitize_join_output(
+        tf.join(df_tbl, join_type="inner",
+                num_partitions=num_partitions, on=("token",)),
+        pa.schema([(key_col, kt), ("token", pa.string()),
+                   ("tf", pa.int64()), ("df", pa.int64())]))
+
+    def _norm(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("token")  # deterministic sum order run-to-run
+        w = g["tf"].to_numpy(np.float64) * (
+            np.log((1.0 + n_docs) / (1.0 + g["df"].to_numpy(np.float64)))
+            + 1.0)
+        z = np.sqrt((w * w).sum())
+        return pd.DataFrame({key_col: g[key_col],
+                             "token": g["token"],
+                             "score": w / z if z else w})
+
+    return coarse_apply_per_key(joined, [key_col], _norm)

@@ -119,3 +119,30 @@ def test_dedup_lines_corpus_planted(ray_session):
         1: "gamma\ndelta",
         3: "epsilon",
     }
+
+
+def test_tfidf_corpus_scores_planted(ray_session):
+    import numpy as np
+
+    from omop2obo_ray.pipelines.textpipe import tfidf_corpus_scores
+
+    rows = [
+        {"doc_id": 0, "text": "apple apple banana"},
+        {"doc_id": 1, "text": "banana cherry"},
+        {"doc_id": 2, "text": "cherry cherry cherry"},
+    ]
+    docs = rd.from_pandas(pd.DataFrame(rows))
+    out = tfidf_corpus_scores(docs).to_pandas()
+    got = {(r.doc_id, r.token): r.score for r in out.itertuples()}
+
+    def idf(df):
+        return np.log((1 + 3) / (1 + df)) + 1
+
+    # doc0: apple tf=2 df=1, banana tf=1 df=2
+    w = np.array([2 * idf(1), 1 * idf(2)])
+    w = w / np.sqrt((w ** 2).sum())
+    assert got[(0, "apple")] == pytest.approx(w[0], rel=1e-12)
+    assert got[(0, "banana")] == pytest.approx(w[1], rel=1e-12)
+    # doc2: single distinct token -> unit norm
+    assert got[(2, "cherry")] == pytest.approx(1.0, rel=1e-12)
+    assert len(got) == 5
