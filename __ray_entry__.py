@@ -202,6 +202,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf}/documents.parquet", columns=["doc_id", "source", "lang"])
         return host_stats(canonicalize_urls(synth_urls(docs)))
 
+    def q_stratified_sample(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import stratified_sample
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "source"])
+        return stratified_sample(docs, group="source", key="doc_id", k=5)
+
     def q_tfidf_scores(sf):
         # same epsilon-floor quantized gate as pagerank (float sums +
         # ln(); full-precision scores stay on the operator)
@@ -277,6 +286,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from omop2obo_ray.pipelines.graph import degree_stats
 
         return degree_stats(_lineitem_edges(sf))
+
+    def q_heavy_hitters(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import heavy_hitters
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return heavy_hitters(docs, k=20)
 
     # ---- rows-only (non-SQL-expressible) ----
     def q_kg_triples(sf):
@@ -450,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": q_host_stats,          # per-host crawl stats
         "dedup_lines": q_dedup_lines,        # C4 global line dedup
         "tfidf_scores": q_tfidf_scores,      # corpus TF-IDF vectors
+        "stratified_sample": q_stratified_sample,  # per-group exact-k sample
         "pagerank": q_pagerank,              # iterative join-based centrality
         "degree_stats": q_degree_stats,      # out-degree histogram
         "token_stats": q_token_stats,
@@ -469,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "n3c_mapping_table": q_n3c_mapping_table,
+        "heavy_hitters": q_heavy_hitters,  # count-min sketch top-k (est ≥ truth; pytest carries the bound check)
     }
 
 
@@ -748,6 +768,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT host, count(*) AS n_pages, "
             r"count(DISTINCT regexp_replace(rest, '\?.*$', '')) AS n_paths "
             "FROM u3 GROUP BY host"
+        ),
+        # per-group exact-k deterministic sample (same multiplicative
+        # hash as hash_sample, shared verbatim)
+        "stratified_sample": (
+            "SELECT source, doc_id FROM (SELECT source, doc_id, "
+            "row_number() OVER (PARTITION BY source ORDER BY "
+            "(((doc_id % 2147483648) * 2654435761 + 17) % 4294967296), "
+            "doc_id) AS rn FROM documents) WHERE rn <= 5"
         ),
         # corpus TF-IDF (sklearn smooth idf, L2 per doc), epsilon-floor
         # quantized gate

@@ -24,6 +24,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+import ray
 from ray.data import Dataset
 
 # ---------------------------------------------------------------------------
@@ -534,3 +536,136 @@ def dedup_lines_corpus(docs: Dataset, key_col: str = "doc_id",
                              text_col: ["\n".join(g["line"])]})
 
     return coarse_apply_per_key(kept, [key_col], _reassemble)
+
+
+def stratified_sample(ds: Dataset, group: str, key: str, k: int,
+                      salt: int = 17) -> Dataset:
+    """Deterministic per-group top-k sample: within every ``group``
+    value keep the ``k`` rows with the smallest multiplicative-hash
+    rank of ``key`` (same content-addressed hash as
+    :func:`hash_sample`, so the sample is reproducible across runs /
+    resumes / engines and expressible verbatim in SQL).
+
+    Unlike ``hash_sample``'s global rate, this guarantees EXACTLY
+    min(k, group size) rows per stratum — the shape a balanced eval
+    split or per-domain audit sample needs. Per-group selection is a
+    coarse apply (group cardinality unbounded); only (group, key, rank)
+    enters the exchange.
+    """
+    from omop2obo_ray.functions.shuffle import coarse_apply_per_key
+
+    def _rank(batch: pa.Table) -> pa.Table:
+        kv = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((kv % _M31) * _KNUTH + salt) % _M32
+        return pa.table({group: batch[group], key: batch[key],
+                         "_rank": pa.array(h, pa.int64())})
+
+    ranked = ds.map_batches(_rank, batch_format="pyarrow", batch_size=None)
+
+    def _take(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["_rank", key]).head(k)
+                [[group, key]].reset_index(drop=True))
+
+    return coarse_apply_per_key(ranked, [group], _take)
+
+
+# ---------------------------------------------------------------------------
+# Count-min heavy hitters (mergeable sketch)
+# ---------------------------------------------------------------------------
+
+_CM_SEEDS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+             0x165667B19E3779F9, 0x27D4EB2F165667C5)
+
+
+def _cm_positions(tokens: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """(depth, n) column indices — splitmix-style multiplicative mixes
+    of the token content hash, identical wherever a sketch is built or
+    probed."""
+    from omop2obo_ray.functions.hashing import hash64_array
+
+    h = hash64_array(pa.array(tokens.astype(object), pa.string()))
+    pos = np.empty((depth, h.size), dtype=np.int64)
+    for d in range(depth):
+        m = (h * np.uint64(_CM_SEEDS[d])) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        m ^= m >> np.uint64(33)
+        pos[d] = (m % np.uint64(width)).astype(np.int64)
+    return pos
+
+
+def heavy_hitters(docs: Dataset, *, text_col: str = "text", k: int = 20,
+                  width: int = 4096, depth: int = 4,
+                  candidates_per_block: int = 128) -> Dataset:
+    """Approximate top-k tokens via a COUNT-MIN sketch → (token, est)
+    sorted by estimate desc (Cormode & Muthukrishnan 2005).
+
+    This is the sketch-path alternative to the exact ``top_tokens``
+    keyed aggregate: the exchange carries (a) fixed-size ``depth×width``
+    partial sketches — count-min is linear, so partials sum — and (b)
+    block-local candidate tokens, never the full token stream keyed by
+    token. Per-block partials reduce to ≤32 bucket sums in-cluster;
+    the driver touches only those and the ≤ blocks×candidates distinct
+    candidate rows. Estimates overestimate by ≤ εN with classic CM
+    guarantees (ε = e/width per row of depth).
+    """
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+
+    tok_pat = r"[^a-z0-9_]+"
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(batch[text_col])
+        toks = pc.split_pattern_regex(lower, pattern=tok_pat)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat_arr = toks.flatten()
+        flat_arr = flat_arr.filter(pc.greater(pc.utf8_length(flat_arr), 0))
+        flat = flat_arr.to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(flat, return_counts=True)
+        sketch = np.zeros((depth, width), dtype=np.int64)
+        if uniq.size:
+            pos = _cm_positions(uniq, width, depth)
+            for d in range(depth):
+                np.add.at(sketch[d], pos[d], cnt)
+        order = np.argsort(-cnt)[:candidates_per_block]
+        return pa.table({
+            # spreading key only (routes partial sums); result is
+            # independent of its value
+            "bucket": pa.array([int(sketch.sum()) % 32], pa.int64()),
+            "sketch": pa.array([sketch.tobytes()], pa.large_binary()),
+            "cands": pa.array(["\n".join(uniq[order])], pa.large_string()),
+        })
+
+    partials = docs.map_batches(_partial, batch_format="pyarrow",
+                                batch_size=None)
+    # in-cluster partial-sketch sums: ≤32 bucket rows reach the driver
+    summed = coarse_aggregate(
+        partials.select_columns(["bucket", "sketch"]), ["bucket"],
+        lambda df: pd.DataFrame({
+            "bucket": [df["bucket"].iloc[0]],
+            "sketch": [np.sum(
+                [np.frombuffer(b, dtype=np.int64) for b in df["sketch"]],
+                axis=0).tobytes()]}))
+    sketch = np.zeros(depth * width, dtype=np.int64)
+    for b in summed.iter_batches(batch_size=64, batch_format="pyarrow"):
+        for raw in b["sketch"].to_pylist():
+            sketch += np.frombuffer(raw, dtype=np.int64)
+    sketch = sketch.reshape(depth, width)
+    sketch_ref = ray.put(sketch)
+
+    cands = coarse_aggregate(
+        partials.select_columns(["cands"]).map_batches(
+            lambda b: pa.table({"token": pa.array(
+                [t for s in b["cands"].to_pylist() for t in s.split("\n")
+                 if t], pa.string())}),
+            batch_format="pyarrow", batch_size=None),
+        ["token"], lambda df: df.drop_duplicates(["token"]))
+
+    def _estimate(batch: pa.Table) -> pa.Table:
+        sk = ray.get(sketch_ref)
+        toks = batch["token"].to_numpy(zero_copy_only=False)
+        pos = _cm_positions(toks, width, depth)
+        est = np.min(np.stack([sk[d][pos[d]] for d in range(depth)]), axis=0)
+        return pa.table({"token": batch["token"],
+                         "est": pa.array(est, pa.int64())})
+
+    est = cands.map_batches(_estimate, batch_format="pyarrow")
+    return est.sort(["est", "token"], descending=[True, False]).limit(k)

@@ -6,6 +6,7 @@ documents with known shared/unique 5-gram structure."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -146,3 +147,39 @@ def test_tfidf_corpus_scores_planted(ray_session):
     # doc2: single distinct token -> unit norm
     assert got[(2, "cherry")] == pytest.approx(1.0, rel=1e-12)
     assert len(got) == 5
+
+
+def test_stratified_sample_planted(ray_session):
+    from omop2obo_ray.pipelines.curate import stratified_sample
+
+    rows = [{"doc_id": i, "source": "big" if i < 50 else "small"}
+            for i in range(55)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = stratified_sample(ds, group="source", key="doc_id", k=3).to_pandas()
+    by_group = out.groupby("source").size().to_dict()
+    # exactly k rows for the big stratum, all rows for the small one
+    assert by_group == {"big": 3, "small": 3}
+    # deterministic across invocations
+    out2 = stratified_sample(ds, group="source", key="doc_id", k=3).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_heavy_hitters_planted_zipf(ray_session):
+    from omop2obo_ray.pipelines.curate import heavy_hitters
+
+    # 5 planted heavy tokens with huge counts over a long tail
+    heavy = {"aaa": 400, "bbb": 300, "ccc": 250, "ddd": 200, "eee": 150}
+    words = [w for w, n in heavy.items() for _ in range(n)]
+    words += [f"tail{i}" for i in range(500)]  # 500 singletons
+    rng = np.random.RandomState(7)
+    rng.shuffle(words)
+    # 20 docs
+    docs = pd.DataFrame({
+        "doc_id": range(20),
+        "text": [" ".join(words[i::20]) for i in range(20)]})
+    out = heavy_hitters(rd.from_pandas(docs), k=5).to_pandas()
+    got = dict(zip(out["token"], out["est"]))
+    assert list(out["token"]) == ["aaa", "bbb", "ccc", "ddd", "eee"]
+    for w, n in heavy.items():
+        # count-min never underestimates; slack bounded by eN
+        assert n <= got[w] <= n + 10
