@@ -287,6 +287,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return degree_stats(_lineitem_edges(sf))
 
+    def q_connected_components(sf):
+        from omop2obo_ray.pipelines.graph import connected_components
+
+        return connected_components(_lineitem_edges(sf))
+
     def q_heavy_hitters(sf):
         import ray.data as rd
 
@@ -489,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "n3c_mapping_table": q_n3c_mapping_table,
         "heavy_hitters": q_heavy_hitters,  # count-min sketch top-k (est ≥ truth; pytest carries the bound check)
+        "connected_components": q_connected_components,  # min-label propagation
     }
 
 

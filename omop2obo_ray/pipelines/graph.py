@@ -170,3 +170,25 @@ def pagerank(edges: Dataset, iterations: int = 3, damping: float = 0.85,
                          "rank": pa.array(r * n_nodes, pa.float64())})
 
     return rank.map_batches(_fin, batch_format="pyarrow", batch_size=None)
+
+
+def connected_components(edges: Dataset, src: str = "src",
+                         dst: str = "dst") -> Dataset:
+    """Connected components over an undirected edge Dataset →
+    (node, component) with component = min member id. Thin graph-API
+    front for the iterative min-label propagation built for near-dup
+    clustering (``textpipe.dup_clusters_distributed``): one hash join +
+    one coarse per-node min per round, sum-of-labels as the monotone
+    convergence witness, no driver state. Isolated nodes (absent from
+    the edge list) are by definition their own singleton components and
+    are not emitted."""
+    from omop2obo_ray.pipelines.textpipe import dup_clusters_distributed
+
+    pairs = edges.map_batches(
+        lambda b: pa.table({"doc_a": b[src], "doc_b": b[dst]}),
+        batch_format="pyarrow", batch_size=None)
+    labeled = dup_clusters_distributed(pairs, key_col="node")
+    return labeled.map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "component": b["cluster_id"]}),
+        batch_format="pyarrow", batch_size=None)

@@ -70,3 +70,14 @@ def test_degree_stats(edge_ds):
            .set_index("degree")["n_nodes"].to_dict())
     # out-degrees: a=3 (parallel edges count), b=1, c=2, d=1
     assert got == {3: 1, 1: 2, 2: 1}
+
+
+def test_connected_components_planted(ray_session):
+    from omop2obo_ray.pipelines.graph import connected_components
+
+    # two components: {a,b,c} via chain, {x,y} — plus no isolated nodes
+    edges = pd.DataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], columns=["src", "dst"])
+    got = (connected_components(rd.from_pandas(edges)).to_pandas()
+           .set_index("node")["component"].to_dict())
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
