@@ -183,3 +183,52 @@ def test_heavy_hitters_planted_zipf(ray_session):
     for w, n in heavy.items():
         # count-min never underestimates; slack bounded by eN
         assert n <= got[w] <= n + 10
+
+
+# ---------------------------------------------------------------------------
+# property: canonicalization is idempotent and variant-invariant
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _label = st.text(alphabet="abcdefghijklmnopqrstuvwxyzABC123", min_size=1,
+                     max_size=8)
+
+    @st.composite
+    def _urls(draw):
+        scheme = draw(st.sampled_from(["", "http://", "https://", "HTTPS://"]))
+        www = draw(st.sampled_from(["", "www."]))
+        host = ".".join(draw(st.lists(_label, min_size=1, max_size=3)))
+        segs = draw(st.lists(_label, min_size=0, max_size=3))
+        path = "".join(f"/{s}" for s in segs)
+        trail = draw(st.sampled_from(["", "/"]))
+        params = draw(st.lists(st.one_of(
+            st.tuples(st.sampled_from(["utm_source", "utm_x", "ref",
+                                       "fbclid", "gclid"]), _label),
+            st.tuples(_label.filter(
+                lambda s: not s.startswith("utm") and s not in
+                ("ref", "fbclid", "gclid")), _label)),
+            max_size=4))
+        query = "&".join(f"{k}={v}" for k, v in params)
+        frag = draw(st.sampled_from(["", "#sec", "#x/y?z"]))
+        return (scheme + www + host + path + trail
+                + (f"?{query}" if query else "") + frag)
+
+    @given(_urls())
+    @settings(max_examples=200, deadline=None)
+    def test_canonicalize_idempotent(url):
+        import pyarrow as pa
+
+        from omop2obo_ray.pipelines.curate import _canonicalize_url_array
+
+        once = _canonicalize_url_array(pa.array([url], pa.string()))[0].as_py()
+        twice = _canonicalize_url_array(
+            pa.array([once], pa.string()))[0].as_py()
+        assert twice == once
+        assert "utm_" not in once and "#" not in once
+        host = once.split("/")[0].split("?")[0]
+        assert host == host.lower() and not host.startswith("www.")
+except ImportError:  # hypothesis absent: property check skipped
+    pass
