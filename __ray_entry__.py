@@ -454,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sliding": R.q_window_sliding,            # hopping windows
         "asof_join": R.q_asof_join,                      # temporal most-recent match
         "range_join": R.q_range_join,                    # keyed interval join
+        "customer_orders_full_outer": R.q_customer_orders_full_outer,  # J7 outer-merge shape
         "exact_match_mentions": R.q_exact_match_mentions,  # J6 tier-1
         # training-data ops (SQL-checked)
         "clip_cells": q_clip_cells,        # M10 Excel-width truncation
@@ -774,6 +775,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT host, count(*) AS n_pages, "
             r"count(DISTINCT regexp_replace(rest, '\?.*$', '')) AS n_paths "
             "FROM u3 GROUP BY host"
+        ),
+        # J7 outer-merge shape: full outer join, null-free via the
+        # shared coalesce contract
+        "customer_orders_full_outer": (
+            "SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, "
+            "coalesce(c.c_name, '') AS c_name, "
+            "coalesce(o.n, 0) AS n_orders "
+            "FROM customer c FULL OUTER JOIN "
+            "(SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o "
+            "ON c.c_custkey = o.o_custkey"
         ),
         # per-group exact-k deterministic sample (same multiplicative
         # hash as hash_sample, shared verbatim)

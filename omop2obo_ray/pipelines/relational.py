@@ -220,6 +220,46 @@ def q_orders_customer_join_native(sf_dir: str) -> Dataset:
     return j2.select_columns(["o_orderkey", "o_totalprice", "c_name", "n_name"])
 
 
+def q_customer_orders_full_outer(sf_dir: str) -> Dataset:
+    """FULL OUTER join of the customer dimension against per-customer
+    order counts — the J7 outer-merge shape
+    (clinical_concept_annotator.py:419-428 reduce(pd.merge(how='outer')))
+    as a native hash full_outer join, SQL-gated. Customers with no
+    orders survive with n_orders = 0; the key is coalesced across
+    sides so an orphan order (no customer row) would survive too.
+    Nulls are eliminated with the same coalesce contract on both sides
+    so the value-hash gate is null-representation independent."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    # per-customer order counts: high-cardinality key → coarse aggregate
+    counts = coarse_aggregate(
+        orders, ["o_custkey"],
+        lambda df: df.groupby("o_custkey", sort=False).size()
+        .rename("n").reset_index())
+    # Ray's full_outer coalesces the join key into the LEFT column name
+    # and drops the right key column
+    joined = _sanitize_join_output(
+        cust.join(counts, join_type="full_outer", num_partitions=8,
+                  on=("c_custkey",), right_on=("o_custkey",)),
+        pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string()),
+                   ("n", pa.int64())]))
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        name = pc.coalesce(batch["c_name"].combine_chunks(),
+                           pa.scalar("", pa.string()))
+        n = pc.coalesce(batch["n"].combine_chunks().cast(pa.int64()),
+                        pa.scalar(0, pa.int64()))
+        return pa.table({"custkey": batch["c_custkey"].combine_chunks(),
+                         "c_name": name, "n_orders": n})
+
+    return joined.map_batches(_fin, batch_format="pyarrow", batch_size=None)
+
+
 # ---------------------------------------------------------------------------
 # semi/anti join via broadcast key set
 # ---------------------------------------------------------------------------
