@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": R.q_asof_join,                      # temporal most-recent match
         "range_join": R.q_range_join,                    # keyed interval join
         "customer_orders_full_outer": R.q_customer_orders_full_outer,  # J7 outer-merge shape
+        "source_lang_rollup": R.q_source_lang_rollup,    # GROUPING SETS rollup
         "exact_match_mentions": R.q_exact_match_mentions,  # J6 tier-1
         # training-data ops (SQL-checked)
         "clip_cells": q_clip_cells,        # M10 Excel-width truncation
@@ -775,6 +776,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT host, count(*) AS n_pages, "
             r"count(DISTINCT regexp_replace(rest, '\?.*$', '')) AS n_paths "
             "FROM u3 GROUP BY host"
+        ),
+        # GROUPING SETS rollup with '' sentinels for rolled-up dims
+        "source_lang_rollup": (
+            "SELECT coalesce(source, '') AS source, "
+            "coalesce(lang, '') AS lang, count(*) AS n_docs "
+            "FROM documents "
+            "GROUP BY GROUPING SETS ((source, lang), (source), ())"
         ),
         # J7 outer-merge shape: full outer join, null-free via the
         # shared coalesce contract

@@ -260,6 +260,52 @@ def q_customer_orders_full_outer(sf_dir: str) -> Dataset:
     return joined.map_batches(_fin, batch_format="pyarrow", batch_size=None)
 
 
+def q_source_lang_rollup(sf_dir: str) -> Dataset:
+    """GROUPING SETS rollup of corpus volume: (source, lang) leaves,
+    per-source subtotals, and the grand total, with '' sentinels for
+    the rolled-up dimensions — the reporting shape of per-domain corpus
+    dashboards. One block-local combiner pass over the slim projection,
+    then three BOUNDED-key groupbys over the tiny partial table
+    (sources × langs rows) and a streaming union; document rows are
+    scanned exactly once."""
+    import pandas as pd
+    import pyarrow as pa
+
+    docs = _read(sf_dir, "documents", ["source", "lang"])
+    partials = docs.map_batches(
+        lambda df: df.groupby(["source", "lang"], sort=False).size()
+        .rename("n").reset_index(),
+        batch_format="pandas", batch_size=None)
+
+    def _merge_level(cols: list[str]):
+        def _m(g: pd.DataFrame) -> pd.DataFrame:
+            out = {"source": g["source"].iloc[0] if "source" in cols else "",
+                   "lang": g["lang"].iloc[0] if "lang" in cols else "",
+                   "n_docs": int(g["n"].sum())}
+            return pd.DataFrame([out])
+        return _m
+
+    leaf = partials.groupby(["source", "lang"]).map_groups(
+        _merge_level(["source", "lang"]), batch_format="pandas")
+    per_source = partials.groupby("source").map_groups(
+        _merge_level(["source"]), batch_format="pandas")
+    # grand total: sum of the bounded partials — one tiny aggregate
+    import ray.data as rd
+    n_total = sum(b["n"].sum() for b in
+                  partials.iter_batches(batch_size=4096,
+                                        batch_format="pandas"))
+    total_ds = rd.from_arrow(pa.table({
+        "source": pa.array([""], pa.string()),
+        "lang": pa.array([""], pa.string()),
+        "n_docs": pa.array([int(n_total)], pa.int64())}))
+    out = leaf.union(per_source).union(total_ds)
+    return out.map_batches(
+        lambda b: pa.table({"source": b["source"].cast(pa.string()),
+                            "lang": b["lang"].cast(pa.string()),
+                            "n_docs": b["n_docs"].cast(pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+
+
 # ---------------------------------------------------------------------------
 # semi/anti join via broadcast key set
 # ---------------------------------------------------------------------------
