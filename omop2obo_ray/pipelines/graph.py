@@ -81,7 +81,8 @@ def degree_stats(edges: Dataset) -> Dataset:
 def pagerank(edges: Dataset, iterations: int = 3, damping: float = 0.85,
              num_partitions: int = 8) -> Dataset:
     """Fixed-iteration join-based PageRank → (node, rank) with rank
-    normalized to mean 1 (multiplied by N) and rounded to 6 dp.
+    normalized to mean 1 (multiplied by N), full float precision (the
+    SQL gate quantizes in the query wrapper — see module docstring).
 
     Each iteration executes two node-keyed hash exchanges; nothing is
     ever collected to the driver except the scalar node count.
