@@ -55,6 +55,13 @@ class PipelineConfig:
     # (None = adaptive 24× cluster CPUs, measured optimum at 32 cpus /
     # 200k pages: 64→30.2s, 192→20.0s, 768→17.1s, 1536→19.7s)
     assembly_buckets: int | None = None
+    # when set, the bucketed-assembly fallback routes its url_bucket
+    # exchange through the disk-mediated two-phase shuffle
+    # (functions/shuffle.py::disk_bucket_apply) instead of Ray's
+    # sort-based groupby — the same trade the resumable sink makes
+    # (56 s exchange → 8.3 s spill+merge on string-heavy payloads).
+    # Must be shared storage on a cluster.
+    assembly_stage_dir: str | None = None
     # input contract: url is the pages primary key (FIXTURES.md §1), so
     # links are page-local and assembly needs no shuffle; set False for
     # inputs where the same url can appear on multiple rows

@@ -75,3 +75,69 @@ def coarse_apply_per_key(ds: Dataset, keys: list[str],
         return pd.concat(parts, ignore_index=True)
 
     return coarse_aggregate(ds, keys, frame_fn, n_coarse=n_coarse)
+
+
+def disk_bucket_apply(ds: Dataset, bucket_col: str,
+                      frame_fn: Callable[[pd.DataFrame], pd.DataFrame],
+                      stage_dir: str,
+                      buckets_per_task: int = 4) -> Dataset:
+    """DISK-MEDIATED bucket exchange + per-bucket apply — the fast path
+    for string-heavy payloads where Ray's sort-based groupby exchange
+    is the bottleneck (measured on the triple sink: 56 s of exchange →
+    8.3 s of slice-spill + merge for 4.6 M rows; stages/checkpoint.py
+    pioneered the pattern, this is the reusable generalization).
+
+    Phase 1: an actor pool appends each batch's rows to per-bucket
+    parquet slice files under ``stage_dir`` — no Ray exchange ever
+    touches the payload; writes stream at disk speed. Phase 2: a
+    Dataset over the bucket ids drives one merge task per
+    ``buckets_per_task`` buckets; each reads its buckets' slices and
+    runs ``frame_fn`` on the complete per-bucket frame. On a cluster,
+    ``stage_dir`` must be shared storage (same contract as the
+    resumable sink).
+    """
+    import glob
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    os.makedirs(stage_dir, exist_ok=True)
+
+    class _Spill:
+        def __init__(self):
+            self.seq = 0
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vals = batch[bucket_col].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            for b in np.unique(vals):
+                part = batch.filter(pa.array(vals == b))
+                self.seq += 1
+                pq.write_table(part, os.path.join(
+                    stage_dir, f"{int(b)}-{os.getpid()}-{self.seq}.parquet"))
+            return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    ds.map_batches(_Spill, batch_format="pyarrow", batch_size=None,
+                   concurrency=(1, cpus)).count()  # drain phase 1
+
+    by_bucket: dict[int, list[str]] = {}
+    for f in glob.glob(os.path.join(stage_dir, "*.parquet")):
+        b = int(os.path.basename(f).split("-", 1)[0])
+        by_bucket.setdefault(b, []).append(f)
+    if not by_bucket:
+        raise ValueError("disk_bucket_apply: input produced no rows")
+
+    def _merge(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for b in batch["bucket"]:
+            t = pa.concat_tables([pq.read_table(f) for f in by_bucket[int(b)]])
+            outs.append(frame_fn(t.to_pandas()))
+        return pd.concat(outs, ignore_index=True)
+
+    items = [{"bucket": b} for b in sorted(by_bucket)]
+    return ray.data.from_items(items).map_batches(
+        _merge, batch_format="pandas", batch_size=buckets_per_task)

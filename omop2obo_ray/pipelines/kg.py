@@ -196,15 +196,31 @@ def links_to_triples(links: Dataset, lexicon: Lexicon,
             # distinct mass. Off by default.
             slim = slim.map_batches(lambda df: df.drop_duplicates(),
                                     batch_format="pandas", batch_size=None)
-        n_buckets = cfg.assembly_buckets or 24 * int(
+        # bucket-count optimum differs by exchange: the Ray sort-groupby
+        # wants many small groups (24×CPU, measured 768→17.1 s); the
+        # disk exchange wants few big slices (4×CPU — more buckets
+        # explode the slice-file count: 768 buckets → ~50 k tiny
+        # parquet files → 68 s vs 22 s at 128)
+        per_cpu = 4 if cfg.assembly_stage_dir else 24
+        n_buckets = cfg.assembly_buckets or per_cpu * int(
             ray.cluster_resources().get("CPU", 8))
         bucketed = slim.map_batches(
             functools.partial(add_url_bucket, n_buckets=n_buckets),
             batch_format="pyarrow", batch_size=None,
         )
-        triples = bucketed.groupby("url_bucket").map_groups(
-            assemble, batch_format="pandas"
-        )
+        if cfg.assembly_stage_dir:
+            # disk-mediated exchange: slices spill at disk speed, one
+            # merge+assemble task per bucket group — Ray's sort-based
+            # groupby never touches the string-heavy link payload
+            from omop2obo_ray.functions.shuffle import disk_bucket_apply
+
+            triples = disk_bucket_apply(
+                bucketed, "url_bucket", assemble,
+                stage_dir=cfg.assembly_stage_dir)
+        else:
+            triples = bucketed.groupby("url_bucket").map_groups(
+                assemble, batch_format="pandas"
+            )
     return triples.map_batches(
         functools.partial(finalize_triples, n_buckets=cfg.subject_buckets),
         batch_format="pyarrow",

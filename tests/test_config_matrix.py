@@ -104,3 +104,15 @@ def test_corpus_mode_links_checkpoint(ray_session, fixture_dir, lexicon,
         want[key].sort_values(key).reset_index(drop=True))
     for f in files:  # second run read, not rewrote, the checkpoint
         assert os.path.getmtime(os.path.join(ckpt, f)) == stamps[f]
+
+
+def test_disk_exchange_assembly_matches_default(ray_session, fixture_dir,
+                                                lexicon, tmp_path):
+    """The disk-mediated bucket exchange (assembly_stage_dir) must
+    produce the identical triple set as the default page-local path
+    and as the Ray-groupby bucketed fallback."""
+    cfg = DEFAULT_CONFIG.with_(assume_unique_urls=False,
+                               assembly_stage_dir=str(tmp_path / "stage"))
+    base = _triples(fixture_dir, lexicon, DEFAULT_CONFIG)
+    disk = _triples(fixture_dir, lexicon, cfg)
+    assert disk == base
