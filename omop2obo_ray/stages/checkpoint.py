@@ -241,3 +241,90 @@ def read_triples(out_dir: str) -> pa.Table:
         return pa.table({"subj": pa.array([], pa.string()), "pred": pa.array([], pa.string()),
                          "obj": pa.array([], pa.string())})
     return pa.concat_tables(tables, promote_options="default")
+
+
+def _merge_bucket_incremental(b: int, out_dir: str) -> dict:
+    """Phase-2 task of the incremental merge: existing published bucket
+    + new slices → union, exact row dedup (a re-crawled page re-emits
+    identical triples), re-sort, atomic republish."""
+    stage = os.path.join(out_dir, "_stage")
+    prefix = f"{b}-"
+    slices = sorted(f for f in os.listdir(stage)
+                    if f.startswith(prefix) and f.endswith(".parquet"))
+    parts = [pq.read_table(os.path.join(stage, f)) for f in slices]
+    published = os.path.join(out_dir, f"subject_bucket={b}", "part-0.parquet")
+    if os.path.exists(published):
+        parts.insert(0, pq.read_table(published))
+    part = pa.concat_tables(parts, promote_options="default")
+    if part.num_rows:
+        df = part.to_pandas().drop_duplicates()
+        part = pa.Table.from_pandas(df, preserve_index=False,
+                                    schema=part.schema).sort_by("subject_hash")
+    tmp = os.path.join(out_dir, f"subject_bucket={b}.tmp")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(part, os.path.join(tmp, "part-0.parquet"))
+    bucket_dir = os.path.join(out_dir, f"subject_bucket={b}")
+    if os.path.exists(bucket_dir):
+        shutil.rmtree(bucket_dir)
+    os.replace(tmp, bucket_dir)
+    preds = {e["values"]: e["counts"]
+             for e in pc.value_counts(part["pred"].cast(pa.string())).to_pylist()} \
+        if part.num_rows else {}
+    return {
+        "bucket": int(b),
+        "rows": part.num_rows,
+        "content_hash": f"{_content_hash64(part):016x}" if part.num_rows else "0" * 16,
+        "preds_json": json.dumps(preds, sort_keys=True),
+    }
+
+
+def merge_triples_into_store(triples, out_dir: str, n_buckets: int) -> dict:
+    """INCREMENTAL store update (crawl-refresh semantics): merge a new
+    batch of triples into an already-published store. Buckets untouched
+    by the new batch keep their files and manifest entries byte-for-
+    byte; touched buckets are re-published atomically as
+    union ∪ dedup ∪ re-sort of (existing rows, new rows). Exact row
+    dedup makes the merge IDEMPOTENT — re-feeding the same crawl batch
+    is a no-op — and additive: store(A) then merge(B) equals
+    store(A ∪ B) when A and B touch disjoint urls (per-subject
+    assembly is page-local, so a url's triples always arrive together).
+
+    Same scale shape as ``write_triples_resumable``: slice spill at
+    disk speed (no Ray exchange over the payload), one merge task per
+    touched bucket, manifest saved per bucket (kill-safe).
+    """
+    import ray as _ray
+
+    manifest = load_manifest(out_dir)
+    stage = os.path.join(out_dir, "_stage")
+    if os.path.exists(stage):
+        shutil.rmtree(stage)
+    os.makedirs(stage, exist_ok=True)
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    spilled = triples.map_batches(
+        _SliceSpiller,
+        fn_constructor_kwargs=dict(out_dir=out_dir,
+                                   todo=list(range(n_buckets))),
+        batch_format="pyarrow", batch_size=None,
+        concurrency=(1, max(4, cpus)), num_cpus=1,
+    )
+    touched: set[int] = set()
+    for b in spilled.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        touched.update(int(x) for x in b["bucket"].to_pylist())
+
+    merge = _ray.remote(num_cpus=1)(_merge_bucket_incremental)
+    pending = list({merge.remote(b, out_dir): b for b in sorted(touched)})
+    while pending:
+        ready, pending = _ray.wait(pending, num_returns=1)
+        e = _ray.get(ready[0])
+        manifest["partitions"][str(e["bucket"])] = {
+            "rows": int(e["rows"]),
+            "content_hash": e["content_hash"],
+            "preds": json.loads(e["preds_json"]),
+        }
+        _save_manifest(out_dir, manifest)
+    shutil.rmtree(stage, ignore_errors=True)
+    return manifest

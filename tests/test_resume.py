@@ -105,3 +105,56 @@ def test_lineage_counters_per_bucket_and_stable_on_resume(
     # a (noop) resume must not change the totals
     m2 = _write(fixture_dir, lexicon, out)
     assert m2["counters"]["triples_by_category"] == totals
+
+
+def test_incremental_merge_equals_one_shot(ray_session, fixture_dir,
+                                           lexicon, tmp_path):
+    """Crawl-refresh: store(half A) then merge(half B) must equal the
+    one-shot store over all pages — full row set AND per-bucket content
+    hashes; re-merging B is a byte-stable no-op (idempotence)."""
+    from omop2obo_ray.config import DEFAULT_CONFIG
+    from omop2obo_ray.pipelines.kg import build_kg
+    from omop2obo_ray.stages.checkpoint import (load_manifest,
+                                                merge_triples_into_store,
+                                                read_triples)
+
+    pages = rd.read_parquet(os.path.join(fixture_dir, "pages.parquet"))
+    # deterministic halves by url hash parity
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _half(batch, parity):
+        keep = pc.equal(pc.bit_wise_and(
+            pc.cast(pc.utf8_length(batch["url"]), pa.int64()),
+            pa.scalar(1, pa.int64())), pa.scalar(parity, pa.int64()))
+        return batch.filter(keep)
+
+    half_a = pages.map_batches(lambda b: _half(b, 0), batch_format="pyarrow")
+    half_b = pages.map_batches(lambda b: _half(b, 1), batch_format="pyarrow")
+    assert half_a.count() > 0 and half_b.count() > 0
+
+    # one-shot reference store
+    full_dir = str(tmp_path / "full")
+    _write(fixture_dir, lexicon, full_dir)
+
+    # incremental: write A, merge B
+    inc_dir = str(tmp_path / "inc")
+    from omop2obo_ray.pipelines.kg import run_kg_to_dir
+    run_kg_to_dir(half_a, lexicon, inc_dir, DEFAULT_CONFIG)
+    triples_b = build_kg(half_b, lexicon, DEFAULT_CONFIG)
+    merge_triples_into_store(triples_b.materialize(), inc_dir,
+                             DEFAULT_CONFIG.subject_buckets)
+
+    assert _triple_set(inc_dir) == _triple_set(full_dir)
+    m_full = load_manifest(full_dir)
+    m_inc = load_manifest(inc_dir)
+    for b, e in m_full["partitions"].items():
+        assert m_inc["partitions"][b]["content_hash"] == e["content_hash"], b
+
+    # idempotence: merging B again changes nothing
+    triples_b2 = build_kg(half_b, lexicon, DEFAULT_CONFIG)
+    merge_triples_into_store(triples_b2.materialize(), inc_dir,
+                             DEFAULT_CONFIG.subject_buckets)
+    m_inc2 = load_manifest(inc_dir)
+    assert {b: e["content_hash"] for b, e in m_inc2["partitions"].items()} \
+        == {b: e["content_hash"] for b, e in m_inc["partitions"].items()}
