@@ -92,6 +92,30 @@ def cmd_build_kg(args) -> int:
     return 0
 
 
+def cmd_update_kg(args) -> int:
+    """Crawl-refresh: merge a new pages batch into a published store."""
+    ray = _ray()
+    import ray.data as rd
+
+    from omop2obo_ray.config import DEFAULT_CONFIG
+    from omop2obo_ray.pipelines.kg import build_kg
+    from omop2obo_ray.stages.checkpoint import merge_triples_into_store
+    from omop2obo_ray.state.lexicon import load_lexicon_from_dir
+
+    onts = tuple(args.ontologies.split(","))
+    cfg = DEFAULT_CONFIG.with_(ontologies=onts,
+                               subject_buckets=args.buckets)
+    lexicon = load_lexicon_from_dir(args.lexicon, ontologies=onts)
+    pages = rd.read_parquet(args.pages)
+    triples = build_kg(pages, lexicon, cfg)
+    manifest = merge_triples_into_store(triples, args.out, cfg.subject_buckets)
+    total = sum(p["rows"] for p in manifest["partitions"].values())
+    print(json.dumps({"out": args.out, "buckets": len(manifest["partitions"]),
+                      "triples": total}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_export(args) -> int:
     ray = _ray()
     import glob
@@ -139,6 +163,15 @@ def main(argv: list[str] | None = None) -> int:
     bk.add_argument("--sim-threshold", type=float, default=0.25)
     bk.add_argument("--buckets", type=int, default=16)
     bk.set_defaults(fn=cmd_build_kg)
+
+    uk = sub.add_parser("update-kg",
+                        help="merge new pages into a published store")
+    uk.add_argument("--pages", required=True)
+    uk.add_argument("--lexicon", required=True)
+    uk.add_argument("--out", required=True)
+    uk.add_argument("--ontologies", default="hp,mondo")
+    uk.add_argument("--buckets", type=int, default=16)
+    uk.set_defaults(fn=cmd_update_kg)
 
     ex = sub.add_parser("export", help="triples → release CSV/JSON")
     ex.add_argument("--triples", required=True)
