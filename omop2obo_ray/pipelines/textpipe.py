@@ -679,9 +679,13 @@ def dup_clusters_distributed(pairs: Dataset, key_col: str = "doc_id",
     state — the 100-TB clustering path. Iterative min-label
     propagation: each round joins edge endpoints to current labels and
     takes the per-node min (one hash join + one keyed groupby per
-    round). Labels only decrease, so ``sum(label)`` is a monotone
-    convergence witness; rounds needed = graph diameter (near-dup
-    clusters are shallow). Output matches ``dup_clusters``:
+    round). Convergence witness: each round's aggregate also emits a
+    per-node ``label changed this round`` flag whose cluster-wide sum
+    is EXACT and type-agnostic (works for string keys, where Ray's
+    ``sum`` would concatenate) — zero changes ⇒ fixed point. Labels
+    are materialized per round so round k's plan never re-executes
+    rounds 1..k-1; rounds needed = graph diameter (near-dup clusters
+    are shallow). Output matches ``dup_clusters``:
     (key, cluster_id = min member id)."""
     def both_dirs(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -700,32 +704,55 @@ def dup_clusters_distributed(pairs: Dataset, key_col: str = "doc_id",
             lambda df: df.drop_duplicates("src").rename(
                 columns={"src": "node"}).assign(label=lambda d: d["node"])),
         pa.schema([("node", key_type), ("label", key_type)]),
-    )  # labels are dup-node bounded; re-used every round
+    ).materialize()  # labels are dup-node bounded; re-used every round
+    if labels.count() == 0:
+        return labels.map_batches(
+            lambda b: pa.table({key_col: b["node"], "cluster_id": b["label"]}),
+            batch_format="pyarrow")
     joined_schema = pa.schema(
         [("src", key_type), ("dst", key_type), ("label", key_type)])
+    round_schema = pa.schema(
+        [("node", key_type), ("label", key_type), ("_chg", pa.int64())])
 
     def _prop(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b["dst"], "label": b["label"]})
+        # propagated candidates carry _old=0; the node's current label
+        # row carries _old=1, so the round aggregate can tell exactly
+        # which nodes changed (every node has exactly one _old row —
+        # labels covers all edge endpoints by construction)
+        n = len(b)
+        return pa.table({"node": b["dst"], "label": b["label"],
+                         "_old": pa.array(np.zeros(n, np.int64))})
 
-    prev_sum = None
+    def _tag_old(b: pa.Table) -> pa.Table:
+        return b.append_column("_old", pa.array(np.ones(len(b), np.int64)))
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        mn = df.groupby("node", sort=False)["label"].min().rename("label")
+        old = df.loc[df["_old"] == 1].set_index("node")["label"].rename("o")
+        j = pd.concat([mn, old], axis=1)
+        out = j.reset_index()
+        # a missing old row can't happen by construction; != on NaN
+        # degrades safely to "changed" (one extra round at worst)
+        out["_chg"] = (out["label"] != out["o"]).astype(np.int64)
+        return out[["node", "label", "_chg"]]
+
     for _ in range(max_iters):
         joined = _sanitize_join_output(
-            edges.join(labels, join_type="inner",
+            edges.join(labels.select_columns(["node", "label"]),
+                       join_type="inner",
                        num_partitions=num_partitions,
                        on=("src",), right_on=("node",)),
             joined_schema,
         )
         prop = joined.map_batches(_prop, batch_format="pyarrow")
+        tagged = labels.select_columns(["node", "label"]).map_batches(
+            _tag_old, batch_format="pyarrow")
         labels = _sanitize_join_output(
-            coarse_aggregate(labels.union(prop), ["node"],
-                             lambda df: df.groupby("node", sort=False)[
-                                 "label"].min().reset_index()),
-            pa.schema([("node", key_type), ("label", key_type)]))
-        s = labels.sum("label")
-        if s == prev_sum:
+            coarse_aggregate(tagged.union(prop), ["node"], _round),
+            round_schema).materialize()
+        if labels.sum("_chg") == 0:
             break
-        prev_sum = s
-    return labels.map_batches(
+    return labels.select_columns(["node", "label"]).map_batches(
         lambda b: pa.table({key_col: b["node"], "cluster_id": b["label"]}),
         batch_format="pyarrow")
 
