@@ -892,6 +892,17 @@ def oracle_sql() -> dict[str, str]:
             "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src) "
             "SELECT d AS degree, count(*) AS n_nodes FROM deg GROUP BY d"
         ),
+        # the customer→order graph is a disjoint union of stars, and
+        # 'c...' < 'o...' lexicographically, so min-label propagation's
+        # fixed point is component = 'c' || custkey for every node —
+        # SQL-expressible even though the engine runs iterative
+        # propagation (oracle checks the fixed point, not the path)
+        "connected_components": (
+            "WITH e AS (SELECT 'c' || o_custkey AS src, "
+            "'o' || o_orderkey AS dst FROM orders) "
+            "SELECT DISTINCT src AS node, src AS component FROM e "
+            "UNION ALL SELECT dst AS node, src AS component FROM e"
+        ),
         "window_sliding": (
             "SELECT event_type, "
             "(CAST(floor(epoch(ts) / 1200) AS BIGINT) - g.k) * 1200 "

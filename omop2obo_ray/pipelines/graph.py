@@ -84,10 +84,29 @@ def pagerank(edges: Dataset, iterations: int = 3, damping: float = 0.85,
     normalized to mean 1 (multiplied by N), full float precision (the
     SQL gate quantizes in the query wrapper — see module docstring).
 
-    Each iteration executes two node-keyed hash exchanges; nothing is
-    ever collected to the driver except the scalar node count.
+    Algebraic form chosen to MINIMIZE per-iteration exchanges: since
+    ``rankₖ(u) = base + d·cₖ(u)`` where ``cₖ`` is the received mass
+    (zero when absent), the contribution sum splits as
+
+        cₖ₊₁(v) = base·invsum(v) + d·Σ_{(u,v)∈E} cₖ(u)/deg(u),
+        invsum(v) = Σ_{(u,v)∈E} 1/deg(u)   (computed ONCE).
+
+    So each iteration is ONE hash join (cₖ onto deg-joined edges) plus
+    ONE coarse aggregate (per-dst sum, unioned with the constant
+    ``base·invsum`` term) — no per-iteration nodes join, no full-node
+    rank table in flight; ``c`` covers only nodes with in-edges. The
+    teleport-only nodes get their constant ``base`` rank in one final
+    left-outer join. Nothing is ever collected to the driver except the
+    scalar node count. Same recurrence as the unrolled SQL oracle up to
+    float reassociation (≈1e-15 relative — absorbed by the gate's
+    epsilon-floor quantization and the 1e-12 pytest tolerance).
     """
-    edges = edges.select_columns(["src", "dst"])
+    # the edge list is consumed three times up front (degree, deg-join,
+    # distinct nodes) — pin it once so the upstream read/derivation
+    # never re-executes (object-store blocks spill under pressure; at
+    # 100 TB swap for a parquet checkpoint, same pattern as
+    # kg.links_checkpoint_dir)
+    edges = edges.select_columns(["src", "dst"]).materialize()
     nt = _pa_schema_of(edges).field("src").type
 
     deg = _sanitize_join_output(
@@ -104,73 +123,92 @@ def pagerank(edges: Dataset, iterations: int = 3, damping: float = 0.85,
         return ray.data.from_arrow(pa.table({
             "node": pa.array([], pa.string()),
             "rank": pa.array([], pa.float64())}))
+    if iterations <= 0:
+        return nodes.map_batches(
+            lambda b: pa.table({"node": b["node"],
+                                "rank": pa.array(np.ones(len(b)))}),
+            batch_format="pyarrow", batch_size=None)
     base = (1.0 - damping) / n_nodes
+    c_schema = pa.schema([("node", nt), ("c", pa.float64())])
 
-    def _init(batch: pa.Table) -> pa.Table:
-        r = np.full(len(batch), 1.0 / n_nodes)
-        return pa.table({"node": batch["node"], "r": pa.array(r)})
+    def _inv(batch: pa.Table) -> pa.Table:
+        # block-local combiner: partial-sum per dst BEFORE the coarse
+        # exchange, so a hub node (head dst with 10⁹ in-edges) ships
+        # one partial row per block instead of concentrating every
+        # edge row into its coarse group
+        d = batch["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        dst = batch["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        part = (pd.DataFrame({"node": dst, "s": 1.0 / d})
+                .groupby("node", sort=False)["s"].sum().reset_index())
+        return pa.Table.from_pandas(part, preserve_index=False)
 
-    rank = _sanitize_join_output(
-        nodes.map_batches(_init, batch_format="pyarrow",
-                          batch_size=None).materialize(),
-        pa.schema([("node", nt), ("r", pa.float64())]))
+    invsum = _sanitize_join_output(coarse_aggregate(
+        ed.map_batches(_inv, batch_format="pyarrow", batch_size=None),
+        ["node"],
+        lambda df: df.groupby("node", sort=False)
+        .agg(s=("s", "sum")).reset_index()),
+        pa.schema([("node", nt), ("s", pa.float64())]))
 
-    for _ in range(iterations):
-        # rank onto out-edges: contribution r/d flows along each edge
+    def _scale(factor: float):
+        def fn(batch: pa.Table) -> pa.Table:
+            s = batch["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table({"node": batch["node"],
+                             "c": pa.array(factor * s, pa.float64())})
+        return fn
+
+    # c₁ = invsum/N (every u starts at r₀ = 1/N)
+    c = invsum.map_batches(_scale(1.0 / n_nodes),
+                           batch_format="pyarrow", batch_size=None)
+
+    for _ in range(iterations - 1):
         sent = _sanitize_join_output(
-            ed.join(rank, join_type="inner", num_partitions=num_partitions,
+            ed.join(c, join_type="inner", num_partitions=num_partitions,
                     on=("src",), right_on=("node",)),
             pa.schema([("src", nt), ("dst", nt), ("d", pa.int64()),
-                       ("r", pa.float64())]))
+                       ("c", pa.float64())]))
 
         def _w(batch: pa.Table) -> pa.Table:
-            # block-local combiner: partial-sum per dst BEFORE the
-            # coarse exchange, so a hub node (head dst with 10⁹
-            # in-edges) ships one partial row per block instead of
-            # concentrating every edge row into its coarse group
-            r = batch["r"].combine_chunks().to_numpy(zero_copy_only=False)
+            # same block-local combiner as _inv, weighted d·c/deg
+            cv = batch["c"].combine_chunks().to_numpy(zero_copy_only=False)
             d = batch["d"].combine_chunks().to_numpy(zero_copy_only=False)
             dst = batch["dst"].combine_chunks().to_numpy(zero_copy_only=False)
-            part = (pd.DataFrame({"dst": dst, "w": r / d})
-                    .groupby("dst", sort=False)["w"].sum().reset_index())
+            part = (pd.DataFrame({"node": dst, "c": damping * cv / d})
+                    .groupby("node", sort=False)["c"].sum().reset_index())
             return pa.Table.from_pandas(part, preserve_index=False)
 
-        contrib = _sanitize_join_output(coarse_aggregate(
-            sent.map_batches(_w, batch_format="pyarrow", batch_size=None),
-            ["dst"],
-            lambda df: df.groupby("dst", sort=False)
-            .agg(c=("w", "sum")).reset_index()),
-            pa.schema([("dst", nt), ("c", pa.float64())]))
-        # teleport base for every node; received mass where it exists
-        merged = _sanitize_join_output(
-            nodes.join(contrib, join_type="left_outer",
-                       num_partitions=num_partitions,
-                       on=("node",), right_on=("dst",)),
-            pa.schema([("node", nt), ("c", pa.float64())]))
+        teleport_term = invsum.map_batches(
+            _scale(base), batch_format="pyarrow", batch_size=None)
+        c = _sanitize_join_output(coarse_aggregate(
+            teleport_term.union(
+                sent.map_batches(_w, batch_format="pyarrow",
+                                 batch_size=None)),
+            ["node"],
+            lambda df: df.groupby("node", sort=False)
+            .agg(c=("c", "sum")).reset_index()),
+            c_schema)
 
-        def _upd(batch: pa.Table) -> pa.Table:
-            cols = {c: batch[c] for c in batch.column_names}
-            c = cols["c"].combine_chunks().to_numpy(zero_copy_only=False)
-            c = np.nan_to_num(c.astype(np.float64), nan=0.0)
-            return pa.table({"node": cols["node"],
-                             "r": pa.array(base + damping * c, pa.float64())})
-
-        rank = _sanitize_join_output(
-            merged.map_batches(_upd, batch_format="pyarrow",
-                               batch_size=None).materialize(),
-            pa.schema([("node", nt), ("r", pa.float64())]))
+    # teleport base for every node; received mass where it exists
+    merged = _sanitize_join_output(
+        nodes.join(c.map_batches(
+            lambda b: pa.table({"dst": b["node"], "c": b["c"]}),
+            batch_format="pyarrow", batch_size=None),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=("node",), right_on=("dst",)),
+        pa.schema([("node", nt), ("c", pa.float64())]))
 
     def _fin(batch: pa.Table) -> pa.Table:
-        r = batch["r"].combine_chunks().to_numpy(zero_copy_only=False)
+        cv = batch["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        cv = np.nan_to_num(cv.astype(np.float64), nan=0.0)
         # full-precision rank, normalized to mean 1; quantization for
         # the equality gate happens in the query wrapper (these
         # rational-valued ranks sit EXACTLY on decimal rounding
         # boundaries, so any fixed rounding here would be flipped by
         # partition-order float noise run-to-run)
         return pa.table({"node": batch["node"],
-                         "rank": pa.array(r * n_nodes, pa.float64())})
+                         "rank": pa.array((base + damping * cv) * n_nodes,
+                                          pa.float64())})
 
-    return rank.map_batches(_fin, batch_format="pyarrow", batch_size=None)
+    return merged.map_batches(_fin, batch_format="pyarrow", batch_size=None)
 
 
 def connected_components(edges: Dataset, src: str = "src",
@@ -179,8 +217,8 @@ def connected_components(edges: Dataset, src: str = "src",
     (node, component) with component = min member id. Thin graph-API
     front for the iterative min-label propagation built for near-dup
     clustering (``textpipe.dup_clusters_distributed``): one hash join +
-    one coarse per-node min per round, sum-of-labels as the monotone
-    convergence witness, no driver state. Isolated nodes (absent from
+    one coarse per-node min per round, exact per-node change flags as
+    the convergence witness, no driver state. Isolated nodes (absent from
     the edge list) are by definition their own singleton components and
     are not emitted."""
     from omop2obo_ray.pipelines.textpipe import dup_clusters_distributed
