@@ -380,6 +380,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
               for r in emb.filter(lambda r: r["vec_id"] < 3).take(3)]
         return ivf_topk(emb, qs, k=5, n_centroids=8, n_probe=3)
 
+    def q_label_centroids(sf):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import group_centroids
+
+        emb = rd.read_parquet(f"{sf}/embeddings.parquet",
+                              columns=["label", "embedding"])
+        cents = group_centroids(emb, group_col="label")
+
+        def _q(batch: pa.Table) -> pa.Table:
+            # same epsilon-floor quantized gate as pagerank: full-
+            # precision means, quantization shared verbatim with the SQL
+            a = batch["avg"].combine_chunks().to_numpy(zero_copy_only=False)
+            q = np.floor(a * 10000.0 + 0.000001).astype(np.int64)
+            return pa.table({"label": batch["label"], "dim": batch["dim"],
+                             "avg_q": pa.array(q, pa.int64())})
+
+        return cents.map_batches(_q, batch_format="pyarrow")
+
+    def q_kmeans_centroids(sf):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import kmeans_fit
+
+        emb = rd.read_parquet(f"{sf}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        cents = kmeans_fit(emb, k=8, iterations=10)
+        k, dim = cents.shape
+        return pd.DataFrame({
+            "cid": np.repeat(np.arange(k, dtype=np.int64), dim),
+            "dim": np.tile(np.arange(dim, dtype=np.int64), k),
+            "val": cents.reshape(-1)})
+
     def q_dup_clusters(sf):
         import ray.data as rd
 
@@ -498,7 +535,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "md5_fingerprint": q_md5_fingerprint,
         "embedding_topk": q_embedding_topk,
+        "label_centroids": q_label_centroids,  # per-group mean-pool vectors
         # rows-only (stateful / model-driven / sketch ops)
+        "kmeans_centroids": q_kmeans_centroids,  # distributed Lloyd (iterative — pytest carries the value check)
         "kg_triples": q_kg_triples,
         "dedup_minhash": q_dedup_minhash,
         "dup_clusters": q_dup_clusters,
@@ -923,5 +962,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(embedding AS DOUBLE[]), "
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) "
             "AS cos FROM embeddings WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10"
+        ),
+        # element-wise mean per label via DuckDB's zipped unnest
+        # (parallel unnests of equal-length lists align positionally;
+        # range(len) yields the 0-based dim to match the engine);
+        # epsilon-floor quantization shared verbatim with the query
+        # wrapper (float association differs between the coarse-partial
+        # merge and DuckDB's fold)
+        "label_centroids": (
+            "WITH x AS (SELECT label, unnest(embedding) AS e, "
+            "unnest(range(len(embedding))) AS i FROM embeddings) "
+            "SELECT label, i AS dim, "
+            "CAST(floor(sum(e::DOUBLE) / count(*) * 10000 "
+            "+ 0.000001) AS BIGINT) AS avg_q FROM x GROUP BY label, i"
         ),
     }

@@ -32,6 +32,19 @@ def _np_col(batch: pa.Table, col: str) -> np.ndarray:
     return batch[col].combine_chunks().to_numpy(zero_copy_only=False)
 
 
+def _vec_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    """(rows, dim) float64 matrix from a fixed-width ``list<float>``
+    column — flatten + reshape on the Arrow values buffer, no Python
+    row objects (to_pylist on a 64-dim embedding column is ~20× slower
+    and allocates a Python float per element)."""
+    arr = batch[col].combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, -1)
+
+
 def _pa_schema_of(ds: Dataset) -> pa.Schema:
     """Arrow schema of a dataset, robust to pandas-backed blocks (whose
     ``Schema.types`` can surface numpy dtypes / Python classes)."""
@@ -927,8 +940,8 @@ class CosineTopK:
         self.passthrough_cols = tuple(passthrough_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[self.key_col].to_pylist())
-        mat = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        ids = _np_col(batch, self.key_col)
+        mat = _vec_matrix(batch, self.vec_col)
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
         scores = mat @ self.qm.T  # (rows, queries)
         n_rows, n_q = scores.shape
@@ -975,16 +988,162 @@ class IvfIndexer:
         self.key_col, self.vec_col = key_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        mat = _vec_matrix(batch, self.vec_col)
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
         assign = (mat @ self.centroids.T).argmax(axis=1).astype(np.int32)
         return batch.append_column("ivf_bucket", pa.array(assign, pa.int32()))
 
 
+def kmeans_fit(embeddings: Dataset, k: int = 8, iterations: int = 10,
+               tol: float = 1e-6, vec_col: str = "embedding",
+               key_col: str = "vec_id") -> np.ndarray:
+    """Distributed Lloyd k-means over an embedding Dataset → (k, dim)
+    float64 centroid matrix — the offline IVF trainer ``IvfIndexer``'s
+    docstring promises (semantics: standard Lloyd, squared-euclidean
+    assignment; mirrors the role sklearn's ``KMeans.fit`` plays in
+    IVF-index builds, re-expressed as broadcast + partial aggregation).
+
+    Scale shape: the ONLY driver state is the k×dim centroid matrix.
+    Each iteration broadcasts centroids via ``ray.put``; ``map_batches``
+    assigns each block's rows with one matmul and emits ≤k partial rows
+    (cid, Σvec as a float64 blob, n) — acero joins/aggregates reject
+    list columns, so the vector partial travels as binary (NOTES_r2);
+    a coarse aggregate merges partials per cid in-cluster (k is
+    bounded, but the coarse pattern keeps per-group overhead off the
+    exchange); the driver collects exactly ≤k merged rows. Empty
+    clusters keep their previous centroid. Early-stops when the max
+    centroid shift falls below ``tol``.
+
+    Init is deterministic: the first k rows in dataset order (stable
+    for a parquet source), matching ``ivf_bucket_assignments``'s
+    seeding so ``kmeans_fit(iterations=0)`` reproduces it exactly."""
+    sample = embeddings.take(k)
+    centroids = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                          for r in sample])
+    dim = centroids.shape[1]
+    slim = embeddings.select_columns([vec_col])
+    if iterations > 0:
+        # consumed once per iteration — pin the slim projection so the
+        # upstream read never re-executes (parquet checkpoint at 100 TB)
+        slim = slim.materialize()
+
+    for _ in range(iterations):
+        ref = ray.put(centroids)
+
+        def _partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            mat = _vec_matrix(batch, vec_col)
+            # argmin ||x-c||² = argmax (x·c - ||c||²/2), one matmul
+            assign = (mat @ c.T - 0.5 * (c * c).sum(axis=1)).argmax(axis=1)
+            counts = np.bincount(assign, minlength=len(c))
+            present = np.nonzero(counts)[0]
+            sums = np.stack([
+                np.bincount(assign, weights=mat[:, j], minlength=len(c))
+                for j in range(mat.shape[1])], axis=1)
+            return pa.table({
+                "cid": pa.array(present.astype(np.int32)),
+                "psum": pa.array([sums[i].tobytes() for i in present],
+                                 pa.binary()),
+                "n": pa.array(counts[present].astype(np.int64)),
+            })
+
+        def _merge(df: pd.DataFrame) -> pd.DataFrame:
+            def fold(g: pd.DataFrame) -> pd.Series:
+                s = np.zeros(dim)
+                for blob in g["psum"]:
+                    s += np.frombuffer(blob, dtype=np.float64)
+                return pd.Series({"psum": s.tobytes(), "n": g["n"].sum()})
+            return (df.groupby("cid", sort=False)
+                    .apply(fold, include_groups=False).reset_index())
+
+        merged = coarse_aggregate(
+            slim.map_batches(_partials, batch_format="pyarrow"),
+            ["cid"], _merge).take_all()
+        nxt = centroids.copy()  # empty clusters keep their centroid
+        for row in merged:
+            nxt[int(row["cid"])] = (
+                np.frombuffer(row["psum"], dtype=np.float64) / row["n"])
+        shift = float(np.abs(nxt - centroids).max())
+        centroids = nxt
+        if shift < tol:
+            break
+    return centroids
+
+
+def group_centroids(embeddings: Dataset, group_col: str = "label",
+                    vec_col: str = "embedding") -> Dataset:
+    """Element-wise mean embedding per group, long form
+    ``(group, dim, avg)`` — the mean-pool / class-prototype aggregate
+    (per-bucket IVF stats, label prototypes, embedding-drift monitors).
+    Same partial-blob shape as ``kmeans_fit``: each block emits one
+    (group, Σvec blob, n) partial per group it contains, one coarse
+    aggregate merges them in-cluster, and a final map explodes each
+    merged row into dim rows. Vectors never enter a Ray exchange as
+    list columns (acero rejects them), and nothing lands on the driver."""
+    def _partials(batch: pa.Table) -> pa.Table:
+        mat = _vec_matrix(batch, vec_col)
+        df = pd.DataFrame({"g": _np_col(batch, group_col)})
+        groups, sums, ns = [], [], []
+        for g, idx in df.groupby("g", sort=False).indices.items():
+            groups.append(g)
+            sums.append(mat[idx].sum(axis=0).tobytes())
+            ns.append(len(idx))
+        return pa.table({group_col: pa.array(groups),
+                         "psum": pa.array(sums, pa.binary()),
+                         "n": pa.array(ns, pa.int64())})
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        def fold(g: pd.DataFrame) -> pd.Series:
+            s = None
+            for blob in g["psum"]:
+                v = np.frombuffer(blob, dtype=np.float64)
+                s = v.copy() if s is None else s + v
+            return pd.Series({"psum": s.tobytes(), "n": g["n"].sum()})
+        return (df.groupby(group_col, sort=False)
+                .apply(fold, include_groups=False).reset_index())
+
+    merged = coarse_aggregate(
+        embeddings.select_columns([group_col, vec_col]).map_batches(
+            _partials, batch_format="pyarrow"),
+        [group_col], _merge)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        gs, dims, avgs = [], [], []
+        for g, blob, n in zip(batch[group_col].to_pylist(),
+                              batch["psum"].to_pylist(),
+                              batch["n"].to_pylist()):
+            v = np.frombuffer(blob, dtype=np.float64) / n
+            gs.extend([g] * len(v))
+            dims.append(np.arange(len(v), dtype=np.int64))
+            avgs.append(v)
+        if not gs:
+            return pa.table({group_col: pa.array([]),
+                             "dim": pa.array([], pa.int64()),
+                             "avg": pa.array([], pa.float64())})
+        return pa.table({group_col: pa.array(gs),
+                         "dim": pa.array(np.concatenate(dims)),
+                         "avg": pa.array(np.concatenate(avgs), pa.float64())})
+
+    return merged.map_batches(_explode, batch_format="pyarrow")
+
+
 def ivf_bucket_assignments(embeddings: Dataset, n_centroids: int = 8,
-                           vec_col: str = "embedding") -> Dataset:
-    sample = embeddings.take(n_centroids)
-    centroids = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+                           vec_col: str = "embedding",
+                           centroids: np.ndarray | None = None,
+                           train_iterations: int = 0) -> Dataset:
+    """Append ``ivf_bucket`` = nearest-centroid id per row. Centroids:
+    pass a matrix (e.g. from ``kmeans_fit``), or set
+    ``train_iterations`` > 0 to fit in-line; default stays the seeded
+    deterministic sample (backwards-compatible)."""
+    if centroids is None:
+        if train_iterations > 0:
+            centroids = kmeans_fit(embeddings, k=n_centroids,
+                                   iterations=train_iterations,
+                                   vec_col=vec_col)
+        else:
+            sample = embeddings.take(n_centroids)
+            centroids = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                                  for r in sample])
     ref = ray.put(centroids)
     return embeddings.map_batches(
         IvfIndexer, fn_constructor_kwargs=dict(centroids_ref=ref, vec_col=vec_col),
@@ -994,7 +1153,8 @@ def ivf_bucket_assignments(embeddings: Dataset, n_centroids: int = 8,
 
 def ivf_topk(embeddings: Dataset, queries: list[tuple[int, list[float]]],
              k: int = 10, n_centroids: int = 8, n_probe: int = 2,
-             key_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+             key_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: np.ndarray | None = None) -> pd.DataFrame:
     """IVF probe search — the ANN scale path: rows are bucketed by
     nearest centroid, each query scans only its ``n_probe`` closest
     buckets (a vectorized predicate pushdown instead of the full
@@ -1007,8 +1167,11 @@ def ivf_topk(embeddings: Dataset, queries: list[tuple[int, list[float]]],
     top-k reduces via ``groupby(qid).map_groups`` — the scored set is
     never materialized on the driver (only the final ≤ |queries|·k
     rows are)."""
-    sample = embeddings.take(n_centroids)
-    centroids = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    if centroids is None:
+        sample = embeddings.take(n_centroids)
+        centroids = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                              for r in sample])
+    n_centroids = len(centroids)
     cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
     probe: dict[int, set[int]] = {}
     for qid, qv in queries:
@@ -1219,8 +1382,8 @@ class CosinePairScanner:
         self.key_col, self.vec_col = key_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[self.key_col].to_pylist())
-        mat = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        ids = _np_col(batch, self.key_col)
+        mat = _vec_matrix(batch, self.vec_col)
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
         cos = mat @ self.mat.T  # (batch, all)
         ri, ci = np.nonzero(cos >= self.threshold)
@@ -1272,7 +1435,7 @@ class HyperplaneHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.key_col].combine_chunks()
-        mat = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        mat = _vec_matrix(batch, self.vec_col)
         bits = (mat @ self.planes) >= 0  # (rows, n_planes)
         keys_out, bucket_out = [], []
         w = self.rows_per_band

@@ -234,6 +234,74 @@ def test_ivf_buckets_cover_all(ray_session):
     assert out["ivf_bucket"].between(0, 3).all()
 
 
+def test_kmeans_fit_recovers_planted_blobs(ray_session):
+    from omop2obo_ray.pipelines.textpipe import kmeans_fit
+
+    # 3 well-separated blobs; reorder so the first k rows (the
+    # deterministic init) span all blobs — Lloyd from a one-blob init
+    # is not guaranteed to separate, and that's not what's under test
+    rng = np.random.RandomState(7)
+    centers = np.array([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]])
+    pts = np.vstack([c + 0.1 * rng.randn(30, 4) for c in centers])
+    lead = np.array([0, 30, 60])
+    order = np.r_[lead, np.setdiff1d(np.arange(len(pts)), lead)]
+    pts = pts[order]
+    df = pd.DataFrame({"vec_id": range(90),
+                       "embedding": [list(v) for v in pts]})
+    got = kmeans_fit(rd.from_pandas(df), k=3, iterations=20)
+    # each fitted centroid sits on exactly one planted center
+    matched = set()
+    for c in got:
+        d = np.linalg.norm(centers - c, axis=1)
+        assert d.min() < 0.5, c
+        matched.add(int(d.argmin()))
+    assert matched == {0, 1, 2}
+    # numpy-reference identity: same init (first k rows), same rule
+    ref = pts[:3].astype(np.float64).copy()
+    for _ in range(20):
+        a = ((pts[:, None, :] - ref[None]) ** 2).sum(-1).argmin(1)
+        nxt = ref.copy()
+        for j in range(3):
+            if (a == j).any():
+                nxt[j] = pts[a == j].mean(axis=0)
+        if np.abs(nxt - ref).max() < 1e-6:
+            ref = nxt
+            break
+        ref = nxt
+    assert np.allclose(np.sort(got, axis=0), np.sort(ref, axis=0),
+                       atol=1e-9)
+
+
+def test_kmeans_fit_zero_iterations_is_seed(ray_session):
+    from omop2obo_ray.pipelines.textpipe import kmeans_fit
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(20, 4)
+    df = pd.DataFrame({"vec_id": range(20),
+                       "embedding": [list(v) for v in vecs]})
+    ds = rd.from_pandas(df)
+    got = kmeans_fit(ds, k=4, iterations=0)
+    seed = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                     for r in ds.take(4)])
+    assert np.allclose(got, seed)
+
+
+def test_group_centroids_matches_numpy(ray_session):
+    from omop2obo_ray.pipelines.textpipe import group_centroids
+
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(60, 6)
+    labels = rng.randint(0, 4, 60)
+    df = pd.DataFrame({"label": labels,
+                       "embedding": [list(v) for v in vecs]})
+    got = (group_centroids(rd.from_pandas(df), group_col="label")
+           .to_pandas().set_index(["label", "dim"])["avg"])
+    for lbl in range(4):
+        want = vecs[labels == lbl].mean(axis=0)
+        for i in range(6):
+            assert got[(lbl, i)] == pytest.approx(want[i], rel=1e-12)
+
+
 def test_analyze_text_values(ray_session):
     from omop2obo_ray.pipelines.textpipe import analyze_text
 
