@@ -380,6 +380,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
               for r in emb.filter(lambda r: r["vec_id"] < 3).take(3)]
         return ivf_topk(emb, qs, k=5, n_centroids=8, n_probe=3)
 
+    def q_pack_sequences(sf):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import pack_sequences
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+        def _count(batch: pa.Table) -> pa.Table:
+            toks = pc.split_pattern_regex(
+                pc.utf8_lower(batch["text"]), pattern="[^a-z0-9_]+")
+            la = toks.combine_chunks()
+            ne = pc.greater(pc.utf8_length(la.flatten()), 0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            off = la.offsets.to_numpy()
+            cs = np.concatenate(([0], np.cumsum(ne)))
+            counts = cs[off[1:]] - cs[off[:-1]]
+            return pa.table({"doc_id": batch["doc_id"],
+                             "n": pa.array(counts, pa.int64())})
+
+        counted = docs.map_batches(_count, batch_format="pyarrow",
+                                   batch_size=None)
+        return pack_sequences(counted, seq_len=256)
+
+    def q_decontaminate(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import decontaminate
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        probes = ["hash value", "data query", "slow filter"]
+        return decontaminate(docs, probes).select_columns(
+            ["doc_id", "n_probes_matched", "contaminated"])
+
     def q_label_centroids(sf):
         import numpy as np
         import pyarrow as pa
@@ -536,6 +574,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "md5_fingerprint": q_md5_fingerprint,
         "embedding_topk": q_embedding_topk,
         "label_centroids": q_label_centroids,  # per-group mean-pool vectors
+        "pack_sequences": q_pack_sequences,  # ordered prefix sum + concat-chunk packing
+        "decontaminate": q_decontaminate,    # broadcast probe-automaton scan
         # rows-only (stateful / model-driven / sketch ops)
         "kmeans_centroids": q_kmeans_centroids,  # distributed Lloyd (iterative — pytest carries the value check)
         "kg_triples": q_kg_triples,
@@ -962,6 +1002,38 @@ def oracle_sql() -> dict[str, str]:
             "CAST(embedding AS DOUBLE[]), "
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) "
             "AS cos FROM embeddings WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10"
+        ),
+        # global exclusive prefix sum over doc_id order + GPT-style
+        # concat-and-chunk packing arithmetic; n = ASCII word-token
+        # count (same RE2 class as the engine's split — data-independent)
+        "pack_sequences": (
+            "WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all("
+            "lower(text), '[a-z0-9_]+')) AS BIGINT) AS n FROM documents), "
+            "o AS (SELECT doc_id, n, coalesce(sum(n) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS \"offset\" FROM t) "
+            "SELECT doc_id, n, \"offset\", \"offset\" // 256 AS bin_first, "
+            "CASE WHEN n > 0 THEN (\"offset\" + n - 1) // 256 "
+            "ELSE \"offset\" // 256 END AS bin_last FROM o"
+        ),
+        # token-boundary probe presence, same RE2 boundary rule as the
+        # Aho-Corasick scanner ((^|[^a-z0-9_]) … ([^a-z0-9_]|$))
+        "decontaminate": (
+            "SELECT doc_id, "
+            "CAST(regexp_matches(lower(text), "
+            "'(^|[^a-z0-9_])hash value([^a-z0-9_]|$)') AS BIGINT) + "
+            "CAST(regexp_matches(lower(text), "
+            "'(^|[^a-z0-9_])data query([^a-z0-9_]|$)') AS BIGINT) + "
+            "CAST(regexp_matches(lower(text), "
+            "'(^|[^a-z0-9_])slow filter([^a-z0-9_]|$)') AS BIGINT) "
+            "AS n_probes_matched, "
+            "(regexp_matches(lower(text), "
+            "'(^|[^a-z0-9_])hash value([^a-z0-9_]|$)') OR "
+            "regexp_matches(lower(text), "
+            "'(^|[^a-z0-9_])data query([^a-z0-9_]|$)') OR "
+            "regexp_matches(lower(text), "
+            "'(^|[^a-z0-9_])slow filter([^a-z0-9_]|$)')) AS contaminated "
+            "FROM documents"
         ),
         # element-wise mean per label via DuckDB's zipped unnest
         # (parallel unnests of equal-length lists align positionally;

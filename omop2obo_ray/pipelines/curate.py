@@ -669,3 +669,152 @@ def heavy_hitters(docs: Dataset, *, text_col: str = "text", k: int = 20,
 
     est = cands.map_batches(_estimate, batch_format="pyarrow")
     return est.sort(["est", "token"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# ordered prefix sum + sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+def ordered_prefix_sum(ds: Dataset, key: str = "doc_id",
+                       value: str = "n") -> Dataset:
+    """EXCLUSIVE prefix sum of ``value`` in global ``key`` order →
+    input columns + ``offset`` (int64). The distributed ordered-scan
+    primitive (global token offsets for sequence packing, ordered file
+    offsets for concatenated exports).
+
+    Scale shape: one range exchange (``sort(key)``) — inherent to any
+    globally-ordered scan — then the classic two-pass block scheme:
+    (1) a slim per-BLOCK pass collects (first_key, block_total); the
+    driver holds one row per block (bounded by block count, never by
+    rows), prefix-sums them in key order and broadcasts the
+    block-offset map; (2) a second pass adds each block's offset to a
+    vectorized intra-block exclusive cumsum. Requires unique keys
+    (duplicate keys could straddle a block boundary, making first_key
+    an ambiguous block id); sums are int64.
+    """
+    sorted_ds = ds.sort(key).materialize()
+
+    def _block_stat(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"first": pa.array([], batch.schema.field(key).type),
+                             "total": pa.array([], pa.int64())})
+        v = batch[value].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"first": batch[key].slice(0, 1),
+                         "total": pa.array([int(v.sum())], pa.int64())})
+
+    stats = sorted_ds.map_batches(_block_stat, batch_format="pyarrow",
+                                  batch_size=None).take_all()
+    stats.sort(key=lambda r: r["first"])
+    offsets, acc = {}, 0
+    for r in stats:
+        offsets[r["first"]] = acc
+        acc += r["total"]
+    off_ref = ray.put(offsets)
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("offset", pa.array([], pa.int64()))
+        block_off = ray.get(off_ref)[batch[key][0].as_py()]
+        v = batch[value].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        intra = np.concatenate(([0], np.cumsum(v)[:-1]))
+        return batch.append_column(
+            "offset", pa.array(block_off + intra, pa.int64()))
+
+    return sorted_ds.map_batches(_apply, batch_format="pyarrow",
+                                 batch_size=None)
+
+
+def pack_sequences(ds: Dataset, seq_len: int, key: str = "doc_id",
+                   value: str = "n") -> Dataset:
+    """GPT-style concat-and-chunk packing plan: documents are laid out
+    end-to-end in global ``key`` order and the token stream is cut
+    every ``seq_len`` tokens → (key, value, offset, bin_first,
+    bin_last) where a doc occupies training sequences
+    ``bin_first..bin_last`` starting at ``offset % seq_len`` inside
+    ``bin_first``. This is the packing rule used for GPT-2/3-style
+    pretraining (concatenate + chunk, docs may straddle sequence
+    boundaries) — deterministic and SQL-expressible, unlike greedy
+    bin-packing. Zero-length docs get bin_last = bin_first (they sit
+    at a boundary and occupy no tokens). Built on
+    ``ordered_prefix_sum``; the packing itself adds no exchange."""
+    with_off = ordered_prefix_sum(ds, key=key, value=value)
+
+    def _bins(batch: pa.Table) -> pa.Table:
+        off = batch["offset"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = batch[value].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        first = off // seq_len
+        last = np.where(v > 0, (off + v - 1) // seq_len, first)
+        out = batch.append_column("bin_first", pa.array(first, pa.int64()))
+        return out.append_column("bin_last", pa.array(last, pa.int64()))
+
+    return with_off.map_batches(_bins, batch_format="pyarrow",
+                                batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (broadcast Aho-Corasick probe scan)
+# ---------------------------------------------------------------------------
+
+class Decontaminator:
+    """Actor: flags documents containing any probe phrase — benchmark
+    decontamination for training corpora (remove eval-set n-grams from
+    the training split, as in GPT-3 App. C / Lee et al. 2022).
+
+    Reuses the KG linker's machinery verbatim: the probe automaton is
+    built ONCE on the driver, shipped via ``ray.put``, pulled in actor
+    ``__init__``, and each batch is scanned with token-boundary
+    checked substring matching over lowercased text (same semantics as
+    ``functions/aho.py``; the SQL oracle mirrors the boundary rule
+    with RE2 ``(^|[^a-z0-9_])probe([^a-z0-9_]|$)``)."""
+
+    def __init__(self, automaton_ref, text_col: str = "text"):
+        self.aho = ray.get(automaton_ref) if isinstance(
+            automaton_ref, ray.ObjectRef) else automaton_ref
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(batch[self.text_col]).to_pylist()
+        # DISTINCT probes present per doc (not raw occurrence count:
+        # RE2 consumes boundary chars between adjacent matches, so an
+        # occurrence count could not be mirrored exactly in the SQL
+        # oracle; distinct-probe presence is the decision signal anyway)
+        hits = [len({t[s:e] for s, e in self.aho.scan(t or "")})
+                for t in lower]
+        n = np.asarray(hits, dtype=np.int64)
+        out = batch.append_column("n_probes_matched",
+                                  pa.array(n, pa.int64()))
+        return out.append_column("contaminated", pa.array(n > 0))
+
+
+def decontaminate(docs: Dataset, probes: list[str], *,
+                  text_col: str = "text",
+                  mode: str = "flag") -> Dataset:
+    """Scan for eval-set probe phrases. ``mode='flag'`` appends
+    (n_probes_matched, contaminated); ``mode='drop'`` filters
+    contaminated docs out (keeping the input schema). Probes are
+    normalized to lowercase; matching is token-boundary substring
+    (multi-word probes match across single spaces exactly as
+    written)."""
+    from omop2obo_ray.functions.aho import AhoCorasick
+
+    aho = AhoCorasick([p.lower() for p in probes if p])
+    ref = ray.put(aho)
+    flagged = docs.map_batches(
+        Decontaminator, fn_constructor_kwargs=dict(
+            automaton_ref=ref, text_col=text_col),
+        batch_format="pyarrow",
+        concurrency=(1, max(4, int(ray.cluster_resources().get("CPU", 8))
+                            if ray.is_initialized() else 8)),
+        num_cpus=1)
+    if mode == "flag":
+        return flagged
+    keep_cols = list(docs.schema().names)
+
+    def _drop(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(batch["contaminated"].combine_chunks())
+        return batch.filter(mask).select(keep_cols)
+
+    return flagged.map_batches(_drop, batch_format="pyarrow",
+                               batch_size=None)

@@ -225,3 +225,63 @@ def test_window_sliding_fanout_invariant(ray_session):
     n_events = pq.read_metadata(f"{sf}/events.parquet").num_rows
     assert out["n"].sum() == 3 * n_events
     assert (out["window_start"] % 1200 == 0).all()
+
+
+def test_ordered_prefix_sum_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import ordered_prefix_sum
+
+    rng = np.random.RandomState(21)
+    ids = rng.permutation(200)  # shuffled input order
+    vals = rng.randint(0, 50, 200)
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "n": vals})
+                        ).repartition(7)  # force multiple blocks
+    got = (ordered_prefix_sum(ds, key="doc_id", value="n")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    order = np.argsort(ids)
+    want = np.concatenate(([0], np.cumsum(vals[order])[:-1]))
+    assert (got["doc_id"].to_numpy() == ids[order]).all()
+    assert (got["offset"].to_numpy() == want).all()
+
+
+def test_pack_sequences_straddle_and_empty(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import pack_sequences
+
+    # seq_len=10: doc0 fills [0,8), doc1 straddles 8..18 -> bins 0..1,
+    # doc2 is empty at offset 18 -> bin 1..1, doc3 exactly ends a bin
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                       "n": [8, 10, 0, 2]})
+    got = (pack_sequences(rd.from_pandas(df), seq_len=10)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["offset"].tolist() == [0, 8, 18, 18]
+    assert got["bin_first"].tolist() == [0, 0, 1, 1]
+    assert got["bin_last"].tolist() == [0, 1, 1, 1]
+
+
+def test_decontaminate_boundary_and_drop(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import decontaminate
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["the Hash Value is here",     # case-folded match
+                 "hash values differ",          # boundary: no match
+                 "a data query and a data query again",  # distinct=1
+                 "clean text entirely"]})
+    ds = rd.from_pandas(docs)
+    probes = ["hash value", "data query"]
+    flagged = (decontaminate(ds, probes).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+    assert flagged["contaminated"].tolist() == [True, False, True, False]
+    assert flagged["n_probes_matched"].tolist() == [1, 0, 1, 0]
+    kept = decontaminate(ds, probes, mode="drop").to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 3]
+    assert list(kept.columns) == ["doc_id", "text"]
