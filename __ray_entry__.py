@@ -407,6 +407,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    batch_size=None)
         return pack_sequences(counted, seq_len=256)
 
+    def q_table_profile(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import table_profile
+
+        orders = rd.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                     "o_orderpriority"])
+        return table_profile(orders)
+
     def q_decontaminate(sf):
         import ray.data as rd
 
@@ -576,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q_label_centroids,  # per-group mean-pool vectors
         "pack_sequences": q_pack_sequences,  # ordered prefix sum + concat-chunk packing
         "decontaminate": q_decontaminate,    # broadcast probe-automaton scan
+        "table_profile": q_table_profile,    # per-column ingest audit stats
         # rows-only (stateful / model-driven / sketch ops)
         "kmeans_centroids": q_kmeans_centroids,  # distributed Lloyd (iterative — pytest carries the value check)
         "kg_triples": q_kg_triples,
@@ -1016,6 +1028,16 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n > 0 THEN (\"offset\" + n - 1) // 256 "
             "ELSE \"offset\" // 256 END AS bin_last FROM o"
         ),
+        # per-column audit stats; min/max round-trip via VARCHAR cast
+        # (int/string columns only — exact on both sides)
+        "table_profile": " UNION ALL ".join(
+            f"SELECT '{c}' AS \"column\", count(*) AS n_rows, "
+            f"count(*) - count({c}) AS n_nulls, "
+            f"count(DISTINCT {c}) AS n_distinct, "
+            f"CAST(min({c}) AS VARCHAR) AS min_str, "
+            f"CAST(max({c}) AS VARCHAR) AS max_str FROM orders"
+            for c in ("o_orderkey", "o_custkey", "o_orderstatus",
+                      "o_orderpriority")),
         # token-boundary probe presence, same RE2 boundary rule as the
         # Aho-Corasick scanner ((^|[^a-z0-9_]) … ([^a-z0-9_]|$))
         "decontaminate": (

@@ -285,3 +285,26 @@ def test_decontaminate_boundary_and_drop(ray_session):
     kept = decontaminate(ds, probes, mode="drop").to_pandas()
     assert sorted(kept["doc_id"]) == [1, 3]
     assert list(kept.columns) == ["doc_id", "text"]
+
+
+def test_table_profile_values(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import table_profile
+
+    df = pd.DataFrame({
+        "k": [3, 1, 2, 2, None],
+        "s": ["b", "a", None, None, "c"]})
+    df["k"] = df["k"].astype("Int64")
+    got = (table_profile(rd.from_pandas(df).repartition(3))
+           .to_pandas().set_index("column"))
+    assert got.loc["k", "n_rows"] == 5
+    assert got.loc["k", "n_nulls"] == 1
+    assert got.loc["k", "n_distinct"] == 3
+    assert got.loc["k", "min_str"] == "1"
+    assert got.loc["k", "max_str"] == "3"
+    assert got.loc["s", "n_nulls"] == 2
+    assert got.loc["s", "n_distinct"] == 3
+    assert got.loc["s", "min_str"] == "a"
+    assert got.loc["s", "max_str"] == "c"
