@@ -466,6 +466,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dim": np.tile(np.arange(dim, dtype=np.int64), k),
             "val": cents.reshape(-1)})
 
+    def q_remove_dup_spans(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import remove_dup_spans
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return remove_dup_spans(docs, n=5, min_df=2)
+
     def q_dup_clusters(sf):
         import ray.data as rd
 
@@ -593,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": q_kg_triples,
         "dedup_minhash": q_dedup_minhash,
         "dup_clusters": q_dup_clusters,
+        "remove_dup_spans": q_remove_dup_spans,  # Lee'22 substring-dedup transform (keeper election — not SQL-expressible)
         "dup_clusters_distributed": q_dup_clusters_distributed,
         "near_dedup_corpus": q_near_dedup_corpus,
         "simhash": q_simhash,

@@ -14,6 +14,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
@@ -656,6 +657,148 @@ def dup_span_stats(docs: Dataset, n: int = 5, min_df: int = 2,
 
     return coarse_aggregate(joined.select_columns([key_col, "df"]),
                             [key_col], _per_doc)
+
+
+def remove_dup_spans(docs: Dataset, n: int = 5, min_df: int = 2,
+                     key_col: str = "doc_id", text_col: str = "text",
+                     num_partitions: int = 8) -> Dataset:
+    """Duplicated-span REMOVAL — the transform half of the Lee et al.
+    2022 substring-dedup story (``dup_span_stats`` is the signal half).
+
+    Semantics: a lowercase word ``n``-gram is *duplicated* when it
+    occurs in ≥ ``min_df`` distinct documents. Per duplicated gram the
+    lowest-key document containing it is elected KEEPER (the same
+    election rule as ``dedup_lines_corpus``) and keeps its text; in
+    every other document the gram's ``n`` tokens are masked out.
+    Overlapping/adjacent duplicated windows collapse naturally through
+    the per-token mask — the result removes MAXIMAL duplicated spans,
+    mirroring the suffix-array formulation without building one.
+
+    Output is ``(key, text)``. Documents that lose no tokens pass
+    through byte-identical; rewritten documents re-join surviving
+    tokens with single spaces (the posting tokenizer's contract — the
+    rewrite splits the ORIGINAL text on ``[^a-zA-Z0-9_]+``, which
+    yields the same token boundaries as the lowercased posting split,
+    so mask positions align while original casing survives).
+    Documents whose every token is masked are dropped (same contract
+    as ``dedup_lines_corpus`` for emptied docs).
+
+    Scale shape: distinct postings → per-gram (df, keeper) coarse
+    aggregate; an occurrence-position stream joins the duplicated-gram
+    table on gram (never text); masked positions aggregate to one blob
+    row per affected doc; ONE text-carrying hash join attaches blobs
+    to docs. No driver state at any dup mass."""
+    postings = ngram_postings(docs, n=n, key_col=key_col,
+                              text_col=text_col).materialize()
+    slim_docs = docs.select_columns([key_col, text_col])
+    if postings.count() == 0:
+        return slim_docs
+    kt = _pa_schema_of(postings).field(key_col).type
+    gt = _pa_schema_of(postings).field("gram").type
+
+    dup_grams = _sanitize_join_output(coarse_aggregate(
+        postings, ["gram"],
+        lambda df: df.groupby("gram", sort=False)[key_col]
+        .agg(df="size", keeper="min").reset_index()
+        .query(f"df >= {int(min_df)}")[["gram", "keeper"]]),
+        pa.schema([("gram", gt), ("keeper", kt)]))
+
+    def _positions(batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(batch[text_col])
+        toks = pc.split_pattern_regex(lower, pattern=r"[^a-z0-9_]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        counts = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        parent = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        parent = parent[keep]
+        words = flat.to_numpy(zero_copy_only=False)[keep]
+        empty = pa.table({key_col: pa.array([], batch[key_col].type),
+                          "gram": pa.array([], pa.string()),
+                          "pos": pa.array([], pa.int64())})
+        if words.size < n:
+            return empty
+        # within-document token position: index minus segment start
+        if parent.size:
+            b = np.flatnonzero(np.diff(parent)) + 1
+            starts = np.concatenate(([0], b))
+            seg_len = np.diff(np.concatenate((starts, [parent.size])))
+            pos_all = np.arange(parent.size) - np.repeat(starts, seg_len)
+        else:
+            pos_all = np.empty(0, dtype=np.int64)
+        m = words.size - n + 1
+        ok = parent[:m] == parent[n - 1:]
+        if not ok.any():
+            return empty
+        gram = words[:m]
+        for j in range(1, n):
+            gram = gram + " "
+            gram = gram + words[j:m + j]
+        keys = batch[key_col].to_numpy(zero_copy_only=False)[parent[:m][ok]]
+        return pa.table({key_col: pa.array(keys),
+                         "gram": pa.array(gram[ok], pa.string()),
+                         "pos": pa.array(pos_all[:m][ok], pa.int64())})
+
+    occ = docs.map_batches(_positions, batch_format="pyarrow",
+                           batch_size=None)
+    hit = _sanitize_join_output(
+        occ.join(dup_grams, join_type="inner",
+                 num_partitions=num_partitions, on=("gram",)),
+        pa.schema([(key_col, kt), ("gram", gt), ("pos", pa.int64()),
+                   ("keeper", kt)]))
+
+    def _non_keeper(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].combine_chunks()
+        kp = batch["keeper"].combine_chunks()
+        mask = pc.invert(pc.equal(k, kp))
+        out = batch.filter(mask)
+        return pa.table({key_col: out[key_col], "pos": out["pos"]})
+
+    masked = hit.map_batches(_non_keeper, batch_format="pyarrow",
+                             batch_size=None)
+
+    def _blob(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(key_col, sort=False)["pos"]
+                .agg(lambda s: np.unique(
+                    s.to_numpy(dtype=np.int64)).tobytes())
+                .rename("spans").reset_index())
+
+    blobs = _sanitize_join_output(
+        coarse_aggregate(masked, [key_col], _blob),
+        pa.schema([(key_col, kt), ("spans", pa.binary())]))
+    tt = _pa_schema_of(slim_docs).field(text_col).type
+    joined = _sanitize_join_output(
+        slim_docs.join(blobs, join_type="left_outer",
+                       num_partitions=num_partitions, on=(key_col,)),
+        pa.schema([(key_col, kt), (text_col, tt),
+                   ("spans", pa.binary())]))
+
+    _resplit = re.compile(r"[^a-zA-Z0-9_]+")
+
+    def _rewrite(batch: pa.Table) -> pa.Table:
+        keys_out, texts_out = [], []
+        for key, text, blob in zip(batch[key_col].to_pylist(),
+                                   batch[text_col].to_pylist(),
+                                   batch["spans"].to_pylist()):
+            if blob is None:
+                keys_out.append(key)
+                texts_out.append(text)
+                continue
+            starts = np.frombuffer(blob, dtype=np.int64)
+            toks = [t for t in _resplit.split(text or "") if t]
+            keep = np.ones(len(toks), dtype=bool)
+            for s in starts:
+                keep[s:s + n] = False
+            if keep.any():
+                keys_out.append(key)
+                texts_out.append(
+                    " ".join(t for t, k in zip(toks, keep) if k))
+        return pa.table({key_col: pa.array(keys_out, kt),
+                         text_col: pa.array(texts_out, pa.string())})
+
+    return joined.map_batches(_rewrite, batch_format="pyarrow",
+                              batch_size=None)
 
 
 def dup_clusters(verified_pairs, key_col: str = "doc_id") -> pd.DataFrame:

@@ -462,3 +462,40 @@ def test_jaccard_matches_minhash_verified_pairs(ray_session, dup_docs):
     lsh_set = {(a, b) for a, b in zip(lsh.doc_a, lsh.doc_b)}
     assert lsh_set <= exact_set
     assert exact_set  # the planted dups are found
+
+
+def test_remove_dup_spans_keeper_and_maximal(ray_session):
+    from omop2obo_ray.pipelines.textpipe import remove_dup_spans
+
+    boiler = "alpha beta gamma delta epsilon zeta"  # 6 tokens, n=5 →
+    # two overlapping duplicated 5-grams per occurrence → the token
+    # mask must collapse them into one maximal 6-token span
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [f"{boiler} unique0 tail0",
+                 f"head1 mid1 {boiler}",
+                 f"pre2 {boiler} post2",
+                 "totally unique text here nothing shared"]})
+    got = (remove_dup_spans(rd.from_pandas(docs), n=5, min_df=2)
+           .to_pandas().set_index("doc_id")["text"])
+    # keeper (min doc_id) keeps its text byte-identical
+    assert got[0] == f"{boiler} unique0 tail0"
+    # non-keepers lose exactly the boilerplate tokens
+    assert got[1] == "head1 mid1"
+    assert got[2] == "pre2 post2"
+    # untouched doc passes through byte-identical
+    assert got[3] == "totally unique text here nothing shared"
+
+
+def test_remove_dup_spans_emptied_doc_dropped(ray_session):
+    from omop2obo_ray.pipelines.textpipe import remove_dup_spans
+
+    boiler = "a1 b2 c3 d4 e5"
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [boiler + " extra", boiler, "nothing shared here at all"]})
+    got = (remove_dup_spans(rd.from_pandas(docs), n=5, min_df=2)
+           .to_pandas().set_index("doc_id")["text"])
+    assert 1 not in got.index  # fully-masked doc dropped
+    assert got[0] == boiler + " extra"
+    assert got[2] == "nothing shared here at all"
