@@ -407,6 +407,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    batch_size=None)
         return pack_sequences(counted, seq_len=256)
 
+    def q_latest_per_key(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import latest_per_key
+
+        ev = rd.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type", "value"])
+        return latest_per_key(ev, key="user_id", ts_col="ts",
+                              id_col="event_id")
+
     def q_table_profile(sf):
         import ray.data as rd
 
@@ -597,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,  # ordered prefix sum + concat-chunk packing
         "decontaminate": q_decontaminate,    # broadcast probe-automaton scan
         "table_profile": q_table_profile,    # per-column ingest audit stats
+        "latest_per_key": q_latest_per_key,  # latest-snapshot-wins election
         # rows-only (stateful / model-driven / sketch ops)
         "kmeans_centroids": q_kmeans_centroids,  # distributed Lloyd (iterative — pytest carries the value check)
         "kg_triples": q_kg_triples,
@@ -1037,6 +1049,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n, \"offset\", \"offset\" // 256 AS bin_first, "
             "CASE WHEN n > 0 THEN (\"offset\" + n - 1) // 256 "
             "ELSE \"offset\" // 256 END AS bin_last FROM o"
+        ),
+        # latest event per user, (ts, event_id) argmax — the
+        # latest-crawl-wins election
+        "latest_per_key": (
+            "SELECT event_id, ts, user_id, event_type, value FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM (SELECT event_id, ts, user_id, event_type, value "
+            "FROM events)) WHERE rn = 1"
         ),
         # per-column audit stats; min/max round-trip via VARCHAR cast
         # (int/string columns only — exact on both sides)

@@ -754,6 +754,43 @@ def pack_sequences(ds: Dataset, seq_len: int, key: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# latest-snapshot-wins election (argmax per high-cardinality key)
+# ---------------------------------------------------------------------------
+
+def latest_per_key(ds: Dataset, key: str, ts_col: str, id_col: str,
+                   num_partitions: int = 8) -> Dataset:
+    """Keep each key's row with the greatest ``(ts_col, id_col)`` —
+    the "latest crawl wins" dedup a Common-Crawl ingest runs when
+    re-crawled URLs carry multiple snapshots (key = url, ts = warc_ts).
+    ``id_col`` must be row-unique; it both breaks ts ties
+    deterministically and addresses the winning row.
+
+    Scale shape (same as ``exact_dedup``'s slim shuffle): ONLY the
+    (key, ts, id) projection enters the election exchange — a coarse
+    per-key argmax — and the winning ids semi-join back to the full
+    rows with one native hash join, so the payload (html/text) never
+    moves through a shuffle."""
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+    from omop2obo_ray.pipelines.textpipe import (_pa_schema_of,
+                                                 _sanitize_join_output)
+
+    slim = ds.select_columns([key, ts_col, id_col])
+
+    def _elect(df: pd.DataFrame) -> pd.DataFrame:
+        idx = (df.sort_values([ts_col, id_col])
+               .groupby(key, sort=False)[id_col].last())
+        return idx.rename("keep_id").reset_index()[["keep_id"]]
+
+    winners = _sanitize_join_output(
+        coarse_aggregate(slim, [key], _elect),
+        pa.schema([("keep_id", _pa_schema_of(ds).field(id_col).type)]))
+    out = ds.join(winners, join_type="inner",
+                  num_partitions=num_partitions,
+                  on=(id_col,), right_on=("keep_id",))
+    return _sanitize_join_output(out, _pa_schema_of(ds))
+
+
+# ---------------------------------------------------------------------------
 # table profile (per-column audit stats — the ingest data-quality gate)
 # ---------------------------------------------------------------------------
 

@@ -308,3 +308,22 @@ def test_table_profile_values(ray_session):
     assert got.loc["s", "n_distinct"] == 3
     assert got.loc["s", "min_str"] == "a"
     assert got.loc["s", "max_str"] == "c"
+
+
+def test_latest_per_key_election(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import latest_per_key
+
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": ["u1", "u1", "u2", "u2", "u3"],
+        "ts": [10, 30, 20, 20, 5],   # u2 has a ts tie -> max id wins
+        "payload": ["a", "b", "c", "d", "e"]})
+    got = (latest_per_key(rd.from_pandas(df).repartition(3),
+                          key="user_id", ts_col="ts", id_col="event_id")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert got["event_id"].tolist() == [2, 4, 5]
+    assert got["payload"].tolist() == ["b", "d", "e"]
+    assert list(got.columns) == ["event_id", "user_id", "ts", "payload"]
