@@ -151,3 +151,26 @@ def read_rrf_ray(path: str, keep: dict[int, str] | None = None,
         return out
 
     return ds.map_batches(clean, batch_format="pyarrow", batch_size=None)
+
+
+def read_jsonl_docs(path: str, columns: list[str] | None = None):
+    """Distributed JSONL document reader — crawl dumps and annotation
+    exports commonly arrive as newline-delimited JSON rather than
+    Parquet. Thin wrapper over ``ray.data.read_json`` (pyarrow JSON
+    reader under the hood: parallel per-file tasks, block-native) with
+    optional column pruning applied as a projection immediately after
+    the read. Returns a Dataset."""
+    import ray.data as rd
+
+    ds = rd.read_json(path)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def write_jsonl(ds, out_dir: str) -> None:
+    """Partitioned JSONL sink (one file per block via Ray's native
+    ``write_json``) — the interchange format for downstream annotation
+    tooling. Resumable the same way the parquet sinks are: one file
+    per block, re-runs overwrite whole directories."""
+    ds.write_json(out_dir)

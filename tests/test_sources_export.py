@@ -262,3 +262,22 @@ def test_read_parquet_uri_scheme(ray_session):
                          columns=["n_nationkey", "n_name"])
     df = ds.to_pandas()
     assert len(df) == 25 and list(df.columns) == ["n_nationkey", "n_name"]
+
+
+def test_jsonl_roundtrip(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.sources.readers import read_jsonl_docs, write_jsonl
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha beta", "gamma", "delta epsilon"],
+        "lang": ["en", "en", "de"]})
+    out = str(tmp_path / "jsonl")
+    write_jsonl(rd.from_pandas(df), out)
+    back = (read_jsonl_docs(out, columns=["doc_id", "text"])
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert back["doc_id"].tolist() == [1, 2, 3]
+    assert back["text"].tolist() == ["alpha beta", "gamma", "delta epsilon"]
+    assert list(back.columns) == ["doc_id", "text"]
