@@ -309,6 +309,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    batch_size=None)
         return connected_components(edges)
 
+    def q_connected_components_alt(sf):
+        # same customer→order star graph, resolved by the alternating
+        # large-star/small-star algorithm (O(log n) rounds — the
+        # web-graph path); fixed point is identical, so the same SQL
+        # oracle applies
+        import pandas as pd
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import (
+            connected_components_alternating)
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey"])
+
+        def _e(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "src": "c" + df["o_custkey"].astype(str),
+                "dst": "o" + df["o_orderkey"].astype(str)})
+
+        edges = orders.map_batches(_e, batch_format="pandas",
+                                   batch_size=None)
+        return connected_components_alternating(edges)
+
     def q_heavy_hitters(sf):
         import ray.data as rd
 
@@ -627,6 +650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "n3c_mapping_table": q_n3c_mapping_table,
         "heavy_hitters": q_heavy_hitters,  # count-min sketch top-k (est ≥ truth; pytest carries the bound check)
         "connected_components": q_connected_components,  # min-label propagation
+        "connected_components_alt": q_connected_components_alt,  # large-star/small-star
     }
 
 
@@ -1011,6 +1035,12 @@ def oracle_sql() -> dict[str, str]:
         # SQL-expressible even though the engine runs iterative
         # propagation (oracle checks the fixed point, not the path)
         "connected_components": (
+            "WITH e AS (SELECT 'c' || o_custkey AS src, "
+            "'o' || o_orderkey AS dst FROM orders) "
+            "SELECT DISTINCT src AS node, src AS component FROM e "
+            "UNION ALL SELECT dst AS node, src AS component FROM e"
+        ),
+        "connected_components_alt": (
             "WITH e AS (SELECT 'c' || o_custkey AS src, "
             "'o' || o_orderkey AS dst FROM orders) "
             "SELECT DISTINCT src AS node, src AS component FROM e "

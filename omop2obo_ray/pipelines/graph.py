@@ -35,6 +35,7 @@ import functools
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
@@ -212,15 +213,29 @@ def pagerank(edges: Dataset, iterations: int = 3, damping: float = 0.85,
 
 
 def connected_components(edges: Dataset, src: str = "src",
-                         dst: str = "dst") -> Dataset:
+                         dst: str = "dst",
+                         method: str = "propagation") -> Dataset:
     """Connected components over an undirected edge Dataset →
-    (node, component) with component = min member id. Thin graph-API
-    front for the iterative min-label propagation built for near-dup
-    clustering (``textpipe.dup_clusters_distributed``): one hash join +
-    one coarse per-node min per round, exact per-node change flags as
-    the convergence witness, no driver state. Isolated nodes (absent from
-    the edge list) are by definition their own singleton components and
-    are not emitted."""
+    (node, component) with component = min member id.
+
+    ``method='propagation'`` — thin graph-API front for the iterative
+    min-label propagation built for near-dup clustering
+    (``textpipe.dup_clusters_distributed``): one hash join + one coarse
+    per-node min per round, exact per-node change flags as the
+    convergence witness, no driver state. Rounds needed = graph
+    DIAMETER — right for the shallow clusters near-dup graphs produce,
+    wrong for web graphs with long paths.
+
+    ``method='alternating'`` — the large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): converges in O(log n) rounds regardless of diameter, the
+    100-TB web-graph path. See ``connected_components_alternating``.
+
+    Isolated nodes (absent from the edge list) are by definition their
+    own singleton components and are not emitted; self-loop-only nodes
+    are treated the same way by the alternating method."""
+    if method == "alternating":
+        return connected_components_alternating(edges, src=src, dst=dst)
     from omop2obo_ray.pipelines.textpipe import dup_clusters_distributed
 
     pairs = edges.map_batches(
@@ -231,3 +246,148 @@ def connected_components(edges: Dataset, src: str = "src",
         lambda b: pa.table({"node": b["node"],
                             "component": b["cluster_id"]}),
         batch_format="pyarrow", batch_size=None)
+
+
+def connected_components_alternating(
+        edges: Dataset, src: str = "src", dst: str = "dst",
+        max_iters: int = 48, n_coarse: int | None = None,
+        stats: dict | None = None) -> Dataset:
+    """Large-star/small-star connected components → (node, component),
+    component = min member id. Converges in O(log n) rounds on ANY
+    graph shape (vs O(diameter) for min-label propagation — a 10⁶-hop
+    crawl-frontier path would need 10⁶ propagation rounds but ~20
+    alternating rounds), which makes it the scale path for web-graph
+    link structure.
+
+    Per round (Kiveris et al. SoCC'14, alternating variant):
+
+    - **large-star** — group edges by node over BOTH directions; with
+      m = min(neighborhood ∪ {self}), emit (v, m) for every strictly
+      larger neighbor v. Hooks big nodes straight onto the local min.
+    - **small-star** — orient every edge child→parent (larger→smaller),
+      group by child; emit (x, m) for the group's min m over every
+      member incl. the child. Flattens chains one level.
+    - **dedup + convergence** — one coarse aggregate over old ∪ new
+      tagged pairs: dedups the new edge set AND counts pairs present in
+      exactly one side. Zero symmetric difference ⇒ the round was a
+      no-op ⇒ fixed point (the potential function of the paper is
+      strictly decreasing otherwise). At the fixed point every
+      component is a star centered on its min node.
+
+    Every step is a ``coarse_aggregate`` (node/pair cardinality is
+    unbounded) — three coarse exchanges per round, NO hash joins, no
+    driver state beyond the per-round change scalar. Works for string
+    or integer node ids (pandas lexicographic/numeric min). If
+    ``stats`` is passed, ``stats['rounds']`` records the converged
+    round count."""
+    ntype = _pa_schema_of(edges).field(src).type
+    pair_schema = pa.schema([("src", ntype), ("dst", ntype)])
+
+    def _init(b: pa.Table) -> pa.Table:
+        a = b[src].combine_chunks()
+        c = b[dst].combine_chunks()
+        keep = pc.invert(pc.equal(a, c))
+        return pa.table({"src": pc.filter(a, keep), "dst": pc.filter(c, keep)})
+
+    cur = edges.map_batches(_init, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    if cur.count() == 0:
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array([], ntype), "component": pa.array([], ntype)}))
+
+    def _both(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pa.concat_arrays([b["src"].combine_chunks(),
+                                   b["dst"].combine_chunks()]),
+            "v": pa.concat_arrays([b["dst"].combine_chunks(),
+                                   b["src"].combine_chunks()])})
+
+    def _large(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy()
+        v = df["v"].to_numpy()
+        gmin = df.groupby("u", sort=False)["v"].transform("min").to_numpy()
+        m = np.where(u < gmin, u, gmin)
+        keep = v > u          # v > u ≥ m ⇒ no self-pairs
+        return (pd.DataFrame({"src": v[keep], "dst": m[keep]})
+                .drop_duplicates())
+
+    def _small(df: pd.DataFrame) -> pd.DataFrame:
+        # input pairs oriented child(u) → parent(v), v < u; emit
+        # (member, group-min) for every member incl. the child itself
+        df = df.reset_index(drop=True)
+        m = df.groupby("u", sort=False)["v"].transform("min").to_numpy()
+        first = (~df["u"].duplicated()).to_numpy()
+        out = pd.DataFrame({
+            "src": np.concatenate([df["v"].to_numpy(),
+                                   df["u"].to_numpy()[first]]),
+            "dst": np.concatenate([m, m[first]])})
+        return out.loc[out["src"] != out["dst"]].drop_duplicates()
+
+    def _orient(b: pa.Table) -> pa.Table:
+        a = b["src"].combine_chunks()
+        c = b["dst"].combine_chunks()
+        flip = pc.less(a, c)  # key u must be the LARGER endpoint
+        return pa.table({"u": pc.if_else(flip, c, a),
+                         "v": pc.if_else(flip, a, c)})
+
+    def _tag(val: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "src": b["src"], "dst": b["dst"],
+                "_t": pa.array(np.full(len(b), val, np.int64))})
+        return fn
+
+    def _cmp(df: pd.DataFrame) -> pd.DataFrame:
+        agg = (df.groupby(["src", "dst"], sort=False)["_t"]
+               .agg(["min", "max"]).reset_index())
+        in_old = agg["min"].to_numpy() == 0
+        in_new = agg["max"].to_numpy() == 1
+        agg["_new"] = in_new.astype(np.int64)
+        agg["_chg"] = (in_old ^ in_new).astype(np.int64)
+        return agg[["src", "dst", "_new", "_chg"]]
+
+    def _keep_new(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["_new"] == 1, ["src", "dst"]]
+
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        big = _sanitize_join_output(coarse_aggregate(
+            cur.map_batches(_both, batch_format="pyarrow", batch_size=None),
+            ["u"], _large, n_coarse=n_coarse), pair_schema)
+        new = _sanitize_join_output(coarse_aggregate(
+            big.map_batches(_orient, batch_format="pyarrow",
+                            batch_size=None),
+            ["u"], _small, n_coarse=n_coarse), pair_schema)
+        merged = _sanitize_join_output(coarse_aggregate(
+            cur.map_batches(_tag(0), batch_format="pyarrow",
+                            batch_size=None)
+            .union(new.map_batches(_tag(1), batch_format="pyarrow",
+                                   batch_size=None)),
+            ["src", "dst"], _cmp,
+            n_coarse=n_coarse),
+            pa.schema([("src", ntype), ("dst", ntype),
+                       ("_new", pa.int64()), ("_chg", pa.int64())])
+        ).materialize()
+        cur = merged.map_batches(_keep_new, batch_format="pandas",
+                                 batch_size=None)
+        if merged.sum("_chg") == 0:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+
+    # fixed point = disjoint stars (child → min-root): children label
+    # from their edge, roots label themselves (deduped per node)
+    def _labels(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([b["src"].combine_chunks(),
+                                      b["dst"].combine_chunks()]),
+            "component": pa.concat_arrays([b["dst"].combine_chunks(),
+                                           b["dst"].combine_chunks()])})
+
+    return coarse_aggregate(
+        cur.map_batches(_labels, batch_format="pyarrow", batch_size=None),
+        ["node"],
+        lambda df: df.groupby("node", sort=False)
+        .agg(component=("component", "min")).reset_index(),
+        n_coarse=n_coarse)

@@ -81,3 +81,66 @@ def test_connected_components_planted(ray_session):
     got = (connected_components(rd.from_pandas(edges)).to_pandas()
            .set_index("node")["component"].to_dict())
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    # method= front door routes to the alternating algorithm
+    alt = (connected_components(rd.from_pandas(edges), method="alternating")
+           .to_pandas().set_index("node")["component"].to_dict())
+    assert alt == got
+
+
+def _union_find(edges):
+    """Driver-side oracle: component = min member id."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_alternating_cc_long_path(ray_session):
+    """A 200-hop path: min-label propagation would need ~200 rounds
+    (beyond its cap); large-star/small-star converges in O(log n)."""
+    from omop2obo_ray.pipelines.graph import connected_components_alternating
+
+    names = [f"n{i:04d}" for i in range(201)]
+    edges = pd.DataFrame({"src": names[:-1], "dst": names[1:]})
+    stats: dict = {}
+    got = (connected_components_alternating(rd.from_pandas(edges),
+                                            n_coarse=8, stats=stats)
+           .to_pandas().set_index("node")["component"].to_dict())
+    assert got == {n: "n0000" for n in names}
+    # paper bound is O(log n); allow generous slack over log2(201)≈7.7
+    assert stats["rounds"] <= 20, stats
+
+
+def test_alternating_cc_random_matches_union_find(ray_session):
+    from omop2obo_ray.pipelines.graph import connected_components_alternating
+
+    rng = np.random.default_rng(11)
+    n = 400
+    pairs = rng.integers(0, n, size=(420, 2))
+    edges = [(f"v{a:03d}", f"v{b:03d}") for a, b in pairs]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    want = _union_find([(a, b) for a, b in edges if a != b])
+
+    got = (connected_components_alternating(rd.from_pandas(df), n_coarse=8)
+           .to_pandas().set_index("node")["component"].to_dict())
+    assert got == want
+
+
+def test_alternating_cc_int_keys_and_self_loops(ray_session):
+    from omop2obo_ray.pipelines.graph import connected_components_alternating
+
+    df = pd.DataFrame({"src": [1, 2, 7, 9], "dst": [2, 3, 7, 9]})
+    got = (connected_components_alternating(rd.from_pandas(df), n_coarse=8)
+           .to_pandas().set_index("node")["component"].to_dict())
+    # self-loop-only nodes (7, 9) are not emitted, like isolated nodes
+    assert got == {1: 1, 2: 1, 3: 1}
