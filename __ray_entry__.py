@@ -561,6 +561,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
         return embedding_near_pairs(emb, threshold=0.3)
 
+    def q_semantic_dedup(sf):
+        # SemDeDup (k-means cells → within-cell cosine components →
+        # keep min-key representative). Rows-only: iterative k-means +
+        # component resolution aren't SQL-expressible; pytest carries
+        # the exact numpy-oracle identity check.
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import semantic_dedup
+
+        emb = rd.read_parquet(f"{sf}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        kept = semantic_dedup(emb, threshold=0.95, n_clusters=4,
+                              train_iterations=2)
+        return kept.select_columns(["vec_id"])
+
     def q_embedding_near_pairs_lsh(sf):
         import ray.data as rd
 
@@ -647,6 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q_ann_ivf,
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
+        "semantic_dedup": q_semantic_dedup,  # SemDeDup (rows-only: iterative)
         "n3c_mapping_table": q_n3c_mapping_table,
         "heavy_hitters": q_heavy_hitters,  # count-min sketch top-k (est ≥ truth; pytest carries the bound check)
         "connected_components": q_connected_components,  # min-label propagation

@@ -1717,6 +1717,25 @@ def near_dedup_corpus(docs: Dataset, threshold: float = 0.8,
         mask = pc.invert(pc.equal(keys, cl.cast(keys.type)))
         return pa.table({"_drop_key": keys.filter(mask)})
 
+    return _drop_non_representatives(docs, clusters, key_col)
+
+
+def _drop_non_representatives(docs: Dataset, clusters: Dataset,
+                              key_col: str) -> Dataset:
+    """Drop cluster members that are not the representative (min id)
+    via a cluster-side ANTI-join: at web-scale dup mass the removal set
+    is a large fraction of the corpus, so a driver-held filter set
+    would be the exact driver-state anti-pattern the rest of this
+    pipeline avoids. ``clusters`` is (key_col, cluster_id) as emitted
+    by ``dup_clusters_distributed``."""
+    def non_reps(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].combine_chunks()
+        cl = batch["cluster_id"].combine_chunks()
+        import pyarrow.compute as pc
+
+        mask = pc.invert(pc.equal(keys, cl.cast(keys.type)))
+        return pa.table({"_drop_key": keys.filter(mask)})
+
     drops = clusters.map_batches(non_reps, batch_format="pyarrow",
                                  batch_size=None).materialize()
     if drops.count() == 0:
@@ -1724,6 +1743,144 @@ def near_dedup_corpus(docs: Dataset, threshold: float = 0.8,
     kept = docs.join(drops, join_type="left_anti", num_partitions=16,
                      on=(key_col,), right_on=("_drop_key",))
     return _sanitize_join_output(kept, _pa_schema_of(docs))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) deduplication
+# ---------------------------------------------------------------------------
+
+def semantic_pair_candidates(embeddings: Dataset, threshold: float = 0.95,
+                             n_clusters: int = 8, train_iterations: int = 4,
+                             key_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             centroids: np.ndarray | None = None,
+                             chunk: int = 2048) -> Dataset:
+    """Within-k-means-cluster exact cosine pairs — the candidate stage
+    of SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space with k-means, then compare pairs ONLY inside each
+    cluster. Output: (doc_a, doc_b, cos) with doc_a < doc_b, cos ≥
+    threshold, one row per unordered pair (hard assignment ⇒ a pair can
+    collide in at most one cluster, so no global dedup exchange is
+    needed). Pairs that straddle a cluster boundary are missed — that
+    is SemDeDup's documented approximation; recall grows as k shrinks.
+
+    Scale shape: centroids come from the distributed ``kmeans_fit``
+    (driver holds only k×dim); assignment is one broadcast matmul per
+    block; the per-cluster scan runs as a bounded-key
+    ``groupby(cluster).map_groups`` whose payload is the slim
+    (key, unit-vector blob) projection — vectors ride the exchange as
+    binary blobs (acero/sort exchanges reject list columns, NOTES_r2).
+    Within a cluster the O(c²) similarity is computed as chunked
+    matmuls (``chunk`` rows × cluster), bounding peak memory; cluster
+    sizes are controlled upstream by k (SemDeDup's own knob — the paper
+    uses k ≈ n/10⁴)."""
+    if centroids is None:
+        centroids = kmeans_fit(embeddings, k=n_clusters,
+                               iterations=train_iterations,
+                               vec_col=vec_col, key_col=key_col)
+    bucketed = ivf_bucket_assignments(embeddings.select_columns(
+        [key_col, vec_col]), centroids=centroids, vec_col=vec_col)
+
+    def to_blob(batch: pa.Table) -> pa.Table:
+        mat = _vec_matrix(batch, vec_col).astype(np.float64)
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        return pa.table({
+            key_col: batch[key_col],
+            "ivf_bucket": batch["ivf_bucket"],
+            "vec_blob": pa.array([row.tobytes() for row in mat],
+                                 pa.large_binary())})
+
+    slim = bucketed.map_batches(to_blob, batch_format="pyarrow",
+                                batch_size=None)
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[key_col].to_numpy()
+        empty = pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0],
+                              "cos": np.empty(0, np.float64)})
+        if len(df) < 2:
+            return empty
+        mat = np.stack([np.frombuffer(b, dtype=np.float64)
+                        for b in df["vec_blob"]])
+        outs = []
+        for s in range(0, len(mat), chunk):
+            cos = mat[s:s + chunk] @ mat.T
+            ri, ci = np.nonzero(cos >= threshold)
+            gi = ri + s
+            keep = ids[gi] < ids[ci]
+            outs.append(pd.DataFrame({
+                "doc_a": ids[gi][keep], "doc_b": ids[ci][keep],
+                "cos": np.round(cos[ri, ci][keep], 6)}))
+        outs = [o for o in outs if len(o)]
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    # k is bounded (the SemDeDup knob), so Ray's native groupby is the
+    # right exchange here — per-group overhead is O(k), not O(n)
+    return slim.groupby("ivf_bucket").map_groups(
+        scan, batch_format="pandas")
+
+
+def semantic_dedup(embeddings: Dataset, threshold: float = 0.95,
+                   n_clusters: int = 8, train_iterations: int = 4,
+                   key_col: str = "vec_id", vec_col: str = "embedding",
+                   centroids: np.ndarray | None = None) -> Dataset:
+    """SemDeDup end-to-end: k-means cluster → within-cluster cosine ≥
+    threshold pairs → connected components → keep ONE representative
+    (min key) per semantic-duplicate group, pass every other row
+    through untouched (all input columns preserved).
+
+    Components use the alternating large-star/small-star algorithm
+    (semantic-dup groups at high thresholds are near-cliques, but
+    chains through borderline pairs can stretch arbitrarily — the
+    O(log n)-round algorithm is diameter-proof); removal is the same
+    cluster-side anti-join as ``near_dedup_corpus``. Deterministic for
+    fixed inputs: k-means init is the first k rows, and the
+    representative choice is the min key."""
+    from omop2obo_ray.pipelines.graph import connected_components_alternating
+
+    pairs = semantic_pair_candidates(
+        embeddings, threshold=threshold, n_clusters=n_clusters,
+        train_iterations=train_iterations, key_col=key_col,
+        vec_col=vec_col, centroids=centroids).materialize()
+    if pairs.count() == 0:
+        return embeddings
+    labeled = connected_components_alternating(
+        pairs, src="doc_a", dst="doc_b")
+    clusters = labeled.map_batches(
+        lambda b: pa.table({key_col: b["node"],
+                            "cluster_id": b["component"]}),
+        batch_format="pyarrow", batch_size=None)
+    # the anti-join cannot carry a list<float> payload column (acero
+    # rejects list non-key fields) — blob-encode the vector around the
+    # join and restore the original list type after
+    vt = _pa_schema_of(embeddings).field(vec_col).type
+    if pa.types.is_list(vt) or pa.types.is_large_list(vt):
+        np_dtype = np.dtype(vt.value_type.to_pandas_dtype())
+    else:
+        # pandas-backed object column (e.g. from_pandas test inputs):
+        # infer the element dtype from one row
+        np_dtype = np.asarray(embeddings.take(1)[0][vec_col]).dtype
+        vt = pa.list_(pa.from_numpy_dtype(np_dtype))
+
+    def enc(batch: pa.Table) -> pa.Table:
+        blobs = [np.asarray(v, dtype=np_dtype).tobytes()
+                 for v in batch[vec_col].to_pylist()]
+        i = batch.schema.get_field_index(vec_col)
+        return batch.set_column(i, vec_col,
+                                pa.array(blobs, pa.large_binary()))
+
+    def dec(batch: pa.Table) -> pa.Table:
+        vecs = [np.frombuffer(b, dtype=np_dtype)
+                for b in batch[vec_col].to_pylist()]
+        i = batch.schema.get_field_index(vec_col)
+        return batch.set_column(i, vec_col, pa.array(vecs, vt))
+
+    kept = _drop_non_representatives(
+        embeddings.map_batches(enc, batch_format="pyarrow",
+                               batch_size=None),
+        clusters, key_col)
+    return kept.map_batches(dec, batch_format="pyarrow", batch_size=None)
 
 
 class FrameSampler:

@@ -499,3 +499,81 @@ def test_remove_dup_spans_emptied_doc_dropped(ray_session):
     assert 1 not in got.index  # fully-masked doc dropped
     assert got[0] == boiler + " extra"
     assert got[2] == "nothing shared here at all"
+
+
+def _semdedup_oracle(vecs, centroids, threshold):
+    """Driver-side SemDeDup reference: squared-euclidean assignment,
+    within-cluster cosine pairs, union-find, keep min per component."""
+    m = np.stack(vecs).astype(np.float64)
+    assign = (m @ centroids.T
+              - 0.5 * (centroids * centroids).sum(axis=1)).argmax(axis=1)
+    u = m / np.linalg.norm(m, axis=1, keepdims=True)
+    parent = list(range(len(vecs)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in range(len(vecs)):
+        for b in range(a + 1, len(vecs)):
+            if assign[a] == assign[b] and u[a] @ u[b] >= threshold:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    return sorted({find(i) for i in range(len(vecs))})
+
+
+def test_semantic_dedup_matches_numpy_oracle(ray_session):
+    """SemDeDup keeps exactly the min-key representative of every
+    within-cluster cosine component (explicit centroids so engine and
+    oracle share the same clustering)."""
+    from omop2obo_ray.pipelines.textpipe import semantic_dedup
+
+    rng = np.random.RandomState(17)
+    # two well-separated blobs, with planted near-dup groups inside each
+    a = rng.randn(8, 12) + 10.0
+    b = rng.randn(8, 12) - 10.0
+    vecs = list(a) + list(b)
+    vecs += [a[0] + 0.001 * rng.randn(12),    # dup of 0
+             a[0] + 0.002 * rng.randn(12),    # dup of 0 (3-clique)
+             b[2] + 0.001 * rng.randn(12)]    # dup of 10
+    centroids = np.stack([a.mean(axis=0), b.mean(axis=0)])
+    df = pd.DataFrame({"vec_id": range(len(vecs)),
+                       "embedding": [list(v) for v in vecs]})
+    kept = semantic_dedup(rd.from_pandas(df), threshold=0.999,
+                          centroids=centroids).to_pandas()
+    want = _semdedup_oracle(vecs, centroids, 0.999)
+    assert sorted(kept["vec_id"]) == want
+    # planted dups actually collapsed (16, 17 fold into 0; 18 into 10)
+    assert 16 not in want and 17 not in want and 18 not in want
+    # all input columns preserved
+    assert set(kept.columns) == {"vec_id", "embedding"}
+
+
+def test_semantic_dedup_cross_cluster_pairs_missed(ray_session):
+    """The documented SemDeDup approximation: near-identical vectors
+    assigned to different k-means cells are NOT compared."""
+    from omop2obo_ray.pipelines.textpipe import semantic_pair_candidates
+
+    v = [1.0] + [0.0] * 7
+    w = list(np.array(v) + 1e-6)  # near-identical twin
+    # centroids sit exactly on each twin → hard assignment splits them
+    centroids = np.stack([np.asarray(v), np.asarray(w)])
+    df = pd.DataFrame({"vec_id": [0, 1], "embedding": [v, w]})
+    pairs = semantic_pair_candidates(
+        rd.from_pandas(df), threshold=0.9,
+        centroids=centroids).to_pandas()
+    assert len(pairs) == 0
+
+
+def test_semantic_dedup_no_dups_passthrough(ray_session):
+    from omop2obo_ray.pipelines.textpipe import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({"vec_id": range(6),
+                       "embedding": [list(v) for v in rng.randn(6, 8)]})
+    kept = semantic_dedup(rd.from_pandas(df), threshold=0.9999,
+                          n_clusters=2, train_iterations=1).to_pandas()
+    assert sorted(kept["vec_id"]) == list(range(6))
