@@ -561,6 +561,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
         return embedding_near_pairs(emb, threshold=0.3)
 
+    def q_nb_classify(sf):
+        # distributed multinomial Naive Bayes: train on (text → lang)
+        # counts in-cluster, broadcast the vocab-bounded model, score
+        # every doc (pred + epsilon-floor-quantized log-prob score)
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import nb_classify, nb_train
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+        model = nb_train(docs, label_col="lang")
+        return nb_classify(docs, model)
+
     def q_semantic_dedup(sf):
         # SemDeDup (k-means cells → within-cell cosine components →
         # keep min-key representative). Rows-only: iterative k-means +
@@ -663,6 +676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "semantic_dedup": q_semantic_dedup,  # SemDeDup (rows-only: iterative)
+        "nb_classify": q_nb_classify,  # Naive Bayes train+score (SQL-checked)
         "n3c_mapping_table": q_n3c_mapping_table,
         "heavy_hitters": q_heavy_hitters,  # count-min sketch top-k (est ≥ truth; pytest carries the bound check)
         "connected_components": q_connected_components,  # min-label propagation
@@ -1055,6 +1069,39 @@ def oracle_sql() -> dict[str, str]:
             "'o' || o_orderkey AS dst FROM orders) "
             "SELECT DISTINCT src AS node, src AS component FROM e "
             "UNION ALL SELECT dst AS node, src AS component FROM e"
+        ),
+        # multinomial NB with add-1 smoothing, token rule and
+        # quantizer shared verbatim with the engine; tie-break =
+        # smallest class (engine argmax-first over ascending classes)
+        "nb_classify": (
+            "WITH toks AS (SELECT doc_id, lang, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+            "FROM documents), "
+            "counts AS (SELECT lang, token, count(*)::DOUBLE AS n "
+            "FROM toks GROUP BY lang, token), "
+            "classes AS (SELECT lang, count(*)::DOUBLE AS n_docs "
+            "FROM documents GROUP BY lang), "
+            "vv AS (SELECT count(DISTINCT token)::DOUBLE AS v FROM toks), "
+            "tot AS (SELECT lang, sum(n) AS total FROM counts GROUP BY lang), "
+            "priors AS (SELECT lang, ln(n_docs / "
+            "(SELECT sum(n_docs) FROM classes)) AS lp FROM classes), "
+            "tokscore AS (SELECT t.doc_id, c.lang AS cls, "
+            "sum(ln((coalesce(cn.n, 0) + 1.0) / "
+            "(tt.total + (SELECT v FROM vv)))) AS s "
+            "FROM toks t CROSS JOIN classes c "
+            "JOIN tot tt ON tt.lang = c.lang "
+            "LEFT JOIN counts cn ON cn.lang = c.lang AND cn.token = t.token "
+            "GROUP BY t.doc_id, c.lang), "
+            "allsc AS (SELECT d.doc_id, c.lang AS cls, "
+            "p.lp + coalesce(ts.s, 0) AS score "
+            "FROM documents d CROSS JOIN classes c "
+            "JOIN priors p ON p.lang = c.lang "
+            "LEFT JOIN tokscore ts ON ts.doc_id = d.doc_id "
+            "AND ts.cls = c.lang) "
+            "SELECT doc_id, cls AS label_pred, "
+            "CAST(floor(score * 1e4 + 1e-6) AS BIGINT) AS score_q "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, cls ASC) AS rn FROM allsc) WHERE rn = 1"
         ),
         "connected_components_alt": (
             "WITH e AS (SELECT 'c' || o_custkey AS src, "

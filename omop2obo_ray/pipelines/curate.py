@@ -1000,3 +1000,154 @@ def decontaminate(docs: Dataset, probes: list[str], *,
 
     return flagged.map_batches(_drop, batch_format="pyarrow",
                                batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes text classifier (the distributed quality/domain classifier
+# slot in a training-data pipeline — fastText-style scoring, exact
+# count-based training instead of SGD so the model is deterministic and
+# SQL-auditable)
+# ---------------------------------------------------------------------------
+
+# ASCII word tokens on lowercased text — shared VERBATIM with the
+# DuckDB oracle (`regexp_extract_all(lower(text), '[a-z0-9]+')`), so
+# the gate is data-independent (ADVICE r1 lesson).
+NB_TOKEN_RE = "[a-z0-9]+"
+
+
+class NBModel:
+    """Multinomial Naive Bayes model: vocab-bounded driver state only
+    (same budget class as the broadcast lexicon). ``classes`` sorted
+    ascending so argmax tie-break = smallest class in both engine and
+    SQL."""
+
+    def __init__(self, classes: list, log_prior: np.ndarray,
+                 vocab: pd.Index, log_prob: np.ndarray,
+                 log_default: np.ndarray):
+        self.classes = classes          # (K,) sorted
+        self.log_prior = log_prior      # (K,)
+        self.vocab = vocab              # pd.Index of tokens
+        self.log_prob = log_prob        # (V, K)
+        self.log_default = log_default  # (K,) unseen-token smoothing
+
+
+def nb_train(docs: Dataset, label_col: str = "lang",
+             text_col: str = "text", alpha: float = 1.0) -> NBModel:
+    """Train multinomial NB with add-``alpha`` smoothing in ONE
+    distributed counting pass: each block emits (label, token, n)
+    partials from a vectorized pandas groupby, a coarse aggregate
+    merges them per (label, token) in-cluster, and the driver collects
+    only the vocab-bounded count table (the model — millions of rows at
+    web scale, same driver-budget class as the ontology lexicon; the
+    token STREAM, which is the unbounded thing, never leaves the
+    cluster).
+
+    log P(t|c) = ln((n_tc + α) / (N_c + α·V)); prior = doc-count share.
+    """
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+
+    import re as _re
+    tok_re = _re.compile(NB_TOKEN_RE)
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        rows_lab, rows_tok = [], []
+        for lab, txt in zip(df[label_col], df[text_col]):
+            toks = tok_re.findall((txt or "").lower())
+            rows_lab.extend([lab] * len(toks))
+            rows_tok.extend(toks)
+        if not rows_tok:
+            return pd.DataFrame({"label": [], "token": [], "n": []})
+        return (pd.DataFrame({"label": rows_lab, "token": rows_tok})
+                .groupby(["label", "token"], sort=False).size()
+                .rename("n").reset_index())
+
+    counts = coarse_aggregate(
+        docs.select_columns([label_col, text_col]).map_batches(
+            _partials, batch_format="pandas"),
+        ["label", "token"],
+        lambda df: df.groupby(["label", "token"], sort=False)
+        .agg(n=("n", "sum")).reset_index()).to_pandas()
+
+    # doc counts per class: bounded-key groupby
+    prior_df = (docs.select_columns([label_col])
+                .groupby(label_col).count().to_pandas())
+    prior_df.columns = ["label", "n_docs"]
+
+    classes = sorted(prior_df["label"].tolist())
+    k = len(classes)
+    cidx = {c: i for i, c in enumerate(classes)}
+    n_docs = prior_df["n_docs"].sum()
+    log_prior = np.full(k, -np.inf)
+    for _, r in prior_df.iterrows():
+        log_prior[cidx[r["label"]]] = np.log(r["n_docs"] / n_docs)
+
+    vocab = pd.Index(sorted(counts["token"].unique()))
+    v = len(vocab)
+    totals = np.zeros(k)
+    for lab, n in counts.groupby("label")["n"].sum().items():
+        totals[cidx[lab]] = n
+    denom = totals + alpha * v
+    mat = np.zeros((v, k), dtype=np.int64)
+    mat[vocab.get_indexer(counts["token"].to_numpy()),
+        counts["label"].map(cidx).to_numpy()] = counts["n"].to_numpy()
+    log_prob = np.log((mat + alpha) / denom)
+    log_default = np.log(alpha / denom)
+    return NBModel(classes, log_prior, vocab, log_prob, log_default)
+
+
+class NBScorer:
+    """Actor: vectorized NB scoring — model pulled from the object
+    store once per actor, per-batch work is one regex pass + one
+    ``Index.get_indexer`` + two ``np.add.at`` scatters."""
+
+    def __init__(self, model_ref, text_col: str = "text",
+                 key_col: str = "doc_id"):
+        import re as _re
+
+        self.m: NBModel = (ray.get(model_ref)
+                           if isinstance(model_ref, ray.ObjectRef)
+                           else model_ref)
+        self.tok_re = _re.compile(NB_TOKEN_RE)
+        self.text_col, self.key_col = text_col, key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self.m
+        texts = batch[self.text_col].to_pylist()
+        doc_idx, toks = [], []
+        for i, t in enumerate(texts):
+            tt = self.tok_re.findall((t or "").lower())
+            doc_idx.extend([i] * len(tt))
+            toks.extend(tt)
+        scores = np.tile(m.log_prior, (len(texts), 1))
+        if toks:
+            di = np.asarray(doc_idx, dtype=np.int64)
+            ti = m.vocab.get_indexer(toks)
+            known = ti >= 0
+            np.add.at(scores, di[known], m.log_prob[ti[known]])
+            np.add.at(scores, di[~known], m.log_default)
+        pred = scores.argmax(axis=1)  # ties → first = smallest class
+        best = scores[np.arange(len(texts)), pred]
+        return pa.table({
+            self.key_col: batch[self.key_col],
+            "label_pred": pa.array([m.classes[p] for p in pred]),
+            # epsilon-shifted floor quantization: log-prob sums differ
+            # from the SQL oracle only by float reassociation (~1e-12
+            # rel); raw floats would flip on the hash gate
+            "score_q": pa.array(np.floor(best * 1e4 + 1e-6)
+                                .astype(np.int64)),
+        })
+
+
+def nb_classify(docs: Dataset, model: NBModel, text_col: str = "text",
+                key_col: str = "doc_id") -> Dataset:
+    """Score every doc with a trained NB model → (key, label_pred,
+    score_q). Model broadcast via ``ray.put`` once, pulled per actor in
+    ``__init__`` — never re-shipped per batch."""
+    ref = ray.put(model)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return docs.select_columns([key_col, text_col]).map_batches(
+        NBScorer,
+        fn_constructor_kwargs=dict(model_ref=ref, text_col=text_col,
+                                   key_col=key_col),
+        batch_format="pyarrow", batch_size=None,
+        concurrency=(max(1, cpus // 4), max(2, cpus)), num_cpus=1)

@@ -327,3 +327,81 @@ def test_latest_per_key_election(ray_session):
     assert got["event_id"].tolist() == [2, 4, 5]
     assert got["payload"].tolist() == ["b", "d", "e"]
     assert list(got.columns) == ["event_id", "user_id", "ts", "payload"]
+
+
+def _nb_reference(docs, alpha=1.0):
+    """Direct multinomial-NB reference (dense dict arithmetic)."""
+    import re
+    import math
+
+    tok = re.compile("[a-z0-9]+")
+    toks = {d: tok.findall(t.lower()) for d, t, _ in docs}
+    classes = sorted({c for _, _, c in docs})
+    n_docs = len(docs)
+    prior = {c: math.log(sum(1 for _, _, cc in docs if cc == c) / n_docs)
+             for c in classes}
+    counts: dict = {}
+    totals = {c: 0 for c in classes}
+    vocab = set()
+    for d, _, c in docs:
+        for t in toks[d]:
+            counts[(c, t)] = counts.get((c, t), 0) + 1
+            totals[c] += 1
+            vocab.add(t)
+    v = len(vocab)
+    out = {}
+    for d, _, _ in docs:
+        best, best_s = None, -math.inf
+        for c in classes:
+            s = prior[c]
+            for t in toks[d]:
+                s += math.log((counts.get((c, t), 0) + alpha)
+                              / (totals[c] + alpha * v))
+            if s > best_s + 1e-12:
+                best, best_s = c, s
+        out[d] = (best, math.floor(best_s * 1e4 + 1e-6))
+    return out
+
+
+def test_nb_classifier_matches_reference(ray_session):
+    from omop2obo_ray.pipelines.curate import nb_classify, nb_train
+
+    docs = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "cat and dog play", "en"),
+        (2, "le chat dort sur le lit", "fr"),
+        (3, "le chien et le chat", "fr"),
+        (4, "der hund und die katze", "de"),
+        (5, "die katze schlaeft", "de"),
+        (6, "cat dog mat play", "en"),
+        (7, "chat chien lit", "fr"),
+    ]
+    df = pd.DataFrame(docs, columns=["doc_id", "text", "lang"])
+    ds = rd.from_pandas(df)
+    model = nb_train(ds, label_col="lang")
+    got = (nb_classify(ds, model).to_pandas()
+           .set_index("doc_id"))
+    want = _nb_reference(docs)
+    for d, (cls, sq) in want.items():
+        assert got.loc[d, "label_pred"] == cls, d
+        assert int(got.loc[d, "score_q"]) == sq, d
+    # self-training on separable corpora recovers the labels
+    assert (got["label_pred"] == df.set_index("doc_id")["lang"]).all()
+
+
+def test_nb_classifier_unknown_token_and_empty_doc(ray_session):
+    from omop2obo_ray.pipelines.curate import nb_classify, nb_train
+
+    train = pd.DataFrame({
+        "doc_id": [0, 1], "text": ["aaa bbb", "ccc ddd"],
+        "lang": ["x", "y"]})
+    model = nb_train(rd.from_pandas(train), label_col="lang")
+    score = pd.DataFrame({
+        "doc_id": [10, 11, 12],
+        "text": ["aaa zzz", "", "ccc ccc"]})
+    got = (nb_classify(rd.from_pandas(score), model).to_pandas()
+           .set_index("doc_id"))
+    assert got.loc[10, "label_pred"] == "x"   # unknown zzz is neutral
+    assert got.loc[12, "label_pred"] == "y"
+    # empty doc: prior-only score, tie on uniform priors → smallest class
+    assert got.loc[11, "label_pred"] == "x"
