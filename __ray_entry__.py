@@ -561,6 +561,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
         return embedding_near_pairs(emb, threshold=0.3)
 
+    def q_bm25(sf):
+        # full-precision scores on the operator; the gate quantizes
+        # with the shared epsilon-floor (sum order differs SQL-side)
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import bm25_scores
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        scored = bm25_scores(docs, ["the", "data", "web"])
+
+        def _q(batch: pa.Table) -> pa.Table:
+            s = batch["score"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "score_q": pa.array(
+                    np.floor(s * 1e6 + 1e-9).astype(np.int64))})
+
+        return scored.map_batches(_q, batch_format="pyarrow",
+                                  batch_size=None)
+
     def q_nb_classify(sf):
         # distributed multinomial Naive Bayes: train on (text → lang)
         # counts in-cluster, broadcast the vocab-bounded model, score
@@ -677,6 +701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "semantic_dedup": q_semantic_dedup,  # SemDeDup (rows-only: iterative)
         "nb_classify": q_nb_classify,  # Naive Bayes train+score (SQL-checked)
+        "bm25": q_bm25,  # Okapi BM25 query scoring (SQL-checked)
         "n3c_mapping_table": q_n3c_mapping_table,
         "heavy_hitters": q_heavy_hitters,  # count-min sketch top-k (est ≥ truth; pytest carries the bound check)
         "connected_components": q_connected_components,  # min-label propagation
@@ -1069,6 +1094,29 @@ def oracle_sql() -> dict[str, str]:
             "'o' || o_orderkey AS dst FROM orders) "
             "SELECT DISTINCT src AS node, src AS component FROM e "
             "UNION ALL SELECT dst AS node, src AS component FROM e"
+        ),
+        # Okapi BM25 (Lucene idf variant), token rule + constants
+        # shared verbatim with the engine; N counts ALL docs
+        "bm25": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+            "FROM documents), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks "
+            "GROUP BY doc_id), "
+            "st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+            "(SELECT coalesce(sum(len), 0) FROM dl) AS total), "
+            "q(term) AS (VALUES ('the'), ('data'), ('web')), "
+            "df AS (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df "
+            "FROM toks WHERE token IN (SELECT term FROM q) GROUP BY token), "
+            "tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM toks "
+            "WHERE token IN (SELECT term FROM q) GROUP BY doc_id, token) "
+            "SELECT tf.doc_id, CAST(floor(sum("
+            "ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * "
+            "(tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / "
+            "(st.total / st.n)))) * 1e6 + 1e-9) AS BIGINT) AS score_q "
+            "FROM tf JOIN df ON df.token = tf.token "
+            "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st "
+            "GROUP BY tf.doc_id"
         ),
         # multinomial NB with add-1 smoothing, token rule and
         # quantizer shared verbatim with the engine; tie-break =

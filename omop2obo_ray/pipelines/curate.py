@@ -1151,3 +1151,87 @@ def nb_classify(docs: Dataset, model: NBModel, text_col: str = "text",
                                    key_col=key_col),
         batch_format="pyarrow", batch_size=None,
         concurrency=(max(1, cpus // 4), max(2, cpus)), num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# BM25 query scoring (the retrieval half of a data-curation stack:
+# score every document against a term query at corpus scale)
+# ---------------------------------------------------------------------------
+
+def bm25_scores(docs: Dataset, query_terms: list[str], *,
+                k1: float = 1.2, b: float = 0.75,
+                key_col: str = "doc_id",
+                text_col: str = "text") -> Dataset:
+    """Okapi BM25 (Lucene idf variant) of every document against a
+    bag-of-terms query → (key, score), full float precision (gates
+    quantize in the query wrapper). Only docs matching ≥1 term emit.
+
+        idf(t)   = ln((N − df_t + 0.5)/(df_t + 0.5) + 1)
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+
+    Two passes, both streaming: pass 1 reduces per-block partials
+    (docs, token total, per-query-term df) to ONE tiny row per block —
+    driver state is O(n_blocks × |query|), never O(corpus) (a doc's
+    rows live in one block, so block-local distinct-doc counts sum
+    exactly). Pass 2 broadcasts the |query|-bounded idf table and
+    scores each block vectorized. Token rule shared verbatim with the
+    SQL oracle (``NB_TOKEN_RE``); N counts ALL docs (token-less ones
+    score nothing but still dilute avgdl), matching the oracle."""
+    import re as _re
+
+    tok_re = _re.compile(NB_TOKEN_RE)
+    terms = sorted(set(query_terms))
+    slim = docs.select_columns([key_col, text_col])
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        tok_lists = [tok_re.findall((t or "").lower())
+                     for t in df[text_col]]
+        dfs = {t: 0 for t in terms}
+        for toks in tok_lists:
+            s = set(toks)
+            for t in terms:
+                if t in s:
+                    dfs[t] += 1
+        return pd.DataFrame({
+            "n_docs": [len(df)],
+            "total_len": [sum(len(t) for t in tok_lists)],
+            **{f"df_{i}": [dfs[t]] for i, t in enumerate(terms)}})
+
+    stats = pd.DataFrame(
+        slim.map_batches(_partials, batch_format="pandas",
+                         batch_size=None).take_all())
+    n = float(stats["n_docs"].sum())
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            key_col: pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64())}))
+    avgdl = float(stats["total_len"].sum()) / n
+    idf = {t: float(np.log((n - stats[f"df_{i}"].sum() + 0.5)
+                           / (stats[f"df_{i}"].sum() + 0.5) + 1.0))
+           for i, t in enumerate(terms)}
+    idf_ref = ray.put(idf)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        w = ray.get(idf_ref) if isinstance(idf_ref, ray.ObjectRef) else idf_ref
+        keys, scores = [], []
+        for key, txt in zip(batch[key_col].to_pylist(),
+                            batch[text_col].to_pylist()):
+            toks = tok_re.findall((txt or "").lower())
+            dl = len(toks)
+            s = 0.0
+            hit = False
+            for t in terms:
+                tf = toks.count(t)
+                if tf:
+                    hit = True
+                    s += w[t] * (tf * (k1 + 1.0)) / (
+                        tf + k1 * (1.0 - b + b * dl / avgdl))
+            if hit:
+                keys.append(key)
+                scores.append(s)
+        return pa.table({key_col: pa.array(keys,
+                                           batch[key_col].type),
+                         "score": pa.array(scores, pa.float64())})
+
+    return slim.map_batches(_score, batch_format="pyarrow",
+                            batch_size=None)

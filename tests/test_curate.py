@@ -405,3 +405,46 @@ def test_nb_classifier_unknown_token_and_empty_doc(ray_session):
     assert got.loc[12, "label_pred"] == "y"
     # empty doc: prior-only score, tie on uniform priors → smallest class
     assert got.loc[11, "label_pred"] == "x"
+
+
+def test_bm25_scores_match_reference(ray_session):
+    from omop2obo_ray.pipelines.curate import bm25_scores
+    import math
+    import re
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "quick quick fox"),
+        (2, "lazy afternoon nap"),
+        (3, "completely unrelated words here"),
+        (4, ""),
+    ]
+    terms = ["quick", "lazy"]
+    k1, b = 1.2, 0.75
+    tok = re.compile("[a-z0-9]+")
+    toks = {d: tok.findall(t.lower()) for d, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    want = {}
+    for d, _ in docs:
+        s, hit = 0.0, False
+        for t in terms:
+            tf = toks[d].count(t)
+            if tf:
+                hit = True
+                df = sum(1 for v in toks.values() if t in v)
+                idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+                s += idf * (tf * (k1 + 1)) / (
+                    tf + k1 * (1 - b + b * len(toks[d]) / avgdl))
+        if hit:
+            want[d] = s
+
+    df_in = pd.DataFrame(docs, columns=["doc_id", "text"])
+    got = (bm25_scores(rd.from_pandas(df_in), terms)
+           .to_pandas().set_index("doc_id")["score"].to_dict())
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12), d
+    # tf saturation: doc 1 has tf=2 for 'quick' but is shorter, so it
+    # outranks doc 0 on 'quick' alone; both match 'quick'
+    assert got[1] > 0 and got[0] > 0
