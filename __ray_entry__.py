@@ -561,6 +561,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
         return embedding_near_pairs(emb, threshold=0.3)
 
+    def q_mixture_sample(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import mixture_sample
+
+        docs = rd.read_parquet(
+            f"{sf}/documents.parquet",
+            columns=["doc_id", "text", "source"])
+        out = mixture_sample(docs, {"src0": 3, "src1": 1, "src2": 1})
+        return out.select_columns(["doc_id", "source"])
+
+    def q_winnow(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import winnow_fingerprints
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return winnow_fingerprints(docs, k=5, w=4)
+
     def q_bm25(sf):
         # full-precision scores on the operator; the gate quantizes
         # with the shared epsilon-floor (sum order differs SQL-side)
@@ -702,6 +722,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q_semantic_dedup,  # SemDeDup (rows-only: iterative)
         "nb_classify": q_nb_classify,  # Naive Bayes train+score (SQL-checked)
         "bm25": q_bm25,  # Okapi BM25 query scoring (SQL-checked)
+        "winnow": q_winnow,  # MOSS winnowing fingerprints (SQL-checked)
+        "mixture_sample": q_mixture_sample,  # data-mixing quota sampler (SQL-checked)
         "n3c_mapping_table": q_n3c_mapping_table,
         "heavy_hitters": q_heavy_hitters,  # count-min sketch top-k (est ≥ truth; pytest carries the bound check)
         "connected_components": q_connected_components,  # min-label propagation
@@ -1094,6 +1116,46 @@ def oracle_sql() -> dict[str, str]:
             "'o' || o_orderkey AS dst FROM orders) "
             "SELECT DISTINCT src AS node, src AS component FROM e "
             "UNION ALL SELECT dst AS node, src AS component FROM e"
+        ),
+        # mixture sampling: integer threshold arithmetic (HUGEINT) and
+        # the hash_sample multiplicative hash at ppm resolution, shared
+        # verbatim with the engine — no float boundary can flip a doc
+        "mixture_sample": (
+            "WITH w(source, wt) AS (VALUES ('src0', 3::HUGEINT), "
+            "('src1', 1::HUGEINT), ('src2', 1::HUGEINT)), "
+            "ts AS (SELECT source, "
+            "sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))"
+            "::HUGEINT AS t FROM documents GROUP BY source), "
+            "ww AS (SELECT sum(wt) AS tot FROM w), "
+            "cap AS (SELECT min(t * (SELECT tot FROM ww) // wt) AS m "
+            "FROM ts JOIN w USING (source)), "
+            "thr AS (SELECT source, ((SELECT m FROM cap) * wt * 1000000) "
+            "// ((SELECT tot FROM ww) * t) AS th "
+            "FROM ts JOIN w USING (source)) "
+            "SELECT d.doc_id, d.source FROM documents d "
+            "JOIN thr ON thr.source = d.source "
+            "WHERE ((d.doc_id % 2147483648) * 2654435761 + 17) "
+            "% 4294967296 % 1000000 < thr.th"
+        ),
+        # winnowing (k=5, w=4): md5-hex gram hashes (byte-identical to
+        # the engine's hashlib hex), min over full w-windows only, plus
+        # the global min for docs with fewer than w grams
+        "winnow": (
+            "WITH base AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS l "
+            "FROM documents), "
+            "pos AS (SELECT doc_id, l, "
+            "unnest(range(1, len(l) - 5 + 2)) AS p "
+            "FROM base WHERE len(l) >= 5), "
+            "gh AS (SELECT doc_id, p, "
+            "md5(array_to_string(list_slice(l, p, p + 4), ' ')) AS h, "
+            "len(l) - 4 AS n FROM pos), "
+            "mins AS (SELECT doc_id, p, n, "
+            "min(h) OVER (PARTITION BY doc_id ORDER BY p "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mfp "
+            "FROM gh) "
+            "SELECT DISTINCT doc_id, mfp AS fp FROM mins "
+            "WHERE p >= 4 OR p = n"
         ),
         # Okapi BM25 (Lucene idf variant), token rule + constants
         # shared verbatim with the engine; N counts ALL docs

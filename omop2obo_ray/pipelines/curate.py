@@ -1235,3 +1235,122 @@ def bm25_scores(docs: Dataset, query_terms: list[str], *,
 
     return slim.map_batches(_score, batch_format="pyarrow",
                             batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03 — the MOSS
+# document-fingerprint scheme: guaranteed detection of shared substrings
+# of length ≥ w+k−1 tokens with a bounded fingerprint density)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(docs: Dataset, *, k: int = 5, w: int = 4,
+                        key_col: str = "doc_id",
+                        text_col: str = "text") -> Dataset:
+    """Per-document winnowing fingerprint SET → (key, fp), distinct.
+
+    Token k-grams (shared ``NB_TOKEN_RE`` rule, space-joined) are
+    hashed with md5-hex (stable, byte-identical to DuckDB's ``md5``),
+    and each sliding window of ``w`` consecutive gram hashes
+    contributes its lexicographic MINIMUM; the distinct mins per doc
+    are the fingerprint set (the set formulation sidesteps the
+    tie-position rule — identical guarantee, order-free output).
+
+    Embarrassingly parallel: one map per block, no shuffle, no driver
+    state; dedup is per-document inside the map (a doc's rows live in
+    one block). Docs shorter than k tokens emit nothing."""
+    import hashlib
+    import re as _re
+
+    tok_re = _re.compile(NB_TOKEN_RE)
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        keys_out, fps_out = [], []
+        for key, txt in zip(batch[key_col].to_pylist(),
+                            batch[text_col].to_pylist()):
+            toks = tok_re.findall((txt or "").lower())
+            n = len(toks) - k + 1
+            if n <= 0:
+                continue
+            grams = [" ".join(toks[i:i + k]) for i in range(n)]
+            hs = np.array([hashlib.md5(g.encode()).hexdigest()
+                           for g in grams])
+            # numpy has no string-min ufunc: rank the hex strings via
+            # np.unique (lexicographic == md5-numeric for fixed-width
+            # hex), take vectorized sliding-window mins on the ranks
+            uniq, inv = np.unique(hs, return_inverse=True)
+            if n <= w:
+                sel = {uniq[inv.min()]}
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(inv, w)
+                sel = set(uniq[np.unique(win.min(axis=1))])
+            keys_out.extend([key] * len(sel))
+            fps_out.extend(sorted(sel))
+        return pa.table({key_col: pa.array(keys_out,
+                                           batch[key_col].type),
+                         "fp": pa.array(fps_out, pa.string())})
+
+    return docs.select_columns([key_col, text_col]).map_batches(
+        _fp, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Mixture sampling (data-mixing: downsample sources to hit a target
+# per-source token-share ratio — the static mixture-construction step
+# of a training-data pipeline)
+# ---------------------------------------------------------------------------
+
+def mixture_sample(docs: Dataset, weights: dict[str, int], *,
+                   source_col: str = "source", key_col: str = "doc_id",
+                   text_col: str = "text", salt: int = 17) -> Dataset:
+    """Downsample each source so the surviving corpus approximates the
+    integer target ratio ``weights`` by TOKEN share, without
+    upsampling: the largest feasible total is ``M = min_s T_s·W/w_s``
+    (the tightest source is kept whole), every other source is
+    down-sampled to its share of M. Sources absent from ``weights``
+    are dropped.
+
+    Acceptance is the content-addressed multiplicative hash of
+    ``hash_sample`` at ppm resolution: deterministic, resumable,
+    engine/SQL-identical. All threshold arithmetic is INTEGER
+    (Python bigint driver-side, HUGEINT oracle-side) so no float
+    boundary can flip a doc between engine and oracle. Driver state:
+    one (n_tokens) partial per (block, source) for the totals pass,
+    then the |sources|-bounded threshold dict — never O(corpus).
+    Doc-level acceptance approximates the token quota (docs are the
+    sampling unit, as in ``hash_sample``)."""
+    import re as _re
+
+    tok_re = _re.compile(NB_TOKEN_RE)
+    slim = docs.select_columns([source_col, text_col])
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        nt = [len(tok_re.findall((t or "").lower()))
+              for t in df[text_col]]
+        return (pd.DataFrame({source_col: df[source_col].to_numpy(),
+                              "nt": nt})
+                .groupby(source_col, sort=False)["nt"].sum()
+                .rename("nt").reset_index())
+
+    totals = (pd.DataFrame(
+        slim.map_batches(_partials, batch_format="pandas",
+                         batch_size=None).take_all())
+        .groupby(source_col)["nt"].sum().to_dict())
+
+    w_total = sum(weights.values())
+    caps = [int(totals.get(s, 0)) * w_total // w
+            for s, w in weights.items() if w > 0 and totals.get(s, 0)]
+    m = min(caps) if caps else 0
+    thr = {s: (m * w * 1_000_000) // (w_total * int(totals[s]))
+           for s, w in weights.items()
+           if w > 0 and totals.get(s, 0)}
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = batch[source_col].to_numpy(zero_copy_only=False)
+        th = (pd.Series(src).map(thr).fillna(0)
+              .to_numpy(dtype=np.int64))
+        h = ((k % _M31) * _KNUTH + salt) % _M32 % 1_000_000
+        return batch.filter(pa.array(h < th))
+
+    return docs.map_batches(_keep, batch_format="pyarrow",
+                            batch_size=None)

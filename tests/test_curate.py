@@ -448,3 +448,67 @@ def test_bm25_scores_match_reference(ray_session):
     # tf saturation: doc 1 has tf=2 for 'quick' but is shorter, so it
     # outranks doc 0 on 'quick' alone; both match 'quick'
     assert got[1] > 0 and got[0] > 0
+
+
+def test_winnow_fingerprints_reference_and_guarantee(ray_session):
+    from omop2obo_ray.pipelines.curate import winnow_fingerprints
+    import hashlib
+    import re
+
+    k, w = 3, 2
+    docs = [
+        (0, "a b c d e f"),
+        (1, "x y z a b c d q"),   # shares 'a b c d' (len k+1) with doc 0
+        (2, "one two"),           # shorter than k → no fingerprints
+        (3, "p q r"),             # exactly k tokens → global min
+    ]
+    tok = re.compile("[a-z0-9]+")
+
+    def ref(text):
+        t = tok.findall(text.lower())
+        n = len(t) - k + 1
+        if n <= 0:
+            return set()
+        hs = [hashlib.md5(" ".join(t[i:i + k]).encode()).hexdigest()
+              for i in range(n)]
+        if n <= w:
+            return {min(hs)}
+        return {min(hs[i:i + w]) for i in range(n - w + 1)}
+
+    got = (winnow_fingerprints(
+        rd.from_pandas(pd.DataFrame(docs, columns=["doc_id", "text"])),
+        k=k, w=w).to_pandas())
+    by_doc = {d: set(g["fp"]) for d, g in got.groupby("doc_id")}
+    for d, text in docs:
+        assert by_doc.get(d, set()) == ref(text), d
+    # winnowing guarantee: a shared substring of ≥ w+k−1 tokens ⇒ at
+    # least one shared fingerprint
+    assert by_doc[0] & by_doc[1]
+
+
+def test_mixture_sample_ratio_and_determinism(ray_session):
+    from omop2obo_ray.pipelines.curate import mixture_sample
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(900):
+        src = ["big", "mid", "small"][i % 3]
+        # big docs are long, small docs short → token totals differ
+        n = {"big": 40, "mid": 20, "small": 10}[src]
+        rows.append((i, src, " ".join(
+            f"w{rng.randint(0, 50)}" for _ in range(n))))
+    df = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    ds = rd.from_pandas(df)
+    out = mixture_sample(ds, {"big": 1, "mid": 1}).to_pandas()
+    # 'small' absent from weights → dropped entirely
+    assert set(out["source"]) <= {"big", "mid"}
+    # equal weights: the tighter source (mid, fewer tokens) is kept
+    # whole; big is downsampled toward mid's token mass
+    toks = out.assign(nt=out["text"].str.split().str.len())
+    t_big = toks.loc[toks["source"] == "big", "nt"].sum()
+    t_mid = toks.loc[toks["source"] == "mid", "nt"].sum()
+    assert t_mid == df.loc[df["source"] == "mid", "text"].str.split().str.len().sum()
+    assert 0.8 <= t_big / t_mid <= 1.2  # doc-level hash noise tolerance
+    # determinism
+    again = mixture_sample(ds, {"big": 1, "mid": 1}).to_pandas()
+    assert sorted(again["doc_id"]) == sorted(out["doc_id"])
