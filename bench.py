@@ -100,6 +100,23 @@ def run_bench() -> dict:
 
         timed("dedup_lines", _dedup_lines)
 
+        def _nb_classify():
+            from omop2obo_ray.pipelines.curate import nb_classify, nb_train
+
+            docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                   columns=["doc_id", "text", "lang"])
+            return nb_classify(docs, nb_train(docs, label_col="lang"))
+
+        timed("nb_classify", _nb_classify)
+
+        def _winnow():
+            from omop2obo_ray.pipelines.curate import winnow_fingerprints
+
+            return winnow_fingerprints(rd.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]))
+
+        timed("winnow", _winnow)
+
     lexicon = derive_lexicon_from_corpus(SF_DIR)  # untimed offline dim build
     out_dir = "/tmp/bench_kg_out"
     import shutil
