@@ -618,6 +618,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         model = nb_train(docs, label_col="lang")
         return nb_classify(docs, model)
 
+    def q_lm_perplexity(sf):
+        # CCNet-style LM quality scoring: char-bigram LM trained in
+        # one distributed counting pass, broadcast, scored per doc
+        # (mean NLL, epsilon-floor-quantized)
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import (lm_perplexity,
+                                                   lm_train_bigrams)
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        model = lm_train_bigrams(docs)
+        return lm_perplexity(docs, model)
+
     def q_semantic_dedup(sf):
         # SemDeDup (k-means cells → within-cell cosine components →
         # keep min-key representative). Rows-only: iterative k-means +
@@ -721,6 +735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "semantic_dedup": q_semantic_dedup,  # SemDeDup (rows-only: iterative)
         "nb_classify": q_nb_classify,  # Naive Bayes train+score (SQL-checked)
+        "lm_perplexity": q_lm_perplexity,  # char-bigram LM quality score (SQL-checked)
         "bm25": q_bm25,  # Okapi BM25 query scoring (SQL-checked)
         "winnow": q_winnow,  # MOSS winnowing fingerprints (SQL-checked)
         "mixture_sample": q_mixture_sample,  # data-mixing quota sampler (SQL-checked)
@@ -1212,6 +1227,31 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(score * 1e4 + 1e-6) AS BIGINT) AS score_q "
             "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id "
             "ORDER BY score DESC, cls ASC) AS rn FROM allsc) WHERE rn = 1"
+        ),
+        # add-1 char-bigram LM; ASCII-only case folding via translate
+        # (matches the engine's code-point+32 rule on ANY input —
+        # Unicode lower() rules never enter), zipped unnest aligns
+        # chars with positions, self-join on pos+1 forms bigrams.
+        # Scoring set == training set, so the unseen-bigram branches
+        # never fire here (pytest covers them on held-out docs).
+        "lm_perplexity": (
+            "WITH chars AS (SELECT doc_id, unnest(string_split("
+            "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+            "'abcdefghijklmnopqrstuvwxyz'), '')) AS ch, "
+            "unnest(range(length(text))) AS pos FROM documents), "
+            "big AS (SELECT a.doc_id, a.ch AS c1, b.ch AS c2 "
+            "FROM chars a JOIN chars b "
+            "ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), "
+            "cnt AS (SELECT c1, c2, count(*)::DOUBLE AS n "
+            "FROM big GROUP BY 1, 2), "
+            "tot AS (SELECT c1, sum(n) AS t FROM cnt GROUP BY 1), "
+            "vv AS (SELECT count(DISTINCT ch)::DOUBLE AS v FROM chars), "
+            "lp AS (SELECT c1, c2, ln((n + 1.0) / (t + v)) AS lp "
+            "FROM cnt JOIN tot USING (c1) CROSS JOIN vv) "
+            "SELECT b.doc_id, count(*) AS n_bigrams, "
+            "CAST(floor((-sum(l.lp) / count(*)) * 1e4 + 1e-6) AS BIGINT) "
+            "AS nll_q FROM big b JOIN lp l "
+            "ON l.c1 = b.c1 AND l.c2 = b.c2 GROUP BY b.doc_id"
         ),
         "connected_components_alt": (
             "WITH e AS (SELECT 'c' || o_custkey AS src, "

@@ -1354,3 +1354,184 @@ def mixture_sample(docs: Dataset, weights: dict[str, int], *,
 
     return docs.map_batches(_keep, batch_format="pyarrow",
                             batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Character-bigram language-model perplexity (CCNet-style quality
+# scoring: Wenzek'20 filters web text by KenLM perplexity; the
+# container has no KenLM, so the deterministic stand-in is an
+# add-alpha char-bigram LM with the SAME distributed shape — one
+# counting pass trains the model, a broadcast-model actor pool scores)
+# ---------------------------------------------------------------------------
+
+# ASCII-only case folding shared with the SQL oracle's
+# translate(text, UPPER, lower): Unicode lower() rules never enter, so
+# engine (code point + 32 for A-Z) and oracle are identical on ANY
+# input, not just ASCII fixtures.
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_LM_SEP = "\x00"  # joins docs inside a block; pairs touching it drop
+
+
+def _lm_codes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate a block's texts with NUL separators → (uint32 code
+    points, per-text char lengths). One encode per BLOCK, no per-char
+    Python."""
+    joined = _LM_SEP.join(t or "" for t in texts)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.array([len(t or "") for t in texts], dtype=np.int64)
+    lo = (codes >= 65) & (codes <= 90)
+    codes = codes.copy()
+    codes[lo] += 32
+    return codes, lens
+
+
+def _lm_pairs(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(valid-pair mask over positions 0..len-2, int64 bigram keys
+    c1<<21|c2 — code points are < 2^21 so the key stays positive)."""
+    if len(codes) < 2:
+        return np.zeros(0, dtype=bool), np.zeros(0, dtype=np.int64)
+    c1 = codes[:-1].astype(np.int64)
+    c2 = codes[1:].astype(np.int64)
+    valid = (c1 != 0) & (c2 != 0)
+    return valid, (c1 << 21) | c2
+
+
+class BigramLM:
+    """Broadcastable model: sorted bigram keys + log-probs, sorted c1
+    codes + unseen-bigram defaults, global unseen-char default.
+    Driver/actor budget is O(V²) for V distinct chars — trivially
+    bounded (the token STREAM never leaves the cluster)."""
+
+    def __init__(self, bigram_keys: np.ndarray, log_prob: np.ndarray,
+                 c1_codes: np.ndarray, c1_default: np.ndarray,
+                 global_default: float, vocab_size: int):
+        self.bigram_keys = bigram_keys
+        self.log_prob = log_prob
+        self.c1_codes = c1_codes
+        self.c1_default = c1_default
+        self.global_default = global_default
+        self.vocab_size = vocab_size
+
+
+def lm_train_bigrams(docs: Dataset, text_col: str = "text",
+                     alpha: float = 1.0) -> BigramLM:
+    """Train the char-bigram LM in ONE distributed counting pass.
+
+    Per block: one utf-32 decode, one vectorized np.unique over bigram
+    keys and one over char codes → (kind, key, n) partial rows; a
+    coarse aggregate merges partials in-cluster; the driver collects
+    only the O(V²)-bounded count table.
+
+    log P(c2|c1) = ln((n(c1,c2)+α) / (n(c1,·)+α·V)), V = distinct
+    chars anywhere in the corpus (same formula evaluated literally by
+    the SQL oracle)."""
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _lens = _lm_codes(list(df[text_col]))
+        valid, keys = _lm_pairs(codes)
+        bk, bn = np.unique(keys[valid], return_counts=True)
+        ck, cn = np.unique(codes[codes != 0], return_counts=True)
+        return pd.DataFrame({
+            "kind": np.concatenate([np.zeros(len(ck), dtype=np.int8),
+                                    np.ones(len(bk), dtype=np.int8)]),
+            "key": np.concatenate([ck.astype(np.int64), bk]),
+            "n": np.concatenate([cn, bn]).astype(np.int64)})
+
+    counts = coarse_aggregate(
+        docs.select_columns([text_col]).map_batches(
+            _partials, batch_format="pandas", batch_size=None),
+        ["kind", "key"],
+        lambda df: df.groupby(["kind", "key"], sort=False)
+        .agg(n=("n", "sum")).reset_index()).to_pandas()
+
+    chars = counts[counts["kind"] == 0]
+    big = counts[counts["kind"] == 1].sort_values("key")
+    v = len(chars)
+    keys = big["key"].to_numpy(dtype=np.int64)
+    n = big["n"].to_numpy(dtype=np.float64)
+    c1 = keys >> 21
+    # n(c1,·) totals from the bigram table itself (chars that only ever
+    # end a doc never appear as c1 — they fall to the global default)
+    tot = pd.Series(n).groupby(pd.Series(c1)).sum()
+    c1_codes = tot.index.to_numpy(dtype=np.int64)
+    t = tot.to_numpy(dtype=np.float64)
+    denom_by_c1 = t + alpha * v
+    t_of_pair = denom_by_c1[np.searchsorted(c1_codes, c1)]
+    log_prob = np.log((n + alpha) / t_of_pair)
+    c1_default = np.log(alpha / denom_by_c1)
+    return BigramLM(keys, log_prob, c1_codes, c1_default,
+                    float(np.log(alpha / (alpha * v))), v)
+
+
+class LMScorer:
+    """Actor: model pulled from the object store once per actor;
+    per-batch work is one utf-32 decode + two searchsorted lookups +
+    one scatter-add. Emits (key, n_bigrams, nll_q) for docs with ≥1
+    bigram; nll_q is the epsilon-floor-quantized mean negative
+    log-prob (same gate convention as NBScorer — raw float means
+    differ from SQL only by summation reassociation)."""
+
+    def __init__(self, model_ref, text_col: str = "text",
+                 key_col: str = "doc_id"):
+        self.m: BigramLM = (ray.get(model_ref)
+                            if isinstance(model_ref, ray.ObjectRef)
+                            else model_ref)
+        self.text_col, self.key_col = text_col, key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self.m
+        texts = batch[self.text_col].to_pylist()
+        codes, lens = _lm_codes(texts)
+        valid, keys = _lm_pairs(codes)
+        # doc id per PAIR position: each doc spans lens[i] chars plus
+        # one separator (except after the last); position p pairs
+        # chars (p, p+1) and belongs to the doc of char p
+        char_doc = np.repeat(np.arange(len(texts), dtype=np.int64),
+                             lens + 1)[:len(codes)]
+        di = char_doc[:-1][valid] if len(codes) >= 2 else char_doc[:0]
+        pk = keys[valid]
+
+        lp = np.full(len(pk), m.global_default)
+        pos = np.searchsorted(m.bigram_keys, pk)
+        pos_c = np.clip(pos, 0, len(m.bigram_keys) - 1)
+        hit = (len(m.bigram_keys) > 0) & (m.bigram_keys[pos_c] == pk)
+        lp[hit] = m.log_prob[pos_c[hit]]
+        miss = ~hit
+        if miss.any():
+            c1 = pk[miss] >> 21
+            cpos = np.searchsorted(m.c1_codes, c1)
+            cpos_c = np.clip(cpos, 0, max(len(m.c1_codes) - 1, 0))
+            chit = (len(m.c1_codes) > 0) & (m.c1_codes[cpos_c] == c1)
+            sub = np.full(miss.sum(), m.global_default)
+            sub[chit] = m.c1_default[cpos_c[chit]]
+            lp[miss] = sub
+
+        nll = np.zeros(len(texts))
+        np.add.at(nll, di, -lp)
+        nb = np.bincount(di, minlength=len(texts)).astype(np.int64)
+        keep = nb > 0
+        mean_nll = nll[keep] / nb[keep]
+        return pa.table({
+            self.key_col: batch[self.key_col].filter(pa.array(keep)),
+            "n_bigrams": pa.array(nb[keep]),
+            "nll_q": pa.array(np.floor(mean_nll * 1e4 + 1e-6)
+                              .astype(np.int64)),
+        })
+
+
+def lm_perplexity(docs: Dataset, model: BigramLM,
+                  text_col: str = "text",
+                  key_col: str = "doc_id") -> Dataset:
+    """Score every doc's mean bigram negative log-prob under a trained
+    LM → (key, n_bigrams, nll_q). Model broadcast via ``ray.put`` once,
+    pulled per actor in ``__init__``."""
+    ref = ray.put(model)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return docs.select_columns([key_col, text_col]).map_batches(
+        LMScorer,
+        fn_constructor_kwargs=dict(model_ref=ref, text_col=text_col,
+                                   key_col=key_col),
+        batch_format="pyarrow", batch_size=None,
+        concurrency=(max(1, cpus // 4), max(2, cpus)), num_cpus=1)

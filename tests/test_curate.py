@@ -512,3 +512,91 @@ def test_mixture_sample_ratio_and_determinism(ray_session):
     # determinism
     again = mixture_sample(ds, {"big": 1, "mid": 1}).to_pandas()
     assert sorted(again["doc_id"]) == sorted(out["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# char-bigram LM perplexity
+# ---------------------------------------------------------------------------
+
+def _lm_py_oracle(train_texts, score_texts, alpha=1.0):
+    """Pure-python add-alpha char-bigram LM with the engine's exact
+    fallback rules (unseen bigram → per-c1 default; unseen c1 →
+    ln(alpha/(alpha*V)))."""
+    import collections
+    import math
+
+    def fold(t):
+        return "".join(chr(ord(c) + 32) if "A" <= c <= "Z" else c
+                       for c in t)
+
+    chars = set()
+    big = collections.Counter()
+    for t in train_texts:
+        t = fold(t)
+        chars.update(t)
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] += 1
+    v = len(chars)
+    tot = collections.Counter()
+    for (a, _b), n in big.items():
+        tot[a] += n
+
+    out = {}
+    for i, t in enumerate(score_texts):
+        t = fold(t)
+        if len(t) < 2:
+            continue
+        s = 0.0
+        for a, b in zip(t, t[1:]):
+            if (a, b) in big:
+                s -= math.log((big[(a, b)] + alpha) / (tot[a] + alpha * v))
+            elif a in tot:
+                s -= math.log(alpha / (tot[a] + alpha * v))
+            else:
+                s -= math.log(alpha / (alpha * v))
+        out[i] = (len(t) - 1, s / (len(t) - 1))
+    return out
+
+
+def test_lm_perplexity_matches_oracle_with_unseen(ray_session):
+    from omop2obo_ray.pipelines.curate import lm_perplexity, lm_train_bigrams
+
+    train = ["The cat sat on the mat", "a web Page about data",
+             "more TRAINING text here", "short"]
+    # doc 2 has an unseen bigram ('zq'), doc 3 an entirely unseen char
+    # ('#'), doc 4 is too short to score (no bigrams)
+    score = ["the cat", "zq unseen pair", "hash # char", "x", ""]
+    tr = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(train)])
+    sc = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(score)])
+    model = lm_train_bigrams(tr)
+    got = lm_perplexity(sc, model).to_pandas().set_index("doc_id")
+
+    exp = _lm_py_oracle(train, score)
+    assert set(got.index) == set(exp)
+    for i, (nb, mean_nll) in exp.items():
+        assert got.loc[i, "n_bigrams"] == nb
+        assert got.loc[i, "nll_q"] == int(
+            np.floor(mean_nll * 1e4 + 1e-6))
+
+
+def test_lm_train_partials_merge_across_blocks(ray_session):
+    # identical corpus split 1-doc-per-block vs one block must train
+    # the identical model (counting pass is associative)
+    from omop2obo_ray.pipelines.curate import lm_perplexity, lm_train_bigrams
+
+    texts = [f"doc number {i} with shared charset" for i in range(12)]
+    one = rd.from_items([{"doc_id": i, "text": t}
+                         for i, t in enumerate(texts)]).repartition(1)
+    many = rd.from_items([{"doc_id": i, "text": t}
+                          for i, t in enumerate(texts)]).repartition(12)
+    m1 = lm_train_bigrams(one)
+    m2 = lm_train_bigrams(many)
+    assert np.array_equal(m1.bigram_keys, m2.bigram_keys)
+    assert np.allclose(m1.log_prob, m2.log_prob)
+    assert m1.vocab_size == m2.vocab_size
+
+    s1 = lm_perplexity(one, m1).to_pandas().sort_values("doc_id")
+    s2 = lm_perplexity(many, m2).to_pandas().sort_values("doc_id")
+    assert s1["nll_q"].tolist() == s2["nll_q"].tolist()
