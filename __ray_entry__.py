@@ -632,6 +632,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         model = lm_train_bigrams(docs)
         return lm_perplexity(docs, model)
 
+    def q_hll_distinct(sf):
+        # HyperLogLog distinct-token estimate per lang — a SKETCH op
+        # that is still hash-gate checkable: md5 hash + integer
+        # reg/rho + literally-shared estimator formula on both sides
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import hll_distinct_tokens
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+        return hll_distinct_tokens(docs, group_col="lang")
+
     def q_semantic_dedup(sf):
         # SemDeDup (k-means cells → within-cell cosine components →
         # keep min-key representative). Rows-only: iterative k-means +
@@ -736,6 +748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q_semantic_dedup,  # SemDeDup (rows-only: iterative)
         "nb_classify": q_nb_classify,  # Naive Bayes train+score (SQL-checked)
         "lm_perplexity": q_lm_perplexity,  # char-bigram LM quality score (SQL-checked)
+        "hll_distinct": q_hll_distinct,  # HyperLogLog distinct sketch (SQL-checked)
         "bm25": q_bm25,  # Okapi BM25 query scoring (SQL-checked)
         "winnow": q_winnow,  # MOSS winnowing fingerprints (SQL-checked)
         "mixture_sample": q_mixture_sample,  # data-mixing quota sampler (SQL-checked)
@@ -1252,6 +1265,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor((-sum(l.lp) / count(*)) * 1e4 + 1e-6) AS BIGINT) "
             "AS nll_q FROM big b JOIN lp l "
             "ON l.c1 = b.c1 AND l.c2 = b.c2 GROUP BY b.doc_id"
+        ),
+        # HyperLogLog p=12: hash = first 16 md5-hex chars as UBIGINT,
+        # reg = h % 4096, rho = trailing zeros of (h >> 12) + 1 (all
+        # exact integer ops); estimator literals shared verbatim with
+        # hll_distinct (only float reassociation differs → floor-quant)
+        "hll_distinct": (
+            "WITH toks AS (SELECT lang, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok "
+            "FROM documents), "
+            "d AS (SELECT DISTINCT lang, tok FROM toks), "
+            "h AS (SELECT lang, CAST(concat('0x', substr(md5(tok), 1, 16)) "
+            "AS UBIGINT) AS hv FROM d), "
+            "r AS (SELECT lang, CAST(hv % 4096 AS BIGINT) AS reg, "
+            "CAST(hv >> 12 AS BIGINT) AS w FROM h), "
+            "rr AS (SELECT lang, reg, max(CASE WHEN w = 0 THEN 53 "
+            "ELSE bit_count((w & -w) - 1) + 1 END) AS rho "
+            "FROM r GROUP BY 1, 2), "
+            "agg AS (SELECT lang, count(*) AS nz, "
+            "sum(power(2.0, -rho)) + (4096 - count(*)) * 1.0 AS s "
+            "FROM rr GROUP BY 1), "
+            "est AS (SELECT lang, nz, "
+            "(CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 4096.0))"
+            " * 4096 * 4096 / s AS raw FROM agg) "
+            "SELECT lang, nz, CAST(floor((CASE WHEN raw <= 2.5 * 4096 "
+            "AND nz < 4096 THEN 4096 * ln(4096.0 / (4096 - nz)) "
+            "ELSE raw END) * 1e3 + 1e-6) AS BIGINT) AS est_q FROM est"
         ),
         "connected_components_alt": (
             "WITH e AS (SELECT 'c' || o_custkey AS src, "

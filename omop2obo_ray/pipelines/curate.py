@@ -1535,3 +1535,129 @@ def lm_perplexity(docs: Dataset, model: BigramLM,
                                    key_col=key_col),
         batch_format="pyarrow", batch_size=None,
         concurrency=(max(1, cpus // 4), max(2, cpus)), num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet'07): mergeable per-block
+# register partials → coarse max-merge → per-group estimate. Unlike
+# most sketch gates, this one is fully SQL-checkable: the hash is
+# md5-hex (byte-identical to DuckDB's md5), register/rho are exact
+# integer ops (% / >> / trailing-zero count), and the estimator
+# formula is written literally identically on both sides — the only
+# engine/SQL divergence is float reassociation, absorbed by the
+# epsilon-floor quantizer.
+# ---------------------------------------------------------------------------
+
+def _hll_reg_rho(values, p: int, cache: dict) -> tuple[np.ndarray, np.ndarray]:
+    """md5-based (register, rho) per value. rho = trailing zeros of the
+    remaining 64-p bits + 1 (capped when they are all zero) — the
+    trailing-zero form is exact integer arithmetic in both numpy and
+    SQL (``bit_count((w & -w) - 1) + 1``), unlike leading-zero log2."""
+    import hashlib
+
+    m = 1 << p
+    cap = 64 - p + 1
+    regs = np.empty(len(values), dtype=np.int64)
+    rhos = np.empty(len(values), dtype=np.int64)
+    for i, v in enumerate(values):
+        t = cache.get(v)
+        if t is None:
+            h = int(hashlib.md5(v.encode()).hexdigest()[:16], 16)
+            w = h >> p
+            t = (h % m, cap if w == 0 else (w & -w).bit_length())
+            cache[v] = t
+        regs[i], rhos[i] = t
+    return regs, rhos
+
+
+class HLLPartials:
+    """Actor: per-batch (group, register, max-rho) partial rows; the
+    value→(reg, rho) md5 map is cached across batches (same budget as
+    the MinHasher token cache)."""
+
+    def __init__(self, group_col: str, value_col: str, p: int):
+        self.group_col, self.value_col, self.p = group_col, value_col, p
+        self.cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": batch[self.group_col].to_numpy(zero_copy_only=False),
+            "v": batch[self.value_col].to_pylist(),
+        }).drop_duplicates()
+        uniq, inv = np.unique(df["v"].to_numpy(dtype=object),
+                              return_inverse=True)
+        regs, rhos = _hll_reg_rho(uniq, self.p, self.cache)
+        part = (pd.DataFrame({"g": df["g"].to_numpy(), "reg": regs[inv],
+                              "rho": rhos[inv]})
+                .groupby(["g", "reg"], sort=False)["rho"].max()
+                .reset_index())
+        part.columns = [self.group_col, "reg", "rho"]
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+
+def hll_distinct(pairs: Dataset, group_col: str, value_col: str, *,
+                 p: int = 12) -> Dataset:
+    """Approximate COUNT(DISTINCT value) per group → (group, nz,
+    est_q). ``nz`` = non-empty registers; ``est_q`` = the HLL estimate
+    with small-range linear-counting correction, floor-quantized at
+    1e-3. Register merge is max — associative and idempotent, so the
+    result is IDENTICAL under any partitioning (pytest pins this)."""
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+
+    m = 1 << p
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    partials = pairs.select_columns([group_col, value_col]).map_batches(
+        HLLPartials,
+        fn_constructor_kwargs=dict(group_col=group_col,
+                                   value_col=value_col, p=p),
+        batch_format="pyarrow", batch_size=None,
+        concurrency=(max(1, cpus // 4), max(2, cpus)), num_cpus=1)
+    merged = coarse_aggregate(
+        partials, [group_col, "reg"],
+        lambda df: df.groupby([group_col, "reg"], sort=False)["rho"]
+        .max().reset_index())
+
+    # formula literals shared verbatim with the SQL oracle
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    def _est(df: pd.DataFrame) -> pd.DataFrame:
+        rho = df["rho"].to_numpy(dtype=np.float64)
+        nz = len(rho)
+        zeros = m - nz
+        s = np.sum(2.0 ** -rho) + zeros * 1.0
+        raw = alpha * m * m / s
+        est = (m * np.log(m / zeros)
+               if (raw <= 2.5 * m and zeros > 0) else raw)
+        return pd.DataFrame({
+            group_col: [df[group_col].iloc[0]],
+            "nz": np.array([nz], dtype=np.int64),
+            "est_q": np.array([np.floor(est * 1e3 + 1e-6)],
+                              dtype=np.int64)})
+
+    return merged.groupby(group_col).map_groups(_est,
+                                                batch_format="pandas")
+
+
+def hll_distinct_tokens(docs: Dataset, group_col: str = "lang",
+                        text_col: str = "text", *,
+                        p: int = 12) -> Dataset:
+    """Distinct word tokens per group, HLL-estimated: docs are
+    tokenized (shared ``NB_TOKEN_RE`` rule) and deduped per block
+    before the pair stream enters ``hll_distinct`` — the token stream
+    never concentrates anywhere."""
+    import re as _re
+
+    tok_re = _re.compile(NB_TOKEN_RE)
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        gs, ts = [], []
+        for g, txt in zip(df[group_col], df[text_col]):
+            toks = set(tok_re.findall((txt or "").lower()))
+            gs.extend([g] * len(toks))
+            ts.extend(toks)
+        return pd.DataFrame({group_col: gs,
+                             "token": ts}).drop_duplicates()
+
+    pairs = docs.select_columns([group_col, text_col]).map_batches(
+        _pairs, batch_format="pandas", batch_size=None)
+    return hll_distinct(pairs, group_col, "token", p=p)

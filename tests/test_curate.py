@@ -600,3 +600,71 @@ def test_lm_train_partials_merge_across_blocks(ray_session):
     s1 = lm_perplexity(one, m1).to_pandas().sort_values("doc_id")
     s2 = lm_perplexity(many, m2).to_pandas().sort_values("doc_id")
     assert s1["nll_q"].tolist() == s2["nll_q"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch
+# ---------------------------------------------------------------------------
+
+def _hll_py_oracle(groups_to_values, p=12):
+    import hashlib
+    import math
+
+    m = 1 << p
+    out = {}
+    for g, vals in groups_to_values.items():
+        regs = {}
+        for v in set(vals):
+            h = int(hashlib.md5(v.encode()).hexdigest()[:16], 16)
+            w = h >> p
+            rho = (64 - p + 1) if w == 0 else (w & -w).bit_length()
+            r = h % m
+            regs[r] = max(regs.get(r, 0), rho)
+        nz = len(regs)
+        zeros = m - nz
+        s = sum(2.0 ** -r for r in sorted(regs.values())) + zeros * 1.0
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        raw = alpha * m * m / s
+        est = m * math.log(m / zeros) if (raw <= 2.5 * m and zeros > 0) else raw
+        out[g] = (nz, est)
+    return out
+
+
+def test_hll_matches_oracle_and_error_bound(ray_session):
+    from omop2obo_ray.pipelines.curate import hll_distinct
+
+    rng = np.random.default_rng(11)
+    rows = []
+    truth = {"a": 5000, "b": 300, "c": 17}
+    vals = {g: [f"{g}-val-{i}" for i in range(n)] for g, n in truth.items()}
+    for g, vs in vals.items():
+        for v in vs:
+            # duplicates must not change the estimate
+            for _ in range(int(rng.integers(1, 3))):
+                rows.append({"g": g, "v": v})
+    rng.shuffle(rows)
+    ds = rd.from_items(rows).repartition(8)
+    got = hll_distinct(ds, "g", "v").to_pandas().set_index("g")
+
+    exp = _hll_py_oracle(vals)
+    for g, n_true in truth.items():
+        nz, est = exp[g]
+        assert got.loc[g, "nz"] == nz
+        # engine vs oracle: identical up to summation reassociation
+        assert abs(got.loc[g, "est_q"] - int(np.floor(est * 1e3 + 1e-6))) <= 1
+        # sketch vs truth: 1.04/sqrt(4096) ~ 1.6% std err; allow 5 sigma
+        assert abs(got.loc[g, "est_q"] / 1e3 - n_true) <= max(
+            5 * 1.04 / 64 * n_true, 3)
+
+
+def test_hll_partition_invariant(ray_session):
+    from omop2obo_ray.pipelines.curate import hll_distinct
+
+    rows = [{"g": "x", "v": f"tok{i % 700}"} for i in range(4000)]
+    one = rd.from_items(rows).repartition(1)
+    many = rd.from_items(rows).repartition(16)
+    a = hll_distinct(one, "g", "v").to_pandas()
+    b = hll_distinct(many, "g", "v").to_pandas()
+    # max-merge of registers is associative/idempotent → bit-identical
+    assert a["nz"].tolist() == b["nz"].tolist()
+    assert a["est_q"].tolist() == b["est_q"].tolist()
