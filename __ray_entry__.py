@@ -644,6 +644,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "text", "lang"])
         return hll_distinct_tokens(docs, group_col="lang")
 
+    def q_ccnet_buckets(sf):
+        # CCNet head/middle/tail terciles per source by LM mean-NLL;
+        # thresholds are pure-integer order statistics
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import ccnet_quality_buckets
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+        return ccnet_quality_buckets(docs)
+
+    def q_boolean_search(sf):
+        # conjunctive retrieval: docs whose token set contains ALL terms
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import search_all_terms
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return search_all_terms(docs, ["the", "data"])
+
     def q_semantic_dedup(sf):
         # SemDeDup (k-means cells → within-cell cosine components →
         # keep min-key representative). Rows-only: iterative k-means +
@@ -749,6 +770,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_classify": q_nb_classify,  # Naive Bayes train+score (SQL-checked)
         "lm_perplexity": q_lm_perplexity,  # char-bigram LM quality score (SQL-checked)
         "hll_distinct": q_hll_distinct,  # HyperLogLog distinct sketch (SQL-checked)
+        "ccnet_buckets": q_ccnet_buckets,  # per-source perplexity terciles (SQL-checked)
+        "boolean_search": q_boolean_search,  # conjunctive token retrieval (SQL-checked)
         "bm25": q_bm25,  # Okapi BM25 query scoring (SQL-checked)
         "winnow": q_winnow,  # MOSS winnowing fingerprints (SQL-checked)
         "mixture_sample": q_mixture_sample,  # data-mixing quota sampler (SQL-checked)
@@ -765,6 +788,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     stop_list = "('the','a','of','and','to','in','is','it','for','on')"
+    # shared by lm_perplexity and ccnet_buckets: add-1 char-bigram LM
+    # trained on the documents table (chars → positions → bigrams →
+    # smoothed log-probs)
+    _LM_CTES = (
+        "chars AS (SELECT doc_id, unnest(string_split("
+        "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+        "'abcdefghijklmnopqrstuvwxyz'), '')) AS ch, "
+        "unnest(range(length(text))) AS pos FROM documents), "
+        "big AS (SELECT a.doc_id, a.ch AS c1, b.ch AS c2 "
+        "FROM chars a JOIN chars b "
+        "ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), "
+        "cnt AS (SELECT c1, c2, count(*)::DOUBLE AS n "
+        "FROM big GROUP BY 1, 2), "
+        "tot AS (SELECT c1, sum(n) AS t FROM cnt GROUP BY 1), "
+        "vv AS (SELECT count(DISTINCT ch)::DOUBLE AS v FROM chars), "
+        "lp AS (SELECT c1, c2, ln((n + 1.0) / (t + v)) AS lp "
+        "FROM cnt JOIN tot USING (c1) CROSS JOIN vv)"
+    )
     # shared by repetition_stats and quality_filter: lowercase word-token
     # counts per document (token-less docs drop, as in the engine).
     _REPETITION_SQL = (
@@ -1248,23 +1289,39 @@ def oracle_sql() -> dict[str, str]:
         # Scoring set == training set, so the unseen-bigram branches
         # never fire here (pytest covers them on held-out docs).
         "lm_perplexity": (
-            "WITH chars AS (SELECT doc_id, unnest(string_split("
-            "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
-            "'abcdefghijklmnopqrstuvwxyz'), '')) AS ch, "
-            "unnest(range(length(text))) AS pos FROM documents), "
-            "big AS (SELECT a.doc_id, a.ch AS c1, b.ch AS c2 "
-            "FROM chars a JOIN chars b "
-            "ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), "
-            "cnt AS (SELECT c1, c2, count(*)::DOUBLE AS n "
-            "FROM big GROUP BY 1, 2), "
-            "tot AS (SELECT c1, sum(n) AS t FROM cnt GROUP BY 1), "
-            "vv AS (SELECT count(DISTINCT ch)::DOUBLE AS v FROM chars), "
-            "lp AS (SELECT c1, c2, ln((n + 1.0) / (t + v)) AS lp "
-            "FROM cnt JOIN tot USING (c1) CROSS JOIN vv) "
-            "SELECT b.doc_id, count(*) AS n_bigrams, "
+            "WITH " + _LM_CTES +
+            " SELECT b.doc_id, count(*) AS n_bigrams, "
             "CAST(floor((-sum(l.lp) / count(*)) * 1e4 + 1e-6) AS BIGINT) "
             "AS nll_q FROM big b JOIN lp l "
             "ON l.c1 = b.c1 AND l.c2 = b.c2 GROUP BY b.doc_id"
+        ),
+        # CCNet terciles: LM scores + per-source integer order
+        # statistics (k = (n+2)//3 — no float thresholds; the value at
+        # rank k is tie-order independent)
+        "ccnet_buckets": (
+            "WITH " + _LM_CTES + ", "
+            "scores AS (SELECT b.doc_id, "
+            "CAST(floor((-sum(l.lp) / count(*)) * 1e4 + 1e-6) AS BIGINT) "
+            "AS nll_q FROM big b JOIN lp l "
+            "ON l.c1 = b.c1 AND l.c2 = b.c2 GROUP BY b.doc_id), "
+            "ranked AS (SELECT s.doc_id, d.source, s.nll_q, "
+            "row_number() OVER (PARTITION BY d.source ORDER BY s.nll_q) "
+            "AS rn, count(*) OVER (PARTITION BY d.source) AS n "
+            "FROM scores s JOIN documents d ON d.doc_id = s.doc_id), "
+            "thr AS (SELECT source, "
+            "max(CASE WHEN rn = (n + 2) // 3 THEN nll_q END) AS t1, "
+            "max(CASE WHEN rn = (2 * n + 2) // 3 THEN nll_q END) AS t2 "
+            "FROM ranked GROUP BY source) "
+            "SELECT r.doc_id, r.source, r.nll_q, "
+            "CASE WHEN r.nll_q <= t.t1 THEN 'head' "
+            "WHEN r.nll_q <= t.t2 THEN 'middle' ELSE 'tail' END AS bucket "
+            "FROM ranked r JOIN thr t ON t.source = r.source"
+        ),
+        "boolean_search": (
+            "SELECT doc_id FROM (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok "
+            "FROM documents) WHERE tok IN ('the', 'data') "
+            "GROUP BY doc_id HAVING count(DISTINCT tok) = 2"
         ),
         # HyperLogLog p=12: hash = first 16 md5-hex chars as UBIGINT,
         # reg = h % 4096, rho = trailing zeros of (h >> 12) + 1 (all

@@ -1474,11 +1474,13 @@ class LMScorer:
     differ from SQL only by summation reassociation)."""
 
     def __init__(self, model_ref, text_col: str = "text",
-                 key_col: str = "doc_id"):
+                 key_col: str = "doc_id",
+                 keep_cols: list[str] | None = None):
         self.m: BigramLM = (ray.get(model_ref)
                             if isinstance(model_ref, ray.ObjectRef)
                             else model_ref)
         self.text_col, self.key_col = text_col, key_col
+        self.keep_cols = keep_cols or []
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = self.m
@@ -1513,26 +1515,33 @@ class LMScorer:
         nb = np.bincount(di, minlength=len(texts)).astype(np.int64)
         keep = nb > 0
         mean_nll = nll[keep] / nb[keep]
-        return pa.table({
-            self.key_col: batch[self.key_col].filter(pa.array(keep)),
+        mask = pa.array(keep)
+        cols = {
+            self.key_col: batch[self.key_col].filter(mask),
             "n_bigrams": pa.array(nb[keep]),
             "nll_q": pa.array(np.floor(mean_nll * 1e4 + 1e-6)
                               .astype(np.int64)),
-        })
+        }
+        for c in self.keep_cols:
+            cols[c] = batch[c].filter(mask)
+        return pa.table(cols)
 
 
 def lm_perplexity(docs: Dataset, model: BigramLM,
                   text_col: str = "text",
-                  key_col: str = "doc_id") -> Dataset:
+                  key_col: str = "doc_id",
+                  keep_cols: list[str] | None = None) -> Dataset:
     """Score every doc's mean bigram negative log-prob under a trained
-    LM → (key, n_bigrams, nll_q). Model broadcast via ``ray.put`` once,
-    pulled per actor in ``__init__``."""
+    LM → (key, n_bigrams, nll_q [, keep_cols...]). Model broadcast via
+    ``ray.put`` once, pulled per actor in ``__init__``."""
     ref = ray.put(model)
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return docs.select_columns([key_col, text_col]).map_batches(
+    keep_cols = keep_cols or []
+    return docs.select_columns(
+        [key_col, text_col] + keep_cols).map_batches(
         LMScorer,
         fn_constructor_kwargs=dict(model_ref=ref, text_col=text_col,
-                                   key_col=key_col),
+                                   key_col=key_col, keep_cols=keep_cols),
         batch_format="pyarrow", batch_size=None,
         concurrency=(max(1, cpus // 4), max(2, cpus)), num_cpus=1)
 
@@ -1661,3 +1670,118 @@ def hll_distinct_tokens(docs: Dataset, group_col: str = "lang",
     pairs = docs.select_columns([group_col, text_col]).map_batches(
         _pairs, batch_format="pandas", batch_size=None)
     return hll_distinct(pairs, group_col, "token", p=p)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style quality bucketing (Wenzek'20 §4.3: split each source's
+# corpus into head/middle/tail terciles by LM perplexity — the head
+# feeds training, the tail is dropped)
+# ---------------------------------------------------------------------------
+
+def ccnet_quality_buckets(docs: Dataset, model: BigramLM | None = None, *,
+                          source_col: str = "source",
+                          key_col: str = "doc_id",
+                          text_col: str = "text") -> Dataset:
+    """Label every scoreable doc 'head' / 'middle' / 'tail' within its
+    source by LM mean-NLL tercile → (key, source, nll_q, bucket).
+
+    Thresholds are EXACT per-source ORDER STATISTICS computed from the
+    value DISTRIBUTION, not the value stream: a coarse aggregate
+    reduces the corpus to (source, nll_q, count) rows — bounded by
+    sources × distinct quantized scores (≲2×10⁵ ints), never by doc
+    count — the driver cumsums that tiny table, and the threshold dict
+    broadcasts back into a labeling map. All threshold arithmetic is
+    integer (k₁ = ⌈n/3⌉ = (n+2)//3 over int64 scores), so no float
+    boundary can flip a doc between engine and SQL; ties at a
+    threshold share a bucket deterministically."""
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+
+    if model is None:
+        model = lm_train_bigrams(docs, text_col=text_col)
+    scored = lm_perplexity(docs, model, text_col=text_col,
+                           key_col=key_col, keep_cols=[source_col])
+
+    dist = coarse_aggregate(
+        scored.select_columns([source_col, "nll_q"]),
+        [source_col, "nll_q"],
+        lambda df: df.groupby([source_col, "nll_q"], sort=False)
+        .size().rename("c").reset_index()).to_pandas()
+
+    thr: dict = {}
+    for src, g in dist.groupby(source_col):
+        g = g.sort_values("nll_q")
+        cum = g["c"].cumsum().to_numpy()
+        vals = g["nll_q"].to_numpy()
+        n = int(cum[-1])
+        k1, k2 = (n + 2) // 3, (2 * n + 2) // 3
+        t1 = int(vals[np.searchsorted(cum, k1, side="left")])
+        t2 = int(vals[np.searchsorted(cum, k2, side="left")])
+        thr[src] = (t1, t2)
+
+    def _label(batch: pa.Table) -> pa.Table:
+        src = batch[source_col].to_numpy(zero_copy_only=False)
+        q = batch["nll_q"].to_numpy(zero_copy_only=False)
+        t1 = pd.Series(src).map({s: t[0] for s, t in thr.items()}).to_numpy()
+        t2 = pd.Series(src).map({s: t[1] for s, t in thr.items()}).to_numpy()
+        bucket = np.where(q <= t1, "head",
+                          np.where(q <= t2, "middle", "tail"))
+        return pa.table({key_col: batch[key_col],
+                         source_col: batch[source_col],
+                         "nll_q": batch["nll_q"],
+                         "bucket": pa.array(bucket.astype(object),
+                                            pa.string())})
+
+    return scored.map_batches(_label, batch_format="pyarrow",
+                              batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Conjunctive boolean retrieval (the index-lookup half of the BM25
+# stack: docs whose token set contains EVERY query term)
+# ---------------------------------------------------------------------------
+
+def postings(docs: Dataset, *, key_col: str = "doc_id",
+             text_col: str = "text") -> Dataset:
+    """Distinct (token, key) postings pairs — the inverted-index
+    artifact. Shuffle-free: each doc appears in exactly one input row,
+    so its per-doc distinct token set is globally distinct; write with
+    ``.write_parquet(partition by token hash)`` to materialize an
+    index."""
+    import re as _re
+
+    tok_re = _re.compile(NB_TOKEN_RE)
+
+    def _p(df: pd.DataFrame) -> pd.DataFrame:
+        ks, ts = [], []
+        for k, txt in zip(df[key_col], df[text_col]):
+            toks = sorted(set(tok_re.findall((txt or "").lower())))
+            ks.extend([k] * len(toks))
+            ts.extend(toks)
+        return pd.DataFrame({"token": ts, key_col: ks})
+
+    return docs.select_columns([key_col, text_col]).map_batches(
+        _p, batch_format="pandas", batch_size=None)
+
+
+def search_all_terms(docs: Dataset, terms: list[str], *,
+                     key_col: str = "doc_id",
+                     text_col: str = "text") -> Dataset:
+    """Keys of docs containing ALL query terms as word tokens →
+    (key,). The term set is tiny and broadcast-by-closure; the check
+    is a per-doc set containment inside ``map_batches`` — no shuffle,
+    no index required (for repeated queries over a materialized
+    ``postings`` table, filter tokens ∈ terms and keep keys whose
+    match count equals ``len(terms)``)."""
+    import re as _re
+
+    tok_re = _re.compile(NB_TOKEN_RE)
+    need = frozenset(t.lower() for t in terms)
+
+    def _f(batch: pa.Table) -> pa.Table:
+        keep = np.array([
+            need <= set(tok_re.findall((t or "").lower()))
+            for t in batch[text_col].to_pylist()])
+        return pa.table({key_col: batch[key_col].filter(pa.array(keep))})
+
+    return docs.select_columns([key_col, text_col]).map_batches(
+        _f, batch_format="pyarrow", batch_size=None)

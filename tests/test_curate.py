@@ -668,3 +668,49 @@ def test_hll_partition_invariant(ray_session):
     # max-merge of registers is associative/idempotent → bit-identical
     assert a["nz"].tolist() == b["nz"].tolist()
     assert a["est_q"].tolist() == b["est_q"].tolist()
+
+
+def test_ccnet_buckets_terciles_and_ties(ray_session):
+    from omop2obo_ray.pipelines.curate import ccnet_quality_buckets
+
+    # src A: 9 docs with three distinct quality levels (3 docs each, by
+    # construction of repeated vs varied text); ties must share buckets
+    rows = []
+    for i in range(3):
+        rows.append({"doc_id": i, "source": "A",
+                     "text": "aaaa aaaa aaaa aaaa"})          # low NLL
+    for i in range(3, 6):
+        rows.append({"doc_id": i, "source": "A",
+                     "text": "the quick brown fox jumps"})     # mid
+    for i in range(6, 9):
+        rows.append({"doc_id": i, "source": "A",
+                     "text": "zq xv jk qp wz bv km yx"})       # high NLL
+    out = (ccnet_quality_buckets(rd.from_items(rows).repartition(3))
+           .to_pandas().sort_values("doc_id"))
+    assert len(out) == 9
+    # identical texts → identical nll_q → identical bucket
+    for lo in (0, 3, 6):
+        assert out.iloc[lo:lo + 3]["bucket"].nunique() == 1
+    b = out.groupby("bucket")["nll_q"].mean()
+    assert b["head"] < b["middle"] < b["tail"]
+    # buckets ordered by threshold: every head nll <= every tail nll
+    assert out[out.bucket == "head"]["nll_q"].max() <= \
+        out[out.bucket == "tail"]["nll_q"].min()
+
+
+def test_search_all_terms_and_postings(ray_session):
+    from omop2obo_ray.pipelines.curate import postings, search_all_terms
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "alpha beta gamma"},
+        {"doc_id": 2, "text": "alpha delta"},
+        {"doc_id": 3, "text": "Beta ALPHA beta"},   # case-folded, dup tokens
+        {"doc_id": 4, "text": ""},
+    ])
+    hits = sorted(search_all_terms(docs, ["alpha", "beta"])
+                  .to_pandas()["doc_id"])
+    assert hits == [1, 3]
+    p = postings(docs).to_pandas()
+    assert len(p) == len(p.drop_duplicates())          # globally distinct
+    assert sorted(p[p.token == "beta"]["doc_id"]) == [1, 3]
+    assert set(p[p.doc_id == 3]["token"]) == {"alpha", "beta"}
