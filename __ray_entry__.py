@@ -665,6 +665,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "text"])
         return search_all_terms(docs, ["the", "data"])
 
+    def q_anchor_graph(sf):
+        # web-graph extraction: deterministic synthesized html pages →
+        # REAL anchor parser → edges; the oracle recomputes the edge
+        # set by pure arithmetic, so the gate round-trips the parser
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import (anchor_edges,
+                                                  synth_anchor_pages)
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id"])
+        return anchor_edges(synth_anchor_pages(docs))
+
     def q_semantic_dedup(sf):
         # SemDeDup (k-means cells → within-cell cosine components →
         # keep min-key representative). Rows-only: iterative k-means +
@@ -772,6 +785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": q_hll_distinct,  # HyperLogLog distinct sketch (SQL-checked)
         "ccnet_buckets": q_ccnet_buckets,  # per-source perplexity terciles (SQL-checked)
         "boolean_search": q_boolean_search,  # conjunctive token retrieval (SQL-checked)
+        "anchor_graph": q_anchor_graph,  # html anchor → web-graph edges (SQL-checked)
         "bm25": q_bm25,  # Okapi BM25 query scoring (SQL-checked)
         "winnow": q_winnow,  # MOSS winnowing fingerprints (SQL-checked)
         "mixture_sample": q_mixture_sample,  # data-mixing quota sampler (SQL-checked)
@@ -1322,6 +1336,15 @@ def oracle_sql() -> dict[str, str]:
             "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok "
             "FROM documents) WHERE tok IN ('the', 'data') "
             "GROUP BY doc_id HAVING count(DISTINCT tok) = 2"
+        ),
+        # anchor-target rule shared with synth_anchor_pages; the k=3
+        # anchor carries an &amp; entity the parser must unescape
+        "anchor_graph": (
+            "SELECT 'https://host-' || doc_id || '.test/index' AS src, "
+            "'https://site-' || ((doc_id * 31 + k * 17) % 500) || "
+            "'.example.com/page' || "
+            "CASE WHEN k = 3 THEN '?x=1&y=2' ELSE '' END AS dst "
+            "FROM documents, generate_series(1, 3) AS g(k)"
         ),
         # HyperLogLog p=12: hash = first 16 md5-hex chars as UBIGINT,
         # reg = h % 4096, rho = trailing zeros of (h >> 12) + 1 (all

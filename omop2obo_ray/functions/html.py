@@ -48,6 +48,24 @@ def extract_text(html_bytes: bytes) -> str:
     return "\n".join(lines)
 
 
+_ANCHOR_RE = re.compile(
+    rb"<a\s[^>]*?href\s*=\s*([\"'])(.*?)\1", re.I | re.S)
+
+
+def extract_anchors(html_bytes: bytes) -> list[str]:
+    """All anchor href targets of a page, in document order (quoted
+    single or double, any attribute order, case-insensitive tag).
+    Entity-unescaped like the text extractor; empty hrefs drop."""
+    if html_bytes is None:
+        return []
+    out = []
+    for _q, href in _ANCHOR_RE.findall(html_bytes):
+        h = _html.unescape(href.decode("utf-8", "replace")).strip()
+        if h:
+            out.append(h)
+    return out
+
+
 def render_page_html(title: str, paragraphs: list[str]) -> bytes:
     """Deterministic page template used by the fixture generator; the
     inverse of :func:`extract_text` for tag/entity-free paragraphs."""

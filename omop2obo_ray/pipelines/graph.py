@@ -391,3 +391,61 @@ def connected_components_alternating(
         lambda df: df.groupby("node", sort=False)
         .agg(component=("component", "min")).reset_index(),
         n_coarse=n_coarse)
+
+
+# ---------------------------------------------------------------------------
+# Web-graph extraction: anchor hrefs from raw page html → edge Dataset
+# (the bridge from the Common-Crawl pages table to the graph family —
+# feed the result to pagerank / degree_stats / connected_components)
+# ---------------------------------------------------------------------------
+
+def anchor_edges(pages: Dataset, url_col: str = "url",
+                 html_col: str = "html") -> Dataset:
+    """(page url, anchor href) edges parsed from the binary ``html``
+    column (input_hint schema) → (src, dst), one row per anchor
+    occurrence in document order. Pure streaming map over whole
+    blocks; parsing is inherently per-page (same cost class as
+    ``extract_text_batch``)."""
+    from omop2obo_ray.functions.html import extract_anchors
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        srcs, dsts = [], []
+        for u, h in zip(batch[url_col].to_pylist(),
+                        batch[html_col].to_pylist()):
+            for dst in extract_anchors(h):
+                srcs.append(u)
+                dsts.append(dst)
+        return pa.table({"src": pa.array(srcs, pa.string()),
+                         "dst": pa.array(dsts, pa.string())})
+
+    return pages.select_columns([url_col, html_col]).map_batches(
+        _edges, batch_format="pyarrow", batch_size=None)
+
+
+def synth_anchor_pages(docs: Dataset) -> Dataset:
+    """Deterministic html page per document with 3 outbound anchors
+    (test/bench support — the sandbox's documents table carries no
+    html; production input does, per BASELINE.json's input_hint). The
+    anchor-target rule ``(doc_id*31 + k*17) % 500`` for k=1..3 is a
+    shared contract with the SQL oracle, so the anchor_graph gate
+    round-trips the REAL html parser against pure arithmetic. The
+    rendered page exercises quote styles, attribute order, tag case
+    and entity escapes."""
+    def _render(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls, htmls = [], []
+        for i in ids:
+            t = [(int(i) * 31 + k * 17) % 500 for k in (1, 2, 3)]
+            page = (
+                f"<html><body><p>doc {i}</p>"
+                f"<a href=\"https://site-{t[0]}.example.com/page\">a</a>"
+                f"<A rel=nofollow HREF='https://site-{t[1]}.example.com/page'>b</A>"
+                f"<a class=\"x\" href=\"https://site-{t[2]}.example.com/page?x=1&amp;y=2\">c</a>"
+                f"</body></html>")
+            urls.append(f"https://host-{i}.test/index")
+            htmls.append(page.encode())
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        _render, batch_format="pyarrow", batch_size=None)

@@ -144,3 +144,38 @@ def test_alternating_cc_int_keys_and_self_loops(ray_session):
            .to_pandas().set_index("node")["component"].to_dict())
     # self-loop-only nodes (7, 9) are not emitted, like isolated nodes
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_extract_anchors_edge_cases():
+    from omop2obo_ray.functions.html import extract_anchors
+
+    html = (b"<html><body>"
+            b"<a href=\"https://a.com/1\">one</a>"
+            b"<A HREF='https://b.com/2'>two</A>"               # caps + single quotes
+            b"<a rel=nofollow title='x' href = \"/rel/path\">three</a>"  # attr order + spaces
+            b"<a href=\"https://c.com/?a=1&amp;b=2\">four</a>"  # entity unescape
+            b"<a name=\"no-href\">five</a>"                     # no href
+            b"<a href=''>empty</a>"                             # empty href drops
+            b"<p>no anchors here</p></body></html>")
+    assert extract_anchors(html) == [
+        "https://a.com/1", "https://b.com/2", "/rel/path",
+        "https://c.com/?a=1&b=2"]
+    assert extract_anchors(None) == []
+    assert extract_anchors(b"<p>none</p>") == []
+
+
+def test_anchor_edges_to_pagerank(ray_session):
+    # end-to-end: synthesized pages → anchor parser → edge Dataset →
+    # degree histogram (ties the pages table to the graph family)
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.graph import (anchor_edges, degree_stats,
+                                              synth_anchor_pages)
+
+    docs = rd.from_items([{"doc_id": i} for i in range(40)])
+    edges = anchor_edges(synth_anchor_pages(docs))
+    df = edges.to_pandas()
+    assert len(df) == 120                      # 3 anchors per page
+    assert df["src"].nunique() == 40
+    deg = degree_stats(edges).to_pandas()
+    assert deg["n_nodes"].sum() == 40 and set(deg["degree"]) == {3}
