@@ -678,6 +678,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id"])
         return anchor_edges(synth_anchor_pages(docs))
 
+    def q_bloom_membership(sf):
+        # Bloom filter over the documents token vocabulary, probed
+        # with the (mostly disjoint) part-name vocabulary — n_bits
+        # deliberately tiny (128) so a false positive occurs at sf0.01
+        # and the gate verifies FP parity, not just true membership
+        import ray.data as rd
+
+        from omop2obo_ray.functions.shuffle import coarse_aggregate
+        from omop2obo_ray.pipelines.curate import (bloom_build,
+                                                   bloom_probe, postings)
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        bloom = bloom_build(postings(docs), "token", n_bits=128, k=3)
+        part = rd.read_parquet(f"{sf}/part.parquet",
+                               columns=["p_partkey", "p_name"])
+        probes = coarse_aggregate(
+            postings(part, key_col="p_partkey", text_col="p_name")
+            .select_columns(["token"]), ["token"],
+            lambda df: df.drop_duplicates())
+        return bloom_probe(probes, "token", bloom)
+
     def q_semantic_dedup(sf):
         # SemDeDup (k-means cells → within-cell cosine components →
         # keep min-key representative). Rows-only: iterative k-means +
@@ -786,6 +808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": q_ccnet_buckets,  # per-source perplexity terciles (SQL-checked)
         "boolean_search": q_boolean_search,  # conjunctive token retrieval (SQL-checked)
         "anchor_graph": q_anchor_graph,  # html anchor → web-graph edges (SQL-checked)
+        "bloom_membership": q_bloom_membership,  # Bloom sketch probe, FP-exact (SQL-checked)
         "bm25": q_bm25,  # Okapi BM25 query scoring (SQL-checked)
         "winnow": q_winnow,  # MOSS winnowing fingerprints (SQL-checked)
         "mixture_sample": q_mixture_sample,  # data-mixing quota sampler (SQL-checked)
@@ -1336,6 +1359,29 @@ def oracle_sql() -> dict[str, str]:
             "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok "
             "FROM documents) WHERE tok IN ('the', 'data') "
             "GROUP BY doc_id HAVING count(DISTINCT tok) = 2"
+        ),
+        # Bloom with md5 double hashing (h1 + i·h2 mod 4096, k=3):
+        # identical bits light on both sides, so membership — false
+        # positives included — hash-matches exactly
+        "bloom_membership": (
+            "WITH ref AS (SELECT DISTINCT tok FROM (SELECT "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok "
+            "FROM documents)), "
+            "probe AS (SELECT DISTINCT tok FROM (SELECT "
+            "unnest(regexp_extract_all(lower(p_name), '[a-z0-9]+')) AS tok "
+            "FROM part)), "
+            "rh AS (SELECT tok, CAST(concat('0x', substr(md5(tok), 1, 16)) "
+            "AS UBIGINT) AS hv FROM ref), "
+            "ph AS (SELECT tok, CAST(concat('0x', substr(md5(tok), 1, 16)) "
+            "AS UBIGINT) AS hv FROM probe), "
+            "rp AS (SELECT DISTINCT CAST((hv % 4294967296 + "
+            "i * ((hv // 4294967296) | 1)) % 128 AS BIGINT) AS p "
+            "FROM rh, generate_series(0, 2) AS g(i)), "
+            "pp AS (SELECT tok, CAST((hv % 4294967296 + "
+            "i * ((hv // 4294967296) | 1)) % 128 AS BIGINT) AS p "
+            "FROM ph, generate_series(0, 2) AS g(i)) "
+            "SELECT pp.tok AS token, bool_and(rp.p IS NOT NULL) AS member "
+            "FROM pp LEFT JOIN rp ON rp.p = pp.p GROUP BY pp.tok"
         ),
         # anchor-target rule shared with synth_anchor_pages; the k=3
         # anchor carries an &amp; entity the parser must unescape

@@ -1785,3 +1785,117 @@ def search_all_terms(docs: Dataset, terms: list[str], *,
 
     return docs.select_columns([key_col, text_col]).map_batches(
         _f, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom'70): mergeable membership sketch — the scale
+# path for dedup-against-a-published-corpus / decontamination probes.
+# Like hll_distinct, the gate is fully SQL-checkable: the k probe
+# positions are exact integer arithmetic on the md5 hash (double
+# hashing h1 + i·h2 mod m), so engine and DuckDB light the identical
+# bits — false positives included.
+# ---------------------------------------------------------------------------
+
+class BloomFilter:
+    """Packed bitmap + parameters. Broadcast budget = n_bits/8 bytes
+    (1 MiB default), independent of corpus size."""
+
+    def __init__(self, bits: np.ndarray, n_bits: int, k: int):
+        self.bits = bits          # uint8, length n_bits // 8
+        self.n_bits = n_bits
+        self.k = k
+
+
+def _bloom_positions(values, n_bits: int, k: int,
+                     cache: dict) -> np.ndarray:
+    """(len(values), k) int64 probe positions — md5 double hashing,
+    per-actor value cache."""
+    import hashlib
+
+    out = np.empty((len(values), k), dtype=np.int64)
+    for i, v in enumerate(values):
+        p = cache.get(v)
+        if p is None:
+            h = int(hashlib.md5(v.encode()).hexdigest()[:16], 16)
+            h1, h2 = h % (1 << 32), (h >> 32) | 1
+            p = np.fromiter(((h1 + j * h2) % n_bits for j in range(k)),
+                            dtype=np.int64, count=k)
+            cache[v] = p
+        out[i] = p
+    return out
+
+
+class _BloomPartials:
+    def __init__(self, value_col: str, n_bits: int, k: int):
+        self.value_col, self.n_bits, self.k = value_col, n_bits, k
+        self.cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = np.unique(np.asarray(
+            batch[self.value_col].to_pylist(), dtype=object))
+        pos = _bloom_positions(vals, self.n_bits, self.k, self.cache)
+        return pa.table({"pos": pa.array(np.unique(pos.ravel()),
+                                         pa.int64())})
+
+    def cleanup(self):
+        self.cache.clear()
+
+
+def bloom_build(values: Dataset, value_col: str, *,
+                n_bits: int = 1 << 20, k: int = 4) -> BloomFilter:
+    """Build a Bloom filter over every value in ``value_col`` with ONE
+    distributed pass: blocks emit their distinct SET-BIT POSITIONS, a
+    coarse aggregate dedups them in-cluster, and the driver collects
+    only the position list — bounded by min(distinct·k, n_bits), never
+    by corpus size — and packs the bitmap. Set union is the merge, so
+    the result is partitioning-invariant."""
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    partials = values.select_columns([value_col]).map_batches(
+        _BloomPartials,
+        fn_constructor_kwargs=dict(value_col=value_col,
+                                   n_bits=n_bits, k=k),
+        batch_format="pyarrow", batch_size=None,
+        concurrency=(max(1, cpus // 4), max(2, cpus)), num_cpus=1)
+    pos = coarse_aggregate(
+        partials, ["pos"],
+        lambda df: df.drop_duplicates()).to_pandas()["pos"].to_numpy()
+    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+    np.bitwise_or.at(bits, pos // 8,
+                     np.left_shift(np.uint8(1), (pos % 8).astype(np.uint8)))
+    return BloomFilter(bits, n_bits, k)
+
+
+class _BloomProber:
+    """Actor: bitmap pulled from the object store once per actor."""
+
+    def __init__(self, bloom_ref, value_col: str):
+        self.b: BloomFilter = (ray.get(bloom_ref)
+                               if isinstance(bloom_ref, ray.ObjectRef)
+                               else bloom_ref)
+        self.value_col = value_col
+        self.cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        b = self.b
+        vals = np.asarray(batch[self.value_col].to_pylist(), dtype=object)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        pos = _bloom_positions(uniq, b.n_bits, b.k, self.cache)
+        hit = (b.bits[pos // 8] &
+               np.left_shift(np.uint8(1), (pos % 8).astype(np.uint8))) != 0
+        member = hit.all(axis=1)[inv]
+        return batch.append_column("member", pa.array(member))
+
+
+def bloom_probe(ds: Dataset, value_col: str,
+                bloom: BloomFilter) -> Dataset:
+    """Append a ``member`` bool column: True iff all k probe bits are
+    set (no false negatives; false-positive rate ≈ (1-e^{-kn/m})^k)."""
+    ref = ray.put(bloom)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return ds.map_batches(
+        _BloomProber,
+        fn_constructor_kwargs=dict(bloom_ref=ref, value_col=value_col),
+        batch_format="pyarrow", batch_size=None,
+        concurrency=(max(1, cpus // 4), max(2, cpus)), num_cpus=1)

@@ -714,3 +714,31 @@ def test_search_all_terms_and_postings(ray_session):
     assert len(p) == len(p.drop_duplicates())          # globally distinct
     assert sorted(p[p.token == "beta"]["doc_id"]) == [1, 3]
     assert set(p[p.doc_id == 3]["token"]) == {"alpha", "beta"}
+
+
+def test_bloom_no_false_negatives_and_fp_rate(ray_session):
+    from omop2obo_ray.pipelines.curate import bloom_build, bloom_probe
+
+    ref_vals = [f"inserted-{i}" for i in range(2000)]
+    other = [f"absent-{i}" for i in range(4000)]
+    bloom = bloom_build(
+        rd.from_items([{"v": v} for v in ref_vals]).repartition(8),
+        "v", n_bits=1 << 16, k=4)
+    got = bloom_probe(
+        rd.from_items([{"v": v} for v in ref_vals + other]),
+        "v", bloom).to_pandas().set_index("v")["member"]
+    # Bloom guarantee: NO false negatives, ever
+    assert got.loc[ref_vals].all()
+    # FP rate ~ (1-e^{-kn/m})^k ≈ 0.24% at n=2000,m=65536,k=4; 5× slack
+    assert got.loc[other].mean() <= 0.012
+
+
+def test_bloom_partition_invariant(ray_session):
+    from omop2obo_ray.pipelines.curate import bloom_build
+
+    rows = [{"v": f"tok{i % 300}"} for i in range(2000)]
+    b1 = bloom_build(rd.from_items(rows).repartition(1), "v",
+                     n_bits=1 << 12, k=3)
+    b16 = bloom_build(rd.from_items(rows).repartition(16), "v",
+                      n_bits=1 << 12, k=3)
+    assert np.array_equal(b1.bits, b16.bits)   # set union is the merge
