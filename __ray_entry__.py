@@ -700,6 +700,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda df: df.drop_duplicates())
         return bloom_probe(probes, "token", bloom)
 
+    def q_triangle_count(sf):
+        # degree-oriented distributed triangle counting over a
+        # deterministic synthetic graph (the part table has no natural
+        # triangles — orders/lineitem graphs are bipartite)
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import triangle_count
+
+        part = rd.read_parquet(f"{sf}/part.parquet",
+                               columns=["p_partkey"])
+
+        def _edges(b: pa.Table) -> pa.Table:
+            k = b["p_partkey"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "src": pa.array(["n" + str(v % 97) for v in k]),
+                "dst": pa.array(["n" + str((v * 3 + 1) % 97) for v in k])})
+
+        return triangle_count(part.map_batches(
+            _edges, batch_format="pyarrow", batch_size=None))
+
     def q_semantic_dedup(sf):
         # SemDeDup (k-means cells → within-cell cosine components →
         # keep min-key representative). Rows-only: iterative k-means +
@@ -809,6 +830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_search": q_boolean_search,  # conjunctive token retrieval (SQL-checked)
         "anchor_graph": q_anchor_graph,  # html anchor → web-graph edges (SQL-checked)
         "bloom_membership": q_bloom_membership,  # Bloom sketch probe, FP-exact (SQL-checked)
+        "triangle_count": q_triangle_count,  # degree-oriented triangles (SQL-checked)
         "bm25": q_bm25,  # Okapi BM25 query scoring (SQL-checked)
         "winnow": q_winnow,  # MOSS winnowing fingerprints (SQL-checked)
         "mixture_sample": q_mixture_sample,  # data-mixing quota sampler (SQL-checked)
@@ -1382,6 +1404,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM ph, generate_series(0, 2) AS g(i)) "
             "SELECT pp.tok AS token, bool_and(rp.p IS NOT NULL) AS member "
             "FROM pp LEFT JOIN rp ON rp.p = pp.p GROUP BY pp.tok"
+        ),
+        # canonical a<b edges; triangle = (a,b),(a,c),(b,c) with b<c —
+        # each counted once by the ordered 3-way self-join
+        "triangle_count": (
+            "WITH raw AS (SELECT 'n' || (p_partkey % 97) AS x, "
+            "'n' || ((p_partkey * 3 + 1) % 97) AS y FROM part), "
+            "e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b "
+            "FROM raw WHERE x <> y) "
+            "SELECT count(*) AS n_triangles FROM e e1 "
+            "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+            "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
         ),
         # anchor-target rule shared with synth_anchor_pages; the k=3
         # anchor carries an &amp; entity the parser must unescape

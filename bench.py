@@ -117,6 +117,16 @@ def run_bench() -> dict:
 
         timed("winnow", _winnow)
 
+        def _lm_perplexity():
+            from omop2obo_ray.pipelines.curate import (lm_perplexity,
+                                                       lm_train_bigrams)
+
+            docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                   columns=["doc_id", "text"])
+            return lm_perplexity(docs, lm_train_bigrams(docs))
+
+        timed("lm_perplexity", _lm_perplexity)
+
     lexicon = derive_lexicon_from_corpus(SF_DIR)  # untimed offline dim build
     out_dir = "/tmp/bench_kg_out"
     import shutil

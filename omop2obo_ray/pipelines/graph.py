@@ -449,3 +449,110 @@ def synth_anchor_pages(docs: Dataset) -> Dataset:
 
     return docs.select_columns(["doc_id"]).map_batches(
         _render, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (Suri-Vassilvitskii'11 / Cohen'09 MapReduce shape):
+# degree orientation bounds per-node wedge generation by the SMALLER
+# endpoint's degree, so a 10⁹-degree hub never enumerates its
+# neighbor pairs — the skew story that makes this viable on web graphs
+# ---------------------------------------------------------------------------
+
+def triangle_count(edges: Dataset, src: str = "src",
+                   dst: str = "dst",
+                   num_partitions: int = 8) -> Dataset:
+    """Exact global triangle count of the UNDIRECTED simple graph
+    underlying ``edges`` → one row (n_triangles).
+
+    Stages: canonicalize+dedup edges (coarse aggregate) → degree per
+    node (coarse aggregate) → orient each edge low-degree→high-degree
+    (two hash joins attach endpoint degrees; ties break on node id) →
+    per-src wedge generation (coarse per-key; out-degree after
+    orientation is O(√m)-bounded, so the d² pair fan-out is too) →
+    hash-join wedges against the canonical edge set → count. Every
+    exchange keys on node id or the (a, b) edge pair; nothing touches
+    the driver but the final scalar."""
+    und = _sanitize_join_output(
+        coarse_aggregate(
+            edges.map_batches(
+                lambda b: pa.table({
+                    "a": pc.min_element_wise(b[src], b[dst]),
+                    "b": pc.max_element_wise(b[src], b[dst])}),
+                batch_format="pyarrow", batch_size=None).map_batches(
+                lambda b: b.filter(pc.not_equal(b["a"], b["b"])),
+                batch_format="pyarrow", batch_size=None),
+            ["a", "b"],
+            lambda df: df.drop_duplicates()),
+        pa.schema([("a", pa.string()), ("b", pa.string())]))
+
+    incid = und.map_batches(
+        lambda b: pa.table({"node": pa.concat_arrays([
+            b["a"].combine_chunks().cast(pa.string()),
+            b["b"].combine_chunks().cast(pa.string())])}),
+        batch_format="pyarrow", batch_size=None)
+    deg = _sanitize_join_output(
+        coarse_aggregate(incid, ["node"],
+                         lambda df: df.groupby("node", sort=False)
+                         .size().rename("d").reset_index()),
+        pa.schema([("node", pa.string()), ("d", pa.int64())]))
+
+    j1 = _sanitize_join_output(
+        und.join(deg, join_type="inner", num_partitions=num_partitions,
+                 on=("a",), right_on=("node",)),
+        pa.schema([("a", pa.string()), ("b", pa.string()),
+                   ("d", pa.int64())]))
+    j1 = j1.map_batches(
+        lambda b: pa.table({"a": b["a"], "b": b["b"], "da": b["d"]}),
+        batch_format="pyarrow", batch_size=None)
+    j2 = _sanitize_join_output(
+        j1.join(deg, join_type="inner", num_partitions=num_partitions,
+                on=("b",), right_on=("node",)),
+        pa.schema([("a", pa.string()), ("b", pa.string()),
+                   ("da", pa.int64()), ("d", pa.int64())]))
+
+    def _orient(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        da = batch["da"].to_numpy(zero_copy_only=False)
+        db = batch["d"].to_numpy(zero_copy_only=False)
+        # low (degree, id) endpoint becomes the wedge center
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pa.table({
+            "ws": pa.array(np.where(a_first, a, b), pa.string()),
+            "wd": pa.array(np.where(a_first, b, a), pa.string())})
+
+    oriented = j2.map_batches(_orient, batch_format="pyarrow",
+                              batch_size=None)
+
+    from omop2obo_ray.functions.shuffle import coarse_apply_per_key
+
+    def _wedges(g: pd.DataFrame) -> pd.DataFrame:
+        nb = np.sort(g["wd"].to_numpy(dtype=object))
+        if len(nb) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        i, j = np.triu_indices(len(nb), 1)
+        return pd.DataFrame({"a": nb[i], "b": nb[j]})
+
+    wedges = _sanitize_join_output(
+        coarse_apply_per_key(oriented, ["ws"], _wedges),
+        pa.schema([("a", pa.string()), ("b", pa.string())]))
+    if wedges.count() == 0:
+        # wedge-free graph (path/star/empty) — and Ray 2.49 cannot
+        # hash-join an empty left side (repartitioned empties come
+        # back schema-less)
+        return ray.data.from_arrow(pa.table({
+            "n_triangles": pa.array([0], pa.int64())}))
+
+    closed = _sanitize_join_output(
+        wedges.join(und.map_batches(
+            lambda t: pa.table({"a": t["a"], "b": t["b"],
+                                "one": pa.array(
+                                    np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow", batch_size=None),
+            join_type="inner", num_partitions=num_partitions,
+            on=("a", "b")),
+        pa.schema([("a", pa.string()), ("b", pa.string()),
+                   ("one", pa.int64())]))
+    n = closed.count()
+    return ray.data.from_arrow(pa.table({
+        "n_triangles": pa.array([n], pa.int64())}))

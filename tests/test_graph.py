@@ -179,3 +179,53 @@ def test_anchor_edges_to_pagerank(ray_session):
     assert df["src"].nunique() == 40
     deg = degree_stats(edges).to_pandas()
     assert deg["n_nodes"].sum() == 40 and set(deg["degree"]) == {3}
+
+
+def _brute_triangles(edges):
+    es = set()
+    for u, v in edges:
+        if u != v:
+            es.add((min(u, v), max(u, v)))
+    nodes = sorted({n for e in es for n in e})
+    n = 0
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in es:
+                continue
+            for c in nodes:
+                if c > b and (a, c) in es and (b, c) in es:
+                    n += 1
+    return n
+
+
+def test_triangle_count_known_graphs(ray_session):
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.graph import triangle_count
+
+    def tc(edges):
+        ds = rd.from_items([{"src": s, "dst": d} for s, d in edges])
+        return triangle_count(ds).to_pandas()["n_triangles"].iloc[0]
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    assert tc(k4) == 4
+    assert tc([("a", "b"), ("b", "c"), ("c", "d")]) == 0      # path
+    assert tc([("h", x) for x in "abcdefg"]) == 0             # star hub
+    # dup / reversed / self-loop edges must not change the count
+    tri = [("x", "y"), ("y", "z"), ("z", "x"),
+           ("y", "x"), ("x", "y"), ("z", "z")]
+    assert tc(tri) == 1
+
+
+def test_triangle_count_matches_bruteforce_random(ray_session):
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.graph import triangle_count
+
+    rng = np.random.default_rng(5)
+    edges = [(f"v{rng.integers(0, 40)}", f"v{rng.integers(0, 40)}")
+             for _ in range(300)]
+    got = triangle_count(
+        rd.from_items([{"src": s, "dst": d} for s, d in edges])
+        .repartition(8)).to_pandas()["n_triangles"].iloc[0]
+    assert got == _brute_triangles(edges)
