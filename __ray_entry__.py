@@ -721,6 +721,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return triangle_count(part.map_batches(
             _edges, batch_format="pyarrow", batch_size=None))
 
+    def q_train_test_split(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import train_test_split
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id"])
+        return train_test_split(docs)
+
+    def q_select_budget(sf):
+        # DataComp-style selection: best-scored docs until the weight
+        # budget is exhausted (score/weight = n_chars here; production
+        # feeds lm_perplexity / quality scores)
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import select_until_budget
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+        return select_until_budget(docs, 100_000, score_col="n_chars",
+                                   weight_col="n_chars")
+
     def q_semantic_dedup(sf):
         # SemDeDup (k-means cells → within-cell cosine components →
         # keep min-key representative). Rows-only: iterative k-means +
@@ -831,6 +853,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_graph": q_anchor_graph,  # html anchor → web-graph edges (SQL-checked)
         "bloom_membership": q_bloom_membership,  # Bloom sketch probe, FP-exact (SQL-checked)
         "triangle_count": q_triangle_count,  # degree-oriented triangles (SQL-checked)
+        "train_test_split": q_train_test_split,  # content-addressed split (SQL-checked)
+        "select_budget": q_select_budget,  # quality-budget selection (SQL-checked)
         "bm25": q_bm25,  # Okapi BM25 query scoring (SQL-checked)
         "winnow": q_winnow,  # MOSS winnowing fingerprints (SQL-checked)
         "mixture_sample": q_mixture_sample,  # data-mixing quota sampler (SQL-checked)
@@ -1404,6 +1428,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM ph, generate_series(0, 2) AS g(i)) "
             "SELECT pp.tok AS token, bool_and(rp.p IS NOT NULL) AS member "
             "FROM pp LEFT JOIN rp ON rp.p = pp.p GROUP BY pp.tok"
+        ),
+        "train_test_split": __import__(
+            "omop2obo_ray.pipelines.curate",
+            fromlist=["train_test_split_sql"]).train_test_split_sql(
+            columns="doc_id"),
+        "select_budget": (
+            "WITH s AS (SELECT doc_id, n_chars AS score, "
+            "n_chars AS weight FROM documents), "
+            "c AS (SELECT doc_id, score, weight, sum(weight) OVER ("
+            "ORDER BY score DESC, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+            "FROM s) SELECT doc_id, score, weight, cum FROM c "
+            "WHERE cum <= 100000"
         ),
         # canonical a<b edges; triangle = (a,b),(a,c),(b,c) with b<c —
         # each counted once by the ordered 3-way self-join

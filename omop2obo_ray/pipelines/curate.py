@@ -1899,3 +1899,106 @@ def bloom_probe(ds: Dataset, value_col: str,
         fn_constructor_kwargs=dict(bloom_ref=ref, value_col=value_col),
         batch_format="pyarrow", batch_size=None,
         concurrency=(max(1, cpus // 4), max(2, cpus)), num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (the last step before a training
+# run: content-addressed so the split is stable across runs, resumes,
+# engines and re-shards — never random())
+# ---------------------------------------------------------------------------
+
+def train_test_split(ds: Dataset, *, key: str = "doc_id",
+                     val_ppm: int = 50_000, test_ppm: int = 50_000,
+                     salt: int = 23) -> Dataset:
+    """Append a ``split`` column ('train'/'val'/'test') from the
+    ppm-resolution multiplicative hash of ``key`` (same integer-exact
+    family as :func:`hash_sample`): h < val_ppm → val, h < val+test →
+    test, else train. Pure streaming map — membership is a property of
+    the ROW, so any subset of shards can be split independently and
+    the assignment never changes."""
+    cut1, cut2 = val_ppm, val_ppm + test_ppm
+
+    def _split(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((k % _M31) * _KNUTH + salt) % _M32 % 1_000_000
+        s = np.where(h < cut1, "val",
+                     np.where(h < cut2, "test", "train"))
+        return batch.append_column(
+            "split", pa.array(s.astype(object), pa.string()))
+
+    return ds.map_batches(_split, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def train_test_split_sql(*, table: str = "documents", key: str = "doc_id",
+                         val_ppm: int = 50_000, test_ppm: int = 50_000,
+                         salt: int = 23, columns: str = "*") -> str:
+    """The exact-same assignment rule as :func:`train_test_split`."""
+    h = f"((({key} % {_M31}) * {_KNUTH} + {salt}) % {_M32}) % 1000000"
+    return (f"SELECT {columns}, CASE WHEN {h} < {val_ppm} THEN 'val' "
+            f"WHEN {h} < {val_ppm + test_ppm} THEN 'test' "
+            f"ELSE 'train' END AS split FROM {table}")
+
+
+# ---------------------------------------------------------------------------
+# Quality-budget corpus selection (DataComp-style: order by quality,
+# keep the best documents until a token budget is exhausted)
+# ---------------------------------------------------------------------------
+
+def select_until_budget(ds: Dataset, budget: int, *,
+                        score_col: str, weight_col: str,
+                        key_col: str = "doc_id") -> Dataset:
+    """Keep the highest-``score`` rows whose RUNNING ``weight`` total
+    (in (score DESC, key ASC) order, inclusive) stays ≤ ``budget`` →
+    (key, score, weight, cum).
+
+    Scale shape = :func:`ordered_prefix_sum` generalized to a
+    composite ordering: one range exchange (the sort), a slim
+    (block-first-key, block-total) pass whose driver state is one row
+    per BLOCK, then a broadcast-offset second pass that cuts at the
+    budget with pure int64 arithmetic. ``key_col`` must be unique (it
+    breaks score ties, making the cut deterministic)."""
+    slim = ds.select_columns(
+        list(dict.fromkeys([key_col, score_col, weight_col])))
+    sorted_ds = slim.sort([score_col, key_col],
+                          descending=[True, False]).materialize()
+
+    def _stat(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "s": pa.array([], batch.schema.field(score_col).type),
+                "k": pa.array([], batch.schema.field(key_col).type),
+                "total": pa.array([], pa.int64())})
+        w = batch[weight_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"s": batch[score_col].slice(0, 1),
+                         "k": batch[key_col].slice(0, 1),
+                         "total": pa.array([int(w.sum())], pa.int64())})
+
+    stats = sorted_ds.map_batches(_stat, batch_format="pyarrow",
+                                  batch_size=None).take_all()
+    stats.sort(key=lambda r: (-r["s"], r["k"]))
+    offsets, acc = {}, 0
+    for r in stats:
+        offsets[(r["s"], r["k"])] = acc
+        acc += r["total"]
+    off_ref = ray.put(offsets)
+
+    def _cut(batch: pa.Table) -> pa.Table:
+        out_cols = {
+            key_col: batch[key_col], "score": batch[score_col],
+            "weight": batch[weight_col]}
+        if len(batch) == 0:
+            t = pa.table(out_cols)
+            return t.append_column("cum", pa.array([], pa.int64()))
+        block_off = ray.get(off_ref)[
+            (batch[score_col][0].as_py(), batch[key_col][0].as_py())]
+        w = batch[weight_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cum = block_off + np.cumsum(w)          # inclusive running sum
+        t = pa.table(out_cols).append_column(
+            "cum", pa.array(cum, pa.int64()))
+        return t.filter(pa.array(cum <= budget))
+
+    return sorted_ds.map_batches(_cut, batch_format="pyarrow",
+                                 batch_size=None)

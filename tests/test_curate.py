@@ -742,3 +742,43 @@ def test_bloom_partition_invariant(ray_session):
     b16 = bloom_build(rd.from_items(rows).repartition(16), "v",
                       n_bits=1 << 12, k=3)
     assert np.array_equal(b1.bits, b16.bits)   # set union is the merge
+
+
+def test_train_test_split_deterministic_and_disjoint(ray_session):
+    from omop2obo_ray.pipelines.curate import train_test_split
+
+    ds = rd.range(20000).map_batches(
+        lambda b: b.rename_columns(["doc_id"]), batch_format="pyarrow")
+    a = train_test_split(ds).to_pandas().set_index("doc_id")["split"]
+    b = train_test_split(ds.repartition(16)).to_pandas() \
+        .set_index("doc_id")["split"]
+    assert (a.sort_index() == b.sort_index()).all()   # shard-invariant
+    frac = a.value_counts(normalize=True)
+    assert abs(frac.get("val", 0) - 0.05) < 0.01
+    assert abs(frac.get("test", 0) - 0.05) < 0.01
+    assert abs(frac.get("train", 0) - 0.90) < 0.02
+
+
+def test_select_until_budget_matches_numpy(ray_session):
+    from omop2obo_ray.pipelines.curate import select_until_budget
+
+    rng = np.random.default_rng(3)
+    n = 500
+    rows = [{"doc_id": i, "score": int(rng.integers(0, 50)),
+             "w": int(rng.integers(1, 100))} for i in range(n)]
+    budget = 8000
+    got = (select_until_budget(
+        rd.from_items(rows).repartition(8), budget,
+        score_col="score", weight_col="w")
+        .to_pandas().sort_values("doc_id"))
+
+    order = sorted(rows, key=lambda r: (-r["score"], r["doc_id"]))
+    acc, keep = 0, {}
+    for r in order:
+        acc += r["w"]
+        if acc <= budget:
+            keep[r["doc_id"]] = acc
+    assert got["doc_id"].tolist() == sorted(keep)
+    assert got.set_index("doc_id")["cum"].to_dict() == keep
+    # the kept set is exactly a PREFIX of the quality ordering
+    assert set(keep) == {r["doc_id"] for r in order[:len(keep)]}
