@@ -743,6 +743,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return select_until_budget(docs, 100_000, score_col="n_chars",
                                    weight_col="n_chars")
 
+    def q_chunk_documents(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import chunk_documents
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
     def q_semantic_dedup(sf):
         # SemDeDup (k-means cells → within-cell cosine components →
         # keep min-key representative). Rows-only: iterative k-means +
@@ -855,6 +864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": q_triangle_count,  # degree-oriented triangles (SQL-checked)
         "train_test_split": q_train_test_split,  # content-addressed split (SQL-checked)
         "select_budget": q_select_budget,  # quality-budget selection (SQL-checked)
+        "chunk_documents": q_chunk_documents,  # RAG sliding-window chunking (SQL-checked)
         "bm25": q_bm25,  # Okapi BM25 query scoring (SQL-checked)
         "winnow": q_winnow,  # MOSS winnowing fingerprints (SQL-checked)
         "mixture_sample": q_mixture_sample,  # data-mixing quota sampler (SQL-checked)
@@ -1428,6 +1438,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM ph, generate_series(0, 2) AS g(i)) "
             "SELECT pp.tok AS token, bool_and(rp.p IS NOT NULL) AS member "
             "FROM pp LEFT JOIN rp ON rp.p = pp.p GROUP BY pp.tok"
+        ),
+        # chunk k covers tokens [k·48, k·48+64); list_slice is
+        # 1-based inclusive, python slices 0-based exclusive — both
+        # yield 64 tokens and clamp at the end
+        "chunk_documents": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents) "
+            "SELECT doc_id, k AS chunk_id, "
+            "len(list_slice(toks, k * 48 + 1, k * 48 + 64)) AS n_tokens, "
+            "array_to_string(list_slice(toks, k * 48 + 1, k * 48 + 64), ' ') "
+            "AS chunk FROM t, generate_series(0, 1000) AS g(k) "
+            "WHERE k * 48 < len(toks)"
         ),
         "train_test_split": __import__(
             "omop2obo_ray.pipelines.curate",

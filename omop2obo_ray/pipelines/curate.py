@@ -2002,3 +2002,41 @@ def select_until_budget(ds: Dataset, budget: int, *,
 
     return sorted_ds.map_batches(_cut, batch_format="pyarrow",
                                  batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking with overlap (RAG / embedding prep: fixed-size
+# sliding windows over the token stream of each document)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(docs: Dataset, *, chunk_tokens: int = 64,
+                    overlap: int = 16, key_col: str = "doc_id",
+                    text_col: str = "text") -> Dataset:
+    """Split each doc's space-separated token stream into chunks of
+    ``chunk_tokens`` with ``overlap`` tokens shared between
+    consecutive chunks → (key, chunk_id, n_tokens, chunk). Chunk k
+    covers tokens [k·(c−o), k·(c−o)+c); one chunk per k while the
+    start is inside the doc (the final chunk may be short).
+    Embarrassingly parallel per doc — no shuffle, no driver state."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+
+    def _chunks(df: pd.DataFrame) -> pd.DataFrame:
+        ks, cids, ns, chunks = [], [], [], []
+        for k, txt in zip(df[key_col], df[text_col]):
+            toks = (txt or "").split(" ")
+            n = len(toks)
+            cid = 0
+            for start in range(0, n, step):
+                piece = toks[start:start + chunk_tokens]
+                ks.append(k)
+                cids.append(cid)
+                ns.append(len(piece))
+                chunks.append(" ".join(piece))
+                cid += 1
+        return pd.DataFrame({key_col: ks, "chunk_id": cids,
+                             "n_tokens": ns, "chunk": chunks})
+
+    return docs.select_columns([key_col, text_col]).map_batches(
+        _chunks, batch_format="pandas", batch_size=None)

@@ -782,3 +782,27 @@ def test_select_until_budget_matches_numpy(ray_session):
     assert got.set_index("doc_id")["cum"].to_dict() == keep
     # the kept set is exactly a PREFIX of the quality ordering
     assert set(keep) == {r["doc_id"] for r in order[:len(keep)]}
+
+
+def test_chunk_documents_windows_and_edges(ray_session):
+    from omop2obo_ray.pipelines.curate import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    docs = rd.from_items([
+        {"doc_id": 1, "text": " ".join(toks)},   # 10 toks, c=4 o=1 → step 3
+        {"doc_id": 2, "text": "solo"},
+        {"doc_id": 3, "text": ""},
+    ])
+    got = (chunk_documents(docs, chunk_tokens=4, overlap=1)
+           .to_pandas().sort_values(["doc_id", "chunk_id"]))
+    d1 = got[got.doc_id == 1]
+    assert d1["chunk"].tolist() == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9"]
+    assert d1["n_tokens"].tolist() == [4, 4, 4, 1]
+    assert got[got.doc_id == 2]["chunk"].tolist() == ["solo"]
+    # empty text: split(' ') yields one empty token (shared rule with
+    # the SQL oracle) → one chunk
+    assert got[got.doc_id == 3]["chunk"].tolist() == [""]
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
