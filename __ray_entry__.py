@@ -752,6 +752,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "text"])
         return chunk_documents(docs, chunk_tokens=64, overlap=16)
 
+    def q_rep_ngrams(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import rep_ngram_stats
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return rep_ngram_stats(docs, n=3)
+
+    def q_similarity_join(sf):
+        # entity resolution: token-Jaccard join between the even- and
+        # odd-keyed halves of the part names (integer-exact threshold)
+        import pyarrow.compute as _pc
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import similarity_join
+
+        part = rd.read_parquet(f"{sf}/part.parquet",
+                               columns=["p_partkey", "p_name"])
+        left = part.map_batches(
+            lambda b: b.filter(_pc.equal(
+                _pc.bit_wise_and(b["p_partkey"], 1), 0)),
+            batch_format="pyarrow", batch_size=None)
+        right = part.map_batches(
+            lambda b: b.filter(_pc.equal(
+                _pc.bit_wise_and(b["p_partkey"], 1), 1)),
+            batch_format="pyarrow", batch_size=None)
+        return similarity_join(
+            left, right, key_l="p_partkey", text_l="p_name",
+            key_r="p_partkey", text_r="p_name", threshold_ppt=500)
+
     def q_semantic_dedup(sf):
         # SemDeDup (k-means cells → within-cell cosine components →
         # keep min-key representative). Rows-only: iterative k-means +
@@ -865,6 +896,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": q_train_test_split,  # content-addressed split (SQL-checked)
         "select_budget": q_select_budget,  # quality-budget selection (SQL-checked)
         "chunk_documents": q_chunk_documents,  # RAG sliding-window chunking (SQL-checked)
+        "rep_ngrams": q_rep_ngrams,  # Gopher duplicated-ngram mass (SQL-checked)
+        "similarity_join": q_similarity_join,  # token-Jaccard entity resolution (SQL-checked)
         "bm25": q_bm25,  # Okapi BM25 query scoring (SQL-checked)
         "winnow": q_winnow,  # MOSS winnowing fingerprints (SQL-checked)
         "mixture_sample": q_mixture_sample,  # data-mixing quota sampler (SQL-checked)
@@ -1438,6 +1471,38 @@ def oracle_sql() -> dict[str, str]:
             "FROM ph, generate_series(0, 2) AS g(i)) "
             "SELECT pp.tok AS token, bool_and(rp.p IS NOT NULL) AS member "
             "FROM pp LEFT JOIN rp ON rp.p = pp.p GROUP BY pp.tok"
+        ),
+        "rep_ngrams": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok, "
+            "unnest(range(len(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')))) AS pos FROM documents), "
+            "g AS (SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok "
+            "AS gram FROM toks a "
+            "JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2), "
+            "gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2) "
+            "SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_ngrams, "
+            "CAST(coalesce(sum(c) FILTER (c > 1), 0) AS BIGINT) "
+            "AS dup_ngrams, CAST(max(c) AS BIGINT) AS top_ngram_count "
+            "FROM gc GROUP BY doc_id"
+        ),
+        "similarity_join": (
+            "WITH l AS (SELECT p_partkey AS lk, p_name FROM part "
+            "WHERE p_partkey % 2 = 0), "
+            "r AS (SELECT p_partkey AS rk, p_name FROM part "
+            "WHERE p_partkey % 2 = 1), "
+            "lt AS (SELECT DISTINCT lk, unnest(regexp_extract_all("
+            "lower(p_name), '[a-z0-9]+')) AS tok FROM l), "
+            "rt AS (SELECT DISTINCT rk, unnest(regexp_extract_all("
+            "lower(p_name), '[a-z0-9]+')) AS tok FROM r), "
+            "ls AS (SELECT lk, count(*) AS l_size FROM lt GROUP BY 1), "
+            "rs AS (SELECT rk, count(*) AS r_size FROM rt GROUP BY 1), "
+            "inter AS (SELECT lk, rk, count(*) AS n_shared "
+            "FROM lt JOIN rt USING (tok) GROUP BY 1, 2) "
+            "SELECT lk, rk, n_shared, l_size, r_size "
+            "FROM inter JOIN ls USING (lk) JOIN rs USING (rk) "
+            "WHERE n_shared * 1000 >= 500 * (l_size + r_size - n_shared)"
         ),
         # chunk k covers tokens [k·48, k·48+64); list_slice is
         # 1-based inclusive, python slices 0-based exclusive — both

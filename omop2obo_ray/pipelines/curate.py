@@ -2040,3 +2040,155 @@ def chunk_documents(docs: Dataset, *, chunk_tokens: int = 64,
 
     return docs.select_columns([key_col, text_col]).map_batches(
         _chunks, batch_format="pandas", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rule: within-doc duplicated n-gram mass (Rae'21
+# §A1.1 — docs whose token stream is dominated by repeated n-grams
+# are boilerplate/spam; complements the cross-doc dup_span_stats)
+# ---------------------------------------------------------------------------
+
+def rep_ngram_stats(docs: Dataset, *, n: int = 3,
+                    key_col: str = "doc_id",
+                    text_col: str = "text") -> Dataset:
+    """Per-doc duplicated-``n``-gram mass → (key, total_ngrams,
+    dup_ngrams, top_ngram_count), all EXACT int64 (the filter ratio
+    dup/total is computed by the consumer — no float leaves the op).
+    ``dup_ngrams`` = Σ count(g) over grams occurring more than once.
+    Docs with fewer than ``n`` tokens emit nothing. Embarrassingly
+    parallel per doc; grams never leave the block."""
+    import re as _re
+
+    tok_re = _re.compile(NB_TOKEN_RE)
+
+    def _stats(df: pd.DataFrame) -> pd.DataFrame:
+        ks, tot, dup, top = [], [], [], []
+        for k, txt in zip(df[key_col], df[text_col]):
+            toks = tok_re.findall((txt or "").lower())
+            m = len(toks) - n + 1
+            if m <= 0:
+                continue
+            grams = [" ".join(toks[i:i + n]) for i in range(m)]
+            _u, c = np.unique(np.asarray(grams, dtype=object),
+                              return_counts=True)
+            ks.append(k)
+            tot.append(m)
+            dup.append(int(c[c > 1].sum()))
+            top.append(int(c.max()))
+        return pd.DataFrame({key_col: ks,
+                             "total_ngrams": np.asarray(tot, np.int64),
+                             "dup_ngrams": np.asarray(dup, np.int64),
+                             "top_ngram_count": np.asarray(top, np.int64)})
+
+    return docs.select_columns([key_col, text_col]).map_batches(
+        _stats, batch_format="pandas", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Token-Jaccard similarity JOIN (entity resolution between two tables
+# — the fuzzy-match step of the reference's concept mapping, scaled:
+# token-blocking join + integer-exact Jaccard threshold)
+# ---------------------------------------------------------------------------
+
+def similarity_join(left: Dataset, right: Dataset, *,
+                    key_l: str, text_l: str, key_r: str, text_r: str,
+                    threshold_ppt: int = 500,
+                    max_df: int | None = None,
+                    num_partitions: int = 8) -> Dataset:
+    """Pairs (lk, rk) whose token sets have Jaccard ≥
+    ``threshold_ppt``/1000 → (lk, rk, n_shared, l_size, r_size).
+
+    Shape: per-row token sets (shuffle-free ``postings``), candidate
+    generation by a hash join on the token — every candidate pair
+    shares ≥1 token, so Jaccard>0 pairs are never missed — then a
+    coarse per-pair intersection count and two slim joins to attach
+    set sizes. The threshold test is pure int64 cross-multiplication
+    (``n·1000 ≥ t·(|L|+|R|−n)``), so engine and SQL agree exactly.
+
+    ``max_df`` is the hot-token skew guard: tokens whose COMBINED
+    document frequency exceeds it are dropped before everything
+    (sizes included), redefining the metric as rare-token Jaccard —
+    consistently on both sides of the gate. Without it, a stopword
+    shared by every row makes candidate generation quadratic."""
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+
+    lt = postings(left, key_col=key_l, text_col=text_l).map_batches(
+        lambda b: pa.table({"token": b["token"], "lk": b[key_l]}),
+        batch_format="pyarrow", batch_size=None)
+    rt = postings(right, key_col=key_r, text_col=text_r).map_batches(
+        lambda b: pa.table({"token": b["token"], "rk": b[key_r]}),
+        batch_format="pyarrow", batch_size=None)
+
+    if max_df is not None:
+        df = coarse_aggregate(
+            lt.select_columns(["token"]).union(
+                rt.select_columns(["token"])), ["token"],
+            lambda d: d.groupby("token", sort=False).size()
+            .rename("df").reset_index()).to_pandas()
+        keep = set(df.loc[df["df"] <= max_df, "token"])
+        keep_ref = ray.put(keep)
+
+        def _rare(batch: pa.Table) -> pa.Table:
+            ks = ray.get(keep_ref)
+            mask = pa.array([t in ks for t in
+                             batch["token"].to_pylist()])
+            return batch.filter(mask)
+
+        lt = lt.map_batches(_rare, batch_format="pyarrow",
+                            batch_size=None)
+        rt = rt.map_batches(_rare, batch_format="pyarrow",
+                            batch_size=None)
+
+    lt_s = _kv_schema("lk", lt)
+    rt_s = _kv_schema("rk", rt)
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+    ls = _sanitize_join_output(
+        coarse_aggregate(lt.select_columns(["lk"]), ["lk"],
+                         lambda d: d.groupby("lk", sort=False).size()
+                         .rename("l_size").reset_index()),
+        pa.schema([("lk", lt_s), ("l_size", pa.int64())]))
+    rs = _sanitize_join_output(
+        coarse_aggregate(rt.select_columns(["rk"]), ["rk"],
+                         lambda d: d.groupby("rk", sort=False).size()
+                         .rename("r_size").reset_index()),
+        pa.schema([("rk", rt_s), ("r_size", pa.int64())]))
+
+    cand = _sanitize_join_output(
+        lt.join(rt, join_type="inner", num_partitions=num_partitions,
+                on=("token",)),
+        pa.schema([("token", pa.string()), ("lk", lt_s), ("rk", rt_s)]))
+    inter = _sanitize_join_output(
+        coarse_aggregate(cand.select_columns(["lk", "rk"]),
+                         ["lk", "rk"],
+                         lambda d: d.groupby(["lk", "rk"], sort=False)
+                         .size().rename("n_shared").reset_index()),
+        pa.schema([("lk", lt_s), ("rk", rt_s),
+                   ("n_shared", pa.int64())]))
+
+    j = _sanitize_join_output(
+        inter.join(ls, join_type="inner",
+                   num_partitions=num_partitions, on=("lk",)),
+        pa.schema([("lk", lt_s), ("rk", rt_s), ("n_shared", pa.int64()),
+                   ("l_size", pa.int64())]))
+    j = _sanitize_join_output(
+        j.join(rs, join_type="inner",
+               num_partitions=num_partitions, on=("rk",)),
+        pa.schema([("lk", lt_s), ("rk", rt_s), ("n_shared", pa.int64()),
+                   ("l_size", pa.int64()), ("r_size", pa.int64())]))
+
+    def _thresh(batch: pa.Table) -> pa.Table:
+        n = batch["n_shared"].to_numpy(zero_copy_only=False)
+        a = batch["l_size"].to_numpy(zero_copy_only=False)
+        b = batch["r_size"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(
+            n * 1000 >= threshold_ppt * (a + b - n)))
+
+    return j.map_batches(_thresh, batch_format="pyarrow",
+                         batch_size=None)
+
+
+def _kv_schema(col: str, ds: Dataset) -> pa.DataType:
+    """Arrow type of ``col`` in ``ds`` (for typed empty fallbacks)."""
+    f = ds.schema()
+    return f.base_schema.field(col).type if hasattr(f, "base_schema") \
+        else pa.schema(list(zip(f.names, f.types))).field(col).type

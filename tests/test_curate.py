@@ -806,3 +806,61 @@ def test_chunk_documents_windows_and_edges(ray_session):
 
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_rep_ngram_stats_planted(ray_session):
+    from omop2obo_ray.pipelines.curate import rep_ngram_stats
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "a b c a b c a b c"},  # "a b c" x3 etc.
+        {"doc_id": 2, "text": "all tokens are unique here ok"},
+        {"doc_id": 3, "text": "too short"},           # < 3 tokens → drop
+    ])
+    out = (rep_ngram_stats(docs, n=3).to_pandas()
+           .set_index("doc_id"))
+    # doc1 grams: abc bca cab abc bca cab abc → 7 grams, abc×3 bca×2 cab×2
+    assert out.loc[1, "total_ngrams"] == 7
+    assert out.loc[1, "dup_ngrams"] == 7
+    assert out.loc[1, "top_ngram_count"] == 3
+    assert out.loc[2, "dup_ngrams"] == 0
+    assert out.loc[2, "total_ngrams"] == 4
+    assert 3 not in out.index
+
+
+def test_similarity_join_planted(ray_session):
+    from omop2obo_ray.pipelines.curate import similarity_join
+
+    left = rd.from_items([
+        {"id": 1, "name": "red green blue"},
+        {"id": 2, "name": "cyan magenta yellow"},
+        {"id": 3, "name": "the the the common"},     # dup tokens collapse
+    ])
+    right = rd.from_items([
+        {"id": 10, "name": "red green navy"},        # 2/4 with 1 → 0.5
+        {"id": 11, "name": "magenta yellow cyan"},   # identical set to 2
+        {"id": 12, "name": "unrelated words only"},
+    ])
+    got = (similarity_join(left, right, key_l="id", text_l="name",
+                           key_r="id", text_r="name", threshold_ppt=500)
+           .to_pandas().sort_values(["lk", "rk"]))
+    pairs = set(zip(got["lk"], got["rk"]))
+    assert pairs == {(1, 10), (2, 11)}
+    row = got.set_index(["lk", "rk"]).loc[(2, 11)]
+    assert row["n_shared"] == 3 and row["l_size"] == 3 and row["r_size"] == 3
+
+
+def test_similarity_join_max_df_skew_guard(ray_session):
+    from omop2obo_ray.pipelines.curate import similarity_join
+
+    # 'common' appears everywhere; with max_df=2 it is excluded from
+    # the metric, so the only surviving pair shares rare tokens
+    left = rd.from_items([
+        {"id": i, "name": f"common rare{i}"} for i in range(1, 5)])
+    right = rd.from_items([
+        {"id": 10, "name": "common rare1"},
+        {"id": 11, "name": "common other"},
+    ])
+    got = similarity_join(left, right, key_l="id", text_l="name",
+                          key_r="id", text_r="name",
+                          threshold_ppt=900, max_df=2).to_pandas()
+    assert set(zip(got["lk"], got["rk"])) == {(1, 10)}
