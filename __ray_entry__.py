@@ -783,6 +783,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             left, right, key_l="p_partkey", text_l="p_name",
             key_r="p_partkey", text_r="p_name", threshold_ppt=500)
 
+    def q_bigram_pmi(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import bigram_pmi
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return bigram_pmi(docs, min_count=5)
+
     def q_semantic_dedup(sf):
         # SemDeDup (k-means cells → within-cell cosine components →
         # keep min-key representative). Rows-only: iterative k-means +
@@ -898,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,  # RAG sliding-window chunking (SQL-checked)
         "rep_ngrams": q_rep_ngrams,  # Gopher duplicated-ngram mass (SQL-checked)
         "similarity_join": q_similarity_join,  # token-Jaccard entity resolution (SQL-checked)
+        "bigram_pmi": q_bigram_pmi,  # PMI collocations (SQL-checked)
         "bm25": q_bm25,  # Okapi BM25 query scoring (SQL-checked)
         "winnow": q_winnow,  # MOSS winnowing fingerprints (SQL-checked)
         "mixture_sample": q_mixture_sample,  # data-mixing quota sampler (SQL-checked)
@@ -1471,6 +1481,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM ph, generate_series(0, 2) AS g(i)) "
             "SELECT pp.tok AS token, bool_and(rp.p IS NOT NULL) AS member "
             "FROM pp LEFT JOIN rp ON rp.p = pp.p GROUP BY pp.tok"
+        ),
+        # zipped-unnest positions → pos+1 self-join pairs; formula
+        # literals shared verbatim with bigram_pmi
+        "bigram_pmi": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok, "
+            "unnest(range(len(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')))) AS pos FROM documents), "
+            "uni AS (SELECT tok, count(*)::DOUBLE AS n FROM toks GROUP BY 1), "
+            "pairs AS (SELECT a.tok AS ta, b.tok AS tb "
+            "FROM toks a JOIN toks b "
+            "ON b.doc_id = a.doc_id AND b.pos = a.pos + 1), "
+            "bi AS (SELECT ta, tb, count(*)::DOUBLE AS n "
+            "FROM pairs GROUP BY 1, 2), "
+            "nn AS (SELECT sum(n) AS n_total FROM uni), "
+            "mm AS (SELECT sum(n) AS m_total FROM bi) "
+            "SELECT bi.ta AS tok_a, bi.tb AS tok_b, "
+            "CAST(bi.n AS BIGINT) AS n_ab, "
+            "CAST(floor(ln((bi.n / m_total) / "
+            "((ua.n / n_total) * (ub.n / n_total))) * 1e4 + 1e-6) "
+            "AS BIGINT) AS pmi_q "
+            "FROM bi JOIN uni ua ON ua.tok = bi.ta "
+            "JOIN uni ub ON ub.tok = bi.tb "
+            "CROSS JOIN nn CROSS JOIN mm WHERE bi.n >= 5"
         ),
         "rep_ngrams": (
             "WITH toks AS (SELECT doc_id, "

@@ -2119,29 +2119,33 @@ def similarity_join(left: Dataset, right: Dataset, *,
         lambda b: pa.table({"token": b["token"], "rk": b[key_r]}),
         batch_format="pyarrow", batch_size=None)
 
-    if max_df is not None:
-        df = coarse_aggregate(
-            lt.select_columns(["token"]).union(
-                rt.select_columns(["token"])), ["token"],
-            lambda d: d.groupby("token", sort=False).size()
-            .rename("df").reset_index()).to_pandas()
-        keep = set(df.loc[df["df"] <= max_df, "token"])
-        keep_ref = ray.put(keep)
-
-        def _rare(batch: pa.Table) -> pa.Table:
-            ks = ray.get(keep_ref)
-            mask = pa.array([t in ks for t in
-                             batch["token"].to_pylist()])
-            return batch.filter(mask)
-
-        lt = lt.map_batches(_rare, batch_format="pyarrow",
-                            batch_size=None)
-        rt = rt.map_batches(_rare, batch_format="pyarrow",
-                            batch_size=None)
-
     lt_s = _kv_schema("lk", lt)
     rt_s = _kv_schema("rk", rt)
     from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    if max_df is not None:
+        # cluster-side semi-join against the rare-token set — the
+        # rare vocabulary is most of the vocabulary, so a driver
+        # keep-set broadcast would be O(vocab); a token-keyed hash
+        # join never concentrates it anywhere
+        rare = _sanitize_join_output(
+            coarse_aggregate(
+                lt.select_columns(["token"]).union(
+                    rt.select_columns(["token"])), ["token"],
+                lambda d: d.groupby("token", sort=False).size()
+                .rename("df").reset_index()).map_batches(
+                lambda b: b.filter(pc.less_equal(
+                    b["df"], max_df)).select(["token"]),
+                batch_format="pyarrow", batch_size=None),
+            pa.schema([("token", pa.string())]))
+        lt = _sanitize_join_output(
+            lt.join(rare, join_type="inner",
+                    num_partitions=num_partitions, on=("token",)),
+            pa.schema([("token", pa.string()), ("lk", lt_s)]))
+        rt = _sanitize_join_output(
+            rt.join(rare, join_type="inner",
+                    num_partitions=num_partitions, on=("token",)),
+            pa.schema([("token", pa.string()), ("rk", rt_s)]))
     ls = _sanitize_join_output(
         coarse_aggregate(lt.select_columns(["lk"]), ["lk"],
                          lambda d: d.groupby("lk", sort=False).size()
@@ -2192,3 +2196,87 @@ def _kv_schema(col: str, ds: Dataset) -> pa.DataType:
     f = ds.schema()
     return f.base_schema.field(col).type if hasattr(f, "base_schema") \
         else pa.schema(list(zip(f.names, f.types))).field(col).type
+
+
+# ---------------------------------------------------------------------------
+# Word-bigram PMI collocations (pointwise mutual information over
+# adjacent token pairs — phrase mining / tokenizer-merge statistics)
+# ---------------------------------------------------------------------------
+
+def bigram_pmi(docs: Dataset, *, min_count: int = 5,
+               text_col: str = "text") -> Dataset:
+    """Corpus collocations → (tok_a, tok_b, n_ab, pmi_q) for adjacent
+    word pairs with ``n_ab ≥ min_count``.
+
+    pmi = ln((n_ab / M) / ((n_a / N) · (n_b / N))) with N = total
+    tokens, M = total adjacent pairs — the formula is shared verbatim
+    with the SQL oracle; pmi_q is the epsilon-floor quantization.
+    One distributed counting pass emits per-block (kind, a, b, n)
+    partials for unigrams and bigrams together; the coarse-merged
+    count table is vocab-bounded (same driver-budget class as
+    nb_train's model). Pair formation never crosses a document."""
+    import re as _re
+
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+
+    tok_re = _re.compile(NB_TOKEN_RE)
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        uni: dict = {}
+        bi: dict = {}
+        for txt in df[text_col]:
+            toks = tok_re.findall((txt or "").lower())
+            for t in toks:
+                uni[t] = uni.get(t, 0) + 1
+            for a, b in zip(toks, toks[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        return pd.DataFrame({
+            "kind": [0] * len(uni) + [1] * len(bi),
+            "a": [t for t in uni] + [p[0] for p in bi],
+            "b": [""] * len(uni) + [p[1] for p in bi],
+            "n": list(uni.values()) + list(bi.values())})
+
+    merged = coarse_aggregate(
+        docs.select_columns([text_col]).map_batches(
+            _partials, batch_format="pandas", batch_size=None),
+        ["kind", "a", "b"],
+        lambda df: df.groupby(["kind", "a", "b"], sort=False)
+        .agg(n=("n", "sum")).reset_index())
+
+    # push the support filter INTO the cluster: the coarse merge is
+    # complete per key, so dropping rare bigrams here is exact — the
+    # driver only ever sees unigrams (vocab-bounded) plus SURVIVING
+    # collocations, never the raw bigram-vocab tail. The (N, M)
+    # normalizers are per-block partial sums for the same reason.
+    def _keep(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[(df["kind"] == 0) | (df["n"] >= min_count)]
+        tot = pd.DataFrame({
+            "kind": [2, 3], "a": ["", ""], "b": ["", ""],
+            "n": [int(df.loc[df["kind"] == 0, "n"].sum()),
+                  int(df.loc[df["kind"] == 1, "n"].sum())]})
+        return pd.concat([out.astype({"kind": np.int64}),
+                          tot.astype({"kind": np.int64})],
+                         ignore_index=True)
+
+    counts = merged.map_batches(_keep, batch_format="pandas",
+                                batch_size=None).to_pandas()
+    uni = counts[counts["kind"] == 0].set_index("a")["n"]
+    bi = counts[counts["kind"] == 1]
+    n_total = float(counts.loc[counts["kind"] == 2, "n"].sum())
+    m_total = float(counts.loc[counts["kind"] == 3, "n"].sum())
+    if len(bi) == 0:
+        return ray.data.from_arrow(pa.table({
+            "tok_a": pa.array([], pa.string()),
+            "tok_b": pa.array([], pa.string()),
+            "n_ab": pa.array([], pa.int64()),
+            "pmi_q": pa.array([], pa.int64())}))
+    n_ab = bi["n"].to_numpy(dtype=np.float64)
+    n_a = uni.loc[bi["a"]].to_numpy(dtype=np.float64)
+    n_b = uni.loc[bi["b"]].to_numpy(dtype=np.float64)
+    pmi = np.log((n_ab / m_total) / ((n_a / n_total) * (n_b / n_total)))
+    return ray.data.from_arrow(pa.table({
+        "tok_a": pa.array(bi["a"].to_numpy(dtype=object), pa.string()),
+        "tok_b": pa.array(bi["b"].to_numpy(dtype=object), pa.string()),
+        "n_ab": pa.array(bi["n"].to_numpy(dtype=np.int64)),
+        "pmi_q": pa.array(np.floor(pmi * 1e4 + 1e-6).astype(np.int64)),
+    }))

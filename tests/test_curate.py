@@ -864,3 +864,27 @@ def test_similarity_join_max_df_skew_guard(ray_session):
                           key_r="id", text_r="name",
                           threshold_ppt=900, max_df=2).to_pandas()
     assert set(zip(got["lk"], got["rk"])) == {(1, 10)}
+
+
+def test_bigram_pmi_matches_handcount(ray_session):
+    from omop2obo_ray.pipelines.curate import bigram_pmi
+
+    # "x y" appears 6x; unigrams: x=6, y=6, z=4; pairs M=10+... build
+    # a corpus where one collocation dominates
+    docs = rd.from_items([
+        {"doc_id": i, "text": "x y z"} for i in range(4)] + [
+        {"doc_id": 10 + i, "text": "x y"} for i in range(2)])
+    got = bigram_pmi(docs, min_count=2).to_pandas() \
+        .set_index(["tok_a", "tok_b"])
+    import math
+    n_tok = 4 * 3 + 2 * 2            # 16 tokens
+    m_pairs = 4 * 2 + 2 * 1          # 10 adjacent pairs
+    assert got.loc[("x", "y"), "n_ab"] == 6
+    pmi_xy = math.log((6 / m_pairs) / ((6 / n_tok) * (6 / n_tok)))
+    assert got.loc[("x", "y"), "pmi_q"] == int(
+        np.floor(pmi_xy * 1e4 + 1e-6))
+    assert got.loc[("y", "z"), "n_ab"] == 4
+    # pairs never cross documents: ("z","x") only if docs concatenated
+    assert ("z", "x") not in got.index
+    # min_count gate
+    assert len(bigram_pmi(docs, min_count=7).to_pandas()) == 0
