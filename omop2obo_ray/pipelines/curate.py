@@ -1496,16 +1496,19 @@ class LMScorer:
         pk = keys[valid]
 
         lp = np.full(len(pk), m.global_default)
-        pos = np.searchsorted(m.bigram_keys, pk)
-        pos_c = np.clip(pos, 0, len(m.bigram_keys) - 1)
-        hit = (len(m.bigram_keys) > 0) & (m.bigram_keys[pos_c] == pk)
-        lp[hit] = m.log_prob[pos_c[hit]]
+        if len(m.bigram_keys) > 0:
+            pos = np.searchsorted(m.bigram_keys, pk)
+            pos_c = np.clip(pos, 0, len(m.bigram_keys) - 1)
+            hit = m.bigram_keys[pos_c] == pk
+            lp[hit] = m.log_prob[pos_c[hit]]
+        else:
+            hit = np.zeros(len(pk), dtype=bool)
         miss = ~hit
-        if miss.any():
+        if miss.any() and len(m.c1_codes) > 0:
             c1 = pk[miss] >> 21
             cpos = np.searchsorted(m.c1_codes, c1)
-            cpos_c = np.clip(cpos, 0, max(len(m.c1_codes) - 1, 0))
-            chit = (len(m.c1_codes) > 0) & (m.c1_codes[cpos_c] == c1)
+            cpos_c = np.clip(cpos, 0, len(m.c1_codes) - 1)
+            chit = m.c1_codes[cpos_c] == c1
             sub = np.full(miss.sum(), m.global_default)
             sub[chit] = m.c1_default[cpos_c[chit]]
             lp[miss] = sub
@@ -2161,6 +2164,14 @@ def similarity_join(left: Dataset, right: Dataset, *,
         lt.join(rt, join_type="inner", num_partitions=num_partitions,
                 on=("token",)),
         pa.schema([("token", pa.string()), ("lk", lt_s), ("rk", rt_s)]))
+    empty = pa.schema([("lk", lt_s), ("rk", rt_s),
+                       ("n_shared", pa.int64()),
+                       ("l_size", pa.int64()),
+                       ("r_size", pa.int64())]).empty_table()
+    if cand.count() == 0:
+        # no shared tokens at all — and Ray 2.49 cannot hash-join an
+        # empty left side (see NOTES: empty-left-join sharp edge)
+        return ray.data.from_arrow(empty)
     inter = _sanitize_join_output(
         coarse_aggregate(cand.select_columns(["lk", "rk"]),
                          ["lk", "rk"],

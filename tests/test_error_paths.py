@@ -4,6 +4,7 @@ malformed variants; mirrors the reference's ``*_empty`` /
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -95,3 +96,37 @@ def test_normalize_handles_degenerate_codes():
 
     assert normalize_source_code(":", {}) == ":"  # nothing to split on
     assert normalize_source_code("abc", {}) == ":abc"  # no separator at all
+
+
+def test_similarity_join_no_shared_tokens(ray_session):
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import similarity_join
+
+    left = rd.from_items([{"id": 1, "name": "alpha beta"}])
+    right = rd.from_items([{"id": 2, "name": "gamma delta"}])
+    got = similarity_join(left, right, key_l="id", text_l="name",
+                          key_r="id", text_r="name")
+    assert got.count() == 0
+    # (to_pandas drops columns for zero-row datasets; the Dataset
+    # schema itself stays typed)
+    assert got.schema().names == ["lk", "rk", "n_shared",
+                                  "l_size", "r_size"]
+
+
+def test_lm_scorer_empty_model(ray_session):
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import (lm_perplexity,
+                                               lm_train_bigrams)
+
+    # train on a corpus with no bigrams at all (every doc < 2 chars)
+    tr = rd.from_items([{"doc_id": 0, "text": "a"},
+                        {"doc_id": 1, "text": ""}])
+    model = lm_train_bigrams(tr)
+    assert len(model.bigram_keys) == 0
+    sc = rd.from_items([{"doc_id": 5, "text": "hello"}])
+    out = lm_perplexity(sc, model).to_pandas()
+    # every pair falls to the global default ln(1/V), V = 1 ('a')
+    assert out["n_bigrams"].tolist() == [4]
+    assert out["nll_q"].iloc[0] == 0   # global default ln(1/V), V=1 → 0
