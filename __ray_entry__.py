@@ -792,6 +792,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "text"])
         return bigram_pmi(docs, min_count=5)
 
+    def q_hits(sf):
+        # integer-exact HITS (unnormalized path counts — no quantizer
+        # needed) over the same synthetic 97-node digraph as
+        # triangle_count
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import hits
+
+        part = rd.read_parquet(f"{sf}/part.parquet",
+                               columns=["p_partkey"])
+
+        def _edges(b: pa.Table) -> pa.Table:
+            k = b["p_partkey"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "src": pa.array(["n" + str(v % 97) for v in k]),
+                "dst": pa.array(["n" + str((v * 3 + 1) % 97) for v in k])})
+
+        return hits(part.map_batches(_edges, batch_format="pyarrow",
+                                     batch_size=None), iterations=2)
+
     def q_semantic_dedup(sf):
         # SemDeDup (k-means cells → within-cell cosine components →
         # keep min-key representative). Rows-only: iterative k-means +
@@ -908,6 +929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rep_ngrams": q_rep_ngrams,  # Gopher duplicated-ngram mass (SQL-checked)
         "similarity_join": q_similarity_join,  # token-Jaccard entity resolution (SQL-checked)
         "bigram_pmi": q_bigram_pmi,  # PMI collocations (SQL-checked)
+        "hits": q_hits,  # integer-exact hubs/authorities (SQL-checked)
         "bm25": q_bm25,  # Okapi BM25 query scoring (SQL-checked)
         "winnow": q_winnow,  # MOSS winnowing fingerprints (SQL-checked)
         "mixture_sample": q_mixture_sample,  # data-mixing quota sampler (SQL-checked)
@@ -1562,6 +1584,26 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
             "FROM s) SELECT doc_id, score, weight, cum FROM c "
             "WHERE cum <= 100000"
+        ),
+        # unnormalized 2-iteration HITS: a1=indeg, h1=Σa1, a2=Σh1,
+        # h2=Σa2 — exact int64 path counts, no quantizer
+        "hits": (
+            "WITH raw AS (SELECT 'n' || (p_partkey % 97) AS src, "
+            "'n' || ((p_partkey * 3 + 1) % 97) AS dst FROM part), "
+            "e AS (SELECT DISTINCT src, dst FROM raw), "
+            "nodes AS (SELECT src AS node FROM e "
+            "UNION SELECT dst FROM e), "
+            "a1 AS (SELECT dst, count(*) AS a FROM e GROUP BY 1), "
+            "h1 AS (SELECT e.src, sum(a1.a) AS h FROM e "
+            "JOIN a1 ON a1.dst = e.dst GROUP BY 1), "
+            "a2 AS (SELECT e.dst, sum(h1.h) AS a FROM e "
+            "JOIN h1 ON h1.src = e.src GROUP BY 1), "
+            "h2 AS (SELECT e.src, sum(a2.a) AS h FROM e "
+            "JOIN a2 ON a2.dst = e.dst GROUP BY 1) "
+            "SELECT n.node, CAST(coalesce(h2.h, 0) AS BIGINT) AS hub, "
+            "CAST(coalesce(a2.a, 0) AS BIGINT) AS auth FROM nodes n "
+            "LEFT JOIN h2 ON h2.src = n.node "
+            "LEFT JOIN a2 ON a2.dst = n.node"
         ),
         # canonical a<b edges; triangle = (a,b),(a,c),(b,c) with b<c —
         # each counted once by the ordered 3-way self-join

@@ -556,3 +556,93 @@ def triangle_count(edges: Dataset, src: str = "src",
     n = closed.count()
     return ray.data.from_arrow(pa.table({
         "n_triangles": pa.array([n], pa.int64())}))
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities (Kleinberg'99) — fixed-iteration UNNORMALIZED
+# recurrence, so every score is an exact int64 path count and the SQL
+# gate needs no quantization at all: a₁(v)=indeg(v);
+# hₖ(u)=Σ_{u→v} aₖ(v); aₖ₊₁(v)=Σ_{u→v} hₖ(u); h₀≡1.
+# ---------------------------------------------------------------------------
+
+def hits(edges: Dataset, iterations: int = 2,
+         num_partitions: int = 8) -> Dataset:
+    """(node, hub, auth) after ``iterations`` mutual-reinforcement
+    rounds over the DISTINCT directed edge set. Same exchange shape
+    as pagerank: per round ONE hash join (scores onto edges) + ONE
+    coarse per-endpoint sum; nodes with zero score appear with 0 via
+    the final left-outer joins. Unnormalized counts overflow int64
+    only past ~10¹⁸ paths — document the cap, normalize downstream."""
+    e = _sanitize_join_output(
+        coarse_aggregate(edges.select_columns(["src", "dst"]),
+                         ["src", "dst"],
+                         lambda df: df.drop_duplicates()),
+        pa.schema([("src", pa.string()), ("dst", pa.string())])
+    ).materialize()
+    nt = _pa_schema_of(e).field("src").type
+
+    def _sum_per(ds: Dataset, key: str, val: str, out: str) -> Dataset:
+        return _sanitize_join_output(
+            coarse_aggregate(
+                ds, [key],
+                lambda df: df.groupby(key, sort=False)[val].sum()
+                .rename(out).reset_index()),
+            pa.schema([(key, nt), (out, pa.int64())]))
+
+    # a₁ = indeg (h₀ ≡ 1): a slim count, no join needed
+    auth = _sum_per(e.map_batches(
+        lambda b: pa.table({"dst": b["dst"],
+                            "v": pa.array(np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow", batch_size=None), "dst", "v", "auth")
+
+    hub = None
+    for it in range(iterations):
+        # hₖ(u) = Σ_{(u,v)} aₖ(v)
+        ea = _sanitize_join_output(
+            e.join(auth, join_type="inner",
+                   num_partitions=num_partitions, on=("dst",)),
+            pa.schema([("src", nt), ("dst", nt), ("auth", pa.int64())]))
+        hub = _sum_per(ea.map_batches(
+            lambda b: pa.table({"src": b["src"], "v": b["auth"]}),
+            batch_format="pyarrow", batch_size=None), "src", "v", "hub")
+        if it == iterations - 1:
+            break
+        # aₖ₊₁(v) = Σ_{(u,v)} hₖ(u)
+        eh = _sanitize_join_output(
+            e.join(hub, join_type="inner",
+                   num_partitions=num_partitions, on=("src",)),
+            pa.schema([("src", nt), ("dst", nt), ("hub", pa.int64())]))
+        auth = _sum_per(eh.map_batches(
+            lambda b: pa.table({"dst": b["dst"], "v": b["hub"]}),
+            batch_format="pyarrow", batch_size=None), "dst", "v", "auth")
+
+    nodes = _sanitize_join_output(
+        _distinct_nodes(e), pa.schema([("node", nt)]))
+    out = _sanitize_join_output(
+        nodes.join(hub.map_batches(
+            lambda b: pa.table({"hn": b["src"], "hub": b["hub"]}),
+            batch_format="pyarrow", batch_size=None),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=("node",), right_on=("hn",)),
+        pa.schema([("node", nt), ("hub", pa.int64())]))
+    out = _sanitize_join_output(
+        out.join(auth.map_batches(
+            lambda b: pa.table({"an": b["dst"], "auth": b["auth"]}),
+            batch_format="pyarrow", batch_size=None),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=("node",), right_on=("an",)),
+        pa.schema([("node", nt), ("hub", pa.int64()),
+                   ("auth", pa.int64())]))
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        h = batch["hub"].to_numpy(zero_copy_only=False)
+        a = batch["auth"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": batch["node"],
+            "hub": pa.array(np.nan_to_num(
+                h.astype(np.float64), nan=0.0).astype(np.int64)),
+            "auth": pa.array(np.nan_to_num(
+                a.astype(np.float64), nan=0.0).astype(np.int64))})
+
+    return out.map_batches(_fill, batch_format="pyarrow",
+                           batch_size=None)

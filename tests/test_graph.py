@@ -229,3 +229,34 @@ def test_triangle_count_matches_bruteforce_random(ray_session):
         rd.from_items([{"src": s, "dst": d} for s, d in edges])
         .repartition(8)).to_pandas()["n_triangles"].iloc[0]
     assert got == _brute_triangles(edges)
+
+
+def test_hits_matches_numpy_reference(ray_session):
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.graph import hits
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("d", "c"), ("a", "b")]          # dup edge dedups
+    got = (hits(rd.from_items([{"src": s, "dst": d} for s, d in edges]),
+                iterations=2).to_pandas().set_index("node"))
+
+    es = sorted(set(edges))
+    nodes = sorted({n for e in es for n in e})
+    # engine after 2 iterations: a1=indeg (h0≡1); h1 from a1; a2 from
+    # h1; hub=h2 from a2, auth=a2
+    a1 = {n: 0 for n in nodes}
+    for _s, d in es:
+        a1[d] += 1
+    h1 = {n: 0 for n in nodes}
+    for s, d in es:
+        h1[s] += a1[d]
+    a2 = {n: 0 for n in nodes}
+    for s, d in es:
+        a2[d] += h1[s]
+    h2 = {n: 0 for n in nodes}
+    for s, d in es:
+        h2[s] += a2[d]
+    for n in nodes:
+        assert got.loc[n, "hub"] == h2[n], n
+        assert got.loc[n, "auth"] == a2[n], n
