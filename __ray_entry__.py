@@ -701,25 +701,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return bloom_probe(probes, "token", bloom)
 
     def q_triangle_count(sf):
-        # degree-oriented distributed triangle counting over a
-        # deterministic synthetic graph (the part table has no natural
-        # triangles — orders/lineitem graphs are bipartite)
-        import pyarrow as pa
-        import ray.data as rd
-
+        # degree-oriented distributed triangle counting over the shared
+        # deterministic triangle-bearing graph (_synth_tri_edges)
         from omop2obo_ray.pipelines.graph import triangle_count
 
-        part = rd.read_parquet(f"{sf}/part.parquet",
-                               columns=["p_partkey"])
-
-        def _edges(b: pa.Table) -> pa.Table:
-            k = b["p_partkey"].to_numpy(zero_copy_only=False)
-            return pa.table({
-                "src": pa.array(["n" + str(v % 97) for v in k]),
-                "dst": pa.array(["n" + str((v * 3 + 1) % 97) for v in k])})
-
-        return triangle_count(part.map_batches(
-            _edges, batch_format="pyarrow", batch_size=None))
+        return triangle_count(_synth_tri_edges(sf))
 
     def q_train_test_split(sf):
         import ray.data as rd
@@ -844,6 +830,136 @@ def queries() -> dict[str, Callable[[str], Any]]:
             kg_over_documents(sf).select_columns(
                 ["subj", "pred", "obj", "ontology", "evidence"]))
 
+    def q_cooc_counts(sf):
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import cooc_counts
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return cooc_counts(docs, window=3, min_count=2)
+
+    def q_c4_clean(sf):
+        # C4 line/doc quality rules over synthesized multi-line pages
+        # (the fixture is single-line; the synth contract is shared with
+        # the oracle, anchor_graph-style, so the REAL RE2 kernels are
+        # what the gate round-trips)
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import c4_clean, synth_paragraph_docs
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "source"])
+        return c4_clean(synth_paragraph_docs(docs))
+
+    def q_embedding_covariance(sf):
+        # epsilon-floor quantized gate (float sums reassociate between
+        # numpy partials and DuckDB; full precision stays on the op)
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import embedding_covariance
+
+        emb = rd.read_parquet(f"{sf}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        cov = embedding_covariance(emb)
+
+        def _q(batch: pa.Table) -> pa.Table:
+            c = batch["cov"].combine_chunks().to_numpy(zero_copy_only=False)
+            q = np.floor(c * 1e6 + 1e-9).astype(np.int64)
+            return pa.table({"i": batch["i"], "j": batch["j"],
+                             "cov_q": pa.array(q, pa.int64())})
+
+        return cov.map_batches(_q, batch_format="pyarrow", batch_size=None)
+
+    def q_pca_projection(sf):
+        # rows-only: the eigendecomposition isn't SQL-expressible;
+        # pytest carries the exact numpy-identity check
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import pca_project
+
+        emb = rd.read_parquet(f"{sf}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        return pca_project(emb, 4)
+
+    def _synth_tri_edges(sf):
+        # deterministic triangle-bearing graph shared by triangle_count
+        # / clustering_coefficient / kcore (orders/lineitem graphs are
+        # bipartite — no triangles; the old v→3v+1 mod-97 permutation
+        # graph is a union of cycles — ALSO triangle-free, so gates on
+        # it passed trivially at 0). Two rules per part row k:
+        # dense core n(k%23)—n(k%29) (by CRT every cross pair appears,
+        # so the core is K29 minus the {n23..n28} clique — rich in
+        # triangles, min degree 23) + fringe cycle c(k%509)—c(k%509+1)
+        # (all degree ≤ 2: zero triangles, peeled by any k≥3 core).
+        import pyarrow as pa
+        import ray.data as rd
+
+        part = rd.read_parquet(f"{sf}/part.parquet",
+                               columns=["p_partkey"])
+
+        def _edges(b: pa.Table) -> pa.Table:
+            k = b["p_partkey"].to_numpy(zero_copy_only=False)
+            src = (["n" + str(v % 23) for v in k]
+                   + ["c" + str(v % 509) for v in k])
+            dst = (["n" + str(v % 29) for v in k]
+                   + ["c" + str((v % 509) + 1) for v in k])
+            return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+        return part.map_batches(_edges, batch_format="pyarrow",
+                                batch_size=None)
+
+    def q_clustering_coefficient(sf):
+        # coeff = 2·tri/(d·(d−1)) is the SAME double expression on both
+        # sides, so the epsilon-floor quantizer is deterministic even on
+        # boundary rationals like 0.5
+        import numpy as np
+        import pyarrow as pa
+
+        from omop2obo_ray.pipelines.graph import clustering_coefficient
+
+        cc = clustering_coefficient(_synth_tri_edges(sf))
+
+        def _q(batch: pa.Table) -> pa.Table:
+            c = batch["coeff"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            q = np.floor(c * 1e6 + 1e-9).astype(np.int64)
+            return pa.table({"node": batch["node"], "d": batch["d"],
+                             "tri": batch["tri"],
+                             "coeff_q": pa.array(q, pa.int64())})
+
+        return cc.map_batches(_q, batch_format="pyarrow", batch_size=None)
+
+    def q_bfs_hops(sf):
+        # frontier BFS over the order↔part bipartite graph from seed
+        # parts (p_partkey % 97 == 0 — a bounded, SQL-shareable seed
+        # rule); oracle = recursive CTE with UNION dedup
+        from omop2obo_ray.pipelines.graph import bfs_hops
+
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        part = rd.read_parquet(f"{sf}/part.parquet", columns=["p_partkey"])
+
+        def _seed(b: pa.Table) -> pa.Table:
+            k = b["p_partkey"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(k % 97 == 0))
+
+        seed_rows = part.map_batches(
+            _seed, batch_format="pyarrow", batch_size=None).take_all()
+        seeds = ["p" + str(r["p_partkey"]) for r in seed_rows]
+        return bfs_hops(_lineitem_edges(sf), seeds, max_hops=3)
+
+    def q_kcore(sf):
+        # rows-only: iterative peeling has no SQL equivalent; pytest
+        # carries the exact python-oracle identity check
+        from omop2obo_ray.pipelines.graph import kcore
+
+        return kcore(_synth_tri_edges(sf), 3)
+
     return {
         # SURVEY §2 operator families (SQL-checked)
         "normalize_codes": R.q_normalize_codes,          # M1
@@ -937,6 +1053,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,  # count-min sketch top-k (est ≥ truth; pytest carries the bound check)
         "connected_components": q_connected_components,  # min-label propagation
         "connected_components_alt": q_connected_components_alt,  # large-star/small-star
+        "cooc_counts": q_cooc_counts,  # windowed skip-gram co-occurrence (SQL-checked)
+        "c4_clean": q_c4_clean,  # C4 line/doc quality cleaning (SQL-checked)
+        "embedding_covariance": q_embedding_covariance,  # moment-sketch covariance (SQL-checked)
+        "pca_projection": q_pca_projection,  # PCA projection (rows-only: eigh)
+        "clustering_coefficient": q_clustering_coefficient,  # per-node triangles (SQL-checked)
+        "bfs_hops": q_bfs_hops,  # frontier BFS distance (SQL-checked vs recursive CTE)
+        "kcore": q_kcore,  # k-core peeling (rows-only: iterative)
     }
 
 
@@ -1608,8 +1731,10 @@ def oracle_sql() -> dict[str, str]:
         # canonical a<b edges; triangle = (a,b),(a,c),(b,c) with b<c —
         # each counted once by the ordered 3-way self-join
         "triangle_count": (
-            "WITH raw AS (SELECT 'n' || (p_partkey % 97) AS x, "
-            "'n' || ((p_partkey * 3 + 1) % 97) AS y FROM part), "
+            "WITH raw AS (SELECT 'n' || (p_partkey % 23) AS x, "
+            "'n' || (p_partkey % 29) AS y FROM part "
+            "UNION ALL SELECT 'c' || (p_partkey % 509), "
+            "'c' || ((p_partkey % 509) + 1) FROM part), "
             "e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b "
             "FROM raw WHERE x <> y) "
             "SELECT count(*) AS n_triangles FROM e e1 "
@@ -1741,5 +1866,74 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, i AS dim, "
             "CAST(floor(sum(e::DOUBLE) / count(*) * 10000 "
             "+ 0.000001) AS BIGINT) AS avg_q FROM x GROUP BY label, i"
+        ),
+        # windowed skip-gram pairs: zipped token/position unnest +
+        # positional self-join bounded by the window (shared token rule)
+        "cooc_counts": __import__(
+            "omop2obo_ray.pipelines.curate",
+            fromlist=["cooc_counts_sql"]).cooc_counts_sql(
+            window=3, min_count=2),
+        # C4 line/doc rules over the synthesized-paragraph contract
+        # (rebuilds the lines by pure arithmetic, then the same RE2
+        # rules — the gate round-trips the real kernels)
+        "c4_clean": __import__(
+            "omop2obo_ray.pipelines.curate",
+            fromlist=["c4_clean_sql"]).c4_clean_sql(),
+        # moment-formula covariance (Σxy/n − mean·mean) with the shared
+        # epsilon-floor quantizer (only float reassociation differs)
+        "embedding_covariance": (
+            "WITH e AS (SELECT vec_id, "
+            "unnest(range(0, len(embedding))) AS dim, "
+            "unnest(embedding)::DOUBLE AS x FROM embeddings), "
+            "n AS (SELECT count(*)::DOUBLE AS n FROM embeddings) "
+            "SELECT e1.dim AS i, e2.dim AS j, "
+            "CAST(floor((sum(e1.x * e2.x) / any_value(n.n) "
+            "- (sum(e1.x) / any_value(n.n)) "
+            "* (sum(e2.x) / any_value(n.n))) * 1000000 + 0.000000001) "
+            "AS BIGINT) AS cov_q "
+            "FROM e e1 JOIN e e2 "
+            "ON e1.vec_id = e2.vec_id AND e1.dim <= e2.dim "
+            "CROSS JOIN n GROUP BY 1, 2"
+        ),
+        # per-node triangles via the ordered self-join over the
+        # symmetric closure; coeff = the SAME double expression
+        # 2.0·t/(d·(d−1)) then the shared epsilon-floor
+        "clustering_coefficient": (
+            "WITH raw AS (SELECT 'n' || (p_partkey % 23) AS x, "
+            "'n' || (p_partkey % 29) AS y FROM part "
+            "UNION ALL SELECT 'c' || (p_partkey % 509), "
+            "'c' || ((p_partkey % 509) + 1) FROM part), "
+            "und AS (SELECT DISTINCT least(x, y) AS a, "
+            "greatest(x, y) AS b FROM raw WHERE x <> y), "
+            "sym AS (SELECT a AS u, b AS v FROM und "
+            "UNION ALL SELECT b, a FROM und), "
+            "deg AS (SELECT u AS node, count(*)::BIGINT AS d "
+            "FROM sym GROUP BY 1), "
+            "tri AS (SELECT s1.u AS node, count(*)::BIGINT AS t "
+            "FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v "
+            "JOIN und e ON e.a = s1.v AND e.b = s2.v GROUP BY 1) "
+            "SELECT deg.node, deg.d, "
+            "coalesce(tri.t, 0)::BIGINT AS tri, "
+            "CAST(CASE WHEN deg.d >= 2 THEN floor(2.0 * coalesce(tri.t, 0) "
+            "/ (deg.d * (deg.d - 1)) * 1000000 + 0.000000001) "
+            "ELSE 0 END AS BIGINT) AS coeff_q "
+            "FROM deg LEFT JOIN tri ON tri.node = deg.node"
+        ),
+        # frontier BFS = recursive CTE with UNION dedup over (node, d)
+        # pairs (d capped, so the walk terminates on cyclic graphs);
+        # min(d) per node is the hop distance
+        "bfs_hops": (
+            "WITH RECURSIVE eraw AS (SELECT 'o' || l_orderkey AS src, "
+            "'p' || l_partkey AS dst FROM lineitem), "
+            "sym AS (SELECT src, dst FROM eraw "
+            "UNION SELECT dst, src FROM eraw), "
+            "seeds AS (SELECT DISTINCT 'p' || p_partkey AS node "
+            "FROM part WHERE p_partkey % 97 = 0), "
+            "walk(node, d) AS ("
+            "SELECT node, 0 FROM seeds "
+            "UNION "
+            "SELECT sym.dst, walk.d + 1 FROM walk "
+            "JOIN sym ON sym.src = walk.node WHERE walk.d < 3) "
+            "SELECT node, min(d)::BIGINT AS hops FROM walk GROUP BY node"
         ),
     }

@@ -2291,3 +2291,229 @@ def bigram_pmi(docs: Dataset, *, min_count: int = 5,
         "n_ab": pa.array(bi["n"].to_numpy(dtype=np.int64)),
         "pmi_q": pa.array(np.floor(pmi * 1e4 + 1e-6).astype(np.int64)),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Windowed co-occurrence counts (word2vec / GloVe training prep)
+# ---------------------------------------------------------------------------
+
+def cooc_counts(docs: Dataset, *, window: int = 3, min_count: int = 2,
+                key_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    """Ordered windowed skip-gram co-occurrence counts → (w1, w2, n):
+    one row per ordered pair (wᵢ, wᵢ₊ₔ), 1 ≤ d ≤ ``window``, within a
+    document; pairs never cross document boundaries; pairs with global
+    count < ``min_count`` dropped. The (PPMI-weighted) co-occurrence
+    matrix is the input of count-based embedding training.
+
+    One streaming pass tokenizes (shared ``NB_TOKEN_RE`` rule) and
+    extracts pairs by pure array SHIFTS over the block-flattened token
+    stream (a document-id array masks cross-doc pairs — no per-token
+    Python loop), emitting block-partial pair counts; one coarse
+    aggregate sums them globally. Driver state: none.
+    """
+    import re as _re
+
+    tok_re = _re.compile(NB_TOKEN_RE)
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        did: list[int] = []
+        for i, txt in enumerate(df[text_col]):
+            t = tok_re.findall((txt or "").lower())
+            toks.extend(t)
+            did.extend([i] * len(t))
+        if len(toks) < 2:
+            return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                                 "w2": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        tok = np.asarray(toks, dtype=object)
+        d = np.asarray(did, dtype=np.int64)
+        w1p, w2p = [], []
+        for off in range(1, window + 1):
+            if len(tok) <= off:
+                break
+            m = d[:-off] == d[off:]
+            w1p.append(tok[:-off][m])
+            w2p.append(tok[off:][m])
+        if not w1p:
+            return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                                 "w2": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        part = (pd.DataFrame({"w1": np.concatenate(w1p),
+                              "w2": np.concatenate(w2p)})
+                .groupby(["w1", "w2"], sort=False).size()
+                .rename("n").reset_index())
+        part["n"] = part["n"].astype(np.int64)
+        return part
+
+    partial = docs.select_columns([key_col, text_col]).map_batches(
+        _pairs, batch_format="pandas", batch_size=None)
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["w1", "w2"], sort=False)["n"].sum()
+               .reset_index())
+        out = out[out["n"] >= min_count]
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+    return coarse_aggregate(partial, ["w1", "w2"], _sum)
+
+
+def cooc_counts_sql(*, table: str = "documents", window: int = 3,
+                    min_count: int = 2) -> str:
+    """DuckDB oracle for :func:`cooc_counts` — zipped token/position
+    unnest, positional self-join bounded by the window."""
+    return f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text),
+                          '{NB_TOKEN_RE}')) AS w,
+                   unnest(range(1, len(regexp_extract_all(lower(text),
+                          '{NB_TOKEN_RE}')) + 1)) AS pos
+            FROM {table}
+        )
+        SELECT t1.w AS w1, t2.w AS w2, count(*)::BIGINT AS n
+        FROM tok t1
+        JOIN tok t2 ON t1.doc_id = t2.doc_id
+                   AND t2.pos - t1.pos BETWEEN 1 AND {window}
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_count}
+    """
+
+
+# ---------------------------------------------------------------------------
+# C4-style document cleaning (Raffel'20 §2.2): line-level quality rules
+# + document-level drop rules. The fixture documents are single-line,
+# so the test/bench contract synthesizes deterministic multi-line pages
+# (synth_paragraph_docs) the SQL oracle can rebuild by pure arithmetic —
+# the gate round-trips the REAL RE2 kernels, anchor_graph-style.
+# ---------------------------------------------------------------------------
+
+C4_TERMINAL_RE = r"[.!?]$"          # line must end in terminal punctuation
+C4_WORD_RE = r"[A-Za-z0-9]+"        # word counter (shared with the oracle)
+C4_BANNED_LINE = "javascript"       # policy-boilerplate line marker
+C4_BANNED_DOC = ("lorem ipsum", "{")  # placeholder text / leftover code
+
+
+def synth_paragraph_docs(docs: Dataset, key_col: str = "doc_id",
+                         source_col: str = "source") -> Dataset:
+    """Deterministic multi-line page per document (test/bench support —
+    the sandbox fixture has no paragraph structure; production pages
+    do). Shared contract with the SQL oracle: 3 + doc_id % 4 body lines
+    where line i is (i % 5 == 2 → too-short line) / (i % 7 == 3 →
+    'javascript' boilerplate) / ((doc_id + i) % 3 == 0 → no terminal
+    punctuation) / (else → a clean kept line); docs with doc_id % 11 ==
+    0 gain a 'lorem ipsum' line, doc_id % 13 == 0 a '{' code line."""
+    def _synth(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for did, src in zip(df[key_col], df[source_col]):
+            nl = 3 + did % 4
+            lines = []
+            for i in range(nl):
+                base = f"{src} page {did} line {i}"
+                if i % 5 == 2:
+                    lines.append("ok no.")
+                elif i % 7 == 3:
+                    lines.append(base + " enable javascript now.")
+                elif (did + i) % 3 == 0:
+                    lines.append(base + " without terminal mark")
+                else:
+                    lines.append(base + " has plenty of good words.")
+            if did % 11 == 0:
+                lines.append("lorem ipsum dolor sit amet.")
+            if did % 13 == 0:
+                lines.append("function() { return 1; }")
+            outs.append("\n".join(lines))
+        return pd.DataFrame({key_col: df[key_col], "text": outs})
+
+    return docs.select_columns([key_col, source_col]).map_batches(
+        _synth, batch_format="pandas", batch_size=None)
+
+
+def c4_clean(docs: Dataset, *, min_words: int = 3, min_lines: int = 2,
+             key_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    """C4 cleaning pass → (key, text) of surviving docs with surviving
+    lines re-joined by newline. Line kept iff it ends in terminal
+    punctuation, has ≥ ``min_words`` word tokens and doesn't mention
+    'javascript'; doc kept iff ≥ ``min_lines`` lines survive and the
+    ORIGINAL text contains neither 'lorem ipsum' nor '{'. Entirely
+    shuffle-free (each doc is one row; explode/filter/re-join happen
+    inside one ``map_batches``); the regex rules are module constants
+    shared verbatim with the SQL oracle.
+    """
+    def _clean(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key_col: df[key_col], "text": []})
+        low = df[text_col].str.lower()
+        doc_ok = ~(low.str.contains(C4_BANNED_DOC[0], regex=False)
+                   | df[text_col].str.contains(C4_BANNED_DOC[1],
+                                               regex=False))
+        ex = (df[[key_col]].assign(line=df[text_col].str.split("\n"))
+              .explode("line"))
+        ln = ex["line"].fillna("")
+        keep = (ln.str.contains(C4_TERMINAL_RE, regex=True)
+                & (ln.str.count(C4_WORD_RE) >= min_words)
+                & ~ln.str.lower().str.contains(C4_BANNED_LINE,
+                                               regex=False))
+        kept = ex[keep.to_numpy()]
+        if not len(kept):
+            return pd.DataFrame({key_col: df[key_col].iloc[:0],
+                                 "text": pd.Series([], dtype=object)})
+        agg = (kept.groupby(key_col, sort=False)["line"]
+               .agg(["size", lambda s: "\n".join(s)])
+               .rename(columns={"size": "nl", "<lambda_0>": "text"})
+               .reset_index())
+        ok_keys = set(df.loc[doc_ok, key_col])
+        agg = agg[(agg["nl"] >= min_lines)
+                  & agg[key_col].isin(ok_keys)]
+        return agg[[key_col, "text"]]
+
+    return docs.select_columns([key_col, text_col]).map_batches(
+        _clean, batch_format="pandas", batch_size=None)
+
+
+def c4_clean_sql(*, table: str = "documents", min_words: int = 3,
+                 min_lines: int = 2) -> str:
+    """DuckDB oracle for :func:`c4_clean` over
+    :func:`synth_paragraph_docs` pages — rebuilds the synthesized lines
+    by the shared arithmetic contract, then applies the same line and
+    doc rules (same RE2 regexes)."""
+    return f"""
+        WITH base AS (
+            SELECT doc_id, source, 3 + doc_id % 4 AS nl,
+                   doc_id % 11 = 0 AS lorem, doc_id % 13 = 0 AS brace
+            FROM {table}
+        ),
+        body AS (
+            SELECT doc_id, lorem, brace,
+                   unnest(range(0, nl)) AS i,
+                   source || ' page ' || doc_id::VARCHAR || ' line ' AS pre
+            FROM base
+        ),
+        lines AS (
+            SELECT doc_id, lorem, brace, i,
+                   CASE WHEN i % 5 = 2 THEN 'ok no.'
+                        WHEN i % 7 = 3 THEN pre || i::VARCHAR
+                             || ' enable javascript now.'
+                        WHEN (doc_id + i) % 3 = 0 THEN pre || i::VARCHAR
+                             || ' without terminal mark'
+                        ELSE pre || i::VARCHAR
+                             || ' has plenty of good words.'
+                   END AS line
+            FROM body
+        ),
+        kept AS (
+            SELECT doc_id, lorem, brace, i, line FROM lines
+            WHERE regexp_matches(line, '{C4_TERMINAL_RE}')
+              AND len(regexp_extract_all(line, '{C4_WORD_RE}'))
+                  >= {min_words}
+              AND NOT contains(lower(line), '{C4_BANNED_LINE}')
+        )
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY i) AS text
+        FROM kept
+        WHERE NOT lorem AND NOT brace
+        GROUP BY doc_id
+        HAVING count(*) >= {min_lines}
+    """

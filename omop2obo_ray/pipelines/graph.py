@@ -458,21 +458,12 @@ def synth_anchor_pages(docs: Dataset) -> Dataset:
 # neighbor pairs — the skew story that makes this viable on web graphs
 # ---------------------------------------------------------------------------
 
-def triangle_count(edges: Dataset, src: str = "src",
-                   dst: str = "dst",
-                   num_partitions: int = 8) -> Dataset:
-    """Exact global triangle count of the UNDIRECTED simple graph
-    underlying ``edges`` → one row (n_triangles).
-
-    Stages: canonicalize+dedup edges (coarse aggregate) → degree per
-    node (coarse aggregate) → orient each edge low-degree→high-degree
-    (two hash joins attach endpoint degrees; ties break on node id) →
-    per-src wedge generation (coarse per-key; out-degree after
-    orientation is O(√m)-bounded, so the d² pair fan-out is too) →
-    hash-join wedges against the canonical edge set → count. Every
-    exchange keys on node id or the (a, b) edge pair; nothing touches
-    the driver but the final scalar."""
-    und = _sanitize_join_output(
+def _canonical_undirected(edges: Dataset, src: str = "src",
+                          dst: str = "dst") -> Dataset:
+    """Canonical deduped undirected simple edge set → (a, b) with
+    a < b, self-loops dropped (coarse aggregate — edge cardinality is
+    unbounded)."""
+    return _sanitize_join_output(
         coarse_aggregate(
             edges.map_batches(
                 lambda b: pa.table({
@@ -485,17 +476,30 @@ def triangle_count(edges: Dataset, src: str = "src",
             lambda df: df.drop_duplicates()),
         pa.schema([("a", pa.string()), ("b", pa.string())]))
 
+
+def _undirected_degrees(und: Dataset) -> Dataset:
+    """(node, d) degrees over a canonical undirected edge set."""
     incid = und.map_batches(
         lambda b: pa.table({"node": pa.concat_arrays([
             b["a"].combine_chunks().cast(pa.string()),
             b["b"].combine_chunks().cast(pa.string())])}),
         batch_format="pyarrow", batch_size=None)
-    deg = _sanitize_join_output(
+    return _sanitize_join_output(
         coarse_aggregate(incid, ["node"],
                          lambda df: df.groupby("node", sort=False)
                          .size().rename("d").reset_index()),
         pa.schema([("node", pa.string()), ("d", pa.int64())]))
 
+
+def _closed_wedges(und: Dataset, deg: Dataset,
+                   num_partitions: int = 8) -> Dataset | None:
+    """Closed wedges of the canonical undirected graph → (ws, a, b):
+    every triangle appears EXACTLY ONCE, centered (ws) at its lowest
+    (degree, id) vertex with (a, b) the closing edge. ``None`` when the
+    graph has no wedges at all (Ray 2.49 cannot hash-join an empty left
+    side). Degree orientation bounds the per-center pair fan-out by the
+    SMALLER endpoint degree (Suri–Vassilvitskii) — the hub-skew
+    guarantee."""
     j1 = _sanitize_join_output(
         und.join(deg, join_type="inner", num_partitions=num_partitions,
                  on=("a",), right_on=("node",)),
@@ -529,21 +533,18 @@ def triangle_count(edges: Dataset, src: str = "src",
     def _wedges(g: pd.DataFrame) -> pd.DataFrame:
         nb = np.sort(g["wd"].to_numpy(dtype=object))
         if len(nb) < 2:
-            return pd.DataFrame({"a": [], "b": []})
+            return pd.DataFrame({"ws": [], "a": [], "b": []})
         i, j = np.triu_indices(len(nb), 1)
-        return pd.DataFrame({"a": nb[i], "b": nb[j]})
+        return pd.DataFrame({"ws": g["ws"].iloc[0], "a": nb[i], "b": nb[j]})
 
     wedges = _sanitize_join_output(
         coarse_apply_per_key(oriented, ["ws"], _wedges),
-        pa.schema([("a", pa.string()), ("b", pa.string())]))
+        pa.schema([("ws", pa.string()), ("a", pa.string()),
+                   ("b", pa.string())]))
     if wedges.count() == 0:
-        # wedge-free graph (path/star/empty) — and Ray 2.49 cannot
-        # hash-join an empty left side (repartitioned empties come
-        # back schema-less)
-        return ray.data.from_arrow(pa.table({
-            "n_triangles": pa.array([0], pa.int64())}))
+        return None
 
-    closed = _sanitize_join_output(
+    return _sanitize_join_output(
         wedges.join(und.map_batches(
             lambda t: pa.table({"a": t["a"], "b": t["b"],
                                 "one": pa.array(
@@ -551,11 +552,92 @@ def triangle_count(edges: Dataset, src: str = "src",
             batch_format="pyarrow", batch_size=None),
             join_type="inner", num_partitions=num_partitions,
             on=("a", "b")),
-        pa.schema([("a", pa.string()), ("b", pa.string()),
-                   ("one", pa.int64())]))
-    n = closed.count()
+        pa.schema([("ws", pa.string()), ("a", pa.string()),
+                   ("b", pa.string()), ("one", pa.int64())]))
+
+
+def triangle_count(edges: Dataset, src: str = "src",
+                   dst: str = "dst",
+                   num_partitions: int = 8) -> Dataset:
+    """Exact global triangle count of the UNDIRECTED simple graph
+    underlying ``edges`` → one row (n_triangles).
+
+    Stages: canonicalize+dedup edges (coarse aggregate) → degree per
+    node (coarse aggregate) → orient each edge low-degree→high-degree
+    (two hash joins attach endpoint degrees; ties break on node id) →
+    per-src wedge generation (coarse per-key; out-degree after
+    orientation is O(√m)-bounded, so the d² pair fan-out is too) →
+    hash-join wedges against the canonical edge set → count. Every
+    exchange keys on node id or the (a, b) edge pair; nothing touches
+    the driver but the final scalar."""
+    und = _canonical_undirected(edges, src, dst)
+    closed = _closed_wedges(und, _undirected_degrees(und),
+                            num_partitions=num_partitions)
+    n = 0 if closed is None else closed.count()
     return ray.data.from_arrow(pa.table({
         "n_triangles": pa.array([n], pa.int64())}))
+
+
+def clustering_coefficient(edges: Dataset, src: str = "src",
+                           dst: str = "dst",
+                           num_partitions: int = 8) -> Dataset:
+    """Local clustering coefficient per node → (node, d, tri, coeff):
+    tri = triangles through the node, coeff = 2·tri / (d·(d−1))
+    (0 when d < 2). Reuses the degree-oriented closed-wedge stream —
+    each closed wedge (ws, a, b) is one distinct triangle touching
+    exactly {ws, a, b}, so per-node triangle counts are ONE coarse sum
+    over the exploded endpoints; nodes in no triangle arrive via a
+    left-outer join from the degree table. No driver state."""
+    und = _canonical_undirected(edges, src, dst)
+    deg = _undirected_degrees(und)
+    closed = _closed_wedges(und, deg, num_partitions=num_partitions)
+
+    if closed is None or closed.count() == 0:
+        # triangle-free graph: the typed-empty closed set cannot feed a
+        # join (zero-row blocks are schema-less after the exchange and
+        # map_batches bypasses them — the rename never lands)
+        def _zero(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": batch["node"], "d": batch["d"],
+                "tri": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "coeff": pa.array(np.zeros(batch.num_rows, np.float64))})
+        return deg.map_batches(_zero, batch_format="pyarrow",
+                               batch_size=None)
+
+    touched = closed.map_batches(
+        lambda b: pa.table({"node": pa.concat_arrays([
+            b["ws"].combine_chunks().cast(pa.string()),
+            b["a"].combine_chunks().cast(pa.string()),
+            b["b"].combine_chunks().cast(pa.string())])}),
+        batch_format="pyarrow", batch_size=None)
+    tri = _sanitize_join_output(
+        coarse_aggregate(touched, ["node"],
+                         lambda df: df.groupby("node", sort=False)
+                         .size().rename("tri").reset_index()),
+        pa.schema([("node", pa.string()), ("tri", pa.int64())]))
+
+    out = _sanitize_join_output(
+        deg.join(tri.map_batches(
+            lambda b: pa.table({"tn": b["node"], "tri": b["tri"]}),
+            batch_format="pyarrow", batch_size=None),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=("node",), right_on=("tn",)),
+        pa.schema([("node", pa.string()), ("d", pa.int64()),
+                   ("tri", pa.int64())]))
+
+    def _coeff(batch: pa.Table) -> pa.Table:
+        d = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = np.nan_to_num(batch["tri"].to_numpy(zero_copy_only=False)
+                          .astype(np.float64), nan=0.0).astype(np.int64)
+        denom = d * (d - 1)
+        coeff = np.where(denom > 0, 2.0 * t / np.maximum(denom, 1), 0.0)
+        return pa.table({"node": batch["node"],
+                         "d": pa.array(d, pa.int64()),
+                         "tri": pa.array(t, pa.int64()),
+                         "coeff": pa.array(coeff, pa.float64())})
+
+    return out.map_batches(_coeff, batch_format="pyarrow",
+                           batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -646,3 +728,142 @@ def hits(edges: Dataset, iterations: int = 2,
 
     return out.map_batches(_fill, batch_format="pyarrow",
                            batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distance + k-core decomposition
+# ---------------------------------------------------------------------------
+
+def bfs_hops(edges: Dataset, seeds: list[str], *, max_hops: int = 8,
+             directed: bool = False, num_partitions: int = 8) -> Dataset:
+    """Minimum hop distance from any seed → (node, hops), hops ≤
+    ``max_hops``; unreached nodes are not emitted.
+
+    Frontier-parallel BFS: per round ONE hash join (edges × frontier on
+    the source endpoint) + ONE coarse distinct + ONE left-outer
+    anti-join against the visited set — the frontier and visited tables
+    are Datasets end-to-end, the driver holds only the seed list
+    (bounded: crawl entry points / trusted hosts) and per-round row
+    counts. Rounds = eccentricity of the seed set, capped by
+    ``max_hops`` — BFS depth on web graphs is small (the point of the
+    cap); for full-graph reachability without a depth bound use
+    ``connected_components`` instead. Partitioning contract: both the
+    join and the distinct key on node id, so a deployment co-partitions
+    edges by hash(src) once and reuses it every round.
+    """
+    if not seeds:
+        raise ValueError("bfs_hops: seeds must be non-empty")
+    e = edges.select_columns(["src", "dst"])
+    if not directed:
+        e = e.union(e.map_batches(
+            lambda b: pa.table({"src": b["dst"], "dst": b["src"]}),
+            batch_format="pyarrow", batch_size=None))
+    e = _sanitize_join_output(
+        coarse_aggregate(e, ["src", "dst"],
+                         lambda df: df.drop_duplicates()),
+        pa.schema([("src", pa.string()), ("dst", pa.string())])
+    ).materialize()
+
+    seed_tbl = pa.table({
+        "node": pa.array(sorted(set(seeds)), pa.string()),
+        "hops": pa.array([0] * len(set(seeds)), pa.int64())})
+    dist = ray.data.from_arrow(seed_tbl).materialize()
+    frontier = dist
+
+    for k in range(1, max_hops + 1):
+        if frontier.count() == 0:
+            break
+        # neighbors of the frontier (distinct)
+        nb = _sanitize_join_output(
+            e.join(frontier.map_batches(
+                lambda b: pa.table({"fn": b["node"]}),
+                batch_format="pyarrow", batch_size=None),
+                join_type="inner", num_partitions=num_partitions,
+                on=("src",), right_on=("fn",)),
+            pa.schema([("src", pa.string()), ("dst", pa.string())]))
+        nb = _sanitize_join_output(
+            coarse_aggregate(
+                nb.map_batches(lambda b: pa.table({"node": b["dst"]}),
+                               batch_format="pyarrow", batch_size=None),
+                ["node"], lambda df: df.drop_duplicates()),
+            pa.schema([("node", pa.string())]))
+        if nb.count() == 0:
+            break
+        # unvisited only: left-outer against dist, keep null hops
+        probe = _sanitize_join_output(
+            nb.join(dist.map_batches(
+                lambda b: pa.table({"vn": b["node"], "seen": b["hops"]}),
+                batch_format="pyarrow", batch_size=None),
+                join_type="left_outer", num_partitions=num_partitions,
+                on=("node",), right_on=("vn",)),
+            pa.schema([("node", pa.string()), ("seen", pa.int64())]))
+        new = probe.map_batches(
+            lambda b, _k=k: pa.table({
+                "node": b.filter(pc.is_null(b["seen"]))["node"],
+                "hops": pa.array(
+                    np.full(b.filter(pc.is_null(b["seen"])).num_rows,
+                            _k, np.int64))}),
+            batch_format="pyarrow", batch_size=None)
+        new = _sanitize_join_output(
+            new, pa.schema([("node", pa.string()), ("hops", pa.int64())]))
+        if new.count() == 0:
+            break
+        dist = dist.union(new).materialize()
+        frontier = new
+    return dist
+
+
+def kcore(edges: Dataset, k: int, *, max_iters: int = 64,
+          num_partitions: int = 8) -> Dataset:
+    """Nodes of the k-core (maximal subgraph where every node has
+    degree ≥ k in the subgraph) → (node, d) with d = the node's degree
+    WITHIN the core. Iterative peeling: per round one coarse degree
+    count + two hash joins that drop edges touching sub-k nodes; the
+    edge set only shrinks, so rounds are bounded by the peeling depth
+    (≪ n in practice; ``max_iters`` is the backstop). Driver state:
+    per-round scalar counts only. Used to isolate the dense link-farm /
+    boilerplate cores of a crawl graph before ranking.
+    """
+    if k < 1:
+        raise ValueError("kcore: k must be >= 1")
+    und = _canonical_undirected(edges).materialize()
+
+    for _ in range(max_iters):
+        if und.count() == 0:
+            break
+        deg = _undirected_degrees(und)
+        bad = _sanitize_join_output(
+            deg.map_batches(
+                lambda b, _k=k: b.filter(pc.less(b["d"], _k)),
+                batch_format="pyarrow", batch_size=None),
+            pa.schema([("node", pa.string()), ("d", pa.int64())]))
+        if bad.count() == 0:
+            break
+        bad = bad.map_batches(
+            lambda b: pa.table({"bn": b["node"],
+                                "flag": pa.array(np.ones(b.num_rows,
+                                                         np.int64))}),
+            batch_format="pyarrow", batch_size=None)
+        # drop edges with a bad endpoint (two anti-joins)
+        for side in ("a", "b"):
+            und = _sanitize_join_output(
+                und.join(bad, join_type="left_outer",
+                         num_partitions=num_partitions,
+                         on=(side,), right_on=("bn",)),
+                pa.schema([("a", pa.string()), ("b", pa.string()),
+                           ("flag", pa.int64())]))
+            und = _sanitize_join_output(
+                und.map_batches(
+                    lambda t: t.filter(pc.is_null(t["flag"]))
+                    .select(["a", "b"]),
+                    batch_format="pyarrow", batch_size=None),
+                pa.schema([("a", pa.string()), ("b", pa.string())]))
+            if und.count() == 0:
+                break
+        und = und.materialize()
+
+    if und.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "d": pa.array([], pa.int64())}))
+    return _undirected_degrees(und)

@@ -1995,3 +1995,140 @@ def tfidf_corpus_scores(docs: Dataset, key_col: str = "doc_id",
                              "score": w / z if z else w})
 
     return coarse_apply_per_key(joined, [key_col], _norm)
+
+
+# ---------------------------------------------------------------------------
+# Distributed covariance + PCA over the embedding column — whitening /
+# dimensionality reduction before ANN or clustering. The covariance is
+# an exactly-mergeable moment sketch (n, Σx, Σxxᵀ): per-block partials
+# reduce to d² floats REGARDLESS of row count, so the driver never sees
+# data-proportional state (same shape as kmeans_fit's sum-blob rows).
+# ---------------------------------------------------------------------------
+
+def _moment_partials(emb: Dataset, vec_col: str) -> tuple[int, np.ndarray,
+                                                          np.ndarray]:
+    """(n, Σx (d,), Σxxᵀ (d,d)) over the whole dataset: one streaming
+    pass emitting ONE partial row per block (moments as binary blobs —
+    list columns don't survive exchanges), reduced on the driver from
+    O(blocks) rows."""
+    def _part(batch: pa.Table) -> pa.Table:
+        m = _vec_matrix(batch, vec_col)
+        if m.size == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.large_binary()),
+                             "sxx": pa.array([], pa.large_binary()),
+                             "d": pa.array([], pa.int64())})
+        sx = m.sum(axis=0)
+        sxx = m.T @ m
+        return pa.table({
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "sx": pa.array([sx.tobytes()], pa.large_binary()),
+            "sxx": pa.array([sxx.tobytes()], pa.large_binary()),
+            "d": pa.array([m.shape[1]], pa.int64())})
+
+    parts = emb.map_batches(_part, batch_format="pyarrow",
+                            batch_size=None).take_all()
+    if not parts:
+        raise ValueError("embedding covariance: empty input")
+    d = int(parts[0]["d"])
+    n = 0
+    sx = np.zeros(d)
+    sxx = np.zeros((d, d))
+    for p in parts:
+        n += int(p["n"])
+        sx += np.frombuffer(p["sx"], dtype=np.float64)
+        sxx += np.frombuffer(p["sxx"], dtype=np.float64).reshape(d, d)
+    return n, sx, sxx
+
+
+def embedding_covariance(emb: Dataset, vec_col: str = "embedding") -> Dataset:
+    """Population covariance of the embedding column → long (i, j, cov)
+    for i ≤ j (upper triangle): cov = Σxᵢxⱼ/n − (Σxᵢ/n)(Σxⱼ/n) — the
+    formula is the shared contract with the SQL oracle (which computes
+    the same three sums). Result size d(d+1)/2, independent of rows."""
+    n, sx, sxx = _moment_partials(emb, vec_col)
+    d = len(sx)
+    mean = sx / n
+    cov = sxx / n - np.outer(mean, mean)
+    iu, ju = np.triu_indices(d)
+    return ray.data.from_arrow(pa.table({
+        "i": pa.array(iu.astype(np.int64)),
+        "j": pa.array(ju.astype(np.int64)),
+        "cov": pa.array(cov[iu, ju], pa.float64())}))
+
+
+def embedding_covariance_sql(*, table: str = "embeddings",
+                             vec_col: str = "embedding") -> str:
+    """DuckDB oracle for :func:`embedding_covariance` — zipped unnest to
+    (vec_id, dim, x), positional self-join, the same moment formula."""
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   unnest(range(0, len({vec_col}))) AS dim,
+                   unnest({vec_col})::DOUBLE AS x
+            FROM {table}
+        ),
+        n AS (SELECT count(*)::DOUBLE AS n FROM {table})
+        SELECT e1.dim AS i, e2.dim AS j,
+               sum(e1.x * e2.x) / any_value(n.n)
+               - (sum(e1.x) / any_value(n.n))
+                 * (sum(e2.x) / any_value(n.n)) AS cov
+        FROM e e1 JOIN e e2
+          ON e1.vec_id = e2.vec_id AND e1.dim <= e2.dim
+        CROSS JOIN n
+        GROUP BY 1, 2
+    """
+
+
+def pca_components(emb: Dataset, k: int, vec_col: str = "embedding",
+                   moments: tuple[int, np.ndarray, np.ndarray] | None = None,
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Top-``k`` principal components → ((k, d) matrix, (d,) mean) from
+    the distributed covariance — eigh on the driver's d×d matrix (d is
+    the embedding width, never the corpus). Deterministic sign: each
+    component's largest-|.| coordinate is made positive."""
+    n, sx, sxx = moments or _moment_partials(emb, vec_col)
+    mean = sx / n
+    cov = sxx / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    comp = vecs[:, np.argsort(vals)[::-1][:k]].T  # (k, d)
+    flip = np.sign(comp[np.arange(len(comp)),
+                        np.abs(comp).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    return comp * flip[:, None], mean
+
+
+def pca_project(emb: Dataset, k: int, *, vec_col: str = "embedding",
+                key_col: str = "vec_id") -> Dataset:
+    """Project embeddings onto the top-``k`` principal components →
+    long (key, component, value). Two passes over the data total: the
+    moment pass, then a broadcast of the (k, d) component matrix + the
+    mean into a streaming matmul map — the classic small-side-broadcast
+    shape, no shuffle. Long output so downstream joins never carry
+    list columns."""
+    comp, mean = pca_components(emb, k, vec_col)
+    comp_ref = ray.put((comp, mean))
+
+    class _Proj:
+        def __init__(self):
+            self.comp, self.mean = ray.get(comp_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _vec_matrix(batch, vec_col)
+            ids = batch[key_col].combine_chunks()
+            if m.size == 0:
+                return pa.table({key_col: ids.slice(0, 0),
+                                 "component": pa.array([], pa.int64()),
+                                 "value": pa.array([], pa.float64())})
+            proj = (m - self.mean) @ self.comp.T  # (rows, k)
+            kk = proj.shape[1]
+            idx = np.repeat(np.arange(len(ids)), kk)
+            return pa.table({
+                key_col: ids.take(pa.array(idx)),
+                "component": pa.array(np.tile(np.arange(kk), len(ids)),
+                                      pa.int64()),
+                "value": pa.array(proj.reshape(-1), pa.float64())})
+
+    return emb.select_columns([key_col, vec_col]).map_batches(
+        _Proj, batch_format="pyarrow", batch_size=4096,
+        concurrency=_pool())

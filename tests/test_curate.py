@@ -888,3 +888,92 @@ def test_bigram_pmi_matches_handcount(ray_session):
     assert ("z", "x") not in got.index
     # min_count gate
     assert len(bigram_pmi(docs, min_count=7).to_pandas()) == 0
+
+
+def _brute_cooc(texts, window, min_count):
+    import re
+    from collections import Counter
+
+    c = Counter()
+    for t in texts:
+        toks = re.findall("[a-z0-9]+", t.lower())
+        for i, w1 in enumerate(toks):
+            for j in range(i + 1, min(i + window + 1, len(toks))):
+                c[(w1, toks[j])] += 1
+    return {k: v for k, v in c.items() if v >= min_count}
+
+
+def test_cooc_counts_matches_handcount(ray_session):
+    from omop2obo_ray.pipelines.curate import cooc_counts
+
+    texts = ["the cat sat on the mat",
+             "the cat ate the mat",
+             "a dog sat on a log",
+             "",
+             "one"]
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(texts)]).repartition(4)
+    got = (cooc_counts(ds, window=2, min_count=2).to_pandas()
+           .set_index(["w1", "w2"])["n"].to_dict())
+    assert got == _brute_cooc(texts, 2, 2)
+
+
+def test_cooc_counts_no_cross_doc_pairs(ray_session):
+    # identical token at each doc boundary: boundary-straddling pairs
+    # must not be counted even when docs share one flattened block
+    from omop2obo_ray.pipelines.curate import cooc_counts
+
+    ds = rd.from_items([{"doc_id": i, "text": "alpha beta"}
+                        for i in range(6)])
+    got = (cooc_counts(ds, window=3, min_count=1).to_pandas()
+           .set_index(["w1", "w2"])["n"].to_dict())
+    # within-doc only: (alpha, beta) ×6 — never (beta, alpha) across
+    assert got == {("alpha", "beta"): 6}
+
+
+def test_c4_clean_rules(ray_session):
+    from omop2obo_ray.pipelines.curate import c4_clean
+
+    docs = [
+        # doc 0: 3 good lines → kept verbatim
+        (0, "one two three four.\nfive six seven eight!\nnine ten ok?"),
+        # doc 1: short line + no-terminal + javascript dropped → only
+        # 1 surviving line < min_lines → doc dropped
+        (1, "hi there.\nno terminal here\nplease enable JavaScript."),
+        # doc 2: lorem ipsum anywhere kills the whole doc
+        (2, "one two three four.\nfive six seven eight.\nlorem ipsum dolor sit."),
+        # doc 3: brace kills the whole doc
+        (3, "one two three four.\nfive six seven eight.\nif (x) { return; }"),
+        # doc 4: good + bad lines → bad filtered, doc kept
+        (4, "alpha beta gamma delta.\ntiny.\nepsilon zeta eta theta."),
+    ]
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in docs])
+    got = (c4_clean(ds, min_words=3, min_lines=2).to_pandas()
+           .set_index("doc_id")["text"].to_dict())
+    assert set(got) == {0, 4}
+    assert got[0] == docs[0][1]
+    assert got[4] == "alpha beta gamma delta.\nepsilon zeta eta theta."
+
+
+def test_synth_paragraph_docs_contract(ray_session):
+    # the synthesized pages obey the arithmetic contract the SQL oracle
+    # rebuilds: line count, banned-line positions, lorem/brace tails
+    from omop2obo_ray.pipelines.curate import synth_paragraph_docs
+
+    ds = rd.from_items([{"doc_id": i, "source": f"s{i%3}"}
+                        for i in (0, 11, 13, 7)])
+    got = (synth_paragraph_docs(ds).to_pandas()
+           .set_index("doc_id")["text"].to_dict())
+    for did in (0, 11, 13, 7):
+        lines = got[did].split("\n")
+        nl = 3 + did % 4
+        extra = (1 if did % 11 == 0 else 0) + (1 if did % 13 == 0 else 0)
+        assert len(lines) == nl + extra, did
+        for i in range(nl):
+            if i % 5 == 2:
+                assert lines[i] == "ok no."
+            elif i % 7 == 3:
+                assert "javascript" in lines[i]
+            elif (did + i) % 3 == 0:
+                assert not lines[i].endswith(".")
+    assert "lorem ipsum" in got[0] and "{" in got[13]

@@ -260,3 +260,152 @@ def test_hits_matches_numpy_reference(ray_session):
     for n in nodes:
         assert got.loc[n, "hub"] == h2[n], n
         assert got.loc[n, "auth"] == a2[n], n
+
+
+# ---------------------------------------------------------------------------
+# clustering coefficient / BFS hops / k-core
+# ---------------------------------------------------------------------------
+
+def _simple_undirected(edges):
+    es = set()
+    for u, v in edges:
+        if u != v:
+            es.add((min(u, v), max(u, v)))
+    return es
+
+
+def _brute_clustering(edges):
+    es = _simple_undirected(edges)
+    adj: dict[str, set[str]] = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for n, nb in adj.items():
+        d = len(nb)
+        nbl = sorted(nb)
+        t = sum(1 for i, x in enumerate(nbl) for y in nbl[i + 1:]
+                if (min(x, y), max(x, y)) in es)
+        out[n] = (d, t, 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0)
+    return out
+
+
+def test_clustering_coefficient_matches_bruteforce(ray_session):
+    from omop2obo_ray.pipelines.graph import clustering_coefficient
+
+    rng = np.random.default_rng(11)
+    edges = [(f"v{rng.integers(0, 30)}", f"v{rng.integers(0, 30)}")
+             for _ in range(200)]
+    got = (clustering_coefficient(
+        rd.from_items([{"src": s, "dst": d} for s, d in edges])
+        .repartition(8)).to_pandas().set_index("node"))
+    want = _brute_clustering(edges)
+    assert set(got.index) == set(want)
+    for n, (d, t, c) in want.items():
+        assert got.loc[n, "d"] == d, n
+        assert got.loc[n, "tri"] == t, n
+        assert got.loc[n, "coeff"] == pytest.approx(c, abs=1e-12), n
+
+
+def test_clustering_coefficient_triangle_free(ray_session):
+    # path graph: wedges exist but close nothing → all-zero tri/coeff
+    # (regression: the empty closed-wedge set must not feed a join —
+    # zero-row blocks are schema-less after the exchange)
+    from omop2obo_ray.pipelines.graph import clustering_coefficient
+
+    edges = [(f"p{i}", f"p{i+1}") for i in range(6)]
+    got = (clustering_coefficient(
+        rd.from_items([{"src": s, "dst": d} for s, d in edges]))
+        .to_pandas().set_index("node"))
+    assert len(got) == 7
+    assert (got["tri"] == 0).all()
+    assert (got["coeff"] == 0.0).all()
+    assert got.loc["p0", "d"] == 1 and got.loc["p3", "d"] == 2
+
+
+def _brute_bfs(edges, seeds, max_hops, directed):
+    adj: dict[str, set[str]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        if not directed:
+            adj.setdefault(d, set()).add(s)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for k in range(1, max_hops + 1):
+        nxt = {d for f in frontier for d in adj.get(f, ())
+               if d not in dist}
+        for n in nxt:
+            dist[n] = k
+        frontier = nxt
+        if not frontier:
+            break
+    return dist
+
+
+def test_bfs_hops_matches_python_oracle(ray_session):
+    from omop2obo_ray.pipelines.graph import bfs_hops
+
+    rng = np.random.default_rng(3)
+    edges = [(f"v{rng.integers(0, 60)}", f"v{rng.integers(0, 60)}")
+             for _ in range(150)]
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in edges]
+                       ).repartition(6)
+    for directed in (False, True):
+        for max_hops in (1, 3):
+            got = (bfs_hops(ds, ["v0", "v7"], max_hops=max_hops,
+                            directed=directed).to_pandas()
+                   .set_index("node")["hops"].to_dict())
+            want = _brute_bfs(edges, ["v0", "v7"], max_hops, directed)
+            assert got == want, (directed, max_hops)
+
+
+def test_bfs_hops_seed_not_in_graph_and_empty_seeds(ray_session):
+    from omop2obo_ray.pipelines.graph import bfs_hops
+
+    ds = rd.from_items([{"src": "a", "dst": "b"}])
+    got = bfs_hops(ds, ["zzz"], max_hops=2).to_pandas()
+    assert got["node"].tolist() == ["zzz"] and got["hops"].tolist() == [0]
+    with pytest.raises(ValueError):
+        bfs_hops(ds, [], max_hops=2)
+
+
+def _brute_kcore(edges, k):
+    es = _simple_undirected(edges)
+    while True:
+        deg: dict[str, int] = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        bad = {n for n, d in deg.items() if d < k}
+        if not bad:
+            return deg
+        es = {(a, b) for a, b in es if a not in bad and b not in bad}
+
+
+def test_kcore_matches_python_oracle(ray_session):
+    from omop2obo_ray.pipelines.graph import kcore
+
+    rng = np.random.default_rng(17)
+    edges = [(f"v{rng.integers(0, 35)}", f"v{rng.integers(0, 35)}")
+             for _ in range(180)]
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in edges]
+                       ).repartition(6)
+    for k in (2, 3, 5):
+        got = (kcore(ds, k).to_pandas()
+               .set_index("node")["d"].to_dict())
+        assert got == _brute_kcore(edges, k), k
+
+
+def test_kcore_multi_round_peel_and_empty(ray_session):
+    from omop2obo_ray.pipelines.graph import kcore
+
+    # long path, k=2: endpoints peel one layer per round — exercises
+    # repeated peel rounds; the 2-core of a path is empty
+    path = [(f"p{i}", f"p{i+1}") for i in range(12)]
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in path])
+    assert len(kcore(ds, 2).to_pandas()) == 0
+    # a cycle IS its own 2-core
+    cyc = path + [("p12", "p0")]
+    got = kcore(rd.from_items(
+        [{"src": s, "dst": d} for s, d in cyc]), 2).to_pandas()
+    assert len(got) == 13 and (got["d"] == 2).all()

@@ -577,3 +577,61 @@ def test_semantic_dedup_no_dups_passthrough(ray_session):
     kept = semantic_dedup(rd.from_pandas(df), threshold=0.9999,
                           n_clusters=2, train_iterations=1).to_pandas()
     assert sorted(kept["vec_id"]) == list(range(6))
+
+
+# ---------------------------------------------------------------------------
+# distributed covariance + PCA
+# ---------------------------------------------------------------------------
+
+def _rand_emb(rng, n, d):
+    m = rng.normal(size=(n, d))
+    m[:, 0] = 3 * m[:, 1] + rng.normal(scale=0.1, size=n)  # correlated
+    return m
+
+
+def test_embedding_covariance_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.textpipe import embedding_covariance
+
+    rng = np.random.default_rng(23)
+    m = _rand_emb(rng, 257, 5)
+    ds = rd.from_items([{"vec_id": i, "embedding": list(row)}
+                        for i, row in enumerate(m)]).repartition(7)
+    got = embedding_covariance(ds).to_pandas()
+    want = np.cov(m, rowvar=False, bias=True)
+    assert len(got) == 5 * 6 // 2
+    for _, r in got.iterrows():
+        assert r["cov"] == pytest.approx(
+            want[int(r["i"]), int(r["j"])], rel=1e-9), (r["i"], r["j"])
+
+
+def test_pca_project_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.textpipe import pca_components, pca_project
+
+    rng = np.random.default_rng(29)
+    m = _rand_emb(rng, 180, 6)
+    ds = rd.from_items([{"vec_id": i, "embedding": list(row)}
+                        for i, row in enumerate(m)]).repartition(5)
+
+    comp, mean = pca_components(ds, 3)
+    # components: orthonormal, eigenvectors of the population covariance
+    assert comp.shape == (3, 6)
+    np.testing.assert_allclose(comp @ comp.T, np.eye(3), atol=1e-9)
+    cov = np.cov(m, rowvar=False, bias=True)
+    vals = np.sort(np.linalg.eigvalsh(cov))[::-1][:3]
+    for k in range(3):
+        np.testing.assert_allclose(cov @ comp[k], vals[k] * comp[k],
+                                   atol=1e-9)
+
+    got = pca_project(ds, 3).to_pandas()
+    assert len(got) == 180 * 3
+    want = (m - mean) @ comp.T
+    piv = got.pivot(index="vec_id", columns="component", values="value")
+    np.testing.assert_allclose(
+        piv.loc[np.arange(180), [0, 1, 2]].to_numpy(), want, atol=1e-9)
+    # deterministic across calls (sign convention fixed)
+    comp2, _ = pca_components(ds, 3)
+    np.testing.assert_allclose(comp, comp2)
