@@ -960,6 +960,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return kcore(_synth_tri_edges(sf), 3)
 
+    def q_neighbor_mean(sf):
+        # one GraphSAGE-mean propagation round over a deterministic
+        # synthetic link rule (src = vec_id, dst = (vec_id*7+3) % 499 —
+        # shared arithmetic contract with the oracle); mean floats
+        # quantized with the shared epsilon-floor
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import neighbor_mean_embeddings
+
+        emb = rd.read_parquet(f"{sf}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+
+        def _edges(b: pa.Table) -> pa.Table:
+            v = b["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table({"src": pa.array(v, pa.int64()),
+                             "dst": pa.array((v * 7 + 3) % 499, pa.int64())})
+
+        edges = emb.select_columns(["vec_id"]).map_batches(
+            _edges, batch_format="pyarrow", batch_size=None)
+        nm = neighbor_mean_embeddings(edges, emb)
+
+        def _q(batch: pa.Table) -> pa.Table:
+            a = batch["avg"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": batch["node"], "dim": batch["dim"],
+                "avg_q": pa.array(np.floor(a * 1e6 + 1e-9)
+                                  .astype(np.int64), pa.int64())})
+
+        return nm.map_batches(_q, batch_format="pyarrow", batch_size=None)
+
+    def q_char_entropy(sf):
+        # printable-ASCII Shannon entropy per doc; shared epsilon-floor
+        # quantizer (only group-sum reassociation differs)
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import char_entropy
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        ent = char_entropy(docs)
+
+        def _q(batch: pa.Table) -> pa.Table:
+            e = batch["entropy"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "doc_id": batch["doc_id"], "n_chars": batch["n_chars"],
+                "entropy_q": pa.array(np.floor(e * 1e6 + 1e-9)
+                                      .astype(np.int64), pa.int64())})
+
+        return ent.map_batches(_q, batch_format="pyarrow",
+                               batch_size=None)
+
+    def q_link_prediction(sf):
+        # common-neighbors / Adamic-Adar / Jaccard candidate scores
+        # over the shared triangle-bearing graph; floats quantized with
+        # the shared epsilon-floor (group-sum reassociation only)
+        import numpy as np
+        import pyarrow as pa
+
+        from omop2obo_ray.pipelines.graph import link_prediction
+
+        lp = link_prediction(_synth_tri_edges(sf))
+
+        def _q(batch: pa.Table) -> pa.Table:
+            aa = batch["aa"].combine_chunks().to_numpy(zero_copy_only=False)
+            jc = batch["jacc"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "a": batch["a"], "b": batch["b"], "cn": batch["cn"],
+                "aa_q": pa.array(np.floor(aa * 1e6 + 1e-9)
+                                 .astype(np.int64), pa.int64()),
+                "jacc_q": pa.array(np.floor(jc * 1e6 + 1e-9)
+                                   .astype(np.int64), pa.int64())})
+
+        return lp.map_batches(_q, batch_format="pyarrow", batch_size=None)
+
     return {
         # SURVEY §2 operator families (SQL-checked)
         "normalize_codes": R.q_normalize_codes,          # M1
@@ -1060,6 +1140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coefficient": q_clustering_coefficient,  # per-node triangles (SQL-checked)
         "bfs_hops": q_bfs_hops,  # frontier BFS distance (SQL-checked vs recursive CTE)
         "kcore": q_kcore,  # k-core peeling (rows-only: iterative)
+        "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
+        "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
+        "neighbor_mean": q_neighbor_mean,  # GraphSAGE-mean propagation round (SQL-checked)
     }
 
 
@@ -1935,5 +2018,53 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sym.dst, walk.d + 1 FROM walk "
             "JOIN sym ON sym.src = walk.node WHERE walk.d < 3) "
             "SELECT node, min(d)::BIGINT AS hops FROM walk GROUP BY node"
+        ),
+        # common-neighbor wedge self-join over the symmetric closure of
+        # the shared triangle graph; Adamic-Adar = Σ 1/ln(deg(center)),
+        # Jaccard denominator uses FULL endpoint degrees (cap unhit at
+        # default 10k); existing edges anti-joined away; the same
+        # epsilon-floor quantizer as the query wrapper
+        "link_prediction": (
+            "WITH raw AS (SELECT 'n' || (p_partkey % 23) AS x, "
+            "'n' || (p_partkey % 29) AS y FROM part "
+            "UNION ALL SELECT 'c' || (p_partkey % 509), "
+            "'c' || ((p_partkey % 509) + 1) FROM part), "
+            "und AS (SELECT DISTINCT least(x, y) AS a, "
+            "greatest(x, y) AS b FROM raw WHERE x <> y), "
+            "sym AS (SELECT a AS u, b AS v FROM und "
+            "UNION ALL SELECT b, a FROM und), "
+            "deg AS (SELECT u AS node, count(*)::BIGINT AS d "
+            "FROM sym GROUP BY 1), "
+            "cen AS (SELECT s.u, s.v, deg.d FROM sym s "
+            "JOIN deg ON deg.node = s.u WHERE deg.d >= 2), "
+            "pr AS (SELECT s1.v AS a, s2.v AS b, "
+            "count(*)::BIGINT AS cn, sum(1.0 / ln(s1.d)) AS aa "
+            "FROM cen s1 JOIN cen s2 "
+            "ON s1.u = s2.u AND s1.v < s2.v GROUP BY 1, 2), "
+            "ne AS (SELECT pr.* FROM pr LEFT JOIN und "
+            "ON und.a = pr.a AND und.b = pr.b WHERE und.a IS NULL) "
+            "SELECT ne.a, ne.b, ne.cn, "
+            "CAST(floor(ne.aa * 1000000 + 0.000000001) AS BIGINT) "
+            "AS aa_q, "
+            "CAST(floor(ne.cn::DOUBLE / (d1.d + d2.d - ne.cn) "
+            "* 1000000 + 0.000000001) AS BIGINT) AS jacc_q "
+            "FROM ne JOIN deg d1 ON d1.node = ne.a "
+            "JOIN deg d2 ON d2.node = ne.b"
+        ),
+        # Shannon entropy over the shared printable-ASCII char rule
+        "char_entropy": __import__(
+            "omop2obo_ray.pipelines.curate",
+            fromlist=["char_entropy_sql"]).char_entropy_sql(),
+        # per-dst mean of src embeddings over the shared synthetic link
+        # rule; zipped unnest aligns (value, dim) positionally
+        "neighbor_mean": (
+            "WITH e AS (SELECT vec_id AS src, "
+            "(vec_id * 7 + 3) % 499 AS dst FROM embeddings), "
+            "x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, "
+            "unnest(range(0, len(embedding))) AS dim FROM embeddings) "
+            "SELECT e.dst AS node, x.dim, "
+            "CAST(floor(sum(x.v) / count(*) * 1000000 + 0.000000001) "
+            "AS BIGINT) AS avg_q "
+            "FROM e JOIN x ON x.vec_id = e.src GROUP BY 1, 2"
         ),
     }

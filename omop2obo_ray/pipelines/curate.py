@@ -2517,3 +2517,90 @@ def c4_clean_sql(*, table: str = "documents", min_words: int = 3,
         GROUP BY doc_id
         HAVING count(*) >= {min_lines}
     """
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal: Shannon entropy of the printable-
+# ASCII character distribution per document. Low entropy flags
+# keyboard-mash / repeated-char / template boilerplate; very high
+# entropy flags base64 / minified blobs — both standard pre-training
+# drop rules alongside the Gopher stats.
+# ---------------------------------------------------------------------------
+
+# the shared character rule: printable ASCII, i.e. RE2 class [ -~]
+# (0x20..0x7e); the engine filters by code range, the oracle extracts
+# with the regex — identical sets by construction
+CHAR_ENTROPY_LO, CHAR_ENTROPY_HI = 0x20, 0x7E
+
+
+def char_entropy(docs: Dataset, *, key_col: str = "doc_id",
+                 text_col: str = "text") -> Dataset:
+    """Per-document character entropy → (key, n_chars, entropy):
+    ``entropy = log2(n) − Σ_c cnt(c)·log2(cnt(c)) / n`` over the
+    printable-ASCII characters of the text (0 for charless docs).
+    Shuffle-free: each doc is one row, so the whole computation is one
+    vectorized ``map_batches`` pass (utf-32 decode → code-range filter →
+    one pandas groupby per block); no driver state, full-precision
+    float out (equality gates quantize in the query wrapper)."""
+    def _ent(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].fillna("").tolist()
+        if not texts:
+            return pd.DataFrame({key_col: df[key_col],
+                                 "n_chars": pd.Series([], dtype=np.int64),
+                                 "entropy": pd.Series([], dtype=np.float64)})
+        codes = np.frombuffer("".join(texts).encode("utf-32-le"),
+                              dtype=np.uint32)
+        did = np.repeat(np.arange(len(texts)),
+                        [len(t) for t in texts])
+        m = (codes >= CHAR_ENTROPY_LO) & (codes <= CHAR_ENTROPY_HI)
+        n = np.zeros(len(texts), np.int64)
+        ent = np.zeros(len(texts), np.float64)
+        if m.any():
+            cnt = (pd.DataFrame({"i": did[m], "c": codes[m]})
+                   .groupby(["i", "c"], sort=False).size()
+                   .rename("n").reset_index())
+            per = cnt.groupby("i", sort=False).agg(
+                n=("n", "sum"),
+                s=("n", lambda v: float(
+                    (v.to_numpy(dtype=np.float64)
+                     * np.log2(v.to_numpy(dtype=np.float64))).sum())))
+            idx = per.index.to_numpy()
+            n[idx] = per["n"].to_numpy()
+            ent[idx] = (np.log2(per["n"].to_numpy(dtype=np.float64))
+                        - per["s"].to_numpy() / per["n"].to_numpy())
+        return pd.DataFrame({key_col: df[key_col].to_numpy(),
+                             "n_chars": n, "entropy": ent})
+
+    return docs.select_columns([key_col, text_col]).map_batches(
+        _ent, batch_format="pandas", batch_size=None)
+
+
+def char_entropy_sql(*, table: str = "documents",
+                     key_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`char_entropy` — same character rule
+    (``[ -~]`` = the engine's code range) and the same entropy
+    expression; only group-sum reassociation differs, absorbed by the
+    caller's epsilon-floor quantizer."""
+    return f"""
+        WITH ch AS (
+            SELECT {key_col},
+                   unnest(regexp_extract_all(text, '[ -~]')) AS c
+            FROM {table}
+        ),
+        f AS (
+            SELECT {key_col}, c, count(*)::BIGINT AS n
+            FROM ch GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT {key_col}, sum(n)::BIGINT AS n_chars,
+                   log2(sum(n)::DOUBLE)
+                   - sum(n::DOUBLE * log2(n::DOUBLE)) / sum(n::DOUBLE)
+                   AS ent
+            FROM f GROUP BY 1
+        )
+        SELECT d.{key_col},
+               coalesce(agg.n_chars, 0)::BIGINT AS n_chars,
+               CAST(floor(coalesce(agg.ent, 0.0) * 1000000
+                    + 0.000000001) AS BIGINT) AS entropy_q
+        FROM {table} d LEFT JOIN agg ON agg.{key_col} = d.{key_col}
+    """

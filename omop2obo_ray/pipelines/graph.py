@@ -867,3 +867,146 @@ def kcore(edges: Dataset, k: int, *, max_iters: int = 64,
             "node": pa.array([], pa.string()),
             "d": pa.array([], pa.int64())}))
     return _undirected_degrees(und)
+
+
+# ---------------------------------------------------------------------------
+# Link prediction (Liben-Nowell & Kleinberg'03): common-neighbors,
+# Adamic-Adar and Jaccard scores for node pairs that share at least one
+# neighbor — the candidate-edge ranking a KG-completion / related-page
+# consumer runs over the crawl graph this engine materializes.
+# ---------------------------------------------------------------------------
+
+def link_prediction(edges: Dataset, *, max_center_degree: int = 10_000,
+                    include_existing: bool = False,
+                    num_partitions: int = 8) -> Dataset:
+    """Link-prediction scores → (a, b, cn, aa, jacc) for every
+    UNORDERED non-edge pair (a < b) with ≥ 1 common neighbor:
+    ``cn`` = |Γ(a) ∩ Γ(b)|, ``aa`` = Σ_{u ∈ Γ(a)∩Γ(b)} 1/ln(deg(u))
+    (Adamic-Adar), ``jacc`` = cn / (deg(a) + deg(b) − cn). Existing
+    edges are anti-joined away unless ``include_existing``.
+
+    Exact common-neighbor enumeration is inherently hub-quadratic (a
+    degree-10⁶ page generates 5·10¹¹ neighbor pairs), so centers with
+    degree > ``max_center_degree`` are EXCLUDED from the wedge pass —
+    the standard skew guard (hubs contribute ≈ 1/ln(d) → 0 to AA and
+    connect everything to everything, pure noise for ranking). The
+    guard REDEFINES all three metrics to "over common neighbors of
+    degree ≤ cap" — any oracle must share the rule (same contract as
+    ``curate.similarity_join``'s max_df guard).
+
+    Shape: canonical undirected dedup (coarse) → degrees (coarse) →
+    center-degree join → per-center neighbor pairs (coarse per-key;
+    fan-out capped by the guard) → per-pair coarse sum → existing-edge
+    anti-join → two degree joins for the Jaccard denominator. Every
+    exchange keys on node id or the pair; driver state: none. Floats
+    (aa, jacc) are full precision — equality gates quantize in the
+    query wrapper (see pagerank's module-docstring rationale).
+    """
+    und = _canonical_undirected(edges).materialize()
+    empty = pa.table({
+        "a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+        "cn": pa.array([], pa.int64()), "aa": pa.array([], pa.float64()),
+        "jacc": pa.array([], pa.float64())})
+    if und.count() == 0:
+        return ray.data.from_arrow(empty)
+    deg = _undirected_degrees(und).materialize()
+
+    sym = und.map_batches(
+        lambda b: pa.table({
+            "c": pa.concat_arrays([b["a"].combine_chunks().cast(pa.string()),
+                                   b["b"].combine_chunks().cast(pa.string())]),
+            "v": pa.concat_arrays([b["b"].combine_chunks().cast(pa.string()),
+                                   b["a"].combine_chunks().cast(pa.string())]),
+        }), batch_format="pyarrow", batch_size=None)
+    symd = _sanitize_join_output(
+        sym.join(deg, join_type="inner", num_partitions=num_partitions,
+                 on=("c",), right_on=("node",)),
+        pa.schema([("c", pa.string()), ("v", pa.string()),
+                   ("d", pa.int64())]))
+    symd = symd.map_batches(
+        lambda b, _cap=max_center_degree: b.filter(
+            pc.and_(pc.greater_equal(b["d"], 2),
+                    pc.less_equal(b["d"], _cap))),
+        batch_format="pyarrow", batch_size=None)
+
+    from omop2obo_ray.functions.shuffle import coarse_apply_per_key
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        nb = np.sort(g["v"].to_numpy(dtype=object))
+        if len(nb) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cn": [], "aa": []})
+        i, j = np.triu_indices(len(nb), 1)
+        w = 1.0 / np.log(float(g["d"].iloc[0]))
+        return pd.DataFrame({"a": nb[i], "b": nb[j],
+                             "cn": np.ones(len(i), np.int64),
+                             "aa": np.full(len(i), w)})
+
+    wedges = _sanitize_join_output(
+        coarse_apply_per_key(symd, ["c"], _pairs),
+        pa.schema([("a", pa.string()), ("b", pa.string()),
+                   ("cn", pa.int64()), ("aa", pa.float64())]))
+    if wedges.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    pairs = _sanitize_join_output(
+        coarse_aggregate(
+            wedges, ["a", "b"],
+            lambda df: df.groupby(["a", "b"], sort=False)
+            .agg(cn=("cn", "sum"), aa=("aa", "sum")).reset_index()),
+        pa.schema([("a", pa.string()), ("b", pa.string()),
+                   ("cn", pa.int64()), ("aa", pa.float64())]))
+
+    if not include_existing:
+        flagged = _sanitize_join_output(
+            pairs.join(und.map_batches(
+                lambda t: pa.table({
+                    "a": t["a"], "b": t["b"],
+                    "flag": pa.array(np.ones(t.num_rows, np.int64))}),
+                batch_format="pyarrow", batch_size=None),
+                join_type="left_outer", num_partitions=num_partitions,
+                on=("a", "b")),
+            pa.schema([("a", pa.string()), ("b", pa.string()),
+                       ("cn", pa.int64()), ("aa", pa.float64()),
+                       ("flag", pa.int64())]))
+        pairs = _sanitize_join_output(
+            flagged.map_batches(
+                lambda t: t.filter(pc.is_null(t["flag"]))
+                .select(["a", "b", "cn", "aa"]),
+                batch_format="pyarrow", batch_size=None),
+            pa.schema([("a", pa.string()), ("b", pa.string()),
+                       ("cn", pa.int64()), ("aa", pa.float64())]))
+        if pairs.count() == 0:
+            return ray.data.from_arrow(empty)
+
+    # Jaccard denominator: FULL endpoint degrees (uncapped — only the
+    # common-neighbor enumeration is guarded)
+    j1 = _sanitize_join_output(
+        pairs.join(deg.map_batches(
+            lambda t: pa.table({"n1": t["node"], "da": t["d"]}),
+            batch_format="pyarrow", batch_size=None),
+            join_type="inner", num_partitions=num_partitions,
+            on=("a",), right_on=("n1",)),
+        pa.schema([("a", pa.string()), ("b", pa.string()),
+                   ("cn", pa.int64()), ("aa", pa.float64()),
+                   ("da", pa.int64())]))
+    j2 = _sanitize_join_output(
+        j1.join(deg.map_batches(
+            lambda t: pa.table({"n2": t["node"], "db": t["d"]}),
+            batch_format="pyarrow", batch_size=None),
+            join_type="inner", num_partitions=num_partitions,
+            on=("b",), right_on=("n2",)),
+        pa.schema([("a", pa.string()), ("b", pa.string()),
+                   ("cn", pa.int64()), ("aa", pa.float64()),
+                   ("da", pa.int64()), ("db", pa.int64())]))
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        cn = batch["cn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        da = batch["da"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = batch["db"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "a": batch["a"], "b": batch["b"],
+            "cn": pa.array(cn, pa.int64()),
+            "aa": batch["aa"],
+            "jacc": pa.array(cn / (da + db - cn), pa.float64())})
+
+    return j2.map_batches(_fin, batch_format="pyarrow", batch_size=None)

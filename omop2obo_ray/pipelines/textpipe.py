@@ -2132,3 +2132,91 @@ def pca_project(emb: Dataset, k: int, *, vec_col: str = "embedding",
     return emb.select_columns([key_col, vec_col]).map_batches(
         _Proj, batch_format="pyarrow", batch_size=4096,
         concurrency=_pool())
+
+
+# ---------------------------------------------------------------------------
+# Neighbor-mean embedding aggregation (one GraphSAGE-mean /
+# feature-propagation round): node feature = element-wise mean of its
+# in-neighbors' embeddings. The KG + embedding-table crossover a
+# retrieval stack runs to featurize pages that have links but no
+# content embedding of their own.
+# ---------------------------------------------------------------------------
+
+def neighbor_mean_embeddings(edges: Dataset, embeddings: Dataset, *,
+                             key_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             num_partitions: int = 8) -> Dataset:
+    """Mean of source-node embeddings per destination node → long
+    ``(node, dim, avg)``; dst nodes whose sources have no embedding row
+    are absent (inner join semantics).
+
+    Shape: embeddings blob-encode ONCE (acero joins reject list<T>
+    payloads — NOTES_r2), ONE hash join attaches the source blob to
+    each edge, then the ``group_centroids`` partial-blob pattern: each
+    block emits one (dst, Σvec, n) partial per dst it contains, a
+    coarse aggregate merges partials in-cluster, a final map explodes
+    to dim rows. Vectors never enter an exchange as lists; driver
+    state: none. Multi-round propagation = re-encode the output wide
+    and call again."""
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+
+    blobs = embeddings.select_columns([key_col, vec_col]).map_batches(
+        lambda b: pa.table({
+            "_nb_src": b[key_col],
+            "blob": pa.array([r.tobytes() for r in _vec_matrix(b, vec_col)],
+                             pa.binary())}),
+        batch_format="pyarrow", batch_size=None)
+
+    kt = _pa_schema_of(edges).field("src").type
+    joined = _sanitize_join_output(
+        edges.select_columns(["src", "dst"]).join(
+            blobs, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("_nb_src",)),
+        pa.schema([("src", kt), ("dst", kt), ("blob", pa.binary())]))
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        mats = np.stack([np.frombuffer(x, dtype=np.float64)
+                         for x in batch["blob"].to_pylist()])
+        df = pd.DataFrame({"g": _np_col(batch, "dst")})
+        groups, sums, ns = [], [], []
+        for g, idx in df.groupby("g", sort=False).indices.items():
+            groups.append(g)
+            sums.append(mats[idx].sum(axis=0).tobytes())
+            ns.append(len(idx))
+        return pa.table({"node": pa.array(groups),
+                         "psum": pa.array(sums, pa.binary()),
+                         "n": pa.array(ns, pa.int64())})
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        def fold(g: pd.DataFrame) -> pd.Series:
+            s = None
+            for blob in g["psum"]:
+                v = np.frombuffer(blob, dtype=np.float64)
+                s = v.copy() if s is None else s + v
+            return pd.Series({"psum": s.tobytes(), "n": g["n"].sum()})
+        return (df.groupby("node", sort=False)
+                .apply(fold, include_groups=False).reset_index())
+
+    merged = coarse_aggregate(
+        joined.map_batches(_partials, batch_format="pyarrow"),
+        ["node"], _merge)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        gs, dims, avgs = [], [], []
+        for g, blob, n in zip(batch["node"].to_pylist(),
+                              batch["psum"].to_pylist(),
+                              batch["n"].to_pylist()):
+            v = np.frombuffer(blob, dtype=np.float64) / n
+            gs.extend([g] * len(v))
+            dims.append(np.arange(len(v), dtype=np.int64))
+            avgs.append(v)
+        if not gs:
+            return pa.table({"node": pa.array([]),
+                             "dim": pa.array([], pa.int64()),
+                             "avg": pa.array([], pa.float64())})
+        return pa.table({"node": pa.array(gs),
+                         "dim": pa.array(np.concatenate(dims)),
+                         "avg": pa.array(np.concatenate(avgs),
+                                         pa.float64())})
+
+    return merged.map_batches(_explode, batch_format="pyarrow")

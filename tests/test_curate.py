@@ -977,3 +977,38 @@ def test_synth_paragraph_docs_contract(ray_session):
             elif (did + i) % 3 == 0:
                 assert not lines[i].endswith(".")
     assert "lorem ipsum" in got[0] and "{" in got[13]
+
+
+def test_char_entropy_known_values(ray_session):
+    import math
+
+    from omop2obo_ray.pipelines.curate import char_entropy
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["aaaa",          # single symbol -> 0
+                 "abab",          # uniform over 2 -> 1 bit
+                 "ab",            # uniform over 2 -> 1 bit
+                 "",              # empty -> 0, n=0
+                 "aééb"],  # é is non-ASCII: filtered out
+    }))
+    got = (char_entropy(docs).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert got.loc[0, "n_chars"] == 4 and got.loc[0, "entropy"] == 0.0
+    assert got.loc[1, "entropy"] == pytest.approx(1.0)
+    assert got.loc[2, "entropy"] == pytest.approx(1.0)
+    assert got.loc[3, "n_chars"] == 0 and got.loc[3, "entropy"] == 0.0
+    # doc 4: only 'a' and 'b' counted (n=2, uniform -> 1 bit)
+    assert got.loc[4, "n_chars"] == 2
+    assert got.loc[4, "entropy"] == pytest.approx(1.0)
+
+    # independent python oracle on a longer mixed string
+    txt = "the quick brown fox! 123"
+    docs2 = rd.from_pandas(pd.DataFrame({"doc_id": [9], "text": [txt]}))
+    got2 = char_entropy(docs2).to_pandas().iloc[0]
+    from collections import Counter
+    cnt = Counter(c for c in txt if 0x20 <= ord(c) <= 0x7e)
+    n = sum(cnt.values())
+    want = math.log2(n) - sum(v * math.log2(v) for v in cnt.values()) / n
+    assert got2["n_chars"] == n
+    assert got2["entropy"] == pytest.approx(want, rel=1e-12)

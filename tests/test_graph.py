@@ -409,3 +409,91 @@ def test_kcore_multi_round_peel_and_empty(ray_session):
     got = kcore(rd.from_items(
         [{"src": s, "dst": d} for s, d in cyc]), 2).to_pandas()
     assert len(got) == 13 and (got["d"] == 2).all()
+
+
+def _py_link_prediction(edges, max_center_degree=10_000,
+                        include_existing=False):
+    """Independent pure-python oracle: neighbor-set arithmetic."""
+    import math
+
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    nbrs: dict[str, set] = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    deg = {n: len(v) for n, v in nbrs.items()}
+    out = {}
+    for u, vs in nbrs.items():
+        if deg[u] < 2 or deg[u] > max_center_degree:
+            continue
+        vs = sorted(vs)
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                a, b = vs[i], vs[j]
+                cn, aa = out.get((a, b), (0, 0.0))
+                out[(a, b)] = (cn + 1, aa + 1.0 / math.log(deg[u]))
+    res = {}
+    for (a, b), (cn, aa) in out.items():
+        if not include_existing and (a, b) in und:
+            continue
+        res[(a, b)] = (cn, aa, cn / (deg[a] + deg[b] - cn))
+    return res
+
+
+def test_link_prediction_matches_python_oracle(ray_session):
+    from omop2obo_ray.pipelines.graph import link_prediction
+
+    # square a-b-c-d-a plus chord a-c plus pendant e-a; duplicate and
+    # reversed edges exercise the canonical dedup
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+             ("a", "c"), ("a", "e"), ("b", "a"), ("a", "b")]
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = link_prediction(ds).to_pandas()
+    want = _py_link_prediction(edges)
+    assert set(zip(got["a"], got["b"])) == set(want)
+    for _, r in got.iterrows():
+        cn, aa, jacc = want[(r["a"], r["b"])]
+        assert r["cn"] == cn
+        assert r["aa"] == pytest.approx(aa, rel=1e-12)
+        assert r["jacc"] == pytest.approx(jacc, rel=1e-12)
+    # b-d share {a, c} → top candidate by cn
+    top = got.sort_values("cn", ascending=False).iloc[0]
+    assert (top["a"], top["b"]) == ("b", "d") and top["cn"] == 2
+
+
+def test_link_prediction_include_existing_and_cap(ray_session):
+    from omop2obo_ray.pipelines.graph import link_prediction
+
+    # star center s with leaves l0..l4 plus edge l0-l1: s has degree 5
+    edges = [("s", f"l{i}") for i in range(5)] + [("l0", "l1")]
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+
+    withx = link_prediction(ds, include_existing=True).to_pandas()
+    want = _py_link_prediction(edges, include_existing=True)
+    assert set(zip(withx["a"], withx["b"])) == set(want)
+    assert ("l0", "l1") in set(zip(withx["a"], withx["b"]))
+
+    # cap excludes the degree-5 center: only l0/l1 (degree 2) can be
+    # centers, and their shared-neighbor pairs involve s
+    capped = link_prediction(ds, max_center_degree=4,
+                             include_existing=True).to_pandas()
+    want_capped = _py_link_prediction(edges, max_center_degree=4,
+                                      include_existing=True)
+    assert set(zip(capped["a"], capped["b"])) == set(want_capped)
+    for _, r in capped.iterrows():
+        cn, aa, jacc = want_capped[(r["a"], r["b"])]
+        assert (r["cn"], r["jacc"]) == (cn, pytest.approx(jacc))
+
+
+def test_link_prediction_empty_and_wedge_free(ray_session):
+    from omop2obo_ray.pipelines.graph import link_prediction
+
+    empty = rd.from_pandas(pd.DataFrame({"src": pd.Series([], dtype=str),
+                                         "dst": pd.Series([], dtype=str)}))
+    assert link_prediction(empty).count() == 0
+    # single edge: no node has degree >= 2 → no wedges
+    one = rd.from_pandas(pd.DataFrame({"src": ["x"], "dst": ["y"]}))
+    assert link_prediction(one).count() == 0

@@ -635,3 +635,25 @@ def test_pca_project_matches_numpy(ray_session):
     # deterministic across calls (sign convention fixed)
     comp2, _ = pca_components(ds, 3)
     np.testing.assert_allclose(comp, comp2)
+
+
+def test_neighbor_mean_embeddings_matches_numpy(ray_session):
+    from omop2obo_ray.pipelines.textpipe import neighbor_mean_embeddings
+
+    vecs = {1: [1.0, 2.0, 3.0], 2: [4.0, 5.0, 6.0], 3: [7.0, 8.0, 9.0]}
+    emb = rd.from_pandas(pd.DataFrame({
+        "vec_id": list(vecs), "embedding": list(vecs.values())}))
+    # 10 <- {1,2}; 20 <- {3}; 30 <- {4 (no embedding row): dropped};
+    # duplicate edge 1->10 counts twice (multigraph mean)
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": [1, 2, 3, 4, 1],
+        "dst": [10, 10, 20, 30, 10]}))
+    got = (neighbor_mean_embeddings(edges, emb).to_pandas()
+           .set_index(["node", "dim"])["avg"].sort_index())
+    import numpy as np
+    want10 = np.mean([vecs[1], vecs[2], vecs[1]], axis=0)
+    want20 = np.asarray(vecs[3])
+    assert set(got.index.get_level_values(0)) == {10, 20}
+    for d in range(3):
+        assert got[(10, d)] == pytest.approx(want10[d], rel=1e-12)
+        assert got[(20, d)] == pytest.approx(want20[d], rel=1e-12)
