@@ -960,6 +960,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return kcore(_synth_tri_edges(sf), 3)
 
+    def q_bpe_train(sf):
+        # rows-only: iterative argmax merge learning has no SQL
+        # equivalent; pytest carries the reference-identity check
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import bpe_train
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return bpe_train(docs, n_merges=10)
+
+    def q_bpe_token_counts(sf):
+        # rows-only: counts under the learned merges (iterative model)
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import (bpe_token_counts,
+                                                   bpe_train)
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return bpe_token_counts(docs, bpe_train(docs, n_merges=10))
+
+    def q_dsir_weights(sf):
+        # DSIR importance weights: target domain = source 'src0';
+        # weight_q is exact int64 (difference of the two quantized
+        # LM scores)
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import dsir_weights
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "source", "text"])
+        return dsir_weights(docs, target_col="source",
+                            target_value="src0")
+
     def q_neighbor_mean(sf):
         # one GraphSAGE-mean propagation round over a deterministic
         # synthetic link rule (src = vec_id, dst = (vec_id*7+3) % 499 —
@@ -1143,6 +1178,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
         "neighbor_mean": q_neighbor_mean,  # GraphSAGE-mean propagation round (SQL-checked)
+        "dsir_weights": q_dsir_weights,  # DSIR target-domain importance weights (SQL-checked)
+        "bpe_merges": q_bpe_train,  # distributed BPE merge learning (rows-only: iterative)
+        "bpe_token_counts": q_bpe_token_counts,  # BPE token counts (rows-only: iterative model)
     }
 
 
@@ -2067,4 +2105,11 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS avg_q "
             "FROM e JOIN x ON x.vec_id = e.src GROUP BY 1, 2"
         ),
+        # DSIR: the char-bigram LM recurrence twice (raw + target-
+        # filtered training sets) with the scorer's exact backoff
+        # ladder; weights are exact integer differences
+        "dsir_weights": __import__(
+            "omop2obo_ray.pipelines.curate",
+            fromlist=["dsir_weights_sql"]).dsir_weights_sql(
+            target_col="source", target_value="src0"),
     }

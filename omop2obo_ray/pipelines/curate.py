@@ -2604,3 +2604,317 @@ def char_entropy_sql(*, table: str = "documents",
                     + 0.000000001) AS BIGINT) AS entropy_q
         FROM {table} d LEFT JOIN agg ON agg.{key_col} = d.{key_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al.'23, "Data Selection for Language
+# Models via Importance Resampling"): score every raw document by how
+# much more likely its character stream is under a TARGET-domain LM
+# than under the raw-corpus LM — the standard recipe for carving a
+# Wikipedia-like / domain-like slice out of a web crawl. This engine's
+# proxy for DSIR's hashed-ngram models is the existing char-bigram LM
+# (same training/scoring kernels, O(V²) broadcast budget).
+# ---------------------------------------------------------------------------
+
+def dsir_weights(docs: Dataset, *, target_col: str = "source",
+                 target_value: str, text_col: str = "text",
+                 key_col: str = "doc_id",
+                 target_model: BigramLM | None = None,
+                 raw_model: BigramLM | None = None,
+                 num_partitions: int = 8) -> Dataset:
+    """Per-document importance weight → (key, n_bigrams, weight_q):
+    ``weight_q = nll_q_raw − nll_q_target`` (both the epsilon-floor-
+    quantized mean bigram NLLs the LM scorer emits, so the difference
+    is EXACT int64 arithmetic — no float leaves the op). Positive =
+    more target-like than the raw corpus average; resample/select
+    downstream with ``stratified_sample`` / ``select_until_budget``
+    over the weight.
+
+    Two distributed counting passes train the target LM (docs where
+    ``target_col == target_value``) and the raw LM (all docs); two
+    broadcast-model scoring passes score EVERY doc under both; one
+    hash join on the doc key pairs the scores. Docs outside the target
+    domain hit the target model's unseen-bigram/char backoffs — exactly
+    the smoothed defaults the scorer already implements. Driver state:
+    the two O(V²) models only."""
+    if target_model is None:
+        tgt = docs.map_batches(
+            lambda b, _v=target_value: b.filter(
+                pc.equal(b[target_col], _v)),
+            batch_format="pyarrow", batch_size=None)
+        target_model = lm_train_bigrams(tgt, text_col=text_col)
+    if raw_model is None:
+        raw_model = lm_train_bigrams(docs, text_col=text_col)
+
+    from omop2obo_ray.pipelines.textpipe import (_pa_schema_of,
+                                                 _sanitize_join_output)
+
+    kt = _pa_schema_of(docs.select_columns([key_col])).field(key_col).type
+    st = lm_perplexity(docs, target_model, text_col=text_col,
+                       key_col=key_col).map_batches(
+        lambda b: pa.table({"_t_key": b[key_col], "t_nll": b["nll_q"]}),
+        batch_format="pyarrow", batch_size=None)
+    sr = lm_perplexity(docs, raw_model, text_col=text_col,
+                       key_col=key_col)
+
+    joined = _sanitize_join_output(
+        sr.join(st, join_type="inner", num_partitions=num_partitions,
+                on=(key_col,), right_on=("_t_key",)),
+        pa.schema([(key_col, kt), ("n_bigrams", pa.int64()),
+                   ("nll_q", pa.int64()), ("t_nll", pa.int64())]))
+
+    def _w(batch: pa.Table) -> pa.Table:
+        r = batch["nll_q"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = batch["t_nll"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({key_col: batch[key_col],
+                         "n_bigrams": batch["n_bigrams"],
+                         "weight_q": pa.array(r - t, pa.int64())})
+
+    return joined.map_batches(_w, batch_format="pyarrow",
+                              batch_size=None)
+
+
+def dsir_weights_sql(*, table: str = "documents",
+                     target_col: str = "source",
+                     target_value: str,
+                     key_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`dsir_weights` — the char-bigram LM
+    recurrence written out twice (target-filtered and raw training
+    sets) with the scorer's exact backoff ladder: seen bigram →
+    ln((n+1)/(t+V)); unseen bigram, seen c1 → ln(1/(t+V)); unseen c1
+    (or char unseen anywhere) → ln(1/V). Same epsilon-floor quantizer
+    per model, then exact integer subtraction."""
+    def lm(tag: str, where: str) -> str:
+        return (
+            f"chars_{tag} AS (SELECT {key_col}, unnest(string_split("
+            "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+            "'abcdefghijklmnopqrstuvwxyz'), '')) AS ch, "
+            f"unnest(range(length(text))) AS pos FROM {table}{where}), "
+            f"big_{tag} AS (SELECT a.{key_col}, a.ch AS c1, b.ch AS c2 "
+            f"FROM chars_{tag} a JOIN chars_{tag} b "
+            f"ON a.{key_col} = b.{key_col} AND b.pos = a.pos + 1), "
+            f"cnt_{tag} AS (SELECT c1, c2, count(*)::DOUBLE AS n "
+            f"FROM big_{tag} GROUP BY 1, 2), "
+            f"tot_{tag} AS (SELECT c1, sum(n) AS t FROM cnt_{tag} "
+            "GROUP BY 1), "
+            f"vv_{tag} AS (SELECT count(DISTINCT ch)::DOUBLE AS v "
+            f"FROM chars_{tag}), "
+            f"lp_{tag} AS (SELECT c1, c2, ln((n + 1.0) / (t + v)) AS lp "
+            f"FROM cnt_{tag} JOIN tot_{tag} USING (c1) "
+            f"CROSS JOIN vv_{tag}), "
+            # score ALL docs under this model, with the backoff ladder
+            f"sc_{tag} AS (SELECT b.{key_col}, "
+            "count(*)::BIGINT AS n_bigrams, "
+            "CAST(floor((-sum(coalesce(l.lp, "
+            f"CASE WHEN tt.t IS NOT NULL THEN ln(1.0 / (tt.t + vx.v)) "
+            "ELSE ln(1.0 / vx.v) END)) / count(*)) * 1e4 + 1e-6) "
+            "AS BIGINT) AS nll_q "
+            "FROM big_all b "
+            f"LEFT JOIN lp_{tag} l ON l.c1 = b.c1 AND l.c2 = b.c2 "
+            f"LEFT JOIN tot_{tag} tt ON tt.c1 = b.c1 "
+            f"CROSS JOIN vv_{tag} vx "
+            f"GROUP BY b.{key_col})"
+        )
+
+    return (
+        "WITH "
+        + lm("all", "")
+        + ", "
+        + lm("tgt", f" WHERE {target_col} = '{target_value}'")
+        + f" SELECT r.{key_col}, r.n_bigrams, "
+        "(r.nll_q - t.nll_q)::BIGINT AS weight_q "
+        f"FROM sc_all r JOIN sc_tgt t USING ({key_col})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich'16): learn merge rules over the
+# distributed word-frequency table — the tokenizer-fitting step of an
+# LLM data pipeline. The corpus collapses to (word, freq) ONCE (Heaps'
+# law: vocab ≪ corpus, but still a Dataset — never driver-resident);
+# each merge round is one streaming pair-count pass + one argmax +
+# one broadcast rewrite of the word table. Driver state per round:
+# one (pair, count) row per BLOCK plus the merge list itself.
+# ---------------------------------------------------------------------------
+
+BPE_WORD_RE = r"[a-z0-9]+"  # shared word rule (lowercased alnum runs)
+
+
+def _bpe_word_table(docs: Dataset, text_col: str) -> Dataset:
+    """(word, freq, syms) over the corpus: one tokenize pass + one
+    coarse aggregate; ``syms`` starts as the word's character list."""
+    import re as _re
+
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+
+    tok_re = _re.compile(BPE_WORD_RE)
+
+    def _words(df: pd.DataFrame) -> pd.DataFrame:
+        words: list[str] = []
+        for txt in df[text_col]:
+            words.extend(tok_re.findall((txt or "").lower()))
+        if not words:
+            return pd.DataFrame({"word": pd.Series([], dtype=object),
+                                 "freq": pd.Series([], dtype=np.int64)})
+        w, c = np.unique(np.asarray(words, dtype=object),
+                         return_counts=True)
+        return pd.DataFrame({"word": w, "freq": c.astype(np.int64)})
+
+    vocab = coarse_aggregate(
+        docs.select_columns([text_col]).map_batches(
+            _words, batch_format="pandas", batch_size=None),
+        ["word"],
+        lambda df: df.groupby("word", sort=False)["freq"].sum()
+        .reset_index())
+
+    def _init(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy(deep=False)
+        out["syms"] = [list(w) for w in df["word"]]
+        return out
+
+    return vocab.map_batches(_init, batch_format="pandas",
+                             batch_size=None)
+
+
+def _merge_pair_in(syms: list, left: str, right: str) -> list:
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_train(docs: Dataset, *, n_merges: int = 32, min_count: int = 2,
+              text_col: str = "text") -> pd.DataFrame:
+    """Learn ``n_merges`` BPE merge rules → DataFrame (rank, left,
+    right, n) in merge order. Deterministic tie-break: highest count,
+    then lexicographically smallest (left, right) — so the merge
+    sequence is partition-order independent (pytest pins identity vs a
+    single-process reference).
+
+    Per round: a vectorized pair-count pass over the word table (freq-
+    weighted, block-partial combiner) → coarse sum → per-block argmax
+    rows → driver argmax over ≤ n_blocks rows → the winning pair
+    broadcasts into a word-table rewrite (materialized per round so
+    round k never re-executes rounds 1..k-1 — same rationale as the
+    label-propagation loop). The per-word merge scan is O(len(word))
+    python over the WORD TABLE only (the corpus itself is never
+    touched after the first pass), the same unit of work per word as
+    single-machine BPE trainers."""
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+
+    words = _bpe_word_table(docs, text_col).materialize()
+    merges: list[tuple[str, str, int]] = []
+
+    def _pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        ls, rs, ns = [], [], []
+        for syms, f in zip(df["syms"], df["freq"]):
+            for i in range(len(syms) - 1):
+                ls.append(syms[i])
+                rs.append(syms[i + 1])
+                ns.append(f)
+        if not ls:
+            return pd.DataFrame({"l": pd.Series([], dtype=object),
+                                 "r": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        return (pd.DataFrame({"l": ls, "r": rs,
+                              "n": np.asarray(ns, dtype=np.int64)})
+                .groupby(["l", "r"], sort=False)["n"].sum().reset_index())
+
+    def _block_max(df: pd.DataFrame) -> pd.DataFrame:
+        # smallest (−n, l, r) = highest count, lexicographic tiebreak
+        top = df.sort_values(["n", "l", "r"],
+                             ascending=[False, True, True]).iloc[:1]
+        return top
+
+    for rank in range(n_merges):
+        counts = coarse_aggregate(
+            words.map_batches(_pair_partials, batch_format="pandas",
+                              batch_size=None),
+            ["l", "r"],
+            lambda df: df.groupby(["l", "r"], sort=False)["n"].sum()
+            .reset_index())
+        cand = counts.map_batches(_block_max, batch_format="pandas",
+                                  batch_size=None).to_pandas()
+        if not len(cand):
+            break
+        cand = cand.sort_values(["n", "l", "r"],
+                                ascending=[False, True, True]).iloc[0]
+        left, right, n = str(cand["l"]), str(cand["r"]), int(cand["n"])
+        if n < min_count:
+            break
+        merges.append((left, right, n))
+
+        def _apply(df: pd.DataFrame, _l=left, _r=right) -> pd.DataFrame:
+            out = df.copy(deep=False)
+            out["syms"] = [
+                _merge_pair_in(s, _l, _r)
+                if (_l in s and _r in s) else s
+                for s in df["syms"]]
+            return out
+
+        words = words.map_batches(_apply, batch_format="pandas",
+                                  batch_size=None).materialize()
+
+    return pd.DataFrame({
+        "rank": np.arange(len(merges), dtype=np.int64),
+        "left": [m[0] for m in merges],
+        "right": [m[1] for m in merges],
+        "n": np.asarray([m[2] for m in merges], dtype=np.int64)})
+
+
+class BPEEncoder:
+    """Actor: the merge list is pulled once per actor; per-word
+    encodings are memoized across batches (Zipf makes the cache hit
+    rate extreme), so the per-batch cost is a tokenize + dict lookups."""
+
+    def __init__(self, merges_ref, text_col: str = "text",
+                 key_col: str = "doc_id"):
+        import re as _re
+
+        m = (ray.get(merges_ref)
+             if isinstance(merges_ref, ray.ObjectRef) else merges_ref)
+        self.merges = [(str(l), str(r))
+                       for l, r in zip(m["left"], m["right"])]
+        self.tok_re = _re.compile(BPE_WORD_RE)
+        self.text_col, self.key_col = text_col, key_col
+        self.cache: dict[str, int] = {}
+
+    def _encode_len(self, word: str) -> int:
+        n = self.cache.get(word)
+        if n is None:
+            syms = list(word)
+            for l, r in self.merges:
+                if l in syms and r in syms:
+                    syms = _merge_pair_in(syms, l, r)
+            n = len(syms)
+            self.cache[word] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = []
+        for txt in batch[self.text_col].to_pylist():
+            toks.append(sum(self._encode_len(w) for w in
+                            self.tok_re.findall((txt or "").lower())))
+        return pa.table({self.key_col: batch[self.key_col],
+                         "n_bpe_tokens": pa.array(toks, pa.int64())})
+
+
+def bpe_token_counts(docs: Dataset, merges: pd.DataFrame, *,
+                     text_col: str = "text",
+                     key_col: str = "doc_id") -> Dataset:
+    """Per-document BPE token count under a trained merge table →
+    (key, n_bpe_tokens). Merge table broadcast via ``ray.put`` once,
+    applied by a memoizing actor pool."""
+    ref = ray.put(merges)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return docs.select_columns([key_col, text_col]).map_batches(
+        BPEEncoder,
+        fn_constructor_kwargs=dict(merges_ref=ref, text_col=text_col,
+                                   key_col=key_col),
+        batch_format="pyarrow", batch_size=None,
+        concurrency=(max(1, cpus // 4), max(2, cpus)), num_cpus=1)

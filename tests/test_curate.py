@@ -1012,3 +1012,135 @@ def test_char_entropy_known_values(ray_session):
     want = math.log2(n) - sum(v * math.log2(v) for v in cnt.values()) / n
     assert got2["n_chars"] == n
     assert got2["entropy"] == pytest.approx(want, rel=1e-12)
+
+
+def test_dsir_weights_order_and_identity(ray_session):
+    from omop2obo_ray.pipelines.curate import (dsir_weights,
+                                               lm_perplexity,
+                                               lm_train_bigrams)
+
+    # target domain = letter-ish prose; raw corpus adds digit-heavy
+    # docs. A target-like held-out doc must outscore a digit-heavy one.
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": list(range(8)),
+        "source": ["wiki"] * 3 + ["web"] * 5,
+        "text": ["the cat sat on the mat",
+                 "the dog sat on the log",
+                 "a cat and a dog sat",
+                 "000 111 222 333 444 555",
+                 "999 888 777 666 000 111",
+                 "the cat sat on a log",   # target-like web doc
+                 "123 456 789 000 111 222",
+                 "the dog and the cat sat"],  # target-like web doc
+    }))
+    got = (dsir_weights(docs, target_col="source", target_value="wiki")
+           .to_pandas().set_index("doc_id").sort_index())
+    assert set(got.index) == set(range(8))
+    # every target-like doc beats every digit doc
+    targetish = [0, 1, 2, 5, 7]
+    digits = [3, 4, 6]
+    assert got.loc[targetish, "weight_q"].min() > \
+        got.loc[digits, "weight_q"].max()
+
+    # wiring identity: weight_q == raw nll_q − target nll_q from the
+    # underlying scorers
+    m_t = lm_train_bigrams(docs.map_batches(
+        lambda b: b.filter(b["source"].to_pandas().eq("wiki").pipe(
+            lambda s: __import__("pyarrow").array(s.to_numpy()))),
+        batch_format="pyarrow", batch_size=None))
+    m_r = lm_train_bigrams(docs)
+    st = (lm_perplexity(docs, m_t).to_pandas()
+          .set_index("doc_id")["nll_q"])
+    sr = (lm_perplexity(docs, m_r).to_pandas()
+          .set_index("doc_id")["nll_q"])
+    for k in range(8):
+        assert got.loc[k, "weight_q"] == sr[k] - st[k]
+
+
+def _py_bpe_train(texts, n_merges, min_count=2):
+    """Single-process reference BPE (Sennrich'16) with the same
+    deterministic tie-break (max count, then lexicographic pair)."""
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        words.update(re.findall(r"[a-z0-9]+", (t or "").lower()))
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            f = words[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (l, r), n = min(pairs.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if n < min_count:
+            break
+        merges.append((l, r, n))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == l
+                        and syms[i + 1] == r):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab, words
+
+
+def test_bpe_train_matches_reference(ray_session):
+    from omop2obo_ray.pipelines.curate import bpe_train
+
+    texts = ["the cat sat on the mat", "the mats were flat",
+             "that cat is fat", "batter up, the bat flew",
+             "aaaa aa aaaa"]  # overlapping-pair rewrite case
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts}))
+    got = bpe_train(docs, n_merges=12)
+    want, _, _ = _py_bpe_train(texts, 12)
+    assert len(got) == len(want)
+    for i, (l, r, n) in enumerate(want):
+        row = got.iloc[i]
+        assert (row["left"], row["right"], row["n"]) == (l, r, n), i
+
+
+def test_bpe_token_counts_match_reference(ray_session):
+    import re
+
+    from omop2obo_ray.pipelines.curate import bpe_token_counts, bpe_train
+
+    texts = ["the cat sat on the mat", "the mats were flat",
+             "that cat is fat", "zzz unseen word"]
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts}))
+    merges = bpe_train(docs.filter(lambda r: r["doc_id"] < 3),
+                       n_merges=8)
+    got = (bpe_token_counts(docs, merges).to_pandas()
+           .set_index("doc_id")["n_bpe_tokens"].sort_index())
+    want_merges, vocab, _ = _py_bpe_train(texts[:3], 8)
+
+    def enc_len(word):
+        syms = list(word)
+        for l, r, _n in want_merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == l
+                        and syms[i + 1] == r):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    for k, t in enumerate(texts):
+        words = re.findall(r"[a-z0-9]+", t.lower())
+        assert got[k] == sum(enc_len(w) for w in words), k
