@@ -995,6 +995,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dsir_weights(docs, target_col="source",
                             target_value="src0")
 
+    def q_edit_join(sf):
+        # exact Levenshtein<=1 fuzzy self-match: queries are parts
+        # with ONE deterministic character deletion (position =
+        # p_partkey % length — arithmetic shared with the oracle);
+        # SymSpell deletion-neighborhood blocking is lossless, so the
+        # engine must reproduce the oracle's CROSS JOIN ... WHERE
+        # levenshtein(...) <= 1 exactly
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import edit_distance_join
+
+        parts = rd.read_parquet(f"{sf}/part.parquet",
+                                columns=["p_partkey", "p_name"])
+
+        def mk_queries(df: pd.DataFrame) -> pd.DataFrame:
+            pos = (df["p_partkey"].to_numpy()
+                   % df["p_name"].str.len().to_numpy()).astype(int)
+            return pd.DataFrame({
+                "q_id": df["p_partkey"],
+                "q_name": [n[:p] + n[p + 1:]
+                           for n, p in zip(df["p_name"], pos)]})
+
+        queries = parts.map_batches(mk_queries, batch_format="pandas",
+                                    batch_size=None)
+        out = edit_distance_join(
+            queries, parts, key_l="q_id", text_l="q_name",
+            key_r="p_partkey", text_r="p_name", max_dist=1)
+        return out.map_batches(
+            lambda b: pa.table({"q_id": b["lk"], "p_partkey": b["rk"],
+                                "dist": b["dist"]}),
+            batch_format="pyarrow", batch_size=None)
+
     def q_neighbor_mean(sf):
         # one GraphSAGE-mean propagation round over a deterministic
         # synthetic link rule (src = vec_id, dst = (vec_id*7+3) % 499 —
@@ -1179,6 +1213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
         "neighbor_mean": q_neighbor_mean,  # GraphSAGE-mean propagation round (SQL-checked)
         "dsir_weights": q_dsir_weights,  # DSIR target-domain importance weights (SQL-checked)
+        "edit_join": q_edit_join,  # exact Levenshtein<=1 fuzzy join, SymSpell blocking (SQL-checked)
         "bpe_merges": q_bpe_train,  # distributed BPE merge learning (rows-only: iterative)
         "bpe_token_counts": q_bpe_token_counts,  # BPE token counts (rows-only: iterative model)
     }
@@ -2112,4 +2147,17 @@ def oracle_sql() -> dict[str, str]:
             "omop2obo_ray.pipelines.curate",
             fromlist=["dsir_weights_sql"]).dsir_weights_sql(
             target_col="source", target_value="src0"),
+        # exact fuzzy join: the oracle brute-forces every pair with
+        # DuckDB's native levenshtein; the engine's SymSpell blocking
+        # must lose nothing
+        "edit_join": (
+            "WITH q AS (SELECT p_partkey AS q_id, "
+            "substr(p_name, 1, (p_partkey % length(p_name))) || "
+            "substr(p_name, (p_partkey % length(p_name)) + 2) AS q_name "
+            "FROM part) "
+            "SELECT q.q_id, p.p_partkey, "
+            "levenshtein(q.q_name, p.p_name)::BIGINT AS dist "
+            "FROM q CROSS JOIN part p "
+            "WHERE levenshtein(q.q_name, p.p_name) <= 1"
+        ),
     }

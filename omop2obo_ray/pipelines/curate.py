@@ -2918,3 +2918,174 @@ def bpe_token_counts(docs: Dataset, merges: pd.DataFrame, *,
                                    key_col=key_col),
         batch_format="pyarrow", batch_size=None,
         concurrency=(max(1, cpus // 4), max(2, cpus)), num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance join (entity resolution / fuzzy matching): exact
+# Levenshtein-<=k join via SymSpell deletion-neighborhood blocking
+# (Garbe'12) + a banded-DP verify. Complements similarity_join (token
+# Jaccard) for the short-string case — clinical labels vs ontology
+# labels with typos, crawl-title reconciliation. The reference's
+# string_similarity.py:141 solves the same label-matching problem with
+# TF-IDF cosine; this is the exact-threshold variant.
+# ---------------------------------------------------------------------------
+
+def _deletion_variants(s: str, k: int) -> set[str]:
+    """All strings reachable from ``s`` by deleting up to ``k`` chars.
+    SymSpell guarantee: lev(s, t) <= k  ⇒  the two neighborhoods
+    intersect (align s/t; delete substituted positions from both and
+    inserted/deleted chars from the longer side — <= k deletions each).
+    Size O(len^k / k!) — bounded per row, like shingling."""
+    out = {s}
+    frontier = {s}
+    for _ in range(k):
+        nxt = set()
+        for v in frontier:
+            for i in range(len(v)):
+                nxt.add(v[:i] + v[i + 1:])
+        nxt -= out
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def _lev_band(a: str, b: str, k: int) -> int:
+    """Levenshtein(a, b) if <= k else k+1 — banded DP, O(len·(2k+1))
+    cells with early abandon when a whole band row exceeds k."""
+    la, lb = len(a), len(b)
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    big = k + 1
+    if lb - la > k:
+        return big
+    lo_p, hi_p = 0, min(lb, k)
+    prev = list(range(lo_p, hi_p + 1))
+    for i in range(1, la + 1):
+        lo, hi = max(0, i - k), min(lb, i + k)
+        cur = []
+        ca = a[i - 1]
+        for j in range(lo, hi + 1):
+            if j == 0:
+                cur.append(i)
+                continue
+            v = big
+            pj = j - 1
+            if lo_p <= pj <= hi_p:
+                v = prev[pj - lo_p] + (ca != b[pj])
+            if lo_p <= j <= hi_p:
+                d = prev[j - lo_p] + 1
+                if d < v:
+                    v = d
+            if j - 1 >= lo:
+                d = cur[j - 1 - lo] + 1
+                if d < v:
+                    v = d
+            cur.append(v if v < big else big)
+        if min(cur) > k:
+            return big
+        prev, lo_p, hi_p = cur, lo, hi
+    return prev[lb - lo_p] if lo_p <= lb <= hi_p else big
+
+
+def _sig64(s: str) -> int:
+    """63-bit deterministic signature (uint64 group keys degrade to
+    pickled-object blocks — NOTES_r2 sharp edge)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
+        "big") & 0x7FFFFFFFFFFFFFFF
+
+
+def edit_distance_join(left: Dataset, right: Dataset, *,
+                       key_l: str, text_l: str, key_r: str, text_r: str,
+                       max_dist: int = 1,
+                       num_partitions: int = 8) -> Dataset:
+    """Exact fuzzy join → (lk, rk, dist) for every L×R pair with
+    Levenshtein(text_l, text_r) <= ``max_dist`` (1 or 2).
+
+    Shape: both sides emit (sig, key) rows for every <=k-deletion
+    variant (hashed to int64 so the exchange never carries variant
+    strings); a hash join on the signature generates candidates — the
+    SymSpell pigeonhole makes this blocking EXACT, never lossy — then
+    a coarse pair-dedup, two slim joins to re-attach the original
+    strings, and a banded Levenshtein verify inside ``map_batches``.
+    No driver state at any step; hash collisions only ever ADD
+    candidates (the verify is exact).
+
+    Skew note: degenerate near-empty strings (len <= 2k) share tiny
+    neighborhoods and can hot-spot one signature; at web scale, drop
+    or length-bucket such rows upstream (the same guard class as
+    similarity_join's max_df)."""
+    if not 1 <= max_dist <= 2:
+        raise ValueError("max_dist must be 1 or 2")
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+    from omop2obo_ray.pipelines.textpipe import (_pa_schema_of,
+                                                 _sanitize_join_output)
+
+    k = max_dist
+
+    def _sigs(key: str, text: str, out_key: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            keys: list = []
+            sigs: list[int] = []
+            for kv, tv in zip(df[key], df[text]):
+                for v in _deletion_variants(tv or "", k):
+                    keys.append(kv)
+                    sigs.append(_sig64(v))
+            return pd.DataFrame({
+                "sig": pd.Series(sigs, dtype=np.int64),
+                out_key: pd.Series(keys, dtype=df[key].dtype)})
+        return fn
+
+    ls = left.select_columns([key_l, text_l])
+    rs = right.select_columns([key_r, text_r])
+    lt_s = _pa_schema_of(ls).field(key_l).type
+    rt_s = _pa_schema_of(rs).field(key_r).type
+    lsig = ls.map_batches(_sigs(key_l, text_l, "lk"),
+                          batch_format="pandas", batch_size=None)
+    rsig = rs.map_batches(_sigs(key_r, text_r, "rk"),
+                          batch_format="pandas", batch_size=None)
+
+    cand = _sanitize_join_output(
+        lsig.join(rsig, join_type="inner",
+                  num_partitions=num_partitions, on=("sig",)),
+        pa.schema([("sig", pa.int64()), ("lk", lt_s), ("rk", rt_s)]))
+    empty = pa.schema([("lk", lt_s), ("rk", rt_s),
+                       ("dist", pa.int64())]).empty_table()
+    if cand.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    pairs = _sanitize_join_output(
+        coarse_aggregate(cand.select_columns(["lk", "rk"]), ["lk", "rk"],
+                         lambda d: d.drop_duplicates(["lk", "rk"])),
+        pa.schema([("lk", lt_s), ("rk", rt_s)]))
+
+    lslim = ls.map_batches(
+        lambda b: pa.table({"lk": b[key_l], "_lt": b[text_l]}),
+        batch_format="pyarrow", batch_size=None)
+    rslim = rs.map_batches(
+        lambda b: pa.table({"rk": b[key_r], "_rt": b[text_r]}),
+        batch_format="pyarrow", batch_size=None)
+    j = _sanitize_join_output(
+        pairs.join(lslim, join_type="inner",
+                   num_partitions=num_partitions, on=("lk",)),
+        pa.schema([("lk", lt_s), ("rk", rt_s), ("_lt", pa.string())]))
+    j = _sanitize_join_output(
+        j.join(rslim, join_type="inner",
+               num_partitions=num_partitions, on=("rk",)),
+        pa.schema([("lk", lt_s), ("rk", rt_s), ("_lt", pa.string()),
+                   ("_rt", pa.string())]))
+
+    def _verify(df: pd.DataFrame) -> pd.DataFrame:
+        dists = np.fromiter(
+            (_lev_band(a or "", b or "", k)
+             for a, b in zip(df["_lt"], df["_rt"])),
+            dtype=np.int64, count=len(df))
+        keep = dists <= k
+        return pd.DataFrame({"lk": df["lk"].to_numpy()[keep],
+                             "rk": df["rk"].to_numpy()[keep],
+                             "dist": dists[keep]})
+
+    return j.map_batches(_verify, batch_format="pandas",
+                         batch_size=None)

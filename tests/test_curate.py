@@ -1144,3 +1144,101 @@ def test_bpe_token_counts_match_reference(ray_session):
     for k, t in enumerate(texts):
         words = re.findall(r"[a-z0-9]+", t.lower())
         assert got[k] == sum(enc_len(w) for w in words), k
+
+
+def _lev_full(a, b):
+    la, lb = len(a), len(b)
+    dp = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, lb + 1):
+            cur = min(dp[j] + 1, dp[j - 1] + 1,
+                      prev + (a[i - 1] != b[j - 1]))
+            prev, dp[j] = dp[j], cur
+    return dp[lb]
+
+
+def test_lev_band_matches_full_dp():
+    import itertools
+    import random
+
+    from omop2obo_ray.pipelines.curate import _lev_band
+
+    rng = random.Random(11)
+    alpha = "abc"
+    # exhaustive short strings + random medium ones
+    shorts = ["".join(p) for n in range(4)
+              for p in itertools.product(alpha, repeat=n)]
+    for k in (1, 2):
+        for a in shorts:
+            for b in shorts:
+                want = _lev_full(a, b)
+                got = _lev_band(a, b, k)
+                assert got == (want if want <= k else k + 1), (a, b, k)
+        for _ in range(200):
+            a = "".join(rng.choice("abcde")
+                        for _ in range(rng.randint(0, 15)))
+            b = "".join(rng.choice("abcde")
+                        for _ in range(rng.randint(0, 15)))
+            want = _lev_full(a, b)
+            got = _lev_band(a, b, k)
+            assert got == (want if want <= k else k + 1), (a, b, k)
+
+
+def test_edit_distance_join_planted(ray_session):
+    from omop2obo_ray.pipelines.curate import edit_distance_join
+
+    right = rd.from_pandas(pd.DataFrame({
+        "rid": [1, 2, 3, 4],
+        "name": ["chocolate", "vanilla", "strawberry", "mint"]}))
+    left = rd.from_pandas(pd.DataFrame({
+        "qid": [10, 11, 12, 13, 14, 15],
+        "q": ["chocolate",    # exact (dist 0)
+              "choclate",     # deletion (dist 1)
+              "vanillas",     # insertion (dist 1)
+              "vanilla",      # exact
+              "strawbeery",   # substitution+? -> strawberry dist 1? no: strawbeery vs strawberry = sub 'e'->'r' at one pos => dist 1
+              "mnt"]}))      # deletion (dist 1)
+    got = (edit_distance_join(left, right, key_l="qid", text_l="q",
+                              key_r="rid", text_r="name", max_dist=1)
+           .to_pandas().sort_values(["lk", "rk"]).reset_index(drop=True))
+    want = []
+    for qid, q in zip([10, 11, 12, 13, 14, 15],
+                      ["chocolate", "choclate", "vanillas", "vanilla",
+                       "strawbeery", "mnt"]):
+        for rid, name in zip([1, 2, 3, 4],
+                             ["chocolate", "vanilla", "strawberry",
+                              "mint"]):
+            d = _lev_full(q, name)
+            if d <= 1:
+                want.append((qid, rid, d))
+    assert [tuple(r) for r in got[["lk", "rk", "dist"]].to_numpy()] == \
+        sorted(want)
+    # k=2 must additionally capture distance-2 pairs
+    got2 = (edit_distance_join(left, right, key_l="qid", text_l="q",
+                               key_r="rid", text_r="name", max_dist=2)
+            .to_pandas())
+    want2 = {(qid, rid)
+             for qid, q in zip([10, 11, 12, 13, 14, 15],
+                               ["chocolate", "choclate", "vanillas",
+                                "vanilla", "strawbeery", "mnt"])
+             for rid, name in zip([1, 2, 3, 4],
+                                  ["chocolate", "vanilla", "strawberry",
+                                   "mint"])
+             if _lev_full(q, name) <= 2}
+    assert {(lk, rk) for lk, rk in
+            zip(got2["lk"], got2["rk"])} == want2
+
+
+def test_edit_distance_join_no_candidates(ray_session):
+    from omop2obo_ray.pipelines.curate import edit_distance_join
+
+    left = rd.from_pandas(pd.DataFrame({"qid": [1], "q": ["xyzzy"]}))
+    right = rd.from_pandas(pd.DataFrame({"rid": [1],
+                                         "name": ["aaaaaaaaaa"]}))
+    ds = edit_distance_join(left, right, key_l="qid", text_l="q",
+                            key_r="rid", text_r="name", max_dist=1)
+    # (Ray's to_pandas drops columns for zero-row datasets; the
+    # Dataset-level schema is the contract)
+    assert ds.count() == 0
+    assert ds.schema().names == ["lk", "rk", "dist"]
