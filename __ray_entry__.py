@@ -1029,6 +1029,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "dist": b["dist"]}),
             batch_format="pyarrow", batch_size=None)
 
+    def q_dedup_incremental(sf):
+        # crawl-refresh dedup: the "previous snapshot" store is the
+        # md5 hashes of docs with doc_id % 3 == 0 (deterministic rule
+        # shared with the oracle); survivors = min-doc_id per text
+        # among texts NOT in the store
+        import tempfile
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import (_md5_hex_table,
+                                                     dedup_incremental)
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        with tempfile.TemporaryDirectory() as store:
+            prev = docs.map_batches(
+                lambda b: b.filter(pa.array(
+                    b["doc_id"].to_numpy(zero_copy_only=False)
+                    % 3 == 0)),
+                batch_format="pyarrow", batch_size=None)
+            _md5_hex_table(prev, "doc_id", "text").select_columns(
+                ["h"]).write_parquet(store)
+            out = dedup_incremental(docs, store)
+            return out.select_columns(["doc_id"]).to_pandas()
+
     def q_neighbor_mean(sf):
         # one GraphSAGE-mean propagation round over a deterministic
         # synthetic link rule (src = vec_id, dst = (vec_id*7+3) % 499 —
@@ -1214,6 +1240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_mean": q_neighbor_mean,  # GraphSAGE-mean propagation round (SQL-checked)
         "dsir_weights": q_dsir_weights,  # DSIR target-domain importance weights (SQL-checked)
         "edit_join": q_edit_join,  # exact Levenshtein<=1 fuzzy join, SymSpell blocking (SQL-checked)
+        "dedup_incremental": q_dedup_incremental,  # crawl-refresh dedup vs seen-hash store (SQL-checked)
         "bpe_merges": q_bpe_train,  # distributed BPE merge learning (rows-only: iterative)
         "bpe_token_counts": q_bpe_token_counts,  # BPE token counts (rows-only: iterative model)
     }
@@ -2147,6 +2174,16 @@ def oracle_sql() -> dict[str, str]:
             "omop2obo_ray.pipelines.curate",
             fromlist=["dsir_weights_sql"]).dsir_weights_sql(
             target_col="source", target_value="src0"),
+        # crawl-refresh dedup: store = md5 of doc_id%3==0 texts;
+        # survivors = min-doc_id representative of texts outside it
+        "dedup_incremental": (
+            "WITH store AS (SELECT DISTINCT md5(text) AS h "
+            "FROM documents WHERE doc_id % 3 = 0), "
+            "keep AS (SELECT md5(text) AS h, min(doc_id) AS doc_id "
+            "FROM documents GROUP BY 1) "
+            "SELECT k.doc_id FROM keep k "
+            "LEFT JOIN store s ON s.h = k.h WHERE s.h IS NULL"
+        ),
         # exact fuzzy join: the oracle brute-forces every pair with
         # DuckDB's native levenshtein; the engine's SymSpell blocking
         # must lose nothing

@@ -2220,3 +2220,84 @@ def neighbor_mean_embeddings(edges: Dataset, embeddings: Dataset, *,
                                          pa.float64())})
 
     return merged.map_batches(_explode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Incremental cross-corpus dedup (crawl refresh): dedupe a NEW snapshot
+# against the persisted seen-hash store of every previous snapshot —
+# the CommonCrawl-refresh shape where snapshot N+1 must not re-admit
+# documents already in snapshots 1..N. The store is a plain parquet
+# directory of md5-hex hashes (mirrorable by DuckDB's md5(), shareable
+# across engines); membership is a cluster-side anti-join, never a
+# driver broadcast of the store.
+# ---------------------------------------------------------------------------
+
+def _md5_hex_table(docs: Dataset, key_col: str, text_col: str) -> Dataset:
+    """Slim (key, h) projection, h = md5-hex of the text — the same
+    stable content key the reference derives for label matching
+    (string_similarity.py:141) and DuckDB's ``md5(text)``."""
+    import hashlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+              for t in batch[text_col].to_pylist()]
+        return pa.table({key_col: batch[key_col],
+                         "h": pa.array(hs, pa.string())})
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def dedup_incremental(docs: Dataset, store_dir: str | None, *,
+                      key_col: str = "doc_id", text_col: str = "text",
+                      update: bool = False,
+                      num_partitions: int = 16) -> Dataset:
+    """Rows of ``docs`` that are (a) the min-key representative of
+    their text within THIS snapshot and (b) not already in the seen-
+    hash store. With ``update=True`` the surviving hashes are appended
+    to the store (new uniquely-named parquet files — resumable,
+    append-only, no rewrite of prior snapshots' files).
+
+    Dataflow: slim (key, md5) projection → coarse min-key election
+    (text never enters an exchange) → ``left_anti`` hash join against
+    the store hashes → semi-join the surviving keys back onto the full
+    rows. Driver state: none — the store streams through the join, so
+    a 10¹²-hash store costs a shuffle, not driver memory."""
+    import os
+
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+
+    hashed = _md5_hex_table(docs, key_col, text_col)
+    keep = coarse_aggregate(
+        hashed, ["h"],
+        lambda df: df.groupby("h", sort=False)[key_col].min()
+        .rename("keep_id").reset_index())
+    kt = _pa_schema_of(docs.select_columns([key_col])).field(key_col).type
+    keep_schema = pa.schema([("h", pa.string()), ("keep_id", kt)])
+
+    store_files = []
+    if store_dir and os.path.isdir(store_dir):
+        store_files = [f for f in os.listdir(store_dir)
+                       if f.endswith(".parquet")]
+    if store_files:
+        if keep.count() == 0:
+            # Ray 2.49 cannot hash-join an empty left side
+            return ray.data.from_arrow(
+                _pa_schema_of(docs).empty_table())
+        store = ray.data.read_parquet(store_dir, columns=["h"])
+        keep = _sanitize_join_output(
+            keep.join(store, join_type="left_anti",
+                      num_partitions=num_partitions, on=("h",)),
+            keep_schema)
+
+    if update and store_dir is not None:
+        new_hashes = keep.select_columns(["h"])
+        if new_hashes.count() > 0:
+            new_hashes.write_parquet(store_dir)
+
+    if keep.count() == 0:
+        return ray.data.from_arrow(_pa_schema_of(docs).empty_table())
+    out = docs.join(
+        keep.select_columns(["keep_id"]), join_type="inner",
+        num_partitions=num_partitions, on=(key_col,),
+        right_on=("keep_id",))
+    return _sanitize_join_output(out, _pa_schema_of(docs))

@@ -657,3 +657,44 @@ def test_neighbor_mean_embeddings_matches_numpy(ray_session):
     for d in range(3):
         assert got[(10, d)] == pytest.approx(want10[d], rel=1e-12)
         assert got[(20, d)] == pytest.approx(want20[d], rel=1e-12)
+
+
+def test_dedup_incremental_two_snapshots(ray_session, tmp_path):
+    from omop2obo_ray.pipelines.textpipe import dedup_incremental
+
+    store = str(tmp_path / "store")
+    import os
+
+    os.makedirs(store)
+    snap_a = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["alpha", "beta", "alpha", "gamma"]}))
+    got_a = (dedup_incremental(snap_a, store, update=True)
+             .to_pandas().sort_values("doc_id"))
+    # within-snapshot election: min doc_id per text
+    assert list(got_a["doc_id"]) == [1, 2, 4]
+
+    # snapshot B: one re-crawled text (alpha), one new (delta), one
+    # internal dup of delta
+    snap_b = rd.from_pandas(pd.DataFrame({
+        "doc_id": [10, 11, 12, 13],
+        "text": ["alpha", "delta", "delta", "beta"]}))
+    got_b = (dedup_incremental(snap_b, store, update=True)
+             .to_pandas().sort_values("doc_id"))
+    assert list(got_b["doc_id"]) == [11]
+
+    # idempotence: replaying snapshot A admits nothing
+    got_a2 = dedup_incremental(snap_a, store)
+    assert got_a2.count() == 0
+    # schema survives the empty result
+    assert got_a2.schema().names == ["doc_id", "text"]
+
+
+def test_dedup_incremental_no_store(ray_session):
+    from omop2obo_ray.pipelines.textpipe import dedup_incremental
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [5, 6, 7], "text": ["x", "y", "x"]}))
+    got = (dedup_incremental(docs, None).to_pandas()
+           .sort_values("doc_id"))
+    assert list(got["doc_id"]) == [5, 6]
