@@ -1055,6 +1055,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out = dedup_incremental(docs, store)
             return out.select_columns(["doc_id"]).to_pandas()
 
+    def q_snapshot_diff(sf):
+        # crawl diff between two deterministic synthetic snapshots of
+        # the documents table (rules shared with the oracle):
+        # old = doc_id % 2 == 0 (as-is); new = doc_id % 3 != 1, with
+        # text||'x' when doc_id % 5 == 0 — yields all three statuses
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import snapshot_diff
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+        def mk_old(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["doc_id"] % 2 == 0]
+
+        def mk_new(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[df["doc_id"] % 3 != 1].copy(deep=False)
+            mod = out["doc_id"] % 5 == 0
+            out["text"] = np.where(mod, out["text"] + "x", out["text"])
+            return out
+
+        old = docs.map_batches(mk_old, batch_format="pandas",
+                               batch_size=None)
+        new = docs.map_batches(mk_new, batch_format="pandas",
+                               batch_size=None)
+        return snapshot_diff(old, new)
+
+    def q_salted_join(sf):
+        # skew-safe join path: hot_threshold=5 makes most custkeys
+        # "hot" at fixture scale so the salt/replicate rewrite is
+        # actually exercised; result must equal the plain join
+        import ray.data as rd
+
+        from omop2obo_ray.functions.shuffle import salted_join
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey"])
+        cust = rd.read_parquet(f"{sf}/customer.parquet",
+                               columns=["c_custkey", "c_name"])
+        return salted_join(orders, cust, on="o_custkey",
+                           right_on="c_custkey", hot_threshold=5,
+                           n_salts=4)
+
     def q_neighbor_mean(sf):
         # one GraphSAGE-mean propagation round over a deterministic
         # synthetic link rule (src = vec_id, dst = (vec_id*7+3) % 499 —
@@ -1241,6 +1286,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": q_dsir_weights,  # DSIR target-domain importance weights (SQL-checked)
         "edit_join": q_edit_join,  # exact Levenshtein<=1 fuzzy join, SymSpell blocking (SQL-checked)
         "dedup_incremental": q_dedup_incremental,  # crawl-refresh dedup vs seen-hash store (SQL-checked)
+        "snapshot_diff": q_snapshot_diff,  # added/removed/changed crawl diff, join-free (SQL-checked)
+        "salted_join": q_salted_join,  # head-key-skew-safe join rewrite (SQL-checked)
         "bpe_merges": q_bpe_train,  # distributed BPE merge learning (rows-only: iterative)
         "bpe_token_counts": q_bpe_token_counts,  # BPE token counts (rows-only: iterative model)
     }
@@ -2183,6 +2230,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY 1) "
             "SELECT k.doc_id FROM keep k "
             "LEFT JOIN store s ON s.h = k.h WHERE s.h IS NULL"
+        ),
+        # salted-join result == the plain join
+        "salted_join": (
+            "SELECT o.o_orderkey, o.o_custkey, c.c_name "
+            "FROM orders o JOIN customer c "
+            "ON c.c_custkey = o.o_custkey"
+        ),
+        # crawl diff: full-outer md5 compare over the two synthetic
+        # snapshots (rules shared with the engine wrapper)
+        "snapshot_diff": (
+            "WITH o AS (SELECT doc_id, md5(text) AS h FROM documents "
+            "WHERE doc_id % 2 = 0), "
+            "n AS (SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0 "
+            "THEN text || 'x' ELSE text END) AS h FROM documents "
+            "WHERE doc_id % 3 != 1), "
+            "d AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, "
+            "CASE WHEN o.h IS NULL THEN 'added' "
+            "WHEN n.h IS NULL THEN 'removed' "
+            "WHEN o.h != n.h THEN 'changed' END AS status "
+            "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) "
+            "SELECT doc_id, status FROM d WHERE status IS NOT NULL"
         ),
         # exact fuzzy join: the oracle brute-forces every pair with
         # DuckDB's native levenshtein; the engine's SymSpell blocking

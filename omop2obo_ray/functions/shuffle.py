@@ -141,3 +141,93 @@ def disk_bucket_apply(ds: Dataset, bucket_col: str,
     items = [{"bucket": b} for b in sorted(by_bucket)]
     return ray.data.from_items(items).map_batches(
         _merge, batch_format="pandas", batch_size=buckets_per_task)
+
+
+def salted_join(left: Dataset, right: Dataset, *, on: str,
+                right_on: str | None = None,
+                hot_threshold: int = 100_000, n_salts: int = 16,
+                num_partitions: int = 16) -> Dataset:
+    """Inner hash join that survives head-key skew (the 'every page
+    links to wikipedia.org' problem): result rows are EXACTLY the
+    plain join's, but no single aggregator ever holds a hot key's
+    whole row set.
+
+    Mechanism (the standard skew-hint rewrite): count left rows per
+    key; keys above ``hot_threshold`` become the hot set — bounded by
+    n_left/hot_threshold keys, so broadcasting it is principled, not a
+    driver-state leak. Hot left rows get a deterministic row-content
+    salt in [0, n_salts); hot right rows are REPLICATED once per salt;
+    cold rows ride salt 0 unreplicated. The join key becomes
+    (key, salt), splitting each hot key's probe side ``n_salts`` ways.
+
+    ``right_on`` joins differently-named key columns (output keeps the
+    left name, like Ray's native join). Payload column names must not
+    collide (same contract as Dataset.join)."""
+    import pyarrow as pa
+
+    from omop2obo_ray.pipelines.textpipe import (_pa_schema_of,
+                                                 _sanitize_join_output)
+
+    rkey = right_on or on
+    lsch0 = _pa_schema_of(left)
+    rsch0 = _pa_schema_of(right)
+    empty_out = pa.schema(
+        list(zip(lsch0.names, lsch0.types))
+        + [(n, t) for n, t in zip(rsch0.names, rsch0.types)
+           if n != rkey])
+    if left.count() == 0 or right.count() == 0:
+        # Ray 2.49 cannot hash-join an empty side
+        return ray.data.from_arrow(empty_out.empty_table())
+    counts = coarse_aggregate(
+        left.select_columns([on]), [on],
+        lambda df: df.groupby(on, sort=False).size().rename("n")
+        .reset_index())
+    hot: set = set()
+    for b in counts.iter_batches(batch_size=65536,
+                                 batch_format="pandas"):
+        sel = b[b["n"] > hot_threshold]
+        hot.update(sel[on].tolist())
+    hot_ref = ray.put(hot)
+
+    def salt_left(df: pd.DataFrame) -> pd.DataFrame:
+        h = ray.get(hot_ref)
+        out = df.copy(deep=False)
+        is_hot = df[on].isin(h).to_numpy()
+        salts = np.zeros(len(df), dtype=np.int64)
+        if is_hot.any():
+            rh = pd.util.hash_pandas_object(df, index=False).to_numpy()
+            salts[is_hot] = (rh[is_hot] % np.uint64(n_salts)).astype(
+                np.int64)
+        out["_salt"] = salts
+        return out
+
+    def expand_right(df: pd.DataFrame) -> pd.DataFrame:
+        h = ray.get(hot_ref)
+        is_hot = df[rkey].isin(h).to_numpy()
+        cold = df[~is_hot].copy(deep=False)
+        cold["_rsalt"] = np.int64(0)
+        if not is_hot.any():
+            return cold
+        hot_rows = df[is_hot]
+        rep = hot_rows.loc[hot_rows.index.repeat(n_salts)].copy(
+            deep=False)
+        rep["_rsalt"] = np.tile(np.arange(n_salts, dtype=np.int64),
+                                len(hot_rows))
+        return pd.concat([cold, rep], ignore_index=True)
+
+    ls = left.map_batches(salt_left, batch_format="pandas",
+                          batch_size=None)
+    rs = right.map_batches(expand_right, batch_format="pandas",
+                           batch_size=None)
+    joined = ls.join(rs, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=(on, "_salt"), right_on=(rkey, "_rsalt"))
+
+    out_cols = list(empty_out.names)
+    joined = _sanitize_join_output(
+        joined, pa.schema(list(zip(empty_out.names, empty_out.types))
+                          + [("_salt", pa.int64())]))
+    return joined.map_batches(
+        lambda b: b.select([c for c in out_cols
+                            if c in b.column_names]),
+        batch_format="pyarrow", batch_size=None)

@@ -2301,3 +2301,39 @@ def dedup_incremental(docs: Dataset, store_dir: str | None, *,
         num_partitions=num_partitions, on=(key_col,),
         right_on=("keep_id",))
     return _sanitize_join_output(out, _pa_schema_of(docs))
+
+
+def snapshot_diff(old: Dataset, new: Dataset, *,
+                  key_col: str = "doc_id",
+                  text_col: str = "text") -> Dataset:
+    """Crawl-refresh diff → (key, status) with status ∈ {'added',
+    'removed', 'changed'} (unchanged rows are dropped — the diff is
+    the delta, like a VCS status).
+
+    One exchange, NO join: both sides collapse to slim (key, h, side)
+    md5 rows, then a single coarse per-key aggregate classifies each
+    key from its ≤2 rows. Keys are unique per snapshot by contract
+    (apply dedup first otherwise); text never enters the exchange."""
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+
+    def tag(ds: Dataset, side: int) -> Dataset:
+        return _md5_hex_table(ds, key_col, text_col).map_batches(
+            lambda b, _s=side: b.append_column(
+                "side", pa.array(np.full(len(b), _s, dtype=np.int64))),
+            batch_format="pyarrow", batch_size=None)
+
+    both = tag(old, 0).union(tag(new, 1))
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.pivot_table(index=key_col, columns="side", values="h",
+                           aggfunc="first").reindex(columns=[0, 1])
+        old_h, new_h = g[0], g[1]
+        status = np.where(
+            old_h.isna(), "added",
+            np.where(new_h.isna(), "removed",
+                     np.where(old_h != new_h, "changed", "")))
+        keep = status != ""
+        return pd.DataFrame({key_col: g.index.to_numpy()[keep],
+                             "status": status[keep]})
+
+    return coarse_aggregate(both, [key_col], classify)

@@ -698,3 +698,59 @@ def test_dedup_incremental_no_store(ray_session):
     got = (dedup_incremental(docs, None).to_pandas()
            .sort_values("doc_id"))
     assert list(got["doc_id"]) == [5, 6]
+
+
+def test_snapshot_diff_statuses(ray_session):
+    from omop2obo_ray.pipelines.textpipe import snapshot_diff
+
+    old = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3], "text": ["a", "b", "c"]}))
+    new = rd.from_pandas(pd.DataFrame({
+        "doc_id": [2, 3, 4], "text": ["b", "C", "d"]}))
+    got = (snapshot_diff(old, new).to_pandas()
+           .set_index("doc_id")["status"].sort_index())
+    # 1 removed, 2 unchanged (absent), 3 changed, 4 added
+    assert got.to_dict() == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_salted_join_matches_plain_join(ray_session):
+    from omop2obo_ray.functions.shuffle import salted_join
+
+    # planted head skew: key 7 carries half the left side
+    n_hot = 500
+    left = pd.DataFrame({
+        "k": [7] * n_hot + list(range(100, 600)),
+        "lv": np.arange(n_hot + 500, dtype=np.int64)})
+    right = pd.DataFrame({
+        "rk": [7] + list(range(100, 550)),
+        "rv": np.arange(451, dtype=np.int64) * 10})
+    got = (salted_join(rd.from_pandas(left), rd.from_pandas(right),
+                       on="k", right_on="rk", hot_threshold=50,
+                       n_salts=8)
+           .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True))
+    want = (left.merge(right, left_on="k", right_on="rk")
+            .drop(columns=["rk"])
+            .sort_values(["k", "lv"]).reset_index(drop=True))
+    assert list(got.columns) == ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(
+        got[["k", "lv", "rv"]].astype(np.int64),
+        want[["k", "lv", "rv"]].astype(np.int64))
+
+
+def test_salted_join_no_hot_keys_and_empty(ray_session):
+    from omop2obo_ray.functions.shuffle import salted_join
+
+    left = pd.DataFrame({"k": [1, 2, 3], "lv": [10, 20, 30]})
+    right = pd.DataFrame({"rk": [2, 3, 4], "rv": [200, 300, 400]})
+    got = (salted_join(rd.from_pandas(left), rd.from_pandas(right),
+                       on="k", right_on="rk", hot_threshold=100)
+           .to_pandas().sort_values("k"))
+    assert list(got["k"]) == [2, 3]
+    assert list(got["rv"]) == [200, 300]
+
+    empty = rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                                         "lv": pd.Series([], dtype=np.int64)}))
+    ds = salted_join(empty, rd.from_pandas(right), on="k",
+                     right_on="rk")
+    assert ds.count() == 0
+    assert ds.schema().names == ["k", "lv", "rv"]
