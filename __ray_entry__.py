@@ -287,6 +287,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return degree_stats(_lineitem_edges(sf))
 
+    def q_taxonomy_rollup(sf):
+        # mention counts (lineitem rows per part) rolled up the
+        # implicit part taxonomy (parent = p_partkey // 2) — each
+        # concept's total includes every descendant's count
+        import ray.data as rd
+
+        from omop2obo_ray.functions.shuffle import coarse_aggregate
+        from omop2obo_ray.pipelines.graph import taxonomy_rollup
+
+        li = rd.read_parquet(f"{sf}/lineitem.parquet",
+                             columns=["l_partkey"])
+        counts = coarse_aggregate(
+            li, ["l_partkey"],
+            lambda df: df.groupby("l_partkey", sort=False).size()
+            .rename("n").reset_index()
+            .rename(columns={"l_partkey": "concept"}))
+
+        part = rd.read_parquet(f"{sf}/part.parquet",
+                               columns=["p_partkey"])
+
+        def to_edges(b):
+            import pyarrow as pa
+            k = b["p_partkey"].to_numpy(zero_copy_only=False)
+            p = k // 2
+            keep = (p >= 1) & (p != k)
+            return pa.table({"child": pa.array(k[keep], pa.int64()),
+                             "parent": pa.array(p[keep], pa.int64())})
+
+        edges = part.map_batches(to_edges, batch_format="pyarrow",
+                                 batch_size=None)
+        return taxonomy_rollup(counts, edges)
+
     def q_connected_components(sf):
         # customer→order bipartite: components are per-customer stars
         # (diameter 2 → propagation converges in ~3 rounds; the
@@ -1227,6 +1259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,  # per-group exact-k sample
         "pagerank": q_pagerank,              # iterative join-based centrality
         "degree_stats": q_degree_stats,      # out-degree histogram
+        "taxonomy_rollup": q_taxonomy_rollup,  # counts up the concept DAG (SQL-checked)
         "token_stats": q_token_stats,
         "md5_fingerprint": q_md5_fingerprint,
         "embedding_topk": q_embedding_topk,
@@ -1397,6 +1430,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sort_limit_docs": (
             "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        # counts rolled up the concept DAG: self + every descendant
+        "taxonomy_rollup": (
+            "WITH RECURSIVE edges AS ("
+            "SELECT p_partkey AS child, p_partkey // 2 AS parent FROM part "
+            "WHERE p_partkey // 2 >= 1 AND p_partkey // 2 <> p_partkey), "
+            "closure(child, anc) AS ("
+            "SELECT child, parent FROM edges "
+            "UNION "
+            "SELECT c.child, e.parent FROM closure c JOIN edges e ON c.anc = e.child), "
+            "cnt AS (SELECT l_partkey AS concept, count(*) AS n "
+            "FROM lineitem GROUP BY l_partkey), "
+            "contrib AS (SELECT concept, n FROM cnt "
+            "UNION ALL "
+            "SELECT cl.anc AS concept, c.n FROM closure cl "
+            "JOIN cnt c ON c.concept = cl.child) "
+            "SELECT concept, CAST(sum(n) AS BIGINT) AS total "
+            "FROM contrib GROUP BY concept"
         ),
         "ancestor_closure": (
             "WITH RECURSIVE edges AS ("

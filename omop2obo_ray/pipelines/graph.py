@@ -40,7 +40,8 @@ import ray
 from ray.data import Dataset
 
 from omop2obo_ray.functions.shuffle import coarse_aggregate
-from omop2obo_ray.pipelines.textpipe import _pa_schema_of, _sanitize_join_output
+from omop2obo_ray.pipelines.textpipe import (_pa_schema_of, _pool,
+                                             _sanitize_join_output)
 
 
 def _distinct_nodes(edges: Dataset) -> Dataset:
@@ -1010,3 +1011,91 @@ def link_prediction(edges: Dataset, *, max_center_degree: int = 10_000,
             "jacc": pa.array(cn / (da + db - cn), pa.float64())})
 
     return j2.map_batches(_fin, batch_format="pyarrow", batch_size=None)
+
+
+class _AncestorExpander:
+    """Actor-held closure walker: broadcast parent map pulled once per
+    actor in ``__init__``, per-concept ancestor chains memoized across
+    batches. Emits one (concept, ancestor) contribution row per
+    closure edge PLUS the self row — the input to a rollup sum."""
+
+    def __init__(self, parent_ref, concept_col: str, count_col: str):
+        # child → tuple of parents (ontologies are multi-parent DAGs)
+        self._parents: dict = ray.get(parent_ref)
+        self._chains: dict = {}
+        self._concept = concept_col
+        self._count = count_col
+
+    def _chain(self, c):
+        """DISTINCT ancestor set of ``c`` (BFS over all parents —
+        a count reaches a diamond-top ancestor once, matching the
+        SQL recursive-closure UNION semantics)."""
+        got = self._chains.get(c)
+        if got is not None:
+            return got
+        seen, frontier = {c}, [c]
+        out = []
+        while frontier:
+            nxt = []
+            for x in frontier:
+                for a in self._parents.get(x, ()):
+                    if a not in seen:
+                        seen.add(a)
+                        out.append(a)
+                        nxt.append(a)
+            frontier = nxt
+        self._chains[c] = out
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        concepts = batch[self._concept].to_pylist()
+        ns = batch[self._count].to_numpy(zero_copy_only=False)
+        out_c, out_n = [], []
+        for c, n in zip(concepts, ns):
+            out_c.append(c)
+            out_n.append(n)
+            for a in self._chain(c):
+                out_c.append(a)
+                out_n.append(n)
+        return pa.table({
+            self._concept: pa.array(out_c, batch.schema.field(self._concept).type),
+            self._count: pa.array(np.asarray(out_n, dtype=np.int64), pa.int64())})
+
+
+def taxonomy_rollup(counts: Dataset, edges: Dataset, *,
+                    concept_col: str = "concept", count_col: str = "n",
+                    child_col: str = "child",
+                    parent_col: str = "parent") -> Dataset:
+    """Roll per-concept counts up a concept DAG: each concept's
+    ``total`` = its own count + every descendant's count — the
+    aggregate form of OMOP2OBO's ancestor-closure expansion
+    (reference precomputes ancestors per concept,
+    `omop2obo/utils/ontology_utils.py`; here the closure walk is
+    distributed over the counts stream).
+
+    Scale shape: ``edges`` is ontology-sized (dimension data,
+    10⁵–10⁶ rows — NCBITaxon-scale), so the parent map is built once
+    on the driver and broadcast via ``ray.put``; ``counts`` (which may
+    itself be the output of a corpus-sized aggregation) streams
+    through ONE actor-pool map_batches that emits (ancestor, n)
+    contribution rows (chains memoized per actor) and ONE coarse
+    aggregate sums per concept. No corpus-sized driver state; the
+    only exchange is the final keyed sum.
+    """
+    ed = edges.select_columns([child_col, parent_col]).to_pandas()
+    parent_of: dict = {}
+    for c, p in zip(ed[child_col], ed[parent_col]):
+        parent_of.setdefault(c, []).append(p)
+    parent_of = {c: tuple(ps) for c, ps in parent_of.items()}
+    parent_ref = ray.put(parent_of)
+
+    contrib = counts.map_batches(
+        _AncestorExpander,
+        fn_constructor_args=(parent_ref, concept_col, count_col),
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=_pool())
+
+    return coarse_aggregate(
+        contrib, [concept_col],
+        lambda df: df.groupby(concept_col, sort=False)[count_col]
+        .sum().rename("total").reset_index())

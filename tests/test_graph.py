@@ -497,3 +497,40 @@ def test_link_prediction_empty_and_wedge_free(ray_session):
     # single edge: no node has degree >= 2 → no wedges
     one = rd.from_pandas(pd.DataFrame({"src": ["x"], "dst": ["y"]}))
     assert link_prediction(one).count() == 0
+
+
+def test_taxonomy_rollup_diamond_dag(ray_session):
+    """Diamond: d has parents b and c, both children of a. d's count
+    must reach a ONCE (closure semantics), not once per path."""
+    from omop2obo_ray.pipelines.graph import taxonomy_rollup
+
+    edges = rd.from_pandas(pd.DataFrame({
+        "child": ["b", "c", "d", "d", "e"],
+        "parent": ["a", "a", "b", "c", "d"]}))
+    counts = rd.from_pandas(pd.DataFrame({
+        "concept": ["a", "b", "c", "d", "e"],
+        "n": np.array([1, 10, 100, 1000, 10000], dtype=np.int64)}))
+    got = (taxonomy_rollup(counts, edges).to_pandas()
+           .set_index("concept")["total"].sort_index())
+    assert got.to_dict() == {
+        "a": 11111,          # everything, e/d counted once each
+        "b": 11010,          # b + d + e
+        "c": 11100,          # c + d + e
+        "d": 11000,          # d + e
+        "e": 10000,
+    }
+
+
+def test_taxonomy_rollup_orphans_and_cycle_guard(ray_session):
+    from omop2obo_ray.pipelines.graph import taxonomy_rollup
+
+    # x→y→x cycle must terminate; z is parentless
+    edges = rd.from_pandas(pd.DataFrame({
+        "child": ["x", "y"], "parent": ["y", "x"]}))
+    counts = rd.from_pandas(pd.DataFrame({
+        "concept": ["x", "y", "z"],
+        "n": np.array([1, 2, 4], dtype=np.int64)}))
+    got = (taxonomy_rollup(counts, edges).to_pandas()
+           .set_index("concept")["total"].sort_index())
+    # each of x,y is the other's ancestor (once); z stands alone
+    assert got.to_dict() == {"x": 3, "y": 3, "z": 4}
