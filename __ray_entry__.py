@@ -613,6 +613,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "text"])
         return winnow_fingerprints(docs, k=5, w=4)
 
+    def q_rrf_fuse(sf):
+        # reciprocal-rank fusion of two deterministic rankings over
+        # documents (byte length; a multiplicative-hash score) —
+        # contributions are pure integers (scale // (k + rank)), so
+        # the gate is exact, no quantizer
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import rrf_fuse
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+        def mk_a(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "s": pc.cast(pc.binary_length(b["text"]), pa.int64())})
+
+        def mk_b(b: pa.Table) -> pa.Table:
+            k = b["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "s": pa.array((k * 2654435761) % 1000000007,
+                              pa.int64())})
+
+        a = docs.map_batches(mk_a, batch_format="pyarrow",
+                             batch_size=None)
+        b = docs.map_batches(mk_b, batch_format="pyarrow",
+                             batch_size=None)
+        return rrf_fuse([a, b], "doc_id", "s")
+
     def q_bm25(sf):
         # full-precision scores on the operator; the gate quantizes
         # with the shared epsilon-floor (sum order differs SQL-side)
@@ -1300,6 +1332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": q_bigram_pmi,  # PMI collocations (SQL-checked)
         "hits": q_hits,  # integer-exact hubs/authorities (SQL-checked)
         "bm25": q_bm25,  # Okapi BM25 query scoring (SQL-checked)
+        "rrf_fuse": q_rrf_fuse,  # reciprocal-rank fusion, exact-integer (SQL-checked)
         "winnow": q_winnow,  # MOSS winnowing fingerprints (SQL-checked)
         "mixture_sample": q_mixture_sample,  # data-mixing quota sampler (SQL-checked)
         "n3c_mapping_table": q_n3c_mapping_table,
@@ -1787,6 +1820,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM gh) "
             "SELECT DISTINCT doc_id, mfp AS fp FROM mins "
             "WHERE p >= 4 OR p = n"
+        ),
+        # RRF: rank rules (score DESC, doc_id ASC) and the integer
+        # contribution scale // (k + rank) shared verbatim
+        "rrf_fuse": (
+            "WITH a AS (SELECT doc_id, row_number() OVER "
+            "(ORDER BY strlen(text) DESC, doc_id) AS r FROM documents), "
+            "b AS (SELECT doc_id, row_number() OVER "
+            "(ORDER BY (doc_id * 2654435761) % 1000000007 DESC, doc_id) "
+            "AS r FROM documents), "
+            "c AS (SELECT doc_id, 1000000 // (60 + r) AS w FROM a "
+            "UNION ALL "
+            "SELECT doc_id, 1000000 // (60 + r) AS w FROM b) "
+            "SELECT doc_id, CAST(sum(w) AS BIGINT) AS fused_q "
+            "FROM c GROUP BY doc_id"
         ),
         # Okapi BM25 (Lucene idf variant), token rule + constants
         # shared verbatim with the engine; N counts ALL docs

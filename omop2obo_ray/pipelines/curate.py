@@ -3089,3 +3089,92 @@ def edit_distance_join(left: Dataset, right: Dataset, *,
 
     return j.map_batches(_verify, batch_format="pandas",
                          batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (retrieval ensemble)
+# ---------------------------------------------------------------------------
+
+def global_ranks(ds: Dataset, key: str, score: str,
+                 rank_col: str = "rank") -> Dataset:
+    """1-based global rank by (``score`` DESC, ``key`` ASC) — the
+    distributed row_number() the retrieval family needs.
+
+    Scale shape: one range exchange (the multi-key sort — inherent to
+    any global ranking) then the two-pass block scheme of
+    ``ordered_prefix_sum``: a slim per-block (first_score, first_key,
+    n_rows) pass gives the driver ONE row per block (bounded by block
+    count, never rows); block offsets are prefix-summed in the same
+    comparator order and broadcast; pass two adds offset + arange.
+    Requires unique ``key`` values (ties broken by key need a total
+    order)."""
+    sorted_ds = ds.sort([score, key],
+                        descending=[True, False]).materialize()
+
+    def _stat(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "s": pa.array([], batch.schema.field(score).type),
+                "k": pa.array([], batch.schema.field(key).type),
+                "n": pa.array([], pa.int64())})
+        return pa.table({"s": batch[score].slice(0, 1),
+                         "k": batch[key].slice(0, 1),
+                         "n": pa.array([len(batch)], pa.int64())})
+
+    stats = sorted_ds.map_batches(_stat, batch_format="pyarrow",
+                                  batch_size=None).take_all()
+    # re-sort by the same comparator (block order is already total,
+    # this is belt-and-suspenders against take_all reordering);
+    # stable two-pass: secondary key asc first, then primary desc
+    stats = sorted(stats, key=lambda r: r["k"])
+    stats = sorted(stats, key=lambda r: r["s"], reverse=True)
+    offsets, acc = {}, 0
+    for r in stats:
+        offsets[r["k"]] = acc
+        acc += r["n"]
+    off_ref = ray.put(offsets)
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(rank_col, pa.array([], pa.int64()))
+        off = ray.get(off_ref)[batch[key][0].as_py()]
+        ranks = off + np.arange(1, len(batch) + 1, dtype=np.int64)
+        return batch.append_column(rank_col, pa.array(ranks, pa.int64()))
+
+    return sorted_ds.map_batches(_apply, batch_format="pyarrow",
+                                 batch_size=None)
+
+
+def rrf_fuse(rankings: list[Dataset], key: str, score: str, *,
+             k: int = 60, scale: int = 1_000_000) -> Dataset:
+    """Reciprocal-rank fusion (Cormack'09): fused(d) = Σ_lists
+    scale // (k + rank_list(d)) — the standard retrieval-ensemble
+    combiner (BM25 ∪ dense cosine ∪ ...). Contributions are PURE
+    INTEGER (scaled floor division), so the result is exact and
+    partition-invariant — no float leaves the op; a doc absent from a
+    list contributes nothing for it (standard RRF).
+
+    Scale shape: one global-rank pass per list (see ``global_ranks``)
+    + one union + one coarse keyed sum. Driver state is bounded by
+    block counts only."""
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+
+    contribs = []
+    for r in rankings:
+        ranked = global_ranks(r.select_columns([key, score]), key, score)
+
+        def _w(batch: pa.Table) -> pa.Table:
+            rk = batch["rank"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                key: batch[key],
+                "w": pa.array(scale // (k + rk), pa.int64())})
+
+        contribs.append(ranked.map_batches(_w, batch_format="pyarrow",
+                                           batch_size=None))
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.union(c)
+    return coarse_aggregate(
+        allc, [key],
+        lambda df: df.groupby(key, sort=False)["w"].sum()
+        .rename("fused_q").reset_index())

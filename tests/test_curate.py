@@ -1242,3 +1242,37 @@ def test_edit_distance_join_no_candidates(ray_session):
     # Dataset-level schema is the contract)
     assert ds.count() == 0
     assert ds.schema().names == ["lk", "rk", "dist"]
+
+
+def test_global_ranks_matches_pandas(ray_session):
+    from omop2obo_ray.pipelines.curate import global_ranks
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({"k": np.arange(200, dtype=np.int64),
+                       "s": rng.randint(0, 50, 200).astype(np.int64)})
+    got = (global_ranks(rd.from_pandas(df).repartition(7), "k", "s")
+           .to_pandas().set_index("k")["rank"].sort_index())
+    want = df.sort_values(["s", "k"], ascending=[False, True])
+    want["rank"] = np.arange(1, len(want) + 1, dtype=np.int64)
+    want = want.set_index("k")["rank"].sort_index()
+    pd.testing.assert_series_equal(got, want)
+
+
+def test_rrf_fuse_two_lists(ray_session):
+    from omop2obo_ray.pipelines.curate import rrf_fuse
+
+    # list A ranks 1..4 = docs 4,3,2,1; list B covers only docs 1,2
+    a = pd.DataFrame({"k": [1, 2, 3, 4],
+                      "s": np.array([10, 20, 30, 40], dtype=np.int64)})
+    b = pd.DataFrame({"k": [1, 2],
+                      "s": np.array([5, 1], dtype=np.int64)})
+    got = (rrf_fuse([rd.from_pandas(a), rd.from_pandas(b)], "k", "s",
+                    k=60, scale=1_000_000)
+           .to_pandas().set_index("k")["fused_q"].sort_index())
+    want = {
+        1: 1_000_000 // 64 + 1_000_000 // 61,
+        2: 1_000_000 // 63 + 1_000_000 // 62,
+        3: 1_000_000 // 62,
+        4: 1_000_000 // 61,
+    }
+    assert got.to_dict() == want
