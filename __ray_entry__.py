@@ -613,6 +613,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "text"])
         return winnow_fingerprints(docs, k=5, w=4)
 
+    def q_ntriples_roundtrip(sf):
+        # serialize part-derived triples (literals salted with
+        # quote/backslash/newline/tab — the full escape table) to
+        # partitioned .nt files and parse them back; the gate passing
+        # means the escaper and parser round-trip exactly
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from omop2obo_ray.sources.ntriples import (read_ntriples,
+                                                   write_ntriples)
+
+        part = rd.read_parquet(f"{sf}/part.parquet",
+                               columns=["p_partkey", "p_name"])
+
+        def mk(b: pa.Table) -> pa.Table:
+            key = pc.cast(b["p_partkey"], pa.string())
+            subj = pc.binary_join_element_wise("urn:part/", key, "")
+            obj = pc.binary_join_element_wise(
+                b["p_name"], ' "q\\', "\n\tend", "")
+            return pa.table({
+                "subject": subj,
+                "predicate": pa.array(["urn:rel/hasName"] * len(b)),
+                "object": obj})
+
+        triples = part.map_batches(mk, batch_format="pyarrow",
+                                   batch_size=None)
+        d = tempfile.mkdtemp(prefix="nt_gate_")
+        write_ntriples(triples, d)
+        return read_ntriples(d).select_columns(
+            ["subject", "predicate", "object"])
+
     def q_rrf_fuse(sf):
         # reciprocal-rank fusion of two deterministic rankings over
         # documents (byte length; a multiplicative-hash score) —
@@ -1333,6 +1367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q_hits,  # integer-exact hubs/authorities (SQL-checked)
         "bm25": q_bm25,  # Okapi BM25 query scoring (SQL-checked)
         "rrf_fuse": q_rrf_fuse,  # reciprocal-rank fusion, exact-integer (SQL-checked)
+        "ntriples_roundtrip": q_ntriples_roundtrip,  # N-Triples sink+source identity (SQL-checked)
         "winnow": q_winnow,  # MOSS winnowing fingerprints (SQL-checked)
         "mixture_sample": q_mixture_sample,  # data-mixing quota sampler (SQL-checked)
         "n3c_mapping_table": q_n3c_mapping_table,
@@ -1820,6 +1855,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM gh) "
             "SELECT DISTINCT doc_id, mfp AS fp FROM mins "
             "WHERE p >= 4 OR p = n"
+        ),
+        # N-Triples round trip: the oracle computes the triples
+        # directly; the engine must write+parse them back identically
+        # (literal salt exercises quote/backslash/newline/tab escapes)
+        "ntriples_roundtrip": (
+            "SELECT 'urn:part/' || p_partkey AS subject, "
+            "'urn:rel/hasName' AS predicate, "
+            "p_name || ' \"q' || '\\' || chr(10) || chr(9) || 'end' "
+            "AS object FROM part"
         ),
         # RRF: rank rules (score DESC, doc_id ASC) and the integer
         # contribution scale // (k + rank) shared verbatim

@@ -281,3 +281,43 @@ def test_jsonl_roundtrip(ray_session, tmp_path):
     assert back["doc_id"].tolist() == [1, 2, 3]
     assert back["text"].tolist() == ["alpha beta", "gamma", "delta epsilon"]
     assert list(back.columns) == ["doc_id", "text"]
+
+
+def test_ntriples_roundtrip_specials(ray_session, tmp_path):
+    from omop2obo_ray.sources.ntriples import (read_ntriples,
+                                               write_ntriples)
+
+    df = pd.DataFrame({
+        "subject": ["urn:a", "urn:b", "urn:c", "urn:d", "urn:e"],
+        "predicate": ["urn:p"] * 5,
+        "object": ["plain", 'has "quotes" and \\backslash\\',
+                   "tab\there\nnewline\rcr", "https://example.org/x",
+                   "unicodé — ✓"],
+    })
+    d = str(tmp_path / "nt")
+    man = write_ntriples(rd.from_pandas(df).repartition(2), d)
+    assert man["rows"].sum() == 5 and len(man) >= 1
+    back = (read_ntriples(d).to_pandas()
+            .sort_values("subject").reset_index(drop=True))
+    want = df.sort_values("subject").reset_index(drop=True)
+    assert (back["object"] == want["object"]).all()
+    assert list(back["obj_is_iri"]) == [False, False, False, True, False]
+    # every triple is exactly one physical line (escaping worked)
+    n_lines = sum(open(os.path.join(d, f)).read().count("\n")
+                  for f in os.listdir(d))
+    assert n_lines == 5
+
+
+def test_ntriples_reader_rejects_malformed_and_skips_comments(
+        ray_session, tmp_path):
+    from omop2obo_ray.sources.ntriples import read_ntriples
+
+    good = tmp_path / "good.nt"
+    good.write_text('# comment\n\n<urn:s> <urn:p> "v" .\n')
+    got = read_ntriples(str(good)).to_pandas()
+    assert got["object"].tolist() == ["v"]
+
+    bad = tmp_path / "bad.nt"
+    bad.write_text("<urn:s> <urn:p> unquoted .\n")
+    with pytest.raises(Exception, match="malformed"):
+        read_ntriples(str(bad)).materialize()
