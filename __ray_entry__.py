@@ -435,6 +435,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
               for r in emb.filter(lambda r: r["vec_id"] < 3).take(3)]
         return ivf_topk(emb, qs, k=5, n_centroids=8, n_probe=3)
 
+    def q_ann_pq(sf):
+        # PQ scale path: train codebooks distributed, encode the
+        # corpus to m-byte codes, ADC top-k (rows-only: iterative
+        # k-means training is not SQL-expressible)
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import (pq_encode,
+                                                     pq_topk, pq_train)
+
+        emb = rd.read_parquet(f"{sf}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        qs = [(r["vec_id"], list(r["embedding"]))
+              for r in emb.filter(lambda r: r["vec_id"] < 3).take(3)]
+        cb = pq_train(emb, m=4, k=16, iterations=3)
+        return pq_topk(pq_encode(emb, cb), qs, cb, k=5)
+
     def q_pack_sequences(sf):
         import numpy as np
         import pyarrow as pa
@@ -1347,6 +1363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "ivf_buckets": q_ivf_buckets,
         "ann_ivf": q_ann_ivf,
+        "ann_pq": q_ann_pq,  # product-quantization ADC top-k (rows-only: iterative)
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "semantic_dedup": q_semantic_dedup,  # SemDeDup (rows-only: iterative)

@@ -2337,3 +2337,161 @@ def snapshot_diff(old: Dataset, new: Dataset, *,
                              "status": status[keep]})
 
     return coarse_aggregate(both, [key_col], classify)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN (the memory-scale path: IVF shrinks the
+# candidate set, PQ shrinks the bytes-per-vector — 64 floats → m bytes)
+# ---------------------------------------------------------------------------
+
+def _pq_codes_matrix(batch: pa.Table, col: str, m: int) -> np.ndarray:
+    """(rows, m) uint8 code matrix from a fixed_size_binary(m) column —
+    zero-copy off the Arrow data buffer (offset-aware), no Python rows."""
+    arr = batch[col].combine_chunks()
+    buf = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+    start = arr.offset * m
+    return buf[start:start + len(arr) * m].reshape(-1, m)
+
+
+def pq_train(embeddings: Dataset, m: int = 4, k: int = 16,
+             iterations: int = 5, vec_col: str = "embedding",
+             key_col: str = "vec_id") -> np.ndarray:
+    """Train PQ codebooks (Jégou'11): split the vector into ``m``
+    subspaces and run the existing distributed ``kmeans_fit`` on each →
+    (m, k, dim/m) float64 codebook tensor. Driver state = the codebook
+    (m·k·dsub floats — KBs); each of the m fits streams the corpus
+    through broadcast-centroid partial aggregation (see kmeans_fit)."""
+    dim = len(embeddings.take(1)[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        lo = j * dsub
+
+        def _slice(batch: pa.Table, _lo=lo) -> pa.Table:
+            mat = _vec_matrix(batch, vec_col)[:, _lo:_lo + dsub]
+            return pa.table({vec_col: pa.FixedSizeListArray.from_arrays(
+                pa.array(np.ascontiguousarray(mat).reshape(-1),
+                         pa.float64()), dsub)})
+
+        sub = embeddings.map_batches(_slice, batch_format="pyarrow",
+                                     batch_size=None)
+        books.append(kmeans_fit(sub, k=k, iterations=iterations,
+                                vec_col=vec_col, key_col=key_col))
+    return np.stack(books)  # (m, k, dsub)
+
+
+class PqEncoder:
+    """Actor: nearest-centroid code per subspace (one matmul per
+    subspace per batch) → fixed_size_binary(m) code column. Codebooks
+    broadcast once, pulled in ``__init__``."""
+
+    def __init__(self, codebooks_ref, key_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        cb = (ray.get(codebooks_ref)
+              if isinstance(codebooks_ref, ray.ObjectRef) else codebooks_ref)
+        self.cb = np.asarray(cb, dtype=np.float64)  # (m, k, dsub)
+        self.m, self.k, self.dsub = self.cb.shape
+        # ||c||² per subspace centroid, for the argmin via dot trick
+        self.cnorm = (self.cb ** 2).sum(axis=2)  # (m, k)
+        self.key_col, self.vec_col = key_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _vec_matrix(batch, self.vec_col)
+        rows = mat.shape[0]
+        codes = np.empty((rows, self.m), dtype=np.uint8)
+        for j in range(self.m):
+            sub = mat[:, j * self.dsub:(j + 1) * self.dsub]
+            # argmin ||x-c||² = argmin (||c||² - 2 x·c)
+            d = self.cnorm[j][None, :] - 2.0 * (sub @ self.cb[j].T)
+            codes[:, j] = d.argmin(axis=1)
+        code_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(self.m), rows,
+            [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())])
+        return pa.table({self.key_col: batch[self.key_col],
+                         "pq_code": code_arr})
+
+
+def pq_encode(embeddings: Dataset, codebooks: np.ndarray,
+              key_col: str = "vec_id",
+              vec_col: str = "embedding") -> Dataset:
+    """Corpus → (key, pq_code fixed_size_binary(m)): the compressed
+    index. At 10¹² docs × m=8 this is 8 TB where float32 vectors are
+    256 TB — the representation that actually fits an object store."""
+    cb_ref = ray.put(np.asarray(codebooks, dtype=np.float64))
+    return embeddings.map_batches(
+        PqEncoder, fn_constructor_kwargs=dict(
+            codebooks_ref=cb_ref, key_col=key_col, vec_col=vec_col),
+        batch_format="pyarrow", concurrency=_pool(), num_cpus=1,
+        batch_size=4096)
+
+
+class PqAdcScorer:
+    """Actor: asymmetric distance computation — per query a (m, k)
+    lookup table of squared distances query-subvector → centroid is
+    built ONCE in ``__init__``; scoring a code row is m table gathers
+    + a sum (no float vector ever touches the hot loop)."""
+
+    def __init__(self, queries_ref, codebooks_ref,
+                 key_col: str = "vec_id"):
+        q = (ray.get(queries_ref)
+             if isinstance(queries_ref, ray.ObjectRef) else queries_ref)
+        cb = (ray.get(codebooks_ref)
+              if isinstance(codebooks_ref, ray.ObjectRef) else codebooks_ref)
+        cb = np.asarray(cb, dtype=np.float64)           # (m, k, dsub)
+        self.m, self.k, self.dsub = cb.shape
+        self.qids = np.array([x[0] for x in q])
+        qm = np.stack([np.asarray(x[1], dtype=np.float64) for x in q])
+        nq = qm.shape[0]
+        # tables[qi, j, c] = ||q_sub - centroid||²
+        self.tables = np.empty((nq, self.m, self.k), dtype=np.float64)
+        for j in range(self.m):
+            qs = qm[:, j * self.dsub:(j + 1) * self.dsub]  # (nq, dsub)
+            diff = qs[:, None, :] - cb[j][None, :, :]      # (nq, k, dsub)
+            self.tables[:, j, :] = (diff ** 2).sum(axis=2)
+        self.key_col = key_col
+        self._j = np.arange(self.m)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        codes = _pq_codes_matrix(batch, "pq_code", self.m)  # (rows, m)
+        ids = _np_col(batch, self.key_col)
+        rows = codes.shape[0]
+        out_q, out_id, out_d = [], [], []
+        for qi, qid in enumerate(self.qids):
+            # gather: table[j, codes[:, j]] summed over j, vectorized
+            d = self.tables[qi][self._j[None, :], codes].sum(axis=1)
+            out_q.append(np.full(rows, qid, dtype=np.int64))
+            out_id.append(ids)
+            out_d.append(d)
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_q), pa.int64()),
+            self.key_col: pa.array(np.concatenate(out_id)),
+            "dist": pa.array(np.concatenate(out_d), pa.float64())})
+
+
+def pq_topk(encoded: Dataset, queries: list[tuple[int, list[float]]],
+            codebooks: np.ndarray, k: int = 10,
+            key_col: str = "vec_id") -> pd.DataFrame:
+    """ADC top-k (ascending squared distance, key-asc tie-break) over a
+    PQ-encoded corpus. Same reduce shape as ``brute_force_topk``:
+    per-(query,row) scores → per-query top-k via groupby(qid) (qid
+    cardinality = |queries|, bounded — the plain groupby is fine)."""
+    q_ref = ray.put(queries)
+    cb_ref = ray.put(np.asarray(codebooks, dtype=np.float64))
+    scored = encoded.map_batches(
+        PqAdcScorer, fn_constructor_kwargs=dict(
+            queries_ref=q_ref, codebooks_ref=cb_ref, key_col=key_col),
+        batch_format="pyarrow", concurrency=_pool(), num_cpus=1,
+        batch_size=4096)
+
+    def per_query(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g[key_col] != g["qid"]]
+        g = g.sort_values(["dist", key_col],
+                          ascending=[True, True], kind="mergesort")
+        return g.head(k)
+
+    out = scored.groupby("qid").map_groups(per_query,
+                                           batch_format="pandas")
+    return out.to_pandas().sort_values(
+        ["qid", "dist", key_col]).reset_index(drop=True)
