@@ -629,6 +629,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "text"])
         return winnow_fingerprints(docs, k=5, w=4)
 
+    def q_warc_roundtrip(sf):
+        # frame documents as WARC response records (payload salted
+        # with CRLFCRLF + a fake banner to stress Content-Length
+        # framing), write partitioned .warc parts, parse back
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from omop2obo_ray.sources.warc import read_warc, write_warc
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+        def mk(b: pa.Table) -> pa.Table:
+            key = pc.cast(b["doc_id"], pa.string())
+            return pa.table({
+                "url": pc.binary_join_element_wise(
+                    "https://ex.org/", key, ""),
+                "warc_ts": pa.array(["2024-01-01T00:00:00Z"] * len(b)),
+                "payload": pc.binary_join_element_wise(
+                    b["text"], "\r\n\r\nWARC/1.0 fake", "")})
+
+        pages = docs.map_batches(mk, batch_format="pyarrow",
+                                 batch_size=None)
+        d = tempfile.mkdtemp(prefix="warc_gate_")
+        write_warc(pages, d)
+
+        def dec(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "url": b["url"], "warc_ts": b["warc_ts"],
+                "body": pc.cast(b["payload"], pa.string())})
+
+        return read_warc(d).map_batches(dec, batch_format="pyarrow",
+                                        batch_size=None)
+
     def q_ntriples_roundtrip(sf):
         # serialize part-derived triples (literals salted with
         # quote/backslash/newline/tab — the full escape table) to
@@ -1385,6 +1422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25": q_bm25,  # Okapi BM25 query scoring (SQL-checked)
         "rrf_fuse": q_rrf_fuse,  # reciprocal-rank fusion, exact-integer (SQL-checked)
         "ntriples_roundtrip": q_ntriples_roundtrip,  # N-Triples sink+source identity (SQL-checked)
+        "warc_roundtrip": q_warc_roundtrip,  # WARC sink+source identity, CC container (SQL-checked)
         "winnow": q_winnow,  # MOSS winnowing fingerprints (SQL-checked)
         "mixture_sample": q_mixture_sample,  # data-mixing quota sampler (SQL-checked)
         "n3c_mapping_table": q_n3c_mapping_table,
@@ -1872,6 +1910,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM gh) "
             "SELECT DISTINCT doc_id, mfp AS fp FROM mins "
             "WHERE p >= 4 OR p = n"
+        ),
+        # WARC round trip: oracle computes the records directly; the
+        # engine writes+parses them back (Content-Length framing is
+        # what the CRLFCRLF+banner salt exercises)
+        "warc_roundtrip": (
+            "SELECT 'https://ex.org/' || doc_id AS url, "
+            "'2024-01-01T00:00:00Z' AS warc_ts, "
+            "text || chr(13) || chr(10) || chr(13) || chr(10) || "
+            "'WARC/1.0 fake' AS body FROM documents"
         ),
         # N-Triples round trip: the oracle computes the triples
         # directly; the engine must write+parse them back identically

@@ -321,3 +321,34 @@ def test_ntriples_reader_rejects_malformed_and_skips_comments(
     bad.write_text("<urn:s> <urn:p> unquoted .\n")
     with pytest.raises(Exception, match="malformed"):
         read_ntriples(str(bad)).materialize()
+
+
+def test_warc_roundtrip_binary_safe(ray_session, tmp_path):
+    """Payloads containing CRLFCRLF and full WARC banners must
+    round-trip byte-exact (Content-Length framing, not splitting)."""
+    from omop2obo_ray.sources.warc import read_warc, write_warc
+
+    df = pd.DataFrame({
+        "url": [f"https://ex.org/{i}" for i in range(4)],
+        "warc_ts": ["2024-01-01T00:00:00Z"] * 4,
+        "payload": [b"plain", b"has \r\n\r\n inside",
+                    b"WARC/1.0\r\nfake banner", bytes(range(256))],
+    })
+    d = str(tmp_path / "warc")
+    man = write_warc(rd.from_pandas(df).repartition(2), d)
+    assert man["rows"].sum() == 4
+    back = (read_warc(d).to_pandas()
+            .sort_values("url").reset_index(drop=True))
+    want = df.sort_values("url").reset_index(drop=True)
+    assert list(back["url"]) == list(want["url"])
+    assert list(back["warc_ts"]) == list(want["warc_ts"])
+    assert all(a == b for a, b in zip(back["payload"], want["payload"]))
+
+
+def test_warc_reader_rejects_truncation(ray_session, tmp_path):
+    from omop2obo_ray.sources.warc import read_warc
+
+    bad = tmp_path / "bad.warc"
+    bad.write_bytes(b"WARC/1.0\r\nContent-Length: 100\r\n\r\nshort")
+    with pytest.raises(Exception, match="truncated"):
+        read_warc(str(bad)).materialize()
