@@ -629,6 +629,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "text"])
         return winnow_fingerprints(docs, k=5, w=4)
 
+    def q_jsonl_roundtrip(sf):
+        # sharded JSONL export → native read_json import; text salted
+        # with quote/backslash/newline so the JSON escaper is exercised
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from omop2obo_ray.sources.jsonl import read_jsonl, write_jsonl
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+        def mk(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "text": pc.binary_join_element_wise(
+                    b["text"], ' "q\\', "\nend", "")})
+
+        d = tempfile.mkdtemp(prefix="jsonl_gate_")
+        write_jsonl(docs.map_batches(mk, batch_format="pyarrow",
+                                     batch_size=None), d)
+        return read_jsonl(d)
+
     def q_warc_roundtrip(sf):
         # frame documents as WARC response records (payload salted
         # with CRLFCRLF + a fake banner to stress Content-Length
@@ -1423,6 +1448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fuse": q_rrf_fuse,  # reciprocal-rank fusion, exact-integer (SQL-checked)
         "ntriples_roundtrip": q_ntriples_roundtrip,  # N-Triples sink+source identity (SQL-checked)
         "warc_roundtrip": q_warc_roundtrip,  # WARC sink+source identity, CC container (SQL-checked)
+        "jsonl_roundtrip": q_jsonl_roundtrip,  # sharded JSONL sink + native read_json (SQL-checked)
         "winnow": q_winnow,  # MOSS winnowing fingerprints (SQL-checked)
         "mixture_sample": q_mixture_sample,  # data-mixing quota sampler (SQL-checked)
         "n3c_mapping_table": q_n3c_mapping_table,
@@ -1910,6 +1936,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM gh) "
             "SELECT DISTINCT doc_id, mfp AS fp FROM mins "
             "WHERE p >= 4 OR p = n"
+        ),
+        # JSONL round trip: oracle computes the rows directly
+        "jsonl_roundtrip": (
+            "SELECT doc_id, text || ' \"q' || '\\' || chr(10) || 'end' "
+            "AS text FROM documents"
         ),
         # WARC round trip: oracle computes the records directly; the
         # engine writes+parses them back (Content-Length framing is

@@ -25,6 +25,7 @@ stripping are out of scope here (payload is stored verbatim).
 
 from __future__ import annotations
 
+import gzip
 import os
 import uuid
 
@@ -39,11 +40,19 @@ _CRLF = b"\r\n"
 
 def write_warc(pages: Dataset, out_dir: str, *,
                url_col: str = "url", ts_col: str = "warc_ts",
-               payload_col: str = "payload") -> pd.DataFrame:
+               payload_col: str = "payload",
+               compression: str | None = None) -> pd.DataFrame:
     """Serialize (url, ts, binary payload) rows to partitioned
     ``part-*.warc`` files; returns the (path, rows) manifest frame.
     ``ts`` values are written verbatim into ``WARC-Date`` (pass ISO-8601
-    strings); record ids are deterministic per (file-relative index)."""
+    strings); record ids are deterministic per (file-relative index).
+
+    ``compression="gzip"`` writes ``part-*.warc.gz`` in the REAL
+    Common-Crawl layout: one gzip MEMBER per record, concatenated —
+    a range-read of a single member decompresses independently, which
+    is how CC index lookups fetch one page out of a 1 GB segment."""
+    if compression not in (None, "gzip"):
+        raise ValueError(f"unsupported compression {compression!r}")
     os.makedirs(out_dir, exist_ok=True)
 
     def _write(batch: pa.Table) -> pa.Table:
@@ -64,10 +73,12 @@ def write_warc(pages: Dataset, out_dir: str, *,
                    f"WARC-Target-URI: {u}\r\n"
                    f"Content-Length: {len(p)}\r\n"
                    f"\r\n").encode("utf-8")
-            chunks.append(hdr)
-            chunks.append(p)
-            chunks.append(_CRLF + _CRLF)
-        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.warc")
+            record = hdr + p + _CRLF + _CRLF
+            if compression == "gzip":
+                record = gzip.compress(record)
+            chunks.append(record)
+        ext = "warc.gz" if compression == "gzip" else "warc"
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.{ext}")
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(b"".join(chunks))
@@ -124,6 +135,8 @@ def read_warc(path: str) -> Dataset:
         paths = (batch["path"].to_pylist()
                  if "path" in batch.column_names else [""] * len(batch))
         for data, origin in zip(batch["bytes"].to_pylist(), paths):
+            if data[:2] == b"\x1f\x8b":  # gzip magic: multi-member
+                data = gzip.decompress(data)  # (handles concatenation)
             for u, t, p in _parse_warc_bytes(data, origin or "<warc>"):
                 urls.append(u)
                 tss.append(t)

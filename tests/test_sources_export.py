@@ -352,3 +352,44 @@ def test_warc_reader_rejects_truncation(ray_session, tmp_path):
     bad.write_bytes(b"WARC/1.0\r\nContent-Length: 100\r\n\r\nshort")
     with pytest.raises(Exception, match="truncated"):
         read_warc(str(bad)).materialize()
+
+
+def test_jsonl_roundtrip_specials(ray_session, tmp_path):
+    from omop2obo_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    df = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3], dtype="int64"),
+        "text": ['plain', 'quotes " and \\ and \n newline',
+                 'unicodé — ✓'],
+    })
+    d = str(tmp_path / "jl")
+    man = write_jsonl(rd.from_pandas(df).repartition(2), d)
+    assert man["rows"].sum() == 3
+    back = (read_jsonl(d).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(back[["doc_id", "text"]],
+                                  df.astype({"doc_id": "int64"}))
+
+
+def test_warc_gzip_roundtrip_per_record_members(ray_session, tmp_path):
+    import gzip as _gz
+
+    from omop2obo_ray.sources.warc import read_warc, write_warc
+
+    df = pd.DataFrame({
+        "url": [f"https://ex.org/{i}" for i in range(3)],
+        "warc_ts": ["2024-01-01T00:00:00Z"] * 3,
+        "payload": [b"alpha", b"b\r\n\r\nmid", bytes(range(64))],
+    })
+    d = str(tmp_path / "wgz")
+    man = write_warc(rd.from_pandas(df), d, compression="gzip")
+    assert all(p.endswith(".warc.gz") for p in man["path"])
+    # CC layout: one gzip member PER RECORD (3 magic headers, and
+    # decompressing the stream yields records back-to-back)
+    raw = b"".join(open(p, "rb").read() for p in man["path"])
+    assert raw.count(b"\x1f\x8b\x08") >= 3
+    assert _gz.decompress(raw).startswith(b"WARC/1.0\r\n")
+    back = (read_warc(d).to_pandas()
+            .sort_values("url").reset_index(drop=True))
+    assert all(a == b for a, b in
+               zip(back["payload"], df.sort_values("url")["payload"]))
