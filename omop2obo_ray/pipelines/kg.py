@@ -255,3 +255,82 @@ def run_kg_to_dir(pages: Dataset, lexicon: Lexicon, out_dir: str,
     return write_triples_resumable(
         triples, out_dir, cfg.subject_buckets, extractor_version=EXTRACTOR_VERSION
     )
+
+
+def warc_to_pages(warc_path: str, default_lang: str | None = None) -> Dataset:
+    """Bridge from raw Common-Crawl segments to the PAGES shape:
+    ``read_warc`` (url, warc_ts, payload) → (url, warc_ts, html, lang).
+
+    WARC records carry no language tag, so ``lang`` is either the
+    caller's constant (``default_lang`` — right when the crawl was
+    pre-filtered upstream, and makes the transport exactly invertible)
+    or, when None, predicted per page by the engine's char-trigram
+    language-ID on the extracted text (an actor-pool stage; swap the
+    heuristic for a real model in ``TextAnalyzer.__init__`` at
+    production quality)."""
+    from omop2obo_ray.functions.html import extract_text
+    from omop2obo_ray.sources.warc import read_warc
+
+    raw = read_warc(warc_path)
+
+    if default_lang is not None:
+        def _fixed(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "url": batch["url"], "warc_ts": batch["warc_ts"],
+                "html": batch["payload"].cast(pa.large_binary()),
+                "lang": pa.array([default_lang] * len(batch)),
+            })
+
+        return raw.map_batches(_fixed, batch_format="pyarrow",
+                               batch_size=None)
+
+    from omop2obo_ray.pipelines.textpipe import TextAnalyzer, _pool
+
+    class _LangTagger:
+        """extract (throwaway — the real extraction runs again inside
+        extract_pages, preserving the byte-identity invariant there)
+        + trigram language-ID per record."""
+
+        def __init__(self):
+            self._an = TextAnalyzer()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            langs = [self._an.lang_of(extract_text(p))
+                     for p in batch["payload"].to_pylist()]
+            return pa.table({
+                "url": batch["url"], "warc_ts": batch["warc_ts"],
+                "html": batch["payload"].cast(pa.large_binary()),
+                "lang": pa.array(langs, pa.string()),
+            })
+
+    return raw.map_batches(_LangTagger, batch_format="pyarrow",
+                           batch_size=2048, concurrency=_pool(),
+                           num_cpus=1)
+
+
+def build_kg_from_warc(warc_path: str, lexicon: Lexicon,
+                       cfg: PipelineConfig = DEFAULT_CONFIG,
+                       default_lang: str | None = None) -> Dataset:
+    """Segment-to-graph front door: ``.warc`` / ``.warc.gz`` segments →
+    deduplicated triples, streaming end-to-end (file-parallel WARC
+    parse → extract → link → canonicalize)."""
+    return build_kg(warc_to_pages(warc_path, default_lang), lexicon, cfg)
+
+
+def run_warc_to_ntriples(warc_path: str, lexicon: Lexicon, out_dir: str,
+                         cfg: PipelineConfig = DEFAULT_CONFIG,
+                         default_lang: str | None = None) -> "pd.DataFrame":
+    """CC segments in, RDF out: build the KG from WARC and publish it
+    as partitioned N-Triples (the graph-ecosystem handoff)."""
+    from omop2obo_ray.sources.ntriples import write_ntriples
+
+    triples = build_kg_from_warc(warc_path, lexicon, cfg, default_lang)
+
+    def _spo(batch: pa.Table) -> pa.Table:
+        return pa.table({"subject": batch["subj"],
+                         "predicate": batch["pred"],
+                         "object": batch["obj"]})
+
+    spo = triples.map_batches(_spo, batch_format="pyarrow",
+                              batch_size=None)
+    return write_ntriples(spo, out_dir)

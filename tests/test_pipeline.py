@@ -173,3 +173,81 @@ def test_kg_identical_under_forced_linker_chunking(
     got_s = got[key].sort_values(key).reset_index(drop=True)
     want_s = want[key].sort_values(key).reset_index(drop=True)
     assert got_s.equals(want_s)
+
+
+def test_build_kg_from_warc_identity(ray_session, fixture_dir, lexicon,
+                                     tmp_path):
+    """Transporting the fixture's English pages through gzip WARC
+    segments must yield the exact triple set of the parquet path."""
+    import pyarrow.compute as pc
+
+    from omop2obo_ray.pipelines.kg import build_kg, build_kg_from_warc
+    from omop2obo_ray.sources.warc import write_warc
+
+    pages = rd.read_parquet(os.path.join(fixture_dir, "pages.parquet"))
+    en = pages.map_batches(
+        lambda b: b.filter(pc.equal(b["lang"], "en")),
+        batch_format="pyarrow", batch_size=None)
+
+    def to_records(b):
+        import pyarrow as pa
+        return pa.table({"url": b["url"],
+                         "warc_ts": pc.cast(b["warc_ts"], pa.string()),
+                         "payload": b["html"].cast(pa.binary())})
+
+    d = str(tmp_path / "seg")
+    write_warc(en.map_batches(to_records, batch_format="pyarrow",
+                              batch_size=None), d, compression="gzip")
+
+    got = build_kg_from_warc(d, lexicon, default_lang="en").to_pandas()
+    want = build_kg(en, lexicon).to_pandas()
+    key = lambda df: sorted(zip(df.subj, df.pred, df.obj, df.evidence))
+    assert key(got) == key(want) and len(want) > 0
+
+
+def test_run_warc_to_ntriples(ray_session, fixture_dir, lexicon,
+                              tmp_path):
+    from omop2obo_ray.pipelines.kg import (build_kg, run_warc_to_ntriples,
+                                           warc_to_pages)
+    from omop2obo_ray.sources.ntriples import read_ntriples
+    from omop2obo_ray.sources.warc import write_warc
+    import pyarrow.compute as pc
+
+    pages = rd.read_parquet(os.path.join(fixture_dir, "pages.parquet"))
+    en = pages.map_batches(
+        lambda b: b.filter(pc.equal(b["lang"], "en")),
+        batch_format="pyarrow", batch_size=None)
+
+    def to_records(b):
+        import pyarrow as pa
+        return pa.table({"url": b["url"],
+                         "warc_ts": pc.cast(b["warc_ts"], pa.string()),
+                         "payload": b["html"].cast(pa.binary())})
+
+    seg = str(tmp_path / "seg2")
+    write_warc(en.map_batches(to_records, batch_format="pyarrow",
+                              batch_size=None), seg)
+    out = str(tmp_path / "nt_out")
+    man = run_warc_to_ntriples(seg, lexicon, out, default_lang="en")
+    back = read_ntriples(out).to_pandas()
+    want = build_kg(en, lexicon).to_pandas()
+    assert man["rows"].sum() == len(back) == len(want)
+    assert (set(zip(back.subject, back.predicate, back.object))
+            == set(zip(want.subj, want.pred, want.obj)))
+
+
+def test_warc_to_pages_langid_path(ray_session, tmp_path):
+    import pandas as pd
+
+    from omop2obo_ray.pipelines.kg import warc_to_pages
+    from omop2obo_ray.sources.warc import write_warc
+
+    html = ("<html><body><p>the thing and the other thing going "
+            "strong</p></body></html>").encode()
+    d = str(tmp_path / "lid")
+    write_warc(rd.from_pandas(pd.DataFrame({
+        "url": ["https://x/1"], "warc_ts": ["2024-01-01T00:00:00Z"],
+        "payload": [html]})), d)
+    got = warc_to_pages(d).to_pandas()
+    assert list(got.columns) == ["url", "warc_ts", "html", "lang"]
+    assert got["lang"].tolist() == ["en"]
