@@ -92,6 +92,29 @@ def cmd_build_kg(args) -> int:
     return 0
 
 
+def cmd_build_kg_warc(args) -> int:
+    ray = _ray()
+
+    from omop2obo_ray.config import DEFAULT_CONFIG
+    from omop2obo_ray.pipelines.kg import run_warc_to_ntriples
+    from omop2obo_ray.state.lexicon import load_lexicon_from_dir
+
+    onts = tuple(args.ontologies.split(","))
+    cfg = DEFAULT_CONFIG.with_(
+        ontologies=onts,
+        languages=tuple(args.languages.split(",")),
+        sim_threshold=args.sim_threshold,
+    )
+    lexicon = load_lexicon_from_dir(args.lexicon, ontologies=onts)
+    manifest = run_warc_to_ntriples(
+        args.warc, lexicon, args.out, cfg,
+        default_lang=args.default_lang)
+    print(json.dumps({"out": args.out, "parts": len(manifest),
+                      "triples": int(manifest["rows"].sum())}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_update_kg(args) -> int:
     """Crawl-refresh: merge a new pages batch into a published store."""
     ray = _ray()
@@ -163,6 +186,19 @@ def main(argv: list[str] | None = None) -> int:
     bk.add_argument("--sim-threshold", type=float, default=0.25)
     bk.add_argument("--buckets", type=int, default=16)
     bk.set_defaults(fn=cmd_build_kg)
+
+    bw = sub.add_parser("build-kg-warc",
+                        help=".warc(.gz) segments → N-Triples parts")
+    bw.add_argument("--warc", required=True,
+                    help="segment file or directory")
+    bw.add_argument("--lexicon", required=True)
+    bw.add_argument("--out", required=True)
+    bw.add_argument("--ontologies", default="hp,mondo")
+    bw.add_argument("--languages", default="en")
+    bw.add_argument("--sim-threshold", type=float, default=0.25)
+    bw.add_argument("--default-lang", default=None,
+                    help="skip language-ID, tag every page with this")
+    bw.set_defaults(fn=cmd_build_kg_warc)
 
     uk = sub.add_parser("update-kg",
                         help="merge new pages into a published store")

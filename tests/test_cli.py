@@ -73,3 +73,45 @@ def test_cli_pipeline_end_to_end(tmp_path, fixture_dir):
     )
     assert out.returncode == 0, out.stderr
     assert os.listdir(f"{release_dir}/triples_csv")
+
+
+def test_cli_build_kg_warc(tmp_path, ray_session):
+    """lexicon-build → write a gzip WARC segment → build-kg-warc →
+    N-Triples parts with the expected triples."""
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.functions.html import expected_text, render_page_html
+    from omop2obo_ray.sources.ntriples import read_ntriples
+    from omop2obo_ray.sources.warc import write_warc
+
+    obo = tmp_path / "hp.obo"
+    obo.write_text(OBO)
+    lexdir = str(tmp_path / "lex")
+    out = subprocess.run(
+        [sys.executable, "-m", "omop2obo_ray", "lexicon-build",
+         "--obo", f"hp={obo}", "--out", lexdir],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+
+    paras = ["A clear crimson finding here.", "Also a pallor pattern appears."]
+    seg = str(tmp_path / "seg")
+    write_warc(rd.from_pandas(pd.DataFrame({
+        "url": ["https://x/p1"],
+        "warc_ts": ["2024-01-01T00:00:00Z"],
+        "payload": [render_page_html("t", paras)]})), seg,
+        compression="gzip")
+
+    nt_out = str(tmp_path / "nt")
+    out = subprocess.run(
+        [sys.executable, "-m", "omop2obo_ray", "build-kg-warc",
+         "--warc", seg, "--lexicon", lexdir, "--out", nt_out,
+         "--ontologies", "hp", "--default-lang", "en"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["triples"] == 2
+    back = read_ntriples(nt_out).to_pandas()
+    assert len(back) == 2 and set(back["subject"]) == {"https://x/p1"}
