@@ -192,6 +192,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf}/documents.parquet", columns=["doc_id", "source", "lang"])
         return canonicalize_urls(synth_urls(docs))
 
+    def q_blocked_hosts(sf):
+        # domain-list filter over the synthetic CC urls: one blocked
+        # registrable domain (catches the www subdomain) + one blocked
+        # exact full host
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import (filter_blocked_hosts,
+                                                   synth_urls)
+
+        docs = rd.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "source", "lang"])
+        return filter_blocked_hosts(
+            synth_urls(docs),
+            ["src3.example.com", "src7.example.com",
+             "www.src11.example.com"]).select_columns(["doc_id"])
+
     def q_host_stats(sf):
         import ray.data as rd
 
@@ -1398,6 +1414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": q_dup_span_stats,  # duplicated-span signal (Lee'22)
         "canonical_urls": q_canonical_urls,  # CC url canonicalization
         "host_stats": q_host_stats,          # per-host crawl stats
+        "blocked_hosts": q_blocked_hosts,    # domain-blocklist filter (SQL-checked)
         "dedup_lines": q_dedup_lines,        # C4 global line dedup
         "tfidf_scores": q_tfidf_scores,      # corpus TF-IDF vectors
         "stratified_sample": q_stratified_sample,  # per-group exact-k sample
@@ -1766,6 +1783,23 @@ def oracle_sql() -> dict[str, str]:
             r"'\1', 'g'), '&&+', '&', 'g'), '\?&', '?'), '[?&]+$', ''), "
             r"'/\?', '?'), '/$', '') AS rest FROM u2) "
             "SELECT doc_id, host || rest AS url FROM u3"
+        ),
+        # blocklist: host = blocked OR host endswith '.' || blocked
+        # (label-suffix, same rule as the engine's strip-and-probe)
+        "blocked_hosts": (
+            "WITH u0 AS (SELECT doc_id, "
+            "'HTTPS://WWW.' || source || '.Example.com/' || lang || '/p' || "
+            "(doc_id % 50) || '/?utm_source=feed&utm_campaign=c' || "
+            "(doc_id % 7) || '&id=' || doc_id || '&ref=tw#sec-' || "
+            "(doc_id % 5) AS url FROM documents), "
+            "h AS (SELECT doc_id, lower(regexp_extract(url, "
+            r"'^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)', 1)) AS host "
+            "FROM u0), "
+            "b AS (SELECT * FROM (VALUES ('src3.example.com'), "
+            "('src7.example.com'), ('www.src11.example.com')) AS t(d)) "
+            "SELECT doc_id FROM h WHERE NOT EXISTS ("
+            "SELECT 1 FROM b WHERE h.host = b.d "
+            "OR suffix(h.host, '.' || b.d))"
         ),
         "host_stats": (
             "WITH u0 AS (SELECT doc_id, "

@@ -3178,3 +3178,45 @@ def rrf_fuse(rankings: list[Dataset], key: str, score: str, *,
         allc, [key],
         lambda df: df.groupby(key, sort=False)["w"].sum()
         .rename("fused_q").reset_index())
+
+
+# ---------------------------------------------------------------------------
+# Host blocklist filtering (safety / quality domain lists)
+# ---------------------------------------------------------------------------
+
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)"
+
+
+def filter_blocked_hosts(pages: Dataset, blocked: list[str],
+                         url_col: str = "url",
+                         max_labels: int = 8) -> Dataset:
+    """Drop rows whose URL host equals a blocked domain or is any
+    subdomain of one (label-suffix semantics: blocking ``example.com``
+    removes ``www.example.com`` but NOT ``badexample.com``) — the
+    standard safety/quality domain-list filter of web pipelines.
+
+    Scale shape: the blocklist is dimension data (even full production
+    lists are ~10⁶ rows) → broadcast via ``ray.put`` once, probed as a
+    hash set. The suffix walk is vectorized: ``max_labels`` rounds of
+    a leading-label strip + an ``isin`` probe per batch — no per-row
+    Python, no join, no shuffle. Host extraction shares ``_HOST_RE``
+    with the SQL oracle (RE2 both sides)."""
+    blocked_ref = ray.put(frozenset(h.lower() for h in blocked))
+
+    def _keep(df: pd.DataFrame) -> pd.DataFrame:
+        bl = ray.get(blocked_ref)
+        host = (df[url_col].str.extract(_HOST_RE, expand=False)
+                .str.lower().fillna(""))
+        hit = host.isin(bl)
+        cand = host
+        for _ in range(max_labels):
+            nxt = cand.str.replace(r"^[^.]+\.", "", regex=True, n=1)
+            moved = nxt != cand
+            if not moved.any():
+                break
+            cand = nxt
+            hit |= cand.isin(bl) & moved
+        return df[~hit]
+
+    return pages.map_batches(_keep, batch_format="pandas",
+                             batch_size=None)

@@ -1276,3 +1276,20 @@ def test_rrf_fuse_two_lists(ray_session):
         4: 1_000_000 // 61,
     }
     assert got.to_dict() == want
+
+
+def test_filter_blocked_hosts_suffix_semantics(ray_session):
+    from omop2obo_ray.pipelines.curate import filter_blocked_hosts
+
+    df = pd.DataFrame({
+        "url": ["https://ads.example.com/x",        # exact block
+                "https://sub.ads.example.com/y",    # subdomain
+                "https://badexample.com/z",          # NOT a suffix match
+                "HTTPS://ADS.EXAMPLE.COM/upper",     # case-folded
+                "https://ok.org/fine",
+                "not-a-url"],
+        "v": list(range(6))})
+    got = (filter_blocked_hosts(rd.from_pandas(df),
+                                ["ads.example.com"])
+           .to_pandas().sort_values("v"))
+    assert got["v"].tolist() == [2, 4, 5]
