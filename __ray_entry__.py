@@ -192,6 +192,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf}/documents.parquet", columns=["doc_id", "source", "lang"])
         return canonicalize_urls(synth_urls(docs))
 
+    def q_mention_contexts(sf):
+        # KWIC evidence snippets: first occurrence per (doc, probe)
+        # with a ±20-char window; substring semantics shared with
+        # strpos (no token boundaries)
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import mention_contexts
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return mention_contexts(docs, ["data", "web", "market"],
+                                window=20)
+
     def q_blocked_hosts(sf):
         # domain-list filter over the synthetic CC urls: one blocked
         # registrable domain (catches the www subdomain) + one blocked
@@ -1415,6 +1428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_urls": q_canonical_urls,  # CC url canonicalization
         "host_stats": q_host_stats,          # per-host crawl stats
         "blocked_hosts": q_blocked_hosts,    # domain-blocklist filter (SQL-checked)
+        "mention_contexts": q_mention_contexts,  # KWIC evidence snippets (SQL-checked)
         "dedup_lines": q_dedup_lines,        # C4 global line dedup
         "tfidf_scores": q_tfidf_scores,      # corpus TF-IDF vectors
         "stratified_sample": q_stratified_sample,  # per-group exact-k sample
@@ -1783,6 +1797,20 @@ def oracle_sql() -> dict[str, str]:
             r"'\1', 'g'), '&&+', '&', 'g'), '\?&', '?'), '[?&]+$', ''), "
             r"'/\?', '?'), '/$', '') AS rest FROM u2) "
             "SELECT doc_id, host || rest AS url FROM u3"
+        ),
+        # KWIC: first occurrence per (doc, probe) via strpos; window
+        # arithmetic (1-based, greatest(1, pos-20), clip at end)
+        # shared verbatim with the engine's slice rule
+        "mention_contexts": (
+            "WITH p AS (SELECT * FROM (VALUES ('data'), ('web'), "
+            "('market')) AS t(probe)), "
+            "m AS (SELECT d.doc_id, p.probe, "
+            "strpos(d.text, p.probe) AS pos, d.text "
+            "FROM documents d CROSS JOIN p) "
+            "SELECT doc_id, probe, pos, "
+            "substr(text, greatest(1, pos - 20), "
+            "pos + length(probe) + 20 - greatest(1, pos - 20)) "
+            "AS snippet FROM m WHERE pos > 0"
         ),
         # blocklist: host = blocked OR host endswith '.' || blocked
         # (label-suffix, same rule as the engine's strip-and-probe)

@@ -3220,3 +3220,68 @@ def filter_blocked_hosts(pages: Dataset, blocked: list[str],
 
     return pages.map_batches(_keep, batch_format="pandas",
                              batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Mention contexts (KWIC evidence snippets)
+# ---------------------------------------------------------------------------
+
+class _ContextScanner:
+    """Actor: Aho-Corasick over the broadcast probe list (built once
+    per actor), emitting the FIRST occurrence per (doc, probe) with a
+    ±window character snippet — the corpus form of the reference's
+    evidence strings (exact surface + where it matched)."""
+
+    def __init__(self, probes_ref, key_col: str, text_col: str,
+                 window: int):
+        from omop2obo_ray.functions.aho import AhoCorasick
+
+        probes = (ray.get(probes_ref)
+                  if isinstance(probes_ref, ray.ObjectRef) else probes_ref)
+        self._ac = AhoCorasick(list(probes))
+        self._ac.build()
+        self.key_col, self.text_col = key_col, text_col
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        w = self.window
+        out_k, out_p, out_pos, out_s = [], [], [], []
+        for k, t in zip(keys, texts):
+            t = t or ""
+            first: dict[str, int] = {}
+            # substring semantics (word_boundaries=False): the shared
+            # rule with SQL strpos, which knows no token boundaries
+            for start, end in self._ac.scan(t, word_boundaries=False):
+                p = t[start:end]
+                if p not in first or start < first[p]:
+                    first[p] = start
+            for p, s0 in sorted(first.items()):
+                pos1 = s0 + 1                       # 1-based, as strpos
+                lo = max(0, s0 - w)
+                out_k.append(k)
+                out_p.append(p)
+                out_pos.append(pos1)
+                out_s.append(t[lo:s0 + len(p) + w])
+        return pa.table({
+            self.key_col: pa.array(out_k),
+            "probe": pa.array(out_p, pa.string()),
+            "pos": pa.array(np.asarray(out_pos, dtype=np.int64)),
+            "snippet": pa.array(out_s, pa.string())})
+
+
+def mention_contexts(docs: Dataset, probes: list[str], *,
+                     key_col: str = "doc_id", text_col: str = "text",
+                     window: int = 20) -> Dataset:
+    """(doc, probe, first position, ±window snippet) for every probe
+    that occurs in a document. One automaton scan per doc finds ALL
+    probes at once (vs |probes| strpos passes); probes are broadcast
+    dimension data. Streaming, no shuffle."""
+    probes_ref = ray.put([p for p in probes if p])
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return docs.map_batches(
+        _ContextScanner,
+        fn_constructor_args=(probes_ref, key_col, text_col, window),
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=(max(1, cpus // 4), max(2, cpus)), num_cpus=1)

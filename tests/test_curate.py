@@ -1293,3 +1293,19 @@ def test_filter_blocked_hosts_suffix_semantics(ray_session):
                                 ["ads.example.com"])
            .to_pandas().sort_values("v"))
     assert got["v"].tolist() == [2, 4, 5]
+
+
+def test_mention_contexts_first_occurrence_and_window(ray_session):
+    from omop2obo_ray.pipelines.curate import mention_contexts
+
+    text = "x" * 30 + "needle" + "y" * 30 + "needle tail pin"
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2], "text": [text, "no hits here"]}))
+    got = (mention_contexts(docs, ["needle", "pin", "absent"], window=5)
+           .to_pandas().sort_values("probe").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [1, 1]
+    assert got["probe"].tolist() == ["needle", "pin"]
+    # first occurrence only, 1-based, ±5 chars
+    assert got["pos"].tolist() == [31, 79]
+    assert got["snippet"][0] == "xxxxx" + "needle" + "yyyyy"
+    assert got["snippet"][1] == "tail pin"  # window clips at doc end
