@@ -348,6 +348,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  batch_size=None)
         return taxonomy_rollup(counts, edges)
 
+    def q_match_bgp(sf):
+        # SPARQL-core basic-graph-pattern match over a triple store
+        # synthesized from the TPC-H geography: ?c in_nation ?n .
+        # ?n in_region r1 . ?s in_nation ?n — a 3-pattern BGP with a
+        # constant pushdown and a shared-variable star join. Bag
+        # semantics on both sides (?c and ?s each bind EVERY in_nation
+        # subject of the nation: customers and suppliers alike).
+        import pandas as pd
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import match_bgp
+
+        cust = rd.read_parquet(f"{sf}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"])
+        nat = rd.read_parquet(f"{sf}/nation.parquet",
+                              columns=["n_nationkey", "n_regionkey"])
+        supp = rd.read_parquet(f"{sf}/supplier.parquet",
+                               columns=["s_suppkey", "s_nationkey"])
+
+        def _t(skey, pred, okey, sp, op):
+            def inner(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({
+                    "subj": sp + df[skey].astype(str),
+                    "pred": pred,
+                    "obj": op + df[okey].astype(str)})
+            return inner
+
+        triples = (
+            cust.map_batches(_t("c_custkey", "in_nation", "c_nationkey",
+                                "c", "n"), batch_format="pandas",
+                             batch_size=None)
+            .union(nat.map_batches(_t("n_nationkey", "in_region",
+                                      "n_regionkey", "n", "r"),
+                                   batch_format="pandas", batch_size=None))
+            .union(supp.map_batches(_t("s_suppkey", "in_nation",
+                                       "s_nationkey", "s", "n"),
+                                    batch_format="pandas",
+                                    batch_size=None)))
+        return match_bgp(triples, [("?c", "in_nation", "?n"),
+                                   ("?n", "in_region", "r1"),
+                                   ("?s", "in_nation", "?n")])
+
+    def q_infer_types(sf):
+        # RDFS-lite subclass entailment: each part asserted with class
+        # c(1 + p_partkey % 60); the class DAG is the id-halving chain
+        # c_k ⊑ c_{k//2} ⊑ … ⊑ c_1 (the taxonomy_rollup contract, on
+        # the class vocabulary). Edges dedup to dimension size (≤ 60
+        # rows) before the closure build.
+        import pandas as pd
+        import ray.data as rd
+
+        from omop2obo_ray.functions.shuffle import coarse_aggregate
+        from omop2obo_ray.pipelines.graph import infer_types
+
+        part = rd.read_parquet(f"{sf}/part.parquet",
+                               columns=["p_partkey"])
+
+        def _typed(df: pd.DataFrame) -> pd.DataFrame:
+            mid = 1 + df["p_partkey"] % 60
+            return pd.DataFrame({
+                "entity": "p" + df["p_partkey"].astype(str),
+                "cls": "c" + mid.astype(str)})
+
+        def _edges(df: pd.DataFrame) -> pd.DataFrame:
+            mid = (1 + df["p_partkey"] % 60).to_numpy()
+            par = mid // 2
+            keep = par >= 1
+            return pd.DataFrame({
+                "child": "c" + pd.Series(mid[keep]).astype(str),
+                "parent": "c" + pd.Series(par[keep]).astype(str)})
+
+        typed = part.map_batches(_typed, batch_format="pandas",
+                                 batch_size=None)
+        edges = coarse_aggregate(
+            part.map_batches(_edges, batch_format="pandas",
+                             batch_size=None),
+            ["child", "parent"],
+            lambda df: df.drop_duplicates(["child", "parent"]))
+        return infer_types(typed, edges)
+
     def q_connected_components(sf):
         # customer→order bipartite: components are per-customer stars
         # (diameter 2 → propagation converges in ~3 rounds; the
@@ -1057,6 +1137,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "source"])
         return c4_clean(synth_paragraph_docs(docs))
 
+    def q_gopher_stats(sf):
+        # full Gopher §A1.1 rule set (line + lexical rules) over
+        # synthesized multi-line pages exercising every rule; the
+        # thresholds are tuned so three DIFFERENT rules decide:
+        # doc_id%4==0 fails min-words, %4∈{2,3} fail the symbol ratio,
+        # %4==1 passes everything
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import (gopher_stats,
+                                                   synth_gopher_docs)
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id"])
+        return gopher_stats(synth_gopher_docs(docs), min_words=20,
+                            symbol_ratio_x10=1, bullet_ratio_x10=4,
+                            ellipsis_ratio_x10=4, alpha_ratio_x5=2)
+
+    def q_compression_stats(sf):
+        # zlib compression-ratio signal (rows-only: DuckDB has no zlib;
+        # the pytest oracle is the python zlib library itself)
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import compression_stats
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return compression_stats(docs)
+
     def q_embedding_covariance(sf):
         # epsilon-floor quantized gate (float sums reassociate between
         # numpy partials and DuckDB; full precision stays on the op)
@@ -1435,6 +1543,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,              # iterative join-based centrality
         "degree_stats": q_degree_stats,      # out-degree histogram
         "taxonomy_rollup": q_taxonomy_rollup,  # counts up the concept DAG (SQL-checked)
+        "match_bgp": q_match_bgp,            # SPARQL-core BGP over a triple store (SQL-checked)
+        "infer_types": q_infer_types,        # RDFS subclass entailment closure (SQL-checked)
         "token_stats": q_token_stats,
         "md5_fingerprint": q_md5_fingerprint,
         "embedding_topk": q_embedding_topk,
@@ -1488,6 +1598,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components_alt": q_connected_components_alt,  # large-star/small-star
         "cooc_counts": q_cooc_counts,  # windowed skip-gram co-occurrence (SQL-checked)
         "c4_clean": q_c4_clean,  # C4 line/doc quality cleaning (SQL-checked)
+        "gopher_stats": q_gopher_stats,  # full Gopher rule set, int-exact (SQL-checked)
+        "compression_stats": q_compression_stats,  # zlib ratio signal (rows-only)
         "embedding_covariance": q_embedding_covariance,  # moment-sketch covariance (SQL-checked)
         "pca_projection": q_pca_projection,  # PCA projection (rows-only: eigh)
         "clustering_coefficient": q_clustering_coefficient,  # per-node triangles (SQL-checked)
@@ -1628,6 +1740,42 @@ def oracle_sql() -> dict[str, str]:
             "JOIN cnt c ON c.concept = cl.child) "
             "SELECT concept, CAST(sum(n) AS BIGINT) AS total "
             "FROM contrib GROUP BY concept"
+        ),
+        # the same BGP as three self-joins over the synthesized triple
+        # store (bag semantics both sides; constant r1 pushed into p2)
+        "match_bgp": (
+            "WITH t AS ("
+            "SELECT 'c' || c_custkey AS subj, 'in_nation' AS pred, "
+            "'n' || c_nationkey AS obj FROM customer "
+            "UNION ALL "
+            "SELECT 'n' || n_nationkey, 'in_region', 'r' || n_regionkey "
+            "FROM nation "
+            "UNION ALL "
+            "SELECT 's' || s_suppkey, 'in_nation', 'n' || s_nationkey "
+            "FROM supplier) "
+            "SELECT p1.subj AS c, p1.obj AS n, p3.subj AS s "
+            "FROM t p1 "
+            "JOIN t p2 ON p2.subj = p1.obj AND p2.pred = 'in_region' "
+            "AND p2.obj = 'r1' "
+            "JOIN t p3 ON p3.obj = p1.obj AND p3.pred = 'in_nation' "
+            "WHERE p1.pred = 'in_nation'"
+        ),
+        # subclass entailment: asserted class + every halving-chain
+        # ancestor, UNION-distinct per entity (closure semantics)
+        "infer_types": (
+            "WITH RECURSIVE m AS ("
+            "SELECT p_partkey, 1 + p_partkey % 60 AS mid FROM part), "
+            "edges AS (SELECT DISTINCT mid AS child, mid // 2 AS parent "
+            "FROM m WHERE mid // 2 >= 1), "
+            "closure(child, anc) AS ("
+            "SELECT child, parent FROM edges "
+            "UNION "
+            "SELECT c.child, e.parent FROM closure c "
+            "JOIN edges e ON c.anc = e.child) "
+            "SELECT 'p' || p_partkey AS entity, 'c' || mid AS cls FROM m "
+            "UNION "
+            "SELECT 'p' || m.p_partkey, 'c' || cl.anc "
+            "FROM m JOIN closure cl ON cl.child = m.mid"
         ),
         "ancestor_closure": (
             "WITH RECURSIVE edges AS ("
@@ -2408,6 +2556,13 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": __import__(
             "omop2obo_ray.pipelines.curate",
             fromlist=["c4_clean_sql"]).c4_clean_sql(),
+        # Gopher rules over the synth_gopher_docs contract — same
+        # RE2 regexes, same integer cross-multiplied thresholds
+        "gopher_stats": __import__(
+            "omop2obo_ray.pipelines.curate",
+            fromlist=["gopher_stats_sql"]).gopher_stats_sql(
+            min_words=20, symbol_ratio_x10=1, bullet_ratio_x10=4,
+            ellipsis_ratio_x10=4, alpha_ratio_x5=2),
         # moment-formula covariance (Σxy/n − mean·mean) with the shared
         # epsilon-floor quantizer (only float reassociation differs)
         "embedding_covariance": (

@@ -3285,3 +3285,273 @@ def mention_contexts(docs: Dataset, probes: list[str], *,
         fn_constructor_args=(probes_ref, key_col, text_col, window),
         batch_format="pyarrow", batch_size=4096,
         concurrency=(max(1, cpus // 4), max(2, cpus)), num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# zlib compression-ratio quality signal
+# ---------------------------------------------------------------------------
+
+def compression_stats(docs: Dataset, *, key_col: str = "doc_id",
+                      text_col: str = "text", level: int = 6) -> Dataset:
+    """Per-document zlib compression ratio — the classic
+    'too-repetitive / too-random' quality signal (RefinedWeb / DCLM
+    style: boilerplate and keyword-stuffed spam compress far below
+    natural prose; encrypted/binary junk barely compresses at all).
+
+    Output (key, raw_len, comp_len, ratio_q) with ``ratio_q`` =
+    ``comp_len * 10000 // max(raw_len, 1)`` — an exact int64, so the
+    signal is bit-stable across partitionings and engines (zlib with a
+    pinned ``level`` is fully deterministic for a given input).
+
+    Streaming per-block map, no shuffle, no driver state; the zlib
+    call is C-level per document (the loop does no Python-side work
+    beyond the call). DuckDB has no zlib, so the driver gate is
+    rows-only; the pytest oracle is the python zlib library itself.
+    """
+    import zlib
+
+    def _stats(df: pd.DataFrame) -> pd.DataFrame:
+        raw = [(t or "").encode("utf-8") for t in df[text_col]]
+        raw_len = np.fromiter((len(b) for b in raw), np.int64,
+                              count=len(raw))
+        comp_len = np.fromiter(
+            (len(zlib.compress(b, level)) for b in raw), np.int64,
+            count=len(raw))
+        return pd.DataFrame({
+            key_col: df[key_col].to_numpy(),
+            "raw_len": raw_len,
+            "comp_len": comp_len,
+            "ratio_q": comp_len * 10000 // np.maximum(raw_len, 1)})
+
+    return docs.select_columns([key_col, text_col]).map_batches(
+        _stats, batch_format="pandas", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Gopher document-quality rules (Rae'21 §A1.1) — the line-level and
+# lexical rules that complement quality_filter's token-shape gates
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+_GOPHER_BULLET_RE = r"^[-*•] "       # line starts with a bullet marker
+_GOPHER_ELLIPSIS_RE = r"\.\.\.$"     # line ends with an ellipsis
+_GOPHER_WORD_RE = r"\S+"             # Gopher 'words' are ws-split runs
+_GOPHER_ALPHA_RE = r"[A-Za-z]"
+
+
+def gopher_stats(docs: Dataset, *, key_col: str = "doc_id",
+                 text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_len_x1: int = 3, max_mean_len_x1: int = 10,
+                 symbol_ratio_x10: int = 1,
+                 bullet_ratio_x10: int = 9,
+                 ellipsis_ratio_x10: int = 3,
+                 alpha_ratio_x5: int = 4,
+                 min_stopwords: int = 2) -> Dataset:
+    """Gopher quality-rule signals per document, all EXACT int64 so the
+    keep decision is pure integer arithmetic (no float can diverge
+    between engine and oracle):
+
+    - ``n_words`` / ``sum_word_len``: whitespace-split words and their
+      total length (mean-word-length bounds via cross-multiplication:
+      ``min·n ≤ Σlen ≤ max·n``).
+    - ``n_symbols``: ``#`` characters + non-overlapping ``...`` runs
+      (symbol-to-word ratio rule: ``10·sym ≤ n_words``).
+    - ``n_lines`` / ``n_bullet`` / ``n_ellipsis``: lines, lines
+      starting with a bullet marker, lines ending in an ellipsis
+      (``10·bullet ≤ 9·lines``; ``10·ellipsis ≤ 3·lines``).
+    - ``n_alpha``: words containing at least one ASCII letter
+      (``5·alpha ≥ 4·n_words``).
+    - ``n_stop``: DISTINCT Gopher stop words present (``≥ 2``).
+    - ``keep``: 1 iff every rule passes.
+
+    One vectorized pass per block (token explode + C groupbys, the
+    `_repetition_batch` pattern); line rules are multiline-regex counts
+    on the whole text. Streaming, shuffle-free, no driver state. The
+    regexes and thresholds are module constants shared verbatim with
+    :func:`gopher_stats_sql`.
+    """
+    import re as _re
+
+    word_re = _re.compile(_GOPHER_WORD_RE)
+    alpha_re = _re.compile(_GOPHER_ALPHA_RE)
+    bullet_re = _re.compile(_GOPHER_BULLET_RE, _re.M)
+    ellipsis_re = _re.compile(_GOPHER_ELLIPSIS_RE, _re.M)
+    stop_set = frozenset(GOPHER_STOPWORDS)
+
+    def _stats(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        text = df[text_col].fillna("")
+        toks = text.str.findall(word_re)
+        counts = toks.str.len().to_numpy().astype(np.int64)
+        parent = np.repeat(np.arange(n, dtype=np.int64), counts)
+        flat = pd.Series(
+            [t for lst in toks for t in lst], dtype=object)
+        lens = flat.str.len().to_numpy().astype(np.int64) \
+            if len(flat) else np.zeros(0, np.int64)
+        alpha = flat.str.contains(alpha_re).to_numpy() \
+            if len(flat) else np.zeros(0, bool)
+        n_words = np.bincount(parent, minlength=n).astype(np.int64)
+        sum_len = np.bincount(parent, weights=lens,
+                              minlength=n).astype(np.int64)
+        n_alpha = np.bincount(parent[alpha], minlength=n).astype(np.int64)
+        # distinct stopwords present per doc
+        low = flat.str.lower() if len(flat) else flat
+        is_stop = low.isin(stop_set).to_numpy() if len(flat) else \
+            np.zeros(0, bool)
+        if is_stop.any():
+            sp = pd.DataFrame({"p": parent[is_stop],
+                               "t": low.to_numpy()[is_stop]})
+            per = sp.drop_duplicates().groupby("p", sort=False).size()
+            n_stop = np.zeros(n, np.int64)
+            n_stop[per.index.to_numpy()] = per.to_numpy()
+        else:
+            n_stop = np.zeros(n, np.int64)
+        n_symbols = (text.str.count("#", _re.NOFLAG).to_numpy()
+                     + text.str.count(r"\.\.\.").to_numpy()
+                     ).astype(np.int64)
+        n_lines = (text.str.count("\n").to_numpy() + 1).astype(np.int64)
+        n_bullet = text.str.count(bullet_re).to_numpy().astype(np.int64)
+        n_ellipsis = text.str.count(ellipsis_re).to_numpy().astype(np.int64)
+        keep = ((n_words >= min_words) & (n_words <= max_words)
+                & (min_mean_len_x1 * n_words <= sum_len)
+                & (sum_len <= max_mean_len_x1 * n_words)
+                & (10 * n_symbols <= symbol_ratio_x10 * n_words)
+                & (10 * n_bullet <= bullet_ratio_x10 * n_lines)
+                & (10 * n_ellipsis <= ellipsis_ratio_x10 * n_lines)
+                & (5 * n_alpha >= alpha_ratio_x5 * n_words)
+                & (n_stop >= min_stopwords)).astype(np.int64)
+        return pd.DataFrame({
+            key_col: df[key_col].to_numpy(),
+            "n_words": n_words, "sum_word_len": sum_len,
+            "n_symbols": n_symbols, "n_lines": n_lines,
+            "n_bullet": n_bullet, "n_ellipsis": n_ellipsis,
+            "n_alpha": n_alpha, "n_stop": n_stop, "keep": keep})
+
+    return docs.select_columns([key_col, text_col]).map_batches(
+        _stats, batch_format="pandas", batch_size=None)
+
+
+def synth_gopher_docs(docs: Dataset, key_col: str = "doc_id") -> Dataset:
+    """Deterministic multi-line documents exercising EVERY Gopher rule
+    (bullets, ellipses, symbol runs, digit-only words, stopword-free
+    lines) by pure ``doc_id`` arithmetic — the SQL oracle rebuilds the
+    identical text, so the gate round-trips the real rule kernels, not
+    a fixture coincidence. Contract (shared with
+    :func:`gopher_stats_sql`): ``n_lines = 2 + doc_id % 4``; line i is
+      - ``i % 4 == 0`` → ``'- bullet item I of doc D'``
+      - ``i % 4 == 1`` → ``'the data of doc D and line I have weight'``
+      - ``i % 4 == 2`` → ``'trailing thought number I ...'``
+      - ``i % 4 == 3`` → ``'### D 12345 67890 ...deep'``
+    """
+    def _synth(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[key_col].to_numpy()
+        texts = []
+        for d in ids:
+            lines = []
+            for i in range(2 + int(d) % 4):
+                m = i % 4
+                if m == 0:
+                    lines.append(f"- bullet item {i} of doc {d}")
+                elif m == 1:
+                    lines.append(
+                        f"the data of doc {d} and line {i} have weight")
+                elif m == 2:
+                    lines.append(f"trailing thought number {i} ...")
+                else:
+                    lines.append(f"### {d} 12345 67890 ...deep")
+            texts.append("\n".join(lines))
+        return pd.DataFrame({key_col: ids, "text": texts})
+
+    return docs.select_columns([key_col]).map_batches(
+        _synth, batch_format="pandas", batch_size=None)
+
+
+def gopher_stats_sql(*, table: str = "documents",
+                     key_col: str = "doc_id",
+                     min_words: int = 50, max_words: int = 100_000,
+                     min_mean_len_x1: int = 3, max_mean_len_x1: int = 10,
+                     symbol_ratio_x10: int = 1,
+                     bullet_ratio_x10: int = 9,
+                     ellipsis_ratio_x10: int = 3,
+                     alpha_ratio_x5: int = 4,
+                     min_stopwords: int = 2) -> str:
+    """DuckDB oracle for :func:`gopher_stats` over
+    :func:`synth_gopher_docs` pages — rebuilds the synthesized lines by
+    the shared arithmetic contract, then recomputes every signal with
+    the same RE2 regexes and integer thresholds."""
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+        WITH lines AS (
+            SELECT {key_col},
+                   unnest(range(0, 2 + {key_col} % 4)) AS i
+            FROM {table}
+        ),
+        built AS (
+            SELECT {key_col}, i,
+                   CASE WHEN i % 4 = 0 THEN
+                            '- bullet item ' || i || ' of doc ' || {key_col}
+                        WHEN i % 4 = 1 THEN
+                            'the data of doc ' || {key_col} || ' and line '
+                            || i || ' have weight'
+                        WHEN i % 4 = 2 THEN
+                            'trailing thought number ' || i || ' ...'
+                        ELSE '### ' || {key_col} || ' 12345 67890 ...deep'
+                   END AS line
+            FROM lines
+        ),
+        doc AS (
+            SELECT {key_col},
+                   string_agg(line, chr(10) ORDER BY i) AS text,
+                   count(*) AS n_lines,
+                   sum(CASE WHEN regexp_matches(line,
+                       '{_GOPHER_BULLET_RE}') THEN 1 ELSE 0 END)
+                       AS n_bullet,
+                   sum(CASE WHEN regexp_matches(line,
+                       '{_GOPHER_ELLIPSIS_RE}') THEN 1 ELSE 0 END)
+                       AS n_ellipsis
+            FROM built GROUP BY {key_col}
+        ),
+        sig AS (
+            SELECT {key_col}, n_lines, n_bullet, n_ellipsis,
+                   regexp_extract_all(text, '{_GOPHER_WORD_RE}') AS toks,
+                   len(text) - len(replace(text, '#', ''))
+                       + len(regexp_extract_all(text, '\\.\\.\\.'))
+                       AS n_symbols
+            FROM doc
+        ),
+        agg AS (
+            SELECT {key_col}, n_lines, n_bullet, n_ellipsis, n_symbols,
+                   len(toks) AS n_words,
+                   len(list_filter(toks, t ->
+                       regexp_matches(t, '{_GOPHER_ALPHA_RE}')))
+                       AS n_alpha,
+                   CAST(coalesce(list_sum(list_transform(toks,
+                       t -> len(t))), 0) AS BIGINT) AS sum_word_len,
+                   len(list_distinct(list_filter(
+                       list_transform(toks, t -> lower(t)),
+                       t -> t IN ({stops})))) AS n_stop
+            FROM sig
+        )
+        SELECT {key_col},
+               CAST(n_words AS BIGINT) AS n_words,
+               sum_word_len,
+               CAST(n_symbols AS BIGINT) AS n_symbols,
+               CAST(n_lines AS BIGINT) AS n_lines,
+               CAST(n_bullet AS BIGINT) AS n_bullet,
+               CAST(n_ellipsis AS BIGINT) AS n_ellipsis,
+               CAST(n_alpha AS BIGINT) AS n_alpha,
+               CAST(n_stop AS BIGINT) AS n_stop,
+               CAST(CASE WHEN n_words >= {min_words}
+                    AND n_words <= {max_words}
+                    AND {min_mean_len_x1} * n_words <= sum_word_len
+                    AND sum_word_len <= {max_mean_len_x1} * n_words
+                    AND 10 * n_symbols <= {symbol_ratio_x10} * n_words
+                    AND 10 * n_bullet <= {bullet_ratio_x10} * n_lines
+                    AND 10 * n_ellipsis <= {ellipsis_ratio_x10} * n_lines
+                    AND 5 * n_alpha >= {alpha_ratio_x5} * n_words
+                    AND n_stop >= {min_stopwords}
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM agg
+    """

@@ -1099,3 +1099,170 @@ def taxonomy_rollup(counts: Dataset, edges: Dataset, *,
         contrib, [concept_col],
         lambda df: df.groupby(concept_col, sort=False)[count_col]
         .sum().rename("total").reset_index())
+
+
+# ---------------------------------------------------------------------------
+# Basic-graph-pattern matching (the SPARQL-core query capability over
+# the triple store this engine materializes)
+# ---------------------------------------------------------------------------
+
+def _pattern_scan(triples: Dataset, pattern: tuple[str, str, str], *,
+                  s_col: str, p_col: str, o_col: str) -> tuple[Dataset, list[str]]:
+    """One triple pattern → a Dataset whose columns are the pattern's
+    variables (leading ``?``), with constant positions pushed down as
+    vectorized equality filters and repeated variables enforced as
+    intra-row equality. Pure streaming projection of the triple scan."""
+    terms = list(zip(pattern, (s_col, p_col, o_col)))
+    out_vars: list[str] = []
+    seen: dict[str, str] = {}          # var -> first source column
+    for term, col in terms:
+        if term.startswith("?") and term not in seen:
+            seen[term] = col
+            out_vars.append(term[1:])
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        mask = np.ones(len(batch), dtype=bool)
+        for term, col in terms:
+            if not term.startswith("?"):
+                mask &= pc.equal(batch[col], term).to_numpy(
+                    zero_copy_only=False)
+            elif seen[term] != col:    # repeated variable: ?x p ?x
+                mask &= pc.equal(batch[seen[term]],
+                                 batch[col]).to_numpy(zero_copy_only=False)
+        kept = batch.filter(pa.array(mask))
+        return pa.table({v: kept[seen["?" + v]] for v in out_vars})
+
+    ds = triples.select_columns([s_col, p_col, o_col]).map_batches(
+        _scan, batch_format="pyarrow", batch_size=None)
+    return ds, out_vars
+
+
+def match_bgp(triples: Dataset, patterns: list[tuple[str, str, str]], *,
+              s_col: str = "subj", p_col: str = "pred",
+              o_col: str = "obj", num_partitions: int = 8) -> Dataset:
+    """Match a basic graph pattern (conjunction of triple patterns with
+    shared variables) against a (subj, pred, obj) Dataset — SPARQL's
+    core SELECT over the KG this engine builds. Terms starting with
+    ``?`` are variables; everything else is a constant pushed down as a
+    filter. Returns one column per distinct variable, one row per
+    binding (bag semantics, like SPARQL without DISTINCT).
+
+    Plan shape: each pattern is an independent filtered PROJECTION of
+    the triple scan (constants prune early, so selective patterns ship
+    only their bindings); patterns then combine left-to-right with
+    hash-partitioned joins on the shared variables. Patterns that share
+    no variable with the accumulated prefix are rejected — a cross
+    product at 10¹²-triple scale is always a query bug. Partitioning
+    assumption: joins key on variable bindings (entity URIs), so a
+    production run benefits from triples pre-partitioned by subj hash
+    for subject-chained patterns; Ray repartitions otherwise.
+
+    Every join output is sanitized before the next join (Ray 2.49
+    zero-row hash-join partitions are schema-less; NOTES_r2).
+    """
+    if not patterns:
+        raise ValueError("match_bgp needs at least one pattern")
+    all_vars: list[str] = []
+    for pat in patterns:
+        for term in pat:
+            if term.startswith("?") and term[1:] not in all_vars:
+                all_vars.append(term[1:])
+
+    def _empty() -> Dataset:
+        return ray.data.from_arrow(pa.table(
+            {v: pa.array([], pa.string()) for v in all_vars}))
+
+    acc, acc_vars = _pattern_scan(triples, patterns[0],
+                                  s_col=s_col, p_col=p_col, o_col=o_col)
+    if len(patterns) > 1:
+        # selective pattern scans emit zero-row blocks, and zero-row
+        # blocks in a JOIN INPUT poison the hash-shuffle aggregator
+        # (a partition fed only empties builds schema-less; NOTES_r2)
+        # — sanitize rebuilds from the non-empty block refs.
+        acc = _sanitize_join_output(
+            acc, pa.schema([(v, pa.string()) for v in acc_vars]))
+    for pat in patterns[1:]:
+        nxt, nxt_vars = _pattern_scan(triples, pat,
+                                      s_col=s_col, p_col=p_col, o_col=o_col)
+        shared = [v for v in nxt_vars if v in acc_vars]
+        if not shared:
+            raise ValueError(
+                f"pattern {pat} shares no variable with the prefix "
+                f"{acc_vars} — cross products are not supported")
+        nxt = _sanitize_join_output(
+            nxt, pa.schema([(v, pa.string()) for v in nxt_vars]))
+        # Ray 2.49: an EMPTY side poisons the hash-join exchange — and
+        # an empty prefix makes the whole BGP empty anyway.
+        if acc.count() == 0 or nxt.count() == 0:
+            return _empty()
+        joined = acc.join(nxt, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=tuple(shared), right_on=tuple(shared))
+        acc_vars = acc_vars + [v for v in nxt_vars if v not in acc_vars]
+        acc = _sanitize_join_output(
+            joined, pa.schema([(v, pa.string()) for v in acc_vars]))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# RDFS-lite subclass type inference (materialized entailment)
+# ---------------------------------------------------------------------------
+
+def infer_types(typed: Dataset, subclass_edges: Dataset, *,
+                entity_col: str = "entity", class_col: str = "cls",
+                child_col: str = "child", parent_col: str = "parent",
+                max_depth: int = 64) -> Dataset:
+    """Materialize the RDFS subclass entailment: every (entity, C)
+    assertion also types the entity with every ancestor of C in the
+    subclass DAG → distinct (entity, cls) rows including the asserted
+    class itself. This is the KG-side dual of the flagship's
+    ancestor-closure expansion (SURVEY §2: reference consumes
+    precomputed ancestors, `omop2obo/utils/ontology_utils.py`).
+
+    Scale shape: the class hierarchy is ontology-sized dimension data →
+    ancestor closure is built once on the driver (BFS, cycle-safe) and
+    broadcast; the corpus-sized ``typed`` stream flat-maps each
+    assertion to its ancestor chain inside ``map_batches`` and a coarse
+    keyed aggregate dedups (entity, cls) — multiple asserted classes
+    with overlapping ancestors collapse to one row, so downstream
+    counts are closure-UNION exact. No corpus-sized driver state.
+    """
+    ed = subclass_edges.select_columns([child_col, parent_col]).to_pandas()
+    parents: dict = {}
+    for c, p in zip(ed[child_col], ed[parent_col]):
+        if c != p:
+            parents.setdefault(c, set()).add(p)
+    closure: dict[str, tuple] = {}
+    for start in parents:
+        seen = {start}
+        frontier = [start]
+        for _ in range(max_depth):
+            nxt = []
+            for node in frontier:
+                for p in parents.get(node, ()):
+                    if p not in seen:
+                        seen.add(p)
+                        nxt.append(p)
+            if not nxt:
+                break
+            frontier = nxt
+        seen.discard(start)
+        closure[start] = tuple(sorted(seen))
+    closure_ref = ray.put(closure)
+
+    def _expand(df: pd.DataFrame) -> pd.DataFrame:
+        cl = ray.get(closure_ref)
+        ents, clss = [], []
+        for e, c in zip(df[entity_col], df[class_col]):
+            ents.append(e)
+            clss.append(c)
+            for a in cl.get(c, ()):
+                ents.append(e)
+                clss.append(a)
+        return pd.DataFrame({entity_col: ents, class_col: clss})
+
+    expanded = typed.select_columns([entity_col, class_col]).map_batches(
+        _expand, batch_format="pandas", batch_size=None)
+    return coarse_aggregate(
+        expanded, [entity_col, class_col],
+        lambda df: df.drop_duplicates([entity_col, class_col]))

@@ -1309,3 +1309,93 @@ def test_mention_contexts_first_occurrence_and_window(ray_session):
     assert got["pos"].tolist() == [31, 79]
     assert got["snippet"][0] == "xxxxx" + "needle" + "yyyyy"
     assert got["snippet"][1] == "tail pin"  # window clips at doc end
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule-set signals + zlib compression signal
+# ---------------------------------------------------------------------------
+
+def test_gopher_stats_planted_rules(ray_session):
+    """Each rule isolated on a planted doc; thresholds at defaults
+    except min_words lowered so short fixtures can pass."""
+    from omop2obo_ray.pipelines.curate import gopher_stats
+
+    good = ("the data of this corpus and that model have weight with "
+            "more plain prose words here to cross the floor easily "
+            "now adding several further tokens so the word count "
+            "clears twenty five total")
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "text": [
+            good,                                   # passes everything
+            "\n".join(f"- {c}" for c in "abcdefghij") + "\n" + good,
+            good + " ### ### ###",                  # 9 '#' symbols
+            "1 2 3 4 5 6 7 8 9 10 " + good,         # digit words drop alpha ratio
+            "no stop words here just plain prose",  # 0 stopwords
+            good + " one...\ntwo...\nthree...\nfour...",  # ellipsis lines
+        ]}))
+    got = (gopher_stats(docs, min_words=10).to_pandas()
+           .set_index("doc_id"))
+    assert got.loc[0, "keep"] == 1
+    # doc1: 11 lines, 10 bullets → 100 > 9*11 fails bullet rule (only)
+    assert got.loc[1, "n_bullet"] == 10 and got.loc[1, "n_lines"] == 11
+    assert got.loc[1, "keep"] == 0
+    # doc2: 9 '#' symbols vs 37 words → 90 > 37 fails symbol rule
+    assert got.loc[2, "n_symbols"] == 9 and got.loc[2, "keep"] == 0
+    # doc3: 10 digit-only words lower alpha fraction below 0.8
+    assert got.loc[3, "keep"] == 0
+    # doc4: only stopword-free words → n_stop < 2
+    assert got.loc[4, "n_stop"] < 2 and got.loc[4, "keep"] == 0
+    # doc5: all 4 lines end in '...' → fails ellipsis rule
+    assert got.loc[5, "n_ellipsis"] == 4 and got.loc[5, "keep"] == 0
+
+
+def test_gopher_stats_matches_sql_oracle(ray_session):
+    """Engine over synth_gopher_docs ≡ the SQL oracle recomputing the
+    synth contract AND every signal in DuckDB — the same comparison
+    the external driver gate runs."""
+    from omop2obo_ray.pipelines.curate import (gopher_stats,
+                                               gopher_stats_sql,
+                                               synth_gopher_docs)
+
+    base = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64)})
+    got = (gopher_stats(synth_gopher_docs(rd.from_pandas(base)),
+                        min_words=20, symbol_ratio_x10=1,
+                        bullet_ratio_x10=4, ellipsis_ratio_x10=4,
+                        alpha_ratio_x5=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", base)
+    want = con.execute(gopher_stats_sql(
+        min_words=20, symbol_ratio_x10=1, bullet_ratio_x10=4,
+        ellipsis_ratio_x10=4, alpha_ratio_x5=2) + " ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()].astype("int64"),
+        want.astype("int64"))
+    # the keep mix exercises three different failure rules
+    keep_by_mod = got.assign(m=got["doc_id"] % 4).groupby("m")["keep"].mean()
+    assert keep_by_mod[1] == 1.0
+    assert keep_by_mod[0] == 0.0 and keep_by_mod[2] == 0.0
+
+
+def test_compression_stats_matches_zlib(ray_session):
+    import zlib
+
+    from omop2obo_ray.pipelines.curate import compression_stats
+
+    rows = [
+        {"doc_id": 0, "text": "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa" * 20},
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog " * 8},
+        {"doc_id": 2, "text": "k9$Qz!7w@Xv#2m&Lp*4r^Ht%8s(Jd)3f"},
+        {"doc_id": 3, "text": ""},
+    ]
+    got = (compression_stats(rd.from_pandas(pd.DataFrame(rows)))
+           .to_pandas().set_index("doc_id").sort_index())
+    for r in rows:
+        b = r["text"].encode("utf-8")
+        assert got.loc[r["doc_id"], "raw_len"] == len(b)
+        assert got.loc[r["doc_id"], "comp_len"] == len(zlib.compress(b, 6))
+        assert got.loc[r["doc_id"], "ratio_q"] == \
+            len(zlib.compress(b, 6)) * 10000 // max(len(b), 1)
+    # repetitive text compresses far better than high-entropy text
+    assert got.loc[0, "ratio_q"] < got.loc[1, "ratio_q"] < got.loc[2, "ratio_q"]

@@ -534,3 +534,121 @@ def test_taxonomy_rollup_orphans_and_cycle_guard(ray_session):
            .set_index("concept")["total"].sort_index())
     # each of x,y is the other's ancestor (once); z stands alone
     assert got.to_dict() == {"x": 3, "y": 3, "z": 4}
+
+
+# ---------------------------------------------------------------------------
+# BGP matching + RDFS-lite type inference
+# ---------------------------------------------------------------------------
+
+TRIPLES = [
+    # (subj, pred, obj) — small social/geo KG
+    ("alice", "lives_in", "denver"),
+    ("bob", "lives_in", "denver"),
+    ("carol", "lives_in", "boston"),
+    ("denver", "in_state", "co"),
+    ("boston", "in_state", "ma"),
+    ("alice", "knows", "bob"),
+    ("alice", "knows", "carol"),
+    ("bob", "knows", "carol"),
+    ("bob", "knows", "bob"),          # self-loop for repeated-var test
+]
+
+
+@pytest.fixture(scope="module")
+def triple_ds(ray_session):
+    return rd.from_pandas(
+        pd.DataFrame(TRIPLES, columns=["subj", "pred", "obj"]))
+
+
+def test_match_bgp_single_pattern_constant_pushdown(triple_ds):
+    from omop2obo_ray.pipelines.graph import match_bgp
+
+    got = match_bgp(triple_ds, [("?p", "lives_in", "denver")]).to_pandas()
+    assert sorted(got["p"]) == ["alice", "bob"]
+    assert list(got.columns) == ["p"]
+
+
+def test_match_bgp_two_hop_join(triple_ds):
+    """?p lives_in ?c . ?c in_state co → people in Colorado."""
+    from omop2obo_ray.pipelines.graph import match_bgp
+
+    got = match_bgp(triple_ds, [("?p", "lives_in", "?c"),
+                                ("?c", "in_state", "co")]).to_pandas()
+    assert sorted(map(tuple, got[["p", "c"]].to_numpy())) == [
+        ("alice", "denver"), ("bob", "denver")]
+
+
+def test_match_bgp_three_patterns_and_bag_semantics(triple_ds):
+    """?a knows ?b . ?b lives_in ?c . ?c in_state ?s — bag semantics
+    (one row per derivation), matching the SQL-join oracle."""
+    from omop2obo_ray.pipelines.graph import match_bgp
+
+    got = match_bgp(triple_ds, [("?a", "knows", "?b"),
+                                ("?b", "lives_in", "?c"),
+                                ("?c", "in_state", "?s")]).to_pandas()
+    rows = sorted(map(tuple, got[["a", "b", "c", "s"]].to_numpy()))
+    assert rows == [
+        ("alice", "bob", "denver", "co"),
+        ("alice", "carol", "boston", "ma"),
+        ("bob", "bob", "denver", "co"),
+        ("bob", "carol", "boston", "ma"),
+    ]
+
+
+def test_match_bgp_repeated_variable_in_one_pattern(triple_ds):
+    from omop2obo_ray.pipelines.graph import match_bgp
+
+    got = match_bgp(triple_ds, [("?x", "knows", "?x")]).to_pandas()
+    assert got["x"].tolist() == ["bob"]
+
+
+def test_match_bgp_rejects_cross_product(triple_ds):
+    from omop2obo_ray.pipelines.graph import match_bgp
+
+    with pytest.raises(ValueError, match="cross product"):
+        match_bgp(triple_ds, [("?a", "lives_in", "?b"),
+                              ("?c", "in_state", "?d")])
+    with pytest.raises(ValueError, match="at least one"):
+        match_bgp(triple_ds, [])
+
+
+def test_match_bgp_empty_result(triple_ds):
+    from omop2obo_ray.pipelines.graph import match_bgp
+
+    got = match_bgp(triple_ds, [("?p", "lives_in", "atlantis"),
+                                ("?p", "knows", "?q")]).to_pandas()
+    assert len(got) == 0
+
+
+def test_infer_types_diamond_closure(ray_session):
+    """Diamond subclass DAG: asserted leaf types every ancestor ONCE
+    even when two asserted classes share ancestors."""
+    from omop2obo_ray.pipelines.graph import infer_types
+
+    edges = rd.from_pandas(pd.DataFrame({
+        "child": ["dog", "cat", "mammal", "mammal", "reptile"],
+        "parent": ["mammal", "mammal", "animal", "organism", "animal"]}))
+    typed = rd.from_pandas(pd.DataFrame({
+        "entity": ["rex", "rex", "tom"],
+        "cls": ["dog", "cat", "dog"]}))   # rex asserted dog AND cat
+    got = infer_types(typed, edges).to_pandas()
+    rows = sorted(map(tuple, got[["entity", "cls"]].to_numpy()))
+    assert rows == sorted([
+        ("rex", "dog"), ("rex", "cat"), ("rex", "mammal"),
+        ("rex", "animal"), ("rex", "organism"),
+        ("tom", "dog"), ("tom", "mammal"), ("tom", "animal"),
+        ("tom", "organism"),
+    ])
+
+
+def test_infer_types_cycle_and_unknown_class(ray_session):
+    from omop2obo_ray.pipelines.graph import infer_types
+
+    # a <-> b cycle; entity typed with a class absent from the DAG
+    edges = rd.from_pandas(pd.DataFrame({
+        "child": ["a", "b"], "parent": ["b", "a"]}))
+    typed = rd.from_pandas(pd.DataFrame({
+        "entity": ["e1", "e2"], "cls": ["a", "zz"]}))
+    got = infer_types(typed, edges).to_pandas()
+    rows = sorted(map(tuple, got[["entity", "cls"]].to_numpy()))
+    assert rows == [("e1", "a"), ("e1", "b"), ("e2", "zz")]
