@@ -1154,6 +1154,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             symbol_ratio_x10=1, bullet_ratio_x10=4,
                             ellipsis_ratio_x10=4, alpha_ratio_x5=2)
 
+    def q_ngram_decontam(sf):
+        # GPT-3-style n-gram collision decontamination: benchmark =
+        # every 97th document (eval-suite-sized), corpus = all docs;
+        # a doc is contaminated iff it shares a 5-gram with the bench
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import ngram_decontaminate
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        bench = docs.map_batches(
+            lambda df: df[df["doc_id"] % 97 == 0],
+            batch_format="pandas", batch_size=None)
+        return ngram_decontaminate(docs, bench, n=5)
+
     def q_compression_stats(sf):
         # zlib compression-ratio signal (rows-only: DuckDB has no zlib;
         # the pytest oracle is the python zlib library itself)
@@ -1600,6 +1615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean": q_c4_clean,  # C4 line/doc quality cleaning (SQL-checked)
         "gopher_stats": q_gopher_stats,  # full Gopher rule set, int-exact (SQL-checked)
         "compression_stats": q_compression_stats,  # zlib ratio signal (rows-only)
+        "ngram_decontam": q_ngram_decontam,  # GPT-3 n-gram decontamination (SQL-checked)
         "embedding_covariance": q_embedding_covariance,  # moment-sketch covariance (SQL-checked)
         "pca_projection": q_pca_projection,  # PCA projection (rows-only: eigh)
         "clustering_coefficient": q_clustering_coefficient,  # per-node triangles (SQL-checked)
@@ -2563,6 +2579,11 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["gopher_stats_sql"]).gopher_stats_sql(
             min_words=20, symbol_ratio_x10=1, bullet_ratio_x10=4,
             ellipsis_ratio_x10=4, alpha_ratio_x5=2),
+        # n-gram collision decontamination: same token rule, same
+        # distinct-gram counting, benchmark = doc_id % 97 subset
+        "ngram_decontam": __import__(
+            "omop2obo_ray.pipelines.curate",
+            fromlist=["ngram_decontaminate_sql"]).ngram_decontaminate_sql(),
         # moment-formula covariance (Σxy/n − mean·mean) with the shared
         # epsilon-floor quantizer (only float reassociation differs)
         "embedding_covariance": (

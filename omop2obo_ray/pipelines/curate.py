@@ -3555,3 +3555,102 @@ def gopher_stats_sql(*, table: str = "documents",
                     THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# n-gram benchmark decontamination (GPT-3 appendix-C style): flag any
+# training document sharing a token n-gram with an eval benchmark
+# ---------------------------------------------------------------------------
+
+def ngram_decontaminate(docs: Dataset, benchmark: Dataset, *, n: int = 5,
+                        key_col: str = "doc_id", text_col: str = "text",
+                        bench_text_col: str = "text",
+                        mode: str = "stats") -> Dataset:
+    """GPT-3-style n-gram collision decontamination: a training doc is
+    contaminated iff it shares at least one token ``n``-gram with the
+    benchmark corpus (the published method uses 13-grams; the substring
+    variant lives in :func:`decontaminate`).
+
+    Scale shape: the benchmark is EVAL-SUITE-sized dimension data (MBs,
+    not corpus-scale), so its distinct grams are aggregated in-cluster
+    (per-block set union), collected once — driver state bounded by
+    benchmark size — and broadcast via ``ray.put``. The corpus streams:
+    each doc builds its gram set and probes the broadcast set; no
+    shuffle, no join, no corpus-sized state anywhere.
+
+    Token rule: lowercase ``NB_TOKEN_RE`` (shared with the oracle);
+    gram = n tokens space-joined. ``n_hits`` counts DISTINCT matched
+    grams (occurrence counts would double-count repeated grams on both
+    sides). ``mode='stats'`` → (key, n_hits, contaminated 0/1) for
+    every doc; ``mode='drop'`` → surviving docs unchanged.
+    """
+    import re as _re
+
+    tok_re = _re.compile(NB_TOKEN_RE)
+
+    def _bench_grams(df: pd.DataFrame) -> pd.DataFrame:
+        grams: set[str] = set()
+        for txt in df[bench_text_col]:
+            toks = tok_re.findall((txt or "").lower())
+            for i in range(len(toks) - n + 1):
+                grams.add(" ".join(toks[i:i + n]))
+        return pd.DataFrame({"gram": sorted(grams)})
+
+    partials = benchmark.select_columns([bench_text_col]).map_batches(
+        _bench_grams, batch_format="pandas", batch_size=None).to_pandas()
+    bench_set = frozenset(partials["gram"])
+    bench_ref = ray.put(bench_set)
+
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        bset = ray.get(bench_ref)
+        hits = np.zeros(len(df), np.int64)
+        for j, txt in enumerate(df[text_col]):
+            toks = tok_re.findall((txt or "").lower())
+            grams = {" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)}
+            hits[j] = len(grams & bset)
+        if mode == "drop":
+            return df[hits == 0]
+        return pd.DataFrame({
+            key_col: df[key_col].to_numpy(),
+            "n_hits": hits,
+            "contaminated": (hits > 0).astype(np.int64)})
+
+    cols = [key_col, text_col] if mode == "stats" else None
+    src = docs.select_columns(cols) if cols else docs
+    return src.map_batches(_scan, batch_format="pandas", batch_size=None)
+
+
+def ngram_decontaminate_sql(*, table: str = "documents", n: int = 5,
+                            key_col: str = "doc_id",
+                            bench_filter: str = "doc_id % 97 = 0") -> str:
+    """DuckDB oracle for :func:`ngram_decontaminate` (stats mode) with
+    the benchmark defined as a filtered subset of the same table —
+    the same lowercase token rule and distinct-gram counting."""
+    return f"""
+        WITH corpus AS (
+            SELECT {key_col},
+                   regexp_extract_all(lower(text), '{NB_TOKEN_RE}')
+                       AS toks
+            FROM {table}
+        ),
+        cg AS (
+            SELECT DISTINCT {key_col},
+                   array_to_string(toks[i:i + {n - 1}], ' ') AS gram
+            FROM (SELECT {key_col}, toks,
+                         unnest(range(1, greatest(len(toks) - {n} + 2,
+                                                  1))) AS i
+                  FROM corpus)
+        ),
+        bg AS (
+            SELECT DISTINCT gram FROM cg WHERE {bench_filter}
+        ),
+        hits AS (
+            SELECT {key_col}, count(*) AS n_hits
+            FROM cg JOIN bg USING (gram) GROUP BY {key_col}
+        )
+        SELECT d.{key_col},
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST(coalesce(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
+        FROM {table} d LEFT JOIN hits h USING ({key_col})
+    """

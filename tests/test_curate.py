@@ -1399,3 +1399,73 @@ def test_compression_stats_matches_zlib(ray_session):
             len(zlib.compress(b, 6)) * 10000 // max(len(b), 1)
     # repetitive text compresses far better than high-entropy text
     assert got.loc[0, "ratio_q"] < got.loc[1, "ratio_q"] < got.loc[2, "ratio_q"]
+
+
+def test_ngram_decontaminate_planted(ray_session):
+    """A corpus doc sharing one 5-gram with the benchmark is flagged;
+    paraphrases and short docs are not; drop mode removes exactly the
+    contaminated rows."""
+    from omop2obo_ray.pipelines.curate import ngram_decontaminate
+
+    bench = rd.from_pandas(pd.DataFrame({
+        "doc_id": [100],
+        "text": ["What is the boiling point of water at sea level"]}))
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            # contains 'the boiling point of water' verbatim (2 grams
+            # overlap: positions give 4 shared 5-grams)
+            "we discussed the boiling point of water at length",
+            "water boils at one hundred degrees when pressure is low",
+            "short doc",
+            # repeated shared gram must count ONCE (distinct grams)
+            "the boiling point of water yes the boiling point of water",
+        ]}))
+    got = (ngram_decontaminate(docs, bench, n=5).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert got.loc[0, "contaminated"] == 1 and got.loc[0, "n_hits"] >= 1
+    assert got.loc[1, "contaminated"] == 0
+    assert got.loc[2, "contaminated"] == 0 and got.loc[2, "n_hits"] == 0
+    # doc3 contains 'the boiling point of water' TWICE — the
+    # duplicated benchmark gram counts once (distinct-gram semantics)
+    assert got.loc[3, "n_hits"] == 1
+    assert got.loc[3, "contaminated"] == 1
+
+    kept = ngram_decontaminate(docs, bench, n=5,
+                               mode="drop").to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 2]
+
+
+def test_ngram_decontaminate_matches_sql_oracle(ray_session):
+    """Engine ≡ the DuckDB oracle on texts with repeated grams, case
+    differences and punctuation (the token rule is shared)."""
+    from omop2obo_ray.pipelines.curate import (ngram_decontaminate,
+                                               ngram_decontaminate_sql)
+
+    base = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64) * 97,  # ids 0,97,… so
+        # the % 97 bench filter selects doc 0 only
+        "text": [
+            "Alpha beta GAMMA delta epsilon zeta eta theta",
+            "alpha beta gamma delta epsilon differs at the end here",
+            "unrelated words entirely disjoint from everything else",
+            "ALPHA BETA GAMMA DELTA EPSILON zeta repeated tail",
+            "tiny",
+            "alpha beta gamma delta epsilon zeta eta theta again",
+            "punct, should! not? matter: alpha beta gamma delta epsilon",
+            "",
+        ]})
+    base["doc_id"] = np.arange(8, dtype=np.int64)
+    docs = rd.from_pandas(base)
+    bench = rd.from_pandas(base[base["doc_id"] % 97 == 0])
+    got = (ngram_decontaminate(docs, bench, n=5).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", base)
+    want = (con.execute(ngram_decontaminate_sql() + " ORDER BY doc_id")
+            .df())
+    pd.testing.assert_frame_equal(
+        got.astype({"n_hits": "int64", "contaminated": "int64"}),
+        want.astype({"n_hits": "int64", "contaminated": "int64"}))
+    # the case-folded verbatim copy (doc 3 prefix) must be flagged
+    assert got.loc[3, "contaminated"] == 1
