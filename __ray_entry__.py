@@ -1169,6 +1169,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pandas", batch_size=None)
         return ngram_decontaminate(docs, bench, n=5)
 
+    def q_resolve_hrefs(sf):
+        # RFC 3986 href resolution over the synth_href_edges contract
+        # (one resolution class per doc_id % 4: absolute /
+        # protocol-relative / root-relative / ../ fallback)
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import (resolve_hrefs,
+                                                   synth_href_edges)
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id"])
+        return resolve_hrefs(synth_href_edges(docs))
+
     def q_compression_stats(sf):
         # zlib compression-ratio signal (rows-only: DuckDB has no zlib;
         # the pytest oracle is the python zlib library itself)
@@ -1616,6 +1629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_stats": q_gopher_stats,  # full Gopher rule set, int-exact (SQL-checked)
         "compression_stats": q_compression_stats,  # zlib ratio signal (rows-only)
         "ngram_decontam": q_ngram_decontam,  # GPT-3 n-gram decontamination (SQL-checked)
+        "resolve_hrefs": q_resolve_hrefs,    # RFC 3986 href resolution (SQL-checked)
         "embedding_covariance": q_embedding_covariance,  # moment-sketch covariance (SQL-checked)
         "pca_projection": q_pca_projection,  # PCA projection (rows-only: eigh)
         "clustering_coefficient": q_clustering_coefficient,  # per-node triangles (SQL-checked)
@@ -2584,6 +2598,27 @@ def oracle_sql() -> dict[str, str]:
         "ngram_decontam": __import__(
             "omop2obo_ray.pipelines.curate",
             fromlist=["ngram_decontaminate_sql"]).ngram_decontaminate_sql(),
+        # href resolution over the synth_href_edges contract: the
+        # oracle rebuilds src/dst AND the resolved URL per class by
+        # the shared doc_id arithmetic ('../up/D' against base path
+        # /a/b/index.html resolves to /a/up/D)
+        "resolve_hrefs": (
+            "SELECT doc_id, "
+            "'https://host-' || doc_id || '.test/a/b/index.html' AS src, "
+            "CASE doc_id % 4 "
+            "WHEN 0 THEN 'https://abs-' || doc_id || '.example.com/p' "
+            "WHEN 1 THEN '//cdn-' || doc_id || '.example.com/lib.js' "
+            "WHEN 2 THEN '/section/' || doc_id || '/page' "
+            "ELSE '../up/' || doc_id END AS dst, "
+            "CASE doc_id % 4 "
+            "WHEN 0 THEN 'https://abs-' || doc_id || '.example.com/p' "
+            "WHEN 1 THEN 'https://cdn-' || doc_id || '.example.com/lib.js' "
+            "WHEN 2 THEN 'https://host-' || doc_id || '.test/section/' "
+            "|| doc_id || '/page' "
+            "ELSE 'https://host-' || doc_id || '.test/a/up/' || doc_id "
+            "END AS resolved "
+            "FROM documents"
+        ),
         # moment-formula covariance (Σxy/n − mean·mean) with the shared
         # epsilon-floor quantizer (only float reassociation differs)
         "embedding_covariance": (

@@ -3654,3 +3654,90 @@ def ngram_decontaminate_sql(*, table: str = "documents", n: int = 5,
                CAST(coalesce(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
         FROM {table} d LEFT JOIN hits h USING ({key_col})
     """
+
+
+# ---------------------------------------------------------------------------
+# Relative-href resolution (RFC 3986) — raw anchor hrefs → absolute
+# URLs against the page base, the step between anchor extraction and
+# any real web-graph build
+# ---------------------------------------------------------------------------
+
+# lowercase-only on purpose: urljoin LOWERCASES the scheme of a
+# same-scheme absolute href, so uppercase schemes must take the
+# urljoin fallback for the fast path to stay ≡ urljoin
+_SCHEME_RE = r"^[a-z][a-z0-9+.\-]*:"
+_BASE_ROOT_RE = r"^([a-z][a-z0-9+.\-]*:)(//[^/?#]*)"
+
+
+def resolve_hrefs(edges: Dataset, *, base_col: str = "src",
+                  href_col: str = "dst",
+                  out_col: str = "resolved") -> Dataset:
+    """Resolve each href against its page URL (RFC 3986 reference
+    resolution, ``urllib.parse.urljoin`` semantics) → the input plus an
+    ``resolved`` column. Anchor extraction emits hrefs verbatim
+    (absolute, protocol-relative, root-relative, path-relative with
+    dot segments); a web graph needs them absolute before host stats /
+    dedup / PageRank.
+
+    Scale shape: streaming per-block map, no shuffle. Three vectorized
+    fast paths cover the dominant web cases — (a) absolute hrefs pass
+    through, (b) ``//host/…`` takes the base scheme, (c) ``/path``
+    takes the base scheme+authority — all guarded to hrefs without dot
+    segments (those change under RFC merge). The remainder (relative
+    paths, ``./``/``../``, bare queries/fragments, empties) falls back
+    to per-row ``urljoin``; the fast paths are pinned ≡ urljoin by
+    test. At web distribution ~90 % of hrefs take a vectorized path.
+    """
+    import re as _re
+    from urllib.parse import urljoin
+
+    dot_re = _re.compile(r"(?:^|/)\.\.?(?:/|$)")
+
+    def _resolve(df: pd.DataFrame) -> pd.DataFrame:
+        base = df[base_col].fillna("")
+        href = df[href_col].fillna("")
+        out = pd.Series([""] * len(df), dtype=object,
+                        index=df.index)
+        has_dots = href.str.contains(dot_re)
+        is_abs = href.str.contains(_SCHEME_RE) & ~has_dots
+        is_proto = href.str.startswith("//") & ~has_dots & ~is_abs
+        is_root = (href.str.startswith("/") & ~is_proto & ~has_dots
+                   & ~is_abs)
+        parts = base.str.extract(_BASE_ROOT_RE)
+        scheme, root = parts[0].fillna(""), parts[1].fillna("")
+        out[is_abs] = href[is_abs]
+        out[is_proto] = scheme[is_proto] + href[is_proto]
+        out[is_root] = scheme[is_root] + root[is_root] + href[is_root]
+        slow = ~(is_abs | is_proto | is_root)
+        if slow.any():
+            out[slow] = [urljoin(b, h) for b, h in
+                         zip(base[slow], href[slow])]
+        res = df.copy()
+        res[out_col] = out
+        return res
+
+    return edges.map_batches(_resolve, batch_format="pandas",
+                             batch_size=None)
+
+
+def synth_href_edges(docs: Dataset, key_col: str = "doc_id") -> Dataset:
+    """Deterministic (src, dst) rows covering every resolution class by
+    ``doc_id`` arithmetic — the shared contract with the SQL oracle in
+    ``__ray_entry__`` (same style as ``synth_anchor_pages``): base =
+    ``https://host-D.test/a/b/index.html``; dst by ``D % 4`` →
+    absolute / protocol-relative / root-relative / ``../up/D``."""
+    def _synth(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[key_col].astype(str)
+        m = (df[key_col] % 4).to_numpy()
+        dst = pd.Series([""] * len(df), dtype=object, index=df.index)
+        dst[m == 0] = "https://abs-" + d[m == 0] + ".example.com/p"
+        dst[m == 1] = "//cdn-" + d[m == 1] + ".example.com/lib.js"
+        dst[m == 2] = "/section/" + d[m == 2] + "/page"
+        dst[m == 3] = "../up/" + d[m == 3]
+        return pd.DataFrame({
+            key_col: df[key_col],
+            "src": "https://host-" + d + ".test/a/b/index.html",
+            "dst": dst})
+
+    return docs.select_columns([key_col]).map_batches(
+        _synth, batch_format="pandas", batch_size=None)

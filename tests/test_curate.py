@@ -1469,3 +1469,51 @@ def test_ngram_decontaminate_matches_sql_oracle(ray_session):
         want.astype({"n_hits": "int64", "contaminated": "int64"}))
     # the case-folded verbatim copy (doc 3 prefix) must be flagged
     assert got.loc[3, "contaminated"] == 1
+
+
+def test_resolve_hrefs_matches_urljoin(ray_session):
+    """Every planted case — fast paths AND fallbacks — must equal
+    urllib.parse.urljoin exactly (the RFC 3986 reference)."""
+    from urllib.parse import urljoin
+
+    from omop2obo_ray.pipelines.curate import resolve_hrefs
+
+    base = "https://host.test/a/b/index.html"
+    hrefs = [
+        "https://other.example.com/p",        # absolute, fast
+        "HTTPS://UPPER.example.com/p",        # uppercase scheme → slow
+        "mailto:someone@example.com",         # non-relative scheme
+        "//cdn.example.com/lib.js",           # protocol-relative, fast
+        "/rooted/path?q=1#f",                 # root-relative, fast
+        "/rooted/../dotty",                   # root + dots → slow
+        "sub/page.html",                      # relative
+        "./same/dir",                         # dot segment
+        "../up/one",                          # dotdot
+        "../../up/two",                       # beyond root
+        "?query=only",                        # bare query
+        "#frag",                              # bare fragment
+        "",                                   # empty → base
+        "https://abs.com/x/./y/../z",         # absolute with dots → slow
+    ]
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": [base] * len(hrefs), "dst": hrefs}))
+    got = resolve_hrefs(edges).to_pandas()
+    for _, row in got.iterrows():
+        assert row["resolved"] == urljoin(base, row["dst"]), row["dst"]
+
+
+def test_resolve_hrefs_synth_contract(ray_session):
+    """synth_href_edges resolution follows the arithmetic contract the
+    SQL oracle rebuilds (one case per resolution class)."""
+    from omop2obo_ray.pipelines.curate import (resolve_hrefs,
+                                               synth_href_edges)
+
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(8, dtype=np.int64)}))
+    got = (resolve_hrefs(synth_href_edges(docs)).to_pandas()
+           .set_index("doc_id").sort_index()["resolved"])
+    assert got[0] == "https://abs-0.example.com/p"
+    assert got[1] == "https://cdn-1.example.com/lib.js"
+    assert got[2] == "https://host-2.test/section/2/page"
+    assert got[3] == "https://host-3.test/a/up/3"
+    assert got[4] == "https://abs-4.example.com/p"
