@@ -390,6 +390,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    ("?n", "in_region", "r1"),
                                    ("?s", "in_nation", "?n")])
 
+    def q_bgp_optional(sf):
+        # SPARQL OPTIONAL: suppliers with their nation, optionally the
+        # nation's region — in_region triples exist only for
+        # n_regionkey <> 0, so region-0 nations yield null ?r
+        # (coalesced to 'none' on both sides: the hash gate must be
+        # null-representation independent)
+        import pandas as pd
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import match_bgp
+
+        nat = rd.read_parquet(f"{sf}/nation.parquet",
+                              columns=["n_nationkey", "n_regionkey"])
+        supp = rd.read_parquet(f"{sf}/supplier.parquet",
+                               columns=["s_suppkey", "s_nationkey"])
+
+        def _supp(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "subj": "s" + df["s_suppkey"].astype(str),
+                "pred": "in_nation",
+                "obj": "n" + df["s_nationkey"].astype(str)})
+
+        def _reg(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["n_regionkey"] != 0]
+            return pd.DataFrame({
+                "subj": "n" + df["n_nationkey"].astype(str),
+                "pred": "in_region",
+                "obj": "r" + df["n_regionkey"].astype(str)})
+
+        triples = (supp.map_batches(_supp, batch_format="pandas",
+                                    batch_size=None)
+                   .union(nat.map_batches(_reg, batch_format="pandas",
+                                          batch_size=None)))
+        out = match_bgp(triples, [("?s", "in_nation", "?n")],
+                        optional_patterns=[("?n", "in_region", "?r")])
+
+        def _fill(df: pd.DataFrame) -> pd.DataFrame:
+            df["r"] = df["r"].fillna("none")
+            return df
+
+        return out.map_batches(_fill, batch_format="pandas",
+                               batch_size=None)
+
+    def q_property_path(sf):
+        # SPARQL property path c47 subclass_of* ?x over the halving
+        # class chain (min-hop semantics shared with the oracle)
+        import pandas as pd
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import property_path
+
+        part = rd.read_parquet(f"{sf}/part.parquet",
+                               columns=["p_partkey"])
+
+        def _t(df: pd.DataFrame) -> pd.DataFrame:
+            mid = (1 + df["p_partkey"] % 60).to_numpy()
+            par = mid // 2
+            keep = par >= 1
+            return pd.DataFrame({
+                "subj": "c" + pd.Series(mid[keep]).astype(str),
+                "pred": "subclass_of",
+                "obj": "c" + pd.Series(par[keep]).astype(str)})
+
+        triples = part.map_batches(_t, batch_format="pandas",
+                                   batch_size=None)
+        return property_path(triples, "subclass_of", ["c47", "c58"],
+                             max_hops=8)
+
     def q_infer_types(sf):
         # RDFS-lite subclass entailment: each part asserted with class
         # c(1 + p_partkey % 60); the class DAG is the id-halving chain
@@ -1572,6 +1640,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_stats": q_degree_stats,      # out-degree histogram
         "taxonomy_rollup": q_taxonomy_rollup,  # counts up the concept DAG (SQL-checked)
         "match_bgp": q_match_bgp,            # SPARQL-core BGP over a triple store (SQL-checked)
+        "bgp_optional": q_bgp_optional,      # SPARQL OPTIONAL left-outer pattern (SQL-checked)
+        "property_path": q_property_path,    # SPARQL pred* min-hop reachability (SQL-checked)
         "infer_types": q_infer_types,        # RDFS subclass entailment closure (SQL-checked)
         "token_stats": q_token_stats,
         "md5_fingerprint": q_md5_fingerprint,
@@ -1789,6 +1859,31 @@ def oracle_sql() -> dict[str, str]:
             "AND p2.obj = 'r1' "
             "JOIN t p3 ON p3.obj = p1.obj AND p3.pred = 'in_nation' "
             "WHERE p1.pred = 'in_nation'"
+        ),
+        # OPTIONAL = LEFT JOIN over the same triple construction;
+        # unmatched optional var coalesced to 'none' on both sides
+        "bgp_optional": (
+            "WITH sn AS (SELECT 's' || s_suppkey AS s, "
+            "'n' || s_nationkey AS n FROM supplier), "
+            "nr AS (SELECT 'n' || n_nationkey AS n, "
+            "'r' || n_regionkey AS r FROM nation WHERE n_regionkey <> 0) "
+            "SELECT sn.s, sn.n, coalesce(nr.r, 'none') AS r "
+            "FROM sn LEFT JOIN nr ON nr.n = sn.n"
+        ),
+        # pred* reachability with MIN hops from the seed set over the
+        # halving-chain subclass edges (recursive CTE + group min)
+        "property_path": (
+            "WITH RECURSIVE e AS ("
+            "SELECT DISTINCT 'c' || (1 + p_partkey % 60) AS src, "
+            "'c' || ((1 + p_partkey % 60) // 2) AS dst FROM part "
+            "WHERE (1 + p_partkey % 60) // 2 >= 1), "
+            "r(node, hops) AS ("
+            "SELECT * FROM (VALUES ('c47', 0), ('c58', 0)) t(node, hops) "
+            "UNION "
+            "SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node "
+            "WHERE r.hops < 8) "
+            "SELECT node, CAST(min(hops) AS BIGINT) AS hops "
+            "FROM r GROUP BY node"
         ),
         # subclass entailment: asserted class + every halving-chain
         # ancestor, UNION-distinct per entity (closure semantics)

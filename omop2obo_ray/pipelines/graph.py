@@ -1138,6 +1138,7 @@ def _pattern_scan(triples: Dataset, pattern: tuple[str, str, str], *,
 
 
 def match_bgp(triples: Dataset, patterns: list[tuple[str, str, str]], *,
+              optional_patterns: list[tuple[str, str, str]] | None = None,
               s_col: str = "subj", p_col: str = "pred",
               o_col: str = "obj", num_partitions: int = 8) -> Dataset:
     """Match a basic graph pattern (conjunction of triple patterns with
@@ -1146,6 +1147,11 @@ def match_bgp(triples: Dataset, patterns: list[tuple[str, str, str]], *,
     ``?`` are variables; everything else is a constant pushed down as a
     filter. Returns one column per distinct variable, one row per
     binding (bag semantics, like SPARQL without DISTINCT).
+    ``optional_patterns`` are SPARQL OPTIONAL clauses: each joins
+    left-outer after the required patterns, so non-matching bindings
+    survive with null for the optional-only variables (each optional
+    pattern extends the REQUIRED solution independently, like a chain
+    of single-pattern OPTIONAL blocks).
 
     Plan shape: each pattern is an independent filtered PROJECTION of
     the triple scan (constants prune early, so selective patterns ship
@@ -1162,8 +1168,9 @@ def match_bgp(triples: Dataset, patterns: list[tuple[str, str, str]], *,
     """
     if not patterns:
         raise ValueError("match_bgp needs at least one pattern")
+    optional_patterns = optional_patterns or []
     all_vars: list[str] = []
-    for pat in patterns:
+    for pat in list(patterns) + list(optional_patterns):
         for term in pat:
             if term.startswith("?") and term[1:] not in all_vars:
                 all_vars.append(term[1:])
@@ -1174,7 +1181,7 @@ def match_bgp(triples: Dataset, patterns: list[tuple[str, str, str]], *,
 
     acc, acc_vars = _pattern_scan(triples, patterns[0],
                                   s_col=s_col, p_col=p_col, o_col=o_col)
-    if len(patterns) > 1:
+    if len(patterns) > 1 or optional_patterns:
         # selective pattern scans emit zero-row blocks, and zero-row
         # blocks in a JOIN INPUT poison the hash-shuffle aggregator
         # (a partition fed only empties builds schema-less; NOTES_r2)
@@ -1199,6 +1206,39 @@ def match_bgp(triples: Dataset, patterns: list[tuple[str, str, str]], *,
                           num_partitions=num_partitions,
                           on=tuple(shared), right_on=tuple(shared))
         acc_vars = acc_vars + [v for v in nxt_vars if v not in acc_vars]
+        acc = _sanitize_join_output(
+            joined, pa.schema([(v, pa.string()) for v in acc_vars]))
+
+    for pat in optional_patterns:
+        nxt, nxt_vars = _pattern_scan(triples, pat,
+                                      s_col=s_col, p_col=p_col, o_col=o_col)
+        shared = [v for v in nxt_vars if v in acc_vars]
+        new_vars = [v for v in nxt_vars if v not in acc_vars]
+        if not shared:
+            raise ValueError(
+                f"optional pattern {pat} shares no variable with the "
+                f"prefix {acc_vars} — cross products are not supported")
+        if acc.count() == 0:
+            return _empty()
+        nxt = _sanitize_join_output(
+            nxt, pa.schema([(v, pa.string()) for v in nxt_vars]))
+        acc_vars = acc_vars + new_vars
+        if nxt.count() == 0:
+            # OPTIONAL with no candidates: every binding survives with
+            # nulls (also dodges Ray 2.49's empty-side join poisoning)
+            def _pad(batch: pa.Table,
+                     cols: tuple[str, ...] = tuple(new_vars)) -> pa.Table:
+                for v in cols:
+                    batch = batch.append_column(
+                        v, pa.nulls(batch.num_rows, pa.string()))
+                return batch
+
+            acc = acc.map_batches(_pad, batch_format="pyarrow",
+                                  batch_size=None)
+            continue
+        joined = acc.join(nxt, join_type="left_outer",
+                          num_partitions=num_partitions,
+                          on=tuple(shared), right_on=tuple(shared))
         acc = _sanitize_join_output(
             joined, pa.schema([(v, pa.string()) for v in acc_vars]))
     return acc
@@ -1266,3 +1306,28 @@ def infer_types(typed: Dataset, subclass_edges: Dataset, *,
     return coarse_aggregate(
         expanded, [entity_col, class_col],
         lambda df: df.drop_duplicates([entity_col, class_col]))
+
+
+def property_path(triples: Dataset, pred: str, seeds: list[str], *,
+                  s_col: str = "subj", p_col: str = "pred",
+                  o_col: str = "obj", max_hops: int = 16) -> Dataset:
+    """SPARQL property-path ``seed pred* ?x`` — every node reachable
+    from the seed set via 0..``max_hops`` directed ``pred`` edges →
+    (node, hops) with hops = MINIMUM path length (seeds at 0; for the
+    one-or-more ``pred+`` form, filter ``hops >= 1`` downstream — a
+    cycle back onto a seed keeps hops 0 under min-hop semantics, the
+    rule the SQL oracle shares).
+
+    Plan: one filter-projection of the triple scan (constant predicate
+    pruned early, only (src, dst) bindings leave the scan) feeding the
+    frontier-parallel :func:`bfs_hops` (directed) — per round one hash
+    join + one coarse distinct; driver holds the seed list only.
+    """
+    def _edges(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch[p_col], pred)
+        kept = batch.filter(mask)
+        return pa.table({"src": kept[s_col], "dst": kept[o_col]})
+
+    edges = triples.select_columns([s_col, p_col, o_col]).map_batches(
+        _edges, batch_format="pyarrow", batch_size=None)
+    return bfs_hops(edges, seeds, max_hops=max_hops, directed=True)

@@ -652,3 +652,49 @@ def test_infer_types_cycle_and_unknown_class(ray_session):
     got = infer_types(typed, edges).to_pandas()
     rows = sorted(map(tuple, got[["entity", "cls"]].to_numpy()))
     assert rows == [("e1", "a"), ("e1", "b"), ("e2", "zz")]
+
+
+def test_match_bgp_optional_pattern(triple_ds):
+    """OPTIONAL: everyone keeps their binding; people without a known
+    'knows' edge get null for the optional variable."""
+    from omop2obo_ray.pipelines.graph import match_bgp
+
+    got = match_bgp(
+        triple_ds, [("?p", "lives_in", "?c")],
+        optional_patterns=[("?p", "knows", "?q")]).to_pandas()
+    rows = sorted(map(lambda r: (r[0], r[1], r[2]),
+                      got[["p", "c", "q"]].fillna("∅").to_numpy()))
+    assert rows == [
+        ("alice", "denver", "bob"),
+        ("alice", "denver", "carol"),
+        ("bob", "denver", "bob"),
+        ("bob", "denver", "carol"),
+        ("carol", "boston", "∅"),        # carol knows nobody → null
+    ]
+
+
+def test_match_bgp_optional_no_candidates(triple_ds):
+    from omop2obo_ray.pipelines.graph import match_bgp
+
+    got = match_bgp(
+        triple_ds, [("?p", "lives_in", "denver")],
+        optional_patterns=[("?p", "votes_for", "?v")]).to_pandas()
+    assert sorted(got["p"]) == ["alice", "bob"]
+    assert got["v"].isna().all()
+
+
+def test_property_path_chain_and_seed(ray_session):
+    """c8 ⊑ c4 ⊑ c2 ⊑ c1 halving chain: p* from c8 reaches the whole
+    chain with exact min hops; p+ = hops >= 1 filter downstream."""
+    from omop2obo_ray.pipelines.graph import property_path
+
+    rows = [("c8", "subclass_of", "c4"), ("c4", "subclass_of", "c2"),
+            ("c2", "subclass_of", "c1"), ("c9", "subclass_of", "c4"),
+            ("c8", "other_pred", "zz")]
+    triples = rd.from_pandas(
+        pd.DataFrame(rows, columns=["subj", "pred", "obj"]))
+    got = (property_path(triples, "subclass_of", ["c8"]).to_pandas()
+           .set_index("node")["hops"].sort_index())
+    assert got.to_dict() == {"c8": 0, "c4": 1, "c2": 2, "c1": 3}
+    # directed: c9 (a sibling child of c4) is NOT reached; the other
+    # predicate's edge is filtered out (no 'zz')
