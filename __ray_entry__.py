@@ -433,6 +433,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(_fill, batch_format="pandas",
                                batch_size=None)
 
+    def q_bgp_minus(sf):
+        # SPARQL MINUS: customers with their nation, minus bindings
+        # whose nation sits in region r0 (anti-join on ?n)
+        import pandas as pd
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import match_bgp
+
+        cust = rd.read_parquet(f"{sf}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"])
+        nat = rd.read_parquet(f"{sf}/nation.parquet",
+                              columns=["n_nationkey", "n_regionkey"])
+
+        def _c(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "subj": "c" + df["c_custkey"].astype(str),
+                "pred": "in_nation",
+                "obj": "n" + df["c_nationkey"].astype(str)})
+
+        def _r(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "subj": "n" + df["n_nationkey"].astype(str),
+                "pred": "in_region",
+                "obj": "r" + df["n_regionkey"].astype(str)})
+
+        triples = (cust.map_batches(_c, batch_format="pandas",
+                                    batch_size=None)
+                   .union(nat.map_batches(_r, batch_format="pandas",
+                                          batch_size=None)))
+        return match_bgp(triples, [("?c", "in_nation", "?n")],
+                         minus_patterns=[("?n", "in_region", "r0")])
+
+    def q_ego_subgraph(sf):
+        # DESCRIBE-style 1-hop ball around nation n3 over the geo KG:
+        # n3's own triple, plus every in_nation triple pointing AT n3
+        import pandas as pd
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import ego_subgraph
+
+        cust = rd.read_parquet(f"{sf}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"])
+        nat = rd.read_parquet(f"{sf}/nation.parquet",
+                              columns=["n_nationkey", "n_regionkey"])
+
+        def _c(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "subj": "c" + df["c_custkey"].astype(str),
+                "pred": "in_nation",
+                "obj": "n" + df["c_nationkey"].astype(str)})
+
+        def _r(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "subj": "n" + df["n_nationkey"].astype(str),
+                "pred": "in_region",
+                "obj": "r" + df["n_regionkey"].astype(str)})
+
+        triples = (cust.map_batches(_c, batch_format="pandas",
+                                    batch_size=None)
+                   .union(nat.map_batches(_r, batch_format="pandas",
+                                          batch_size=None)))
+        return ego_subgraph(triples, ["n3"], hops=1)
+
     def q_property_path(sf):
         # SPARQL property path c47 subclass_of* ?x over the halving
         # class chain (min-hop semantics shared with the oracle)
@@ -1641,6 +1704,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "taxonomy_rollup": q_taxonomy_rollup,  # counts up the concept DAG (SQL-checked)
         "match_bgp": q_match_bgp,            # SPARQL-core BGP over a triple store (SQL-checked)
         "bgp_optional": q_bgp_optional,      # SPARQL OPTIONAL left-outer pattern (SQL-checked)
+        "bgp_minus": q_bgp_minus,            # SPARQL MINUS anti-join pattern (SQL-checked)
+        "ego_subgraph": q_ego_subgraph,      # DESCRIBE-style k-hop extraction (SQL-checked)
         "property_path": q_property_path,    # SPARQL pred* min-hop reachability (SQL-checked)
         "infer_types": q_infer_types,        # RDFS subclass entailment closure (SQL-checked)
         "token_stats": q_token_stats,
@@ -1869,6 +1934,30 @@ def oracle_sql() -> dict[str, str]:
             "'r' || n_regionkey AS r FROM nation WHERE n_regionkey <> 0) "
             "SELECT sn.s, sn.n, coalesce(nr.r, 'none') AS r "
             "FROM sn LEFT JOIN nr ON nr.n = sn.n"
+        ),
+        # MINUS = NOT EXISTS over the same triple construction
+        "bgp_minus": (
+            "WITH cn AS (SELECT 'c' || c_custkey AS c, "
+            "'n' || c_nationkey AS n FROM customer), "
+            "nr AS (SELECT 'n' || n_nationkey AS n, "
+            "'r' || n_regionkey AS r FROM nation) "
+            "SELECT cn.c, cn.n FROM cn WHERE NOT EXISTS ("
+            "SELECT 1 FROM nr WHERE nr.n = cn.n AND nr.r = 'r0')"
+        ),
+        # 1-hop undirected ball around n3: reachable node set (seed ∪
+        # in/out neighbors) joined back onto triple subjects
+        "ego_subgraph": (
+            "WITH t AS ("
+            "SELECT 'c' || c_custkey AS subj, 'in_nation' AS pred, "
+            "'n' || c_nationkey AS obj FROM customer "
+            "UNION ALL "
+            "SELECT 'n' || n_nationkey, 'in_region', 'r' || n_regionkey "
+            "FROM nation), "
+            "reach AS (SELECT 'n3' AS node "
+            "UNION SELECT subj FROM t WHERE obj = 'n3' "
+            "UNION SELECT obj FROM t WHERE subj = 'n3') "
+            "SELECT t.subj, t.pred, t.obj "
+            "FROM t JOIN reach ON t.subj = reach.node"
         ),
         # pred* reachability with MIN hops from the seed set over the
         # halving-chain subclass edges (recursive CTE + group min)

@@ -1139,6 +1139,7 @@ def _pattern_scan(triples: Dataset, pattern: tuple[str, str, str], *,
 
 def match_bgp(triples: Dataset, patterns: list[tuple[str, str, str]], *,
               optional_patterns: list[tuple[str, str, str]] | None = None,
+              minus_patterns: list[tuple[str, str, str]] | None = None,
               s_col: str = "subj", p_col: str = "pred",
               o_col: str = "obj", num_partitions: int = 8) -> Dataset:
     """Match a basic graph pattern (conjunction of triple patterns with
@@ -1151,7 +1152,10 @@ def match_bgp(triples: Dataset, patterns: list[tuple[str, str, str]], *,
     left-outer after the required patterns, so non-matching bindings
     survive with null for the optional-only variables (each optional
     pattern extends the REQUIRED solution independently, like a chain
-    of single-pattern OPTIONAL blocks).
+    of single-pattern OPTIONAL blocks). ``minus_patterns`` are SPARQL
+    MINUS / FILTER NOT EXISTS clauses: bindings whose shared variables
+    match the pattern are REMOVED (hash anti-join on the shared vars;
+    applied after the required joins, before OPTIONAL).
 
     Plan shape: each pattern is an independent filtered PROJECTION of
     the triple scan (constants prune early, so selective patterns ship
@@ -1169,6 +1173,7 @@ def match_bgp(triples: Dataset, patterns: list[tuple[str, str, str]], *,
     if not patterns:
         raise ValueError("match_bgp needs at least one pattern")
     optional_patterns = optional_patterns or []
+    minus_patterns = minus_patterns or []
     all_vars: list[str] = []
     for pat in list(patterns) + list(optional_patterns):
         for term in pat:
@@ -1181,7 +1186,7 @@ def match_bgp(triples: Dataset, patterns: list[tuple[str, str, str]], *,
 
     acc, acc_vars = _pattern_scan(triples, patterns[0],
                                   s_col=s_col, p_col=p_col, o_col=o_col)
-    if len(patterns) > 1 or optional_patterns:
+    if len(patterns) > 1 or optional_patterns or minus_patterns:
         # selective pattern scans emit zero-row blocks, and zero-row
         # blocks in a JOIN INPUT poison the hash-shuffle aggregator
         # (a partition fed only empties builds schema-less; NOTES_r2)
@@ -1208,6 +1213,37 @@ def match_bgp(triples: Dataset, patterns: list[tuple[str, str, str]], *,
         acc_vars = acc_vars + [v for v in nxt_vars if v not in acc_vars]
         acc = _sanitize_join_output(
             joined, pa.schema([(v, pa.string()) for v in acc_vars]))
+
+    for pat in minus_patterns:
+        nxt, nxt_vars = _pattern_scan(triples, pat,
+                                      s_col=s_col, p_col=p_col, o_col=o_col)
+        shared = [v for v in nxt_vars if v in acc_vars]
+        if not shared:
+            raise ValueError(
+                f"minus pattern {pat} shares no variable with the "
+                f"prefix {acc_vars} — it would remove everything or "
+                f"nothing")
+        # anti-join needs only the shared-variable projection of the
+        # minus pattern, deduped (a binding is removed if ANY match
+        # exists — multiplicity must not multiply the left side)
+        nxt = _sanitize_join_output(
+            coarse_aggregate(
+                nxt.map_batches(
+                    lambda b, cols=tuple(shared): pa.table(
+                        {c: b[c] for c in cols}),
+                    batch_format="pyarrow", batch_size=None),
+                list(shared),
+                lambda df: df.drop_duplicates()),
+            pa.schema([(v, pa.string()) for v in shared]))
+        if acc.count() == 0:
+            return _empty()
+        if nxt.count() == 0:
+            continue          # nothing to subtract
+        acc = _sanitize_join_output(
+            acc.join(nxt, join_type="left_anti",
+                     num_partitions=num_partitions,
+                     on=tuple(shared), right_on=tuple(shared)),
+            pa.schema([(v, pa.string()) for v in acc_vars]))
 
     for pat in optional_patterns:
         nxt, nxt_vars = _pattern_scan(triples, pat,
@@ -1331,3 +1367,45 @@ def property_path(triples: Dataset, pred: str, seeds: list[str], *,
     edges = triples.select_columns([s_col, p_col, o_col]).map_batches(
         _edges, batch_format="pyarrow", batch_size=None)
     return bfs_hops(edges, seeds, max_hops=max_hops, directed=True)
+
+
+def ego_subgraph(triples: Dataset, seeds: list[str], *, hops: int = 2,
+                 s_col: str = "subj", p_col: str = "pred",
+                 o_col: str = "obj", directed: bool = False,
+                 num_partitions: int = 8) -> Dataset:
+    """k-hop neighborhood extraction (SPARQL DESCRIBE-style): the
+    triples whose SUBJECT lies within ``hops`` hops of the seed set —
+    the standard way to pull an entity's local graph out of a
+    10¹²-triple store without touching the rest.
+
+    Plan: frontier BFS over the (subj, obj) projection finds the
+    reachable node set as a DATASET (never a driver set — a 2-hop
+    ball around a hub is corpus-sized), then ONE hash semi-join keeps
+    the triples rooted at reachable subjects. ``directed=False``
+    walks edges both ways (an entity's description includes triples
+    pointing AT it via their subjects).
+    """
+    edges = triples.select_columns([s_col, p_col, o_col]).map_batches(
+        lambda b: pa.table({"src": b[s_col], "dst": b[o_col]}),
+        batch_format="pyarrow", batch_size=None)
+    reach = bfs_hops(edges, seeds, max_hops=hops, directed=directed,
+                     num_partitions=num_partitions)
+    nodes = _sanitize_join_output(
+        reach.map_batches(lambda b: pa.table({"__node": b["node"]}),
+                          batch_format="pyarrow", batch_size=None),
+        pa.schema([("__node", pa.string())]))
+    src = _sanitize_join_output(
+        triples.select_columns([s_col, p_col, o_col]).materialize(),
+        pa.schema([(s_col, pa.string()), (p_col, pa.string()),
+                   (o_col, pa.string())]))
+    if nodes.count() == 0 or src.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            s_col: pa.array([], pa.string()),
+            p_col: pa.array([], pa.string()),
+            o_col: pa.array([], pa.string())}))
+    return _sanitize_join_output(
+        src.join(nodes, join_type="inner",
+                 num_partitions=num_partitions,
+                 on=(s_col,), right_on=("__node",)),
+        pa.schema([(s_col, pa.string()), (p_col, pa.string()),
+                   (o_col, pa.string())]))

@@ -698,3 +698,38 @@ def test_property_path_chain_and_seed(ray_session):
     assert got.to_dict() == {"c8": 0, "c4": 1, "c2": 2, "c1": 3}
     # directed: c9 (a sibling child of c4) is NOT reached; the other
     # predicate's edge is filtered out (no 'zz')
+
+
+def test_match_bgp_minus_pattern(triple_ds):
+    """MINUS removes bindings whose shared vars match; multiplicity on
+    the minus side must not multiply survivors."""
+    from omop2obo_ray.pipelines.graph import match_bgp
+
+    got = match_bgp(
+        triple_ds, [("?p", "lives_in", "?c")],
+        minus_patterns=[("?p", "knows", "?q")]).to_pandas()
+    # alice and bob know someone → removed; carol survives exactly once
+    assert sorted(map(tuple, got[["p", "c"]].to_numpy())) == [
+        ("carol", "boston")]
+
+    # minus pattern with no candidates removes nothing
+    got2 = match_bgp(
+        triple_ds, [("?p", "lives_in", "?c")],
+        minus_patterns=[("?p", "votes_for", "?v")]).to_pandas()
+    assert len(got2) == 3
+
+
+def test_ego_subgraph_one_hop(triple_ds):
+    """1-hop undirected ball around alice: every triple rooted at
+    alice or her direct neighbors; boston's triple stays out."""
+    from omop2obo_ray.pipelines.graph import ego_subgraph
+
+    got = ego_subgraph(triple_ds, ["alice"], hops=1).to_pandas()
+    assert len(got) == 8
+    assert set(got["subj"]) == {"alice", "bob", "carol", "denver"}
+    assert ("boston", "in_state", "ma") not in set(
+        map(tuple, got[["subj", "pred", "obj"]].to_numpy()))
+    # unknown seed reaches nothing → no triples, typed empty result
+    empty = ego_subgraph(triple_ds, ["nobody"], hops=2)
+    assert empty.count() == 0
+    assert empty.schema().names == ["subj", "pred", "obj"]
