@@ -496,6 +496,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                           batch_size=None)))
         return ego_subgraph(triples, ["n3"], hops=1)
 
+    def q_construct(sf):
+        # SPARQL CONSTRUCT: mint inverse has_member edges for every
+        # customer→nation binding, plus derived c in_region r triples
+        # from an OPTIONAL whose unbound rows (region-0 nations,
+        # excluded from in_region) are skipped per CONSTRUCT semantics
+        import pandas as pd
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import construct
+
+        cust = rd.read_parquet(f"{sf}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"])
+        nat = rd.read_parquet(f"{sf}/nation.parquet",
+                              columns=["n_nationkey", "n_regionkey"])
+
+        def _c(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "subj": "c" + df["c_custkey"].astype(str),
+                "pred": "in_nation",
+                "obj": "n" + df["c_nationkey"].astype(str)})
+
+        def _r(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["n_regionkey"] != 0]
+            return pd.DataFrame({
+                "subj": "n" + df["n_nationkey"].astype(str),
+                "pred": "in_region",
+                "obj": "r" + df["n_regionkey"].astype(str)})
+
+        triples = (cust.map_batches(_c, batch_format="pandas",
+                                    batch_size=None)
+                   .union(nat.map_batches(_r, batch_format="pandas",
+                                          batch_size=None)))
+        return construct(
+            triples, [("?c", "in_nation", "?n")],
+            optional_patterns=[("?n", "in_region", "?r")],
+            template=[("?n", "has_member", "?c"),
+                      ("?c", "in_region", "?r")])
+
     def q_property_path(sf):
         # SPARQL property path c47 subclass_of* ?x over the halving
         # class chain (min-hop semantics shared with the oracle)
@@ -1705,6 +1743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_bgp": q_match_bgp,            # SPARQL-core BGP over a triple store (SQL-checked)
         "bgp_optional": q_bgp_optional,      # SPARQL OPTIONAL left-outer pattern (SQL-checked)
         "bgp_minus": q_bgp_minus,            # SPARQL MINUS anti-join pattern (SQL-checked)
+        "construct": q_construct,            # SPARQL CONSTRUCT graph rewrite (SQL-checked)
         "ego_subgraph": q_ego_subgraph,      # DESCRIBE-style k-hop extraction (SQL-checked)
         "property_path": q_property_path,    # SPARQL pred* min-hop reachability (SQL-checked)
         "infer_types": q_infer_types,        # RDFS subclass entailment closure (SQL-checked)
@@ -1934,6 +1973,19 @@ def oracle_sql() -> dict[str, str]:
             "'r' || n_regionkey AS r FROM nation WHERE n_regionkey <> 0) "
             "SELECT sn.s, sn.n, coalesce(nr.r, 'none') AS r "
             "FROM sn LEFT JOIN nr ON nr.n = sn.n"
+        ),
+        # CONSTRUCT = template SELECTs over the binding join; the
+        # optional-unbound template rows vanish via the INNER join
+        "construct": (
+            "WITH cn AS (SELECT 'c' || c_custkey AS c, "
+            "'n' || c_nationkey AS n FROM customer), "
+            "nr AS (SELECT 'n' || n_nationkey AS n, "
+            "'r' || n_regionkey AS r FROM nation WHERE n_regionkey <> 0) "
+            "SELECT cn.n AS subj, 'has_member' AS pred, cn.c AS obj "
+            "FROM cn "
+            "UNION ALL "
+            "SELECT cn.c, 'in_region', nr.r FROM cn "
+            "JOIN nr ON nr.n = cn.n"
         ),
         # MINUS = NOT EXISTS over the same triple construction
         "bgp_minus": (

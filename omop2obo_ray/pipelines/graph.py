@@ -1409,3 +1409,61 @@ def ego_subgraph(triples: Dataset, seeds: list[str], *, hops: int = 2,
                  on=(s_col,), right_on=("__node",)),
         pa.schema([(s_col, pa.string()), (p_col, pa.string()),
                    (o_col, pa.string())]))
+
+
+def construct(triples: Dataset, patterns: list[tuple[str, str, str]],
+              template: list[tuple[str, str, str]], *,
+              optional_patterns: list[tuple[str, str, str]] | None = None,
+              minus_patterns: list[tuple[str, str, str]] | None = None,
+              s_col: str = "subj", p_col: str = "pred",
+              o_col: str = "obj", num_partitions: int = 8) -> Dataset:
+    """SPARQL CONSTRUCT: match a BGP, then emit NEW triples from each
+    binding via ``template`` patterns (terms starting ``?`` substitute
+    the bound variable; other terms are constants) — the graph-to-graph
+    rewrite that materializes derived relations (e.g. flattening a
+    reified shape, minting inverse edges) without leaving the engine.
+
+    Plan: :func:`match_bgp` produces the binding stream; one streaming
+    projection fans each binding out to ``len(template)`` triples.
+    Bag semantics (duplicate derivations emit duplicate triples — run
+    the result through a coarse dedup for set semantics, which SPARQL
+    CONSTRUCT formally has; left un-deduped here so the caller pays
+    the exchange only when needed).
+    """
+    bindings = match_bgp(triples, patterns,
+                         optional_patterns=optional_patterns,
+                         minus_patterns=minus_patterns,
+                         s_col=s_col, p_col=p_col, o_col=o_col,
+                         num_partitions=num_partitions)
+    bound = set(bindings.schema().names)
+    for pat in template:
+        for term in pat:
+            if term.startswith("?") and term[1:] not in bound:
+                raise ValueError(
+                    f"template term {term} is not bound by the BGP "
+                    f"(bound: {sorted(bound)})")
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        outs = {s_col: [], p_col: [], o_col: []}
+        for ts, tp, to in template:
+            used = [t[1:] for t in (ts, tp, to) if t.startswith("?")]
+            kept = batch
+            for v in used:
+                # SPARQL: template triples with an UNBOUND variable
+                # (null from OPTIONAL) are skipped, not emitted as null
+                kept = kept.filter(pc.is_valid(kept[v]))
+            n = kept.num_rows
+            for col, term in ((s_col, ts), (p_col, tp), (o_col, to)):
+                if term.startswith("?"):
+                    arr = kept[term[1:]]
+                    outs[col].append(arr.combine_chunks()
+                                     if isinstance(arr, pa.ChunkedArray)
+                                     else arr)
+                else:
+                    outs[col].append(pa.array([term] * n, pa.string()))
+        return pa.table({c: pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+             for a in arrs]) for c, arrs in outs.items()})
+
+    return bindings.map_batches(_emit, batch_format="pyarrow",
+                                batch_size=None)

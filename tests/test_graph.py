@@ -733,3 +733,29 @@ def test_ego_subgraph_one_hop(triple_ds):
     empty = ego_subgraph(triple_ds, ["nobody"], hops=2)
     assert empty.count() == 0
     assert empty.schema().names == ["subj", "pred", "obj"]
+
+
+def test_construct_template_and_optional_skip(triple_ds):
+    """CONSTRUCT mints inverse + derived triples per binding; template
+    triples touching an UNBOUND optional variable are skipped."""
+    from omop2obo_ray.pipelines.graph import construct
+
+    got = construct(
+        triple_ds, [("?p", "lives_in", "?c")],
+        optional_patterns=[("?c", "in_state", "?s")],
+        template=[("?c", "resident", "?p"),
+                  ("?p", "state", "?s")]).to_pandas()
+    rows = set(map(tuple, got[["subj", "pred", "obj"]].to_numpy()))
+    # inverse edges always emitted (3 people)
+    assert ("denver", "resident", "alice") in rows
+    assert ("boston", "resident", "carol") in rows
+    # state triples emitted only where ?s bound
+    assert ("alice", "state", "co") in rows
+    assert ("carol", "state", "ma") in rows
+    assert len(got) == 3 + 3          # all optional vars bound here
+
+    # unbound template var rejected up front
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not bound"):
+        construct(triple_ds, [("?p", "lives_in", "?c")],
+                  template=[("?p", "x", "?zz")])
