@@ -496,6 +496,101 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                           batch_size=None)))
         return ego_subgraph(triples, ["n3"], hops=1)
 
+    def q_void_stats(sf):
+        # VoID descriptor over the geo triple store: per-predicate
+        # triple count + exact distinct subject/object counts
+        import pandas as pd
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import kg_void_stats
+
+        cust = rd.read_parquet(f"{sf}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"])
+        nat = rd.read_parquet(f"{sf}/nation.parquet",
+                              columns=["n_nationkey", "n_regionkey"])
+        supp = rd.read_parquet(f"{sf}/supplier.parquet",
+                               columns=["s_suppkey", "s_nationkey"])
+
+        def _t(skey, pred, okey, sp, op):
+            def inner(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({
+                    "subj": sp + df[skey].astype(str),
+                    "pred": pred,
+                    "obj": op + df[okey].astype(str)})
+            return inner
+
+        triples = (
+            cust.map_batches(_t("c_custkey", "in_nation", "c_nationkey",
+                                "c", "n"), batch_format="pandas",
+                             batch_size=None)
+            .union(nat.map_batches(_t("n_nationkey", "in_region",
+                                      "n_regionkey", "n", "r"),
+                                   batch_format="pandas", batch_size=None))
+            .union(supp.map_batches(_t("s_suppkey", "in_nation",
+                                       "s_nationkey", "s", "n"),
+                                    batch_format="pandas",
+                                    batch_size=None)))
+        return kg_void_stats(triples)
+
+    def q_shacl_validate(sf):
+        # SHACL-lite cardinality gate: every 7th customer gets a SECOND
+        # in_nation edge (violates 1..1), every customer NOT divisible
+        # by 3 lacks an email (violates has_email 1..); the shape
+        # rules and the planted violations are pure doc_id arithmetic
+        import pandas as pd
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import validate_shapes
+
+        cust = rd.read_parquet(f"{sf}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"])
+
+        def _t(df: pd.DataFrame) -> pd.DataFrame:
+            base = pd.DataFrame({
+                "subj": "c" + df["c_custkey"].astype(str),
+                "pred": "in_nation",
+                "obj": "n" + df["c_nationkey"].astype(str)})
+            dup = df[df["c_custkey"] % 7 == 0]
+            extra = pd.DataFrame({
+                "subj": "c" + dup["c_custkey"].astype(str),
+                "pred": "in_nation",
+                "obj": "n" + ((dup["c_nationkey"] + 1) % 25).astype(str)})
+            mail = df[df["c_custkey"] % 3 == 0]
+            emails = pd.DataFrame({
+                "subj": "c" + mail["c_custkey"].astype(str),
+                "pred": "email",
+                "obj": "e" + mail["c_custkey"].astype(str)})
+            return pd.concat([base, extra, emails], ignore_index=True)
+
+        triples = cust.map_batches(_t, batch_format="pandas",
+                                   batch_size=None)
+        return validate_shapes(triples, [
+            ("one_nation", "in_nation", "in_nation", 1, 1),
+            ("has_email", "in_nation", "email", 1, 99)])
+
+    def q_split_sentences(sf):
+        # sentence splitting over a synthesized punctuation contract
+        # (the fixture text is punctuation-free); rule = RE2
+        # SENTENCE_SPLIT_RE shared verbatim, empty tail fragment
+        # exercised by the trailing '? '
+        import pandas as pd
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import split_sentences
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id"])
+
+        def _synth(df: pd.DataFrame) -> pd.DataFrame:
+            d = df["doc_id"].astype(str)
+            return pd.DataFrame({
+                "doc_id": df["doc_id"],
+                "text": "First bit " + d + ". Second bit! Third "
+                        + (df["doc_id"] % 5).astype(str) + "? "})
+
+        return split_sentences(docs.map_batches(
+            _synth, batch_format="pandas", batch_size=None))
+
     def q_construct(sf):
         # SPARQL CONSTRUCT: mint inverse has_member edges for every
         # customer→nation binding, plus derived c in_region r triples
@@ -1744,6 +1839,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bgp_optional": q_bgp_optional,      # SPARQL OPTIONAL left-outer pattern (SQL-checked)
         "bgp_minus": q_bgp_minus,            # SPARQL MINUS anti-join pattern (SQL-checked)
         "construct": q_construct,            # SPARQL CONSTRUCT graph rewrite (SQL-checked)
+        "void_stats": q_void_stats,          # VoID per-predicate KG descriptor (SQL-checked)
+        "shacl_validate": q_shacl_validate,  # SHACL-lite cardinality gate (SQL-checked)
+        "split_sentences": q_split_sentences,  # RE2 sentence splitting (SQL-checked)
         "ego_subgraph": q_ego_subgraph,      # DESCRIBE-style k-hop extraction (SQL-checked)
         "property_path": q_property_path,    # SPARQL pred* min-hop reachability (SQL-checked)
         "infer_types": q_infer_types,        # RDFS subclass entailment closure (SQL-checked)
@@ -1973,6 +2071,61 @@ def oracle_sql() -> dict[str, str]:
             "'r' || n_regionkey AS r FROM nation WHERE n_regionkey <> 0) "
             "SELECT sn.s, sn.n, coalesce(nr.r, 'none') AS r "
             "FROM sn LEFT JOIN nr ON nr.n = sn.n"
+        ),
+        # VoID: per-predicate counts + exact distinct subj/obj
+        "void_stats": (
+            "WITH t AS ("
+            "SELECT 'c' || c_custkey AS subj, 'in_nation' AS pred, "
+            "'n' || c_nationkey AS obj FROM customer "
+            "UNION ALL "
+            "SELECT 'n' || n_nationkey, 'in_region', 'r' || n_regionkey "
+            "FROM nation "
+            "UNION ALL "
+            "SELECT 's' || s_suppkey, 'in_nation', 'n' || s_nationkey "
+            "FROM supplier) "
+            "SELECT pred, count(*) AS n_triples, "
+            "count(DISTINCT subj) AS n_subj, "
+            "count(DISTINCT obj) AS n_obj FROM t GROUP BY pred"
+        ),
+        # SHACL-lite: targets = subjects with in_nation; violations =
+        # cardinality outside [min, max] per shape
+        "shacl_validate": (
+            "WITH t AS ("
+            "SELECT 'c' || c_custkey AS subj, 'in_nation' AS pred "
+            "FROM customer "
+            "UNION ALL "
+            "SELECT 'c' || c_custkey, 'in_nation' FROM customer "
+            "WHERE c_custkey % 7 = 0 "
+            "UNION ALL "
+            "SELECT 'c' || c_custkey, 'email' FROM customer "
+            "WHERE c_custkey % 3 = 0), "
+            "counts AS (SELECT subj, pred, count(*) AS n FROM t "
+            "GROUP BY subj, pred), "
+            "targets AS (SELECT DISTINCT subj FROM t "
+            "WHERE pred = 'in_nation') "
+            "SELECT g.subj, 'one_nation' AS shape_id, "
+            "CAST(coalesce(c.n, 0) AS BIGINT) AS n_found "
+            "FROM targets g LEFT JOIN counts c "
+            "ON c.subj = g.subj AND c.pred = 'in_nation' "
+            "WHERE coalesce(c.n, 0) < 1 OR coalesce(c.n, 0) > 1 "
+            "UNION ALL "
+            "SELECT g.subj, 'has_email', "
+            "CAST(coalesce(c.n, 0) AS BIGINT) "
+            "FROM targets g LEFT JOIN counts c "
+            "ON c.subj = g.subj AND c.pred = 'email' "
+            "WHERE coalesce(c.n, 0) < 1 OR coalesce(c.n, 0) > 99"
+        ),
+        # sentence split: same RE2 rule, zipped-unnest positions,
+        # same '\\S' keep rule
+        "split_sentences": (
+            "WITH s AS (SELECT doc_id, string_split_regex("
+            "'First bit ' || doc_id || '. Second bit! Third ' "
+            "|| (doc_id % 5) || '? ', '[.!?]+\\s+') AS parts "
+            "FROM documents), "
+            "ex AS (SELECT doc_id, unnest(parts) AS sentence, "
+            "unnest(range(len(parts))) AS sent_idx FROM s) "
+            "SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, "
+            "sentence FROM ex WHERE regexp_matches(sentence, '\\S')"
         ),
         # CONSTRUCT = template SELECTs over the binding join; the
         # optional-unbound template rows vanish via the INNER join

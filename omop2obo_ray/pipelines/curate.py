@@ -3741,3 +3741,43 @@ def synth_href_edges(docs: Dataset, key_col: str = "doc_id") -> Dataset:
 
     return docs.select_columns([key_col]).map_batches(
         _synth, batch_format="pandas", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Sentence splitting (RE2-shareable rule)
+# ---------------------------------------------------------------------------
+
+SENTENCE_SPLIT_RE = r"[.!?]+\s+"     # delimiter consumes the terminal
+#                                      marks — RE2-safe (no lookbehind),
+#                                      shared verbatim with the oracle
+
+
+def split_sentences(docs: Dataset, *, key_col: str = "doc_id",
+                    text_col: str = "text") -> Dataset:
+    """(key, sent_idx, sentence) — one row per non-empty sentence,
+    ``sent_idx`` = position in the ORIGINAL split (stable even when
+    empty fragments are dropped, so both gate sides agree without
+    re-indexing). The split rule is the RE2-safe
+    ``SENTENCE_SPLIT_RE`` (terminal punctuation + whitespace consumed
+    by the delimiter; a trailing mark without following whitespace
+    stays attached to its sentence — same rule in the SQL oracle, so
+    the gate is data-independent). Streaming per-block explode,
+    shuffle-free."""
+    def _split(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df[text_col].fillna("").str.split(SENTENCE_SPLIT_RE,
+                                                  regex=True)
+        n = parts.str.len().to_numpy()
+        ex = pd.DataFrame({
+            key_col: np.repeat(df[key_col].to_numpy(), n),
+            "sent_idx": np.concatenate(
+                [np.arange(k, dtype=np.int64) for k in n]) if len(df)
+            else np.array([], np.int64),
+            "sentence": np.concatenate(parts.to_numpy()) if len(df)
+            else np.array([], object)})
+        # keep rule shared with SQL: the sentence must contain a
+        # non-whitespace char (regexp '\S' on both sides — python
+        # strip() vs SQL trim() disagree on tabs/unicode)
+        return ex[ex["sentence"].str.contains(r"\S", regex=True)]
+
+    return docs.select_columns([key_col, text_col]).map_batches(
+        _split, batch_format="pandas", batch_size=None)

@@ -1467,3 +1467,108 @@ def construct(triples: Dataset, patterns: list[tuple[str, str, str]],
 
     return bindings.map_batches(_emit, batch_format="pyarrow",
                                 batch_size=None)
+
+
+def kg_void_stats(triples: Dataset, *, s_col: str = "subj",
+                  p_col: str = "pred", o_col: str = "obj") -> Dataset:
+    """VoID-style dataset descriptor: per predicate → (pred, n_triples,
+    n_subj, n_obj) with EXACT distinct counts — the summary a published
+    knowledge graph ships alongside its dumps (and the profile a 100 TB
+    build wants per partition before publishing).
+
+    Scale shape: triple counts are per-block partials summed in a
+    coarse aggregate; the distinct subject/object counts first dedup
+    (pred, subj) / (pred, obj) in-cluster via coarse aggregates — the
+    only corpus-sized exchanges, keyed by the pair hash — then count
+    per predicate. Only the final PREDICATE-cardinality tables (schema
+    vocabulary, dimension-sized by construction) touch the driver for
+    the three-way merge.
+    """
+    def _count(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"pred": batch[p_col].to_pandas()})
+        g = df.groupby("pred", sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    n_triples = coarse_aggregate(
+        triples.select_columns([p_col]).map_batches(
+            _count, batch_format="pyarrow", batch_size=None),
+        ["pred"],
+        lambda df: df.groupby("pred", sort=False)
+        .agg(n=("n", "sum")).reset_index())
+
+    def _distinct_count(col: str, alias: str) -> Dataset:
+        pairs = triples.select_columns([p_col, col]).map_batches(
+            lambda b, c=col: pa.table({"pred": b[p_col], "v": b[c]}),
+            batch_format="pyarrow", batch_size=None)
+        dd = coarse_aggregate(pairs, ["pred", "v"],
+                              lambda df: df.drop_duplicates())
+        return coarse_aggregate(
+            dd.select_columns(["pred"]).map_batches(
+                _count, batch_format="pyarrow", batch_size=None),
+            ["pred"],
+            lambda df, a=alias: df.groupby("pred", sort=False)
+            .agg(**{a: ("n", "sum")}).reset_index())
+
+    nt = n_triples.to_pandas()          # ≤ |predicate vocabulary| rows
+    ns = _distinct_count(s_col, "n_subj").to_pandas()
+    no = _distinct_count(o_col, "n_obj").to_pandas()
+    out = nt.merge(ns, on="pred").merge(no, on="pred")
+    out = out.astype({"n": "int64", "n_subj": "int64", "n_obj": "int64"})
+    return ray.data.from_pandas(
+        out.rename(columns={"n": "n_triples"}))
+
+
+def validate_shapes(triples: Dataset,
+                    shapes: list[tuple[str, str, str, int, int]], *,
+                    s_col: str = "subj", p_col: str = "pred") -> Dataset:
+    """SHACL-lite cardinality validation: each shape is
+    ``(shape_id, target_pred, constraint_pred, min_count, max_count)``
+    — every subject that HAS a ``target_pred`` triple must carry
+    between min and max ``constraint_pred`` triples; violators are
+    emitted as (subj, shape_id, n_found). The KG-quality gate a
+    production build runs before publishing a release.
+
+    Scale shape: the shape list is schema-sized (broadcast in the
+    closure); triples are pre-filtered to the predicates any shape
+    touches, then ONE coarse exchange keyed on subject computes the
+    per-subject predicate counts and applies every shape vectorized
+    inside the coarse frame. No joins, no driver state beyond the
+    shape list.
+    """
+    preds = sorted({p for _, t, c, _, _ in shapes for p in (t, c)})
+
+    def _slim(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[p_col], value_set=pa.array(preds))
+        kept = batch.filter(mask)
+        return pa.table({"subj": kept[s_col], "pred": kept[p_col]})
+
+    slim = triples.select_columns([s_col, p_col]).map_batches(
+        _slim, batch_format="pyarrow", batch_size=None)
+
+    def _check(df: pd.DataFrame) -> pd.DataFrame:
+        counts = (df.groupby(["subj", "pred"], sort=False).size()
+                  .unstack(fill_value=0))
+        outs = []
+        for shape_id, target, constraint, lo, hi in shapes:
+            if target not in counts.columns:
+                continue
+            tgt = counts[counts[target] > 0]
+            n = (tgt[constraint] if constraint in tgt.columns
+                 else pd.Series(0, index=tgt.index))
+            bad = tgt[(n < lo) | (n > hi)]
+            if len(bad):
+                outs.append(pd.DataFrame({
+                    "subj": bad.index.to_numpy(),
+                    "shape_id": shape_id,
+                    "n_found": n.loc[bad.index].to_numpy()
+                    .astype(np.int64)}))
+        if not outs:
+            return pd.DataFrame({
+                "subj": pd.Series([], dtype=object),
+                "shape_id": pd.Series([], dtype=object),
+                "n_found": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    # one coarse exchange on subj: every row of a subject lands in one
+    # coarse group, so the per-subject pivot inside is complete
+    return coarse_aggregate(slim, ["subj"], _check)

@@ -1517,3 +1517,27 @@ def test_resolve_hrefs_synth_contract(ray_session):
     assert got[2] == "https://host-2.test/section/2/page"
     assert got[3] == "https://host-3.test/a/up/3"
     assert got[4] == "https://abs-4.example.com/p"
+
+
+def test_split_sentences_rules(ray_session):
+    from omop2obo_ray.pipelines.curate import split_sentences
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "One sentence. Two!  Three? And a tail without mark",
+            "Trailing mark.",              # no split (no ws after '.')
+            "Ends with delim. ",           # empty fragment dropped
+            "",                            # nothing
+        ]}))
+    got = (split_sentences(docs).to_pandas()
+           .sort_values(["doc_id", "sent_idx"]).reset_index(drop=True))
+    d0 = got[got["doc_id"] == 0]
+    assert d0["sentence"].tolist() == [
+        "One sentence", "Two", "Three", "And a tail without mark"]
+    assert d0["sent_idx"].tolist() == [0, 1, 2, 3]
+    assert got[got["doc_id"] == 1]["sentence"].tolist() == [
+        "Trailing mark."]
+    assert got[got["doc_id"] == 2]["sentence"].tolist() == [
+        "Ends with delim"]
+    assert (got["doc_id"] == 3).sum() == 0

@@ -759,3 +759,44 @@ def test_construct_template_and_optional_skip(triple_ds):
     with _pytest.raises(ValueError, match="not bound"):
         construct(triple_ds, [("?p", "lives_in", "?c")],
                   template=[("?p", "x", "?zz")])
+
+
+def test_kg_void_stats(triple_ds):
+    from omop2obo_ray.pipelines.graph import kg_void_stats
+
+    got = (kg_void_stats(triple_ds).to_pandas()
+           .set_index("pred").sort_index())
+    # lives_in: 3 triples, 3 subjects, 2 cities; knows: 4 triples,
+    # 2 subjects (alice, bob), 2 objects; in_state: 2/2/2
+    assert got.loc["lives_in"].tolist() == [3, 3, 2]
+    assert got.loc["knows"].tolist() == [4, 2, 2]
+    assert got.loc["in_state"].tolist() == [2, 2, 2]
+
+
+def test_validate_shapes_cardinality(ray_session):
+    from omop2obo_ray.pipelines.graph import validate_shapes
+
+    rows = [
+        ("c1", "in_nation", "n1"),
+        ("c2", "in_nation", "n1"), ("c2", "in_nation", "n2"),  # 2 > max
+        ("c3", "in_nation", "n1"),                 # missing email: 0 < 1
+        ("c1", "email", "e1"),
+        ("c3", "knows", "c1"),
+    ]
+    triples = rd.from_pandas(
+        pd.DataFrame(rows, columns=["subj", "pred", "obj"]))
+    shapes = [
+        ("one_nation", "in_nation", "in_nation", 1, 1),
+        ("has_email", "in_nation", "email", 1, 99),
+    ]
+    got = validate_shapes(triples, shapes).to_pandas()
+    viol = sorted(map(tuple, got[["subj", "shape_id", "n_found"]]
+                      .to_numpy()))
+    assert viol == [
+        ("c2", "has_email", 0),          # c2 has no email
+        ("c2", "one_nation", 2),         # double nation
+        ("c3", "has_email", 0),
+    ]
+    # c1 satisfies both; knows-only subjects are not targets
+    ok = validate_shapes(triples, [("k", "knows", "knows", 1, 5)])
+    assert ok.to_pandas().empty
