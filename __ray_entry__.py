@@ -1227,6 +1227,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id"])
         return anchor_edges(synth_anchor_pages(docs))
 
+    def q_anchor_texts(sf):
+        # anchor TEXT extraction (link-text alias evidence): same
+        # synth contract, text = chr(96 + k) per anchor slot
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import (anchor_text_edges,
+                                                  synth_anchor_pages)
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id"])
+        return anchor_text_edges(synth_anchor_pages(docs))
+
     def q_bloom_membership(sf):
         # Bloom filter over the documents token vocabulary, probed
         # with the (mostly disjoint) part-name vocabulary — n_bits
@@ -1876,6 +1888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": q_ccnet_buckets,  # per-source perplexity terciles (SQL-checked)
         "boolean_search": q_boolean_search,  # conjunctive token retrieval (SQL-checked)
         "anchor_graph": q_anchor_graph,  # html anchor → web-graph edges (SQL-checked)
+        "anchor_texts": q_anchor_texts,  # link-text alias evidence (SQL-checked)
         "bloom_membership": q_bloom_membership,  # Bloom sketch probe, FP-exact (SQL-checked)
         "triangle_count": q_triangle_count,  # degree-oriented triangles (SQL-checked)
         "train_test_split": q_train_test_split,  # content-addressed split (SQL-checked)
@@ -2844,6 +2857,14 @@ def oracle_sql() -> dict[str, str]:
             "'https://site-' || ((doc_id * 31 + k * 17) % 500) || "
             "'.example.com/page' || "
             "CASE WHEN k = 3 THEN '?x=1&y=2' ELSE '' END AS dst "
+            "FROM documents, generate_series(1, 3) AS g(k)"
+        ),
+        "anchor_texts": (
+            "SELECT 'https://host-' || doc_id || '.test/index' AS src, "
+            "'https://site-' || ((doc_id * 31 + k * 17) % 500) || "
+            "'.example.com/page' || "
+            "CASE WHEN k = 3 THEN '?x=1&y=2' ELSE '' END AS dst, "
+            "chr(CAST(96 + k AS INTEGER)) AS anchor_text "
             "FROM documents, generate_series(1, 3) AS g(k)"
         ),
         # HyperLogLog p=12: hash = first 16 md5-hex chars as UBIGINT,

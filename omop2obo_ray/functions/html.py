@@ -51,6 +51,31 @@ def extract_text(html_bytes: bytes) -> str:
 _ANCHOR_RE = re.compile(
     rb"<a\s[^>]*?href\s*=\s*([\"'])(.*?)\1", re.I | re.S)
 
+_ANCHOR_FULL_RE = re.compile(
+    rb"<a\s[^>]*?href\s*=\s*([\"'])(.*?)\1[^>]*>(.*?)</a\s*>",
+    re.I | re.S)
+
+
+def extract_anchor_texts(html_bytes: bytes) -> list[tuple[str, str]]:
+    """(href, anchor text) pairs in document order — the link-text
+    evidence web-scale entity linking mines (anchor text is the classic
+    mention/alias signal for the target page). Text handling matches
+    :func:`extract_text`: inner tags stripped, entities unescaped,
+    whitespace collapsed. Anchors with empty hrefs drop; empty texts
+    survive as '' (an image link is still an edge)."""
+    if html_bytes is None:
+        return []
+    out = []
+    for _q, href, body in _ANCHOR_FULL_RE.findall(html_bytes):
+        h = _html.unescape(href.decode("utf-8", "replace")).strip()
+        if not h:
+            continue
+        t = _TAG_RE.sub(b"", body)
+        txt = _WS_RE.sub(" ", _html.unescape(
+            t.decode("utf-8", "replace"))).strip()
+        out.append((h, txt))
+    return out
+
 
 def extract_anchors(html_bytes: bytes) -> list[str]:
     """All anchor href targets of a page, in document order (quoted

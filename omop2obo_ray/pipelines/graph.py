@@ -1572,3 +1572,29 @@ def validate_shapes(triples: Dataset,
     # one coarse exchange on subj: every row of a subject lands in one
     # coarse group, so the per-subject pivot inside is complete
     return coarse_aggregate(slim, ["subj"], _check)
+
+
+def anchor_text_edges(pages: Dataset, url_col: str = "url",
+                      html_col: str = "html") -> Dataset:
+    """(src, dst, anchor_text) — :func:`anchor_edges` plus the link
+    TEXT, the classic alias/mention signal web-scale entity linking
+    mines (anchor text is evidence for what the target page IS).
+    Same streaming per-page parse; text normalized like
+    ``extract_text`` (inner tags stripped, entities unescaped,
+    whitespace collapsed)."""
+    from omop2obo_ray.functions.html import extract_anchor_texts
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        srcs, dsts, txts = [], [], []
+        for u, h in zip(batch[url_col].to_pylist(),
+                        batch[html_col].to_pylist()):
+            for dst, txt in extract_anchor_texts(h):
+                srcs.append(u)
+                dsts.append(dst)
+                txts.append(txt)
+        return pa.table({"src": pa.array(srcs, pa.string()),
+                         "dst": pa.array(dsts, pa.string()),
+                         "anchor_text": pa.array(txts, pa.string())})
+
+    return pages.select_columns([url_col, html_col]).map_batches(
+        _edges, batch_format="pyarrow", batch_size=None)

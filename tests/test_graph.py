@@ -800,3 +800,32 @@ def test_validate_shapes_cardinality(ray_session):
     # c1 satisfies both; knows-only subjects are not targets
     ok = validate_shapes(triples, [("k", "knows", "knows", 1, 5)])
     assert ok.to_pandas().empty
+
+
+def test_extract_anchor_texts_edge_cases():
+    from omop2obo_ray.functions.html import extract_anchor_texts
+
+    html = (b"<html><body>"
+            b"<a href=\"https://a.com/1\">one</a>"
+            b"<A HREF='https://b.com/2'> spaced  <b>bold</b> text </A>"
+            b"<a href=\"https://c.com\">A &amp; B</a>"
+            b"<a href=''>dropped</a>"
+            b"<a href=\"https://d.com\"><img src=\"x.png\"/></a>"
+            b"</body></html>")
+    assert extract_anchor_texts(html) == [
+        ("https://a.com/1", "one"),
+        ("https://b.com/2", "spaced bold text"),
+        ("https://c.com", "A & B"),
+        ("https://d.com", ""),
+    ]
+    assert extract_anchor_texts(None) == []
+
+
+def test_anchor_text_edges_synth(ray_session):
+    from omop2obo_ray.pipelines.graph import (anchor_text_edges,
+                                              synth_anchor_pages)
+
+    docs = rd.from_items([{"doc_id": i} for i in range(10)])
+    got = anchor_text_edges(synth_anchor_pages(docs)).to_pandas()
+    assert len(got) == 30
+    assert sorted(got["anchor_text"].unique()) == ["a", "b", "c"]
