@@ -206,8 +206,12 @@ def run_scaling() -> dict:
     # phases hit both levels, and take the per-level MIN — the standard
     # noise-robust estimator for fixed work. Raw samples are reported
     # so the judge can see the spread.
+    # SCALING_ROUNDS extends the interleave (hi, lo) × N — more
+    # samples sharpen the per-level minimum when host phases are
+    # choppy; SCALING_SKIP_CORPUS=1 re-measures the headline only.
+    rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
     samples = {lo: [], hi: []}
-    order = [hi, lo, hi, lo]
+    order = [hi, lo] * rounds
     runs = {lo: None, hi: None}
     for ncpu in order:
         r = run_once(ncpu)
@@ -225,14 +229,19 @@ def run_scaling() -> dict:
     # identical work at 32 cpus purely from host phase drift.
     c_samples = {lo: [], hi: []}
     c_runs = {lo: None, hi: None}
-    for ncpu in order:
-        r = run_once(ncpu, "corpus")
-        c_samples[ncpu].append(r["value"])
-        if c_runs[ncpu] is None or r["value"] < c_runs[ncpu]["value"]:
-            c_runs[ncpu] = r
-    c_lo, c_hi = c_runs[lo], c_runs[hi]
-    c_thr_lo = c_lo["n_docs"] / c_lo["value"]
-    c_thr_hi = c_hi["n_docs"] / c_hi["value"]
+    if os.environ.get("SCALING_SKIP_CORPUS") != "1":
+        for ncpu in [hi, lo, hi, lo]:
+            r = run_once(ncpu, "corpus")
+            c_samples[ncpu].append(r["value"])
+            if c_runs[ncpu] is None or r["value"] < c_runs[ncpu]["value"]:
+                c_runs[ncpu] = r
+    if c_runs[lo] is None:
+        c_lo = c_hi = {"value": 0.0, "n_docs": 0}
+        c_thr_lo = c_thr_hi = 0.0
+    else:
+        c_lo, c_hi = c_runs[lo], c_runs[hi]
+        c_thr_lo = c_lo["n_docs"] / c_lo["value"]
+        c_thr_hi = c_hi["n_docs"] / c_hi["value"]
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -249,7 +258,9 @@ def run_scaling() -> dict:
         "corpus_samples_32": c_samples[hi],
         "corpus_pages_per_sec_8": round(c_thr_lo, 1),
         "corpus_pages_per_sec_32": round(c_thr_hi, 1),
-        "corpus_scaling_efficiency": round((c_thr_hi / c_thr_lo) / (hi / lo), 3),
+        "corpus_scaling_efficiency": (
+            round((c_thr_hi / c_thr_lo) / (hi / lo), 3)
+            if c_thr_lo else None),
         "sf": SF_DIR,
     }
 
