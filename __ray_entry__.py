@@ -496,6 +496,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                           batch_size=None)))
         return ego_subgraph(triples, ["n3"], hops=1)
 
+    def q_rolling_window(sf):
+        # frame-based window: 4-row rolling sum of value per user over
+        # (ts, event_id) order; epsilon-floor quantized on both sides
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import rolling_window
+
+        ev = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["user_id", "event_id", "ts",
+                                      "value"])
+        out = rolling_window(ev, "user_id", ["ts", "event_id"],
+                             "value", preceding=3)
+
+        def _q(batch: pa.Table) -> pa.Table:
+            r = batch["roll"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "roll_q": pa.array(
+                    np.floor(r * 1e4 + 1e-6).astype(np.int64))})
+
+        return out.map_batches(_q, batch_format="pyarrow",
+                               batch_size=None)
+
     def q_void_stats(sf):
         # VoID descriptor over the geo triple store: per-predicate
         # triple count + exact distinct subject/object counts
@@ -1852,6 +1879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bgp_minus": q_bgp_minus,            # SPARQL MINUS anti-join pattern (SQL-checked)
         "construct": q_construct,            # SPARQL CONSTRUCT graph rewrite (SQL-checked)
         "void_stats": q_void_stats,          # VoID per-predicate KG descriptor (SQL-checked)
+        "rolling_window": q_rolling_window,  # ROWS-frame rolling sum per key (SQL-checked)
         "shacl_validate": q_shacl_validate,  # SHACL-lite cardinality gate (SQL-checked)
         "split_sentences": q_split_sentences,  # RE2 sentence splitting (SQL-checked)
         "ego_subgraph": q_ego_subgraph,      # DESCRIBE-style k-hop extraction (SQL-checked)
@@ -2084,6 +2112,13 @@ def oracle_sql() -> dict[str, str]:
             "'r' || n_regionkey AS r FROM nation WHERE n_regionkey <> 0) "
             "SELECT sn.s, sn.n, coalesce(nr.r, 'none') AS r "
             "FROM sn LEFT JOIN nr ON nr.n = sn.n"
+        ),
+        # frame-based rolling sum; same epsilon-floor quantizer
+        "rolling_window": (
+            "SELECT user_id, event_id, CAST(floor(SUM(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 1e4 + 1e-6) "
+            "AS BIGINT) AS roll_q FROM events"
         ),
         # VoID: per-predicate counts + exact distinct subj/obj
         "void_stats": (

@@ -749,3 +749,37 @@ def q_range_join(sf_dir: str) -> Dataset:
                          "prior_event_id": out["r_event"]})
 
     return joined.map_batches(in_range, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# frame-based rolling window (ROWS BETWEEN k PRECEDING AND CURRENT ROW)
+# ---------------------------------------------------------------------------
+
+def rolling_window(ds: Dataset, key: str, order_cols: list[str],
+                   value_col: str, *, preceding: int = 3,
+                   agg: str = "sum") -> Dataset:
+    """Per-key frame-based window aggregate — SQL's
+    ``agg(value) OVER (PARTITION BY key ORDER BY … ROWS BETWEEN k
+    PRECEDING AND CURRENT ROW)`` → (key, order_cols…, roll) at full
+    float precision (gate wrappers quantize, house rule).
+
+    Scale shape: ONE coarse exchange keyed on ``key``
+    (``coarse_apply_per_key`` — per-key Ray overhead would dominate at
+    unbounded user cardinality), then an in-group mergesort +
+    vectorized pandas rolling. Partial frames at the window start
+    aggregate the rows that exist (``min_periods=1``), exactly like
+    the SQL frame. Ordering contract: ``order_cols`` must be a total
+    order per key (pinned identically in the oracle).
+    """
+    if agg not in ("sum", "mean"):
+        raise ValueError(f"unsupported agg {agg!r}")
+
+    def _roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        r = g[value_col].rolling(window=preceding + 1, min_periods=1)
+        out = g[[key] + order_cols].copy()
+        out["roll"] = (r.sum() if agg == "sum" else r.mean()).to_numpy()
+        return out
+
+    cols = [key] + order_cols + [value_col]
+    return coarse_apply_per_key(ds.select_columns(cols), [key], _roll)

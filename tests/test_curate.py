@@ -1541,3 +1541,44 @@ def test_split_sentences_rules(ray_session):
     assert got[got["doc_id"] == 2]["sentence"].tolist() == [
         "Ends with delim"]
     assert (got["doc_id"] == 3).sum() == 0
+
+
+def test_rolling_window_matches_sql(ray_session):
+    """rolling_window ≡ DuckDB SUM OVER (ROWS BETWEEN k PRECEDING AND
+    CURRENT ROW) on a planted multi-user frame, quantized."""
+    import duckdb as _dd
+
+    from omop2obo_ray.pipelines.relational import rolling_window
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "user_id": np.repeat([1, 2, 3], 7),
+        "event_id": np.arange(21, dtype=np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.permutation(21), unit="m"),
+        "value": rng.normal(100, 20, 21)})
+    got = (rolling_window(rd.from_pandas(df), "user_id",
+                          ["ts", "event_id"], "value", preceding=3)
+           .to_pandas())
+    got["roll_q"] = np.floor(got["roll"] * 1e4 + 1e-6).astype(np.int64)
+    got = (got[["user_id", "event_id", "roll_q"]]
+           .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    con = _dd.connect()
+    con.register("events", df)
+    want = con.execute(
+        "SELECT user_id, event_id, CAST(floor(SUM(value) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 1e4 + 1e-6) "
+        "AS BIGINT) AS roll_q FROM events "
+        "ORDER BY user_id, event_id").df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+    # mean variant: first frame = the row itself
+    m = (rolling_window(rd.from_pandas(df), "user_id",
+                        ["ts", "event_id"], "value", preceding=3,
+                        agg="mean").to_pandas())
+    first = df.sort_values(["ts", "event_id"]).groupby("user_id").head(1)
+    for _, r in first.iterrows():
+        got_first = m[(m["user_id"] == r["user_id"])
+                      & (m["event_id"] == r["event_id"])]["roll"].iloc[0]
+        assert got_first == pytest.approx(r["value"])
