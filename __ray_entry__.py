@@ -496,6 +496,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                           batch_size=None)))
         return ego_subgraph(triples, ["n3"], hops=1)
 
+    def q_robots_filter(sf):
+        # crawl-politeness gate over the synth_robots contract: the
+        # REAL parser + longest-match matcher run on synthesized
+        # robots.txt text; the oracle rebuilds the keep set by pure
+        # arithmetic (blocked iff d%10 == (d%20)%7 and d%20 odd)
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import (
+            filter_robots_disallowed, synth_robots)
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id"])
+        pages, robots = synth_robots(docs)
+        return filter_robots_disallowed(pages, robots)
+
     def q_rolling_window(sf):
         # frame-based window: 4-row rolling sum of value per user over
         # (ts, event_id) order; epsilon-floor quantized on both sides
@@ -1880,6 +1895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "construct": q_construct,            # SPARQL CONSTRUCT graph rewrite (SQL-checked)
         "void_stats": q_void_stats,          # VoID per-predicate KG descriptor (SQL-checked)
         "rolling_window": q_rolling_window,  # ROWS-frame rolling sum per key (SQL-checked)
+        "robots_filter": q_robots_filter,    # robots.txt crawl-politeness gate (SQL-checked)
         "shacl_validate": q_shacl_validate,  # SHACL-lite cardinality gate (SQL-checked)
         "split_sentences": q_split_sentences,  # RE2 sentence splitting (SQL-checked)
         "ego_subgraph": q_ego_subgraph,      # DESCRIBE-style k-hop extraction (SQL-checked)
@@ -2112,6 +2128,15 @@ def oracle_sql() -> dict[str, str]:
             "'r' || n_regionkey AS r FROM nation WHERE n_regionkey <> 0) "
             "SELECT sn.s, sn.n, coalesce(nr.r, 'none') AS r "
             "FROM sn LEFT JOIN nr ON nr.n = sn.n"
+        ),
+        # robots gate: keep iff NOT (d%10 = (d%20)%7 AND d%20 odd) —
+        # the synth_robots arithmetic (even hosts Allow the full path
+        # back via longest-match)
+        "robots_filter": (
+            "SELECT doc_id, 'https://h' || (doc_id % 20) || '.test/p' "
+            "|| (doc_id % 10) || '/x' AS url FROM documents "
+            "WHERE NOT (doc_id % 10 = (doc_id % 20) % 7 "
+            "AND (doc_id % 20) % 2 = 1)"
         ),
         # frame-based rolling sum; same epsilon-floor quantizer
         "rolling_window": (

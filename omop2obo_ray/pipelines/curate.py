@@ -3781,3 +3781,111 @@ def split_sentences(docs: Dataset, *, key_col: str = "doc_id",
 
     return docs.select_columns([key_col, text_col]).map_batches(
         _split, batch_format="pandas", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (Robots Exclusion Protocol) — parse + corpus filter
+# ---------------------------------------------------------------------------
+
+def parse_robots(content: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """Parse a robots.txt into (path_prefix, allow) rules for ``agent``
+    — REP subset: stacked ``User-agent`` lines open a group; a group
+    applies if it names the agent exactly or ``*`` (an exact-agent
+    group, when present, takes precedence over the ``*`` group, per
+    the spec); ``Allow``/``Disallow`` carry path prefixes; comments
+    (#…) and unknown directives are ignored; an empty Disallow path
+    is a no-op. Decision semantics live in :func:`_robots_allowed`:
+    longest matching prefix wins, ties go to allow, no match = allow.
+    """
+    groups: list[tuple[set, list]] = []     # ({agents}, [(path, allow)])
+    for raw in (content or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field, value = field.strip().lower(), value.strip()
+        if field == "user-agent":
+            # stacked user-agent lines share one group; a user-agent
+            # line AFTER rules opens a new group
+            if not groups or groups[-1][1]:
+                groups.append((set(), []))
+            groups[-1][0].add(value.lower())
+        elif field in ("allow", "disallow") and groups and value:
+            groups[-1][1].append((value, field == "allow"))
+    agent = agent.lower()
+    exact = [r for a, r in groups if agent in a]
+    if exact:
+        return [x for r in exact for x in r]
+    return [x for a, r in groups if "*" in a for x in r]
+
+
+def _robots_allowed(path: str, rules: list[tuple[str, bool]]) -> bool:
+    best_len, allow = -1, True
+    for prefix, a in rules:
+        if path.startswith(prefix):
+            ln = len(prefix)
+            if ln > best_len or (ln == best_len and a):
+                best_len, allow = ln, a
+    return allow
+
+
+def filter_robots_disallowed(pages: Dataset, robots: Dataset, *,
+                             url_col: str = "url",
+                             host_col: str = "host",
+                             content_col: str = "robots_txt",
+                             agent: str = "*") -> Dataset:
+    """Drop pages whose URL path a host's robots.txt disallows for
+    ``agent`` — the crawl-politeness gate every CC-derived corpus
+    applies. ``robots`` is a (host, robots_txt) table: per-host
+    dimension data (one small file per host), parsed ONCE on the
+    driver and broadcast; pages stream through a per-batch host →
+    rules lookup + longest-match decision. Hosts with no robots row
+    are fully allowed (the REP default)."""
+    import re as _re
+
+    rt = robots.select_columns([host_col, content_col]).to_pandas()
+    rules_by_host = {h.lower(): parse_robots(c, agent)
+                     for h, c in zip(rt[host_col], rt[content_col])}
+    rules_ref = ray.put(rules_by_host)
+    path_re = _re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*(/.*)?$")
+
+    def _keep(df: pd.DataFrame) -> pd.DataFrame:
+        rb = ray.get(rules_ref)
+        host = (df[url_col].str.extract(_HOST_RE, expand=False)
+                .str.lower().fillna(""))
+        path = (df[url_col].str.extract(path_re, expand=False)
+                .fillna("/"))
+        keep = np.fromiter(
+            (_robots_allowed(p, rb[h]) if h in rb else True
+             for h, p in zip(host, path)),
+            bool, count=len(df))
+        return df[keep]
+
+    return pages.map_batches(_keep, batch_format="pandas",
+                             batch_size=None)
+
+
+def synth_robots(docs: Dataset, key_col: str = "doc_id") -> tuple[Dataset, Dataset]:
+    """(pages, robots) pair with pure-arithmetic semantics for the SQL
+    gate: page url = ``https://h{D%20}.test/p{D%10}/x``; host k's
+    robots disallows ``/p{k%7}`` and — for EVEN k — allows the longer
+    ``/p{k%7}/x`` back (longest-match override). A page is therefore
+    blocked iff ``D%10 == (D%20)%7`` and ``D%20`` is odd — the rule
+    the oracle rebuilds without parsing anything."""
+    def _pages(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[key_col]
+        return pd.DataFrame({
+            key_col: d,
+            "url": ("https://h" + (d % 20).astype(str) + ".test/p"
+                    + (d % 10).astype(str) + "/x")})
+
+    pages = docs.select_columns([key_col]).map_batches(
+        _pages, batch_format="pandas", batch_size=None)
+    rows = []
+    for k in range(20):
+        txt = f"User-agent: *\nDisallow: /p{k % 7}\n"
+        if k % 2 == 0:
+            txt += f"Allow: /p{k % 7}/x\n"
+        rows.append({"host": f"h{k}.test", "robots_txt": txt})
+    robots = ray.data.from_pandas(pd.DataFrame(rows))
+    return pages, robots

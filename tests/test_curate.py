@@ -1582,3 +1582,50 @@ def test_rolling_window_matches_sql(ray_session):
         got_first = m[(m["user_id"] == r["user_id"])
                       & (m["event_id"] == r["event_id"])]["roll"].iloc[0]
         assert got_first == pytest.approx(r["value"])
+
+
+def test_parse_robots_groups_and_precedence():
+    from omop2obo_ray.pipelines.curate import (_robots_allowed,
+                                               parse_robots)
+
+    txt = """# comment
+User-agent: googlebot
+User-agent: bingbot
+Disallow: /private
+Allow: /private/ok
+
+User-agent: *
+Disallow: /tmp
+"""
+    # stacked agents share a group; exact agent beats '*'
+    assert parse_robots(txt, "googlebot") == [
+        ("/private", False), ("/private/ok", True)]
+    assert parse_robots(txt, "BingBot") == parse_robots(txt, "googlebot")
+    assert parse_robots(txt, "*") == [("/tmp", False)]
+    assert parse_robots(txt, "other") == [("/tmp", False)]
+    assert parse_robots("", "*") == []
+
+    rules = parse_robots(txt, "googlebot")
+    assert _robots_allowed("/public", rules)          # no match → allow
+    assert not _robots_allowed("/private/x", rules)   # disallow prefix
+    assert _robots_allowed("/private/ok/y", rules)    # longer allow wins
+
+
+def test_filter_robots_disallowed(ray_session):
+    from omop2obo_ray.pipelines.curate import (filter_robots_disallowed,
+                                               synth_robots)
+
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(200, dtype=np.int64)}))
+    pages, robots = synth_robots(docs)
+    kept = filter_robots_disallowed(pages, robots).to_pandas()
+    d = kept["doc_id"].to_numpy()
+    # contract: blocked iff d%10 == (d%20)%7 and (d%20) odd
+    blocked = [x for x in range(200)
+               if x % 10 == (x % 20) % 7 and (x % 20) % 2 == 1]
+    assert sorted(set(range(200)) - set(d)) == blocked
+    # hosts with no robots row are fully allowed
+    no_row = filter_robots_disallowed(
+        pages, rd.from_pandas(pd.DataFrame(
+            {"host": ["zz.test"], "robots_txt": ["User-agent: *\nDisallow: /"]})))
+    assert no_row.to_pandas().shape[0] == 200
