@@ -251,3 +251,41 @@ def test_warc_to_pages_langid_path(ray_session, tmp_path):
     got = warc_to_pages(d).to_pandas()
     assert list(got.columns) == ["url", "warc_ts", "html", "lang"]
     assert got["lang"].tolist() == ["en"]
+
+
+def test_sparql_family_over_flagship_kg(ray_session, engine_triples):
+    """The SPARQL-core query operators run over the REAL engine-built
+    KG (not synthetic triples): BGP constant pushdown, VoID stats and
+    a 1-hop DESCRIBE all match pandas recomputation on the same
+    triples."""
+    import pandas as pd
+
+    from omop2obo_ray.pipelines.graph import (ego_subgraph, kg_void_stats,
+                                              match_bgp)
+
+    t = engine_triples[["subj", "pred", "obj"]]
+    ds = rd.from_pandas(t)
+
+    # BGP: ?page <most common category> ?uri — bag semantics
+    top_pred = t["pred"].value_counts().index[0]
+    got = match_bgp(ds, [("?page", top_pred, "?uri")]).to_pandas()
+    want = t[t["pred"] == top_pred]
+    assert len(got) == len(want)
+    assert (sorted(map(tuple, got[["page", "uri"]].to_numpy()))
+            == sorted(map(tuple, want[["subj", "obj"]].to_numpy())))
+
+    # VoID descriptor == pandas groupby nunique
+    void = (kg_void_stats(ds).to_pandas().set_index("pred").sort_index())
+    ref = (t.groupby("pred").agg(n_triples=("subj", "size"),
+                                 n_subj=("subj", "nunique"),
+                                 n_obj=("obj", "nunique")).sort_index())
+    pd.testing.assert_frame_equal(
+        void[["n_triples", "n_subj", "n_obj"]].astype("int64"), ref)
+
+    # DESCRIBE: objects are ontology URIs (never subjects), so the
+    # 1-hop ball around a page is exactly that page's triples
+    seed = t["subj"].iloc[0]
+    ball = ego_subgraph(ds, [seed], hops=1).to_pandas()
+    mine = t[t["subj"] == seed]
+    assert (sorted(map(tuple, ball.to_numpy()))
+            == sorted(map(tuple, mine.to_numpy())))
