@@ -51,9 +51,7 @@ def extract_text(html_bytes: bytes) -> str:
 _ANCHOR_RE = re.compile(
     rb"<a\s[^>]*?href\s*=\s*([\"'])(.*?)\1", re.I | re.S)
 
-_ANCHOR_FULL_RE = re.compile(
-    rb"<a\s[^>]*?href\s*=\s*([\"'])(.*?)\1[^>]*>(.*?)</a\s*>",
-    re.I | re.S)
+_ANCHOR_CLOSE_RE = re.compile(rb"</a\s*>", re.I)
 
 
 def extract_anchor_texts(html_bytes: bytes) -> list[tuple[str, str]]:
@@ -62,17 +60,31 @@ def extract_anchor_texts(html_bytes: bytes) -> list[tuple[str, str]]:
     mention/alias signal for the target page). Text handling matches
     :func:`extract_text`: inner tags stripped, entities unescaped,
     whitespace collapsed. Anchors with empty hrefs drop; empty texts
-    survive as '' (an image link is still an edge)."""
+    survive as '' (an image link is still an edge).
+
+    Edge-set contract: iterates the SAME open-tag matches as
+    :func:`extract_anchors`, so both extractors always emit identical
+    (page, href) edge sets. An anchor whose ``</a>`` never appears
+    before the next href-bearing open tag (unclosed or nested markup)
+    still emits its edge, with text ``''``."""
     if html_bytes is None:
         return []
     out = []
-    for _q, href, body in _ANCHOR_FULL_RE.findall(html_bytes):
-        h = _html.unescape(href.decode("utf-8", "replace")).strip()
+    opens = [m for m in _ANCHOR_RE.finditer(html_bytes)]
+    for i, m in enumerate(opens):
+        h = _html.unescape(m.group(2).decode("utf-8", "replace")).strip()
         if not h:
             continue
-        t = _TAG_RE.sub(b"", body)
-        txt = _WS_RE.sub(" ", _html.unescape(
-            t.decode("utf-8", "replace"))).strip()
+        txt = ""
+        open_end = html_bytes.find(b">", m.end())
+        nxt = (opens[i + 1].start() if i + 1 < len(opens)
+               else len(html_bytes))
+        if open_end != -1:
+            close = _ANCHOR_CLOSE_RE.search(html_bytes, open_end + 1, nxt)
+            if close is not None:
+                body = _TAG_RE.sub(b"", html_bytes[open_end + 1:close.start()])
+                txt = _WS_RE.sub(" ", _html.unescape(
+                    body.decode("utf-8", "replace"))).strip()
         out.append((h, txt))
     return out
 

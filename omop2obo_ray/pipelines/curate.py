@@ -3687,23 +3687,35 @@ def resolve_hrefs(edges: Dataset, *, base_col: str = "src",
     paths, ``./``/``../``, bare queries/fragments, empties) falls back
     to per-row ``urljoin``; the fast paths are pinned ≡ urljoin by
     test. At web distribution ~90 % of hrefs take a vectorized path.
+
+    Base-side guard: the ``//host`` and ``/path`` fast paths only fire
+    when the BASE parses under ``_BASE_ROOT_RE`` (lowercase scheme +
+    authority) AND its scheme participates in relative resolution
+    (``urllib.parse.uses_relative``); otherwise urljoin's behavior
+    differs (uppercase-scheme bases get lowercased, non-relative
+    schemes like ``itms-apps:`` return the reference unchanged) and
+    the row is routed to the per-row fallback.
     """
     import re as _re
-    from urllib.parse import urljoin
+    from urllib.parse import urljoin, uses_relative
 
     dot_re = _re.compile(r"(?:^|/)\.\.?(?:/|$)")
+    rel_schemes = frozenset(s for s in uses_relative if s)
 
     def _resolve(df: pd.DataFrame) -> pd.DataFrame:
         base = df[base_col].fillna("")
         href = df[href_col].fillna("")
         out = pd.Series([""] * len(df), dtype=object,
                         index=df.index)
+        parts = base.str.extract(_BASE_ROOT_RE)
+        base_ok = (parts[0].notna()
+                   & parts[0].str.slice(0, -1).isin(rel_schemes))
         has_dots = href.str.contains(dot_re)
         is_abs = href.str.contains(_SCHEME_RE) & ~has_dots
-        is_proto = href.str.startswith("//") & ~has_dots & ~is_abs
+        is_proto = (href.str.startswith("//") & ~has_dots & ~is_abs
+                    & base_ok)
         is_root = (href.str.startswith("/") & ~is_proto & ~has_dots
-                   & ~is_abs)
-        parts = base.str.extract(_BASE_ROOT_RE)
+                   & ~is_abs & base_ok)
         scheme, root = parts[0].fillna(""), parts[1].fillna("")
         out[is_abs] = href[is_abs]
         out[is_proto] = scheme[is_proto] + href[is_proto]
@@ -3840,7 +3852,10 @@ def filter_robots_disallowed(pages: Dataset, robots: Dataset, *,
     dimension data (one small file per host), parsed ONCE on the
     driver and broadcast; pages stream through a per-batch host →
     rules lookup + longest-match decision. Hosts with no robots row
-    are fully allowed (the REP default)."""
+    are fully allowed (the REP default). The authority extracted from
+    the page URL is normalized to the bare hostname (userinfo and port
+    stripped) before the lookup, so ``https://u@h:8443/x`` matches the
+    robots row keyed ``h``."""
     import re as _re
 
     rt = robots.select_columns([host_col, content_col]).to_pandas()
@@ -3851,8 +3866,12 @@ def filter_robots_disallowed(pages: Dataset, robots: Dataset, *,
 
     def _keep(df: pd.DataFrame) -> pd.DataFrame:
         rb = ray.get(rules_ref)
+        # authority → bare hostname: drop userinfo and port
+        # (bracketed IPv6 literals keep their brackets intact)
         host = (df[url_col].str.extract(_HOST_RE, expand=False)
-                .str.lower().fillna(""))
+                .str.lower().fillna("")
+                .str.extract(r"^(?:[^@/]*@)?(\[[^\]]*\]|[^:]*)",
+                             expand=False).fillna(""))
         path = (df[url_col].str.extract(path_re, expand=False)
                 .fillna("/"))
         keep = np.fromiter(

@@ -1204,7 +1204,10 @@ def match_bgp(triples: Dataset, patterns: list[tuple[str, str, str]], *,
         nxt = _sanitize_join_output(
             nxt, pa.schema([(v, pa.string()) for v in nxt_vars]))
         # Ray 2.49: an EMPTY side poisons the hash-join exchange — and
-        # an empty prefix makes the whole BGP empty anyway.
+        # an empty prefix makes the whole BGP empty anyway. Both sides
+        # are ALWAYS sanitize-materialized (concrete block refs) by
+        # this point, so count() is a metadata read, not a plan
+        # re-execution — keep that invariant when editing this loop.
         if acc.count() == 0 or nxt.count() == 0:
             return _empty()
         joined = acc.join(nxt, join_type="inner",
@@ -1269,8 +1272,13 @@ def match_bgp(triples: Dataset, patterns: list[tuple[str, str, str]], *,
                         v, pa.nulls(batch.num_rows, pa.string()))
                 return batch
 
-            acc = acc.map_batches(_pad, batch_format="pyarrow",
-                                  batch_size=None)
+            # sanitize-materialize so the next clause's emptiness
+            # check / join never re-executes this pad map (count()
+            # must stay a metadata read — see the required loop)
+            acc = _sanitize_join_output(
+                acc.map_batches(_pad, batch_format="pyarrow",
+                                batch_size=None),
+                pa.schema([(v, pa.string()) for v in acc_vars]))
             continue
         joined = acc.join(nxt, join_type="left_outer",
                           num_partitions=num_partitions,

@@ -1502,6 +1502,33 @@ def test_resolve_hrefs_matches_urljoin(ray_session):
         assert row["resolved"] == urljoin(base, row["dst"]), row["dst"]
 
 
+def test_resolve_hrefs_base_side_divergence(ray_session):
+    """Bases that _BASE_ROOT_RE misparses (uppercase scheme, no scheme)
+    or whose scheme is outside urllib's uses_relative set must route to
+    the per-row urljoin fallback — the fast paths stay ≡ urljoin for
+    every BASE, not just every href."""
+    from urllib.parse import urljoin
+
+    from omop2obo_ray.pipelines.curate import resolve_hrefs
+
+    cases = [
+        ("HTTPS://Host.test/a/x", "/p"),          # uppercase base scheme
+        ("HTTPS://Host.test/a/x", "//cdn.example.com/l"),
+        ("itms-apps://h/a", "/p"),                # non-uses_relative scheme
+        ("itms-apps://h/a", "//x/y"),
+        ("mailto:a@b.c", "/p"),                   # no authority at all
+        ("host.test/a/x", "/p"),                  # schemeless base
+        ("", "/p"),                               # empty base
+        ("https://ok.test/a/x", "/p"),            # control: fast path
+    ]
+    edges = rd.from_pandas(pd.DataFrame(
+        {"src": [b for b, _ in cases], "dst": [h for _, h in cases]}))
+    got = resolve_hrefs(edges).to_pandas()
+    for _, row in got.iterrows():
+        assert row["resolved"] == urljoin(row["src"], row["dst"]), (
+            row["src"], row["dst"])
+
+
 def test_resolve_hrefs_synth_contract(ray_session):
     """synth_href_edges resolution follows the arithmetic contract the
     SQL oracle rebuilds (one case per resolution class)."""
@@ -1629,3 +1656,27 @@ def test_filter_robots_disallowed(ray_session):
         pages, rd.from_pandas(pd.DataFrame(
             {"host": ["zz.test"], "robots_txt": ["User-agent: *\nDisallow: /"]})))
     assert no_row.to_pandas().shape[0] == 200
+
+
+def test_filter_robots_port_and_userinfo(ray_session):
+    """URLs with explicit ports or userinfo must still match the
+    bare-hostname robots key (the authority is normalized before the
+    lookup, not treated as an unknown host)."""
+    from omop2obo_ray.pipelines.curate import filter_robots_disallowed
+
+    robots = rd.from_pandas(pd.DataFrame({
+        "host": ["h.test"],
+        "robots_txt": ["User-agent: *\nDisallow: /secret\n"]}))
+    pages = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "url": [
+            "https://h.test/secret/a",          # blocked (bare host)
+            "https://h.test:8443/secret/a",     # blocked (port)
+            "https://bob@h.test/secret/a",      # blocked (userinfo)
+            "https://bob@h.test:8443/secret/a", # blocked (both)
+            "https://h.test:8443/public",       # allowed path
+            "https://other.test:8443/secret",   # unknown host → allowed
+        ]}))
+    kept = sorted(filter_robots_disallowed(pages, robots)
+                  .to_pandas()["doc_id"].tolist())
+    assert kept == [4, 5]

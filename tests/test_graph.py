@@ -821,6 +821,31 @@ def test_extract_anchor_texts_edge_cases():
     assert extract_anchor_texts(None) == []
 
 
+def test_anchor_extractors_agree_on_edges():
+    """extract_anchors and extract_anchor_texts must emit the SAME
+    (href) edge sequence even for unclosed / nested anchors — the
+    unclosed ones get text '' instead of being dropped."""
+    from omop2obo_ray.functions.html import (extract_anchor_texts,
+                                             extract_anchors)
+
+    html = (b"<body>"
+            b"<a href=\"https://a.com/closed\">ok</a>"
+            b"<a href=\"https://b.com/unclosed\">never closed "
+            b"<a href=\"https://c.com/next\">fine</a>"
+            b"<a href=\"https://d.com/nested\"><a href=\"https://e.com/in\">in</a></a>"
+            b"<a href=\"https://f.com/tail\">tail never closes"
+            b"</body>")
+    texts = extract_anchor_texts(html)
+    assert [h for h, _ in texts] == extract_anchors(html)
+    by_href = dict(texts)
+    assert by_href["https://a.com/closed"] == "ok"
+    assert by_href["https://b.com/unclosed"] == ""   # close after next open
+    assert by_href["https://c.com/next"] == "fine"
+    assert by_href["https://d.com/nested"] == ""     # nested open first
+    assert by_href["https://e.com/in"] == "in"
+    assert by_href["https://f.com/tail"] == ""       # EOF, no close
+
+
 def test_anchor_text_edges_synth(ray_session):
     from omop2obo_ray.pipelines.graph import (anchor_text_edges,
                                               synth_anchor_pages)
