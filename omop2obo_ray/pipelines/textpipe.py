@@ -234,27 +234,61 @@ def _empty_pairs(extra: dict | None = None) -> Dataset:
     return ray.data.from_arrow(pa.table(cols))
 
 
-def _collect_colliding_keys(bands: Dataset, key: str) -> np.ndarray:
-    """Distributed LSH collision detection: per-bucket counts and the
-    ``n >= 2`` filter both run IN the cluster (coarse-bucketed — the
-    bucket-key cardinality is O(n_docs × n_bands), exactly the regime
-    where Ray's per-group aggregate overhead explodes); only the
-    colliding keys come back. Unlike the full bucket set (mostly
-    singletons on a real corpus), the colliding-key set is bounded by
-    actual near-dup mass, so driver-collecting it is the
-    broadcast-small-side pattern, not a scale hazard."""
+# Colliding-key sets up to this size take the broadcast + np.isin fast
+# path; beyond it the band stream is filtered with a left-semi hash
+# join so near-dup mass never materializes on the driver. Tests pin
+# both paths by overriding this module constant.
+COLLIDE_BROADCAST_LIMIT = 2_000_000
+
+
+def _filter_colliding_bands(bands: Dataset, key: str, *,
+                            broadcast_limit: int | None = None,
+                            num_partitions: int = 8) -> Dataset | None:
+    """Keep only band rows whose bucket key collides (``n >= 2``).
+
+    Collision detection runs entirely IN the cluster: a distributed
+    per-bucket count + ``n >= 2`` filter (coarse-bucketed — bucket-key
+    cardinality is O(n_docs × n_bands), exactly the regime where Ray's
+    per-group aggregate overhead explodes). The colliding-key set is
+    bounded by actual near-dup mass, not corpus size; two paths apply
+    it to the band stream:
+
+    - **fast path** (≤ ``COLLIDE_BROADCAST_LIMIT`` keys): collect once,
+      ``ray.put`` broadcast, vectorized ``np.isin`` per block — zero
+      shuffle;
+    - **scale path** (above the limit): LEFT SEMI hash join of the
+      band stream against the colliding-key Dataset (the
+      ``verify_jaccard_pairs`` pattern) — at 10¹²-doc dup mass the
+      colliding set itself is cluster-sized and never touches the
+      driver.
+
+    Returns ``None`` when nothing collides (caller emits empty)."""
     def colliding_in_group(df: pd.DataFrame) -> pd.DataFrame:
         vc = df[key].value_counts()
         return pd.DataFrame({key: vc.index[vc.to_numpy() >= 2]})
 
-    colliding = coarse_aggregate(bands.select_columns([key]), [key],
-                                 colliding_in_group)
-    parts = [_np_col(b, key)
-             for b in colliding.iter_batches(batch_size=65536, batch_format="pyarrow")]
-    parts = [p for p in parts if p.size]
-    if not parts:
-        return np.empty(0, dtype=np.int64)
-    return np.sort(np.concatenate(parts))
+    colliding = _sanitize_join_output(
+        coarse_aggregate(bands.select_columns([key]), [key],
+                         colliding_in_group),
+        pa.schema([(key, pa.int64())]))
+    n = colliding.count()  # materialized above → metadata read
+    if n == 0:
+        return None
+    limit = COLLIDE_BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
+    if n <= limit:
+        parts = [_np_col(b, key) for b in colliding.iter_batches(
+            batch_size=65536, batch_format="pyarrow")]
+        keys_ref = ray.put(np.sort(np.concatenate(
+            [p for p in parts if p.size])))
+        return bands.map_batches(
+            functools.partial(_keep_keys_in, col=key, keys_ref=keys_ref),
+            batch_format="pyarrow", batch_size=None)
+    # scale path: both join inputs sanitized (zero-row typed blocks in
+    # a hash-join INPUT poison the exchange — NOTES_r2)
+    hits = _sanitize_join_output(bands, _pa_schema_of(bands)).join(
+        colliding, join_type="left_semi",
+        num_partitions=num_partitions, on=(key,))
+    return _sanitize_join_output(hits, _pa_schema_of(bands))
 
 
 def _keep_keys_in(batch: pa.Table, col: str, keys_ref) -> pa.Table:
@@ -305,10 +339,12 @@ def minhash_candidate_pairs(docs: Dataset, n_hashes: int = 64, n_bands: int = 16
     bucket (≈ n_docs × n_bands groups, nearly all singletons), and a
     driver-merged bucket-count dict would hold O(n_docs × n_bands)
     entries. Instead: distributed ``groupby(band_hash).count`` →
-    ``n ≥ 2`` filter in-cluster → broadcast ONLY the colliding keys
-    (near-dup-mass bounded) → vectorized ``np.isin`` filter over the
-    band stream → pair expansion per colliding bucket (star-capped,
-    see ``_pairs_from_bucket``)."""
+    ``n ≥ 2`` filter in-cluster → the band stream keeps only colliding
+    buckets via ``_filter_colliding_bands`` (broadcast ``np.isin`` fast
+    path under ``COLLIDE_BROADCAST_LIMIT`` keys, left-semi hash join
+    above it — no unbounded driver state at any dup mass) → pair
+    expansion per colliding bucket (star-capped, see
+    ``_pairs_from_bucket``)."""
     bands = docs.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(n_hashes=n_hashes, shingle=shingle, n_bands=n_bands,
@@ -316,15 +352,9 @@ def minhash_candidate_pairs(docs: Dataset, n_hashes: int = 64, n_bands: int = 16
         batch_format="pyarrow", concurrency=_pool(), num_cpus=1,
     ).materialize()  # consumed twice: collision count + pair expansion
 
-    collide = _collect_colliding_keys(bands, "band_hash")
-    if collide.size == 0:
+    hits = _filter_colliding_bands(bands, "band_hash")
+    if hits is None:
         return _empty_pairs({"n_bands_hit": pa.array([], pa.int64())})
-    collide_ref = ray.put(collide)
-
-    hits = bands.map_batches(
-        functools.partial(_keep_keys_in, col="band_hash", keys_ref=collide_ref),
-        batch_format="pyarrow", batch_size=None,
-    )
     # expansion sees ONLY colliding buckets, grouped coarsely so Ray's
     # per-group overhead cannot dominate when collision buckets number
     # in the 10⁴⁺ (see _expand_colliding_pairs)
@@ -1046,14 +1076,9 @@ def simhash_near_pairs(docs: Dataset, max_hamming: int = 3,
 
     bands = sigs.map_batches(to_bands, batch_format="pyarrow",
                              batch_size=None).materialize()
-    collide = _collect_colliding_keys(bands, "bucket_key")
-    if collide.size == 0:
+    hits = _filter_colliding_bands(bands, "bucket_key")
+    if hits is None:
         return _empty_pairs({"hamming": pa.array([], pa.int64())})
-    collide_ref = ray.put(collide)
-    hits = bands.map_batches(
-        functools.partial(_keep_keys_in, col="bucket_key", keys_ref=collide_ref),
-        batch_format="pyarrow", batch_size=None,
-    )
     pairs = coarse_apply_per_key(
         hits, ["bucket_key"],
         functools.partial(_simhash_pairs_in_bucket, key_col=key_col,
@@ -1605,7 +1630,8 @@ def embedding_near_pairs_lsh(embeddings: Dataset, threshold: float = 0.9,
     angle θ collides on one band with p = 1-(1-(1-θ/π)^w)^b); verification
     computes exact cosine inside ``map_batches`` after attaching both
     vectors via partitioned hash joins. Approximate (LSH-bounded recall),
-    no driver-side state beyond the colliding-key broadcast."""
+    no unbounded driver-side state (``_filter_colliding_bands``
+    semi-joins above the broadcast limit)."""
     dim = len(embeddings.take(1)[0][vec_col])
     bands = embeddings.map_batches(
         HyperplaneHasher,
@@ -1613,14 +1639,9 @@ def embedding_near_pairs_lsh(embeddings: Dataset, threshold: float = 0.9,
                                    key_col=key_col, vec_col=vec_col),
         batch_format="pyarrow", concurrency=_pool(), num_cpus=1,
     ).materialize()
-    collide = _collect_colliding_keys(bands, "bucket_key")
-    if collide.size == 0:
+    hits = _filter_colliding_bands(bands, "bucket_key")
+    if hits is None:
         return _empty_pairs({"cos": pa.array([], pa.float64())})
-    collide_ref = ray.put(collide)
-    hits = bands.map_batches(
-        functools.partial(_keep_keys_in, col="bucket_key", keys_ref=collide_ref),
-        batch_format="pyarrow", batch_size=None,
-    )
     cand = coarse_aggregate(
         _expand_colliding_pairs(hits, "bucket_key", key_col, bucket_cap),
         ["doc_a", "doc_b"], lambda df: df.groupby(

@@ -93,6 +93,41 @@ def test_minhash_pairs_match_naive_oracle(ray_session):
     assert got_pairs == _oracle_minhash_pairs(texts)
 
 
+def test_minhash_pairs_semijoin_path_identical(ray_session, monkeypatch):
+    """Forcing the left-semi-join scale path (broadcast limit 0) must
+    emit the exact same candidate pairs as the np.isin broadcast fast
+    path — the two _filter_colliding_bands branches are semantically
+    interchangeable."""
+    import omop2obo_ray.pipelines.textpipe as tp
+
+    base = ("word" + " filler token alpha beta gamma delta epsilon zeta eta "
+            "theta iota kappa") * 2
+    texts = {i: base.replace("alpha", f"v{i % 3}") for i in range(12)}
+    texts[20] = "entirely different content with no shared shingles at all here"
+    ds = rd.from_pandas(pd.DataFrame(
+        [{"doc_id": k, "text": v} for k, v in sorted(texts.items())]))
+    fast = tp.minhash_candidate_pairs(ds).to_pandas()
+    monkeypatch.setattr(tp, "COLLIDE_BROADCAST_LIMIT", 0)
+    semi = tp.minhash_candidate_pairs(ds).to_pandas()
+    key = ["doc_a", "doc_b"]
+    assert (fast.sort_values(key).reset_index(drop=True)
+            .equals(semi.sort_values(key).reset_index(drop=True)))
+    assert set(zip(semi["doc_a"], semi["doc_b"])) == _oracle_minhash_pairs(texts)
+
+
+def test_simhash_pairs_semijoin_path_identical(ray_session, monkeypatch,
+                                               dup_docs):
+    """Same branch-identity contract for the SimHash bucket filter."""
+    import omop2obo_ray.pipelines.textpipe as tp
+
+    fast = tp.simhash_near_pairs(dup_docs, max_hamming=12).to_pandas()
+    monkeypatch.setattr(tp, "COLLIDE_BROADCAST_LIMIT", 0)
+    semi = tp.simhash_near_pairs(dup_docs, max_hamming=12).to_pandas()
+    key = ["doc_a", "doc_b"]
+    assert (fast.sort_values(key).reset_index(drop=True)
+            .equals(semi.sort_values(key).reset_index(drop=True)))
+
+
 def test_minhash_degenerate_bucket_star_capped(ray_session):
     """10k identical docs: the bucket cap must avoid O(k²) pair
     expansion while preserving cluster connectivity."""
