@@ -2215,7 +2215,8 @@ def _kv_schema(col: str, ds: Dataset) -> pa.DataType:
 # ---------------------------------------------------------------------------
 
 def bigram_pmi(docs: Dataset, *, min_count: int = 5,
-               text_col: str = "text") -> Dataset:
+               text_col: str = "text",
+               num_partitions: int = 8) -> Dataset:
     """Corpus collocations → (tok_a, tok_b, n_ab, pmi_q) for adjacent
     word pairs with ``n_ab ≥ min_count``.
 
@@ -2223,12 +2224,18 @@ def bigram_pmi(docs: Dataset, *, min_count: int = 5,
     tokens, M = total adjacent pairs — the formula is shared verbatim
     with the SQL oracle; pmi_q is the epsilon-floor quantization.
     One distributed counting pass emits per-block (kind, a, b, n)
-    partials for unigrams and bigrams together; the coarse-merged
-    count table is vocab-bounded (same driver-budget class as
-    nb_train's model). Pair formation never crosses a document."""
+    partials for unigrams and bigrams together; one coarse merge makes
+    them globally exact. Fully cluster-side from there: the support
+    filter drops the bigram tail in-cluster, the two unigram
+    normalizer counts attach to surviving bigrams via two partitioned
+    hash joins (the unigram VOCABULARY never leaves the cluster — on
+    web junk it is unbounded), and the only driver state is the pair
+    of (N, M) totals summed from one 2-rows-per-block partial stream.
+    Pair formation never crosses a document."""
     import re as _re
 
     from omop2obo_ray.functions.shuffle import coarse_aggregate
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
 
     tok_re = _re.compile(NB_TOKEN_RE)
 
@@ -2247,50 +2254,84 @@ def bigram_pmi(docs: Dataset, *, min_count: int = 5,
             "b": [""] * len(uni) + [p[1] for p in bi],
             "n": list(uni.values()) + list(bi.values())})
 
-    merged = coarse_aggregate(
+    cnt_schema = pa.schema([("kind", pa.int64()), ("a", pa.string()),
+                            ("b", pa.string()), ("n", pa.int64())])
+    # sanitize materializes → consumed 4× below without re-execution
+    merged = _sanitize_join_output(coarse_aggregate(
         docs.select_columns([text_col]).map_batches(
             _partials, batch_format="pandas", batch_size=None),
         ["kind", "a", "b"],
         lambda df: df.groupby(["kind", "a", "b"], sort=False)
-        .agg(n=("n", "sum")).reset_index())
+        .agg(n=("n", "sum")).reset_index()), cnt_schema)
 
-    # push the support filter INTO the cluster: the coarse merge is
-    # complete per key, so dropping rare bigrams here is exact — the
-    # driver only ever sees unigrams (vocab-bounded) plus SURVIVING
-    # collocations, never the raw bigram-vocab tail. The (N, M)
-    # normalizers are per-block partial sums for the same reason.
-    def _keep(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[(df["kind"] == 0) | (df["n"] >= min_count)]
-        tot = pd.DataFrame({
-            "kind": [2, 3], "a": ["", ""], "b": ["", ""],
-            "n": [int(df.loc[df["kind"] == 0, "n"].sum()),
-                  int(df.loc[df["kind"] == 1, "n"].sum())]})
-        return pd.concat([out.astype({"kind": np.int64}),
-                          tot.astype({"kind": np.int64})],
-                         ignore_index=True)
-
-    counts = merged.map_batches(_keep, batch_format="pandas",
-                                batch_size=None).to_pandas()
-    uni = counts[counts["kind"] == 0].set_index("a")["n"]
-    bi = counts[counts["kind"] == 1]
-    n_total = float(counts.loc[counts["kind"] == 2, "n"].sum())
-    m_total = float(counts.loc[counts["kind"] == 3, "n"].sum())
-    if len(bi) == 0:
+    def _empty() -> Dataset:
         return ray.data.from_arrow(pa.table({
             "tok_a": pa.array([], pa.string()),
             "tok_b": pa.array([], pa.string()),
             "n_ab": pa.array([], pa.int64()),
             "pmi_q": pa.array([], pa.int64())}))
-    n_ab = bi["n"].to_numpy(dtype=np.float64)
-    n_a = uni.loc[bi["a"]].to_numpy(dtype=np.float64)
-    n_b = uni.loc[bi["b"]].to_numpy(dtype=np.float64)
-    pmi = np.log((n_ab / m_total) / ((n_a / n_total) * (n_b / n_total)))
-    return ray.data.from_arrow(pa.table({
-        "tok_a": pa.array(bi["a"].to_numpy(dtype=object), pa.string()),
-        "tok_b": pa.array(bi["b"].to_numpy(dtype=object), pa.string()),
-        "n_ab": pa.array(bi["n"].to_numpy(dtype=np.int64)),
-        "pmi_q": pa.array(np.floor(pmi * 1e4 + 1e-6).astype(np.int64)),
-    }))
+
+    # (N, M) normalizers: 2 partial rows per BLOCK to the driver
+    def _tot(batch: pa.Table) -> pa.Table:
+        k = batch["kind"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "kind": pa.array([0, 1], pa.int64()),
+            "n": pa.array([int(n[k == 0].sum()), int(n[k == 1].sum())],
+                          pa.int64())})
+
+    tot = merged.map_batches(_tot, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    n_total = float(tot.loc[tot["kind"] == 0, "n"].sum())
+    m_total = float(tot.loc[tot["kind"] == 1, "n"].sum())
+    if m_total == 0:
+        return _empty()
+
+    bi_schema = pa.schema([("tok_a", pa.string()), ("tok_b", pa.string()),
+                           ("n_ab", pa.int64())])
+    bi = _sanitize_join_output(merged.map_batches(
+        lambda b: pa.table(
+            {"tok_a": (t := b.filter(pc.and_(
+                pc.equal(b["kind"], 1),
+                pc.greater_equal(b["n"], min_count))))["a"],
+             "tok_b": t["b"], "n_ab": t["n"]}),
+        batch_format="pyarrow", batch_size=None), bi_schema)
+    if bi.count() == 0:  # empty LEFT join input fails in Ray 2.49
+        return _empty()
+
+    def _uni_side(key_name: str, cnt_name: str) -> Dataset:
+        return _sanitize_join_output(merged.map_batches(
+            lambda b, _k=key_name, _c=cnt_name: pa.table(
+                {_k: (u := b.filter(pc.equal(b["kind"], 0)))["a"],
+                 _c: u["n"]}),
+            batch_format="pyarrow", batch_size=None),
+            pa.schema([(key_name, pa.string()), (cnt_name, pa.int64())]))
+
+    # sanitize between the chained joins also splits the plans
+    # (NOTES_r2: two joins in one plan deadlock on small CPU counts)
+    j1 = _sanitize_join_output(
+        bi.join(_uni_side("_ka", "n_a"), join_type="inner",
+                num_partitions=num_partitions,
+                on=("tok_a",), right_on=("_ka",)),
+        pa.schema(list(bi_schema) + [pa.field("n_a", pa.int64())]))
+    j2 = _sanitize_join_output(
+        j1.join(_uni_side("_kb", "n_b"), join_type="inner",
+                num_partitions=num_partitions,
+                on=("tok_b",), right_on=("_kb",)),
+        pa.schema(list(bi_schema) + [pa.field("n_a", pa.int64()),
+                                     pa.field("n_b", pa.int64())]))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        n_ab = batch["n_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_a = batch["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_b = batch["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log((n_ab / m_total) / ((n_a / n_total) * (n_b / n_total)))
+        return pa.table({
+            "tok_a": batch["tok_a"], "tok_b": batch["tok_b"],
+            "n_ab": batch["n_ab"],
+            "pmi_q": pa.array(np.floor(pmi * 1e4 + 1e-6).astype(np.int64))})
+
+    return j2.map_batches(_score, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
