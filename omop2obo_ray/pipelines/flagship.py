@@ -18,7 +18,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 from ray.data import Dataset
-from ray.data.aggregate import Count
 
 from omop2obo_ray.config import DEFAULT_CONFIG, PipelineConfig
 from omop2obo_ray.functions.html import expected_text, render_page_html
@@ -28,20 +27,27 @@ from omop2obo_ray.state.lexicon import Lexicon, build_lexicon
 def derive_lexicon_from_corpus(sf_dir: str, n_classes: int = 48,
                                ontologies: tuple[str, ...] = ("hp",)) -> Lexicon:
     """Build a deterministic ontology whose labels are the corpus's most
-    frequent tokens (distributed count → small driver-side build)."""
+    frequent tokens. The count is the cluster-side top-k shape
+    (per-batch ``value_counts`` combiner → coarse merge → sort+limit):
+    the corpus VOCABULARY (10⁷⁺ on a real web corpus) never reaches the
+    driver — only the ``n_classes`` winners do."""
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
-    def tokens(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(batch["text"], " ")
-        return pa.table({"token": pc.list_flatten(toks)})
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.list_flatten(pc.split_pattern(batch["text"], " ")).value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
 
-    counts = (
-        docs.map_batches(tokens, batch_format="pyarrow")
-        .groupby("token").aggregate(Count(alias_name="n"))
-        .to_pandas()
-    )
-    counts = counts.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
-    top = sorted(counts.head(n_classes)["token"].tolist())
+    counts = coarse_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["token"],
+        lambda df: df.groupby("token", sort=False)["n"].sum().reset_index())
+    # (n DESC, token ASC) = the deterministic tie rule of the original
+    # driver-side sort_values selection
+    top = sorted(counts.sort(["n", "token"], descending=[True, False])
+                 .limit(n_classes).to_pandas()["token"].tolist())
 
     ont = ontologies[0]
     obo = "http://purl.obolibrary.org/obo/"
