@@ -143,6 +143,92 @@ def disk_bucket_apply(ds: Dataset, bucket_col: str,
         _merge, batch_format="pandas", batch_size=buckets_per_task)
 
 
+def coarse_join(left: Dataset, right: Dataset, *, on: str,
+                right_on: str | None = None, how: str = "inner",
+                n_coarse: int | None = None) -> Dataset:
+    """Task-based hash join via ONE coarse-bucket exchange + per-bucket
+    pandas merge. Ray 2.49's native ``Dataset.join`` spins up a fresh
+    aggregator-actor pool per join plan (~5-9 s fixed cost measured at
+    32 cpus on 600 k rows vs ~2.6 s for this exchange), which dominates
+    iterative algorithms that join every round (pagerank, HITS, BFS).
+    Both sides ship through one sort exchange keyed on the join key's
+    coarse bucket; every row of a key lands in one bucket, so the
+    per-bucket ``pd.merge`` is exact.
+
+    Contract mirrors ``Dataset.join``: output keeps the LEFT key name;
+    payload column names must not collide. ``how`` ∈ {'inner',
+    'left_outer'}. Key skew: a hot key concentrates its rows in one
+    bucket frame (same as the native join's partition) — use
+    ``salted_join`` when one key's row set exceeds a worker's heap."""
+    import pyarrow as pa
+
+    from omop2obo_ray.pipelines.textpipe import (_pa_schema_of,
+                                                 _sanitize_join_output)
+
+    rkey = right_on or on
+    lsch = _pa_schema_of(left)
+    rsch = _pa_schema_of(right)
+    rpay = [n for n in rsch.names if n != rkey]
+    out_schema = pa.schema(
+        list(zip(lsch.names, lsch.types))
+        + [(n, rsch.field(n).type) for n in rpay])
+    if left.count() == 0 or (how == "inner" and right.count() == 0):
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    # unified exchange schema: _k + left payloads + right payloads +
+    # _side; the absent side's payloads are TYPED Arrow nulls so the
+    # union and the sort exchange see one schema
+    lpay = [n for n in lsch.names if n != on]
+    ktype = lsch.field(on).type
+
+    def _tag_left(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {"_k": b[on].combine_chunks().cast(ktype)}
+        for c in lpay:
+            cols[c] = b[c]
+        for c in rpay:
+            cols[c] = pa.nulls(n, rsch.field(c).type)
+        cols["_side"] = pa.array(np.zeros(n, np.int8))
+        return pa.table(cols)
+
+    def _tag_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {"_k": b[rkey].combine_chunks().cast(ktype)}
+        for c in lpay:
+            cols[c] = pa.nulls(n, lsch.field(c).type)
+        for c in rpay:
+            cols[c] = b[c]
+        cols["_side"] = pa.array(np.ones(n, np.int8))
+        return pa.table(cols)
+
+    lt = left.map_batches(_tag_left, batch_format="pyarrow",
+                          batch_size=None)
+    rt = right.map_batches(_tag_right, batch_format="pyarrow",
+                           batch_size=None)
+
+    int_restore = [f.name for f in out_schema
+                   if pa.types.is_integer(f.type)]
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        side = df["_side"].to_numpy()
+        l = df.loc[side == 0, ["_k"] + lpay]
+        r = df.loc[side == 1, ["_k"] + rpay]
+        out = l.merge(r, on="_k",
+                      how="left" if how == "left_outer" else "inner")
+        out = out.rename(columns={"_k": on})
+        # the all-null absent-side columns upcast ints to float64 in
+        # pandas — restore via the nullable Int64 extension (Arrow
+        # round-trips it to int64-with-nulls)
+        for c in int_restore:
+            if out[c].dtype != np.int64:
+                out[c] = out[c].astype("Int64")
+        return out[list(out_schema.names)]
+
+    joined = coarse_aggregate(lt.union(rt), ["_k"], merge,
+                              n_coarse=n_coarse)
+    return _sanitize_join_output(joined, out_schema)
+
+
 def salted_join(left: Dataset, right: Dataset, *, on: str,
                 right_on: str | None = None,
                 hot_threshold: int = 100_000, n_salts: int = 16,

@@ -86,131 +86,190 @@ def pagerank(edges: Dataset, iterations: int = 3, damping: float = 0.85,
     normalized to mean 1 (multiplied by N), full float precision (the
     SQL gate quantizes in the query wrapper — see module docstring).
 
-    Algebraic form chosen to MINIMIZE per-iteration exchanges: since
-    ``rankₖ(u) = base + d·cₖ(u)`` where ``cₖ`` is the received mass
-    (zero when absent), the contribution sum splits as
+    Algebraic form chosen to MINIMIZE exchanges. With
+    ``rankₖ(u) = base + d·cₖ(u)`` (cₖ = received mass, zero when
+    absent) the contribution sum splits as
 
         cₖ₊₁(v) = base·invsum(v) + d·Σ_{(u,v)∈E} cₖ(u)/deg(u),
         invsum(v) = Σ_{(u,v)∈E} 1/deg(u)   (computed ONCE).
 
-    So each iteration is ONE hash join (cₖ onto deg-joined edges) plus
-    ONE coarse aggregate (per-dst sum, unioned with the constant
-    ``base·invsum`` term) — no per-iteration nodes join, no full-node
-    rank table in flight; ``c`` covers only nodes with in-edges. The
-    teleport-only nodes get their constant ``base`` rank in one final
-    left-outer join. Nothing is ever collected to the driver except the
-    scalar node count. Same recurrence as the unrolled SQL oracle up to
-    float reassociation (≈1e-15 relative — absorbed by the gate's
-    epsilon-floor quantization and the 1e-12 pytest tolerance).
+    Working in the N-SCALED variable ``c'ₖ = N·cₖ`` removes the node
+    count from the recurrence entirely (base·N = 1−d):
+
+        c'₁ = invsum,
+        c'ₖ₊₁ = (1−d)·invsum + d·Σ c'ₖ(u)/deg(u),
+        rank·N = (1−d) + d·c'   — the mean-1 output directly.
+
+    Plan layout (each numbered step is ONE executed Ray exchange; the
+    per-plan fixed cost is what dominates fixture-scale walls, so the
+    count is kept at the algorithmic minimum — 2 setup + 2 per extra
+    iteration):
+
+    1. ``ed`` — out-degree is attached by a single coarse exchange
+       keyed on src (per-src ``transform('size')`` inside the bucket
+       frame), shipping each edge once; no separate degree aggregate,
+       no degree hash join. Edge weight w = 1/deg rides the table, and
+       the frame marks one FIRST row per src — the distinct-source
+       markers that make the final rank table complete without a
+       dedicated node-set pass or a final left-outer join.
+    2. ``invsum`` ( = c'₁) — per-dst Σw with a block-local combiner
+       (a hub dst ships one partial row per block, not 10⁹ edge rows).
+    3. per extra iteration: ONE coarse-bucket join (c'ₖ onto ed, with
+       the per-dst partial sums FUSED into the join frame so only
+       partials leave the exchange — ``functions/shuffle.coarse_join``
+       rationale: Ray's native join pays a fresh aggregator-actor pool
+       per plan) + ONE coarse per-dst sum. The LAST iteration's sum
+       also folds in zero-contribution marker rows for every distinct
+       src, so teleport-only nodes (out-edges, no in-edges) surface
+       with c' = 0 ⇒ rank (1−d) — no nodes join afterwards.
+
+    Nothing is ever collected to the driver. Same recurrence as the
+    unrolled SQL oracle up to float reassociation (≈1e-15 relative —
+    absorbed by the gate's epsilon-floor quantization and the 1e-12
+    pytest tolerance). ``num_partitions`` is retained for API
+    compatibility; bucket fan-out is ~3×CPU (measured optimum for the
+    exchange at fixture scale; rises naturally with cluster size).
     """
-    # the edge list is consumed three times up front (degree, deg-join,
-    # distinct nodes) — pin it once so the upstream read/derivation
-    # never re-executes (object-store blocks spill under pressure; at
-    # 100 TB swap for a parquet checkpoint, same pattern as
-    # kg.links_checkpoint_dir)
-    edges = edges.select_columns(["src", "dst"]).materialize()
+    del num_partitions  # superseded by coarse-bucket fan-out
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_coarse = max(32, 3 * cpus)
+    edges = edges.select_columns(["src", "dst"])
     nt = _pa_schema_of(edges).field("src").type
 
-    deg = _sanitize_join_output(
-        out_degrees(edges), pa.schema([("src", nt), ("d", pa.int64())]))
-    ed = _sanitize_join_output(
-        edges.join(deg, join_type="inner", num_partitions=num_partitions,
-                   on=("src",)),
-        pa.schema([("src", nt), ("dst", nt), ("d", pa.int64())]))
+    def _attach_w(df: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a src are in this coarse frame by construction
+        d = df.groupby("src", sort=False)["dst"].transform("size")
+        return df.assign(w=1.0 / d.to_numpy(),
+                         first=~df["src"].duplicated().to_numpy())
 
-    nodes = _sanitize_join_output(
-        _distinct_nodes(edges), pa.schema([("node", nt)]))
-    n_nodes = nodes.count()
-    if n_nodes == 0:
+    ed = _sanitize_join_output(
+        coarse_aggregate(edges, ["src"], _attach_w, n_coarse=n_coarse),
+        pa.schema([("src", nt), ("dst", nt), ("w", pa.float64()),
+                   ("first", pa.bool_())]))
+    if ed.count() == 0:
         return ray.data.from_arrow(pa.table({
             "node": pa.array([], pa.string()),
             "rank": pa.array([], pa.float64())}))
-    if iterations <= 0:
-        return nodes.map_batches(
-            lambda b: pa.table({"node": b["node"],
-                                "rank": pa.array(np.ones(len(b)))}),
-            batch_format="pyarrow", batch_size=None)
-    base = (1.0 - damping) / n_nodes
     c_schema = pa.schema([("node", nt), ("c", pa.float64())])
+
+    # zero-contribution marker per distinct src: unioned into the LAST
+    # per-node sum so source-only nodes appear in the output (adding
+    # c = 0 rows changes no sum)
+    def _markers(b: pa.Table) -> pa.Table:
+        first = b["first"].combine_chunks().to_numpy(zero_copy_only=False)
+        src = b["src"].combine_chunks().filter(pa.array(first))
+        return pa.table({"node": src,
+                         "c": pa.array(np.zeros(len(src), np.float64))})
+
+    markers = ed.map_batches(_markers, batch_format="pyarrow",
+                             batch_size=None)
 
     def _inv(batch: pa.Table) -> pa.Table:
         # block-local combiner: partial-sum per dst BEFORE the coarse
         # exchange, so a hub node (head dst with 10⁹ in-edges) ships
         # one partial row per block instead of concentrating every
         # edge row into its coarse group
-        d = batch["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = batch["w"].combine_chunks().to_numpy(zero_copy_only=False)
         dst = batch["dst"].combine_chunks().to_numpy(zero_copy_only=False)
-        part = (pd.DataFrame({"node": dst, "s": 1.0 / d})
-                .groupby("node", sort=False)["s"].sum().reset_index())
+        part = (pd.DataFrame({"node": dst, "c": w})
+                .groupby("node", sort=False)["c"].sum().reset_index())
         return pa.Table.from_pandas(part, preserve_index=False)
 
-    invsum = _sanitize_join_output(coarse_aggregate(
-        ed.map_batches(_inv, batch_format="pyarrow", batch_size=None),
-        ["node"],
-        lambda df: df.groupby("node", sort=False)
-        .agg(s=("s", "sum")).reset_index()),
-        pa.schema([("node", nt), ("s", pa.float64())]))
+    def _per_node_sum(extra: Dataset | None):
+        def build(parts: Dataset) -> Dataset:
+            src = parts if extra is None else parts.union(extra)
+            return _sanitize_join_output(coarse_aggregate(
+                src, ["node"],
+                lambda df: df.groupby("node", sort=False)
+                .agg(c=("c", "sum")).reset_index(), n_coarse=n_coarse),
+                c_schema)
+        return build
 
-    def _scale(factor: float):
-        def fn(batch: pa.Table) -> pa.Table:
-            s = batch["s"].combine_chunks().to_numpy(zero_copy_only=False)
+    invsum = _per_node_sum(markers if iterations == 1 else None)(
+        ed.map_batches(_inv, batch_format="pyarrow", batch_size=None))
+
+    # c'₁ = invsum, zero-copy (every u starts at r₀ = 1/N, so the first
+    # iteration's join is the constant map — no join plan needed)
+    c = invsum
+
+    for it in range(max(0, iterations - 1)):
+        last = it == iterations - 2
+
+        # fused coarse join: ed and c'ₖ ride ONE exchange keyed on src;
+        # the bucket frame merges the sides and immediately partial-sums
+        # damping·c'·w per dst, so only slim partials leave the task
+        def _tag_ed(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table({
+                "src": b["src"], "dst": b["dst"], "w": b["w"],
+                "c": pa.nulls(n, pa.float64()),
+                "_side": pa.array(np.zeros(n, np.int8))})
+
+        def _tag_c(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table({
+                "src": b["node"], "dst": pa.nulls(n, nt),
+                "w": pa.nulls(n, pa.float64()), "c": b["c"],
+                "_side": pa.array(np.ones(n, np.int8))})
+
+        def _merge_send(df: pd.DataFrame) -> pd.DataFrame:
+            side = df["_side"].to_numpy()
+            l = df.loc[side == 0, ["src", "dst", "w"]]
+            r = df.loc[side == 1, ["src", "c"]]
+            m = l.merge(r, on="src", how="inner")
+            if not len(m):
+                return pd.DataFrame({"node": pd.Series(dtype=l["dst"].dtype),
+                                     "c": pd.Series(dtype=np.float64)})
+            return (pd.DataFrame({
+                "node": m["dst"].to_numpy(),
+                "c": damping * m["c"].to_numpy() * m["w"].to_numpy()})
+                .groupby("node", sort=False)["c"].sum().reset_index())
+
+        # sanitize strips the zero-row (schema-less) blocks sparse
+        # buckets emit — they would poison the next groupby's exchange
+        sent = _sanitize_join_output(coarse_aggregate(
+            ed.map_batches(_tag_ed, batch_format="pyarrow",
+                           batch_size=None)
+            .union(c.map_batches(_tag_c, batch_format="pyarrow",
+                                 batch_size=None)),
+            ["src"], _merge_send, n_coarse=n_coarse), c_schema)
+
+        def _teleport(batch: pa.Table) -> pa.Table:
+            s = batch["c"].combine_chunks().to_numpy(zero_copy_only=False)
             return pa.table({"node": batch["node"],
-                             "c": pa.array(factor * s, pa.float64())})
-        return fn
-
-    # c₁ = invsum/N (every u starts at r₀ = 1/N)
-    c = invsum.map_batches(_scale(1.0 / n_nodes),
-                           batch_format="pyarrow", batch_size=None)
-
-    for _ in range(iterations - 1):
-        sent = _sanitize_join_output(
-            ed.join(c, join_type="inner", num_partitions=num_partitions,
-                    on=("src",), right_on=("node",)),
-            pa.schema([("src", nt), ("dst", nt), ("d", pa.int64()),
-                       ("c", pa.float64())]))
-
-        def _w(batch: pa.Table) -> pa.Table:
-            # same block-local combiner as _inv, weighted d·c/deg
-            cv = batch["c"].combine_chunks().to_numpy(zero_copy_only=False)
-            d = batch["d"].combine_chunks().to_numpy(zero_copy_only=False)
-            dst = batch["dst"].combine_chunks().to_numpy(zero_copy_only=False)
-            part = (pd.DataFrame({"node": dst, "c": damping * cv / d})
-                    .groupby("node", sort=False)["c"].sum().reset_index())
-            return pa.Table.from_pandas(part, preserve_index=False)
+                             "c": pa.array((1.0 - damping) * s,
+                                           pa.float64())})
 
         teleport_term = invsum.map_batches(
-            _scale(base), batch_format="pyarrow", batch_size=None)
-        c = _sanitize_join_output(coarse_aggregate(
-            teleport_term.union(
-                sent.map_batches(_w, batch_format="pyarrow",
-                                 batch_size=None)),
-            ["node"],
-            lambda df: df.groupby("node", sort=False)
-            .agg(c=("c", "sum")).reset_index()),
-            c_schema)
+            _teleport, batch_format="pyarrow", batch_size=None)
+        c = _per_node_sum(markers if last else None)(
+            teleport_term.union(sent))
 
-    # teleport base for every node; received mass where it exists
-    merged = _sanitize_join_output(
-        nodes.join(c.map_batches(
-            lambda b: pa.table({"dst": b["node"], "c": b["c"]}),
-            batch_format="pyarrow", batch_size=None),
-            join_type="left_outer", num_partitions=num_partitions,
-            on=("node",), right_on=("dst",)),
-        pa.schema([("node", nt), ("c", pa.float64())]))
+    if iterations <= 0:
+        nodes = _sanitize_join_output(coarse_aggregate(
+            markers.union(ed.map_batches(
+                lambda b: pa.table({"node": b["dst"],
+                                    "c": pa.array(np.zeros(len(b)))}),
+                batch_format="pyarrow", batch_size=None)),
+            ["node"], lambda df: df.drop_duplicates(["node"]),
+            n_coarse=n_coarse), c_schema)
+        return nodes.map_batches(
+            lambda b: pa.table({"node": b["node"],
+                                "rank": pa.array(np.ones(len(b)))}),
+            batch_format="pyarrow", batch_size=None)
 
     def _fin(batch: pa.Table) -> pa.Table:
         cv = batch["c"].combine_chunks().to_numpy(zero_copy_only=False)
-        cv = np.nan_to_num(cv.astype(np.float64), nan=0.0)
         # full-precision rank, normalized to mean 1; quantization for
         # the equality gate happens in the query wrapper (these
         # rational-valued ranks sit EXACTLY on decimal rounding
         # boundaries, so any fixed rounding here would be flipped by
         # partition-order float noise run-to-run)
         return pa.table({"node": batch["node"],
-                         "rank": pa.array((base + damping * cv) * n_nodes,
+                         "rank": pa.array((1.0 - damping) + damping * cv,
                                           pa.float64())})
 
-    return merged.map_batches(_fin, batch_format="pyarrow", batch_size=None)
+    return c.map_batches(_fin, batch_format="pyarrow", batch_size=None)
 
 
 def connected_components(edges: Dataset, src: str = "src",

@@ -845,3 +845,41 @@ def test_pq_train_shapes_and_recall(ray_session):
         g = got[got["qid"] == qid]["vec_id"].to_numpy()
         in_cluster = ((g >= lo) & (g < lo + 40)).sum()
         assert in_cluster >= 9
+
+
+def test_coarse_join_matches_pandas_merge(ray_session):
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    left = pd.DataFrame({
+        "k": ["a", "a", "b", "c", "d"],
+        "lv": np.arange(5, dtype=np.int64)})
+    right = pd.DataFrame({
+        "rk": ["a", "b", "b", "e"],
+        "rv": np.arange(4, dtype=np.int64) * 10})
+    got = (coarse_join(rd.from_pandas(left), rd.from_pandas(right),
+                       on="k", right_on="rk", n_coarse=8)
+           .to_pandas().sort_values(["k", "lv", "rv"])
+           .reset_index(drop=True))
+    want = (left.merge(right, left_on="k", right_on="rk")
+            .drop(columns=["rk"])
+            .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    assert list(got.columns) == ["k", "lv", "rv"]
+    # integer payloads may surface as pandas' nullable Int64 (the
+    # absent-side restoration dtype) — same values, so compare as int64
+    pd.testing.assert_frame_equal(
+        got.astype({"lv": np.int64, "rv": np.int64}), want)
+
+    # left_outer: unmatched left rows survive with null right payload
+    lo = (coarse_join(rd.from_pandas(left), rd.from_pandas(right),
+                      on="k", right_on="rk", how="left_outer",
+                      n_coarse=8).to_pandas())
+    assert len(lo) == len(left.merge(right, left_on="k", right_on="rk",
+                                     how="left"))
+    assert lo.loc[lo["k"] == "c", "rv"].isna().all()
+
+    # empty inner side short-circuits to a typed empty
+    empty = rd.from_pandas(pd.DataFrame(
+        {"rk": pd.Series([], dtype=str),
+         "rv": pd.Series([], dtype=np.int64)}))
+    assert coarse_join(rd.from_pandas(left), empty, on="k",
+                       right_on="rk").count() == 0
