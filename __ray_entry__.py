@@ -757,10 +757,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return connected_components(edges)
 
     def q_connected_components_alt(sf):
-        # same customer→order star graph, resolved by the alternating
-        # large-star/small-star algorithm (O(log n) rounds — the
-        # web-graph path); fixed point is identical, so the same SQL
-        # oracle applies
+        # honest multi-round case for the large-star/small-star path:
+        # CHAIN graphs (consecutive orderkeys linked within each
+        # (priority, orderkey%8) partition → 40 chains of ~n/40 nodes).
+        # Min-label propagation would need diameter ≈ chain-length
+        # rounds (~375 at sf0.01 — infeasible); alternating converges
+        # in O(log n) ≈ 9. The component structure stays closed-form
+        # for the oracle: every partition is one chain, so
+        # component = lexicographic min of 'o'||orderkey per partition.
+        import numpy as np
         import pandas as pd
         import ray.data as rd
 
@@ -768,15 +773,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             connected_components_alternating)
 
         orders = rd.read_parquet(f"{sf}/orders.parquet",
-                                 columns=["o_orderkey", "o_custkey"])
+                                 columns=["o_orderkey", "o_orderpriority"])
 
-        def _e(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                "src": "c" + df["o_custkey"].astype(str),
-                "dst": "o" + df["o_orderkey"].astype(str)})
+        def _part(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(pkey=df["o_orderpriority"].astype(str) + "#"
+                             + (df["o_orderkey"] % 8).astype(str))
 
-        edges = orders.map_batches(_e, batch_format="pandas",
-                                   batch_size=None)
+        def _chain(g: pd.DataFrame) -> pd.DataFrame:
+            # one complete partition per group (bounded: 5 priorities
+            # × 8 buckets = 40 groups) → consecutive-orderkey chain
+            k = np.sort(g["o_orderkey"].to_numpy())
+            if len(k) < 2:
+                return pd.DataFrame({"src": pd.Series(dtype=str),
+                                     "dst": pd.Series(dtype=str)})
+            lab = np.char.add("o", k.astype(str))
+            return pd.DataFrame({"src": lab[:-1], "dst": lab[1:]})
+
+        edges = (orders.map_batches(_part, batch_format="pandas",
+                                    batch_size=None)
+                 .groupby("pkey").map_groups(_chain,
+                                             batch_format="pandas"))
         return connected_components_alternating(edges)
 
     def q_heavy_hitters(sf):
@@ -2953,11 +2969,15 @@ def oracle_sql() -> dict[str, str]:
             "AND nz < 4096 THEN 4096 * ln(4096.0 / (4096 - nz)) "
             "ELSE raw END) * 1e3 + 1e-6) AS BIGINT) AS est_q FROM est"
         ),
+        # chain components: each (priority, orderkey%8) partition is one
+        # connected chain by construction, so the fixed point is the
+        # LEXICOGRAPHIC min of the 'o'||orderkey labels per partition
+        # (the engine's min-label is a string min — 'o10' < 'o9')
         "connected_components_alt": (
-            "WITH e AS (SELECT 'c' || o_custkey AS src, "
-            "'o' || o_orderkey AS dst FROM orders) "
-            "SELECT DISTINCT src AS node, src AS component FROM e "
-            "UNION ALL SELECT dst AS node, src AS component FROM e"
+            "SELECT 'o' || o_orderkey AS node, "
+            "min('o' || o_orderkey) OVER "
+            "(PARTITION BY o_orderpriority, o_orderkey % 8) AS component "
+            "FROM orders"
         ),
         "window_sliding": (
             "SELECT event_type, "

@@ -82,6 +82,17 @@ class PipelineConfig:
     # disk, and a resumed run can reuse the checkpoint across driver
     # restarts (multi-node: must be shared storage)
     links_checkpoint_dir: str | None = None
+    # corpus mode: compute the canonical-map partial counts INSIDE the
+    # links materialize (zero-CPU accumulator actors fed by a
+    # pass-through tap) instead of a separate scan over the
+    # materialized links — removes the serial map-build phase from the
+    # corpus path's critical section. Exact whenever no map task is
+    # re-executed (the local deployment); a retried task would add its
+    # block's partials twice, perturbing only the support-count
+    # TIE-BREAK among equal-tier candidates. Set False (or use
+    # links_checkpoint_dir, which keeps the separate exact pass) for
+    # retry-prone clusters.
+    canonical_fold_in: bool = True
     # score tier-3 candidates inside the linker actor (one operator
     # boundary less); False runs the standalone ScorerActor stage
     fuse_scorer: bool = True

@@ -7,11 +7,16 @@ sklearn/scipy are not available here, so the CSR matrix and the
 cosine kernel are hand-rolled on numpy arrays.
 
 Scale note (SURVEY §7.4.2): the reference fits idf on the JOINT
-clinical+ontology corpus, which is not streamable at 10^12 documents.
-We fit on the ontology corpus only; the correctness gate's P/R budget
-absorbs the idf drift, and the exact-1.0 / percentile rules
-(data_utils.py:407-418, string_similarity.py:201-202) are preserved
-exactly on the recomputed scores.
+clinical+ontology corpus (string_similarity.py:323-326), which is not
+streamable at 10^12 documents. Default: fit on the ontology corpus
+only; the correctness gate's P/R budget absorbs the idf drift, and the
+exact-1.0 / percentile rules (data_utils.py:407-418,
+string_similarity.py:201-202) are preserved exactly on the recomputed
+scores. Opt-in joint fit: pass ``extra_df``/``extra_n_docs`` (document
+frequencies of a page-corpus SAMPLE, gathered distributed by
+``state.lexicon.sample_corpus_df``) — the vocabulary and idf then
+match a fit on ontology ∪ sample exactly, reproducing the reference's
+joint-fit semantics at bounded driver state.
 """
 
 from __future__ import annotations
@@ -32,6 +37,18 @@ def ngrams(tokens: list[str], lo: int = 1, hi: int = 3) -> list[str]:
     return out
 
 
+def df_of_token_lists(token_lists: list[list[str]],
+                      ngram_range: tuple[int, int] = (1, 3)) -> dict[str, int]:
+    """Per-document-distinct n-gram document frequencies — the local
+    combiner behind the distributed joint-fit sampler (and the oracle
+    shape for its tests)."""
+    df: dict[str, int] = {}
+    for toks in token_lists:
+        for t in set(ngrams(toks, *ngram_range)):
+            df[t] = df.get(t, 0) + 1
+    return df
+
+
 class TfidfIndex:
     """Fit on the ontology corpus; transform query token-lists per batch.
 
@@ -46,6 +63,8 @@ class TfidfIndex:
         row_uris: list[str],
         row_onts: list[str],
         ngram_range: tuple[int, int] = (1, 3),
+        extra_df: dict[str, int] | None = None,
+        extra_n_docs: int = 0,
     ):
         assert len(corpus_tokens) == len(row_uris) == len(row_onts)
         self.ngram_range = ngram_range
@@ -69,8 +88,20 @@ class TfidfIndex:
             for tid in counts:
                 df_counts[tid] += 1
             rows_terms.append(counts)
+        # ---- opt-in joint fit: fold in the page-corpus sample's dfs;
+        # sample-only terms join the vocabulary with empty postings, so
+        # they weight query norms exactly as the reference's joint
+        # vectorizer does (string_similarity.py:323-326) ----
+        if extra_df:
+            for t, d in extra_df.items():
+                tid = vocab.get(t)
+                if tid is None:
+                    tid = len(vocab)
+                    vocab[t] = tid
+                    df_counts.append(0)
+                df_counts[tid] += int(d)
         self.vocab = vocab
-        n = max(1, self.n_rows)
+        n = max(1, self.n_rows + max(0, int(extra_n_docs)))
         df = np.asarray(df_counts, dtype=np.float64)
         # sklearn smooth_idf: ln((1+n)/(1+df)) + 1
         self.idf = np.log((1.0 + n) / (1.0 + df)) + 1.0

@@ -339,7 +339,13 @@ def connected_components_alternating(
     driver state beyond the per-round change scalar. Works for string
     or integer node ids (pandas lexicographic/numeric min). If
     ``stats`` is passed, ``stats['rounds']`` records the converged
-    round count."""
+    round count. Default bucket fan-out is ~3×CPU (the iterative-op
+    optimum measured for pagerank: per-round wall is exchange fixed
+    cost, not per-group work; 24×CPU buckets nearly doubled it)."""
+    if n_coarse is None:
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        n_coarse = max(32, 3 * cpus)
     ntype = _pa_schema_of(edges).field(src).type
     pair_schema = pa.schema([("src", ntype), ("dst", ntype)])
 
@@ -710,15 +716,25 @@ def clustering_coefficient(edges: Dataset, src: str = "src",
 def hits(edges: Dataset, iterations: int = 2,
          num_partitions: int = 8) -> Dataset:
     """(node, hub, auth) after ``iterations`` mutual-reinforcement
-    rounds over the DISTINCT directed edge set. Same exchange shape
-    as pagerank: per round ONE hash join (scores onto edges) + ONE
-    coarse per-endpoint sum; nodes with zero score appear with 0 via
-    the final left-outer joins. Unnormalized counts overflow int64
-    only past ~10¹⁸ paths — document the cap, normalize downstream."""
+    rounds over the DISTINCT directed edge set. Same exchange shape as
+    pagerank post-rewrite: per round ONE task-based coarse-bucket join
+    (``functions/shuffle.coarse_join`` — no per-plan aggregator-actor
+    pool) + ONE coarse per-endpoint sum. Because a/h cover exactly
+    {dsts}/{srcs} at every step, the final (node, hub, auth) table is
+    ONE zero-filling coarse merge of the two score tables — no node-set
+    pass, no left-outer joins. Unnormalized counts overflow int64 only
+    past ~10¹⁸ paths — document the cap, normalize downstream."""
+    del num_partitions  # superseded by coarse-bucket fan-out
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    cpus = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    n_coarse = max(32, 3 * cpus)
     e = _sanitize_join_output(
         coarse_aggregate(edges.select_columns(["src", "dst"]),
                          ["src", "dst"],
-                         lambda df: df.drop_duplicates()),
+                         lambda df: df.drop_duplicates(),
+                         n_coarse=n_coarse),
         pa.schema([("src", pa.string()), ("dst", pa.string())])
     ).materialize()
     nt = _pa_schema_of(e).field("src").type
@@ -728,7 +744,7 @@ def hits(edges: Dataset, iterations: int = 2,
             coarse_aggregate(
                 ds, [key],
                 lambda df: df.groupby(key, sort=False)[val].sum()
-                .rename(out).reset_index()),
+                .rename(out).reset_index(), n_coarse=n_coarse),
             pa.schema([(key, nt), (out, pa.int64())]))
 
     # a₁ = indeg (h₀ ≡ 1): a slim count, no join needed
@@ -740,54 +756,38 @@ def hits(edges: Dataset, iterations: int = 2,
     hub = None
     for it in range(iterations):
         # hₖ(u) = Σ_{(u,v)} aₖ(v)
-        ea = _sanitize_join_output(
-            e.join(auth, join_type="inner",
-                   num_partitions=num_partitions, on=("dst",)),
-            pa.schema([("src", nt), ("dst", nt), ("auth", pa.int64())]))
+        ea = coarse_join(e, auth, on="dst", n_coarse=n_coarse)
         hub = _sum_per(ea.map_batches(
             lambda b: pa.table({"src": b["src"], "v": b["auth"]}),
             batch_format="pyarrow", batch_size=None), "src", "v", "hub")
         if it == iterations - 1:
             break
         # aₖ₊₁(v) = Σ_{(u,v)} hₖ(u)
-        eh = _sanitize_join_output(
-            e.join(hub, join_type="inner",
-                   num_partitions=num_partitions, on=("src",)),
-            pa.schema([("src", nt), ("dst", nt), ("hub", pa.int64())]))
+        eh = coarse_join(e, hub, on="src", n_coarse=n_coarse)
         auth = _sum_per(eh.map_batches(
             lambda b: pa.table({"dst": b["dst"], "v": b["hub"]}),
             batch_format="pyarrow", batch_size=None), "dst", "v", "auth")
 
-    nodes = _sanitize_join_output(
-        _distinct_nodes(e), pa.schema([("node", nt)]))
-    out = _sanitize_join_output(
-        nodes.join(hub.map_batches(
-            lambda b: pa.table({"hn": b["src"], "hub": b["hub"]}),
-            batch_format="pyarrow", batch_size=None),
-            join_type="left_outer", num_partitions=num_partitions,
-            on=("node",), right_on=("hn",)),
-        pa.schema([("node", nt), ("hub", pa.int64())]))
-    out = _sanitize_join_output(
-        out.join(auth.map_batches(
-            lambda b: pa.table({"an": b["dst"], "auth": b["auth"]}),
-            batch_format="pyarrow", batch_size=None),
-            join_type="left_outer", num_partitions=num_partitions,
-            on=("node",), right_on=("an",)),
+    # hub covers exactly the source set, auth exactly the dst set —
+    # node set = union of the two score tables, absent side = 0
+    tagged = hub.map_batches(
+        lambda b: pa.table({"node": b["src"], "h": b["hub"],
+                            "a": pa.array(np.zeros(b.num_rows, np.int64))}),
+        batch_format="pyarrow", batch_size=None).union(
+        auth.map_batches(
+            lambda b: pa.table({"node": b["dst"],
+                                "h": pa.array(np.zeros(b.num_rows,
+                                                       np.int64)),
+                                "a": b["auth"]}),
+            batch_format="pyarrow", batch_size=None))
+    merged = _sanitize_join_output(coarse_aggregate(
+        tagged, ["node"],
+        lambda df: df.groupby("node", sort=False)
+        .agg(hub=("h", "sum"), auth=("a", "sum")).reset_index(),
+        n_coarse=n_coarse),
         pa.schema([("node", nt), ("hub", pa.int64()),
                    ("auth", pa.int64())]))
-
-    def _fill(batch: pa.Table) -> pa.Table:
-        h = batch["hub"].to_numpy(zero_copy_only=False)
-        a = batch["auth"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "node": batch["node"],
-            "hub": pa.array(np.nan_to_num(
-                h.astype(np.float64), nan=0.0).astype(np.int64)),
-            "auth": pa.array(np.nan_to_num(
-                a.astype(np.float64), nan=0.0).astype(np.int64))})
-
-    return out.map_batches(_fill, batch_format="pyarrow",
-                           batch_size=None)
+    return merged
 
 
 # ---------------------------------------------------------------------------
@@ -830,17 +830,18 @@ def bfs_hops(edges: Dataset, seeds: list[str], *, max_hops: int = 8,
     dist = ray.data.from_arrow(seed_tbl).materialize()
     frontier = dist
 
+    from omop2obo_ray.functions.shuffle import coarse_join
+
     for k in range(1, max_hops + 1):
         if frontier.count() == 0:
             break
-        # neighbors of the frontier (distinct)
-        nb = _sanitize_join_output(
-            e.join(frontier.map_batches(
+        # neighbors of the frontier (distinct) — task-based coarse join
+        # (no per-round aggregator-actor pool, see coarse_join)
+        nb = coarse_join(
+            e, frontier.map_batches(
                 lambda b: pa.table({"fn": b["node"]}),
                 batch_format="pyarrow", batch_size=None),
-                join_type="inner", num_partitions=num_partitions,
-                on=("src",), right_on=("fn",)),
-            pa.schema([("src", pa.string()), ("dst", pa.string())]))
+            on="src", right_on="fn")
         nb = _sanitize_join_output(
             coarse_aggregate(
                 nb.map_batches(lambda b: pa.table({"node": b["dst"]}),
@@ -850,13 +851,11 @@ def bfs_hops(edges: Dataset, seeds: list[str], *, max_hops: int = 8,
         if nb.count() == 0:
             break
         # unvisited only: left-outer against dist, keep null hops
-        probe = _sanitize_join_output(
-            nb.join(dist.map_batches(
+        probe = coarse_join(
+            nb, dist.map_batches(
                 lambda b: pa.table({"vn": b["node"], "seen": b["hops"]}),
                 batch_format="pyarrow", batch_size=None),
-                join_type="left_outer", num_partitions=num_partitions,
-                on=("node",), right_on=("vn",)),
-            pa.schema([("node", pa.string()), ("seen", pa.int64())]))
+            on="node", right_on="vn", how="left_outer")
         new = probe.map_batches(
             lambda b, _k=k: pa.table({
                 "node": b.filter(pc.is_null(b["seen"]))["node"],
@@ -904,14 +903,14 @@ def kcore(edges: Dataset, k: int, *, max_iters: int = 64,
                                 "flag": pa.array(np.ones(b.num_rows,
                                                          np.int64))}),
             batch_format="pyarrow", batch_size=None)
-        # drop edges with a bad endpoint (two anti-joins)
+        # drop edges with a bad endpoint (two anti-joins via the
+        # task-based coarse-bucket join — no aggregator-actor pool per
+        # round; see functions/shuffle.coarse_join)
+        from omop2obo_ray.functions.shuffle import coarse_join
+
         for side in ("a", "b"):
-            und = _sanitize_join_output(
-                und.join(bad, join_type="left_outer",
-                         num_partitions=num_partitions,
-                         on=(side,), right_on=("bn",)),
-                pa.schema([("a", pa.string()), ("b", pa.string()),
-                           ("flag", pa.int64())]))
+            und = coarse_join(und, bad, on=side, right_on="bn",
+                              how="left_outer")
             und = _sanitize_join_output(
                 und.map_batches(
                     lambda t: t.filter(pc.is_null(t["flag"]))

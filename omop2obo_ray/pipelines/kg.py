@@ -141,15 +141,26 @@ def links_to_triples(links: Dataset, lexicon: Lexicon,
                 links = _rd.read_parquet(ckpt)
                 n_chunks = sum(f.endswith(".parquet")
                                for f in os.listdir(ckpt))
+                canon = build_canonical_map(
+                    links, driver_merge=n_chunks < 2048)
+            elif cfg.canonical_fold_in:
+                # ONE pass: partial counts accumulate inside the links
+                # materialize (stages/canonicalize.py fold-in) — no
+                # separate partials scan, no serial driver merge phase
+                from omop2obo_ray.stages.canonicalize import (
+                    materialize_links_with_canonical)
+
+                links, canon = materialize_links_with_canonical(links)
             else:
                 links = links.materialize()
-                n_chunks = links.num_blocks()
-            # driver-merge streams one batch per BLOCK through the
-            # driver (~0.7 ms each): fine for hundreds of blocks, a
-            # serial ~70 s wall for ~10⁵ small blocks. Above a block-
-            # count threshold, run the merge as a distributed groupby
-            # and only collect the (lexicon-bounded) aggregate.
-            canon = build_canonical_map(links, driver_merge=n_chunks < 2048)
+                # driver-merge streams one batch per BLOCK through the
+                # driver (~0.7 ms each): fine for hundreds of blocks, a
+                # serial ~70 s wall for ~10⁵ small blocks. Above a
+                # block-count threshold, run the merge as a distributed
+                # groupby and only collect the (lexicon-bounded)
+                # aggregate.
+                canon = build_canonical_map(
+                    links, driver_merge=links.num_blocks() < 2048)
         labels = lexicon.labels
         links = links.map_batches(
             functools.partial(apply_canonical_map, canon=canon, labels=labels),

@@ -96,9 +96,20 @@ def build_canonical_map(links: Dataset, driver_merge: bool = True) -> dict[tuple
             partials, ["surface", "ontology", "uri"],
             lambda df: df.groupby(["surface", "ontology", "uri"], sort=False)
             .agg(tier_rank=("tier_rank", "min"), n=("n", "sum")).reset_index())
+    return _pick_canonical(
+        partials.iter_batches(batch_size=65536, batch_format="pyarrow"))
+
+
+def _pick_canonical(batches) -> dict[tuple[str, str], str]:
+    """Fold partial-count batches into the (surface, ontology) →
+    canonical-uri map: deterministic pick = (best tier rank, highest
+    support count, lowest uri); only AMBIGUOUS surfaces (>1 distinct
+    uri) enter the map — for the rest the rewrite is the identity, so
+    the apply stage can skip them (and becomes a free pass-through when
+    no ambiguity exists)."""
     best: dict[tuple[str, str], tuple[int, int, str]] = {}
     counts: dict[tuple[str, str, str], tuple[int, int]] = {}
-    for b in partials.iter_batches(batch_size=65536, batch_format="pyarrow"):
+    for b in batches:
         for surface, ont, uri, tr, n in zip(
             b["surface"].to_pylist(), b["ontology"].to_pylist(),
             b["uri"].to_pylist(), b["tier_rank"].to_pylist(), b["n"].to_pylist(),
@@ -113,10 +124,85 @@ def build_canonical_map(links: Dataset, driver_merge: bool = True) -> dict[tuple
         cand = (tr, -n, uri)
         if key not in best or cand < best[key]:
             best[key] = cand
-    # only AMBIGUOUS surfaces (>1 distinct uri) need rewriting — for the
-    # rest the rewrite is the identity, so the apply stage can skip them
-    # (and becomes a free pass-through when no ambiguity exists)
     return {k: v[2] for k, v in best.items() if n_uris[k] > 1}
+
+
+class _PartialCountSink:
+    """Zero-CPU accumulator actor for the canonical-map fold-in: holds
+    lexicon-bounded (surface, ontology, uri) → (min tier rank, count)
+    partials, compacting buffered tables with a vectorized pandas
+    groupby every 64 adds so memory never exceeds ~64 blocks of
+    partials + one compacted frame."""
+
+    def __init__(self):
+        self._buf: list[pa.Table] = []
+        self._compacted: pd.DataFrame | None = None
+
+    def add(self, tbl: pa.Table) -> None:
+        self._buf.append(tbl)
+        if len(self._buf) >= 64:
+            self._compact()
+
+    def _compact(self) -> None:
+        frames = [t.to_pandas() for t in self._buf]
+        if self._compacted is not None:
+            frames.append(self._compacted)
+        if not frames:
+            return
+        df = pd.concat(frames, ignore_index=True)
+        self._compacted = (
+            df.groupby(["surface", "ontology", "uri"], sort=False)
+            .agg(tier_rank=("tier_rank", "min"), n=("n", "sum"))
+            .reset_index())
+        self._buf = []
+
+    def get(self) -> pa.Table | None:
+        self._compact()
+        if self._compacted is None or not len(self._compacted):
+            return None
+        return pa.Table.from_pandas(self._compacted,
+                                    preserve_index=False)
+
+
+def materialize_links_with_canonical(
+        links: "Dataset", n_sinks: int = 8,
+) -> tuple["Dataset", dict[tuple[str, str], str]]:
+    """ONE pass over the link stream that both pins the links and
+    builds the corpus-weighted canonical map: a pass-through tap
+    computes each block's partial counts (the same per-batch combiner
+    ``build_canonical_map`` uses) and ships them to zero-CPU
+    accumulator actors; after the materialize, the ≤ n_sinks
+    lexicon-bounded aggregates are merged driver-side. Removes the
+    separate partials scan + serial driver merge from the corpus
+    path's critical section (measured ~5 s at 480 k pages / 32 cpus).
+
+    The tap ``ray.get``s each add so a map task only completes after
+    its partials are accumulated (actor ordering alone doesn't give
+    that). Exactness caveat lives on ``PipelineConfig.canonical_fold_in``.
+    Returns blocks unchanged (zero-copy), so page-aligned block
+    boundaries — the page-local assembly contract — survive."""
+    import random
+
+    import ray
+
+    sink_cls = ray.remote(num_cpus=0)(_PartialCountSink)
+    sinks = [sink_cls.remote() for _ in range(n_sinks)]
+
+    def _tap(batch: pa.Table) -> pa.Table:
+        part = _partial_counts(batch)
+        if part.num_rows:
+            # counts merge associatively+commutatively: any sink works,
+            # random spread avoids a hot accumulator
+            ray.get(sinks[random.randrange(n_sinks)].add.remote(part))
+        return batch
+
+    mat = links.map_batches(_tap, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    tables = [t for t in ray.get([s.get.remote() for s in sinks])
+              if t is not None]
+    for s in sinks:
+        ray.kill(s)
+    return mat, _pick_canonical(iter(tables))
 
 
 def lexicon_canonical_map(lexicon) -> dict[tuple[str, str], str]:

@@ -124,8 +124,16 @@ def build_lexicon(
     vocab_map: pd.DataFrame,
     ontologies: tuple[str, ...] = ("hp", "mondo"),
     umls_expand: bool = True,
+    joint_df: tuple[dict[str, int], int] | None = None,
 ) -> Lexicon:
-    """Build the broadcastable lexicon from the dimension tables."""
+    """Build the broadcastable lexicon from the dimension tables.
+
+    ``joint_df`` — opt-in reference-parity joint TF-IDF fit
+    (string_similarity.py:323-326): a ``(df_counts, n_docs)`` pair of
+    page-corpus document frequencies from ``sample_corpus_df``; folded
+    into the sim index's vocabulary/idf so scores match a vectorizer
+    fit on ontology ∪ sample. Default None keeps the ontology-only fit
+    (the declared SURVEY §7.4.2 resolution)."""
     vocab = build_vocab_dict(
         vocab_map["primary_abbreviation"].tolist(), vocab_map["abbreviations"].tolist()
     )
@@ -229,7 +237,12 @@ def build_lexicon(
             corpus_tokens.append(toks)
             row_uris.append(short_uri(uri))
             row_onts.append(ont)
-    sim_index = TfidfIndex(corpus_tokens, row_uris, row_onts)
+    if joint_df is not None:
+        sim_index = TfidfIndex(corpus_tokens, row_uris, row_onts,
+                               extra_df=joint_df[0],
+                               extra_n_docs=joint_df[1])
+    else:
+        sim_index = TfidfIndex(corpus_tokens, row_uris, row_onts)
 
     # deterministic link ordering: (level, tier-rank, ont, uri)
     tier_rank = {"str": 0, "dbxref": 1, "umls": 2, "ancestor": 3, "sim": 4}
@@ -258,7 +271,8 @@ def build_lexicon(
     )
 
 
-def load_lexicon_from_dir(fixture_dir: str, ontologies=("hp", "mondo"), umls_expand=True) -> Lexicon:
+def load_lexicon_from_dir(fixture_dir: str, ontologies=("hp", "mondo"),
+                          umls_expand=True, joint_df=None) -> Lexicon:
     """Load the parquet dimension tables written by the fixture generator
     and build the lexicon."""
     import pyarrow.parquet as pq
@@ -269,4 +283,67 @@ def load_lexicon_from_dir(fixture_dir: str, ontologies=("hp", "mondo"), umls_exp
     return build_lexicon(
         rd("concepts"), rd("dbxrefs"), rd("aliases"), rd("semtypes"),
         rd("ancestors"), rd("vocab_map"), ontologies, umls_expand,
+        joint_df=joint_df,
     )
+
+
+def sample_corpus_df(pages, text_col: str = "text",
+                     max_docs: int = 10_000,
+                     ngram_range: tuple[int, int] = (1, 3),
+                     ) -> tuple[dict[str, int], int]:
+    """Distributed page-corpus sampling for the joint TF-IDF fit:
+    deterministic content-hash sample of ≤ ``max_docs`` rows, per-doc
+    DISTINCT n-gram document frequencies combined block-locally
+    (``functions.tfidf.df_of_token_lists``), summed by one coarse
+    aggregate, and collected driver-side. Driver state is bounded by
+    the SAMPLE's vocabulary (max_docs × per-doc distinct n-grams), a
+    knob the caller controls — never by corpus size. Returns
+    ``(df_counts, n_sampled_docs)`` for ``build_lexicon(joint_df=...)``.
+
+    The sample keeps idf RATIOS in expectation (idf uses (1+n)/(1+df):
+    scaling n and df together is the standard corpus-statistics
+    sampling estimator); exact reference parity holds when the sample
+    IS the whole corpus (max_docs ≥ n_rows) — pinned by test.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from omop2obo_ray.functions.hashing import hash64_array
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+    from omop2obo_ray.functions.tfidf import df_of_token_lists
+
+    total = pages.count()
+    if total == 0:
+        return {}, 0
+    # deterministic multiplicative-hash thinning at ppm resolution
+    keep_ppm = min(1_000_000, (max_docs * 1_000_000) // total) \
+        if total > max_docs else 1_000_000
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        h = hash64_array(batch[text_col])
+        keep = (h % np.uint64(1_000_000)) < np.uint64(keep_ppm)
+        texts = batch[text_col].combine_chunks().filter(
+            pa.array(keep)).to_pylist()
+        lists = [preprocess_tokens(t or "") for t in texts]
+        df = df_of_token_lists([l for l in lists if l], ngram_range)
+        return pa.table({
+            "term": pa.array(list(df.keys()) + ["\x00__docs__"],
+                             pa.string()),
+            "df": pa.array(list(df.values()) + [len(texts)], pa.int64()),
+        })
+
+    agg = coarse_aggregate(
+        pages.map_batches(_partials, batch_format="pyarrow",
+                          batch_size=None),
+        ["term"],
+        lambda df: df.groupby("term", sort=False)
+        .agg(df=("df", "sum")).reset_index())
+    out: dict[str, int] = {}
+    n_docs = 0
+    for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for t, d in zip(b["term"].to_pylist(), b["df"].to_pylist()):
+            if t == "\x00__docs__":
+                n_docs += int(d)
+            else:
+                out[t] = out.get(t, 0) + int(d)
+    return out, n_docs

@@ -42,10 +42,12 @@ def test_tier_toggle(ray_session, fixture_dir, lexicon):
     [
         {"fuse_scorer": False},
         {"canonical_mode": "corpus"},
+        {"canonical_mode": "corpus", "canonical_fold_in": False},
         {"fuse_scorer": False, "canonical_mode": "corpus"},
         {"assume_unique_urls": False},
     ],
-    ids=["standalone-scorer", "corpus-canon", "both", "hash-exchange-assembly"],
+    ids=["standalone-scorer", "corpus-canon-foldin",
+         "corpus-canon-separate-pass", "both", "hash-exchange-assembly"],
 )
 def test_alternate_paths_match_default(ray_session, fixture_dir, lexicon, overrides):
     base = _triples(fixture_dir, lexicon, DEFAULT_CONFIG)

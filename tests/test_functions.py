@@ -184,3 +184,74 @@ def test_asof_join_semantics(ray_session):
         (1, 11): 200,   # 01-10 → 01-08
         (2, 20): 300,   # exact-date match is inclusive
     }  # (1,12) has no earlier right row; key 3 has no right rows at all
+
+
+class TestJointIdfFit:
+    """Opt-in joint TF-IDF fit (reference string_similarity.py:323-326):
+    extra_df must reproduce EXACTLY the scores of a vectorizer fit on
+    ontology ∪ clinical corpus while the matrix stays ontology-only."""
+
+    ONT = [["liver", "disease"], ["heart", "attack"],
+           ["liver", "failure", "acute"]]
+    URIS = ["HP_1", "HP_2", "HP_3"]
+    ONTS = ["hp", "hp", "hp"]
+    CLIN = [["patient", "liver", "pain"], ["acute", "heart", "pain"],
+            ["disease", "of", "liver"]]
+
+    def test_joint_scores_match_joint_fit_oracle(self):
+        from omop2obo_ray.functions.tfidf import df_of_token_lists
+
+        joint = TfidfIndex(
+            self.ONT, self.URIS, self.ONTS,
+            extra_df=df_of_token_lists(self.CLIN),
+            extra_n_docs=len(self.CLIN))
+        # oracle: one vocabulary fit on BOTH corpora (clinical rows in
+        # the matrix too — we compare only the ontology-row scores)
+        oracle = TfidfIndex(
+            self.ONT + self.CLIN,
+            self.URIS + ["C1", "C2", "C3"],
+            self.ONTS + ["x", "x", "x"])
+        for q in self.CLIN + [["liver"], ["acute", "liver", "failure"]]:
+            got = joint.cosine_scores(q)
+            want = oracle.cosine_scores(q)[: len(self.ONT)]
+            np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_joint_fit_changes_scores_vs_default(self):
+        from omop2obo_ray.functions.tfidf import df_of_token_lists
+
+        default = TfidfIndex(self.ONT, self.URIS, self.ONTS)
+        joint = TfidfIndex(
+            self.ONT, self.URIS, self.ONTS,
+            extra_df=df_of_token_lists(self.CLIN),
+            extra_n_docs=len(self.CLIN))
+        q = ["liver", "pain"]  # 'pain' is clinical-only vocab
+        assert not np.allclose(default.cosine_scores(q),
+                               joint.cosine_scores(q))
+
+
+def test_sample_corpus_df_full_sample_parity(ray_session):
+    """With max_docs ≥ corpus size the distributed sampler's dfs equal
+    the local per-doc-distinct oracle exactly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.functions.tfidf import df_of_token_lists
+    from omop2obo_ray.state.lexicon import sample_corpus_df
+
+    texts = ["liver disease is chronic", "acute heart attack",
+             "liver failure", "heart disease of the liver"]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts}))
+    got_df, got_n = sample_corpus_df(ds, max_docs=100)
+    want = df_of_token_lists([preprocess_tokens(t) for t in texts])
+    assert got_n == len(texts)
+    assert got_df == want
+
+    # thinned sample: deterministic, bounded, and a subset of the full dfs
+    big = rd.from_pandas(pd.DataFrame(
+        {"text": [f"token{i} liver common" for i in range(200)]}))
+    df1, n1 = sample_corpus_df(big, max_docs=50)
+    df2, n2 = sample_corpus_df(big, max_docs=50)
+    assert (df1, n1) == (df2, n2)
+    assert 0 < n1 < 200
+    full, _ = sample_corpus_df(big, max_docs=1000)
+    assert all(df1[t] <= full[t] for t in df1)
