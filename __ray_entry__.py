@@ -824,6 +824,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pairs = minhash_candidate_pairs(docs)
         return verify_jaccard_pairs(docs, pairs, threshold=0.8)
 
+    def q_near_dup_join(sf):
+        # cross-corpus contamination check: the documents table split by
+        # doc_id parity plays train (even) vs eval (odd); near-dup pairs
+        # crossing the split are exactly what a decontamination run
+        # needs (rows-only: LSH candidate recall is not SQL-expressible)
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import near_dup_join
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+        def _side(par):
+            return docs.map_batches(
+                lambda b, p=par: b.filter(pc.equal(
+                    pc.bit_wise_and(b["doc_id"].combine_chunks(), 1), p)),
+                batch_format="pyarrow", batch_size=None)
+
+        return near_dup_join(_side(0), _side(1), threshold=0.8)
+
     def q_simhash(sf):
         import ray.data as rd
 
@@ -1929,6 +1950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_centroids": q_kmeans_centroids,  # distributed Lloyd (iterative — pytest carries the value check)
         "kg_triples": q_kg_triples,
         "dedup_minhash": q_dedup_minhash,
+        "near_dup_join": q_near_dup_join,  # cross-corpus contamination (rows-only)
         "dup_clusters": q_dup_clusters,
         "remove_dup_spans": q_remove_dup_spans,  # Lee'22 substring-dedup transform (keeper election — not SQL-expressible)
         "dup_clusters_distributed": q_dup_clusters_distributed,

@@ -1770,6 +1770,73 @@ def _drop_non_representatives(docs: Dataset, clusters: Dataset,
 # SemDeDup — semantic (embedding-space) deduplication
 # ---------------------------------------------------------------------------
 
+def near_dup_join(docs_a: Dataset, docs_b: Dataset, threshold: float = 0.8,
+                  n_hashes: int = 64, n_bands: int = 16, shingle: int = 3,
+                  key_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    """Cross-corpus near-duplicate JOIN → (key_a, key_b, jaccard) for
+    every pair with shingle-Jaccard ≥ ``threshold`` whose sides differ
+    — document-granularity contamination detection between a training
+    corpus and an eval/benchmark corpus (the near-dup complement of the
+    13-gram ``curate.decontaminate`` probe; Lee'21 §4 measures both).
+
+    Pure composition of the existing distributed machinery: the two
+    corpora are namespace-tagged ('a:'/'b:' key prefixes — keys cast to
+    string) and unioned, candidates come from ``minhash_candidate_pairs``
+    (LSH recall characteristics identical to the dedup path), same-side
+    pairs are dropped VECTORIZED before verification so within-corpus
+    duplicate mass never reaches the shingle joins, and
+    ``verify_jaccard_pairs`` computes exact Jaccard in-cluster. Output
+    keys are the original (stringified) ids; no driver state beyond the
+    dedup path's own bounded broadcasts."""
+    import pyarrow.compute as pc
+
+    def _tag(prefix: str):
+        def fn(b: pa.Table) -> pa.Table:
+            keys = b[key_col].combine_chunks().cast(pa.string())
+            pre = pa.array([prefix] * b.num_rows, pa.string())
+            return pa.table({
+                key_col: pc.binary_join_element_wise(pre, keys, ""),
+                text_col: b[text_col]})
+        return fn
+
+    tagged = docs_a.map_batches(_tag("a:"), batch_format="pyarrow",
+                                batch_size=None).union(
+        docs_b.map_batches(_tag("b:"), batch_format="pyarrow",
+                           batch_size=None))
+    cands = minhash_candidate_pairs(
+        tagged, n_hashes=n_hashes, n_bands=n_bands, shingle=shingle,
+        key_col=key_col, text_col=text_col)
+
+    def _cross_only(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        sa = pc.utf8_slice_codeunits(b["doc_a"].combine_chunks(), 0, 2)
+        sb = pc.utf8_slice_codeunits(b["doc_b"].combine_chunks(), 0, 2)
+        return b.filter(pc.not_equal(sa, sb))
+
+    cross = cands.map_batches(_cross_only, batch_format="pyarrow",
+                              batch_size=None)
+    verified = verify_jaccard_pairs(tagged, cross, threshold=threshold,
+                                    shingle=shingle, key_col=key_col,
+                                    text_col=text_col)
+
+    def _strip(b: pa.Table) -> pa.Table:
+        da = b["doc_a"].combine_chunks()
+        db = b["doc_b"].combine_chunks()
+        a_first = pc.equal(pc.utf8_slice_codeunits(da, 0, 2),
+                           pa.scalar("a:"))
+        ka = pc.if_else(a_first, da, db)
+        kb = pc.if_else(a_first, db, da)
+        big = 1 << 30
+        return pa.table({
+            "key_a": pc.utf8_slice_codeunits(ka, 2, big),
+            "key_b": pc.utf8_slice_codeunits(kb, 2, big),
+            "jaccard": b["jaccard"]})
+
+    return verified.map_batches(_strip, batch_format="pyarrow",
+                                batch_size=None)
+
+
 def semantic_pair_candidates(embeddings: Dataset, threshold: float = 0.95,
                              n_clusters: int = 8, train_iterations: int = 4,
                              key_col: str = "vec_id",

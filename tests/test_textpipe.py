@@ -883,3 +883,35 @@ def test_coarse_join_matches_pandas_merge(ray_session):
          "rv": pd.Series([], dtype=np.int64)}))
     assert coarse_join(rd.from_pandas(left), empty, on="k",
                        right_on="rk").count() == 0
+
+
+def test_near_dup_join_cross_corpus_only(ray_session):
+    from omop2obo_ray.pipelines.textpipe import near_dup_join
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    train = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [base,                      # near-dup of eval 101
+                 base + " extra trailing tokens here",  # near-dup of 101
+                 "completely unrelated text about ray data pipelines "
+                 "and arrow batches flowing through the object store",
+                 "completely unrelated text about ray data pipelines "
+                 "and arrow batches flowing through the object store"]})
+    evals = pd.DataFrame({
+        "doc_id": [101, 102],
+        "text": [base + " one more word",
+                 "nothing like anything in the training set at all "
+                 "benchmark questions only appear here verbatim"]})
+    got = (near_dup_join(rd.from_pandas(train), rd.from_pandas(evals),
+                         threshold=0.5)
+           .to_pandas().sort_values(["key_a", "key_b"])
+           .reset_index(drop=True))
+    # contaminated pairs found, keys back in original (stringified) form
+    pairs = set(zip(got["key_a"], got["key_b"]))
+    assert ("1", "101") in pairs and ("2", "101") in pairs
+    # the within-train exact duplicates (3, 4) must NOT surface, nor
+    # any pair involving the clean eval doc
+    assert not [p for p in pairs if p[1] == "102"]
+    assert not [p for p in pairs if p[0] in ("3", "4")]
+    assert (got["jaccard"] >= 0.5).all()
