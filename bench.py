@@ -139,6 +139,7 @@ def run_bench() -> dict:
     # instead of the plain partitioned parquet write
     mode = os.environ.get("BENCH_MODE", "default")
     overrides = {"corpus": {"canonical_mode": "corpus"},
+                 "corpus_sampled": {"canonical_mode": "corpus_sampled"},
                  "bucketed": {"assume_unique_urls": False}}.get(mode)
 
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -227,11 +228,16 @@ def run_scaling() -> dict:
     # Same interleave + per-level-min treatment as the headline —
     # single-shot corpus walls were observed to swing 35.7–86.8 s for
     # identical work at 32 cpus purely from host phase drift.
+    # SCALING_CORPUS_MODE selects which corpus-weighted mode the
+    # corpus_* keys measure: "corpus" (exact two-pass, the historical
+    # series) or "corpus_sampled" (sample pre-pass + single streaming
+    # pass — the recommended mode at scale, profile ≈ headline).
+    c_mode = os.environ.get("SCALING_CORPUS_MODE", "corpus")
     c_samples = {lo: [], hi: []}
     c_runs = {lo: None, hi: None}
     if os.environ.get("SCALING_SKIP_CORPUS") != "1":
         for ncpu in [hi, lo, hi, lo]:
-            r = run_once(ncpu, "corpus")
+            r = run_once(ncpu, c_mode)
             c_samples[ncpu].append(r["value"])
             if c_runs[ncpu] is None or r["value"] < c_runs[ncpu]["value"]:
                 c_runs[ncpu] = r
@@ -261,6 +267,7 @@ def run_scaling() -> dict:
         "corpus_scaling_efficiency": (
             round((c_thr_hi / c_thr_lo) / (hi / lo), 3)
             if c_thr_lo else None),
+        "corpus_mode": c_mode,
         "sf": SF_DIR,
     }
 

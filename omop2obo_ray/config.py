@@ -75,7 +75,17 @@ class PipelineConfig:
     # pipeline single-pass streaming; matches the reference's
     # non-frequency-weighted consolidation); 'corpus' additionally
     # weights by corpus support counts via the partial-agg shuffle
+    # (exact, two passes over the link stream); 'corpus_sampled'
+    # estimates the same support counts from a deterministic page
+    # SAMPLE in a cheap pre-pass and keeps the main pipeline fully
+    # streaming — the recommended corpus-weighted mode at scale (no
+    # materialize barrier, no link stream pinned in the object store)
     canonical_mode: str = "lexicon"
+    # corpus_sampled: parts-per-million of pages in the map-building
+    # sample (content-hash of url, deterministic). 10_000 ppm = 1%.
+    # Support counts are tie-breaks; sampling preserves their ordering
+    # in expectation, and 1_000_000 ppm reproduces 'corpus' exactly.
+    canonical_sample_ppm: int = 10_000
     # corpus mode: when set, the link stream is checkpointed to this
     # parquet directory instead of materialized in the object store —
     # both consumers (canonical-map build + assembly) then read from

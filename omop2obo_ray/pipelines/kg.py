@@ -103,8 +103,13 @@ def link_pages(pages: Dataset, lexicon: Lexicon, cfg: PipelineConfig = DEFAULT_C
 
 def links_to_triples(links: Dataset, lexicon: Lexicon,
                      cfg: PipelineConfig = DEFAULT_CONFIG,
-                     canonicalize: bool = True) -> Dataset:
-    """links → canonicalized, aggregated, deduplicated triples."""
+                     canonicalize: bool = True,
+                     canon_override: dict | None = None) -> Dataset:
+    """links → canonicalized, aggregated, deduplicated triples.
+
+    ``canon_override`` supplies a prebuilt canonical map (the
+    corpus_sampled mode's sample-pass product — see ``build_kg``),
+    keeping this stage a single streaming pass."""
     if set(cfg.enabled_tiers) != {"str", "dbxref", "umls", "ancestor", "sim"}:
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -116,7 +121,9 @@ def links_to_triples(links: Dataset, lexicon: Lexicon,
             batch_format="pyarrow", batch_size=None,
         )
     if canonicalize:
-        if cfg.canonical_mode == "lexicon":
+        if canon_override is not None:
+            canon = canon_override
+        elif cfg.canonical_mode == "lexicon":
             # data-free: the ambiguity structure lives in the lexicon, so
             # the map needs no pass over pages and the whole pipeline
             # remains ONE streaming execution
@@ -242,14 +249,50 @@ def links_to_triples(links: Dataset, lexicon: Lexicon,
 
 def build_kg(pages: Dataset, lexicon: Lexicon, cfg: PipelineConfig = DEFAULT_CONFIG,
              canonicalize: bool = True) -> Dataset:
-    """Full pipeline: raw pages dataset → triples dataset (lazy)."""
+    """Full pipeline: raw pages dataset → triples dataset (lazy).
+
+    ``canonical_mode='corpus_sampled'``: a cheap deterministic page
+    sample (``canonical_sample_ppm``) runs through extract+link FIRST
+    to estimate the corpus support counts and build the canonical map
+    driver-side (sample-bounded), then the FULL pipeline runs as one
+    streaming pass with the map applied — corpus-weighted
+    canonicalization without the exact mode's materialize barrier or
+    object-store pinning of the whole link stream. At 1_000_000 ppm
+    the sample is the corpus and the map is exactly the 'corpus'
+    mode's (identity-tested)."""
     if "sim" not in cfg.enabled_tiers:
         # don't pay for candidate generation/scoring when tier-3 is off
         cfg = cfg.with_(sim_max_candidates_per_page=0)
     lexicon_ref = ray.put(lexicon)
+
+    canon_override = None
+    if canonicalize and cfg.canonical_mode == "corpus_sampled":
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from omop2obo_ray.functions.hashing import hash64_array
+        from omop2obo_ray.stages.canonicalize import build_canonical_map
+
+        ppm = max(1, min(1_000_000, cfg.canonical_sample_ppm))
+
+        def _sample(b: pa.Table) -> pa.Table:
+            h = hash64_array(b[cfg.url_col])
+            return b.filter(pa.array(
+                (h % np.uint64(1_000_000)) < np.uint64(ppm)))
+
+        sample_links = link_pages(
+            extract_pages(pages.map_batches(
+                _sample, batch_format="pyarrow", batch_size=None), cfg),
+            lexicon, cfg, lexicon_ref=lexicon_ref)
+        # the sample's partials stream straight to the driver merge —
+        # one cheap pass, state bounded by (lexicon × sample blocks)
+        canon_override = build_canonical_map(sample_links,
+                                             driver_merge=True)
+
     extracted = extract_pages(pages, cfg)
     links = link_pages(extracted, lexicon, cfg, lexicon_ref=lexicon_ref)
-    return links_to_triples(links, lexicon, cfg, canonicalize=canonicalize)
+    return links_to_triples(links, lexicon, cfg, canonicalize=canonicalize,
+                            canon_override=canon_override)
 
 
 def run_kg_to_dir(pages: Dataset, lexicon: Lexicon, out_dir: str,

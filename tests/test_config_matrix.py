@@ -118,3 +118,17 @@ def test_disk_exchange_assembly_matches_default(ray_session, fixture_dir,
     base = _triples(fixture_dir, lexicon, DEFAULT_CONFIG)
     disk = _triples(fixture_dir, lexicon, cfg)
     assert disk == base
+
+
+def test_corpus_sampled_full_sample_is_exact(ray_session, fixture_dir,
+                                             lexicon):
+    """corpus_sampled at 1e6 ppm (sample = corpus) must emit the exact
+    'corpus' mode triples (which the fixture pins to the default set);
+    a thinned sample still runs single-streaming-pass and emits triples."""
+    base = _triples(fixture_dir, lexicon, DEFAULT_CONFIG)
+    full = _triples(fixture_dir, lexicon, DEFAULT_CONFIG.with_(
+        canonical_mode="corpus_sampled", canonical_sample_ppm=1_000_000))
+    assert full == base
+    thinned = _triples(fixture_dir, lexicon, DEFAULT_CONFIG.with_(
+        canonical_mode="corpus_sampled", canonical_sample_ppm=250_000))
+    assert len(thinned) > 0
