@@ -1209,6 +1209,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              batch_size=None)
         return rrf_fuse([a, b], "doc_id", "s")
 
+    def q_hybrid_search(sf):
+        # hybrid retrieval (Cormack'09 ensemble): BM25 lexical ranking
+        # fused with dense-cosine ranking by exact-integer RRF —
+        # composed from the gated bm25_scores / global_ranks / rrf_fuse
+        # operators. Both score lists are epsilon-floor quantized to
+        # int64 BEFORE ranking (shift 1e-3 of a quantum, shared
+        # verbatim with the oracle) so rank order cannot be flipped by
+        # float reassociation between numpy and DuckDB.
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import bm25_scores, rrf_fuse
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        lex = bm25_scores(docs, ["the", "data", "web"])
+
+        def _q(b: pa.Table, col: str) -> pa.Table:
+            s = b[col].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "s": pa.array(np.floor(s * 1e6 + 1e-3).astype(np.int64))})
+
+        lexq = lex.map_batches(lambda b: _q(b, "score"),
+                               batch_format="pyarrow", batch_size=None)
+
+        emb = rd.read_parquet(f"{sf}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        # the query vector: embedding of vec_id 0 (driver-held — in
+        # production the caller passes it in)
+        qrow = emb.filter(lambda r: r["vec_id"] == 0).take(1)
+        qv = np.asarray(qrow[0]["embedding"], np.float64)
+        qv = qv / np.linalg.norm(qv)
+
+        def _cos(b: pa.Table) -> pa.Table:
+            arr = b["embedding"].combine_chunks()
+            m = (arr.flatten().to_numpy(zero_copy_only=False)
+                 .astype(np.float64).reshape(len(arr), -1))
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            cos = (m / norms[:, None]) @ qv
+            return pa.table({"doc_id": b["vec_id"],
+                             "score": pa.array(cos, pa.float64())})
+
+        denseq = emb.map_batches(_cos, batch_format="pyarrow",
+                                 batch_size=None).map_batches(
+            lambda b: _q(b, "score"), batch_format="pyarrow",
+            batch_size=None)
+        return rrf_fuse([lexq, denseq], "doc_id", "s")
+
     def q_bm25(sf):
         # full-precision scores on the operator; the gate quantizes
         # with the shared epsilon-floor (sum order differs SQL-side)
@@ -1981,6 +2033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": q_bigram_pmi,  # PMI collocations (SQL-checked)
         "hits": q_hits,  # integer-exact hubs/authorities (SQL-checked)
         "bm25": q_bm25,  # Okapi BM25 query scoring (SQL-checked)
+        "hybrid_search": q_hybrid_search,  # BM25 ∪ dense-cosine RRF ensemble (SQL-checked)
         "rrf_fuse": q_rrf_fuse,  # reciprocal-rank fusion, exact-integer (SQL-checked)
         "ntriples_roundtrip": q_ntriples_roundtrip,  # N-Triples sink+source identity (SQL-checked)
         "warc_roundtrip": q_warc_roundtrip,  # WARC sink+source identity, CC container (SQL-checked)
@@ -2711,6 +2764,46 @@ def oracle_sql() -> dict[str, str]:
             "c AS (SELECT doc_id, 1000000 // (60 + r) AS w FROM a "
             "UNION ALL "
             "SELECT doc_id, 1000000 // (60 + r) AS w FROM b) "
+            "SELECT doc_id, CAST(sum(w) AS BIGINT) AS fused_q "
+            "FROM c GROUP BY doc_id"
+        ),
+        # hybrid retrieval: the bm25 CTEs + dense cosine, both
+        # epsilon-floor quantized (shift 1e-3 of a quantum, shared
+        # verbatim with the engine) before row_number ranking, fused
+        # with the exact-integer RRF combiner
+        "hybrid_search": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+            "FROM documents), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks "
+            "GROUP BY doc_id), "
+            "st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+            "(SELECT coalesce(sum(len), 0) FROM dl) AS total), "
+            "q(term) AS (VALUES ('the'), ('data'), ('web')), "
+            "df AS (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df "
+            "FROM toks WHERE token IN (SELECT term FROM q) GROUP BY token), "
+            "tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM toks "
+            "WHERE token IN (SELECT term FROM q) GROUP BY doc_id, token), "
+            "bm AS (SELECT tf.doc_id, CAST(floor(sum("
+            "ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * "
+            "(tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / "
+            "(st.total / st.n)))) * 1e6 + 1e-3) AS BIGINT) AS s "
+            "FROM tf JOIN df ON df.token = tf.token "
+            "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st "
+            "GROUP BY tf.doc_id), "
+            "qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings WHERE vec_id = 0), "
+            "dn AS (SELECT vec_id AS doc_id, CAST(floor("
+            "list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+            "(SELECT v FROM qv)) * 1e6 + 1e-3) AS BIGINT) AS s "
+            "FROM embeddings), "
+            "ra AS (SELECT doc_id, row_number() OVER "
+            "(ORDER BY s DESC, doc_id) AS r FROM bm), "
+            "rb AS (SELECT doc_id, row_number() OVER "
+            "(ORDER BY s DESC, doc_id) AS r FROM dn), "
+            "c AS (SELECT doc_id, 1000000 // (60 + r) AS w FROM ra "
+            "UNION ALL "
+            "SELECT doc_id, 1000000 // (60 + r) AS w FROM rb) "
             "SELECT doc_id, CAST(sum(w) AS BIGINT) AS fused_q "
             "FROM c GROUP BY doc_id"
         ),

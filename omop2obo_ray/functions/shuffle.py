@@ -157,9 +157,12 @@ def coarse_join(left: Dataset, right: Dataset, *, on: str,
 
     Contract mirrors ``Dataset.join``: output keeps the LEFT key name;
     payload column names must not collide. ``how`` ∈ {'inner',
-    'left_outer'}. Key skew: a hot key concentrates its rows in one
-    bucket frame (same as the native join's partition) — use
-    ``salted_join`` when one key's row set exceeds a worker's heap."""
+    'left_outer', 'left_semi', 'left_anti'} (semi/anti return the LEFT
+    columns only; right payloads never ship — project the right side
+    to its key before calling for a slim exchange). Key skew: a hot
+    key concentrates its rows in one bucket frame (same as the native
+    join's partition) — use ``salted_join`` when one key's row set
+    exceeds a worker's heap."""
     import pyarrow as pa
 
     from omop2obo_ray.pipelines.textpipe import (_pa_schema_of,
@@ -168,11 +171,21 @@ def coarse_join(left: Dataset, right: Dataset, *, on: str,
     rkey = right_on or on
     lsch = _pa_schema_of(left)
     rsch = _pa_schema_of(right)
-    rpay = [n for n in rsch.names if n != rkey]
+    semi = how in ("left_semi", "left_anti")
+    rpay = [] if semi else [n for n in rsch.names if n != rkey]
     out_schema = pa.schema(
         list(zip(lsch.names, lsch.types))
         + [(n, rsch.field(n).type) for n in rpay])
-    if left.count() == 0 or (how == "inner" and right.count() == 0):
+    if left.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    if right.count() == 0:
+        if how in ("left_outer", "left_anti"):
+            return left if how == "left_anti" else left.map_batches(
+                lambda b: pa.table(
+                    {**{c: b[c] for c in lsch.names},
+                     **{n: pa.nulls(b.num_rows, rsch.field(n).type)
+                        for n in rpay}}),
+                batch_format="pyarrow", batch_size=None)
         return ray.data.from_arrow(out_schema.empty_table())
 
     # unified exchange schema: _k + left payloads + right payloads +
@@ -213,8 +226,12 @@ def coarse_join(left: Dataset, right: Dataset, *, on: str,
         side = df["_side"].to_numpy()
         l = df.loc[side == 0, ["_k"] + lpay]
         r = df.loc[side == 1, ["_k"] + rpay]
-        out = l.merge(r, on="_k",
-                      how="left" if how == "left_outer" else "inner")
+        if semi:
+            hit = l["_k"].isin(set(r["_k"]))
+            out = l[hit] if how == "left_semi" else l[~hit]
+        else:
+            out = l.merge(r, on="_k",
+                          how="left" if how == "left_outer" else "inner")
         out = out.rename(columns={"_k": on})
         # the all-null absent-side columns upcast ints to float64 in
         # pandas — restore via the nullable Int64 extension (Arrow

@@ -915,3 +915,28 @@ def test_near_dup_join_cross_corpus_only(ray_session):
     assert not [p for p in pairs if p[1] == "102"]
     assert not [p for p in pairs if p[0] in ("3", "4")]
     assert (got["jaccard"] >= 0.5).all()
+
+
+def test_coarse_join_semi_anti(ray_session):
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    left = pd.DataFrame({"k": ["a", "a", "b", "c"],
+                         "lv": np.arange(4, dtype=np.int64)})
+    right = pd.DataFrame({"rk": ["a", "b", "b"],
+                          "rv": [1, 2, 3]})
+    semi = (coarse_join(rd.from_pandas(left), rd.from_pandas(right),
+                        on="k", right_on="rk", how="left_semi",
+                        n_coarse=8).to_pandas().sort_values("lv"))
+    assert list(semi.columns) == ["k", "lv"]
+    assert list(semi["lv"]) == [0, 1, 2]  # no row multiplication
+    anti = (coarse_join(rd.from_pandas(left), rd.from_pandas(right),
+                        on="k", right_on="rk", how="left_anti",
+                        n_coarse=8).to_pandas())
+    assert list(anti["k"]) == ["c"]
+    # empty right: anti passes everything through, semi drops all
+    empty = rd.from_pandas(pd.DataFrame(
+        {"rk": pd.Series([], dtype=str), "rv": pd.Series([], dtype=np.int64)}))
+    assert coarse_join(rd.from_pandas(left), empty, on="k",
+                       right_on="rk", how="left_anti").count() == 4
+    assert coarse_join(rd.from_pandas(left), empty, on="k",
+                       right_on="rk", how="left_semi").count() == 0
