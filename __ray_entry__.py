@@ -903,6 +903,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cb = pq_train(emb, m=4, k=16, iterations=3)
         return pq_topk(pq_encode(emb, cb), qs, cb, k=5)
 
+    def q_ann_ivfpq(sf):
+        # the FAISS-standard IVFADC layout: coarse k-means buckets
+        # prune the scan (n_probe/n_centroids of the corpus), residual
+        # PQ codes score it (rows-only: iterative training)
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import ivfpq_topk
+
+        emb = rd.read_parquet(f"{sf}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        qs = [(r["vec_id"], list(r["embedding"]))
+              for r in emb.filter(lambda r: r["vec_id"] < 3).take(3)]
+        return ivfpq_topk(emb, qs, n_centroids=8, n_probe=3, m=4,
+                          k_codebook=16, k=5, iterations=3)
+
     def q_pack_sequences(sf):
         import numpy as np
         import pyarrow as pa
@@ -2013,6 +2028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_buckets": q_ivf_buckets,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,  # product-quantization ADC top-k (rows-only: iterative)
+        "ann_ivfpq": q_ann_ivfpq,  # IVF-PQ residual ADC (rows-only: iterative)
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "semantic_dedup": q_semantic_dedup,  # SemDeDup (rows-only: iterative)

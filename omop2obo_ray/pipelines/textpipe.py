@@ -1757,8 +1757,14 @@ def _drop_non_representatives(docs: Dataset, clusters: Dataset,
         mask = pc.invert(pc.equal(keys, cl.cast(keys.type)))
         return pa.table({"_drop_key": keys.filter(mask)})
 
-    drops = clusters.map_batches(non_reps, batch_format="pyarrow",
-                                 batch_size=None).materialize()
+    # sanitize: zero-row (schema-less) blocks in the cluster table ride
+    # THROUGH map_batches (it bypasses them) and would poison the
+    # anti-join's right side ("No match for FieldRef _drop_key")
+    kt = _pa_schema_of(clusters).field(key_col).type
+    drops = _sanitize_join_output(
+        clusters.map_batches(non_reps, batch_format="pyarrow",
+                             batch_size=None),
+        pa.schema([("_drop_key", kt)]))
     if drops.count() == 0:
         return docs
     kept = docs.join(drops, join_type="left_anti", num_partitions=16,
@@ -2570,6 +2576,201 @@ def pq_topk(encoded: Dataset, queries: list[tuple[int, list[float]]],
     scored = encoded.map_batches(
         PqAdcScorer, fn_constructor_kwargs=dict(
             queries_ref=q_ref, codebooks_ref=cb_ref, key_col=key_col),
+        batch_format="pyarrow", concurrency=_pool(), num_cpus=1,
+        batch_size=4096)
+
+    def per_query(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g[key_col] != g["qid"]]
+        g = g.sort_values(["dist", key_col],
+                          ascending=[True, True], kind="mergesort")
+        return g.head(k)
+
+    out = scored.groupby("qid").map_groups(per_query,
+                                           batch_format="pandas")
+    return out.to_pandas().sort_values(
+        ["qid", "dist", key_col]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (Jégou'11 §IV, the FAISS IVFADC layout) — coarse k-means
+# buckets prune the corpus, PQ codes of the RESIDUAL (x − centroid)
+# score only the probed buckets. The architecture that serves 10¹²
+# vectors: the index is n_probe/n_centroids of the corpus per query ×
+# m bytes per vector.
+# ---------------------------------------------------------------------------
+
+class IvfPqEncoder:
+    """Actor: one pass computes the coarse bucket AND the residual's PQ
+    code per row → (key, ivf_bucket, pq_code). Centroids + codebooks
+    broadcast once, pulled in ``__init__``."""
+
+    def __init__(self, centroids_ref, codebooks_ref,
+                 key_col: str = "vec_id", vec_col: str = "embedding"):
+        self.c = np.asarray(ray.get(centroids_ref)
+                            if isinstance(centroids_ref, ray.ObjectRef)
+                            else centroids_ref, np.float64)
+        cb = np.asarray(ray.get(codebooks_ref)
+                        if isinstance(codebooks_ref, ray.ObjectRef)
+                        else codebooks_ref, np.float64)
+        self.cb = cb                       # (m, k, dsub)
+        self.m, self.k, self.dsub = cb.shape
+        self.cnorm2 = (self.c ** 2).sum(axis=1)      # coarse ||c||²
+        self.bnorm2 = (cb ** 2).sum(axis=2)          # (m, k)
+        self.key_col, self.vec_col = key_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _vec_matrix(batch, self.vec_col)
+        rows = mat.shape[0]
+        d = self.cnorm2[None, :] - 2.0 * (mat @ self.c.T)
+        bucket = d.argmin(axis=1)
+        resid = mat - self.c[bucket]
+        codes = np.empty((rows, self.m), dtype=np.uint8)
+        for j in range(self.m):
+            sub = resid[:, j * self.dsub:(j + 1) * self.dsub]
+            dj = self.bnorm2[j][None, :] - 2.0 * (sub @ self.cb[j].T)
+            codes[:, j] = dj.argmin(axis=1)
+        code_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(self.m), rows,
+            [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())])
+        return pa.table({self.key_col: batch[self.key_col],
+                         "ivf_bucket": pa.array(bucket.astype(np.int32)),
+                         "pq_code": code_arr})
+
+
+def ivfpq_train(embeddings: Dataset, n_centroids: int = 8, m: int = 4,
+                k: int = 16, iterations: int = 5,
+                vec_col: str = "embedding",
+                key_col: str = "vec_id") -> tuple[np.ndarray, np.ndarray]:
+    """(coarse centroids, residual PQ codebooks): the coarse quantizer
+    comes from the distributed ``kmeans_fit``; the PQ codebooks are
+    trained on the RESIDUALS (one broadcast-centroid map derives them,
+    then the existing per-subspace distributed fits — Jégou'11 trains
+    exactly this way). Driver state: centroids + codebooks (KBs)."""
+    centroids = kmeans_fit(embeddings, k=n_centroids,
+                           iterations=iterations, vec_col=vec_col,
+                           key_col=key_col)
+    c_ref = ray.put(centroids)
+
+    def _residual(batch: pa.Table) -> pa.Table:
+        c = np.asarray(ray.get(c_ref), np.float64)
+        mat = _vec_matrix(batch, vec_col)
+        d = (c ** 2).sum(axis=1)[None, :] - 2.0 * (mat @ c.T)
+        resid = mat - c[d.argmin(axis=1)]
+        dim = resid.shape[1]
+        return pa.table({
+            key_col: batch[key_col],
+            vec_col: pa.FixedSizeListArray.from_arrays(
+                pa.array(np.ascontiguousarray(resid).reshape(-1),
+                         pa.float64()), dim)})
+
+    residuals = embeddings.map_batches(_residual, batch_format="pyarrow",
+                                       batch_size=None)
+    codebooks = pq_train(residuals, m=m, k=k, iterations=iterations,
+                         vec_col=vec_col, key_col=key_col)
+    return centroids, codebooks
+
+
+class IvfPqAdcScorer:
+    """Actor: per (query, PROBED bucket) residual-ADC table
+    ``||（q − c_b)_sub − codeword||²`` built once in ``__init__``
+    (nq × n_probe × m × k floats — KBs); a code row in a probed bucket
+    scores as m gathers + a sum. Rows outside a query's probe set are
+    skipped by a vectorized bucket mask — the predicate pushdown that
+    makes the scan n_probe/n_centroids of the corpus."""
+
+    def __init__(self, queries_ref, centroids_ref, codebooks_ref,
+                 n_probe: int, key_col: str = "vec_id"):
+        q = ray.get(queries_ref) if isinstance(
+            queries_ref, ray.ObjectRef) else queries_ref
+        self.c = np.asarray(ray.get(centroids_ref)
+                            if isinstance(centroids_ref, ray.ObjectRef)
+                            else centroids_ref, np.float64)
+        cb = np.asarray(ray.get(codebooks_ref)
+                        if isinstance(codebooks_ref, ray.ObjectRef)
+                        else codebooks_ref, np.float64)
+        self.m, self.k, self.dsub = cb.shape
+        self.key_col = key_col
+        self.qids = [int(x[0]) for x in q]
+        self.probe: list[np.ndarray] = []
+        self.tables: list[dict[int, np.ndarray]] = []
+        self._j = np.arange(self.m)
+        cn2 = (self.c ** 2).sum(axis=1)
+        for _qid, qv in q:
+            qm = np.asarray(qv, np.float64)
+            d = cn2 - 2.0 * (self.c @ qm)          # + ||q||² const
+            probed = np.sort(np.argsort(d, kind="stable")[:n_probe])
+            self.probe.append(probed)
+            tabs: dict[int, np.ndarray] = {}
+            for b in probed:
+                r = qm - self.c[b]                  # query residual
+                t = np.empty((self.m, self.k))
+                for j in range(self.m):
+                    rs = r[j * self.dsub:(j + 1) * self.dsub]
+                    diff = rs[None, :] - cb[j]
+                    t[j] = (diff ** 2).sum(axis=1)
+                tabs[int(b)] = t
+            self.tables.append(tabs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        codes = _pq_codes_matrix(batch, "pq_code", self.m)
+        buckets = _np_col(batch, "ivf_bucket").astype(np.int64)
+        ids = _np_col(batch, self.key_col)
+        out_q, out_id, out_d = [], [], []
+        for qi, qid in enumerate(self.qids):
+            mask = np.isin(buckets, self.probe[qi])
+            if not mask.any():
+                continue
+            sel_codes = codes[mask]
+            sel_buckets = buckets[mask]
+            sel_ids = ids[mask]
+            d = np.empty(len(sel_ids))
+            for b, t in self.tables[qi].items():
+                bm = sel_buckets == b
+                if bm.any():
+                    d[bm] = t[self._j[None, :], sel_codes[bm]].sum(axis=1)
+            out_q.append(np.full(len(sel_ids), qid, dtype=np.int64))
+            out_id.append(sel_ids)
+            out_d.append(d)
+        if not out_q:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             self.key_col: pa.array([], batch[self.key_col].type),
+                             "dist": pa.array([], pa.float64())})
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_q), pa.int64()),
+            self.key_col: pa.array(np.concatenate(out_id)),
+            "dist": pa.array(np.concatenate(out_d), pa.float64())})
+
+
+def ivfpq_topk(embeddings: Dataset,
+               queries: list[tuple[int, list[float]]], *,
+               n_centroids: int = 8, n_probe: int = 2, m: int = 4,
+               k_codebook: int = 16, k: int = 10, iterations: int = 5,
+               key_col: str = "vec_id", vec_col: str = "embedding",
+               centroids: np.ndarray | None = None,
+               codebooks: np.ndarray | None = None) -> pd.DataFrame:
+    """End-to-end IVF-PQ top-k (ascending residual-ADC distance,
+    key-asc tie-break): train (unless given) → one-pass bucket+encode →
+    probed-bucket ADC scan → per-query top-k via ``groupby(qid)``
+    (|queries|-bounded). Approximation = IVF probe recall × PQ
+    quantization, both standard; n_probe = n_centroids and
+    zero residuals make it exact (identity-tested)."""
+    if centroids is None or codebooks is None:
+        centroids, codebooks = ivfpq_train(
+            embeddings, n_centroids=n_centroids, m=m, k=k_codebook,
+            iterations=iterations, vec_col=vec_col, key_col=key_col)
+    c_ref = ray.put(np.asarray(centroids, np.float64))
+    cb_ref = ray.put(np.asarray(codebooks, np.float64))
+    encoded = embeddings.map_batches(
+        IvfPqEncoder, fn_constructor_kwargs=dict(
+            centroids_ref=c_ref, codebooks_ref=cb_ref,
+            key_col=key_col, vec_col=vec_col),
+        batch_format="pyarrow", concurrency=_pool(), num_cpus=1,
+        batch_size=4096)
+    q_ref = ray.put(queries)
+    scored = encoded.map_batches(
+        IvfPqAdcScorer, fn_constructor_kwargs=dict(
+            queries_ref=q_ref, centroids_ref=c_ref,
+            codebooks_ref=cb_ref, n_probe=n_probe, key_col=key_col),
         batch_format="pyarrow", concurrency=_pool(), num_cpus=1,
         batch_size=4096)
 

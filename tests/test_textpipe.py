@@ -940,3 +940,58 @@ def test_coarse_join_semi_anti(ray_session):
                        right_on="rk", how="left_anti").count() == 4
     assert coarse_join(rd.from_pandas(left), empty, on="k",
                        right_on="rk", how="left_semi").count() == 0
+
+
+def test_ivfpq_exact_when_residuals_are_zero(ray_session):
+    """Vectors placed EXACTLY at the coarse centroids ⇒ residuals are
+    zero, the trained residual codebooks reconstruct them losslessly,
+    and with n_probe = n_centroids the IVF-PQ top-k equals exact
+    brute force."""
+    from omop2obo_ray.pipelines.textpipe import ivfpq_topk
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(4, 8) * 5
+    # interleave clusters so kmeans_fit's deterministic first-k init
+    # sees 4 DISTINCT rows (a homogeneous prefix collapses the init)
+    reps = np.tile(np.arange(4), 25)
+    vecs = centers[reps]
+    n = len(vecs)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [list(v) for v in vecs]})).repartition(4)
+
+    queries = [(9000 + i, list(rng.randn(8))) for i in range(3)]
+    got = ivfpq_topk(ds, queries, n_centroids=4, n_probe=4, m=4,
+                     k_codebook=4, k=6, iterations=4)
+    for qid, qv in queries:
+        qv = np.asarray(qv)
+        d = ((vecs - qv) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(n), d))[:6]
+        sub = got[got["qid"] == qid]
+        assert list(sub["vec_id"]) == list(order)
+        np.testing.assert_allclose(sub["dist"].to_numpy(), d[order],
+                                   rtol=1e-9, atol=1e-9)
+
+
+def test_ivfpq_probe_pruning_and_cluster_recall(ray_session):
+    """Trained end-to-end on well-separated clusters: a query probes
+    only its n_probe nearest coarse buckets, and its own cluster fills
+    the top-k."""
+    from omop2obo_ray.pipelines.textpipe import ivfpq_topk
+
+    rng = np.random.RandomState(9)
+    centers = rng.randn(5, 8) * 10
+    vecs = np.vstack([c + rng.randn(30, 8) * 0.05 for c in centers])
+    n = len(vecs)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [list(v) for v in vecs]})).repartition(3)
+
+    queries = [(9000, list(vecs[0])), (9001, list(vecs[60]))]
+    got = ivfpq_topk(ds, queries, n_centroids=5, n_probe=1, m=4,
+                     k_codebook=8, k=10, iterations=5)
+    for qid, lo in [(9000, 0), (9001, 60)]:
+        g = got[got["qid"] == qid]["vec_id"].to_numpy()
+        assert len(g) == 10
+        in_cluster = ((g >= lo) & (g < lo + 30)).sum()
+        assert in_cluster >= 9
