@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import functools
 import re
+from typing import Callable
 
 import numpy as np
 import pandas as pd
@@ -328,9 +329,39 @@ def _expand_colliding_pairs(hits: Dataset, bucket_col: str, key_col: str,
         functools.partial(_pairs_from_bucket, key_col=key_col, cap=cap))
 
 
+def _fused_collide_expand(bands: Dataset, bucket_col: str,
+                          pair_fn: Callable[[pd.DataFrame], pd.DataFrame],
+                          n_coarse: int | None = None) -> Dataset:
+    """Collision detection + pair expansion fused into ONE coarse
+    exchange: within each coarse group, buckets with ``n >= 2`` rows are
+    found vectorized (``value_counts``) and only those are expanded with
+    ``pair_fn`` (one call per colliding bucket — colliding buckets are
+    near-dup-mass rare, so the per-bucket loop touches a tiny subset).
+
+    vs the two-phase shape (count exchange → broadcast/semi-join filter
+    → expansion exchange): the band stream ships through a single
+    exchange and is consumed ONCE — no ``materialize()`` pinning
+    n_docs × n_bands rows in the object store, and three fixed-cost
+    plans collapse into one. The per-bucket star cap and emitted pairs
+    are identical (pinned by the fused-vs-two-phase identity tests)."""
+    def frame_fn(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[bucket_col].value_counts()
+        hot = vc.index[vc.to_numpy() >= 2]
+        if len(hot):
+            sub = df[df[bucket_col].isin(hot)]
+            parts = [pair_fn(g) for _k, g in sub.groupby(bucket_col, sort=False)]
+            parts = [p for p in parts if len(p)]
+            if parts:
+                return pd.concat(parts, ignore_index=True)
+        return pair_fn(df.iloc[:0])
+
+    return coarse_aggregate(bands, [bucket_col], frame_fn, n_coarse=n_coarse)
+
+
 def minhash_candidate_pairs(docs: Dataset, n_hashes: int = 64, n_bands: int = 16,
                             shingle: int = 3, key_col: str = "doc_id",
-                            text_col: str = "text", bucket_cap: int = 256) -> Dataset:
+                            text_col: str = "text", bucket_cap: int = 256,
+                            fused: bool = True) -> Dataset:
     """LSH candidate pairs: shingle→minhash→band rows; only COLLIDING
     buckets are grouped for pair expansion.
 
@@ -338,31 +369,46 @@ def minhash_candidate_pairs(docs: Dataset, n_hashes: int = 64, n_bands: int = 16
     ``groupby(band).map_groups`` would invoke one group call per band
     bucket (≈ n_docs × n_bands groups, nearly all singletons), and a
     driver-merged bucket-count dict would hold O(n_docs × n_bands)
-    entries. Instead: distributed ``groupby(band_hash).count`` →
-    ``n ≥ 2`` filter in-cluster → the band stream keeps only colliding
-    buckets via ``_filter_colliding_bands`` (broadcast ``np.isin`` fast
-    path under ``COLLIDE_BROADCAST_LIMIT`` keys, left-semi hash join
-    above it — no unbounded driver state at any dup mass) → pair
-    expansion per colliding bucket (star-capped, see
-    ``_pairs_from_bucket``)."""
+    entries.
+
+    - **fused path (default)**: collision detection AND pair expansion
+      run in ONE coarse exchange (``_fused_collide_expand``) — the band
+      stream is consumed once, streaming, never materialized.
+    - **two-phase path** (``fused=False``): distributed bucket count →
+      ``n ≥ 2`` filter → the band stream keeps only colliding buckets
+      via ``_filter_colliding_bands`` (broadcast ``np.isin`` fast path
+      under ``COLLIDE_BROADCAST_LIMIT`` keys, left-semi hash join above
+      it) → expansion exchange. Ships only the key column through the
+      count exchange (half the bytes of the fused exchange) at the cost
+      of materializing the full band table; prefer it only when object
+      store headroom is scarce relative to exchange bandwidth.
+
+    Both paths star-cap degenerate buckets (``_pairs_from_bucket``) and
+    emit identical pairs (identity-tested)."""
     bands = docs.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(n_hashes=n_hashes, shingle=shingle, n_bands=n_bands,
                                    key_col=key_col, text_col=text_col),
         batch_format="pyarrow", concurrency=_pool(), num_cpus=1,
-    ).materialize()  # consumed twice: collision count + pair expansion
-
-    hits = _filter_colliding_bands(bands, "band_hash")
-    if hits is None:
-        return _empty_pairs({"n_bands_hit": pa.array([], pa.int64())})
-    # expansion sees ONLY colliding buckets, grouped coarsely so Ray's
-    # per-group overhead cannot dominate when collision buckets number
-    # in the 10⁴⁺ (see _expand_colliding_pairs)
-    pairs = _expand_colliding_pairs(hits, "band_hash", key_col, bucket_cap)
+    )
+    expand = functools.partial(_pairs_from_bucket, key_col=key_col, cap=bucket_cap)
+    if fused:
+        pairs = _fused_collide_expand(bands, "band_hash", expand)
+    else:
+        bands = bands.materialize()  # consumed twice: count + expansion
+        hits = _filter_colliding_bands(bands, "band_hash")
+        if hits is None:
+            return _empty_pairs({"n_bands_hit": pa.array([], pa.int64())})
+        pairs = _expand_colliding_pairs(hits, "band_hash", key_col, bucket_cap)
     # same pair may surface from several bands → keyed dedup (coarse:
     # pair cardinality ≈ near-dup mass, far beyond the per-group regime)
-    return coarse_aggregate(pairs, ["doc_a", "doc_b"], lambda df: df.groupby(
+    out = coarse_aggregate(pairs, ["doc_a", "doc_b"], lambda df: df.groupby(
         ["doc_a", "doc_b"], sort=False).size().rename("n_bands_hit").reset_index())
+    # typed-empty guarantee for the zero-collision corpus (the fused
+    # path has no early exit; output is near-dup bounded, cheap to pin)
+    ktype = _pa_schema_of(docs).field(key_col).type
+    return _sanitize_join_output(out, pa.schema(
+        [("doc_a", ktype), ("doc_b", ktype), ("n_bands_hit", pa.int64())]))
 
 
 class ShingleComputer:
@@ -389,10 +435,13 @@ def verify_jaccard_pairs(docs: Dataset, pairs: Dataset, threshold: float = 0.8,
     distributed: the candidate-doc set is selected with a LEFT SEMI
     join (no driver-held id set at any dup mass), shingle sets are
     computed in the cluster, attached to the pair stream via two
-    native hash joins (partitioned by doc key), and Jaccard runs
-    inside ``map_batches`` over sorted uint64 arrays
-    (``np.intersect1d``). Web-scale dup mass never touches the
-    driver."""
+    task-based ``coarse_join`` hash joins (keyed on the doc id;
+    Ray 2.49's native join pays a fresh aggregator-pool per plan —
+    NOTES_r3), and Jaccard runs inside ``map_batches`` over sorted
+    uint64 arrays (``np.intersect1d``). Web-scale dup mass never
+    touches the driver."""
+    from omop2obo_ray.functions.shuffle import coarse_join
+
     pairs = pairs.materialize()  # dup-mass bounded; consumed twice below
     # aggregate outputs can also carry schema-less zero-row blocks —
     # sanitize before feeding the join
@@ -411,11 +460,8 @@ def verify_jaccard_pairs(docs: Dataset, pairs: Dataset, threshold: float = 0.8,
         pairs.select_columns(["doc_a", "doc_b"]).map_batches(
             both_ids, batch_format="pyarrow"),
         ["_need_key"], lambda df: df.drop_duplicates("_need_key"))
-    cand_docs = _sanitize_join_output(
-        docs.join(cand_ids, join_type="left_semi",
-                  num_partitions=num_partitions,
-                  on=(key_col,), right_on=("_need_key",)),
-        _pa_schema_of(docs))
+    cand_docs = coarse_join(docs, cand_ids, on=key_col,
+                            right_on="_need_key", how="left_semi")
     shingles = cand_docs.map_batches(
         ShingleComputer,
         fn_constructor_kwargs=dict(shingle=shingle, key_col=key_col,
@@ -423,27 +469,18 @@ def verify_jaccard_pairs(docs: Dataset, pairs: Dataset, threshold: float = 0.8,
         batch_format="pyarrow", concurrency=_pool(), num_cpus=1, batch_size=None,
     ).materialize()  # joined twice (doc_a side + doc_b side)
 
-    # the equi-join folds the right key column into the left one, so
-    # only the shingle payload columns need renaming between the passes
-    # (in a map_batches — Dataset.rename_columns' Project op passes
-    # zero-row blocks through unrenamed). Join outputs are sanitized:
-    # see _sanitize_join_output.
-    pair_fields = list(_pa_schema_of(pairs))
-    sh_type = pa.large_binary()
-
+    # the equi-join keeps the LEFT key name, so only the shingle
+    # payload column needs renaming between the two attach passes
     def _ren(batch: pa.Table, out_col: str) -> pa.Table:
         return batch.rename_columns(
             [out_col if c == "shingles" else c for c in batch.column_names])
 
-    join_kw = dict(join_type="inner", num_partitions=num_partitions)
-    with_a = _sanitize_join_output(
-        pairs.join(shingles, on=("doc_a",), right_on=(key_col,), **join_kw),
-        pa.schema(pair_fields + [("shingles_a", sh_type)]),
+    with_a = coarse_join(
+        pairs, shingles, on="doc_a", right_on=key_col, how="inner",
     ).map_batches(functools.partial(_ren, out_col="shingles_a"),
                   batch_format="pyarrow", batch_size=None)
-    with_ab = _sanitize_join_output(
-        with_a.join(shingles, on=("doc_b",), right_on=(key_col,), **join_kw),
-        pa.schema(pair_fields + [("shingles_a", sh_type), ("shingles_b", sh_type)]),
+    with_ab = coarse_join(
+        with_a, shingles, on="doc_b", right_on=key_col, how="inner",
     ).map_batches(functools.partial(_ren, out_col="shingles_b"),
                   batch_format="pyarrow", batch_size=None)
 
@@ -881,9 +918,15 @@ def dup_clusters_distributed(pairs: Dataset, key_col: str = "doc_id",
                                      batch["doc_a"].combine_chunks()]),
         })
 
-    edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
-        both_dirs, batch_format="pyarrow").materialize()
-    key_type = _pa_schema_of(edges).types[0]
+    # sanitize, not just materialize: zero-row blocks ride THROUGH
+    # select_columns/map_batches untransformed, so a typed 0-row
+    # (doc_a, doc_b, …) block from the verifier would reach the native
+    # join still carrying its old column names and poison it
+    key_type = _pa_schema_of(pairs).field("doc_a").type
+    edges = _sanitize_join_output(
+        pairs.select_columns(["doc_a", "doc_b"]).map_batches(
+            both_dirs, batch_format="pyarrow"),
+        pa.schema([("src", key_type), ("dst", key_type)]))
     labels = _sanitize_join_output(
         coarse_aggregate(
             edges.select_columns(["src"]), ["src"],
@@ -895,8 +938,6 @@ def dup_clusters_distributed(pairs: Dataset, key_col: str = "doc_id",
         return labels.map_batches(
             lambda b: pa.table({key_col: b["node"], "cluster_id": b["label"]}),
             batch_format="pyarrow")
-    joined_schema = pa.schema(
-        [("src", key_type), ("dst", key_type), ("label", key_type)])
     round_schema = pa.schema(
         [("node", key_type), ("label", key_type), ("_chg", pa.int64())])
 
@@ -922,14 +963,13 @@ def dup_clusters_distributed(pairs: Dataset, key_col: str = "doc_id",
         out["_chg"] = (out["label"] != out["o"]).astype(np.int64)
         return out[["node", "label", "_chg"]]
 
+    from omop2obo_ray.functions.shuffle import coarse_join
     for _ in range(max_iters):
-        joined = _sanitize_join_output(
-            edges.join(labels.select_columns(["node", "label"]),
-                       join_type="inner",
-                       num_partitions=num_partitions,
-                       on=("src",), right_on=("node",)),
-            joined_schema,
-        )
+        # task-based coarse join: the native join's fresh aggregator
+        # pool per PLAN (~6-9 s fixed at 32 cpus, NOTES_r3) would tax
+        # every propagation round
+        joined = coarse_join(edges, labels.select_columns(["node", "label"]),
+                             on="src", right_on="node", how="inner")
         prop = joined.map_batches(_prop, batch_format="pyarrow")
         tagged = labels.select_columns(["node", "label"]).map_batches(
             _tag_old, batch_format="pyarrow")
@@ -1032,7 +1072,7 @@ def _simhash_pairs_in_bucket(g: pd.DataFrame, key_col: str, max_hamming: int,
 def simhash_near_pairs(docs: Dataset, max_hamming: int = 3,
                        n_chunks: int | None = None,
                        key_col: str = "doc_id", text_col: str = "text",
-                       bucket_cap: int = 256) -> Dataset:
+                       bucket_cap: int = 256, fused: bool = True) -> Dataset:
     """SimHash near-dup pairs, banded pigeonhole: split the 64-bit
     signature into C chunks — any pair within hamming ≤ C−1 MUST share
     a whole chunk, so grouping by (chunk index, chunk bits) finds every
@@ -1042,15 +1082,18 @@ def simhash_near_pairs(docs: Dataset, max_hamming: int = 3,
     shrinks chunks — more random collisions, still exact recall.
 
     Same fully-distributed collide-then-verify shape as the MinHash
-    path: cluster-side bucket counts → ``n ≥ 2`` filter → broadcast
-    colliding keys → vectorized bucket filter → per-bucket exact
-    hamming verify (capped, see ``_simhash_pairs_in_bucket``) → keyed
-    pair dedup. Returns a Dataset (doc_a, doc_b, hamming)."""
+    path: default ``fused=True`` runs collision detection + per-bucket
+    exact hamming verify (capped, see ``_simhash_pairs_in_bucket``) in
+    ONE coarse exchange over a STREAMING band expansion — no signature
+    or band table is ever materialized; ``fused=False`` keeps the
+    two-phase count → ``_filter_colliding_bands`` → expansion shape.
+    Both end in a keyed pair dedup. Returns a Dataset
+    (doc_a, doc_b, hamming)."""
     C = n_chunks or (max_hamming + 1)
     if not 2 <= C <= 32:
         raise ValueError("n_chunks must be in [2, 32]")
     width = 64 // C
-    sigs = simhash_signatures(docs, key_col, text_col).materialize()
+    sigs = simhash_signatures(docs, key_col, text_col)
 
     def to_bands(batch: pa.Table) -> pa.Table:
         h = _np_col(batch, "simhash").astype(np.uint64)
@@ -1075,18 +1118,24 @@ def simhash_near_pairs(docs: Dataset, max_hamming: int = 3,
         })
 
     bands = sigs.map_batches(to_bands, batch_format="pyarrow",
-                             batch_size=None).materialize()
-    hits = _filter_colliding_bands(bands, "bucket_key")
-    if hits is None:
-        return _empty_pairs({"hamming": pa.array([], pa.int64())})
-    pairs = coarse_apply_per_key(
-        hits, ["bucket_key"],
-        functools.partial(_simhash_pairs_in_bucket, key_col=key_col,
-                          max_hamming=max_hamming, cap=bucket_cap))
+                             batch_size=None)
+    verify = functools.partial(_simhash_pairs_in_bucket, key_col=key_col,
+                               max_hamming=max_hamming, cap=bucket_cap)
+    if fused:
+        pairs = _fused_collide_expand(bands, "bucket_key", verify)
+    else:
+        bands = bands.materialize()  # consumed twice: count + expansion
+        hits = _filter_colliding_bands(bands, "bucket_key")
+        if hits is None:
+            return _empty_pairs({"hamming": pa.array([], pa.int64())})
+        pairs = coarse_apply_per_key(hits, ["bucket_key"], verify)
     # same pair may collide in several chunks → keyed dedup, keep the
     # (single, exact) hamming distance
-    return coarse_aggregate(pairs, ["doc_a", "doc_b"], lambda df: df.groupby(
+    out = coarse_aggregate(pairs, ["doc_a", "doc_b"], lambda df: df.groupby(
         ["doc_a", "doc_b"], sort=False)["hamming"].min().reset_index())
+    ktype = _pa_schema_of(docs).field(key_col).type
+    return _sanitize_join_output(out, pa.schema(
+        [("doc_a", ktype), ("doc_b", ktype), ("hamming", pa.int64())]))
 
 
 # ---------------------------------------------------------------------------
@@ -1623,7 +1672,8 @@ def embedding_near_pairs_lsh(embeddings: Dataset, threshold: float = 0.9,
                              n_planes: int = 32, n_bands: int = 8,
                              key_col: str = "vec_id", vec_col: str = "embedding",
                              bucket_cap: int = 256,
-                             num_partitions: int = 8) -> Dataset:
+                             num_partitions: int = 8,
+                             fused: bool = True) -> Dataset:
     """Scale path for embedding-cosine near-dup: random-hyperplane LSH
     banding → distributed collide-then-verify, the same shape as the
     MinHash/SimHash paths. Candidate recall grows with bands (a pair at
@@ -1638,15 +1688,24 @@ def embedding_near_pairs_lsh(embeddings: Dataset, threshold: float = 0.9,
         fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, n_bands=n_bands,
                                    key_col=key_col, vec_col=vec_col),
         batch_format="pyarrow", concurrency=_pool(), num_cpus=1,
-    ).materialize()
-    hits = _filter_colliding_bands(bands, "bucket_key")
-    if hits is None:
-        return _empty_pairs({"cos": pa.array([], pa.float64())})
+    )
+    expand = functools.partial(_pairs_from_bucket, key_col=key_col, cap=bucket_cap)
+    if fused:
+        raw = _fused_collide_expand(bands, "bucket_key", expand)
+    else:
+        bands = bands.materialize()  # consumed twice: count + expansion
+        hits = _filter_colliding_bands(bands, "bucket_key")
+        if hits is None:
+            return _empty_pairs({"cos": pa.array([], pa.float64())})
+        raw = _expand_colliding_pairs(hits, "bucket_key", key_col, bucket_cap)
     cand = coarse_aggregate(
-        _expand_colliding_pairs(hits, "bucket_key", key_col, bucket_cap),
-        ["doc_a", "doc_b"], lambda df: df.groupby(
+        raw, ["doc_a", "doc_b"], lambda df: df.groupby(
             ["doc_a", "doc_b"], sort=False).size().rename("n_bands_hit").reset_index())
-    cand = _sanitize_join_output(cand, _pa_schema_of(cand))
+    ktype = _pa_schema_of(embeddings).field(key_col).type
+    cand = _sanitize_join_output(cand, pa.schema(
+        [("doc_a", ktype), ("doc_b", ktype), ("n_bands_hit", pa.int64())]))
+    if cand.count() == 0:  # metadata read (sanitized = materialized)
+        return _empty_pairs({"cos": pa.array([], pa.float64())})
 
     # acero hash joins reject list<float> payload columns — ship each
     # vector as one float64 binary blob (same trick as the shingle join)
@@ -1658,22 +1717,18 @@ def embedding_near_pairs_lsh(embeddings: Dataset, threshold: float = 0.9,
 
     vecs = embeddings.select_columns([key_col, vec_col]).map_batches(
         to_blob, batch_format="pyarrow", batch_size=None).materialize()
-    vec_type = pa.large_binary()
 
     def _ren(batch: pa.Table, out_col: str) -> pa.Table:
         return batch.rename_columns(
             [out_col if c == "vec_blob" else c for c in batch.column_names])
 
-    pair_fields = list(_pa_schema_of(cand))
-    join_kw = dict(join_type="inner", num_partitions=num_partitions)
-    with_a = _sanitize_join_output(
-        cand.join(vecs, on=("doc_a",), right_on=(key_col,), **join_kw),
-        pa.schema(pair_fields + [("vec_a", vec_type)]),
+    from omop2obo_ray.functions.shuffle import coarse_join
+    with_a = coarse_join(
+        cand, vecs, on="doc_a", right_on=key_col, how="inner",
     ).map_batches(functools.partial(_ren, out_col="vec_a"),
                   batch_format="pyarrow", batch_size=None)
-    with_ab = _sanitize_join_output(
-        with_a.join(vecs, on=("doc_b",), right_on=(key_col,), **join_kw),
-        pa.schema(pair_fields + [("vec_a", vec_type), ("vec_b", vec_type)]),
+    with_ab = coarse_join(
+        with_a, vecs, on="doc_b", right_on=key_col, how="inner",
     ).map_batches(functools.partial(_ren, out_col="vec_b"),
                   batch_format="pyarrow", batch_size=None)
 
@@ -1725,19 +1780,6 @@ def near_dedup_corpus(docs: Dataset, threshold: float = 0.8,
     clusters = (dup_clusters_distributed(verified, key_col=key_col)
                 if distributed_clusters else
                 ray.data.from_pandas(dup_clusters(verified, key_col=key_col)))
-    # drop cluster members that are not the representative (min id) via
-    # a cluster-side ANTI-join: at web-scale dup mass the removal set
-    # is a large fraction of the corpus, so a driver-held filter set
-    # would be the exact driver-state anti-pattern the rest of this
-    # pipeline avoids
-    def non_reps(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col].combine_chunks()
-        cl = batch["cluster_id"].combine_chunks()
-        import pyarrow.compute as pc
-
-        mask = pc.invert(pc.equal(keys, cl.cast(keys.type)))
-        return pa.table({"_drop_key": keys.filter(mask)})
-
     return _drop_non_representatives(docs, clusters, key_col)
 
 
@@ -1767,9 +1809,9 @@ def _drop_non_representatives(docs: Dataset, clusters: Dataset,
         pa.schema([("_drop_key", kt)]))
     if drops.count() == 0:
         return docs
-    kept = docs.join(drops, join_type="left_anti", num_partitions=16,
-                     on=(key_col,), right_on=("_drop_key",))
-    return _sanitize_join_output(kept, _pa_schema_of(docs))
+    from omop2obo_ray.functions.shuffle import coarse_join
+    return coarse_join(docs, drops, on=key_col, right_on="_drop_key",
+                       how="left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -94,10 +94,9 @@ def test_minhash_pairs_match_naive_oracle(ray_session):
 
 
 def test_minhash_pairs_semijoin_path_identical(ray_session, monkeypatch):
-    """Forcing the left-semi-join scale path (broadcast limit 0) must
-    emit the exact same candidate pairs as the np.isin broadcast fast
-    path — the two _filter_colliding_bands branches are semantically
-    interchangeable."""
+    """All three collision-filter paths — fused single-exchange
+    (default), two-phase np.isin broadcast, and two-phase left-semi-join
+    (broadcast limit 0) — must emit the exact same candidate pairs."""
     import omop2obo_ray.pipelines.textpipe as tp
 
     base = ("word" + " filler token alpha beta gamma delta epsilon zeta eta "
@@ -106,26 +105,54 @@ def test_minhash_pairs_semijoin_path_identical(ray_session, monkeypatch):
     texts[20] = "entirely different content with no shared shingles at all here"
     ds = rd.from_pandas(pd.DataFrame(
         [{"doc_id": k, "text": v} for k, v in sorted(texts.items())]))
-    fast = tp.minhash_candidate_pairs(ds).to_pandas()
+    fused = tp.minhash_candidate_pairs(ds).to_pandas()
+    fast = tp.minhash_candidate_pairs(ds, fused=False).to_pandas()
     monkeypatch.setattr(tp, "COLLIDE_BROADCAST_LIMIT", 0)
-    semi = tp.minhash_candidate_pairs(ds).to_pandas()
+    semi = tp.minhash_candidate_pairs(ds, fused=False).to_pandas()
     key = ["doc_a", "doc_b"]
-    assert (fast.sort_values(key).reset_index(drop=True)
-            .equals(semi.sort_values(key).reset_index(drop=True)))
+    fused_s = fused.sort_values(key).reset_index(drop=True)
+    assert fused_s.equals(fast.sort_values(key).reset_index(drop=True))
+    assert fused_s.equals(semi.sort_values(key).reset_index(drop=True))
     assert set(zip(semi["doc_a"], semi["doc_b"])) == _oracle_minhash_pairs(texts)
 
 
 def test_simhash_pairs_semijoin_path_identical(ray_session, monkeypatch,
                                                dup_docs):
-    """Same branch-identity contract for the SimHash bucket filter."""
+    """Same three-path identity contract for the SimHash bucket filter."""
     import omop2obo_ray.pipelines.textpipe as tp
 
-    fast = tp.simhash_near_pairs(dup_docs, max_hamming=12).to_pandas()
+    fused = tp.simhash_near_pairs(dup_docs, max_hamming=12).to_pandas()
+    fast = tp.simhash_near_pairs(dup_docs, max_hamming=12,
+                                 fused=False).to_pandas()
     monkeypatch.setattr(tp, "COLLIDE_BROADCAST_LIMIT", 0)
-    semi = tp.simhash_near_pairs(dup_docs, max_hamming=12).to_pandas()
+    semi = tp.simhash_near_pairs(dup_docs, max_hamming=12,
+                                 fused=False).to_pandas()
     key = ["doc_a", "doc_b"]
-    assert (fast.sort_values(key).reset_index(drop=True)
-            .equals(semi.sort_values(key).reset_index(drop=True)))
+    fused_s = fused.sort_values(key).reset_index(drop=True)
+    assert fused_s.equals(fast.sort_values(key).reset_index(drop=True))
+    assert fused_s.equals(semi.sort_values(key).reset_index(drop=True))
+
+
+def test_fused_paths_typed_empty_on_zero_collisions(ray_session):
+    """A corpus with zero band collisions must yield a TYPED empty pair
+    Dataset from the fused single-exchange path (the two-phase path's
+    early exit no longer guards it)."""
+    import omop2obo_ray.pipelines.textpipe as tp
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        1: "one two three four five six seven eight nine ten eleven",
+        2: "red orange yellow green blue indigo violet pink brown black",
+    }
+    ds = rd.from_pandas(pd.DataFrame(
+        [{"doc_id": k, "text": v} for k, v in sorted(texts.items())]))
+    mh = tp.minhash_candidate_pairs(ds)
+    assert mh.count() == 0
+    # schema must stay typed (to_pandas drops columns on 0-row datasets)
+    assert mh.schema().names == ["doc_a", "doc_b", "n_bands_hit"]
+    sh = tp.simhash_near_pairs(ds, max_hamming=1)
+    assert sh.count() == 0
+    assert sh.schema().names == ["doc_a", "doc_b", "hamming"]
 
 
 def test_minhash_degenerate_bucket_star_capped(ray_session):
