@@ -1943,6 +1943,127 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return lp.map_batches(_q, batch_format="pyarrow", batch_size=None)
 
+    def _geo_triples(sf):
+        # shared triple construction for the SPARQL aggregate/modifier
+        # gates: customers + suppliers in_nation, nations in_region
+        import pandas as pd
+        import ray.data as rd
+
+        cust = rd.read_parquet(f"{sf}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"])
+        nat = rd.read_parquet(f"{sf}/nation.parquet",
+                              columns=["n_nationkey", "n_regionkey"])
+        supp = rd.read_parquet(f"{sf}/supplier.parquet",
+                               columns=["s_suppkey", "s_nationkey"])
+
+        def _t(skey, pred, okey, sp, op):
+            def inner(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({
+                    "subj": sp + df[skey].astype(str),
+                    "pred": pred,
+                    "obj": op + df[okey].astype(str)})
+            return inner
+
+        return (
+            cust.map_batches(_t("c_custkey", "in_nation", "c_nationkey",
+                                "c", "n"), batch_format="pandas",
+                             batch_size=None)
+            .union(nat.map_batches(_t("n_nationkey", "in_region",
+                                      "n_regionkey", "n", "r"),
+                                   batch_format="pandas", batch_size=None))
+            .union(supp.map_batches(_t("s_suppkey", "in_nation",
+                                       "s_nationkey", "s", "n"),
+                                    batch_format="pandas",
+                                    batch_size=None)))
+
+    def q_bgp_aggregate(sf):
+        # SPARQL GROUP BY over BGP bindings: per region, member count
+        # (customers + suppliers via in_nation→in_region), distinct
+        # nations, min/max nation term (string ordering)
+        from omop2obo_ray.pipelines.graph import bgp_aggregate
+
+        return bgp_aggregate(
+            _geo_triples(sf),
+            [("?m", "in_nation", "?n"), ("?n", "in_region", "?r")],
+            ["r"], agg_var="n",
+            aggs=("count", "count_distinct", "min", "max"))
+
+    def q_bgp_select(sf):
+        # SPARQL solution modifiers: FILTER (codepoint string compare,
+        # same collation as SQL VARCHAR) → ORDER BY a total key →
+        # LIMIT. ?c binds every in_nation subject (customers AND
+        # suppliers), each exactly once, so ORDER BY c is total and the
+        # LIMIT cut is deterministic.
+        from omop2obo_ray.pipelines.graph import bgp_select
+
+        return bgp_select(
+            _geo_triples(sf),
+            [("?c", "in_nation", "?n"), ("?n", "in_region", "?r")],
+            filters=[("r", "!=", "r0"), ("c", ">", "c2")],
+            order_by=["c"], limit=500)
+
+    def q_lag_lead(sf):
+        # LAG/LEAD window per user over (ts, event_id); partition edges
+        # yield null → sentineled identically on both sides, floats
+        # epsilon-floor quantized (house rule)
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import window_lag_lead
+
+        ev = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["user_id", "event_id", "ts",
+                                      "value"])
+        out = window_lag_lead(ev, "user_id", ["ts", "event_id"], "value")
+        sent = np.int64(-(10 ** 15))
+
+        def _q(batch: pa.Table) -> pa.Table:
+            def qz(col):
+                v = batch[col].combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                q = np.where(np.isnan(v), sent,
+                             np.floor(v * 1e4 + 1e-6)).astype(np.int64)
+                return pa.array(q, pa.int64())
+
+            return pa.table({"user_id": batch["user_id"],
+                             "event_id": batch["event_id"],
+                             "lag_q": qz("lag_v"),
+                             "lead_q": qz("lead_v")})
+
+        return out.map_batches(_q, batch_format="pyarrow",
+                               batch_size=None)
+
+    def q_rollup(sf):
+        # GROUP BY ROLLUP(l_returnflag, l_linestatus): all prefix
+        # grouping levels in ONE combiner-first exchange; quantity sums
+        # are integral in this data, quantized anyway per house rule
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import grouped_rollup
+
+        li = rd.read_parquet(f"{sf}/lineitem.parquet",
+                             columns=["l_returnflag", "l_linestatus",
+                                      "l_quantity"])
+        out = grouped_rollup(li, ["l_returnflag", "l_linestatus"],
+                             "l_quantity")
+
+        def _q(batch: pa.Table) -> pa.Table:
+            s = batch["sum_v"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "lvl": batch["lvl"],
+                "sum_q": pa.array(np.floor(s * 1e2 + 1e-4)
+                                  .astype(np.int64), pa.int64()),
+                "n_rows": batch["n_rows"]})
+
+        return out.map_batches(_q, batch_format="pyarrow",
+                               batch_size=None)
+
     return {
         # SURVEY §2 operator families (SQL-checked)
         "normalize_codes": R.q_normalize_codes,          # M1
@@ -1994,6 +2115,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_stats": q_degree_stats,      # out-degree histogram
         "taxonomy_rollup": q_taxonomy_rollup,  # counts up the concept DAG (SQL-checked)
         "match_bgp": q_match_bgp,            # SPARQL-core BGP over a triple store (SQL-checked)
+        "bgp_aggregate": q_bgp_aggregate,    # SPARQL GROUP BY aggregates over BGP bindings (SQL-checked)
+        "bgp_select": q_bgp_select,          # SPARQL FILTER/ORDER BY/LIMIT solution modifiers (SQL-checked)
+        "lag_lead": q_lag_lead,              # LAG/LEAD window per key (SQL-checked)
+        "rollup": q_rollup,                  # GROUP BY ROLLUP, one combiner-first exchange (SQL-checked)
         "bgp_optional": q_bgp_optional,      # SPARQL OPTIONAL left-outer pattern (SQL-checked)
         "bgp_minus": q_bgp_minus,            # SPARQL MINUS anti-join pattern (SQL-checked)
         "construct": q_construct,            # SPARQL CONSTRUCT graph rewrite (SQL-checked)
@@ -2225,6 +2350,62 @@ def oracle_sql() -> dict[str, str]:
             "AND p2.obj = 'r1' "
             "JOIN t p3 ON p3.obj = p1.obj AND p3.pred = 'in_nation' "
             "WHERE p1.pred = 'in_nation'"
+        ),
+        # GROUP BY over BGP bindings: member count / distinct nations /
+        # min-max nation term per region
+        "bgp_aggregate": (
+            "WITH t AS ("
+            "SELECT 'c' || c_custkey AS subj, 'in_nation' AS pred, "
+            "'n' || c_nationkey AS obj FROM customer "
+            "UNION ALL "
+            "SELECT 'n' || n_nationkey, 'in_region', 'r' || n_regionkey "
+            "FROM nation "
+            "UNION ALL "
+            "SELECT 's' || s_suppkey, 'in_nation', 'n' || s_nationkey "
+            "FROM supplier), "
+            "m AS (SELECT p1.subj AS m, p1.obj AS n, p2.obj AS r "
+            "FROM t p1 JOIN t p2 ON p2.subj = p1.obj "
+            "AND p2.pred = 'in_region' WHERE p1.pred = 'in_nation') "
+            "SELECT r, count(*) AS n, count(DISTINCT n) AS n_distinct, "
+            "min(n) AS min_v, max(n) AS max_v FROM m GROUP BY r"
+        ),
+        # FILTER → ORDER BY (total key) → LIMIT over the same BGP
+        "bgp_select": (
+            "WITH t AS ("
+            "SELECT 'c' || c_custkey AS subj, 'in_nation' AS pred, "
+            "'n' || c_nationkey AS obj FROM customer "
+            "UNION ALL "
+            "SELECT 'n' || n_nationkey, 'in_region', 'r' || n_regionkey "
+            "FROM nation "
+            "UNION ALL "
+            "SELECT 's' || s_suppkey, 'in_nation', 'n' || s_nationkey "
+            "FROM supplier), "
+            "m AS (SELECT p1.subj AS c, p1.obj AS n, p2.obj AS r "
+            "FROM t p1 JOIN t p2 ON p2.subj = p1.obj "
+            "AND p2.pred = 'in_region' WHERE p1.pred = 'in_nation') "
+            "SELECT c, n, r FROM m WHERE r <> 'r0' AND c > 'c2' "
+            "ORDER BY c LIMIT 500"
+        ),
+        # LAG/LEAD per user; nulls at partition edges sentineled, same
+        # epsilon-floor quantizer as the engine wrapper
+        "lag_lead": (
+            "SELECT user_id, event_id, "
+            "coalesce(CAST(floor(LAG(value) OVER w * 1e4 + 1e-6) "
+            "AS BIGINT), -1000000000000000) AS lag_q, "
+            "coalesce(CAST(floor(LEAD(value) OVER w * 1e4 + 1e-6) "
+            "AS BIGINT), -1000000000000000) AS lead_q "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        # ROLLUP levels disambiguated by GROUPING(); rolled-up slots
+        # coalesced to the engine's 'ALL' sentinel
+        "rollup": (
+            "SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, "
+            "coalesce(l_linestatus, 'ALL') AS l_linestatus, "
+            "2 - GROUPING(l_returnflag) - GROUPING(l_linestatus) AS lvl, "
+            "CAST(floor(sum(l_quantity) * 1e2 + 1e-4) AS BIGINT) "
+            "AS sum_q, count(*) AS n_rows "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
         # OPTIONAL = LEFT JOIN over the same triple construction;
         # unmatched optional var coalesced to 'none' on both sides

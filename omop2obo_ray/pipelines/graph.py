@@ -1664,3 +1664,122 @@ def anchor_text_edges(pages: Dataset, url_col: str = "url",
 
     return pages.select_columns([url_col, html_col]).map_batches(
         _edges, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# SPARQL solution modifiers + aggregates over BGP bindings
+# ---------------------------------------------------------------------------
+
+_FILTER_OPS = {
+    "==": lambda c, v: c == v,
+    "!=": lambda c, v: c != v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
+
+def bgp_select(triples: Dataset, patterns: list[tuple[str, str, str]], *,
+               filters: list[tuple[str, str, str]] | None = None,
+               distinct: bool = False,
+               order_by: list[str] | None = None,
+               descending: bool = False,
+               limit: int | None = None,
+               **bgp_kw) -> Dataset:
+    """SPARQL SELECT with solution modifiers over a BGP: FILTER →
+    DISTINCT → ORDER BY → LIMIT, applied in the spec's order
+    (SPARQL 1.1 §18.2.4-5) to the bag of bindings from
+    :func:`match_bgp`.
+
+    - ``filters``: ``(var, op, literal)`` comparisons evaluated
+      vectorized per batch (string codepoint ordering, the same
+      collation DuckDB/SQL applies to VARCHAR — bindings here are
+      term strings). A filter never shuffles: it prunes the binding
+      stream where it flows.
+    - ``distinct``: keyed dedup via ONE coarse exchange over all
+      projected variables (binding cardinality is unbounded — per-group
+      Ray overhead would dominate a ``groupby().map_groups``).
+    - ``order_by`` + ``limit``: Ray's distributed sort (sample-ranged,
+      all-to-all) then a streaming take. At 10¹²-binding scale, prefer
+      a LIMIT without ORDER BY (pure streaming truncation) or a
+      bounded ``order_by`` after aggressive filters; a global total
+      sort of the full binding bag is the one genuinely all-to-all
+      step here, and it only runs when the caller asks for it.
+      Callers wanting a DETERMINISTIC limit must order by a total key
+      (ties at the cut are otherwise scheduler-dependent).
+    """
+    sols = match_bgp(triples, patterns, **bgp_kw)
+    if filters:
+        unknown = [op for _v, op, _l in filters if op not in _FILTER_OPS]
+        if unknown:
+            raise ValueError(f"unsupported filter op(s) {unknown}")
+
+        def _filt(df: pd.DataFrame) -> pd.DataFrame:
+            mask = np.ones(len(df), dtype=bool)
+            for var, op, lit in filters:
+                mask &= _FILTER_OPS[op](df[var], lit).to_numpy(dtype=bool)
+            return df[mask]
+
+        sols = sols.map_batches(_filt, batch_format="pandas",
+                                batch_size=None)
+    if distinct:
+        cols = list(_pa_schema_of(sols).names)
+        sols = coarse_aggregate(sols, cols,
+                                lambda df: df.drop_duplicates())
+    if order_by:
+        # filters/dedup can leave zero-row blocks; sort needs a typed
+        # stream (NOTES_r2) — sanitize rebuilds from non-empty refs
+        sols = _sanitize_join_output(sols, _pa_schema_of(sols))
+        sols = sols.sort(order_by, descending=descending)
+    if limit is not None:
+        sols = sols.limit(limit)
+    return sols
+
+
+def bgp_aggregate(triples: Dataset, patterns: list[tuple[str, str, str]],
+                  group_vars: list[str], *, agg_var: str | None = None,
+                  aggs: tuple[str, ...] = ("count",),
+                  **bgp_kw) -> Dataset:
+    """SPARQL GROUP BY aggregates over BGP solutions —
+    ``SELECT ?g (COUNT(?x) AS n) … GROUP BY ?g`` for the KG this
+    engine materializes. Supported ``aggs``: ``count`` (→ ``n``),
+    ``count_distinct`` (→ ``n_distinct``), ``min`` (→ ``min_v``),
+    ``max`` (→ ``max_v``) of ``agg_var``.
+
+    Scale shape: the binding bag flows straight from the BGP joins
+    into ONE coarse exchange keyed on ``group_vars``
+    (``coarse_aggregate`` — group cardinality is unbounded), with all
+    aggregates computed in a single vectorized pandas groupby per
+    coarse bucket. ``count_distinct`` requires co-locating each
+    group's values, which the single keyed exchange already does;
+    plain counts piggyback on it rather than paying a second partial
+    pass over an already-shuffled stream."""
+    need_var = [a for a in aggs if a != "count"]
+    if need_var and agg_var is None:
+        raise ValueError(f"aggs {need_var} need agg_var")
+    bad = [a for a in aggs if a not in
+           ("count", "count_distinct", "min", "max")]
+    if bad:
+        raise ValueError(f"unsupported agg(s) {bad}")
+    sols = match_bgp(triples, patterns, **bgp_kw)
+    keep = list(group_vars) + ([agg_var] if agg_var else [])
+    sols = sols.map_batches(lambda df: df[keep], batch_format="pandas",
+                            batch_size=None)
+
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(list(group_vars), sort=False)
+        out = g.size().rename("_n").reset_index()
+        if "count" in aggs:
+            out["n"] = out.pop("_n").astype(np.int64)
+        else:
+            out.pop("_n")
+        if "count_distinct" in aggs:
+            out["n_distinct"] = g[agg_var].nunique().to_numpy(np.int64)
+        if "min" in aggs:
+            out["min_v"] = g[agg_var].min().to_numpy()
+        if "max" in aggs:
+            out["max_v"] = g[agg_var].max().to_numpy()
+        return out
+
+    return coarse_aggregate(sols, list(group_vars), _agg)

@@ -783,3 +783,80 @@ def rolling_window(ds: Dataset, key: str, order_cols: list[str],
 
     cols = [key] + order_cols + [value_col]
     return coarse_apply_per_key(ds.select_columns(cols), [key], _roll)
+
+
+def window_lag_lead(ds: Dataset, key: str, order_cols: list[str],
+                    value_col: str, *, offset: int = 1) -> Dataset:
+    """Per-key LAG/LEAD window — SQL's ``LAG(value, k)`` /
+    ``LEAD(value, k) OVER (PARTITION BY key ORDER BY …)`` →
+    (key, order_cols…, lag_v, lead_v); frame edges yield nulls,
+    exactly like the SQL functions.
+
+    Same scale shape as :func:`rolling_window`: ONE coarse exchange
+    keyed on ``key`` (unbounded key cardinality → per-key Ray overhead
+    would dominate ``map_groups``), in-group mergesort on
+    ``order_cols`` (must be a total order per key, pinned identically
+    in the oracle), vectorized ``Series.shift`` for both directions in
+    one pass."""
+
+    def _ll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        out = g[[key] + order_cols].copy()
+        v = g[value_col]
+        out["lag_v"] = v.shift(offset)
+        out["lead_v"] = v.shift(-offset)
+        return out
+
+    cols = [key] + order_cols + [value_col]
+    return coarse_apply_per_key(ds.select_columns(cols), [key], _ll)
+
+
+def grouped_rollup(ds: Dataset, keys: list[str], value_col: str, *,
+                   sentinel: str = "ALL") -> Dataset:
+    """``GROUP BY ROLLUP(k1, …, km)`` — every prefix grouping level
+    (finest → grand total) in ONE exchange → (k1…km, lvl, sum_v,
+    n_rows), rolled-up key slots carrying ``sentinel`` and ``lvl`` =
+    number of keys retained (SQL: ``m - GROUPING(k1) - … `` ).
+
+    Scale shape: combiner-first. Each input block computes PARTIAL
+    (sum, count) rows for ALL m+1 levels locally (a block of B rows
+    emits at most (m+1)·distinct-keys partial rows, usually far
+    fewer), then one coarse exchange keyed on (keys…, lvl) merges the
+    partials. The grand-total and coarse levels are tiny but ride the
+    same exchange — no second pass, no driver-side accumulation, and
+    the all-to-all ships pre-aggregated partials instead of raw rows
+    (the same reason lineitem_agg pre-aggregates; SURVEY §7)."""
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        cols = list(keys) + ["lvl", "sum", "count"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(
+                [], dtype=(np.int64 if c in ("lvl", "count") else
+                           np.float64 if c == "sum" else object))
+                for c in cols})
+        outs = []
+        for lvl in range(len(keys), -1, -1):
+            gcols = list(keys[:lvl])
+            if gcols:
+                g = (df.groupby(gcols, sort=False)[value_col]
+                     .agg(["sum", "count"]).reset_index())
+            else:
+                g = pd.DataFrame({"sum": [float(df[value_col].sum())],
+                                  "count": [len(df)]})
+            for k in keys[lvl:]:
+                g[k] = sentinel
+            g["lvl"] = np.int64(lvl)
+            outs.append(g[cols])
+        return pd.concat(outs, ignore_index=True)
+
+    parts = ds.select_columns(list(keys) + [value_col]).map_batches(
+        _partials, batch_format="pandas", batch_size=None)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(list(keys) + ["lvl"], sort=False)
+             .agg(sum_v=("sum", "sum"), n_rows=("count", "sum"))
+             .reset_index())
+        g["n_rows"] = g["n_rows"].astype(np.int64)
+        return g
+
+    return coarse_aggregate(parts, list(keys) + ["lvl"], _merge)

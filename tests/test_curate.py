@@ -1680,3 +1680,69 @@ def test_filter_robots_port_and_userinfo(ray_session):
     kept = sorted(filter_robots_disallowed(pages, robots)
                   .to_pandas()["doc_id"].tolist())
     assert kept == [4, 5]
+
+
+def test_window_lag_lead_matches_sql(ray_session):
+    """window_lag_lead ≡ DuckDB LAG/LEAD OVER (PARTITION BY key ORDER
+    BY …) on a planted multi-user frame, including null partition
+    edges."""
+    import duckdb as _dd
+
+    from omop2obo_ray.pipelines.relational import window_lag_lead
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "user_id": np.repeat([1, 2, 3], 5),
+        "event_id": np.arange(15, dtype=np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.permutation(15), unit="m"),
+        "value": rng.normal(50, 10, 15)})
+    got = (window_lag_lead(rd.from_pandas(df), "user_id",
+                           ["ts", "event_id"], "value")
+           .to_pandas()
+           .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    con = _dd.connect()
+    con.register("events", df)
+    want = con.execute(
+        "SELECT user_id, event_id, LAG(value) OVER w AS lag_v, "
+        "LEAD(value) OVER w AS lead_v FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
+        "ORDER BY user_id, event_id").df()
+    for col in ("lag_v", "lead_v"):
+        g = got[col].to_numpy(dtype=float)
+        w = want[col].to_numpy(dtype=float)
+        assert np.isnan(g).sum() == 3  # one edge null per user
+        assert ((np.isnan(g) & np.isnan(w))
+                | (np.abs(g - w) < 1e-9)).all()
+
+
+def test_grouped_rollup_matches_sql(ray_session):
+    """grouped_rollup ≡ DuckDB GROUP BY ROLLUP with GROUPING()-derived
+    level ids; partial-combine across many small blocks must merge to
+    the global answer."""
+    import duckdb as _dd
+
+    from omop2obo_ray.pipelines.relational import grouped_rollup
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 400),
+        "b": rng.choice(["p", "q"], 400),
+        "v": rng.integers(1, 50, 400).astype(float)})
+    # many tiny blocks so every level's partials really merge
+    ds = rd.from_pandas(df).repartition(13)
+    got = (grouped_rollup(ds, ["a", "b"], "v").to_pandas()
+           .sort_values(["lvl", "a", "b"]).reset_index(drop=True))
+    con = _dd.connect()
+    con.register("t", df)
+    want = con.execute(
+        "SELECT coalesce(a, 'ALL') AS a, coalesce(b, 'ALL') AS b, "
+        "2 - GROUPING(a) - GROUPING(b) AS lvl, sum(v) AS sum_v, "
+        "count(*) AS n_rows FROM t GROUP BY ROLLUP(a, b) "
+        "ORDER BY lvl, a, b").df()
+    assert len(got) == len(want)
+    assert (got["a"] == want["a"]).all()
+    assert (got["b"] == want["b"]).all()
+    assert (got["lvl"].to_numpy() == want["lvl"].to_numpy()).all()
+    assert np.allclose(got["sum_v"], want["sum_v"])
+    assert (got["n_rows"].to_numpy() == want["n_rows"].to_numpy()).all()

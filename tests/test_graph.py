@@ -854,3 +854,74 @@ def test_anchor_text_edges_synth(ray_session):
     got = anchor_text_edges(synth_anchor_pages(docs)).to_pandas()
     assert len(got) == 30
     assert sorted(got["anchor_text"].unique()) == ["a", "b", "c"]
+
+
+def test_bgp_aggregate_group_by_state(triple_ds):
+    """GROUP BY ?s over ?p lives_in ?c . ?c in_state ?s: count,
+    distinct cities, min/max city term per state."""
+    from omop2obo_ray.pipelines.graph import bgp_aggregate
+
+    got = bgp_aggregate(
+        triple_ds, [("?p", "lives_in", "?c"), ("?c", "in_state", "?s")],
+        ["s"], agg_var="c",
+        aggs=("count", "count_distinct", "min", "max"),
+    ).to_pandas().sort_values("s").reset_index(drop=True)
+    assert got.to_dict("records") == [
+        {"s": "co", "n": 2, "n_distinct": 1,
+         "min_v": "denver", "max_v": "denver"},
+        {"s": "ma", "n": 1, "n_distinct": 1,
+         "min_v": "boston", "max_v": "boston"},
+    ]
+
+
+def test_bgp_select_filter_order_limit_distinct(triple_ds):
+    """FILTER prunes bindings, DISTINCT collapses bag duplicates,
+    ORDER BY + LIMIT take a deterministic prefix."""
+    from omop2obo_ray.pipelines.graph import bgp_select
+
+    # ?a knows ?b, filter ?b != 'carol' → (alice,bob), (bob,bob)
+    got = bgp_select(triple_ds, [("?a", "knows", "?b")],
+                     filters=[("b", "!=", "carol")],
+                     order_by=["a", "b"]).to_pandas()
+    assert list(map(tuple, got[["a", "b"]].to_numpy())) == [
+        ("alice", "bob"), ("bob", "bob")]
+
+    # bag → DISTINCT: ?a knows ?b . ?b lives_in ?c projected through a
+    # two-pattern join stays a bag; distinct over (a,) requires the
+    # full row to be distinct, so use a shape with duplicate rows:
+    # ?p lives_in denver yields alice,bob — add the identical pattern
+    # twice via union upstream is overkill; instead check LIMIT
+    lim = bgp_select(triple_ds, [("?p", "lives_in", "?c")],
+                     order_by=["p"], limit=2).to_pandas()
+    assert list(lim["p"]) == ["alice", "bob"]
+
+    # distinct over a genuinely duplicated bag: ?a knows ?b . ?b
+    # knows ?x projected — bob knows bob AND bob knows carol make
+    # (alice, bob) appear twice in (a, b) after the join? No: columns
+    # include x, so dedup the PROJECTION by filtering then distinct
+    dup = bgp_select(triple_ds, [("?a", "knows", "?b"),
+                                 ("?b", "knows", "?x")],
+                     distinct=True).to_pandas()
+    full = bgp_select(triple_ds, [("?a", "knows", "?b"),
+                                  ("?b", "knows", "?x")]).to_pandas()
+    assert len(dup) == len(full.drop_duplicates())
+    assert len(full) >= len(dup)
+
+
+def test_bgp_select_rejects_unknown_filter_op(triple_ds):
+    from omop2obo_ray.pipelines.graph import bgp_select
+
+    with pytest.raises(ValueError, match="unsupported filter op"):
+        bgp_select(triple_ds, [("?a", "knows", "?b")],
+                   filters=[("b", "~=", "carol")])
+
+
+def test_bgp_select_empty_after_filter(triple_ds):
+    """A filter that kills every binding must still sort/limit cleanly
+    (zero-row blocks poison Ray sorts unless sanitized)."""
+    from omop2obo_ray.pipelines.graph import bgp_select
+
+    got = bgp_select(triple_ds, [("?a", "knows", "?b")],
+                     filters=[("b", "==", "nobody")],
+                     order_by=["a"], limit=5).to_pandas()
+    assert len(got) == 0
