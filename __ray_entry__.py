@@ -311,6 +311,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ranks.map_batches(_q, batch_format="pyarrow", batch_size=None)
 
+    def q_label_propagation(sf):
+        # 2-round synchronous label propagation over the symmetrized
+        # order→part graph; labels are strings and the tie-break is
+        # integer-count + lexicographic min, so the gate is exact (no
+        # float quantization needed)
+        from omop2obo_ray.pipelines.graph import label_propagation
+
+        return label_propagation(_lineitem_edges(sf), iterations=2)
+
     def q_degree_stats(sf):
         from omop2obo_ray.pipelines.graph import degree_stats
 
@@ -2112,6 +2121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_scores": q_tfidf_scores,      # corpus TF-IDF vectors
         "stratified_sample": q_stratified_sample,  # per-group exact-k sample
         "pagerank": q_pagerank,              # iterative join-based centrality
+        "label_propagation": q_label_propagation,  # community detection (SQL-checked)
         "degree_stats": q_degree_stats,      # out-degree histogram
         "taxonomy_rollup": q_taxonomy_rollup,  # counts up the concept DAG (SQL-checked)
         "match_bgp": q_match_bgp,            # SPARQL-core BGP over a triple store (SQL-checked)
@@ -2869,6 +2879,34 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN s3 ON s3.dst = nodes.node) "
             "SELECT node, CAST(floor(r * (SELECT n FROM p) * 10000 "
             "+ 0.000001) AS BIGINT) AS rank_q FROM r3"
+        ),
+        # 2-round synchronous label propagation, unrolled: per round,
+        # votes = neighbor labels over the SYMMETRIZED edge list (edge
+        # multiplicity counts), plus a weight-0 keep-own marker; winner
+        # = max weight, ties to the lexicographically smallest label —
+        # the exact recurrence the engine executes
+        "label_propagation": (
+            "WITH e0 AS (SELECT 'o' || l_orderkey AS src, "
+            "'p' || l_partkey AS dst FROM lineitem), "
+            "e AS (SELECT src, dst FROM e0 "
+            "UNION ALL SELECT dst, src FROM e0), "
+            "l0 AS (SELECT DISTINCT src AS node, src AS label FROM e), "
+            "a1 AS (SELECT node, label, sum(w) AS w FROM ("
+            "SELECT e.dst AS node, l.label, 1 AS w FROM e "
+            "JOIN l0 l ON l.node = e.src "
+            "UNION ALL SELECT node, label, 0 FROM l0) "
+            "GROUP BY node, label), "
+            "l1 AS (SELECT node, label FROM ("
+            "SELECT node, label, row_number() OVER (PARTITION BY node "
+            "ORDER BY w DESC, label ASC) AS rn FROM a1) WHERE rn = 1), "
+            "a2 AS (SELECT node, label, sum(w) AS w FROM ("
+            "SELECT e.dst AS node, l.label, 1 AS w FROM e "
+            "JOIN l1 l ON l.node = e.src "
+            "UNION ALL SELECT node, label, 0 FROM l1) "
+            "GROUP BY node, label) "
+            "SELECT node, label FROM ("
+            "SELECT node, label, row_number() OVER (PARTITION BY node "
+            "ORDER BY w DESC, label ASC) AS rn FROM a2) WHERE rn = 1"
         ),
         "degree_stats": (
             "WITH e AS (SELECT 'o' || l_orderkey AS src, "

@@ -1783,3 +1783,79 @@ def bgp_aggregate(triples: Dataset, patterns: list[tuple[str, str, str]],
         return out
 
     return coarse_aggregate(sols, list(group_vars), _agg)
+
+
+def label_propagation(edges: Dataset, iterations: int = 5, *,
+                      undirected: bool = True,
+                      n_coarse: int | None = None) -> Dataset:
+    """Synchronous label-propagation community detection → (node,
+    label): every round each node adopts the MOST FREQUENT label among
+    its neighbors, ties broken to the smallest label (Raghavan'07 with
+    the random order replaced by a deterministic tie-break — same
+    input ⇒ same output; the price is possible 2-cycles on bipartite
+    structures, which the fixed iteration count makes harmless).
+    Labels start as own node id; isolated/no-in-neighbor nodes keep
+    their current label.
+
+    Scale shape per round: ONE ``coarse_join`` (current labels onto
+    the edge list keyed src — the native join's per-plan aggregator
+    pool would tax every round, NOTES_r3) + ONE coarse aggregate keyed
+    dst computing each node's label mode vectorized. Keep-own-label
+    rows ride the same aggregate as weight-0 markers (pagerank's
+    zero-marker trick), so there is no final outer join and no nodes
+    pass per round. The symmetrized edge list is materialized ONCE and
+    reused every round. No driver state at any scale."""
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    if n_coarse is None:
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        n_coarse = max(32, 3 * cpus)
+    ntype = _pa_schema_of(edges).field("src").type
+
+    def _sym(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.concat_arrays([b["src"].combine_chunks(),
+                                     b["dst"].combine_chunks()]),
+            "dst": pa.concat_arrays([b["dst"].combine_chunks(),
+                                     b["src"].combine_chunks()])})
+
+    e = edges.select_columns(["src", "dst"])
+    if undirected:
+        e = e.map_batches(_sym, batch_format="pyarrow", batch_size=None)
+    e = _sanitize_join_output(
+        e, pa.schema([("src", ntype), ("dst", ntype)])).materialize()
+
+    labels = _sanitize_join_output(
+        _distinct_nodes(e).map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["node"]}),
+            batch_format="pyarrow", batch_size=None),
+        pa.schema([("node", ntype), ("label", ntype)]))
+
+    def _nbr(b: pa.Table) -> pa.Table:  # neighbor votes, weight 1
+        return pa.table({"node": b["dst"], "label": b["label"],
+                         "w": pa.array(np.ones(b.num_rows, np.int64))})
+
+    def _own(b: pa.Table) -> pa.Table:  # keep-own zero-weight markers
+        return pa.table({"node": b["node"], "label": b["label"],
+                         "w": pa.array(np.zeros(b.num_rows, np.int64))})
+
+    def _mode(df: pd.DataFrame) -> pd.DataFrame:
+        c = (df.groupby(["node", "label"], sort=False)["w"].sum()
+             .reset_index())
+        c = c.sort_values(["node", "w", "label"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        return c.drop_duplicates("node", keep="first")[["node", "label"]]
+
+    for _ in range(iterations):
+        votes = coarse_join(e, labels, on="src", right_on="node",
+                            how="inner", n_coarse=n_coarse)
+        stream = votes.map_batches(
+            _nbr, batch_format="pyarrow", batch_size=None,
+        ).union(labels.map_batches(_own, batch_format="pyarrow",
+                                   batch_size=None))
+        labels = _sanitize_join_output(
+            coarse_aggregate(stream, ["node"], _mode, n_coarse=n_coarse),
+            pa.schema([("node", ntype), ("label", ntype)]))
+    return labels

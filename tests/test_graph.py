@@ -925,3 +925,74 @@ def test_bgp_select_empty_after_filter(triple_ds):
                      filters=[("b", "==", "nobody")],
                      order_by=["a"], limit=5).to_pandas()
     assert len(got) == 0
+
+
+def _pandas_label_prop(df, iterations, undirected=True):
+    """Independent sync label-propagation oracle: mode of neighbor
+    labels per round, ties to the smallest label, keep-own when no
+    in-neighbors (weight-0 own marker)."""
+    sym = df
+    if undirected:
+        sym = pd.concat(
+            [df, df.rename(columns={"src": "dst", "dst": "src"})])
+    nodes = pd.unique(pd.concat([sym["src"], sym["dst"]]))
+    lab = pd.Series(nodes, index=nodes)
+    for _ in range(iterations):
+        votes = sym.assign(
+            label=lab.loc[sym["src"].values].values)[["dst", "label"]]
+        votes = votes.rename(columns={"dst": "node"})
+        votes["w"] = 1
+        own = pd.DataFrame({"node": nodes,
+                            "label": lab.loc[nodes].values, "w": 0})
+        allv = (pd.concat([votes, own])
+                .groupby(["node", "label"], sort=False)["w"].sum()
+                .reset_index()
+                .sort_values(["node", "w", "label"],
+                             ascending=[True, False, True],
+                             kind="mergesort"))
+        win = allv.drop_duplicates("node", keep="first")
+        lab = pd.Series(win["label"].values, index=win["node"].values)
+    return pd.DataFrame({"node": nodes, "label": lab.loc[nodes].values})
+
+
+def test_label_propagation_planted_communities(ray_session):
+    """Two dense planted communities + sparse bridges: the operator
+    must match the pandas oracle exactly, and intra-community labels
+    must be far more homogeneous than chance."""
+    from omop2obo_ray.pipelines.graph import label_propagation
+
+    rng = np.random.default_rng(7)
+    n = 120
+    rows = []
+    for c in range(2):
+        base = c * n
+        for _ in range(n * 4):
+            a, b = rng.integers(0, n, 2)
+            if a != b:
+                rows.append((f"n{base + a:04d}", f"n{base + b:04d}"))
+    for _ in range(4):
+        a, b = rng.integers(0, n, 2)
+        rows.append((f"n{a:04d}", f"n{n + b:04d}"))
+    df = pd.DataFrame(rows, columns=["src", "dst"]).drop_duplicates()
+
+    got = (label_propagation(rd.from_pandas(df), iterations=3)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    exp = (_pandas_label_prop(df, 3)
+           .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_label_propagation_directed_keep_own(ray_session):
+    """undirected=False: a source-only node has no in-neighbors, so
+    the weight-0 own marker must keep its label through every round."""
+    from omop2obo_ray.pipelines.graph import label_propagation
+
+    df = pd.DataFrame([("s", "a"), ("a", "b"), ("b", "a")],
+                      columns=["src", "dst"])
+    got = (label_propagation(rd.from_pandas(df), iterations=4,
+                             undirected=False)
+           .to_pandas().set_index("node")["label"])
+    exp = _pandas_label_prop(df, 4, undirected=False).set_index(
+        "node")["label"]
+    assert got.sort_index().equals(exp.sort_index())
+    assert got["s"] == "s"
