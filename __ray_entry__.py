@@ -320,6 +320,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return label_propagation(_lineitem_edges(sf), iterations=2)
 
+    def q_personalized_pagerank(sf):
+        # 2-iteration PPR around a 3-order seed set over the
+        # symmetrized order→part graph; same epsilon-floor quantizer
+        # rationale as q_pagerank (noise ≪ the 1e-6 quantum shift)
+        import numpy as np
+        import pyarrow as pa
+
+        from omop2obo_ray.pipelines.graph import personalized_pagerank
+
+        ranks = personalized_pagerank(
+            _lineitem_edges(sf), ["o1", "o2", "o3"], iterations=2,
+            damping=0.85, undirected=True)
+
+        def _q(batch: pa.Table) -> pa.Table:
+            r = batch["rank"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            q = np.floor(r * 1e6 + 1e-6).astype(np.int64)
+            return pa.table({"node": batch["node"],
+                             "rank_q": pa.array(q, pa.int64())})
+
+        return ranks.map_batches(_q, batch_format="pyarrow",
+                                 batch_size=None)
+
     def q_degree_stats(sf):
         from omop2obo_ray.pipelines.graph import degree_stats
 
@@ -1726,8 +1749,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return bfs_hops(_lineitem_edges(sf), seeds, max_hops=3)
 
     def q_kcore(sf):
-        # rows-only: iterative peeling has no SQL equivalent; pytest
-        # carries the exact python-oracle identity check
+        # SQL-checked via a 4-round UNROLLED peeling oracle: on the
+        # _synth_tri_edges fixture the fringe cycles (degree ≤ 2) peel
+        # in round 1 and the dense core (min degree ≥ 6 at every sf)
+        # is already stable, so fixpoint ≤ 1 round ≪ the 4 unrolled —
+        # the engine runs to fixpoint, the oracle just unrolls past it
         from omop2obo_ray.pipelines.graph import kcore
 
         return kcore(_synth_tri_edges(sf), 3)
@@ -2073,6 +2099,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(_q, batch_format="pyarrow",
                                batch_size=None)
 
+    def q_cube(sf):
+        # GROUP BY CUBE(l_returnflag, l_linestatus): ALL 2^m grouping
+        # sets in one combiner-first exchange, gid = GROUPING_ID bitmask
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import grouped_cube
+
+        li = rd.read_parquet(f"{sf}/lineitem.parquet",
+                             columns=["l_returnflag", "l_linestatus",
+                                      "l_quantity"])
+        out = grouped_cube(li, ["l_returnflag", "l_linestatus"],
+                           "l_quantity")
+
+        def _q(batch: pa.Table) -> pa.Table:
+            s = batch["sum_v"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "gid": batch["gid"],
+                "sum_q": pa.array(np.floor(s * 1e2 + 1e-4)
+                                  .astype(np.int64), pa.int64()),
+                "n_rows": batch["n_rows"]})
+
+        return out.map_batches(_q, batch_format="pyarrow",
+                               batch_size=None)
+
     return {
         # SURVEY §2 operator families (SQL-checked)
         "normalize_codes": R.q_normalize_codes,          # M1
@@ -2122,6 +2177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,  # per-group exact-k sample
         "pagerank": q_pagerank,              # iterative join-based centrality
         "label_propagation": q_label_propagation,  # community detection (SQL-checked)
+        "personalized_pagerank": q_personalized_pagerank,  # seeded teleport PPR (SQL-checked)
         "degree_stats": q_degree_stats,      # out-degree histogram
         "taxonomy_rollup": q_taxonomy_rollup,  # counts up the concept DAG (SQL-checked)
         "match_bgp": q_match_bgp,            # SPARQL-core BGP over a triple store (SQL-checked)
@@ -2129,6 +2185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bgp_select": q_bgp_select,          # SPARQL FILTER/ORDER BY/LIMIT solution modifiers (SQL-checked)
         "lag_lead": q_lag_lead,              # LAG/LEAD window per key (SQL-checked)
         "rollup": q_rollup,                  # GROUP BY ROLLUP, one combiner-first exchange (SQL-checked)
+        "cube": q_cube,                      # GROUP BY CUBE, all 2^m sets one exchange (SQL-checked)
         "bgp_optional": q_bgp_optional,      # SPARQL OPTIONAL left-outer pattern (SQL-checked)
         "bgp_minus": q_bgp_minus,            # SPARQL MINUS anti-join pattern (SQL-checked)
         "construct": q_construct,            # SPARQL CONSTRUCT graph rewrite (SQL-checked)
@@ -2205,7 +2262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_projection": q_pca_projection,  # PCA projection (rows-only: eigh)
         "clustering_coefficient": q_clustering_coefficient,  # per-node triangles (SQL-checked)
         "bfs_hops": q_bfs_hops,  # frontier BFS distance (SQL-checked vs recursive CTE)
-        "kcore": q_kcore,  # k-core peeling (rows-only: iterative)
+        "kcore": q_kcore,  # k-core peeling (SQL-checked: unrolled-peel oracle)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
         "neighbor_mean": q_neighbor_mean,  # GraphSAGE-mean propagation round (SQL-checked)
@@ -2256,7 +2313,36 @@ def oracle_sql() -> dict[str, str]:
         "round(sum(c * len(tok))::DOUBLE / sum(c), 6) AS mean_token_len "
         "FROM tc GROUP BY doc_id"
     )
+    # kcore: 4-round unrolled peel over the _synth_tri_edges fixture —
+    # canonical undirected dedup (least/greatest ≡ the engine's
+    # lexicographic pc.min/max_element_wise), per round drop nodes with
+    # degree < 3 and their edges; fixpoint is ≤ 1 round on this graph
+    # (fringe cycles peel, the dense core's min degree ≥ 6 at every sf)
+    # so 4 rounds strictly over-unroll. Final (node, d) = degrees
+    # within the surviving core — the engine's exact output.
+    _kc = (
+        "WITH pk AS (SELECT p_partkey AS k FROM part), "
+        "raw AS (SELECT 'n' || (k % 23) AS s, 'n' || (k % 29) AS t "
+        "FROM pk UNION ALL SELECT 'c' || (k % 509), "
+        "'c' || ((k % 509) + 1) FROM pk), "
+        "e0 AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b "
+        "FROM raw WHERE s <> t)")
+    for _i in range(4):
+        _kc += (
+            f", d{_i} AS (SELECT node, count(*) AS d FROM "
+            f"(SELECT a AS node FROM e{_i} UNION ALL "
+            f"SELECT b FROM e{_i}) GROUP BY node)"
+            f", g{_i} AS (SELECT node FROM d{_i} WHERE d >= 3)"
+            f", e{_i + 1} AS (SELECT a, b FROM e{_i} "
+            f"WHERE a IN (SELECT node FROM g{_i}) "
+            f"AND b IN (SELECT node FROM g{_i}))")
+    _kc += (
+        " SELECT node, count(*) AS d FROM "
+        "(SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) "
+        "GROUP BY node")
+
     return {
+        "kcore": _kc,
         "normalize_codes": (
             "SELECT p_partkey, 'brand:' || lower(split_part(p_brand, '#', 2)) AS norm_code "
             "FROM part"
@@ -2416,6 +2502,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(sum(l_quantity) * 1e2 + 1e-4) AS BIGINT) "
             "AS sum_q, count(*) AS n_rows "
             "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "cube": (
+            "SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, "
+            "coalesce(l_linestatus, 'ALL') AS l_linestatus, "
+            "GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid, "
+            "CAST(floor(sum(l_quantity) * 1e2 + 1e-4) AS BIGINT) "
+            "AS sum_q, count(*) AS n_rows "
+            "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
         ),
         # OPTIONAL = LEFT JOIN over the same triple construction;
         # unmatched optional var coalesced to 'none' on both sides
@@ -2879,6 +2973,38 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN s3 ON s3.dst = nodes.node) "
             "SELECT node, CAST(floor(r * (SELECT n FROM p) * 10000 "
             "+ 0.000001) AS BIGINT) AS rank_q FROM r3"
+        ),
+        # 2-iteration personalized PageRank, unrolled: symmetrized
+        # edge list, teleport restricted to the 3-order seed set
+        # (r0 = 1[seed]/3; r_{k+1} = 0.15·1[seed]/3 + 0.85·Σ r_k/deg;
+        # dangling mass leaks on both sides); epsilon-floor quantizer
+        # to 1e-6 — float noise ≪ the 1e-6 quantum shift
+        "personalized_pagerank": (
+            "WITH e0 AS (SELECT 'o' || l_orderkey AS src, "
+            "'p' || l_partkey AS dst FROM lineitem), "
+            "e AS (SELECT src, dst FROM e0 "
+            "UNION ALL SELECT dst, src FROM e0), "
+            "nodes AS (SELECT DISTINCT src AS node FROM e), "
+            "deg AS (SELECT src, count(*)::DOUBLE AS d "
+            "FROM e GROUP BY src), "
+            "r0 AS (SELECT node, CASE WHEN node IN ('o1','o2','o3') "
+            "THEN 1.0 / 3 ELSE 0.0 END AS r FROM nodes), "
+            "s1 AS (SELECT e.dst, sum(r0.r / deg.d) AS c FROM e "
+            "JOIN deg USING (src) JOIN r0 ON r0.node = e.src "
+            "WHERE r0.r <> 0 GROUP BY e.dst), "
+            "r1 AS (SELECT nodes.node, (1.0 - 0.85) / 3 * "
+            "(CASE WHEN nodes.node IN ('o1','o2','o3') THEN 1.0 "
+            "ELSE 0.0 END) + 0.85 * coalesce(s1.c, 0) AS r FROM nodes "
+            "LEFT JOIN s1 ON s1.dst = nodes.node), "
+            "s2 AS (SELECT e.dst, sum(r1.r / deg.d) AS c FROM e "
+            "JOIN deg USING (src) JOIN r1 ON r1.node = e.src "
+            "GROUP BY e.dst), "
+            "r2 AS (SELECT nodes.node, (1.0 - 0.85) / 3 * "
+            "(CASE WHEN nodes.node IN ('o1','o2','o3') THEN 1.0 "
+            "ELSE 0.0 END) + 0.85 * coalesce(s2.c, 0) AS r FROM nodes "
+            "LEFT JOIN s2 ON s2.dst = nodes.node) "
+            "SELECT node, CAST(floor(r * 1000000 + 0.000001) "
+            "AS BIGINT) AS rank_q FROM r2"
         ),
         # 2-round synchronous label propagation, unrolled: per round,
         # votes = neighbor labels over the SYMMETRIZED edge list (edge

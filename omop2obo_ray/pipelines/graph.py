@@ -1859,3 +1859,102 @@ def label_propagation(edges: Dataset, iterations: int = 5, *,
             coarse_aggregate(stream, ["node"], _mode, n_coarse=n_coarse),
             pa.schema([("node", ntype), ("label", ntype)]))
     return labels
+
+
+def personalized_pagerank(edges: Dataset, seeds: list[str],
+                          iterations: int = 3, damping: float = 0.85, *,
+                          undirected: bool = False,
+                          n_coarse: int | None = None) -> Dataset:
+    """Personalized PageRank → (node, rank): teleport restricted to the
+    ``seeds`` set (r₀(v) = 1[v∈S]/|S|; rₖ₊₁(v) = (1-d)·1[v∈S]/|S| +
+    d·Σ_{(u,v)∈E} rₖ(u)/outdeg(u)) — the related-page / TrustRank
+    ranking a crawl consumer runs around a trusted or topical seed
+    set. Fixed-iteration, dangling mass leaks (same contract as
+    ``pagerank`` so the SQL oracle can unroll the identical
+    recurrence). ``undirected=True`` symmetrizes the edge list first.
+
+    Scale shape: seeds are a QUERY-SIZED list (broadcast once via
+    ``ray.put``, membership tested vectorized per batch — never a
+    join); out-degree is attached in ONE exchange before the loop and
+    the weighted edge table is materialized ONCE; each iteration is
+    ONE ``coarse_join`` (ranks onto edges keyed src) + ONE coarse
+    per-dst sum that also carries zero-weight marker rows for every
+    node, so no final outer join and no driver state at any scale."""
+    if not seeds:
+        raise ValueError("personalized_pagerank: seeds must be non-empty")
+    ntype = _pa_schema_of(edges).field("src").type
+    base = (1.0 - damping) / len(seeds)
+    seed_ref = ray.put(np.asarray(sorted(set(seeds)), dtype=object))
+
+    e = edges.select_columns(["src", "dst"])
+    if undirected:
+        def _sym(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "src": pa.concat_arrays([b["src"].combine_chunks(),
+                                         b["dst"].combine_chunks()]),
+                "dst": pa.concat_arrays([b["dst"].combine_chunks(),
+                                         b["src"].combine_chunks()])})
+        e = e.map_batches(_sym, batch_format="pyarrow", batch_size=None)
+    e = _sanitize_join_output(
+        e, pa.schema([("src", ntype), ("dst", ntype)]))
+
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    if n_coarse is None:
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        n_coarse = max(32, 3 * cpus)
+
+    # out-degree attached per src in one coarse exchange; w = 1/deg
+    def _deg(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy(deep=False)
+        out["w"] = 1.0 / df.groupby("src", sort=False)["dst"].transform(
+            "size").to_numpy(np.float64)
+        return out
+
+    ed = _sanitize_join_output(
+        coarse_aggregate(e, ["src"], _deg, n_coarse=n_coarse),
+        pa.schema([("src", ntype), ("dst", ntype),
+                   ("w", pa.float64())])).materialize()
+
+    def _seed_rank(b: pa.Table, scale: float) -> pa.Table:
+        nodes = b["node"].combine_chunks().to_numpy(zero_copy_only=False)
+        ind = np.isin(nodes, ray.get(seed_ref))
+        return pa.table({"node": b["node"],
+                         "rank": pa.array(ind * scale, pa.float64())})
+
+    nodes = _sanitize_join_output(
+        _distinct_nodes(ed), pa.schema([("node", ntype)])).materialize()
+    ranks = nodes.map_batches(
+        functools.partial(_seed_rank, scale=1.0 / len(seeds)),
+        batch_format="pyarrow", batch_size=None)
+
+    rank_schema = pa.schema([("node", ntype), ("rank", pa.float64())])
+
+    def _contrib(b: pa.Table) -> pa.Table:  # mass shipped along edges
+        w = b["w"].combine_chunks().to_numpy(zero_copy_only=False)
+        r = b["rank"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"node": b["dst"],
+                         "c": pa.array(w * r, pa.float64())})
+
+    def _zero(b: pa.Table) -> pa.Table:  # keep-every-node markers
+        return pa.table({"node": b["node"],
+                         "c": pa.array(np.zeros(b.num_rows, np.float64))})
+
+    def _sum_to_rank(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False)["c"].sum().reset_index()
+        ind = np.isin(g["node"].to_numpy(), ray.get(seed_ref))
+        g["rank"] = ind * base + damping * g["c"].to_numpy(np.float64)
+        return g[["node", "rank"]]
+
+    for _ in range(iterations):
+        j = coarse_join(ed, ranks, on="src", right_on="node",
+                        how="inner", n_coarse=n_coarse)
+        stream = j.map_batches(
+            _contrib, batch_format="pyarrow", batch_size=None,
+        ).union(nodes.map_batches(_zero, batch_format="pyarrow",
+                                  batch_size=None))
+        ranks = _sanitize_join_output(
+            coarse_aggregate(stream, ["node"], _sum_to_rank,
+                             n_coarse=n_coarse), rank_schema)
+    return ranks

@@ -1746,3 +1746,36 @@ def test_grouped_rollup_matches_sql(ray_session):
     assert (got["lvl"].to_numpy() == want["lvl"].to_numpy()).all()
     assert np.allclose(got["sum_v"], want["sum_v"])
     assert (got["n_rows"].to_numpy() == want["n_rows"].to_numpy()).all()
+
+
+def test_grouped_cube_matches_sql(ray_session):
+    """grouped_cube ≡ DuckDB GROUP BY CUBE with a GROUPING_ID bitmask;
+    all 2^m grouping sets must merge exactly across many small blocks,
+    including the 3-key case with mixed rolled-up slots."""
+    import duckdb as _dd
+
+    from omop2obo_ray.pipelines.relational import grouped_cube
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 500),
+        "b": rng.choice(["p", "q"], 500),
+        "c": rng.choice(["u", "v"], 500),
+        "val": rng.integers(1, 50, 500).astype(float)})
+    ds = rd.from_pandas(df).repartition(11)
+    got = (grouped_cube(ds, ["a", "b", "c"], "val").to_pandas()
+           .sort_values(["gid", "a", "b", "c"]).reset_index(drop=True))
+    con = _dd.connect()
+    con.register("t", df)
+    want = con.execute(
+        "SELECT coalesce(a, 'ALL') AS a, coalesce(b, 'ALL') AS b, "
+        "coalesce(c, 'ALL') AS c, "
+        "GROUPING(a)*4 + GROUPING(b)*2 + GROUPING(c) AS gid, "
+        "sum(val) AS sum_v, count(*) AS n_rows FROM t "
+        "GROUP BY CUBE(a, b, c) ORDER BY gid, a, b, c").df()
+    assert len(got) == len(want) == 36  # 3*2*2+3*2+3*2+2*2+3+2+2+1
+    for col in ("a", "b", "c"):
+        assert (got[col] == want[col]).all()
+    assert (got["gid"].to_numpy() == want["gid"].to_numpy()).all()
+    assert np.allclose(got["sum_v"], want["sum_v"])
+    assert (got["n_rows"].to_numpy() == want["n_rows"].to_numpy()).all()

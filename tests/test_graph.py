@@ -996,3 +996,61 @@ def test_label_propagation_directed_keep_own(ray_session):
         "node")["label"]
     assert got.sort_index().equals(exp.sort_index())
     assert got["s"] == "s"
+
+
+def _pandas_ppr(df, seeds, iterations, damping=0.85, undirected=False):
+    """Independent PPR oracle: fixed-iteration, dangling mass leaks,
+    teleport restricted to seeds."""
+    sym = df
+    if undirected:
+        sym = pd.concat(
+            [df, df.rename(columns={"src": "dst", "dst": "src"})])
+    nodes = pd.unique(pd.concat([sym["src"], sym["dst"]]))
+    deg = sym.groupby("src")["dst"].size()
+    r = pd.Series(np.isin(nodes, list(seeds)) / len(seeds), index=nodes)
+    base = (1 - damping) * np.isin(nodes, list(seeds)) / len(seeds)
+    for _ in range(iterations):
+        contrib = (sym.assign(
+            c=r.loc[sym["src"]].values / deg.loc[sym["src"]].values)
+            .groupby("dst")["c"].sum())
+        c = pd.Series(0.0, index=nodes)
+        c.loc[contrib.index] = contrib.values
+        r = pd.Series(base, index=nodes) + damping * c
+    return pd.DataFrame({"node": nodes, "rank": r.loc[nodes].values})
+
+
+def test_personalized_pagerank_matches_oracle(ray_session):
+    from omop2obo_ray.pipelines.graph import personalized_pagerank
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 60, 400)
+    b = rng.integers(0, 60, 400)
+    df = (pd.DataFrame({"src": [f"n{x}" for x in a],
+                        "dst": [f"n{y}" for y in b]})
+          .query("src != dst").drop_duplicates())
+    seeds = ["n3", "n17", "n42"]
+    for und in (False, True):
+        got = (personalized_pagerank(rd.from_pandas(df), seeds,
+                                     iterations=3, undirected=und)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        exp = (_pandas_ppr(df, seeds, 3, undirected=und)
+               .sort_values("node").reset_index(drop=True))
+        assert list(got["node"]) == list(exp["node"])
+        np.testing.assert_allclose(got["rank"], exp["rank"],
+                                   rtol=1e-12, atol=1e-15)
+
+
+def test_personalized_pagerank_mass_and_seeds(ray_session):
+    """Seed-only teleport: with no in-edges a non-seed node scores 0;
+    total mass ≤ 1 (dangling leak only shrinks it)."""
+    from omop2obo_ray.pipelines.graph import personalized_pagerank
+
+    df = pd.DataFrame({"src": ["s", "s", "a"],
+                       "dst": ["a", "b", "c"]})
+    got = (personalized_pagerank(rd.from_pandas(df), ["s"], iterations=4)
+           .to_pandas().set_index("node")["rank"])
+    assert got.sum() <= 1.0 + 1e-12
+    # 'b' is reachable only from the seed: positive; 's' has no
+    # in-edges so it keeps exactly the teleport base
+    assert got["b"] > 0
+    assert abs(got["s"] - 0.15) < 1e-12
