@@ -2128,6 +2128,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(_q, batch_format="pyarrow",
                                batch_size=None)
 
+    def q_funnel(sf):
+        # view → click → purchase greedy-earliest funnel per user over
+        # the events stream; integer step counts, gate exact
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import funnel_steps
+
+        ev = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["user_id", "event_type", "ts"])
+        return funnel_steps(ev, ["view", "click", "purchase"])
+
+    def q_cohort_retention(sf):
+        # first-active-day cohorts × distinct-active-day offsets;
+        # integer counts, gate exact
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import cohort_retention
+
+        ev = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["user_id", "ts"])
+        return cohort_retention(ev)
+
     return {
         # SURVEY §2 operator families (SQL-checked)
         "normalize_codes": R.q_normalize_codes,          # M1
@@ -2186,6 +2208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_lead": q_lag_lead,              # LAG/LEAD window per key (SQL-checked)
         "rollup": q_rollup,                  # GROUP BY ROLLUP, one combiner-first exchange (SQL-checked)
         "cube": q_cube,                      # GROUP BY CUBE, all 2^m sets one exchange (SQL-checked)
+        "funnel": q_funnel,                  # ordered-step funnel per user (SQL-checked)
+        "cohort_retention": q_cohort_retention,  # retention triangle over events (SQL-checked)
         "bgp_optional": q_bgp_optional,      # SPARQL OPTIONAL left-outer pattern (SQL-checked)
         "bgp_minus": q_bgp_minus,            # SPARQL MINUS anti-join pattern (SQL-checked)
         "construct": q_construct,            # SPARQL CONSTRUCT graph rewrite (SQL-checked)
@@ -2341,8 +2365,43 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) "
         "GROUP BY node")
 
+    # funnel: greedy-earliest ordered-step recurrence, unrolled — step
+    # k's completion time = min ts of a step-k event STRICTLY after
+    # step k-1's; output covers users with ≥ 1 funnel-type event
+    _funnel = (
+        "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+        "JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t "
+        "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+        "JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t "
+        "WHERE e.event_type = 'purchase' GROUP BY e.user_id), "
+        "u AS (SELECT DISTINCT user_id FROM events "
+        "WHERE event_type IN ('view', 'click', 'purchase')) "
+        "SELECT u.user_id, CASE WHEN s3.t IS NOT NULL THEN 3 "
+        "WHEN s2.t IS NOT NULL THEN 2 WHEN s1.t IS NOT NULL THEN 1 "
+        "ELSE 0 END AS steps FROM u "
+        "LEFT JOIN s1 ON s1.user_id = u.user_id "
+        "LEFT JOIN s2 ON s2.user_id = u.user_id "
+        "LEFT JOIN s3 ON s3.user_id = u.user_id")
+
+    # cohort retention: distinct (user, day) → first-day cohort →
+    # per-(cohort, offset) distinct-user counts
+    _cohort = (
+        "WITH ud AS (SELECT DISTINCT user_id, "
+        "date_trunc('day', ts) AS day FROM events), "
+        "f AS (SELECT user_id, min(day) AS cohort FROM ud "
+        "GROUP BY user_id) "
+        "SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort, "
+        "datediff('day', f.cohort, ud.day) AS day_offset, "
+        "count(*) AS n_users FROM ud JOIN f USING (user_id) "
+        "GROUP BY 1, 2")
+
     return {
         "kcore": _kc,
+        "funnel": _funnel,
+        "cohort_retention": _cohort,
         "normalize_codes": (
             "SELECT p_partkey, 'brand:' || lower(split_part(p_brand, '#', 2)) AS norm_code "
             "FROM part"

@@ -917,3 +917,111 @@ def grouped_cube(ds: Dataset, keys: list[str], value_col: str, *,
         return g
 
     return coarse_aggregate(parts, list(keys) + ["gid"], _merge)
+
+
+def funnel_steps(events: Dataset, steps: list[str], *,
+                 user_col: str = "user_id", type_col: str = "event_type",
+                 ts_col: str = "ts") -> Dataset:
+    """Ordered funnel completion per user → (user_id, steps): the
+    longest prefix of ``steps`` a user completed with STRICTLY
+    increasing timestamps, greedy-earliest semantics (step k's
+    completion time = min ts of a step-k event after step k-1's
+    completion time — the standard funnel recurrence, deterministic
+    under ts ties within a type because only the min is used).
+
+    Scale shape: rows are pre-filtered to the funnel's event types and
+    projected to (user, type, ts) BEFORE the exchange — only relevant
+    slim rows ship — then ONE coarse aggregate keyed on user hashes
+    each user's events into one bucket frame where the K-step greedy
+    scan runs as K vectorized merge+min passes (K is query-sized).
+    Users with no step-type events never enter the stream (contract:
+    output covers users with ≥ 1 event of a funnel type). No driver
+    state; user skew bounded by per-user event counts like any keyed
+    aggregate."""
+    if not steps:
+        raise ValueError("funnel_steps: steps must be non-empty")
+    step_set = list(dict.fromkeys(steps))
+    if len(step_set) != len(steps):
+        raise ValueError("funnel_steps: steps must be distinct")
+
+    def _slim(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b[type_col],
+                        value_set=pa.array(steps, pa.string()))
+        t = b.filter(keep)
+        return pa.table({user_col: t[user_col], type_col: t[type_col],
+                         ts_col: t[ts_col]})
+
+    slim = events.select_columns(
+        [user_col, type_col, ts_col]).map_batches(
+        _slim, batch_format="pyarrow", batch_size=None)
+
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        users = pd.unique(df[user_col])
+        out = pd.DataFrame({user_col: users,
+                            "steps": np.zeros(len(users), np.int64)})
+        out = out.set_index(user_col)
+        done = (df[df[type_col] == steps[0]]
+                .groupby(user_col, sort=False)[ts_col].min()
+                .rename("_t"))
+        if not len(done):
+            return out.reset_index()
+        out.loc[done.index, "steps"] = 1
+        for lvl, s in enumerate(steps[1:], start=2):
+            ev = df[df[type_col] == s].merge(
+                done.reset_index(), on=user_col)
+            ev = ev[ev[ts_col] > ev["_t"]]
+            if not len(ev):
+                break
+            done = (ev.groupby(user_col, sort=False)[ts_col].min()
+                    .rename("_t"))
+            out.loc[done.index, "steps"] = np.int64(lvl)
+        return out.reset_index()
+
+    return coarse_aggregate(slim, [user_col], _scan)
+
+
+def cohort_retention(events: Dataset, *, user_col: str = "user_id",
+                     ts_col: str = "ts") -> Dataset:
+    """Cohort retention matrix → (cohort, day_offset, n_users): users
+    are bucketed by their FIRST active day (the cohort, emitted as a
+    'YYYY-MM-DD' string so both gate sides print identically), and
+    ``n_users`` counts distinct users of that cohort active exactly
+    ``day_offset`` days later — the standard retention triangle a
+    crawl/product-analytics consumer derives from an event stream.
+
+    Scale shape: TWO slim exchanges. (1) project to (user, day) with
+    per-block dedup before the shuffle, coarse-aggregate keyed user —
+    each user's active-day set lands in one frame where cohort = min
+    day and offsets are unique per user by construction, so one
+    (cohort, offset) row per user-offset leaves the frame; (2) coarse
+    count keyed (cohort, offset) — the distinct-user count without a
+    distinct aggregate, because step 1 already guaranteed uniqueness.
+    No driver state; user skew bounded by a user's distinct active
+    days, not raw event volume (the per-block dedup absorbs hot
+    users before anything ships)."""
+
+    def _slim(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            user_col: df[user_col],
+            "day": df[ts_col].dt.floor("D")})
+        return out.drop_duplicates()
+
+    slim = events.select_columns([user_col, ts_col]).map_batches(
+        _slim, batch_format="pandas", batch_size=None)
+
+    def _per_user(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        first = d.groupby(user_col, sort=False)["day"].transform("min")
+        return pd.DataFrame({
+            "cohort": first.dt.strftime("%Y-%m-%d"),
+            "day_offset": (d["day"] - first).dt.days.astype(np.int64)})
+
+    per_user = coarse_aggregate(slim, [user_col], _per_user)
+
+    def _count(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["cohort", "day_offset"], sort=False)
+             .size().rename("n_users").reset_index())
+        g["n_users"] = g["n_users"].astype(np.int64)
+        return g
+
+    return coarse_aggregate(per_user, ["cohort", "day_offset"], _count)

@@ -1779,3 +1779,113 @@ def test_grouped_cube_matches_sql(ray_session):
     assert (got["gid"].to_numpy() == want["gid"].to_numpy()).all()
     assert np.allclose(got["sum_v"], want["sum_v"])
     assert (got["n_rows"].to_numpy() == want["n_rows"].to_numpy()).all()
+
+
+def test_funnel_steps_matches_sql(ray_session):
+    """funnel_steps ≡ the unrolled greedy-earliest SQL recurrence; ties
+    within a type and out-of-order arrivals must not change the
+    result; a user whose steps occur in the wrong order stalls."""
+    import duckdb as _dd
+
+    from omop2obo_ray.pipelines.relational import funnel_steps
+
+    rng = np.random.default_rng(5)
+    n = 600
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "event_type": rng.choice(
+            ["view", "click", "purchase", "error"], n),
+        "ts": pd.to_datetime(
+            rng.integers(0, 500, n), unit="s", origin="2026-01-01"),
+        "event_id": np.arange(n)})
+    steps = ["view", "click", "purchase"]
+    got = (funnel_steps(rd.from_pandas(df).repartition(7), steps)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    con = _dd.connect()
+    con.register("events", df)
+    want = con.execute(
+        "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+        "JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t "
+        "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+        "JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t "
+        "WHERE e.event_type = 'purchase' GROUP BY e.user_id), "
+        "u AS (SELECT DISTINCT user_id FROM events "
+        "WHERE event_type IN ('view', 'click', 'purchase')) "
+        "SELECT u.user_id, CASE WHEN s3.t IS NOT NULL THEN 3 "
+        "WHEN s2.t IS NOT NULL THEN 2 WHEN s1.t IS NOT NULL THEN 1 "
+        "ELSE 0 END AS steps FROM u "
+        "LEFT JOIN s1 ON s1.user_id = u.user_id "
+        "LEFT JOIN s2 ON s2.user_id = u.user_id "
+        "LEFT JOIN s3 ON s3.user_id = u.user_id "
+        "ORDER BY u.user_id").df()
+    assert (got["user_id"].to_numpy() == want["user_id"].to_numpy()).all()
+    assert (got["steps"].to_numpy() == want["steps"].to_numpy()).all()
+
+
+def test_funnel_steps_strict_order_and_ties(ray_session):
+    from omop2obo_ray.pipelines.relational import funnel_steps
+
+    t = pd.to_datetime
+    df = pd.DataFrame([
+        # u1: completes all three strictly in order
+        (1, "view", t("2026-01-01 00:00:00")),
+        (1, "click", t("2026-01-01 00:00:05")),
+        (1, "purchase", t("2026-01-01 00:00:09")),
+        # u2: click at SAME ts as view — strict > means not counted
+        (2, "view", t("2026-01-01 00:00:00")),
+        (2, "click", t("2026-01-01 00:00:00")),
+        # u3: purchase BEFORE click — stalls at 2
+        (3, "view", t("2026-01-01 00:00:00")),
+        (3, "purchase", t("2026-01-01 00:00:01")),
+        (3, "click", t("2026-01-01 00:00:02")),
+        # u4: non-funnel event filtered out; lone view → steps 1
+        (4, "error", t("2026-01-01 00:00:00")),
+        (4, "view", t("2026-01-01 00:00:07")),
+    ], columns=["user_id", "event_type", "ts"])
+    got = (funnel_steps(rd.from_pandas(df),
+                        ["view", "click", "purchase"])
+           .to_pandas().set_index("user_id")["steps"])
+    assert got[1] == 3 and got[2] == 1 and got[3] == 2 and got[4] == 1
+
+
+def test_cohort_retention_matches_sql(ray_session):
+    """cohort_retention ≡ DuckDB first-day-cohort × distinct-active-day
+    offsets; cross-block user duplication must collapse to one user
+    per (cohort, offset)."""
+    import duckdb as _dd
+
+    from omop2obo_ray.pipelines.relational import cohort_retention
+
+    rng = np.random.default_rng(9)
+    n = 800
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 50, n),
+        "ts": pd.to_datetime(rng.integers(0, 21 * 86400, n), unit="s",
+                             origin="2026-02-01"),
+        "event_type": rng.choice(["a", "b"], n)})
+    got = (cohort_retention(rd.from_pandas(df).repartition(9))
+           .to_pandas().sort_values(["cohort", "day_offset"])
+           .reset_index(drop=True))
+    con = _dd.connect()
+    con.register("events", df)
+    want = con.execute(
+        "WITH ud AS (SELECT DISTINCT user_id, "
+        "date_trunc('day', ts) AS day FROM events), "
+        "f AS (SELECT user_id, min(day) AS cohort FROM ud "
+        "GROUP BY user_id) "
+        "SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort, "
+        "datediff('day', f.cohort, ud.day) AS day_offset, "
+        "count(*) AS n_users FROM ud JOIN f USING (user_id) "
+        "GROUP BY 1, 2 ORDER BY 1, 2").df()
+    assert (got["cohort"] == want["cohort"]).all()
+    assert (got["day_offset"].to_numpy()
+            == want["day_offset"].to_numpy()).all()
+    assert (got["n_users"].to_numpy() == want["n_users"].to_numpy()).all()
+    # day-0 row of the earliest cohort contains every user first seen
+    # that day, exactly once
+    d0 = got[(got["cohort"] == got["cohort"].min())
+             & (got["day_offset"] == 0)]
+    assert len(d0) == 1 and d0["n_users"].iloc[0] >= 1
