@@ -2139,6 +2139,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "event_type", "ts"])
         return funnel_steps(ev, ["view", "click", "purchase"])
 
+    def q_scalar_quantize(sf):
+        # SQ8 codes exploded to (vec_id, dim, q) long form for the SQL
+        # gate; the quantizer expression is pinned float64-exact on
+        # both sides (min/max stats are exact, no sum reassociation)
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import scalar_quantize
+
+        emb = rd.read_parquet(f"{sf}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        codes, _stats = scalar_quantize(emb)
+
+        def _explode(b: pa.Table) -> pa.Table:
+            arr = b["code"].combine_chunks()
+            n = len(arr)
+            dim = arr.type.byte_width
+            buf = np.frombuffer(arr.buffers()[1], np.uint8)[
+                arr.offset * dim:(arr.offset + n) * dim]
+            vid = b["vec_id"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "vec_id": pa.array(np.repeat(vid, dim), pa.int64()),
+                "dim": pa.array(np.tile(
+                    np.arange(dim, dtype=np.int64), n)),
+                "q": pa.array(buf.astype(np.int64), pa.int64())})
+
+        return codes.map_batches(_explode, batch_format="pyarrow",
+                                 batch_size=None)
+
     def q_cohort_retention(sf):
         # first-active-day cohorts × distinct-active-day offsets;
         # integer counts, gate exact
@@ -2210,6 +2240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube": q_cube,                      # GROUP BY CUBE, all 2^m sets one exchange (SQL-checked)
         "funnel": q_funnel,                  # ordered-step funnel per user (SQL-checked)
         "cohort_retention": q_cohort_retention,  # retention triangle over events (SQL-checked)
+        "scalar_quantize": q_scalar_quantize,  # SQ8 embedding codes, exact gate (SQL-checked)
         "bgp_optional": q_bgp_optional,      # SPARQL OPTIONAL left-outer pattern (SQL-checked)
         "bgp_minus": q_bgp_minus,            # SPARQL MINUS anti-join pattern (SQL-checked)
         "construct": q_construct,            # SPARQL CONSTRUCT graph rewrite (SQL-checked)
@@ -2398,10 +2429,26 @@ def oracle_sql() -> dict[str, str]:
         "count(*) AS n_users FROM ud JOIN f USING (user_id) "
         "GROUP BY 1, 2")
 
+    # SQ8 scalar quantization: per-dim global min/max range →
+    # q = floor((x − mn)/(mx − mn)·255); float32→float64 widening is
+    # exact and min/max stats involve no summation, so both sides
+    # compute bit-identical doubles → the gate needs no quantizer
+    _sq8 = (
+        "WITH x AS (SELECT vec_id, "
+        "unnest(embedding)::DOUBLE AS val, "
+        "unnest(range(len(embedding))) AS dim FROM embeddings), "
+        "s AS (SELECT dim, min(val) AS mn, max(val) AS mx "
+        "FROM x GROUP BY dim) "
+        "SELECT x.vec_id, x.dim, CASE WHEN s.mx = s.mn THEN 0 "
+        "ELSE CAST(least(greatest(floor((x.val - s.mn) / "
+        "(s.mx - s.mn) * 255), 0), 255) AS BIGINT) END AS q "
+        "FROM x JOIN s USING (dim)")
+
     return {
         "kcore": _kc,
         "funnel": _funnel,
         "cohort_retention": _cohort,
+        "scalar_quantize": _sq8,
         "normalize_codes": (
             "SELECT p_partkey, 'brand:' || lower(split_part(p_brand, '#', 2)) AS norm_code "
             "FROM part"

@@ -2826,3 +2826,67 @@ def ivfpq_topk(embeddings: Dataset,
                                            batch_format="pandas")
     return out.to_pandas().sort_values(
         ["qid", "dist", key_col]).reset_index(drop=True)
+
+
+def scalar_quantize(embeddings: Dataset, *, vec_col: str = "embedding",
+                    key_col: str = "vec_id") -> tuple[Dataset, dict]:
+    """FAISS-SQ8-style scalar quantization → ((key,
+    code fixed_size_binary(dim)), stats): each float dimension is
+    mapped to one uint8 by the per-dim global min/max range,
+    q = floor((x − mn) / (mx − mn) · 255) (span-0 dims encode 0) — a
+    4× memory cut for the ANN family's resident vectors, the standard
+    companion to ``pq_encode`` when sub-vector codebooks are overkill.
+
+    Scale shape: TWO streaming passes. Pass 1 reduces each block to
+    ONE (mins, maxs) float64 blob pair — min/max partials combine
+    exactly, so the driver folds #blocks dim-bounded rows (same
+    bounded-driver-state contract as ``kmeans_fit``'s ≤k rows). The
+    stats broadcast once via ``ray.put``; pass 2 encodes per block
+    with one vectorized expression and emits packed uint8 codes —
+    no exchange at all. Decode is ``mn + q/255·span`` using the
+    returned ``stats`` dict ({'mins', 'maxs'} float64 arrays).
+
+    The quantizer expression is pinned (subtract, divide by span,
+    multiply by 255, floor — in that order, float64) so an external
+    oracle computing the same expression gets bit-identical codes:
+    float32→float64 widening is exact and IEEE ops on identical
+    operands are deterministic."""
+    slim = embeddings.select_columns([vec_col])
+
+    def _mm(b: pa.Table) -> pa.Table:
+        X = np.stack(b[vec_col].to_pandas().to_numpy()).astype(
+            np.float64)
+        return pa.table({
+            "mins": pa.array([X.min(axis=0).tobytes()],
+                             pa.large_binary()),
+            "maxs": pa.array([X.max(axis=0).tobytes()],
+                             pa.large_binary())})
+
+    parts = slim.map_batches(_mm, batch_format="pyarrow",
+                             batch_size=None).take_all()
+    mins = np.min([np.frombuffer(p["mins"], np.float64)
+                   for p in parts], axis=0)
+    maxs = np.max([np.frombuffer(p["maxs"], np.float64)
+                   for p in parts], axis=0)
+    span = maxs - mins
+    dim = mins.size
+    stats_ref = ray.put((mins, span))
+
+    def _enc(b: pa.Table) -> pa.Table:
+        mn, sp = ray.get(stats_ref)
+        X = np.stack(b[vec_col].to_pandas().to_numpy()).astype(
+            np.float64)
+        safe = np.where(sp == 0.0, 1.0, sp)
+        q = np.floor((X - mn) / safe * 255.0)
+        q = np.where(sp == 0.0, 0.0, q)
+        q = np.clip(q, 0.0, 255.0).astype(np.uint8)
+        # zero-copy fixed_size_binary build — one buffer, no per-row
+        # Python slicing
+        code = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(dim), q.shape[0],
+            [None, pa.py_buffer(np.ascontiguousarray(q).tobytes())])
+        return pa.table({key_col: b[key_col], "code": code})
+
+    codes = embeddings.select_columns([key_col, vec_col]).map_batches(
+        _enc, batch_format="pyarrow", batch_size=None)
+    return codes, {"mins": mins, "maxs": maxs}

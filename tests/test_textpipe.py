@@ -1022,3 +1022,34 @@ def test_ivfpq_probe_pruning_and_cluster_recall(ray_session):
         assert len(g) == 10
         in_cluster = ((g >= lo) & (g < lo + 30)).sum()
         assert in_cluster >= 9
+
+
+def test_scalar_quantize_roundtrip_and_range(ray_session):
+    """SQ8 codes must equal the pinned quantizer expression computed
+    directly in numpy; decode error bounded by half a quantum per dim;
+    span-0 dims encode 0."""
+    from omop2obo_ray.pipelines.textpipe import scalar_quantize
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(120, 8)).astype(np.float32)
+    X[:, 5] = 2.5  # constant dim → span 0
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(120, dtype=np.int64),
+        "embedding": list(X)}))
+    codes, stats = scalar_quantize(ds)
+    got = codes.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    Q = np.stack([np.frombuffer(c, np.uint8) for c in got["code"]])
+    Xd = X.astype(np.float64)
+    mn, mx = Xd.min(axis=0), Xd.max(axis=0)
+    sp = mx - mn
+    safe = np.where(sp == 0, 1.0, sp)
+    expect = np.clip(np.where(sp == 0, 0.0,
+                              np.floor((Xd - mn) / safe * 255.0)),
+                     0, 255).astype(np.uint8)
+    assert (Q == expect).all()
+    assert (Q[:, 5] == 0).all()
+    np.testing.assert_allclose(stats["mins"], mn)
+    np.testing.assert_allclose(stats["maxs"], mx)
+    # decode: mn + q/255*span within one quantum of the original
+    dec = mn + Q.astype(np.float64) / 255.0 * sp
+    assert np.max(np.abs(dec - Xd) / np.where(sp == 0, 1, sp)) <= 1 / 255
