@@ -2169,6 +2169,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return codes.map_batches(_explode, batch_format="pyarrow",
                                  batch_size=None)
 
+    def q_skyline(sf):
+        # Pareto front of parts: minimize p_retailprice, maximize
+        # p_size; doubles read from the same parquet on both sides, so
+        # comparisons are exact — no quantizer
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import skyline2d
+
+        part = rd.read_parquet(f"{sf}/part.parquet",
+                               columns=["p_partkey", "p_retailprice",
+                                        "p_size"])
+        return skyline2d(part, "p_retailprice", "p_size",
+                         cols=["p_partkey"])
+
     def q_cohort_retention(sf):
         # first-active-day cohorts × distinct-active-day offsets;
         # integer counts, gate exact
@@ -2241,6 +2255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": q_funnel,                  # ordered-step funnel per user (SQL-checked)
         "cohort_retention": q_cohort_retention,  # retention triangle over events (SQL-checked)
         "scalar_quantize": q_scalar_quantize,  # SQ8 embedding codes, exact gate (SQL-checked)
+        "skyline": q_skyline,                # 2-D Pareto front, combiner-first (SQL-checked)
         "bgp_optional": q_bgp_optional,      # SPARQL OPTIONAL left-outer pattern (SQL-checked)
         "bgp_minus": q_bgp_minus,            # SPARQL MINUS anti-join pattern (SQL-checked)
         "construct": q_construct,            # SPARQL CONSTRUCT graph rewrite (SQL-checked)
@@ -2449,6 +2464,15 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _funnel,
         "cohort_retention": _cohort,
         "scalar_quantize": _sq8,
+        # skyline: classic NOT EXISTS dominance formulation
+        "skyline": (
+            "SELECT p_partkey, p_retailprice, p_size FROM part p "
+            "WHERE NOT EXISTS (SELECT 1 FROM part q "
+            "WHERE q.p_retailprice <= p.p_retailprice "
+            "AND q.p_size >= p.p_size "
+            "AND (q.p_retailprice < p.p_retailprice "
+            "OR q.p_size > p.p_size))"
+        ),
         "normalize_codes": (
             "SELECT p_partkey, 'brand:' || lower(split_part(p_brand, '#', 2)) AS norm_code "
             "FROM part"

@@ -1025,3 +1025,49 @@ def cohort_retention(events: Dataset, *, user_col: str = "user_id",
         return g
 
     return coarse_aggregate(per_user, ["cohort", "day_offset"], _count)
+
+
+def skyline2d(ds: Dataset, min_col: str, max_col: str,
+              cols: list[str] | None = None) -> Dataset:
+    """2-D skyline (Pareto front): rows not DOMINATED by any other —
+    another row dominates if it is ≤ on ``min_col`` AND ≥ on
+    ``max_col`` with at least one strict inequality. Ties: all
+    co-optimal (incomparable or equal-on-both) rows are kept, the
+    standard skyline contract.
+
+    Scale shape: dominance is transitive, so a block-local skyline
+    never discards a global skyline row — each block reduces to its
+    own front with one vectorized sort + running-max pass
+    (O(n log n), no pairwise loop), then the survivors (skyline-mass
+    bounded, typically ≪ input) merge in ONE final single-group pass.
+    The final pass's input is the concatenated local fronts — if a
+    pathological data layout made that large, re-blocking and
+    repeating the local pass bounds it (standard skyline-of-skylines
+    recursion); one level suffices for any real distribution."""
+    keep = list(dict.fromkeys(
+        (cols or []) + [min_col, max_col]))
+
+    def _front(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df[keep]
+        d = df[keep].copy()
+        # survive ⇔ y == max y of own x-group (ties on both kept,
+        # within-group smaller y dominated via strict y) AND
+        # y > max y over all STRICTLY smaller x (dominated via strict
+        # x otherwise) — the exact dominance rule, fully vectorized
+        gmax = d.groupby(min_col)[max_col].transform("max")
+        per_x = d.groupby(min_col, sort=True)[max_col].max()
+        prior = per_x.cummax().shift(1)  # exclusive prefix max
+        m = d[min_col].map(prior)
+        surv = (d[max_col] == gmax) & (m.isna() | (d[max_col] > m))
+        return d[surv.to_numpy()]
+
+    local = ds.select_columns(keep).map_batches(
+        _front, batch_format="pandas", batch_size=None)
+    # ONE single-group merge over the skyline-mass-bounded candidates
+    merged = local.map_batches(
+        lambda df: df.assign(_g=np.int32(0)),
+        batch_format="pandas", batch_size=None)
+    return merged.groupby("_g").map_groups(
+        lambda df: _front(df.drop(columns=["_g"])),
+        batch_format="pandas")

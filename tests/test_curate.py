@@ -1889,3 +1889,36 @@ def test_cohort_retention_matches_sql(ray_session):
     d0 = got[(got["cohort"] == got["cohort"].min())
              & (got["day_offset"] == 0)]
     assert len(d0) == 1 and d0["n_users"].iloc[0] >= 1
+
+
+def test_skyline2d_matches_bruteforce(ray_session):
+    """Block-local fronts + one merge must equal the O(n²) dominance
+    oracle, including duplicate co-optimal points and equal-x /
+    equal-y strictness edges."""
+    from omop2obo_ray.pipelines.relational import skyline2d
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "pid": np.arange(300, dtype=np.int64),
+        "price": np.round(rng.uniform(1, 50, 300), 1),
+        "size": rng.integers(1, 30, 300)})
+    # force duplicate co-optimal rows and strictness edges
+    df.loc[0, ["price", "size"]] = (1.0, 29)
+    df.loc[1, ["price", "size"]] = (1.0, 29)   # duplicate optimum: keep both
+    df.loc[2, ["price", "size"]] = (1.0, 28)   # same x, smaller y: dominated
+    df.loc[3, ["price", "size"]] = (1.1, 29)   # same y, bigger x: dominated
+
+    got = (skyline2d(rd.from_pandas(df).repartition(9),
+                     "price", "size", cols=["pid"])
+           .to_pandas().sort_values("pid").reset_index(drop=True))
+
+    p = df["price"].to_numpy()
+    s = df["size"].to_numpy()
+    dominated = np.array([
+        bool(np.any((p <= p[i]) & (s >= s[i])
+                    & ((p < p[i]) | (s > s[i]))))
+        for i in range(len(df))])
+    exp = df[~dominated].sort_values("pid").reset_index(drop=True)
+    assert list(got["pid"]) == list(exp["pid"])
+    assert {0, 1} <= set(got["pid"]) and 2 not in set(got["pid"]) \
+        and 3 not in set(got["pid"])
