@@ -2183,6 +2183,119 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return skyline2d(part, "p_retailprice", "p_size",
                          cols=["p_partkey"])
 
+    def q_bgp_union(sf):
+        # SPARQL UNION over the geo KG: customer bindings carry the
+        # region var, supplier branch leaves ?r unbound (null padding)
+        import pandas as pd
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import match_bgp_union
+
+        cust = rd.read_parquet(f"{sf}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"])
+        supp = rd.read_parquet(f"{sf}/supplier.parquet",
+                               columns=["s_suppkey", "s_nationkey"])
+        nat = rd.read_parquet(f"{sf}/nation.parquet",
+                              columns=["n_nationkey", "n_regionkey"])
+
+        def _c(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "subj": "c" + df["c_custkey"].astype(str),
+                "pred": "cust_in",
+                "obj": "n" + df["c_nationkey"].astype(str)})
+
+        def _s(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "subj": "s" + df["s_suppkey"].astype(str),
+                "pred": "supp_in",
+                "obj": "n" + df["s_nationkey"].astype(str)})
+
+        def _r(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "subj": "n" + df["n_nationkey"].astype(str),
+                "pred": "in_region",
+                "obj": "r" + df["n_regionkey"].astype(str)})
+
+        triples = (cust.map_batches(_c, batch_format="pandas",
+                                    batch_size=None)
+                   .union(supp.map_batches(_s, batch_format="pandas",
+                                           batch_size=None))
+                   .union(nat.map_batches(_r, batch_format="pandas",
+                                          batch_size=None)))
+        return match_bgp_union(
+            triples,
+            [[("?x", "cust_in", "?n"), ("?n", "in_region", "?r")],
+             [("?x", "supp_in", "?n")]])
+
+    def q_random_walks(sf):
+        # DeepWalk corpus over the symmetrized distinct order—part
+        # bipartite graph (part ids offset by 1e8 into their own id
+        # space); pinned integer hash recurrence, gate EXACT
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from omop2obo_ray.functions.shuffle import coarse_aggregate
+        from omop2obo_ray.pipelines.graph import random_walks
+
+        li = rd.read_parquet(f"{sf}/lineitem.parquet",
+                             columns=["l_orderkey", "l_partkey"])
+
+        def _both(df: pd.DataFrame) -> pd.DataFrame:
+            o = df["l_orderkey"].to_numpy()
+            p = df["l_partkey"].to_numpy() + 100000000
+            return pd.DataFrame({
+                "src": np.concatenate([o, p]),
+                "dst": np.concatenate([p, o])})
+
+        edges = coarse_aggregate(
+            li.map_batches(_both, batch_format="pandas",
+                           batch_size=None),
+            ["src", "dst"], lambda df: df.drop_duplicates())
+        return random_walks(edges, walk_len=2, walks_per_node=2,
+                            seed=17)
+
+    def q_ntile(sf):
+        # NTILE(4) per user over (value, event_id) total order; integer
+        # tiles, doubles read from the same parquet — gate exact
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import ntile
+
+        ev = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["user_id", "value", "event_id"])
+        return ntile(ev, "user_id", ["value", "event_id"], 4)
+
+    def q_grouped_corr(sf):
+        # Pearson corr + regression line of extendedprice on quantity
+        # per returnflag; sufficient-stats sums reassociate vs DuckDB's
+        # single-pass kernels, so the gate epsilon-floor quantizes
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import grouped_corr
+
+        li = rd.read_parquet(f"{sf}/lineitem.parquet",
+                             columns=["l_returnflag", "l_quantity",
+                                      "l_extendedprice"])
+        out = grouped_corr(li, "l_returnflag", "l_quantity",
+                           "l_extendedprice")
+
+        def _q(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "l_returnflag": df["l_returnflag"],
+                "n": df["n"],
+                "corr_q": np.floor(df["corr"] * 1e6 + 1e-6)
+                .astype(np.int64),
+                "slope_q": np.floor(df["slope"] * 1e4 + 1e-6)
+                .astype(np.int64),
+                "icept_q": np.floor(df["intercept"] * 1e2 + 1e-6)
+                .astype(np.int64)})
+
+        return out.map_batches(_q, batch_format="pandas",
+                               batch_size=None)
+
     def q_cohort_retention(sf):
         # first-active-day cohorts × distinct-active-day offsets;
         # integer counts, gate exact
@@ -2256,6 +2369,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,  # retention triangle over events (SQL-checked)
         "scalar_quantize": q_scalar_quantize,  # SQ8 embedding codes, exact gate (SQL-checked)
         "skyline": q_skyline,                # 2-D Pareto front, combiner-first (SQL-checked)
+        "bgp_union": q_bgp_union,            # SPARQL UNION with unbound-var padding (SQL-checked)
+        "random_walks": q_random_walks,      # DeepWalk corpus, pinned hash recurrence (SQL-checked)
+        "ntile": q_ntile,                    # NTILE(n) per key, one exchange (SQL-checked)
+        "grouped_corr": q_grouped_corr,      # per-group corr/regression via sufficient stats (SQL-checked)
         "bgp_optional": q_bgp_optional,      # SPARQL OPTIONAL left-outer pattern (SQL-checked)
         "bgp_minus": q_bgp_minus,            # SPARQL MINUS anti-join pattern (SQL-checked)
         "construct": q_construct,            # SPARQL CONSTRUCT graph rewrite (SQL-checked)
@@ -2472,6 +2589,61 @@ def oracle_sql() -> dict[str, str]:
             "AND q.p_size >= p.p_size "
             "AND (q.p_retailprice < p.p_retailprice "
             "OR q.p_size > p.p_size))"
+        ),
+        # bgp_union: UNION ALL with NULL padding for the unbound ?r
+        "bgp_union": (
+            "SELECT 'c' || c_custkey AS x, 'n' || c_nationkey AS n, "
+            "'r' || n_regionkey AS r "
+            "FROM customer JOIN nation ON n_nationkey = c_nationkey "
+            "UNION ALL "
+            "SELECT 's' || s_suppkey, 'n' || s_nationkey, NULL "
+            "FROM supplier"
+        ),
+        # random_walks: ROW_NUMBER neighbor ranks + the pinned modular
+        # hash recurrence unrolled for walk_len=2, walks_per_node=2,
+        # seed=17 — all-integer, EXACT
+        "random_walks": (
+            "WITH le AS (SELECT DISTINCT l_orderkey AS src, "
+            "l_partkey + 100000000 AS dst FROM lineitem), "
+            "e AS (SELECT src, dst FROM le "
+            "UNION ALL SELECT dst, src FROM le), "
+            "nbr AS (SELECT src, dst, ROW_NUMBER() OVER "
+            "(PARTITION BY src ORDER BY dst) - 1 AS r FROM e), "
+            "deg AS (SELECT src AS node, COUNT(*) AS deg FROM e "
+            "GROUP BY src), "
+            "s0 AS (SELECT d.node AS start, w.w, d.node AS cur, d.deg "
+            "FROM deg d CROSS JOIN (SELECT 0 AS w UNION ALL SELECT 1) w), "
+            "s1 AS (SELECT s0.start, s0.w, n.dst AS cur, "
+            "COALESCE(d2.deg, 0) AS deg "
+            "FROM s0 JOIN nbr n ON n.src = s0.cur "
+            "AND n.r = ((s0.start*100003 + s0.w*2971 + s0.cur*30011 "
+            "+ 1*1009 + 17) % 1000000007) % s0.deg "
+            "LEFT JOIN deg d2 ON d2.node = n.dst), "
+            "s2 AS (SELECT s1.start, s1.w, n.dst AS cur, "
+            "COALESCE(d2.deg, 0) AS deg "
+            "FROM s1 JOIN nbr n ON n.src = s1.cur "
+            "AND n.r = ((s1.start*100003 + s1.w*2971 + s1.cur*30011 "
+            "+ 2*1009 + 17) % 1000000007) % s1.deg "
+            "LEFT JOIN deg d2 ON d2.node = n.dst WHERE s1.deg > 0) "
+            "SELECT start, w, 0 AS step, cur AS node FROM s0 "
+            "UNION ALL SELECT start, w, 1, cur FROM s1 "
+            "UNION ALL SELECT start, w, 2, cur FROM s2"
+        ),
+        "ntile": (
+            "SELECT user_id, value, event_id, "
+            "NTILE(4) OVER (PARTITION BY user_id "
+            "ORDER BY value, event_id) AS tile FROM events"
+        ),
+        # grouped_corr: epsilon-floor quantized (sum reassociation)
+        "grouped_corr": (
+            "SELECT l_returnflag, count(*) AS n, "
+            "CAST(floor(corr(l_extendedprice, l_quantity) * 1e6 + 1e-6) "
+            "AS BIGINT) AS corr_q, "
+            "CAST(floor(regr_slope(l_extendedprice, l_quantity) * 1e4 "
+            "+ 1e-6) AS BIGINT) AS slope_q, "
+            "CAST(floor(regr_intercept(l_extendedprice, l_quantity) "
+            "* 1e2 + 1e-6) AS BIGINT) AS icept_q "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "normalize_codes": (
             "SELECT p_partkey, 'brand:' || lower(split_part(p_brand, '#', 2)) AS norm_code "

@@ -1958,3 +1958,218 @@ def personalized_pagerank(edges: Dataset, seeds: list[str],
             coarse_aggregate(stream, ["node"], _sum_to_rank,
                              n_coarse=n_coarse), rank_schema)
     return ranks
+
+
+def match_bgp_union(triples: Dataset,
+                    branches: list[list[tuple[str, str, str]]], *,
+                    s_col: str = "subj", p_col: str = "pred",
+                    o_col: str = "obj",
+                    num_partitions: int = 8) -> Dataset:
+    """SPARQL UNION: alternation of basic graph patterns. Each branch
+    is a pattern list evaluated by :func:`match_bgp` independently;
+    solutions concatenate with BAG semantics (SPARQL UNION without
+    DISTINCT). The output has one column per variable appearing in ANY
+    branch (first-appearance order); a variable unbound in a branch is
+    null there — SPARQL's unbound-variable padding.
+
+    Scale shape: each branch is an independent streaming BGP plan; the
+    union is a block-list concatenation with NO exchange, so the cost
+    is exactly the sum of the branch plans.
+    """
+    if not branches:
+        raise ValueError("match_bgp_union needs at least one branch")
+    all_vars: list[str] = []
+    for patterns in branches:
+        for pat in patterns:
+            for term in pat:
+                if term.startswith("?") and term[1:] not in all_vars:
+                    all_vars.append(term[1:])
+
+    out: Dataset | None = None
+    for patterns in branches:
+        branch_vars = []
+        for pat in patterns:
+            for term in pat:
+                if term.startswith("?") and term[1:] not in branch_vars:
+                    branch_vars.append(term[1:])
+        missing = tuple(v for v in all_vars if v not in branch_vars)
+        sol = match_bgp(triples, patterns, s_col=s_col, p_col=p_col,
+                        o_col=o_col, num_partitions=num_partitions)
+
+        def _pad(batch: pa.Table, miss: tuple[str, ...] = missing,
+                 order: tuple[str, ...] = tuple(all_vars)) -> pa.Table:
+            for v in miss:
+                batch = batch.append_column(
+                    v, pa.nulls(batch.num_rows, pa.string()))
+            return batch.select(list(order))
+
+        sol = sol.map_batches(_pad, batch_format="pyarrow",
+                              batch_size=None)
+        out = sol if out is None else out.union(sol)
+    return out
+
+
+def random_walks(edges: Dataset, *, walk_len: int, walks_per_node: int = 1,
+                 src: str = "src", dst: str = "dst", seed: int = 17,
+                 n_coarse: int | None = None,
+                 rank_bits: int = 20) -> Dataset:
+    """Deterministic DeepWalk-style random-walk corpus over an
+    INTEGER-id graph — the sequence generator feeding node2vec /
+    DeepWalk KG-embedding training (Perozzi'14). Emits one row per
+    visited position: ``(start, w, step, node)`` for steps
+    ``0..walk_len`` of walk ``w ∈ [0, walks_per_node)`` from every
+    node with outgoing edges; a walk reaching a sink node (no
+    out-edges) simply stops early.
+
+    Determinism (and hence resumability + an exact SQL oracle): the
+    step-t choice is the neighbor whose per-source rank (0-based, dst
+    ascending) equals ``H % out_degree(cur)`` with the arithmetic hash
+    ``H = (start·100003 + w·2971 + cur·30011 + t·1009 + seed) %
+    1_000_000_007`` — pure int64, no RNG state, reproducible across
+    runs and expressible in SQL (ROW_NUMBER + the same modular form).
+    Node ids must be int64 (dictionary-encode string URIs upstream) and
+    multi-edges should be deduped by the caller if unwanted — ranks
+    are assigned over the edge list as given.
+
+    Scale shape: ONE coarse exchange builds the neighbor-rank table
+    (per-source cumcount) + one slim join attaches the destination's
+    out-degree; then ONE ``coarse_join`` per step keyed on the packed
+    ``cur·2^rank_bits + want_rank`` (requires out_degree < 2^rank_bits
+    — raise ``rank_bits`` for hub-heavier graphs; checked). Frontier
+    state is walk-count-bounded, never node²; each step's frontier is
+    sanitize-materialized so no step replays its predecessors.
+    """
+    from omop2obo_ray.functions.shuffle import coarse_join
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    if walk_len < 1:
+        raise ValueError("walk_len must be >= 1")
+    cap = np.int64(1) << np.int64(rank_bits)
+
+    def _slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": b[src].combine_chunks().cast(pa.int64()),
+            "dst": b[dst].combine_chunks().cast(pa.int64())})
+
+    e = edges.map_batches(_slim, batch_format="pyarrow", batch_size=None)
+
+    # neighbor-rank table: rank = 0-based position of dst in ascending
+    # order per src (ONE coarse exchange; whole src groups land in one
+    # frame, so cumcount is exact)
+    def _rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["src", "dst"], kind="mergesort")
+        g = df.groupby("src", sort=False)
+        df["rank"] = g.cumcount().astype(np.int64)
+        df["deg_src"] = g["dst"].transform("size").astype(np.int64)
+        if len(df) and int(df["deg_src"].max()) >= int(cap):
+            raise ValueError(
+                f"out-degree >= 2^{rank_bits}; raise rank_bits")
+        return df
+
+    nbr = coarse_aggregate(e, ["src"], _rank, n_coarse=n_coarse)
+    nbr = _sanitize_join_output(nbr, pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()),
+         ("rank", pa.int64()), ("deg_src", pa.int64())]))
+
+    # distinct (node, deg) — for walk starts and for attaching the
+    # destination's degree to each neighbor row
+    def _deg(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["src", "deg_src"]].drop_duplicates().rename(
+            columns={"src": "node", "deg_src": "deg"})
+
+    deg = coarse_aggregate(nbr.select_columns(["src", "deg_src"]),
+                           ["src"], _deg, n_coarse=n_coarse)
+    deg = _sanitize_join_output(deg, pa.schema(
+        [("node", pa.int64()), ("deg", pa.int64())]))
+
+    # attach deg(dst) (sinks -> 0) and pack the per-step join key
+    nbr2 = coarse_join(nbr.select_columns(["src", "dst", "rank"]), deg,
+                       on="dst", right_on="node", how="left_outer",
+                       n_coarse=n_coarse)
+
+    def _pack(b: pa.Table) -> pa.Table:
+        s = b["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        r = b["rank"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = b["deg"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = np.nan_to_num(d.astype(np.float64), nan=0.0).astype(np.int64)
+        return pa.table({
+            "_jk": pa.array(s * int(cap) + r, pa.int64()),
+            "nxt": b["dst"].combine_chunks().cast(pa.int64()),
+            "deg_nxt": pa.array(d, pa.int64())})
+
+    nbr2 = _sanitize_join_output(
+        nbr2.map_batches(_pack, batch_format="pyarrow", batch_size=None),
+        pa.schema([("_jk", pa.int64()), ("nxt", pa.int64()),
+                   ("deg_nxt", pa.int64())]))
+
+    # step-0 frontier: every node with out-edges × walks_per_node
+    def _starts(b: pa.Table) -> pa.Table:
+        node = b["node"].combine_chunks().to_numpy(zero_copy_only=False)
+        dg = b["deg"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(node)
+        return pa.table({
+            "start": pa.array(np.repeat(node, walks_per_node), pa.int64()),
+            "w": pa.array(np.tile(np.arange(walks_per_node, dtype=np.int64),
+                                  n), pa.int64()),
+            "cur": pa.array(np.repeat(node, walks_per_node), pa.int64()),
+            "deg_cur": pa.array(np.repeat(dg, walks_per_node), pa.int64())})
+
+    frontier_schema = pa.schema(
+        [("start", pa.int64()), ("w", pa.int64()),
+         ("cur", pa.int64()), ("deg_cur", pa.int64())])
+    frontier = _sanitize_join_output(
+        deg.map_batches(_starts, batch_format="pyarrow", batch_size=None),
+        frontier_schema)
+
+    def _emit(step: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "start": b["start"], "w": b["w"],
+                "step": pa.array(
+                    np.full(b.num_rows, step, np.int64), pa.int64()),
+                "node": b["cur"]})
+        return fn
+
+    outs = [frontier.map_batches(_emit(0), batch_format="pyarrow",
+                                 batch_size=None)]
+    for step in range(1, walk_len + 1):
+        def _want(b: pa.Table, t: int = step) -> pa.Table:
+            st = b["start"].combine_chunks().to_numpy(zero_copy_only=False)
+            w = b["w"].combine_chunks().to_numpy(zero_copy_only=False)
+            cur = b["cur"].combine_chunks().to_numpy(zero_copy_only=False)
+            dg = b["deg_cur"].combine_chunks().to_numpy(zero_copy_only=False)
+            live = dg > 0
+            h = (st * np.int64(100003) + w * np.int64(2971)
+                 + cur * np.int64(30011) + np.int64(t) * np.int64(1009)
+                 + np.int64(seed)) % np.int64(1_000_000_007)
+            want = np.where(live, h % np.where(live, dg, 1), 0)
+            jk = cur * int(cap) + want
+            return pa.table({
+                "_jk": pa.array(jk[live], pa.int64()),
+                "start": pa.array(st[live], pa.int64()),
+                "w": pa.array(w[live], pa.int64())})
+
+        probe = frontier.map_batches(_want, batch_format="pyarrow",
+                                     batch_size=None)
+        stepped = coarse_join(probe, nbr2, on="_jk", how="inner",
+                              n_coarse=n_coarse)
+
+        def _advance(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "start": b["start"], "w": b["w"],
+                "cur": b["nxt"].combine_chunks().cast(pa.int64()),
+                "deg_cur": b["deg_nxt"].combine_chunks().cast(pa.int64())})
+
+        frontier = _sanitize_join_output(
+            stepped.map_batches(_advance, batch_format="pyarrow",
+                                batch_size=None), frontier_schema)
+        if frontier.count() == 0:
+            break
+        outs.append(frontier.map_batches(_emit(step),
+                                         batch_format="pyarrow",
+                                         batch_size=None))
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out

@@ -1071,3 +1071,92 @@ def skyline2d(ds: Dataset, min_col: str, max_col: str,
     return merged.groupby("_g").map_groups(
         lambda df: _front(df.drop(columns=["_g"])),
         batch_format="pandas")
+
+
+def ntile(ds: Dataset, key_col: str, order_cols: list[str], n: int, *,
+          cols: list[str] | None = None,
+          n_coarse: int | None = None) -> Dataset:
+    """SQL ``NTILE(n) OVER (PARTITION BY key ORDER BY order_cols)`` —
+    equal-depth tile assignment per key (quartile/decile bucketing for
+    per-host or per-user distribution splits). Matches the SQL
+    contract exactly: with ``c`` rows in a partition, the first
+    ``c % n`` tiles get ``c // n + 1`` rows, the rest ``c // n``;
+    ``order_cols`` must be a TOTAL order within each key (include a
+    unique tiebreak column) or tile membership is nondeterministic.
+
+    Scale shape: ONE coarse exchange keyed on ``key_col`` (whole
+    partitions co-locate), in-frame mergesort + pure-arithmetic tile
+    formula — no per-row Python, no second pass."""
+    keep = list(dict.fromkeys([key_col] + order_cols + (cols or [])))
+
+    def _tile(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[keep].sort_values([key_col] + order_cols,
+                                  kind="mergesort").reset_index(drop=True)
+        g = df.groupby(key_col, sort=False)
+        rn = g.cumcount().to_numpy(np.int64)          # 0-based row number
+        c = g[key_col].transform("size").to_numpy(np.int64)
+        base, rem = c // n, c % n
+        cut = rem * (base + 1)                        # rows in the fat tiles
+        fat = rn < cut
+        tile = np.where(
+            fat, rn // np.maximum(base + 1, 1),
+            # guard: base==0 rows are ALL in fat tiles (rn < cut), so
+            # the divisor below is never used with base==0
+            rem + (rn - cut) // np.maximum(base, 1)) + 1
+        out = df.copy(deep=False)
+        out["tile"] = tile.astype(np.int64)
+        return out
+
+    return coarse_aggregate(ds.select_columns(keep), [key_col], _tile,
+                            n_coarse=n_coarse)
+
+
+def grouped_corr(ds: Dataset, key_col: str, x_col: str, y_col: str, *,
+                 n_coarse: int | None = None) -> Dataset:
+    """Per-group Pearson correlation + least-squares line
+    (``corr`` / ``regr_slope`` / ``regr_intercept`` semantics, rows
+    with a null in either column excluded pairwise like SQL).
+
+    Scale shape: the textbook combiner decomposition — each block
+    reduces to per-key sufficient statistics ``(n, Σx, Σy, Σxx, Σyy,
+    Σxy)`` with ONE vectorized pandas groupby (6 numbers per key per
+    block, regardless of block size), the coarse exchange ships only
+    those partials, and one vectorized finalize evaluates the closed
+    forms. Nothing rescans the data and no driver state exists.
+
+    Groups with < 2 rows or zero variance get null corr/slope, like
+    SQL. Float caveat: sums reassociate across blocks, so gates
+    against a SQL oracle must quantize (epsilon-floor, the repo
+    convention)."""
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[key_col, x_col, y_col]].dropna()
+        x = d[x_col].astype(np.float64)
+        y = d[y_col].astype(np.float64)
+        t = pd.DataFrame({key_col: d[key_col], "n": np.int64(1),
+                          "sx": x, "sy": y, "sxx": x * x, "syy": y * y,
+                          "sxy": x * y})
+        return t.groupby(key_col, sort=False, as_index=False).sum()
+
+    parts = ds.select_columns([key_col, x_col, y_col]).map_batches(
+        _partial, batch_format="pandas", batch_size=None)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_col, sort=False, as_index=False).sum()
+        n = g["n"].to_numpy(np.float64)
+        sx, sy = g["sx"].to_numpy(), g["sy"].to_numpy()
+        sxx, syy, sxy = (g["sxx"].to_numpy(), g["syy"].to_numpy(),
+                         g["sxy"].to_numpy())
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = np.where((vx > 0) & (vy > 0) & (n > 1),
+                            cov / np.sqrt(vx * vy), np.nan)
+            slope = np.where(vx > 0, cov / vx, np.nan)
+            icept = np.where(vx > 0, (sy - slope * sx) / n, np.nan)
+        return pd.DataFrame({key_col: g[key_col],
+                             "n": g["n"].astype(np.int64),
+                             "corr": corr, "slope": slope,
+                             "intercept": icept})
+
+    return coarse_aggregate(parts, [key_col], _final, n_coarse=n_coarse)

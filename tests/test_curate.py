@@ -1922,3 +1922,55 @@ def test_skyline2d_matches_bruteforce(ray_session):
     assert list(got["pid"]) == list(exp["pid"])
     assert {0, 1} <= set(got["pid"]) and 2 not in set(got["pid"]) \
         and 3 not in set(got["pid"])
+
+
+def test_ntile_matches_sql(ray_session):
+    """Per-key NTILE(4) over a total order ≡ DuckDB, including
+    partitions smaller than n and exact fat-tile row counts."""
+    import duckdb
+
+    from omop2obo_ray.pipelines.relational import ntile
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 12, 400),      # some keys will have < 4 rows
+        "v": rng.integers(0, 50, 400),
+        "rid": np.arange(400, dtype=np.int64)})
+    df = df[~((df["k"] == 11) & (df.index > 2))]  # force a tiny partition
+    got = (ntile(rd.from_pandas(df).repartition(7), "k", ["v", "rid"], 4)
+           .to_pandas().sort_values(["k", "v", "rid"])
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT k, v, rid,
+               NTILE(4) OVER (PARTITION BY k ORDER BY v, rid) AS tile
+        FROM df ORDER BY k, v, rid""").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_grouped_corr_matches_sql(ray_session):
+    """Sufficient-stats corr/slope/intercept ≡ DuckDB corr/regr_* per
+    group (null pairs excluded, degenerate groups null)."""
+    import duckdb
+
+    from omop2obo_ray.pipelines.relational import grouped_corr
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 6, 500),
+        "x": rng.normal(10, 3, 500),
+        "y": rng.normal(0, 1, 500)})
+    df["y"] = df["y"] + 0.5 * df["x"]
+    df.loc[5, "x"] = np.nan                       # pairwise-null exclusion
+    df.loc[df["k"] == 5, "x"] = 7.0               # zero-variance group
+    got = (grouped_corr(rd.from_pandas(df).repartition(6), "k", "x", "y")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT k, count(*) FILTER (x IS NOT NULL AND y IS NOT NULL) AS n,
+               corr(y, x) AS corr, regr_slope(y, x) AS slope,
+               regr_intercept(y, x) AS intercept
+        FROM df GROUP BY k ORDER BY k""").df()
+    assert list(got["k"]) == list(exp["k"])
+    assert list(got["n"]) == list(exp["n"])
+    for c in ["corr", "slope", "intercept"]:
+        np.testing.assert_allclose(got[c], exp[c], rtol=1e-9, atol=1e-12)
+    assert np.isnan(got.loc[got["k"] == 5, "corr"]).all()

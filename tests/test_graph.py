@@ -1054,3 +1054,60 @@ def test_personalized_pagerank_mass_and_seeds(ray_session):
     # in-edges so it keeps exactly the teleport base
     assert got["b"] > 0
     assert abs(got["s"] - 0.15) < 1e-12
+
+
+def test_match_bgp_union_pads_unbound(ray_session):
+    """UNION branches with different variable sets: bag semantics, and
+    variables unbound in a branch come back null (SPARQL padding)."""
+    from omop2obo_ray.pipelines.graph import match_bgp_union
+
+    df = pd.DataFrame({
+        "subj": ["c1", "c2", "s1", "n1", "n2"],
+        "pred": ["cust_in", "cust_in", "supp_in", "in_region",
+                 "in_region"],
+        "obj": ["n1", "n2", "n1", "r1", "r2"]})
+    got = match_bgp_union(
+        rd.from_pandas(df),
+        [[("?x", "cust_in", "?n"), ("?n", "in_region", "?r")],
+         [("?x", "supp_in", "?n")]]).to_pandas()
+    assert sorted(got.columns) == ["n", "r", "x"]
+    # branch 1: both customers bind r; branch 2: supplier row, r null
+    b1 = got[got["r"].notna()].sort_values("x")
+    assert list(b1["x"]) == ["c1", "c2"] and list(b1["r"]) == ["r1", "r2"]
+    b2 = got[got["r"].isna()]
+    assert list(b2["x"]) == ["s1"] and list(b2["n"]) == ["n1"]
+
+
+def test_random_walks_matches_simulation(ray_session):
+    """Distributed walk corpus ≡ a single-process simulation of the
+    pinned hash recurrence, on a graph with hubs, a sink (walk stops
+    early) and multi-walks per node."""
+    from omop2obo_ray.pipelines.graph import random_walks
+
+    edges = pd.DataFrame({
+        "src": [1, 1, 1, 2, 2, 3, 4, 5, 5],
+        "dst": [2, 3, 4, 3, 9, 1, 5, 1, 2]})  # 9 is a sink
+    got = (random_walks(rd.from_pandas(edges).repartition(3),
+                        walk_len=5, walks_per_node=2, seed=17)
+           .to_pandas().sort_values(["start", "w", "step"])
+           .reset_index(drop=True))
+
+    nbrs = {s: sorted(g["dst"]) for s, g in edges.groupby("src")}
+    rows = []
+    for start in sorted(nbrs):
+        for w in range(2):
+            cur = start
+            rows.append((start, w, 0, cur))
+            for t in range(1, 6):
+                if cur not in nbrs:
+                    break
+                deg = len(nbrs[cur])
+                h = (start * 100003 + w * 2971 + cur * 30011
+                     + t * 1009 + 17) % 1_000_000_007
+                cur = nbrs[cur][h % deg]
+                rows.append((start, w, t, cur))
+    exp = (pd.DataFrame(rows, columns=["start", "w", "step", "node"])
+           .sort_values(["start", "w", "step"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the sink was reachable and stopped at least one walk early
+    assert (exp.groupby(["start", "w"])["step"].max() < 5).any()
