@@ -2255,6 +2255,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return random_walks(edges, walk_len=2, walks_per_node=2,
                             seed=17)
 
+    def q_sssp(sf):
+        # weighted shortest paths from order 1 over the symmetrized
+        # order—part graph (w = quantity, integral in this data →
+        # int64-exact); max_rounds=2 pins the ≤2-edge Bellman-Ford
+        # table, which the oracle unrolls exactly
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import sssp
+
+        li = rd.read_parquet(f"{sf}/lineitem.parquet",
+                             columns=["l_orderkey", "l_partkey",
+                                      "l_quantity"])
+
+        def _both(df: pd.DataFrame) -> pd.DataFrame:
+            o = df["l_orderkey"].to_numpy()
+            p = df["l_partkey"].to_numpy() + 100000000
+            w = df["l_quantity"].to_numpy().astype(np.int64)
+            return pd.DataFrame({
+                "src": np.concatenate([o, p]),
+                "dst": np.concatenate([p, o]),
+                "w": np.concatenate([w, w])})
+
+        edges = li.map_batches(_both, batch_format="pandas",
+                               batch_size=None)
+        return sssp(edges, [1], max_rounds=2)
+
     def q_ntile(sf):
         # NTILE(4) per user over (value, event_id) total order; integer
         # tiles, doubles read from the same parquet — gate exact
@@ -2371,6 +2399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": q_skyline,                # 2-D Pareto front, combiner-first (SQL-checked)
         "bgp_union": q_bgp_union,            # SPARQL UNION with unbound-var padding (SQL-checked)
         "random_walks": q_random_walks,      # DeepWalk corpus, pinned hash recurrence (SQL-checked)
+        "sssp": q_sssp,                      # weighted shortest paths, frontier Bellman-Ford (SQL-checked)
         "ntile": q_ntile,                    # NTILE(n) per key, one exchange (SQL-checked)
         "grouped_corr": q_grouped_corr,      # per-group corr/regression via sufficient stats (SQL-checked)
         "bgp_optional": q_bgp_optional,      # SPARQL OPTIONAL left-outer pattern (SQL-checked)
@@ -2628,6 +2657,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT start, w, 0 AS step, cur AS node FROM s0 "
             "UNION ALL SELECT start, w, 1, cur FROM s1 "
             "UNION ALL SELECT start, w, 2, cur FROM s2"
+        ),
+        # sssp: 2-round Bellman-Ford recurrence unrolled — all-integer,
+        # EXACT (multi-edges fold under MIN on both sides)
+        "sssp": (
+            "WITH e AS (SELECT l_orderkey AS src, "
+            "l_partkey + 100000000 AS dst, "
+            "CAST(l_quantity AS BIGINT) AS w FROM lineitem "
+            "UNION ALL SELECT l_partkey + 100000000, l_orderkey, "
+            "CAST(l_quantity AS BIGINT) FROM lineitem), "
+            "d0 AS (SELECT CAST(1 AS BIGINT) AS node, "
+            "CAST(0 AS BIGINT) AS dist), "
+            "r1 AS (SELECT node, dist FROM d0 UNION ALL "
+            "SELECT e.dst, d0.dist + e.w FROM d0 "
+            "JOIN e ON e.src = d0.node), "
+            "d1 AS (SELECT node, MIN(dist) AS dist FROM r1 "
+            "GROUP BY node), "
+            "r2 AS (SELECT node, dist FROM d1 UNION ALL "
+            "SELECT e.dst, d1.dist + e.w FROM d1 "
+            "JOIN e ON e.src = d1.node), "
+            "d2 AS (SELECT node, MIN(dist) AS dist FROM r2 "
+            "GROUP BY node) "
+            "SELECT node, dist FROM d2"
         ),
         "ntile": (
             "SELECT user_id, value, event_id, "

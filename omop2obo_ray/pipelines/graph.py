@@ -2173,3 +2173,93 @@ def random_walks(edges: Dataset, *, walk_len: int, walks_per_node: int = 1,
     for o in outs[1:]:
         out = out.union(o)
     return out
+
+
+def sssp(edges: Dataset, seeds: list, *, src: str = "src",
+         dst: str = "dst", weight: str = "w", max_rounds: int = 16,
+         n_coarse: int | None = None) -> Dataset:
+    """Weighted single-source(-set) shortest paths — frontier
+    Bellman-Ford. Returns ``(node, dist)`` for every node reachable
+    from ``seeds`` (seeds at 0); weights must be non-negative.
+    Stops early when a round improves nothing, or after ``max_rounds``
+    (Bellman-Ford's round-k table = exact distances using ≤ k edges,
+    so a fixed ``max_rounds`` is a well-defined operator in itself —
+    the SQL gate unrolls exactly that recurrence).
+
+    Scale shape: per round ONE ``coarse_join`` ships the frontier onto
+    its out-edges (frontier-sized, not graph-sized: only nodes whose
+    distance IMPROVED last round relax again — equivalent to full
+    relaxation, since an unimproved node's candidates were already
+    folded in the round it last improved) and ONE coarse min-aggregate
+    folds candidates into the running table, tagging improvements in
+    the same frame — no separate compare join, no driver state. The
+    distance table is sanitize-materialized per round so no round
+    replays its predecessors.
+    """
+    from omop2obo_ray.functions.shuffle import coarse_join
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    def _slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": b[src].combine_chunks().cast(pa.int64()),
+            "dst": b[dst].combine_chunks().cast(pa.int64()),
+            "w": b[weight].combine_chunks().cast(pa.int64())})
+
+    e = edges.map_batches(_slim, batch_format="pyarrow",
+                          batch_size=None).materialize()
+
+    dist_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+    seed_tbl = pa.table({
+        "node": pa.array(sorted({int(s) for s in seeds}), pa.int64()),
+        "dist": pa.array([0] * len({int(s) for s in seeds}), pa.int64())})
+    dist = ray.data.from_arrow(seed_tbl)
+    frontier = dist
+
+    for _round in range(max_rounds):
+        probe = frontier.map_batches(
+            lambda b: pa.table({"cur": b["node"], "d": b["dist"]}),
+            batch_format="pyarrow", batch_size=None)
+        relaxed = coarse_join(probe, e, on="cur", right_on="src",
+                              how="inner", n_coarse=n_coarse)
+
+        def _cand(b: pa.Table) -> pa.Table:
+            d = b["d"].combine_chunks().to_numpy(zero_copy_only=False)
+            w = b["w"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": b["dst"].combine_chunks().cast(pa.int64()),
+                "dist": pa.array(d + w, pa.int64()),
+                "_old": pa.array(np.zeros(b.num_rows, np.int8))})
+
+        cand = relaxed.map_batches(_cand, batch_format="pyarrow",
+                                   batch_size=None)
+        tagged = dist.map_batches(
+            lambda b: pa.table({
+                "node": b["node"], "dist": b["dist"],
+                "_old": pa.array(np.ones(b.num_rows, np.int8))}),
+            batch_format="pyarrow", batch_size=None)
+
+        # ONE exchange: fold candidates into the table AND tag
+        # improvements inside the same per-node frame
+        def _fold(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("node", sort=False)
+            newmin = g["dist"].min()
+            old = df[df["_old"] == 1].set_index("node")["dist"]
+            out = newmin.reset_index()
+            oldv = out["node"].map(old)
+            out["improved"] = (oldv.isna()
+                               | (out["dist"] < oldv)).astype(np.int8)
+            return out
+
+        folded = _sanitize_join_output(
+            coarse_aggregate(cand.union(tagged), ["node"], _fold,
+                             n_coarse=n_coarse),
+            pa.schema([("node", pa.int64()), ("dist", pa.int64()),
+                       ("improved", pa.int8())]))
+        frontier = _sanitize_join_output(
+            folded.filter(expr="improved == 1").select_columns(
+                ["node", "dist"]), dist_schema)
+        dist = _sanitize_join_output(
+            folded.select_columns(["node", "dist"]), dist_schema)
+        if frontier.count() == 0:
+            break
+    return dist

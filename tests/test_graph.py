@@ -1111,3 +1111,26 @@ def test_random_walks_matches_simulation(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # the sink was reachable and stopped at least one walk early
     assert (exp.groupby(["start", "w"])["step"].max() < 5).any()
+
+
+def test_sssp_matches_bellman_ford(ray_session):
+    """Frontier relaxation ≡ full Bellman-Ford: a longer-hop cheaper
+    path must overwrite the greedy short-hop distance, unreachable
+    nodes stay absent, and a tight max_rounds truncates exactly at
+    the ≤k-edge distances."""
+    from omop2obo_ray.pipelines.graph import sssp
+
+    #     1 →(10)→ 2            cheap detour 1→3→4→2 costs 3
+    edges = pd.DataFrame({
+        "src": [1, 1, 3, 4, 2, 7],
+        "dst": [2, 3, 4, 2, 5, 8],
+        "w":   [10, 1, 1, 1, 1, 1]})  # 7→8 unreachable from 1
+    got = (sssp(rd.from_pandas(edges).repartition(3), [1])
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert list(got["node"]) == [1, 2, 3, 4, 5]
+    assert list(got["dist"]) == [0, 3, 1, 2, 4]
+
+    # k=1: only direct edges from the seed are settled
+    k1 = (sssp(rd.from_pandas(edges), [1], max_rounds=1)
+          .to_pandas().set_index("node")["dist"])
+    assert k1[2] == 10 and k1[3] == 1 and 4 not in k1.index
