@@ -2324,6 +2324,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(_q, batch_format="pandas",
                                batch_size=None)
 
+    def q_streaks(sf):
+        # consecutive-active-day islands per user; day strings +
+        # integer run lengths, gate exact
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import streaks
+
+        ev = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["user_id", "ts"])
+        return streaks(ev)
+
     def q_cohort_retention(sf):
         # first-active-day cohorts × distinct-active-day offsets;
         # integer counts, gate exact
@@ -2395,6 +2406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube": q_cube,                      # GROUP BY CUBE, all 2^m sets one exchange (SQL-checked)
         "funnel": q_funnel,                  # ordered-step funnel per user (SQL-checked)
         "cohort_retention": q_cohort_retention,  # retention triangle over events (SQL-checked)
+        "streaks": q_streaks,                # gaps-and-islands day runs per user (SQL-checked)
         "scalar_quantize": q_scalar_quantize,  # SQ8 embedding codes, exact gate (SQL-checked)
         "skyline": q_skyline,                # 2-D Pareto front, combiner-first (SQL-checked)
         "bgp_union": q_bgp_union,            # SPARQL UNION with unbound-var padding (SQL-checked)
@@ -2684,6 +2696,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, value, event_id, "
             "NTILE(4) OVER (PARTITION BY user_id "
             "ORDER BY value, event_id) AS tile FROM events"
+        ),
+        # streaks: DENSE_RANK gaps-and-islands — exact
+        "streaks": (
+            "WITH days AS (SELECT DISTINCT user_id, "
+            "CAST(date_trunc('day', ts) AS DATE) AS day FROM events), "
+            "ranked AS (SELECT user_id, day, "
+            "day - CAST(DENSE_RANK() OVER (PARTITION BY user_id "
+            "ORDER BY day) AS INTEGER) AS island FROM days) "
+            "SELECT user_id, strftime(MIN(day), '%Y-%m-%d') AS "
+            "start_day, COUNT(*) AS n_days "
+            "FROM ranked GROUP BY user_id, island"
         ),
         # grouped_corr: epsilon-floor quantized (sum reassociation)
         "grouped_corr": (

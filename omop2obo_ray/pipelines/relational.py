@@ -1160,3 +1160,46 @@ def grouped_corr(ds: Dataset, key_col: str, x_col: str, y_col: str, *,
                              "intercept": icept})
 
     return coarse_aggregate(parts, [key_col], _final, n_coarse=n_coarse)
+
+
+def streaks(events: Dataset, *, user_col: str = "user_id",
+            ts_col: str = "ts",
+            n_coarse: int | None = None) -> Dataset:
+    """Gaps-and-islands over per-user ACTIVE DAYS → one row per
+    maximal consecutive-day run: ``(user, start_day, n_days)`` —
+    engagement streaks / crawl-freshness runs, the classic islands
+    problem (SQL's day − DENSE_RANK grouping trick).
+
+    Scale shape: project to (user, day) with per-block dedup BEFORE
+    the shuffle (hot users collapse to their distinct days early),
+    then ONE coarse exchange keyed user; inside the frame the island
+    id is the vectorized day − rank difference and runs aggregate with
+    one pandas groupby. No driver state; per-user state is bounded by
+    distinct active days."""
+
+    def _slim(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            user_col: df[user_col],
+            "day": df[ts_col].dt.floor("D")})
+        return out.drop_duplicates()
+
+    slim = events.select_columns([user_col, ts_col]).map_batches(
+        _slim, batch_format="pandas", batch_size=None)
+
+    def _islands(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates().sort_values([user_col, "day"],
+                                             kind="mergesort")
+        # whole days since epoch — resolution-independent (parquet
+        # timestamps arrive as us, from_pandas as ns)
+        dayn = (d["day"] - pd.Timestamp("1970-01-01")).dt.days
+        rank = d.groupby(user_col, sort=False).cumcount()
+        island = dayn - rank                      # constant within a run
+        g = d.assign(_i=island).groupby([user_col, "_i"], sort=False)
+        out = g.agg(start_day=("day", "min"),
+                    n_days=("day", "size")).reset_index()
+        out["start_day"] = out["start_day"].dt.strftime("%Y-%m-%d")
+        out["n_days"] = out["n_days"].astype(np.int64)
+        return out.drop(columns=["_i"])
+
+    return coarse_aggregate(slim, [user_col], _islands,
+                            n_coarse=n_coarse)

@@ -1974,3 +1974,34 @@ def test_grouped_corr_matches_sql(ray_session):
     for c in ["corr", "slope", "intercept"]:
         np.testing.assert_allclose(got[c], exp[c], rtol=1e-9, atol=1e-12)
     assert np.isnan(got.loc[got["k"] == 5, "corr"]).all()
+
+
+def test_streaks_matches_sql(ray_session):
+    """Islands per user ≡ the DENSE_RANK gaps-and-islands oracle:
+    duplicate same-day events collapse, gaps split runs."""
+    import duckdb
+
+    from omop2obo_ray.pipelines.relational import streaks
+
+    ts = pd.to_datetime([
+        "2026-01-01 05:00", "2026-01-01 23:00", "2026-01-02 01:00",
+        "2026-01-04 12:00",                      # gap → new island
+        "2026-01-01 00:00", "2026-01-03 00:00", "2026-01-04 00:00"])
+    df = pd.DataFrame({"user_id": [1, 1, 1, 1, 2, 2, 2], "ts": ts})
+    got = (streaks(rd.from_pandas(df).repartition(4))
+           .to_pandas().sort_values(["user_id", "start_day"])
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH days AS (SELECT DISTINCT user_id,
+                             CAST(date_trunc('day', ts) AS DATE) AS day
+                      FROM df),
+        ranked AS (SELECT user_id, day,
+                          day - CAST(DENSE_RANK() OVER (
+                              PARTITION BY user_id ORDER BY day)
+                              AS INTEGER) AS island FROM days)
+        SELECT user_id, strftime(MIN(day), '%Y-%m-%d') AS start_day,
+               COUNT(*) AS n_days
+        FROM ranked GROUP BY user_id, island
+        ORDER BY user_id, start_day""").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert list(got["n_days"]) == [2, 1, 1, 2]
