@@ -2324,6 +2324,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(_q, batch_format="pandas",
                                batch_size=None)
 
+    def q_skipgram_pairs(sf):
+        # item2vec training pairs over per-user event sequences,
+        # window 2; integer counts, gate exact
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import skipgram_pairs
+
+        ev = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["user_id", "event_type", "ts",
+                                      "event_id"])
+        return skipgram_pairs(ev, window=2)
+
     def q_streaks(sf):
         # consecutive-active-day islands per user; day strings +
         # integer run lengths, gate exact
@@ -2407,6 +2419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": q_funnel,                  # ordered-step funnel per user (SQL-checked)
         "cohort_retention": q_cohort_retention,  # retention triangle over events (SQL-checked)
         "streaks": q_streaks,                # gaps-and-islands day runs per user (SQL-checked)
+        "skipgram_pairs": q_skipgram_pairs,  # item2vec context-pair counts (SQL-checked)
         "scalar_quantize": q_scalar_quantize,  # SQ8 embedding codes, exact gate (SQL-checked)
         "skyline": q_skyline,                # 2-D Pareto front, combiner-first (SQL-checked)
         "bgp_union": q_bgp_union,            # SPARQL UNION with unbound-var padding (SQL-checked)
@@ -2696,6 +2709,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, value, event_id, "
             "NTILE(4) OVER (PARTITION BY user_id "
             "ORDER BY value, event_id) AS tile FROM events"
+        ),
+        # skipgram_pairs: ordered self-join within the window — exact
+        "skipgram_pairs": (
+            "WITH seq AS (SELECT user_id, event_type, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS pos FROM events) "
+            "SELECT a.event_type AS center, b.event_type AS context, "
+            "COUNT(*) AS n "
+            "FROM seq a JOIN seq b ON a.user_id = b.user_id "
+            "AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2 "
+            "GROUP BY 1, 2"
         ),
         # streaks: DENSE_RANK gaps-and-islands — exact
         "streaks": (

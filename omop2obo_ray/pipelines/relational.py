@@ -1203,3 +1203,60 @@ def streaks(events: Dataset, *, user_col: str = "user_id",
 
     return coarse_aggregate(slim, [user_col], _islands,
                             n_coarse=n_coarse)
+
+
+def skipgram_pairs(events: Dataset, *, key_col: str = "user_id",
+                   item_col: str = "event_type",
+                   order_cols: list[str] | None = None,
+                   window: int = 2,
+                   n_coarse: int | None = None) -> Dataset:
+    """Skip-gram (center, context) pair counts over per-key ordered
+    item sequences — the word2vec/item2vec training-pair generator
+    (Mikolov'13): within each key's sequence, every ordered pair of
+    positions at distance 1..window contributes one (center, context)
+    observation in EACH direction. Returns ``(center, context, n)``.
+
+    ``order_cols`` must be a total order within each key (default
+    ``["ts", "event_id"]``) — same contract as :func:`ntile`.
+
+    Scale shape: ONE coarse exchange keyed ``key_col`` co-locates each
+    sequence; inside the frame the pairs for all offsets 1..window are
+    emitted with vectorized shifts (no per-row Python) and pre-counted
+    per frame; a second coarse exchange sums the per-frame partial
+    counts — classic combiner-first, so the pair exchange ships counts,
+    not raw pairs."""
+    order_cols = order_cols or ["ts", "event_id"]
+    keep = list(dict.fromkeys([key_col, item_col] + order_cols))
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[keep].sort_values([key_col] + order_cols,
+                                 kind="mergesort")
+        key = d[key_col].to_numpy()
+        item = d[item_col].to_numpy()
+        outs = []
+        for off in range(1, window + 1):
+            same = key[off:] == key[:-off] if len(d) > off else \
+                np.zeros(0, bool)
+            a, b = item[:-off][same], item[off:][same]
+            outs.append(pd.DataFrame({"center": a, "context": b}))
+            outs.append(pd.DataFrame({"center": b, "context": a}))
+        if not outs:
+            return pd.DataFrame({"center": item[:0], "context": item[:0],
+                                 "n": np.zeros(0, np.int64)})
+        p = pd.concat(outs, ignore_index=True)
+        g = (p.groupby(["center", "context"], sort=False)
+             .size().rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    partial = coarse_aggregate(events.select_columns(keep), [key_col],
+                               _pairs, n_coarse=n_coarse)
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["center", "context"], sort=False)["n"]
+             .sum().reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    return coarse_aggregate(partial, ["center", "context"], _sum,
+                            n_coarse=n_coarse)

@@ -2005,3 +2005,32 @@ def test_streaks_matches_sql(ray_session):
         ORDER BY user_id, start_day""").df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert list(got["n_days"]) == [2, 1, 1, 2]
+
+
+def test_skipgram_pairs_matches_sql(ray_session):
+    """Combiner-first pair counts ≡ the ordered self-join oracle
+    (both directions, window 2, sequences shorter than the window)."""
+    import duckdb
+
+    from omop2obo_ray.pipelines.relational import skipgram_pairs
+
+    rng = np.random.default_rng(9)
+    n = 300
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 15, n),      # some users get 1 event
+        "event_type": rng.choice(list("abcde"), n),
+        "ts": pd.to_datetime("2026-01-01")
+        + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+        "event_id": np.arange(n, dtype=np.int64)})
+    got = (skipgram_pairs(rd.from_pandas(df).repartition(5), window=2)
+           .to_pandas().sort_values(["center", "context"])
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH seq AS (SELECT user_id, event_type, ROW_NUMBER() OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) AS pos FROM df)
+        SELECT a.event_type AS center, b.event_type AS context,
+               COUNT(*) AS n
+        FROM seq a JOIN seq b ON a.user_id = b.user_id
+            AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2
+        GROUP BY 1, 2 ORDER BY center, context""").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
