@@ -2324,6 +2324,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(_q, batch_format="pandas",
                                batch_size=None)
 
+    def q_cap_per_key(sf):
+        # per-domain page-cap analog: at most 3 events per user by the
+        # pinned multiplicative-hash order; integer rows, gate exact
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import cap_per_key
+
+        ev = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["user_id", "event_id",
+                                      "event_type"])
+        return cap_per_key(ev, "user_id", "event_id", 3,
+                           cols=["event_type"])
+
     def q_skipgram_pairs(sf):
         # item2vec training pairs over per-user event sequences,
         # window 2; integer counts, gate exact
@@ -2420,6 +2433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,  # retention triangle over events (SQL-checked)
         "streaks": q_streaks,                # gaps-and-islands day runs per user (SQL-checked)
         "skipgram_pairs": q_skipgram_pairs,  # item2vec context-pair counts (SQL-checked)
+        "cap_per_key": q_cap_per_key,        # deterministic per-key row cap (SQL-checked)
         "scalar_quantize": q_scalar_quantize,  # SQ8 embedding codes, exact gate (SQL-checked)
         "skyline": q_skyline,                # 2-D Pareto front, combiner-first (SQL-checked)
         "bgp_union": q_bgp_union,            # SPARQL UNION with unbound-var padding (SQL-checked)
@@ -2709,6 +2723,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, value, event_id, "
             "NTILE(4) OVER (PARTITION BY user_id "
             "ORDER BY value, event_id) AS tile FROM events"
+        ),
+        # cap_per_key: Knuth multiplicative-hash order cap — exact
+        "cap_per_key": (
+            "SELECT user_id, event_id, event_type FROM ("
+            "SELECT user_id, event_id, event_type, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY (event_id * 2654435761) % 4294967296, event_id) "
+            "AS rn FROM events) WHERE rn <= 3"
         ),
         # skipgram_pairs: ordered self-join within the window — exact
         "skipgram_pairs": (

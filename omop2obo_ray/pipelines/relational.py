@@ -1260,3 +1260,33 @@ def skipgram_pairs(events: Dataset, *, key_col: str = "user_id",
 
     return coarse_aggregate(partial, ["center", "context"], _sum,
                             n_coarse=n_coarse)
+
+
+def cap_per_key(ds: Dataset, key_col: str, id_col: str, k: int, *,
+                cols: list[str] | None = None,
+                n_coarse: int | None = None) -> Dataset:
+    """Deterministic per-key row cap: keep at most ``k`` rows per key,
+    chosen by the pinned hash order ``h = (id · 2654435761) mod 2³²``
+    then ``id`` — the per-domain page cap every web-corpus recipe
+    applies (C4/RefinedWeb cap pages per host so head domains don't
+    dominate the training mix). Hash order ≈ a uniform random sample
+    per key, yet reproducible across runs and SQL-expressible
+    (Knuth's multiplicative hash); ``id_col`` must be integer and
+    unique within a key for the order to be total.
+
+    Scale shape: ONE coarse exchange keyed ``key_col``; inside the
+    frame a vectorized sort + per-key cumcount keeps the first ``k``.
+    A hot key's rows co-locate (same as any keyed exchange) — the
+    frame holds the key's rows only transiently and emits ≤ k."""
+    keep = list(dict.fromkeys([key_col, id_col] + (cols or [])))
+
+    def _cap(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[keep].copy(deep=False)
+        ids = d[id_col].to_numpy(np.int64)
+        d["_h"] = (ids * np.int64(2654435761)) % np.int64(2**32)
+        d = d.sort_values([key_col, "_h", id_col], kind="mergesort")
+        rn = d.groupby(key_col, sort=False).cumcount()
+        return d[rn.to_numpy() < k].drop(columns=["_h"])
+
+    return coarse_aggregate(ds.select_columns(keep), [key_col], _cap,
+                            n_coarse=n_coarse)

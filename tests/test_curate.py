@@ -2034,3 +2034,31 @@ def test_skipgram_pairs_matches_sql(ray_session):
             AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2
         GROUP BY 1, 2 ORDER BY center, context""").df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_cap_per_key_matches_sql(ray_session):
+    """Hash-order per-key cap ≡ the ROW_NUMBER oracle; keys under the
+    cap keep everything, selection is reproducible."""
+    import duckdb
+
+    from omop2obo_ray.pipelines.relational import cap_per_key
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 10, 200),
+        "rid": np.arange(200, dtype=np.int64),
+        "v": rng.integers(0, 99, 200)})
+    got = (cap_per_key(rd.from_pandas(df).repartition(6), "k", "rid", 5,
+                       cols=["v"])
+           .to_pandas().sort_values(["k", "rid"]).reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT k, rid, v FROM (
+            SELECT k, rid, v, ROW_NUMBER() OVER (PARTITION BY k
+                ORDER BY (rid * 2654435761) % 4294967296, rid) AS rn
+            FROM df) WHERE rn <= 5 ORDER BY k, rid""").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got.groupby("k").size().max() <= 5
+    # rerun: identical selection (determinism)
+    again = (cap_per_key(rd.from_pandas(df), "k", "rid", 5, cols=["v"])
+             .to_pandas().sort_values(["k", "rid"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again, check_dtype=False)
