@@ -2012,7 +2012,8 @@ def match_bgp_union(triples: Dataset,
 def random_walks(edges: Dataset, *, walk_len: int, walks_per_node: int = 1,
                  src: str = "src", dst: str = "dst", seed: int = 17,
                  n_coarse: int | None = None,
-                 rank_bits: int = 20) -> Dataset:
+                 rank_bits: int = 20, index: str = "auto",
+                 stage_dir: str | None = None) -> Dataset:
     """Deterministic DeepWalk-style random-walk corpus over an
     INTEGER-id graph — the sequence generator feeding node2vec /
     DeepWalk KG-embedding training (Perozzi'14). Emits one row per
@@ -2044,6 +2045,17 @@ def random_walks(edges: Dataset, *, walk_len: int, walks_per_node: int = 1,
 
     if walk_len < 1:
         raise ValueError("walk_len must be >= 1")
+    if index == "auto":
+        # short walks amortize nothing; long walks pay the neighbor
+        # re-ship per step (measured sf0.1/32cpu: walk_len=8 52 s
+        # exchange vs 28 s disk, identical output)
+        index = "disk" if walk_len > 4 else "exchange"
+    if n_coarse is None:
+        # iterative-op fan-out: 3×CPU buckets (24×CPU nearly doubles
+        # multi-round walls — NOTES_r3 measurement, same as pagerank)
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        n_coarse = max(32, 3 * cpus)
     cap = np.int64(1) << np.int64(rank_bits)
 
     def _slim(b: pa.Table) -> pa.Table:
@@ -2102,6 +2114,86 @@ def random_walks(edges: Dataset, *, walk_len: int, walks_per_node: int = 1,
         pa.schema([("_jk", pa.int64()), ("nxt", pa.int64()),
                    ("deg_nxt", pa.int64())]))
 
+    # index="disk": STATIONARY neighbor index — the scale path for
+    # long walks (DeepWalk uses walk_len 40-80). The exchange mode
+    # ships the whole neighbor table through the join exchange EVERY
+    # step; here it spills per-bucket parquet ONCE (the
+    # disk_bucket_apply pattern proven on the resumable sink), and
+    # each step moves ONLY the frontier: probe rows route to their
+    # bucket with one keyed exchange and the per-bucket UDF merges
+    # against the bucket's file (OS page cache absorbs re-reads; on a
+    # cluster stage_dir must be shared storage, same contract as the
+    # sink).
+    by_bucket: dict[int, list[str]] = {}
+    if index == "disk":
+        import glob
+        import os
+        import shutil
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        stage = stage_dir or tempfile.mkdtemp(prefix="rw_idx_")
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+
+        class _Spill:
+            def __init__(self):
+                self.seq = 0
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                jk = b["_jk"].combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                bk = (jk % np.int64(n_coarse)).astype(np.int64)
+                for v in np.unique(bk):
+                    self.seq += 1
+                    pq.write_table(
+                        b.filter(pa.array(bk == v)),
+                        os.path.join(stage,
+                                     f"{int(v)}-{os.getpid()}-{self.seq}"
+                                     ".parquet"))
+                return pa.table({"rows": pa.array([b.num_rows],
+                                                  pa.int64())})
+
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        nbr2.map_batches(_Spill, batch_format="pyarrow",
+                         batch_size=None,
+                         concurrency=(1, cpus)).count()
+        for f in glob.glob(os.path.join(stage, "*.parquet")):
+            bkt = int(os.path.basename(f).split("-", 1)[0])
+            by_bucket.setdefault(bkt, []).append(f)
+
+    def _disk_step(probe: Dataset) -> Dataset:
+        import pyarrow.parquet as pq
+
+        files = by_bucket
+
+        def _route(b: pa.Table) -> pa.Table:
+            jk = b["_jk"].combine_chunks().to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "_b", pa.array((jk % np.int64(n_coarse)).astype(np.int64)))
+
+        def _probe_join(df: pd.DataFrame) -> pd.DataFrame:
+            bkt = int(df["_b"].iloc[0])
+            fl = files.get(bkt)
+            if not fl:
+                return pd.DataFrame({
+                    "start": pd.Series([], dtype=np.int64),
+                    "w": pd.Series([], dtype=np.int64),
+                    "nxt": pd.Series([], dtype=np.int64),
+                    "deg_nxt": pd.Series([], dtype=np.int64)})
+            idx = pa.concat_tables([pq.read_table(f) for f in fl]
+                                   ).to_pandas()
+            out = df.drop(columns=["_b"]).merge(idx, on="_jk",
+                                                how="inner")
+            return out[["start", "w", "nxt", "deg_nxt"]]
+
+        return (probe.map_batches(_route, batch_format="pyarrow",
+                                  batch_size=None)
+                .groupby("_b").map_groups(_probe_join,
+                                          batch_format="pandas"))
+
     # step-0 frontier: every node with out-edges × walks_per_node
     def _starts(b: pa.Table) -> pa.Table:
         node = b["node"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -2151,8 +2243,11 @@ def random_walks(edges: Dataset, *, walk_len: int, walks_per_node: int = 1,
 
         probe = frontier.map_batches(_want, batch_format="pyarrow",
                                      batch_size=None)
-        stepped = coarse_join(probe, nbr2, on="_jk", how="inner",
-                              n_coarse=n_coarse)
+        if index == "disk":
+            stepped = _disk_step(probe)
+        else:
+            stepped = coarse_join(probe, nbr2, on="_jk", how="inner",
+                                  n_coarse=n_coarse)
 
         def _advance(b: pa.Table) -> pa.Table:
             return pa.table({
@@ -2198,6 +2293,11 @@ def sssp(edges: Dataset, seeds: list, *, src: str = "src",
     """
     from omop2obo_ray.functions.shuffle import coarse_join
     from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    if n_coarse is None:
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        n_coarse = max(32, 3 * cpus)
 
     def _slim(b: pa.Table) -> pa.Table:
         return pa.table({

@@ -1134,3 +1134,26 @@ def test_sssp_matches_bellman_ford(ray_session):
     k1 = (sssp(rd.from_pandas(edges), [1], max_rounds=1)
           .to_pandas().set_index("node")["dist"])
     assert k1[2] == 10 and k1[3] == 1 and 4 not in k1.index
+
+
+def test_random_walks_disk_index_identity(ray_session, tmp_path):
+    """The stationary disk-bucket neighbor index must reproduce the
+    exchange-mode walks exactly (same pinned hash, only the join
+    transport differs)."""
+    from omop2obo_ray.pipelines.graph import random_walks
+
+    rng = np.random.default_rng(11)
+    edges = pd.DataFrame({
+        "src": rng.integers(0, 60, 500),
+        "dst": rng.integers(0, 60, 500)}).drop_duplicates()
+    a = (random_walks(rd.from_pandas(edges).repartition(4),
+                      walk_len=5, walks_per_node=2)
+         .to_pandas().sort_values(["start", "w", "step", "node"])
+         .reset_index(drop=True))
+    b = (random_walks(rd.from_pandas(edges).repartition(4),
+                      walk_len=5, walks_per_node=2, index="disk",
+                      stage_dir=str(tmp_path / "idx"))
+         .to_pandas().sort_values(["start", "w", "step", "node"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
