@@ -130,3 +130,55 @@ def test_lm_scorer_empty_model(ray_session):
     # every pair falls to the global default ln(1/V), V = 1 ('a')
     assert out["n_bigrams"].tolist() == [4]
     assert out["nll_q"].iloc[0] == 0   # global default ln(1/V), V=1 → 0
+
+
+def test_random_walks_rank_bits_overflow_raises(ray_session):
+    """A node whose out-degree exceeds 2^rank_bits must fail loudly —
+    silent key-pack collisions would corrupt walks."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.graph import random_walks
+
+    hub = pd.DataFrame({"src": [1] * 5, "dst": list(range(10, 15))})
+    with pytest.raises(Exception, match="rank_bits"):
+        random_walks(rd.from_pandas(hub), walk_len=1,
+                     rank_bits=2).count()
+
+
+def test_random_walks_rejects_zero_len(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.graph import random_walks
+
+    with pytest.raises(ValueError, match="walk_len"):
+        random_walks(rd.from_pandas(
+            pd.DataFrame({"src": [1], "dst": [2]})), walk_len=0)
+
+
+def test_match_bgp_union_rejects_empty(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.graph import match_bgp_union
+
+    t = rd.from_pandas(pd.DataFrame(
+        {"subj": ["a"], "pred": ["p"], "obj": ["b"]}))
+    with pytest.raises(ValueError, match="branch"):
+        match_bgp_union(t, [])
+
+
+def test_sssp_unknown_seed_only(ray_session):
+    """Seeding at a node with no out-edges returns just the seed."""
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.graph import sssp
+
+    e = pd.DataFrame({"src": [1], "dst": [2], "w": [3]})
+    got = sssp(rd.from_pandas(e), [99]).to_pandas()
+    assert got.to_dict("records") == [{"node": 99, "dist": 0}]
