@@ -2255,6 +2255,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return random_walks(edges, walk_len=2, walks_per_node=2,
                             seed=17)
 
+    def q_weighted_pagerank(sf):
+        # anchor-weighted-link-graph analog: rank distributes
+        # proportional to l_quantity; same epsilon-floor 1e-4 quantizer
+        # as q_pagerank (weighted ranks are generic rationals — the
+        # boundary-collision probability is ~1e-10 per node)
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import pagerank
+
+        lin = rd.read_parquet(f"{sf}/lineitem.parquet",
+                              columns=["l_orderkey", "l_partkey",
+                                       "l_quantity"])
+
+        def _e(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "src": "o" + df["l_orderkey"].astype(str),
+                "dst": "p" + df["l_partkey"].astype(str),
+                "q": df["l_quantity"].astype(np.float64)})
+
+        edges = lin.map_batches(_e, batch_format="pandas",
+                                batch_size=None)
+        ranks = pagerank(edges, iterations=2, weight_col="q")
+
+        def _q(batch: pa.Table) -> pa.Table:
+            r = batch["rank"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            q = np.floor(r * 1e4 + 1e-6).astype(np.int64)
+            return pa.table({"node": batch["node"],
+                             "rank_q": pa.array(q, pa.int64())})
+
+        return ranks.map_batches(_q, batch_format="pyarrow",
+                                 batch_size=None)
+
     def q_sssp(sf):
         # weighted shortest paths from order 1 over the symmetrized
         # order—part graph (w = quantity, integral in this data →
@@ -2439,6 +2475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bgp_union": q_bgp_union,            # SPARQL UNION with unbound-var padding (SQL-checked)
         "random_walks": q_random_walks,      # DeepWalk corpus, pinned hash recurrence (SQL-checked)
         "sssp": q_sssp,                      # weighted shortest paths, frontier Bellman-Ford (SQL-checked)
+        "weighted_pagerank": q_weighted_pagerank,  # edge-weight-proportional rank distribution (SQL-checked)
         "ntile": q_ntile,                    # NTILE(n) per key, one exchange (SQL-checked)
         "grouped_corr": q_grouped_corr,      # per-group corr/regression via sufficient stats (SQL-checked)
         "bgp_optional": q_bgp_optional,      # SPARQL OPTIONAL left-outer pattern (SQL-checked)
@@ -2696,6 +2733,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT start, w, 0 AS step, cur AS node FROM s0 "
             "UNION ALL SELECT start, w, 1, cur FROM s1 "
             "UNION ALL SELECT start, w, 2, cur FROM s2"
+        ),
+        # weighted_pagerank: 2-iteration unrolled recurrence with
+        # edge-weight-proportional distribution (w = q / Σq per src)
+        "weighted_pagerank": (
+            "WITH e AS (SELECT 'o' || l_orderkey AS src, "
+            "'p' || l_partkey AS dst, l_quantity::DOUBLE AS q "
+            "FROM lineitem), "
+            "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+            "p AS (SELECT count(*)::DOUBLE AS n FROM nodes), "
+            "ws AS (SELECT src, sum(q) AS t FROM e GROUP BY src), "
+            "r0 AS (SELECT node, 1.0 / (SELECT n FROM p) AS r FROM nodes), "
+            "s1 AS (SELECT e.dst, sum(r0.r * e.q / ws.t) AS c FROM e "
+            "JOIN ws USING (src) JOIN r0 ON r0.node = e.src "
+            "GROUP BY e.dst), "
+            "r1 AS (SELECT nodes.node, 0.15 / (SELECT n FROM p) + "
+            "0.85 * coalesce(s1.c, 0) AS r FROM nodes "
+            "LEFT JOIN s1 ON s1.dst = nodes.node), "
+            "s2 AS (SELECT e.dst, sum(r1.r * e.q / ws.t) AS c FROM e "
+            "JOIN ws USING (src) JOIN r1 ON r1.node = e.src "
+            "GROUP BY e.dst), "
+            "r2 AS (SELECT nodes.node, 0.15 / (SELECT n FROM p) + "
+            "0.85 * coalesce(s2.c, 0) AS r FROM nodes "
+            "LEFT JOIN s2 ON s2.dst = nodes.node) "
+            "SELECT node, CAST(floor(r * (SELECT n FROM p) * 10000 "
+            "+ 0.000001) AS BIGINT) AS rank_q FROM r2"
         ),
         # sssp: 2-round Bellman-Ford recurrence unrolled — all-integer,
         # EXACT (multi-edges fold under MIN on both sides)

@@ -81,7 +81,8 @@ def degree_stats(edges: Dataset) -> Dataset:
 
 
 def pagerank(edges: Dataset, iterations: int = 3, damping: float = 0.85,
-             num_partitions: int = 8) -> Dataset:
+             num_partitions: int = 8,
+             weight_col: str | None = None) -> Dataset:
     """Fixed-iteration join-based PageRank → (node, rank) with rank
     normalized to mean 1 (multiplied by N), full float precision (the
     SQL gate quantizes in the query wrapper — see module docstring).
@@ -133,14 +134,27 @@ def pagerank(edges: Dataset, iterations: int = 3, damping: float = 0.85,
     del num_partitions  # superseded by coarse-bucket fan-out
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     n_coarse = max(32, 3 * cpus)
-    edges = edges.select_columns(["src", "dst"])
+    edges = edges.select_columns(
+        ["src", "dst"] + ([weight_col] if weight_col else []))
     nt = _pa_schema_of(edges).field("src").type
 
     def _attach_w(df: pd.DataFrame) -> pd.DataFrame:
-        # all rows of a src are in this coarse frame by construction
-        d = df.groupby("src", sort=False)["dst"].transform("size")
-        return df.assign(w=1.0 / d.to_numpy(),
-                         first=~df["src"].duplicated().to_numpy())
+        # all rows of a src are in this coarse frame by construction.
+        # weight_col: WEIGHTED pagerank — rank distributes proportional
+        # to edge weight (anchor-count-weighted web link graphs);
+        # weights must be positive, multi-edges simply sum. Recurrence,
+        # exchanges and markers are identical — only w changes.
+        if weight_col is None:
+            d = df.groupby("src", sort=False)["dst"].transform("size")
+            w = 1.0 / d.to_numpy()
+        else:
+            q = df[weight_col].to_numpy(np.float64)
+            tot = (df.groupby("src", sort=False)[weight_col]
+                   .transform("sum").to_numpy(np.float64))
+            w = np.divide(q, tot, out=np.zeros_like(q),
+                          where=tot > 0)
+        out = df.assign(w=w, first=~df["src"].duplicated().to_numpy())
+        return out[["src", "dst", "w", "first"]]
 
     ed = _sanitize_join_output(
         coarse_aggregate(edges, ["src"], _attach_w, n_coarse=n_coarse),

@@ -1157,3 +1157,38 @@ def test_random_walks_disk_index_identity(ray_session, tmp_path):
          .reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_weighted_pagerank_matches_numpy(ray_session):
+    """weight_col distributes rank proportional to edge weight; the
+    uniform case (equal weights) must equal unweighted pagerank."""
+    from omop2obo_ray.pipelines.graph import pagerank
+
+    df = pd.DataFrame({
+        "src": ["a", "a", "b", "c", "c", "d"],
+        "dst": ["b", "c", "c", "a", "d", "a"],
+        "q":   [3.0, 1.0, 2.0, 5.0, 5.0, 4.0]})
+    got = (pagerank(rd.from_pandas(df), iterations=3, weight_col="q")
+           .to_pandas().set_index("node")["rank"].sort_index())
+
+    nodes = sorted(set(df["src"]) | set(df["dst"]))
+    n = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    W = np.zeros((n, n))
+    for s, d, q in df.itertuples(index=False):
+        W[idx[s], idx[d]] += q
+    W = W / W.sum(axis=1, keepdims=True)
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        r = 0.15 / n + 0.85 * (r @ W)
+    exp = pd.Series(r * n, index=nodes)
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(),
+                               rtol=1e-12)
+
+    # equal weights ≡ unweighted
+    dfu = df.assign(q=1.0)
+    a = (pagerank(rd.from_pandas(dfu), iterations=2, weight_col="q")
+         .to_pandas().set_index("node")["rank"].sort_index())
+    b = (pagerank(rd.from_pandas(dfu), iterations=2)
+         .to_pandas().set_index("node")["rank"].sort_index())
+    np.testing.assert_allclose(a.to_numpy(), b.to_numpy(), rtol=1e-12)
