@@ -827,6 +827,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                              batch_format="pandas"))
         return connected_components_alternating(edges)
 
+    def q_sameas_resolve(sf):
+        # owl:sameAs smushing over a planted alias graph: within each
+        # (nationkey, custkey%4) partition the customers form one
+        # sameAs CHAIN (consecutive sorted custkeys), so the canonical
+        # id is the lexicographic min of 'c'||custkey per partition —
+        # closed-form for the oracle. Data triples exercise BOTH
+        # rewrite sides: (c, memberOf, n) collapses subjects,
+        # ('hub', cites, c) collapses objects; distinct after rewrite.
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import sameas_resolve
+
+        cust = rd.read_parquet(f"{sf}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"])
+
+        def _part(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(pkey=df["c_nationkey"].astype(str) + "#"
+                             + (df["c_custkey"] % 4).astype(str))
+
+        def _chain(g: pd.DataFrame) -> pd.DataFrame:
+            k = np.sort(g["c_custkey"].to_numpy())
+            if len(k) < 2:
+                return pd.DataFrame({"subj": pd.Series(dtype=str),
+                                     "pred": pd.Series(dtype=str),
+                                     "obj": pd.Series(dtype=str)})
+            lab = np.char.add("c", k.astype(str))
+            return pd.DataFrame({"subj": lab[:-1], "pred": "owl:sameAs",
+                                 "obj": lab[1:]})
+
+        same = (cust.map_batches(_part, batch_format="pandas",
+                                 batch_size=None)
+                .groupby("pkey").map_groups(_chain, batch_format="pandas"))
+
+        def _data(df: pd.DataFrame) -> pd.DataFrame:
+            c = "c" + df["c_custkey"].astype(str)
+            n = "n" + df["c_nationkey"].astype(str)
+            return pd.DataFrame({
+                "subj": pd.concat([c, pd.Series(["hub"] * len(df))],
+                                  ignore_index=True),
+                "pred": ["memberOf"] * len(df) + ["cites"] * len(df),
+                "obj": pd.concat([n, c], ignore_index=True)})
+
+        data = cust.map_batches(_data, batch_format="pandas",
+                                batch_size=None)
+        return sameas_resolve(same.union(data))
+
     def q_heavy_hitters(sf):
         import ray.data as rd
 
@@ -2544,6 +2592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,  # count-min sketch top-k (est ≥ truth; pytest carries the bound check)
         "connected_components": q_connected_components,  # min-label propagation
         "connected_components_alt": q_connected_components_alt,  # large-star/small-star
+        "sameas_resolve": q_sameas_resolve,  # owl:sameAs smushing (alias→canonical rewrite)
         "cooc_counts": q_cooc_counts,  # windowed skip-gram co-occurrence (SQL-checked)
         "c4_clean": q_c4_clean,  # C4 line/doc quality cleaning (SQL-checked)
         "gopher_stats": q_gopher_stats,  # full Gopher rule set, int-exact (SQL-checked)
@@ -3938,6 +3987,21 @@ def oracle_sql() -> dict[str, str]:
             "min('o' || o_orderkey) OVER "
             "(PARTITION BY o_orderpriority, o_orderkey % 8) AS component "
             "FROM orders"
+        ),
+        # owl:sameAs smushing: each (nationkey, custkey%4) partition is
+        # one alias chain, so canonical id = lexicographic min of
+        # 'c'||custkey per partition; subject side collapses memberOf
+        # triples, object side collapses the hub's cites triples
+        "sameas_resolve": (
+            "WITH canon AS (SELECT c_custkey, c_nationkey, "
+            "min('c' || c_custkey) OVER "
+            "(PARTITION BY c_nationkey, c_custkey % 4) AS cid "
+            "FROM customer) "
+            "SELECT DISTINCT cid AS subj, 'memberOf' AS pred, "
+            "'n' || c_nationkey AS obj FROM canon "
+            "UNION "
+            "SELECT DISTINCT 'hub' AS subj, 'cites' AS pred, cid AS obj "
+            "FROM canon"
         ),
         "window_sliding": (
             "SELECT event_type, "

@@ -473,6 +473,99 @@ def connected_components_alternating(
         n_coarse=n_coarse)
 
 
+def sameas_resolve(triples: Dataset, *, sameas_pred: str = "owl:sameAs",
+                   s_col: str = "subj", p_col: str = "pred",
+                   o_col: str = "obj",
+                   keep_mapping: bool = False) -> Dataset:
+    """owl:sameAs identity resolution ("smushing"): collapse every
+    sameAs-connected alias cluster onto its canonical (minimum-id)
+    member and rewrite the remaining triples onto the canonical ids —
+    the standard Linked-Data consolidation step, and the graph-side
+    twin of this engine's surface-form canonicalization (the reference
+    consolidates aliases to one concept_id per cluster the same way:
+    `omop2obo/utils/data_utils.py:551-622` picks one canonical mapping
+    per concept from its evidence set).
+
+    Steps (all Datasets end-to-end — alias-cluster mass never touches
+    the driver):
+
+    1. split the stream: ``pred == sameas_pred`` rows become the alias
+       edge set; everything else is a data triple (two filter maps
+       over the same scan).
+    2. connected components over the alias graph via the alternating
+       large-star/small-star method (O(log n) rounds at any diameter —
+       sameAs chains across mirror sites can be arbitrarily long).
+    3. rewrite: two left-outer ``coarse_join``s (subject side, then
+       object side); ids outside every alias cluster keep themselves
+       (the join's null is coalesced back to the original id).
+    4. distinct (subj, pred, obj) — smushing can collapse several
+       source triples onto one canonical triple, and downstream
+       consumers expect set semantics. One coarse aggregate.
+
+    The sameAs triples themselves are consumed (a canonical self-loop
+    carries no information). With ``keep_mapping=True`` the return is
+    the (node, component) alias→canonical mapping Dataset instead of
+    the rewritten triples — callers that rewrite several triple
+    streams against one alias graph compute the mapping once.
+
+    Partitioning contract: both rewrite joins key on entity id, so a
+    production deployment co-partitions the triple store by
+    hash(subject) and reuses that partitioning for the subject-side
+    join; the object side is the one genuine re-exchange.
+    """
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    sch = _pa_schema_of(triples)
+    ntype = sch.field(s_col).type
+    tri_schema = pa.schema([(s_col, ntype), (p_col, sch.field(p_col).type),
+                            (o_col, sch.field(o_col).type)])
+
+    def _edges(b: pa.Table) -> pa.Table:
+        m = pc.equal(b[p_col], pa.scalar(sameas_pred))
+        f = b.filter(m)
+        return pa.table({"src": f[s_col], "dst": f[o_col]})
+
+    def _data(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.not_equal(b[p_col], pa.scalar(sameas_pred)))
+        return pa.table({s_col: f[s_col], p_col: f[p_col], o_col: f[o_col]})
+
+    edges = triples.map_batches(_edges, batch_format="pyarrow",
+                                batch_size=None)
+    mapping = connected_components_alternating(edges)
+    if keep_mapping:
+        return mapping
+    mapping = _sanitize_join_output(
+        mapping, pa.schema([("node", ntype), ("component", ntype)]))
+    data = _sanitize_join_output(
+        triples.map_batches(_data, batch_format="pyarrow",
+                            batch_size=None), tri_schema)
+
+    def _apply(col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            # a bucket with no alias rows yields a null-typed payload
+            # column from the pandas merge — align before coalescing
+            comp = b["component"].combine_chunks().cast(
+                tri_schema.field(col).type)
+            canon = pc.coalesce(comp, b[col])
+            return pa.table({**{c: b[c] for c in tri_schema.names
+                                if c != col}, col: canon}).select(
+                tri_schema.names)
+        return fn
+
+    # subject-side rewrite, then object-side; each join is left-outer
+    # (entities outside every alias cluster keep their own id)
+    out = coarse_join(data, mapping, on=s_col, right_on="node",
+                      how="left_outer").map_batches(
+        _apply(s_col), batch_format="pyarrow", batch_size=None)
+    out = _sanitize_join_output(out, tri_schema)
+    out = coarse_join(out, mapping, on=o_col, right_on="node",
+                      how="left_outer").map_batches(
+        _apply(o_col), batch_format="pyarrow", batch_size=None)
+    return coarse_aggregate(
+        out, [s_col, p_col, o_col],
+        lambda df: df.drop_duplicates([s_col, p_col, o_col]))
+
+
 # ---------------------------------------------------------------------------
 # Web-graph extraction: anchor hrefs from raw page html → edge Dataset
 # (the bridge from the Common-Crawl pages table to the graph family —

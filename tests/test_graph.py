@@ -1192,3 +1192,75 @@ def test_weighted_pagerank_matches_numpy(ray_session):
     b = (pagerank(rd.from_pandas(dfu), iterations=2)
          .to_pandas().set_index("node")["rank"].sort_index())
     np.testing.assert_allclose(a.to_numpy(), b.to_numpy(), rtol=1e-12)
+
+
+def test_sameas_resolve_against_union_find(ray_session):
+    """Smushing ≡ union-find canonicalization + rewrite + distinct on a
+    planted alias graph (chains, a star, singletons, entities with no
+    aliases, objects pointing INTO alias clusters, and two source
+    triples that collapse onto one canonical triple)."""
+    import numpy as np
+
+    from omop2obo_ray.pipelines.graph import sameas_resolve
+
+    rng = np.random.default_rng(7)
+    n = 120
+    ents = [f"e{i:03d}" for i in range(n)]
+    same = []
+    # chains of 6 over the first half; star over a block of 10
+    for base in range(0, 60, 6):
+        for i in range(base, base + 5):
+            same.append((ents[i + 1], "owl:sameAs", ents[i]))
+    for i in range(61, 70):
+        same.append((ents[60], "owl:sameAs", ents[i]))
+    data = []
+    for i in range(n):
+        data.append((ents[i], "type", f"T{i % 3}"))
+        j = int(rng.integers(0, n))
+        data.append((ents[i], "linksTo", ents[j]))
+    tri = pd.DataFrame(same + data, columns=["subj", "pred", "obj"])
+
+    # oracle: union-find over the sameAs pairs, min-member canonical
+    parent = {e: e for e in ents}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, _, o in same:
+        ra, rb = find(s), find(o)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    canon = {e: find(e) for e in ents}
+    exp = (pd.DataFrame(
+        [(canon[s], p, canon.get(o, o)) for s, p, o in data],
+        columns=["subj", "pred", "obj"])
+        .drop_duplicates().sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True))
+
+    got = (sameas_resolve(rd.from_pandas(tri)).to_pandas()
+           .sort_values(["subj", "pred", "obj"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) < len(data)  # collapses actually happened
+
+    # mapping mode agrees with the oracle on clustered nodes
+    m = (sameas_resolve(rd.from_pandas(tri), keep_mapping=True)
+         .to_pandas().set_index("node")["component"].to_dict())
+    for e, c in m.items():
+        assert canon[e] == c
+    # every node of a non-trivial cluster appears in the mapping
+    assert set(m) == {e for e in ents
+                      if sum(1 for x in ents if canon[x] == canon[e]) > 1}
+
+
+def test_sameas_resolve_no_aliases_identity(ray_session):
+    from omop2obo_ray.pipelines.graph import sameas_resolve
+
+    tri = pd.DataFrame({"subj": ["a", "b"], "pred": ["p", "p"],
+                        "obj": ["x", "y"]})
+    got = (sameas_resolve(rd.from_pandas(tri)).to_pandas()
+           .sort_values("subj").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, tri)
