@@ -2444,6 +2444,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return streaks(ev)
 
+    def q_scd2_intervals(sf):
+        # SCD2 validity-interval compaction of the per-user event
+        # stream: one row per maximal same-value run, half-open
+        # [effective_from, effective_to) with (ts, event_id) tiebreak;
+        # timestamps compare exactly, gate exact
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import scd2_intervals
+
+        ev = rd.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["user_id", "ts", "event_type", "event_id"])
+        return scd2_intervals(ev)
+
     def q_cohort_retention(sf):
         # first-active-day cohorts × distinct-active-day offsets;
         # integer counts, gate exact
@@ -2516,6 +2530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": q_funnel,                  # ordered-step funnel per user (SQL-checked)
         "cohort_retention": q_cohort_retention,  # retention triangle over events (SQL-checked)
         "streaks": q_streaks,                # gaps-and-islands day runs per user (SQL-checked)
+        "scd2_intervals": q_scd2_intervals,  # SCD2 validity intervals (temporal crawl refresh)
         "skipgram_pairs": q_skipgram_pairs,  # item2vec context-pair counts (SQL-checked)
         "cap_per_key": q_cap_per_key,        # deterministic per-key row cap (SQL-checked)
         "scalar_quantize": q_scalar_quantize,  # SQ8 embedding codes, exact gate (SQL-checked)
@@ -2864,6 +2879,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, strftime(MIN(day), '%Y-%m-%d') AS "
             "start_day, COUNT(*) AS n_days "
             "FROM ranked GROUP BY user_id, island"
+        ),
+        # SCD2 runs via lag-change flags + run numbering; effective_to
+        # = next run's start within the key (half-open), null for the
+        # key's current value — exact (timestamps, no floats)
+        "scd2_intervals": (
+            "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+            "lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev FROM events), "
+            "r AS (SELECT user_id, ts, event_type, "
+            "sum(CASE WHEN prev IS NULL OR prev <> event_type "
+            "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run "
+            "FROM o), "
+            "runs AS (SELECT user_id, run, min(event_type) AS "
+            "event_type, min(ts) AS effective_from "
+            "FROM r GROUP BY user_id, run) "
+            "SELECT user_id, event_type, effective_from, "
+            "lead(effective_from) OVER (PARTITION BY user_id "
+            "ORDER BY run) AS effective_to FROM runs"
         ),
         # grouped_corr: epsilon-floor quantized (sum reassociation)
         "grouped_corr": (

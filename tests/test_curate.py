@@ -2062,3 +2062,54 @@ def test_cap_per_key_matches_sql(ray_session):
     again = (cap_per_key(rd.from_pandas(df), "k", "rid", 5, cols=["v"])
              .to_pandas().sort_values(["k", "rid"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, again, check_dtype=False)
+
+
+def test_scd2_intervals_matches_sql(ray_session):
+    """SCD2 compaction ≡ the lag-change / run-number oracle: runs with
+    duplicate timestamps break on the tiebreak, half-open intervals
+    chain exactly, last run per key is open (null effective_to)."""
+    import duckdb
+
+    from omop2obo_ray.pipelines.relational import scd2_intervals
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 12, n),
+        "event_type": rng.choice(list("abc"), n),
+        # coarse second grid → plenty of exact-duplicate timestamps
+        "ts": pd.to_datetime("2026-01-01")
+        + pd.to_timedelta(rng.integers(0, 50, n), unit="s"),
+        "event_id": np.arange(n, dtype=np.int64)})
+    # sort by ALL columns — (user, from, value) is not a total order
+    # when duplicate timestamps produce a@t, b@t, a@t (two runs with
+    # identical key/from/value but different effective_to); the driver
+    # gate's canon() sorts all columns the same way
+    sort_cols = ["user_id", "effective_from", "event_type",
+                 "effective_to"]
+    got = (scd2_intervals(rd.from_pandas(df).repartition(5))
+           .to_pandas()
+           .sort_values(sort_cols, na_position="last")
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH o AS (SELECT user_id, ts, event_id, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev FROM df),
+        r AS (SELECT user_id, ts, event_type,
+                sum(CASE WHEN prev IS NULL OR prev <> event_type
+                    THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                    AS run FROM o),
+        runs AS (SELECT user_id, run, min(event_type) AS event_type,
+                        min(ts) AS effective_from
+                 FROM r GROUP BY user_id, run)
+        SELECT user_id, event_type, effective_from,
+               lead(effective_from) OVER (PARTITION BY user_id
+                   ORDER BY run) AS effective_to
+        FROM runs""").df().sort_values(
+        sort_cols, na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # intervals chain: within a key every effective_to equals the next
+    # effective_from, and exactly one open interval per key
+    opens = got[got["effective_to"].isna()].groupby("user_id").size()
+    assert (opens == 1).all()
