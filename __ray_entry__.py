@@ -1806,6 +1806,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return kcore(_synth_tri_edges(sf), 3)
 
+    def q_neighborhood(sf):
+        # HyperBall neighborhood function (per-node ball sizes at each
+        # radius), exact bitset mode — integer counts, gate exact; the
+        # HLL scale path is pytest-gated against this mode. Oracle =
+        # bounded-hop recursive CTE + min-distance + radius join.
+        from omop2obo_ray.pipelines.graph import neighborhood_function
+
+        return neighborhood_function(_synth_tri_edges(sf), max_t=2,
+                                     mode="exact")
+
     def q_bpe_train(sf):
         # rows-only: iterative argmax merge learning has no SQL
         # equivalent; pytest carries the reference-identity check
@@ -2619,6 +2629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coefficient": q_clustering_coefficient,  # per-node triangles (SQL-checked)
         "bfs_hops": q_bfs_hops,  # frontier BFS distance (SQL-checked vs recursive CTE)
         "kcore": q_kcore,  # k-core peeling (SQL-checked: unrolled-peel oracle)
+        "neighborhood": q_neighborhood,  # HyperBall ball sizes, exact mode (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
         "neighbor_mean": q_neighbor_mean,  # GraphSAGE-mean propagation round (SQL-checked)
@@ -2747,6 +2758,28 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "kcore": _kc,
+        # neighborhood: bounded-hop recursive CTE (UNION dedups visited
+        # rows; min(d) collapses longer rediscoveries), then ball(node,
+        # t) = #nodes with min-distance ≤ t for each radius in 0..2
+        "neighborhood": (
+            "WITH RECURSIVE "
+            "pk AS (SELECT p_partkey AS k FROM part), "
+            "raw AS (SELECT 'n' || (k % 23) AS s, 'n' || (k % 29) AS t "
+            "FROM pk UNION ALL SELECT 'c' || (k % 509), "
+            "'c' || ((k % 509) + 1) FROM pk), "
+            "e AS (SELECT DISTINCT s AS src, t AS dst FROM raw "
+            "UNION SELECT DISTINCT t, s FROM raw), "
+            "n AS (SELECT DISTINCT src AS node FROM e), "
+            "r AS (SELECT node AS root, node AS node, 0 AS d FROM n "
+            "UNION "
+            "SELECT r.root, e.dst, r.d + 1 FROM r "
+            "JOIN e ON e.src = r.node WHERE r.d < 2), "
+            "md AS (SELECT root, node, min(d) AS d FROM r "
+            "GROUP BY root, node) "
+            "SELECT md.root AS node, t.t, count(*) AS ball "
+            "FROM md JOIN (VALUES (0), (1), (2)) AS t(t) "
+            "ON md.d <= t.t GROUP BY md.root, t.t"
+        ),
         "funnel": _funnel,
         "cohort_retention": _cohort,
         "scalar_quantize": _sq8,

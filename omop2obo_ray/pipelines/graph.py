@@ -2470,3 +2470,189 @@ def sssp(edges: Dataset, seeds: list, *, src: str = "src",
         if frontier.count() == 0:
             break
     return dist
+
+
+def neighborhood_function(edges: Dataset, max_t: int = 3, *,
+                          mode: str = "hll", hll_bits: int = 8,
+                          directed: bool = False,
+                          n_coarse: int | None = None) -> Dataset:
+    """HyperBall-style neighborhood function → one row per (node, t),
+    t = 0..``max_t``: the size of the ball B(node, t) = # nodes
+    reachable from ``node`` in ≤ t hops. The per-radius ball sizes are
+    the raw material for effective-diameter estimation, closeness /
+    harmonic centrality and crawl-reachability audits over the web
+    graph (Boldi & Vigna, "HyperANF / HyperBall" — the canonical
+    trillion-edge formulation of exactly this recurrence).
+
+    Recurrence (both modes): each node carries a fixed-width register
+    blob summarizing its reachable set; round t replaces it with the
+    MERGE of its own blob and all in-neighbors' blobs, which is exactly
+    ball(t) because merge is idempotent/associative/commutative:
+
+    - ``mode="hll"`` (the scale path): blobs are HyperLogLog registers
+      (2^``hll_bits`` bytes/node, 256 B at the default) and the merge
+      is element-wise max → output (node, t, ball_est: float64) with
+      the standard bias-corrected estimate + linear-counting
+      small-range correction. Memory is FIXED per node — 10¹¹ nodes ×
+      256 B = 25.6 TB spread across the cluster's object store, the
+      published HyperANF operating point; relative error ≈
+      1.04/√2^hll_bits (6.5% at 8 bits).
+    - ``mode="exact"``: blobs are dense bitsets (ceil(V/8) bytes/node)
+      and the merge is bitwise OR → (node, t, ball: int64), exact.
+      Requires the distinct node list on the driver for dense index
+      assignment (the ONLY driver state in this operator, documented
+      bound: V ≤ ~10⁶ — gate fixtures, ontology DAGs, host graphs).
+      The SQL gate runs this mode; HLL accuracy is pytest-gated
+      against it.
+
+    Scale shape, per round: ONE coarse-bucket join (blobs onto edges,
+    keyed src — `coarse_join`, task-based, no per-plan actor pool) +
+    ONE coarse per-dst reduce, with a BLOCK-LOCAL combiner before the
+    exchange so a hub dst (10⁹ in-links) ships one partial blob per
+    block, never its edge rows. Both exchanges key on node id — a
+    deployment co-partitions edges by hash(node) once and reuses it
+    every round (same contract as pagerank). Registers are monotone,
+    so all ``max_t`` rounds run unconditionally (a converged round
+    reships stable blobs — harmless; early-exit would need a
+    convergence aggregate per round, not worth one extra plan at
+    fixture scale). Per-key blob reduce is `np.maximum.reduceat` /
+    `np.bitwise_or.reduceat` over one stacked uint8 matrix — no
+    per-row Python in the hot path (the tobytes() re-pack is per
+    DISTINCT key, same order as the groupby itself).
+
+    Unreachable-node semantics: every node appears at every t (it can
+    at least reach itself), matching the bounded-hop recursive-CTE
+    oracle row-for-row."""
+    if mode not in ("hll", "exact"):
+        raise ValueError(f"neighborhood_function: unknown mode {mode!r}")
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nc = n_coarse or max(32, 3 * cpus)
+    m = 1 << hll_bits
+
+    e = edges.select_columns(["src", "dst"])
+    if not directed:
+        e = e.union(e.map_batches(
+            lambda b: pa.table({"src": b["dst"], "dst": b["src"]}),
+            batch_format="pyarrow", batch_size=None))
+    e = _sanitize_join_output(
+        coarse_aggregate(e, ["src", "dst"],
+                         lambda df: df.drop_duplicates(), n_coarse=nc),
+        pa.schema([("src", pa.string()), ("dst", pa.string())])
+    ).materialize()
+    nodes = _distinct_nodes(e)
+
+    if mode == "exact":
+        node_list = sorted(r["node"] for r in nodes.take_all())
+        width = max(1, (len(node_list) + 7) // 8)
+        idx_ref = ray.put({n_: i for i, n_ in enumerate(node_list)})
+        reduce_op = np.bitwise_or
+
+        def _init(df: pd.DataFrame) -> pd.DataFrame:
+            idx = ray.get(idx_ref)
+            mat = np.zeros((len(df), width), np.uint8)
+            pos = df["node"].map(idx).to_numpy(np.int64)
+            mat[np.arange(len(df)), pos >> 3] = np.uint8(1) << (pos & 7).astype(np.uint8)
+            return pd.DataFrame({"node": df["node"].to_numpy(),
+                                 "regs": [r.tobytes() for r in mat]})
+
+        _POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                             axis=1).sum(axis=1).astype(np.int64)
+
+        def _count(b: pa.Table, t: int) -> pa.Table:
+            blob = b"".join(b["regs"].combine_chunks().to_pylist())
+            mat = np.frombuffer(blob, np.uint8).reshape(b.num_rows, width)
+            return pa.table({
+                "node": b["node"],
+                "t": pa.array(np.full(b.num_rows, t, np.int64)),
+                "ball": pa.array(_POP[mat].sum(axis=1))})
+
+        out_schema = pa.schema([("node", pa.string()),
+                                ("t", pa.int64()), ("ball", pa.int64())])
+    else:
+        width = m
+        reduce_op = np.maximum
+        if m >= 128:
+            alpha = 0.7213 / (1 + 1.079 / m)
+        else:
+            alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+
+        def _init(df: pd.DataFrame) -> pd.DataFrame:
+            # deterministic 64-bit hash (pandas siphash, fixed default
+            # key): register index = low bits, rho = leading-zero count
+            # of the remaining (64 - hll_bits)-bit word + 1
+            h = pd.util.hash_pandas_object(df["node"],
+                                           index=False).to_numpy()
+            j = (h & np.uint64(m - 1)).astype(np.int64)
+            w = h >> np.uint64(hll_bits)
+            bl = np.zeros(len(w), np.uint8)  # bit_length(w), vectorized
+            for s in (32, 16, 8, 4, 2, 1):
+                big = (w >> np.uint64(s)) > 0
+                bl[big] += s
+                w[big] >>= np.uint64(s)
+            bl += (w > 0).astype(np.uint8)
+            rho = (np.uint8(64 - hll_bits + 1) - bl).astype(np.uint8)
+            mat = np.zeros((len(df), m), np.uint8)
+            mat[np.arange(len(df)), j] = rho
+            return pd.DataFrame({"node": df["node"].to_numpy(),
+                                 "regs": [r.tobytes() for r in mat]})
+
+        def _count(b: pa.Table, t: int) -> pa.Table:
+            blob = b"".join(b["regs"].combine_chunks().to_pylist())
+            mat = np.frombuffer(blob, np.uint8).reshape(b.num_rows, m)
+            est = alpha * m * m / np.power(2.0, -mat.astype(np.float64)).sum(axis=1)
+            zeros = (mat == 0).sum(axis=1)
+            small = (est <= 2.5 * m) & (zeros > 0)
+            with np.errstate(divide="ignore"):
+                lc = m * np.log(m / np.maximum(zeros, 1).astype(np.float64))
+            est = np.where(small, lc, est)
+            return pa.table({
+                "node": b["node"],
+                "t": pa.array(np.full(b.num_rows, t, np.int64)),
+                "ball_est": pa.array(est, pa.float64())})
+
+        out_schema = pa.schema([("node", pa.string()), ("t", pa.int64()),
+                                ("ball_est", pa.float64())])
+
+    regs_schema = pa.schema([("node", pa.string()), ("regs", pa.binary())])
+    regs = _sanitize_join_output(
+        coarse_aggregate(nodes, ["node"], _init, n_coarse=nc),
+        regs_schema).materialize()
+
+    def _reduce_frame(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values("node", kind="mergesort")
+        keys = d["node"].to_numpy()
+        mat = np.frombuffer(b"".join(d["regs"]),
+                            np.uint8).reshape(len(d), width)
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        red = reduce_op.reduceat(mat, starts, axis=0)
+        return pd.DataFrame({"node": keys[starts],
+                             "regs": [r.tobytes() for r in red]})
+
+    # block-local combiner: partial-merge per dst inside each block
+    # BEFORE the coarse exchange (hub-skew guard; exact because the
+    # merge is idempotent/associative/commutative)
+    def _partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        return pa.Table.from_pandas(_reduce_frame(df),
+                                    preserve_index=False)
+
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    rounds = [regs.map_batches(functools.partial(_count, t=0),
+                               batch_format="pyarrow", batch_size=None)]
+    for t in range(1, max_t + 1):
+        msgs = coarse_join(e, regs, on="src", right_on="node",
+                           n_coarse=nc).map_batches(
+            lambda b: pa.table({"node": b["dst"], "regs": b["regs"]}),
+            batch_format="pyarrow", batch_size=None)
+        both = msgs.union(regs).map_batches(
+            _partial, batch_format="pyarrow", batch_size=None)
+        regs = _sanitize_join_output(
+            coarse_aggregate(both, ["node"], _reduce_frame,
+                             n_coarse=nc),
+            regs_schema).materialize()
+        rounds.append(regs.map_batches(functools.partial(_count, t=t),
+                                       batch_format="pyarrow",
+                                       batch_size=None))
+    return _sanitize_join_output(
+        functools.reduce(lambda a, b_: a.union(b_), rounds), out_schema)

@@ -1264,3 +1264,68 @@ def test_sameas_resolve_no_aliases_identity(ray_session):
     got = (sameas_resolve(rd.from_pandas(tri)).to_pandas()
            .sort_values("subj").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, tri)
+
+
+def _bfs_balls(pairs, max_t):
+    """Pure-python oracle: ball sizes per node per radius (undirected)."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for s in adj:
+        dist = {s: 0}
+        frontier = [s]
+        for d in range(1, max_t + 1):
+            nxt = [v for u in frontier for v in adj[u] if v not in dist]
+            for v in nxt:
+                dist.setdefault(v, d)
+            frontier = list(dict.fromkeys(nxt))
+        for t in range(max_t + 1):
+            out[(s, t)] = sum(1 for d in dist.values() if d <= t)
+    return out
+
+
+def test_neighborhood_function_exact_matches_bfs(ray_session):
+    """Exact (bitset) mode reproduces per-radius BFS ball sizes on a
+    random graph, including isolated-in-degree nodes and a multi-edge."""
+    from omop2obo_ray.pipelines.graph import neighborhood_function
+
+    rng = np.random.default_rng(7)
+    pairs = list({(f"v{a}", f"v{b}")
+                  for a, b in rng.integers(0, 60, size=(150, 2))
+                  if a != b})
+    pairs.append(pairs[0])  # duplicate edge must not change balls
+    df = pd.DataFrame(pairs, columns=["src", "dst"])
+    got = (neighborhood_function(rd.from_pandas(df).repartition(4),
+                                 max_t=3, mode="exact")
+           .to_pandas())
+    exp = _bfs_balls(pairs, 3)
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        assert exp[(r.node, r.t)] == r.ball, (r.node, r.t)
+
+
+def test_neighborhood_function_hll_tracks_exact(ray_session):
+    """HLL mode: monotone in t and within the published error band of
+    the exact ball sizes (2^10 registers → σ≈3.3%; assert 5σ)."""
+    from omop2obo_ray.pipelines.graph import neighborhood_function
+
+    rng = np.random.default_rng(3)
+    pairs = list({(f"v{a}", f"v{b}")
+                  for a, b in rng.integers(0, 400, size=(900, 2))
+                  if a != b})
+    df = pd.DataFrame(pairs, columns=["src", "dst"])
+    ds = rd.from_pandas(df).repartition(4)
+    est = (neighborhood_function(ds, max_t=2, mode="hll", hll_bits=10)
+           .to_pandas().set_index(["node", "t"])["ball_est"])
+    exact = _bfs_balls(pairs, 2)
+    assert set(est.index) == set(exact)
+    tol = 5 * 1.04 / np.sqrt(1024)
+    for (node, t), e in est.items():
+        true = exact[(node, t)]
+        assert abs(e - true) <= max(2.0, tol * true), (node, t, e, true)
+    # monotone in t per node
+    wide = est.unstack("t")
+    assert (wide[1] >= wide[0] - 1e-9).all()
+    assert (wide[2] >= wide[1] - 1e-9).all()
