@@ -2468,6 +2468,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["user_id", "ts", "event_type", "event_id"])
         return scd2_intervals(ev)
 
+    def q_weighted_sample(sf):
+        # A-Res weighted sampling without replacement over orders,
+        # weight = o_totalprice; pinned-hash uniform shared with SQL
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import weighted_sample
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey", "o_totalprice"])
+        return weighted_sample(orders, 100, weight_col="o_totalprice",
+                               id_col="o_orderkey")
+
+    def q_gap_fill(sf):
+        # calendar-spine densification + forward fill per user:
+        # integer epoch-day grid, exact gate
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import gap_fill
+
+        ev = rd.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["user_id", "ts", "event_type", "event_id"])
+        return gap_fill(ev)
+
     def q_cohort_retention(sf):
         # first-active-day cohorts × distinct-active-day offsets;
         # integer counts, gate exact
@@ -2541,6 +2565,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,  # retention triangle over events (SQL-checked)
         "streaks": q_streaks,                # gaps-and-islands day runs per user (SQL-checked)
         "scd2_intervals": q_scd2_intervals,  # SCD2 validity intervals (temporal crawl refresh)
+        "gap_fill": q_gap_fill,              # calendar densification + forward fill (SQL-checked)
+        "weighted_sample": q_weighted_sample,  # A-Res weighted sampling w/o replacement (SQL-checked)
         "skipgram_pairs": q_skipgram_pairs,  # item2vec context-pair counts (SQL-checked)
         "cap_per_key": q_cap_per_key,        # deterministic per-key row cap (SQL-checked)
         "scalar_quantize": q_scalar_quantize,  # SQ8 embedding codes, exact gate (SQL-checked)
@@ -2931,6 +2957,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type, effective_from, "
             "lead(effective_from) OVER (PARTITION BY user_id "
             "ORDER BY run) AS effective_to FROM runs"
+        ),
+        # weighted_sample: shared A-Res key — pinned multiplicative
+        # hash uniform, ln(u)/w order, id tiebreak
+        "weighted_sample": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY ln((((o_orderkey * 2654435761) % 4294967296) "
+            "+ 0.5) / 4294967296.0) / o_totalprice DESC, o_orderkey "
+            "LIMIT 100"
+        ),
+        # gap_fill: generate_series day grid per user + IGNORE-NULLS
+        # last_value forward fill; epoch-day ints, exact
+        "gap_fill": (
+            "WITH ranked AS (SELECT user_id, "
+            "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) "
+            "AS day_num, event_type, "
+            "row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE) "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events), "
+            "obs AS (SELECT user_id, day_num, event_type "
+            "FROM ranked WHERE rn = 1), "
+            "span AS (SELECT user_id, min(day_num) AS d0, "
+            "max(day_num) AS d1 FROM obs GROUP BY user_id), "
+            "grid AS (SELECT user_id, unnest(generate_series(d0, d1)) "
+            "AS day_num FROM span), "
+            "j AS (SELECT g.user_id, g.day_num, o.event_type, "
+            "CASE WHEN o.user_id IS NULL THEN 0 ELSE 1 END AS observed "
+            "FROM grid g LEFT JOIN obs o "
+            "ON g.user_id = o.user_id AND g.day_num = o.day_num) "
+            "SELECT user_id, day_num, "
+            "last_value(event_type IGNORE NULLS) OVER ("
+            "PARTITION BY user_id ORDER BY day_num) AS event_type, "
+            "observed FROM j"
         ),
         # grouped_corr: epsilon-floor quantized (sum reassociation)
         "grouped_corr": (

@@ -1338,3 +1338,101 @@ def scd2_intervals(ds: Dataset, *, key_col: str = "user_id",
 
     return coarse_aggregate(ds.select_columns(keep), [key_col], _runs,
                             n_coarse=n_coarse)
+
+
+def gap_fill(ds: Dataset, *, key_col: str = "user_id",
+             ts_col: str = "ts", val_col: str = "event_type",
+             tiebreak_col: str = "event_id",
+             n_coarse: int | None = None) -> Dataset:
+    """Calendar-spine densification + forward fill: one row per key per
+    DAY between that key's first and last observation →
+    ``(key, day_num, value, observed)``, where ``day_num`` is integer
+    days since 1970-01-01 (exact gate — no date-formatting ambiguity),
+    ``value`` is the last observation at-or-before that day (within a
+    day the (ts, tiebreak) maximum wins) and ``observed`` ∈ {0, 1}
+    marks days with a real observation. This is the daily-state view of
+    a temporal KG: crawl snapshots of a url become a dense per-day
+    validity series downstream aggregates can align on.
+
+    Scale shape: ONE coarse exchange keyed ``key_col``; inside the
+    frame everything is vectorized — last-per-day via a mergesort +
+    ``drop_duplicates(keep='last')``, the per-key day grid by the
+    cumsum/arange trick (no per-key Python loop), the fill via the
+    cython groupby-ffill. Driver state: none. Output size is
+    Σ(per-key day spans) — bounded by the calendar, not the row count,
+    so a hot key (10⁶ recrawls of one url in a month) DENSIFIES to ≤
+    31 rows. Timestamp arithmetic is resolution-independent
+    (``(ts − epoch).dt.days`` — parquet arrives as us, from_pandas as
+    ns; see streaks)."""
+    keep = [key_col, ts_col, val_col, tiebreak_col]
+    epoch = pd.Timestamp("1970-01-01")
+
+    def _fill(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values([key_col, ts_col, tiebreak_col],
+                           kind="mergesort")
+        d = d.assign(day_num=(d[ts_col] - epoch).dt.days.astype(np.int64))
+        # last observation per (key, day): (ts, tiebreak) max = last row
+        # in the mergesort order
+        obs = d.drop_duplicates([key_col, "day_num"], keep="last")[
+            [key_col, "day_num", val_col]]
+        k = obs[key_col].to_numpy()
+        day = obs["day_num"].to_numpy()
+        kstart = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        kend = np.r_[kstart[1:], len(k)] - 1
+        d0, d1 = day[kstart], day[kend]
+        lens = d1 - d0 + 1
+        total = int(lens.sum())
+        # per-key arange without a loop: global index minus each key's
+        # cumulative start, shifted to its first day
+        starts = np.cumsum(lens) - lens
+        rep = np.repeat(np.arange(len(kstart)), lens)
+        grid_day = d0[rep] + (np.arange(total) - starts[rep])
+        grid = pd.DataFrame({key_col: k[kstart][rep],
+                             "day_num": grid_day})
+        out = grid.merge(obs, on=[key_col, "day_num"], how="left")
+        out["observed"] = out[val_col].notna().astype(np.int64)
+        out[val_col] = out.groupby(key_col, sort=False)[val_col].ffill()
+        return out
+
+    return coarse_aggregate(ds.select_columns(keep), [key_col], _fill,
+                            n_coarse=n_coarse)
+
+
+def weighted_sample(ds: Dataset, k: int, *, weight_col: str,
+                    id_col: str, cols: list[str] | None = None) -> Dataset:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-Res): keep the ``k`` rows maximizing u^(1/w) ⟺
+    ln(u)/w, with u derived from the pinned multiplicative hash
+    ``h = (id·2654435761) mod 2³²``, ``u = (h + 0.5)/2³²`` — the same
+    reproducible-uniform trick as ``cap_per_key``, so runs are
+    repeatable and the oracle can share the exact expression. This is
+    the quality-weighted corpus-selection primitive (sample pages
+    proportional to a quality score without replacement). Weights must
+    be > 0; ``id_col`` integer and unique.
+
+    Scale shape: embarrassingly parallel block-local top-k
+    (argpartition, no sort of the block) → a tiny all-to-all over
+    ≤ k rows per block → global top-k; no keyed exchange, no driver
+    state beyond the k-row result. Selection compares IEEE doubles
+    (ln is evaluated by different libms engine- vs oracle-side);
+    a flip needs two sample keys within ~2 ulp — probability
+    ≈ n²·4e-16, negligible at any n this gate runs (ties on exact
+    equality break by id, shared with the SQL)."""
+    keep = list(dict.fromkeys([id_col, weight_col] + (cols or [])))
+
+    def _local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[keep]
+        ids = d[id_col].to_numpy(np.int64)
+        h = (ids * np.int64(2654435761)) % np.int64(2**32)
+        w = d[weight_col].to_numpy(np.float64)
+        skey = np.log((h.astype(np.float64) + 0.5) / 2**32) / w
+        if len(d) > k:
+            top = np.argpartition(-skey, k - 1)[:k]
+            d, skey = d.iloc[top], skey[top]
+        return d.assign(_skey=skey)
+
+    part = ds.map_batches(_local_topk, batch_format="pandas",
+                          batch_size=None)
+    return (part.sort([("_skey"), (id_col)], descending=[True, False])
+            .limit(k)
+            .drop_columns(["_skey"]))

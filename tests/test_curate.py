@@ -2113,3 +2113,88 @@ def test_scd2_intervals_matches_sql(ray_session):
     # effective_from, and exactly one open interval per key
     opens = got[got["effective_to"].isna()].groupby("user_id").size()
     assert (opens == 1).all()
+
+
+def test_gap_fill_matches_sql(ray_session):
+    """Calendar densification ≡ generate_series + IGNORE-NULLS
+    last_value oracle: spans are per-key, fills carry the last
+    observation of the most recent observed day, observed flags exact."""
+    import duckdb
+
+    from omop2obo_ray.pipelines.relational import gap_fill
+
+    rng = np.random.default_rng(5)
+    n = 300
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 15, n),
+        "event_type": rng.choice(list("xyz"), n),
+        # sparse day grid with intra-day duplicates → gaps AND ties
+        "ts": pd.to_datetime("2026-02-01")
+        + pd.to_timedelta(rng.integers(0, 40, n), unit="D")
+        + pd.to_timedelta(rng.integers(0, 3, n), unit="s"),
+        "event_id": np.arange(n, dtype=np.int64)})
+    got = (gap_fill(rd.from_pandas(df).repartition(5))
+           .to_pandas()
+           .sort_values(["user_id", "day_num"]).reset_index(drop=True)
+           [["user_id", "day_num", "event_type", "observed"]])
+    exp = duckdb.sql("""
+        WITH ranked AS (SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                 AS day_num, event_type,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts DESC, event_id DESC) AS rn FROM df),
+        obs AS (SELECT user_id, day_num, event_type
+                FROM ranked WHERE rn = 1),
+        span AS (SELECT user_id, min(day_num) AS d0, max(day_num) AS d1
+                 FROM obs GROUP BY user_id),
+        grid AS (SELECT user_id, unnest(generate_series(d0, d1))
+                   AS day_num FROM span),
+        j AS (SELECT g.user_id, g.day_num, o.event_type,
+                CASE WHEN o.user_id IS NULL THEN 0 ELSE 1 END AS observed
+              FROM grid g LEFT JOIN obs o
+                ON g.user_id = o.user_id AND g.day_num = o.day_num)
+        SELECT user_id, day_num,
+               last_value(event_type IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day_num) AS event_type,
+               observed
+        FROM j""").df().sort_values(
+        ["user_id", "day_num"]).reset_index(drop=True)[
+        ["user_id", "day_num", "event_type", "observed"]]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # gaps exist (otherwise the fixture tests nothing)
+    assert (got["observed"] == 0).any()
+    # every key's span is contiguous
+    for _, g in got.groupby("user_id"):
+        d = g["day_num"].to_numpy()
+        assert (np.diff(d) == 1).all()
+
+
+def test_weighted_sample_matches_sql_and_is_weighted(ray_session):
+    """A-Res selection ≡ the shared ln(u)/w ORDER BY ... LIMIT oracle,
+    and heavier rows are actually overrepresented."""
+    import duckdb
+
+    from omop2obo_ray.pipelines.relational import weighted_sample
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    df = pd.DataFrame({
+        "rid": np.arange(1, n + 1, dtype=np.int64),
+        # two-tier weights: 10% heavy (w=50), rest light (w=1)
+        "w": np.where(rng.random(n) < 0.1, 50.0, 1.0)})
+    got = (weighted_sample(rd.from_pandas(df).repartition(6), 200,
+                           weight_col="w", id_col="rid")
+           .to_pandas().sort_values("rid").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT rid, w FROM df
+        ORDER BY ln((((rid * 2654435761) % 4294967296) + 0.5)
+                    / 4294967296.0) / w DESC, rid
+        LIMIT 200""").df().sort_values("rid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # heavy rows (~10% of population, 50x weight) dominate the sample
+    assert (got["w"] == 50.0).mean() > 0.5
+    # idempotent re-run (determinism)
+    again = (weighted_sample(rd.from_pandas(df).repartition(3), 200,
+                             weight_col="w", id_col="rid")
+             .to_pandas().sort_values("rid").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again, check_dtype=False)
