@@ -2468,6 +2468,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["user_id", "ts", "event_type", "event_id"])
         return scd2_intervals(ev)
 
+    def q_window_rank(sf):
+        # RANK/DENSE_RANK per order over line quantities (integral
+        # doubles → plenty of ties); integer ranks, gate exact
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import window_rank
+
+        lin = rd.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber", "l_quantity"])
+        return window_rank(lin, key_col="l_orderkey",
+                           val_col="l_quantity")
+
+    def q_interval_join(sf):
+        # point-in-time join of a shifted copy of the event stream to
+        # its own SCD2 validity intervals; half-open boundary and
+        # open-tail semantics exercised, gate exact (timestamps)
+        import pandas as pd
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import (interval_join,
+                                                       scd2_intervals)
+
+        ev = rd.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["user_id", "ts", "event_type", "event_id"])
+        iv = scd2_intervals(ev)
+
+        def _shift(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "user_id": df["user_id"],
+                "ts": df["ts"] - pd.to_timedelta(90, unit="min"),
+                "fact_id": df["event_id"]})
+
+        facts = ev.map_batches(_shift, batch_format="pandas",
+                               batch_size=None)
+        return interval_join(facts, iv)
+
     def q_weighted_sample(sf):
         # A-Res weighted sampling without replacement over orders,
         # weight = o_totalprice; pinned-hash uniform shared with SQL
@@ -2567,6 +2605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_intervals": q_scd2_intervals,  # SCD2 validity intervals (temporal crawl refresh)
         "gap_fill": q_gap_fill,              # calendar densification + forward fill (SQL-checked)
         "weighted_sample": q_weighted_sample,  # A-Res weighted sampling w/o replacement (SQL-checked)
+        "interval_join": q_interval_join,    # point-in-time join to SCD2 intervals (SQL-checked)
+        "window_rank": q_window_rank,        # RANK/DENSE_RANK window family (SQL-checked)
         "skipgram_pairs": q_skipgram_pairs,  # item2vec context-pair counts (SQL-checked)
         "cap_per_key": q_cap_per_key,        # deterministic per-key row cap (SQL-checked)
         "scalar_quantize": q_scalar_quantize,  # SQ8 embedding codes, exact gate (SQL-checked)
@@ -2957,6 +2997,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type, effective_from, "
             "lead(effective_from) OVER (PARTITION BY user_id "
             "ORDER BY run) AS effective_to FROM runs"
+        ),
+        "window_rank": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, "
+            "rank() OVER (PARTITION BY l_orderkey "
+            "ORDER BY l_quantity) AS rnk, "
+            "dense_rank() OVER (PARTITION BY l_orderkey "
+            "ORDER BY l_quantity) AS drnk FROM lineitem"
+        ),
+        # interval_join: SCD2 intervals (same CTE as scd2_intervals)
+        # range-joined to the 90-min-shifted event stream
+        "interval_join": (
+            "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+            "lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev FROM events), "
+            "r AS (SELECT user_id, ts, event_type, "
+            "sum(CASE WHEN prev IS NULL OR prev <> event_type "
+            "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run "
+            "FROM o), "
+            "runs AS (SELECT user_id, run, min(event_type) AS "
+            "event_type, min(ts) AS effective_from "
+            "FROM r GROUP BY user_id, run), "
+            "iv AS (SELECT user_id, event_type, effective_from, "
+            "lead(effective_from) OVER (PARTITION BY user_id "
+            "ORDER BY run) AS effective_to FROM runs), "
+            "facts AS (SELECT user_id, "
+            "ts - INTERVAL 90 MINUTE AS ts, event_id AS fact_id "
+            "FROM events) "
+            "SELECT f.user_id, f.ts, f.fact_id, i.event_type, "
+            "i.effective_from, i.effective_to "
+            "FROM facts f JOIN iv i ON f.user_id = i.user_id "
+            "AND f.ts >= i.effective_from "
+            "AND (i.effective_to IS NULL OR f.ts < i.effective_to)"
         ),
         # weighted_sample: shared A-Res key — pinned multiplicative
         # hash uniform, ln(u)/w order, id tiebreak

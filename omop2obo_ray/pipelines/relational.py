@@ -1436,3 +1436,106 @@ def weighted_sample(ds: Dataset, k: int, *, weight_col: str,
     return (part.sort([("_skey"), (id_col)], descending=[True, False])
             .limit(k)
             .drop_columns(["_skey"]))
+
+
+def interval_join(facts: Dataset, intervals: Dataset, *,
+                  key_col: str = "user_id", ts_col: str = "ts",
+                  from_col: str = "effective_from",
+                  to_col: str = "effective_to",
+                  n_coarse: int | None = None) -> Dataset:
+    """Point-in-time join: attach to each fact row the interval row
+    valid at its timestamp — ``from ≤ ts < to`` (half-open; a null
+    ``to`` is open-ended). With SCD2-style non-overlapping intervals
+    (``scd2_intervals`` output) this is dimension lookup "as of" the
+    fact: which extracted-fact version was current when this event /
+    crawl happened. Facts with no valid interval (before the key's
+    first observation) DROP — inner-join semantics, exactly the SQL
+    range-join predicate.
+
+    Scale shape: both sides ride ONE coarse exchange keyed ``key_col``
+    (typed-null tagged union, the `coarse_join` layout); inside the
+    frame the match is ONE ``pd.merge_asof`` (C-vectorized
+    backward-asof per key) + the half-open validity filter — never a
+    per-key Python loop, never a quadratic range probe. Correct for
+    non-overlapping intervals per key (the SCD2 contract: the valid
+    interval is precisely the latest-starting one at or before ts).
+    Skew: a hot key co-locates like any keyed exchange; intervals are
+    change-bounded, so the interval side of a hot key stays small."""
+    from omop2obo_ray.pipelines.textpipe import _pa_schema_of
+
+    fs, is_ = _pa_schema_of(facts), _pa_schema_of(intervals)
+    fsch = {n: fs.field(n).type for n in fs.names}
+    isch = {n: is_.field(n).type for n in is_.names}
+    fpay = [c for c in fsch if c != key_col]
+    ipay = [c for c in isch if c != key_col]
+    if set(fpay) & set(ipay):
+        raise ValueError("interval_join: column collision "
+                         f"{set(fpay) & set(ipay)}")
+
+    def _tag_f(b: pa.Table) -> pa.Table:
+        cols = {key_col: b[key_col], "_side": pa.array(
+            np.zeros(b.num_rows, np.int8))}
+        for c in fpay:
+            cols[c] = b[c]
+        for c in ipay:
+            cols[c] = pa.nulls(b.num_rows, isch[c])
+        return pa.table(cols)
+
+    def _tag_i(b: pa.Table) -> pa.Table:
+        cols = {key_col: b[key_col], "_side": pa.array(
+            np.ones(b.num_rows, np.int8))}
+        for c in fpay:
+            cols[c] = pa.nulls(b.num_rows, fsch[c])
+        for c in ipay:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    both = facts.map_batches(_tag_f, batch_format="pyarrow",
+                             batch_size=None).union(
+        intervals.map_batches(_tag_i, batch_format="pyarrow",
+                              batch_size=None))
+
+    def _probe(df: pd.DataFrame) -> pd.DataFrame:
+        side = df["_side"].to_numpy()
+        f = (df.loc[side == 0, [key_col] + fpay]
+             .sort_values(ts_col, kind="mergesort"))
+        i = (df.loc[side == 1, [key_col] + ipay]
+             .sort_values(from_col, kind="mergesort"))
+        # resolution alignment: parquet timestamps arrive as us,
+        # from_pandas/typed-null reassembly as ns — merge_asof insists
+        # on identical dtypes (see streaks' epoch-day note)
+        for frame, col in ((f, ts_col), (i, from_col), (i, to_col)):
+            if str(frame[col].dtype).startswith("datetime64"):
+                frame[col] = frame[col].astype("datetime64[ns]")
+        if f.empty or i.empty:
+            return f.iloc[:0].assign(**{c: pd.Series(dtype=i[c].dtype)
+                                        for c in ipay})
+        m = pd.merge_asof(f, i, left_on=ts_col, right_on=from_col,
+                          by=key_col, direction="backward")
+        valid = m[from_col].notna() & (
+            m[to_col].isna() | (m[ts_col] < m[to_col]))
+        return m[valid]
+
+    return coarse_aggregate(both, [key_col], _probe, n_coarse=n_coarse)
+
+
+def window_rank(ds: Dataset, *, key_col: str, val_col: str,
+                n_coarse: int | None = None) -> Dataset:
+    """Ranking-window family in one keyed exchange → every input row
+    plus ``rnk`` (RANK: ties share, gaps after) and ``drnk``
+    (DENSE_RANK: ties share, no gaps) over ``val_col`` ascending within
+    ``key_col``. Integer outputs — exact gate; PERCENT_RANK /
+    CUME_DIST are derived ratios ((rnk−1)/(n−1), peer-max rnk/n) the
+    caller can compute from these plus a count. Scale shape: ONE
+    coarse exchange keyed ``key_col``; ranks inside the frame are the
+    cython ``groupby(...).rank`` — no per-key Python. Hot-key caveat
+    as everywhere: one key's rows land in one frame, so pick a key
+    with cardinality ≫ cluster cores (ranking by host or by document,
+    not by a 3-value flag)."""
+    def _rank(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_col, sort=False)[val_col]
+        return df.assign(
+            rnk=g.rank(method="min").astype(np.int64),
+            drnk=g.rank(method="dense").astype(np.int64))
+
+    return coarse_aggregate(ds, [key_col], _rank, n_coarse=n_coarse)

@@ -2198,3 +2198,66 @@ def test_weighted_sample_matches_sql_and_is_weighted(ray_session):
                              weight_col="w", id_col="rid")
              .to_pandas().sort_values("rid").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, again, check_dtype=False)
+
+
+def test_interval_join_matches_sql(ray_session):
+    """Point-in-time join ≡ the SQL range predicate: facts before the
+    key's first interval drop, open intervals catch the tail, half-open
+    boundaries are exact (ts == effective_to goes to the NEXT run)."""
+    import duckdb
+
+    from omop2obo_ray.pipelines.relational import (interval_join,
+                                                   scd2_intervals)
+
+    rng = np.random.default_rng(13)
+    n = 350
+    ev = pd.DataFrame({
+        "user_id": rng.integers(0, 10, n),
+        "event_type": rng.choice(list("pq"), n),
+        "ts": pd.to_datetime("2026-03-01")
+        + pd.to_timedelta(rng.integers(0, 2000, n), unit="min"),
+        "event_id": np.arange(n, dtype=np.int64)})
+    iv = scd2_intervals(rd.from_pandas(ev)).to_pandas()
+    # facts: same stream shifted back 90 min → some precede the first
+    # interval (drop), some land exactly on boundaries
+    facts = ev[["user_id", "ts", "event_id"]].copy()
+    facts["ts"] = facts["ts"] - pd.to_timedelta(90, unit="min")
+    facts = facts.rename(columns={"event_id": "fact_id"})
+    got = (interval_join(rd.from_pandas(facts).repartition(4),
+                         rd.from_pandas(iv).repartition(3))
+           .to_pandas()
+           .sort_values(["user_id", "fact_id"]).reset_index(drop=True)
+           [["user_id", "fact_id", "ts", "event_type",
+             "effective_from", "effective_to"]])
+    exp = duckdb.sql("""
+        SELECT f.user_id, f.fact_id, f.ts, i.event_type,
+               i.effective_from, i.effective_to
+        FROM facts f JOIN iv i
+          ON f.user_id = i.user_id AND f.ts >= i.effective_from
+         AND (i.effective_to IS NULL OR f.ts < i.effective_to)
+        """).df().sort_values(
+        ["user_id", "fact_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert len(got) < len(facts)   # pre-first-interval facts dropped
+    assert len(got) > 0
+
+
+def test_window_rank_matches_sql(ray_session):
+    import duckdb
+
+    from omop2obo_ray.pipelines.relational import window_rank
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({"k": rng.integers(0, 20, 500),
+                       "rid": np.arange(500, dtype=np.int64),
+                       "v": rng.integers(0, 8, 500).astype(float)})
+    got = (window_rank(rd.from_pandas(df).repartition(4),
+                       key_col="k", val_col="v")
+           .to_pandas().sort_values(["k", "rid"]).reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT k, rid, v,
+               rank() OVER (PARTITION BY k ORDER BY v) AS rnk,
+               dense_rank() OVER (PARTITION BY k ORDER BY v) AS drnk
+        FROM df""").df().sort_values(["k", "rid"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_dtype=False)
