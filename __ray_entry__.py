@@ -2468,6 +2468,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["user_id", "ts", "event_type", "event_id"])
         return scd2_intervals(ev)
 
+    def q_mmr_rerank(sf):
+        # rows-only: greedy argmax re-ranking has no SQL equivalent;
+        # pytest carries the exact pure-python-oracle identity
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import (brute_force_topk,
+                                                     mmr_rerank)
+
+        emb = rd.read_parquet(f"{sf}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        qs = [(r["vec_id"], list(r["embedding"]))
+              for r in emb.filter(
+                  lambda r: r["vec_id"] in (0, 1, 2)).take(3)]
+        cands = brute_force_topk(emb, qs, k=50)
+        reranked = mmr_rerank(rd.from_pandas(
+            cands[["qid", "vec_id", "cos"]]), emb, k=10, lam=0.7)
+        return reranked.select_columns(["qid", "vec_id", "mmr_rank"])
+
     def q_window_rank(sf):
         # RANK/DENSE_RANK per order over line quantities (integral
         # doubles → plenty of ties); integer ranks, gate exact
@@ -2607,6 +2625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,  # A-Res weighted sampling w/o replacement (SQL-checked)
         "interval_join": q_interval_join,    # point-in-time join to SCD2 intervals (SQL-checked)
         "window_rank": q_window_rank,        # RANK/DENSE_RANK window family (SQL-checked)
+        "mmr_rerank": q_mmr_rerank,          # MMR diversified top-k (rows-only: greedy argmax)
         "skipgram_pairs": q_skipgram_pairs,  # item2vec context-pair counts (SQL-checked)
         "cap_per_key": q_cap_per_key,        # deterministic per-key row cap (SQL-checked)
         "scalar_quantize": q_scalar_quantize,  # SQ8 embedding codes, exact gate (SQL-checked)

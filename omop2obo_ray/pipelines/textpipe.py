@@ -40,6 +40,10 @@ def _vec_matrix(batch: pa.Table, col: str) -> np.ndarray:
     row objects (to_pylist on a 64-dim embedding column is ~20× slower
     and allocates a Python float per element)."""
     arr = batch[col].combine_chunks()
+    if isinstance(arr, pa.ExtensionArray):
+        # Ray tensor extension (from_pandas of ndarray cells) — its
+        # storage is the plain (fixed-size) list array we want
+        arr = arr.storage
     n = len(arr)
     if n == 0:
         return np.empty((0, 0), dtype=np.float64)
@@ -2890,3 +2894,76 @@ def scalar_quantize(embeddings: Dataset, *, vec_col: str = "embedding",
     codes = embeddings.select_columns([key_col, vec_col]).map_batches(
         _enc, batch_format="pyarrow", batch_size=None)
     return codes, {"mins": mins, "maxs": maxs}
+
+
+def mmr_rerank(cands: Dataset, embeddings: Dataset, k: int = 10,
+               lam: float = 0.5, *, qid_col: str = "qid",
+               key_col: str = "vec_id", vec_col: str = "embedding",
+               score_col: str = "cos") -> Dataset:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    '98) of ANN candidate lists → (qid, key, mmr_rank, mmr_score):
+    greedily pick, per query, the candidate maximizing
+    ``λ·rel − (1−λ)·max_{s∈selected} cos(d, s)`` — the standard
+    diversified top-k that keeps near-duplicate hits (mirror pages,
+    boilerplate variants) from filling a result list.
+
+    Scale shape: ONE hash join attaches candidate embeddings (coarse,
+    keyed ``key_col``), then ONE exchange keyed ``qid_col`` with the
+    greedy loop inside the frame — the loop is k steps of vectorized
+    numpy over the QUERY-BOUNDED candidate set (an ANN top-N, ~10²-10³
+    rows), the one place sequential work is inherent to the semantics.
+    Driver state: none. Determinism: candidates are pre-sorted
+    (score desc, key asc) and argmax takes the first maximum, so ties
+    break identically everywhere; rows-only driver gate, exact
+    pure-python oracle in pytest."""
+    from omop2obo_ray.functions.shuffle import (coarse_aggregate,
+                                                coarse_join)
+
+    pairs = cands.select_columns([qid_col, key_col, score_col])
+
+    # vectors ride the exchange as binary blobs (the PQ-codes pattern):
+    # Ray's tensor-extension arrays don't survive sliced pandas
+    # round-trips, raw bytes always do
+    def _blob(b: pa.Table) -> pa.Table:
+        mat = _vec_matrix(b, vec_col).astype(np.float64)
+        return pa.table({key_col: b[key_col],
+                         "_emb": pa.array([r.tobytes() for r in mat],
+                                          pa.binary())})
+
+    emb = embeddings.select_columns([key_col, vec_col]).map_batches(
+        _blob, batch_format="pyarrow", batch_size=None)
+    joined = coarse_join(pairs, emb, on=key_col)
+
+    def _greedy(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for qid, g in df.groupby(qid_col, sort=False):
+            g = g.sort_values([score_col, key_col],
+                              ascending=[False, True],
+                              kind="mergesort")
+            E = np.frombuffer(b"".join(g["_emb"]),
+                              np.float64).reshape(len(g), -1).copy()
+            E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True),
+                            1e-12)
+            sim = E @ E.T
+            rel = g[score_col].to_numpy(np.float64)
+            n = len(g)
+            picked = np.zeros(n, bool)
+            max_to_sel = np.full(n, -np.inf)
+            order, scores = [], []
+            for step in range(min(k, n)):
+                mmr = lam * rel - (1 - lam) * np.where(
+                    np.isneginf(max_to_sel), 0.0, max_to_sel)
+                mmr[picked] = -np.inf
+                i = int(np.argmax(mmr))
+                picked[i] = True
+                order.append(i)
+                scores.append(mmr[i])
+                max_to_sel = np.maximum(max_to_sel, sim[:, i])
+            out.append(pd.DataFrame({
+                qid_col: qid,
+                key_col: g[key_col].to_numpy()[order],
+                "mmr_rank": np.arange(1, len(order) + 1, dtype=np.int64),
+                "mmr_score": np.asarray(scores, np.float64)}))
+        return pd.concat(out, ignore_index=True)
+
+    return coarse_aggregate(joined, [qid_col], _greedy)

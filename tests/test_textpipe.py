@@ -1053,3 +1053,61 @@ def test_scalar_quantize_roundtrip_and_range(ray_session):
     # decode: mn + q/255*span within one quantum of the original
     dec = mn + Q.astype(np.float64) / 255.0 * sp
     assert np.max(np.abs(dec - Xd) / np.where(sp == 0, 1, sp)) <= 1 / 255
+
+
+def test_mmr_rerank_matches_pure_python(ray_session):
+    """Greedy MMR ≡ the reference greedy oracle on random candidates,
+    and λ=1 degenerates to plain relevance order."""
+    from omop2obo_ray.pipelines.textpipe import mmr_rerank
+
+    rng = np.random.default_rng(17)
+    nq, nc, d = 3, 40, 16
+    emb = pd.DataFrame({
+        "vec_id": np.arange(nq * nc, dtype=np.int64),
+        "embedding": list(rng.normal(size=(nq * nc, d)))})
+    cands = pd.DataFrame({
+        "qid": np.repeat(np.arange(nq, dtype=np.int64), nc),
+        "vec_id": np.arange(nq * nc, dtype=np.int64),
+        "cos": rng.random(nq * nc)})
+    lam, k = 0.7, 8
+    got = (mmr_rerank(rd.from_pandas(cands).repartition(3),
+                      rd.from_pandas(emb).repartition(4), k=k, lam=lam)
+           .to_pandas().sort_values(["qid", "mmr_rank"])
+           .reset_index(drop=True))
+
+    # oracle: plain-python greedy
+    E = np.stack(emb["embedding"].to_numpy())
+    E = E / np.linalg.norm(E, axis=1, keepdims=True)
+    exp_rows = []
+    for qid, g in cands.groupby("qid"):
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True])
+        ids = g["vec_id"].to_numpy()
+        rel = g["cos"].to_numpy()
+        sel, sel_idx = [], []
+        while len(sel) < k and len(sel) < len(ids):
+            best, best_v = None, -np.inf
+            for i in range(len(ids)):
+                if i in sel_idx:
+                    continue
+                pen = max((E[ids[i]] @ E[ids[j]] for j in sel_idx),
+                          default=0.0)
+                v = lam * rel[i] - (1 - lam) * pen
+                if v > best_v:
+                    best, best_v = i, v
+            sel_idx.append(best)
+            sel.append(ids[best])
+            exp_rows.append((qid, ids[best], len(sel)))
+    exp = pd.DataFrame(exp_rows, columns=["qid", "vec_id", "mmr_rank"])
+    pd.testing.assert_frame_equal(
+        got[["qid", "vec_id", "mmr_rank"]], exp, check_dtype=False)
+
+    # λ=1: pure relevance order, no diversity penalty
+    pure = (mmr_rerank(rd.from_pandas(cands), rd.from_pandas(emb),
+                       k=5, lam=1.0).to_pandas()
+            .sort_values(["qid", "mmr_rank"]).reset_index(drop=True))
+    for qid, g in cands.groupby("qid"):
+        top5 = (g.sort_values(["cos", "vec_id"],
+                              ascending=[False, True])["vec_id"]
+                .head(5).to_numpy())
+        assert (pure[pure["qid"] == qid]["vec_id"].to_numpy()
+                == top5).all()
