@@ -1816,6 +1816,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return neighborhood_function(_synth_tri_edges(sf), max_t=2,
                                      mode="exact")
 
+    def q_dag_depth(sf):
+        # longest-path depth over a synthetic orderkey DAG (parent
+        # rules k//8→k and k//64→k — ≤ 2 parents/node, depth ≈
+        # log₈(max key)); integer depths, gate exact via a
+        # dedup-UNION recursive CTE + max(d)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import dag_depth
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _edges(b: pa.Table) -> pa.Table:
+            import numpy as np
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            k = k[k >= 1]
+            s1, d1 = k // 8, k
+            m = (k >= 64) & (k // 64 != k // 8)
+            s2, d2 = k[m] // 64, k[m]
+            return pa.table({
+                "src": pa.array(np.r_[s1, s2], pa.int64()),
+                "dst": pa.array(np.r_[d1, d2], pa.int64())})
+
+        e = orders.map_batches(_edges, batch_format="pyarrow",
+                               batch_size=None)
+        return dag_depth(e)
+
     def q_bpe_train(sf):
         # rows-only: iterative argmax merge learning has no SQL
         # equivalent; pytest carries the reference-identity check
@@ -2715,6 +2744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": q_bfs_hops,  # frontier BFS distance (SQL-checked vs recursive CTE)
         "kcore": q_kcore,  # k-core peeling (SQL-checked: unrolled-peel oracle)
         "neighborhood": q_neighborhood,  # HyperBall ball sizes, exact mode (SQL-checked)
+        "dag_depth": q_dag_depth,        # longest-path DAG depth from roots (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
         "neighbor_mean": q_neighbor_mean,  # GraphSAGE-mean propagation round (SQL-checked)
@@ -2843,6 +2873,25 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "kcore": _kc,
+        # dag_depth: recursive CTE enumerates (node, d) pairs from the
+        # roots (UNION dedup bounds rows by nodes x depth); depth =
+        # max(d). Same synthetic parent rules as the engine query.
+        "dag_depth": (
+            "WITH RECURSIVE "
+            "e0 AS (SELECT o_orderkey // 8 AS src, o_orderkey AS dst "
+            "FROM orders WHERE o_orderkey >= 1 "
+            "UNION ALL SELECT o_orderkey // 64, o_orderkey "
+            "FROM orders WHERE o_orderkey >= 64 "
+            "AND o_orderkey // 64 <> o_orderkey // 8), "
+            "ed AS (SELECT DISTINCT src, dst FROM e0), "
+            "roots AS (SELECT DISTINCT src AS node FROM ed "
+            "WHERE src NOT IN (SELECT dst FROM ed)), "
+            "p AS (SELECT node, 0 AS d FROM roots "
+            "UNION "
+            "SELECT ed.dst, p.d + 1 FROM p "
+            "JOIN ed ON ed.src = p.node) "
+            "SELECT node, max(d) AS depth FROM p GROUP BY node"
+        ),
         # neighborhood: bounded-hop recursive CTE (UNION dedups visited
         # rows; min(d) collapses longer rediscoveries), then ball(node,
         # t) = #nodes with min-distance ≤ t for each radius in 0..2

@@ -2656,3 +2656,69 @@ def neighborhood_function(edges: Dataset, max_t: int = 3, *,
                                        batch_size=None))
     return _sanitize_join_output(
         functools.reduce(lambda a, b_: a.union(b_), rounds), out_schema)
+
+
+def dag_depth(edges: Dataset, *, src: str = "src", dst: str = "dst",
+              max_rounds: int = 32,
+              n_coarse: int | None = None) -> Dataset:
+    """Longest-path depth of every DAG node from the root set →
+    (node, depth): roots (in-degree 0) at 0, every other node at
+    1 + max(parent depths) — the concept-DEPTH assignment over an
+    ontology hierarchy (how deep a term sits under its OBO roots;
+    the reference walks the same parent DAG per concept in its
+    ancestor-closure expansion, `omop2obo/ontology_explorer.py`), and
+    the level assignment for topological scheduling generally.
+
+    Implementation is a two-liner by reduction: longest path from the
+    roots = −(shortest path with every edge weighing −1), and
+    Bellman-Ford's min-fold is weight-sign-agnostic on a DAG (no
+    cycles ⇒ no negative cycles ⇒ convergence in ≤ depth rounds). So
+    this delegates to `sssp` — frontier-only relaxation, ONE relax
+    join + ONE min-fold exchange per round, early stop — inheriting
+    its scale shape and its unrolled-recurrence gate semantics.
+    Inputs MUST be acyclic (a cycle would relax forever; `max_rounds`
+    is the guard) with int64 node ids.
+
+    Root discovery is distributed (distinct srcs anti-join distinct
+    dsts); the root LIST then seeds sssp through the driver —
+    driver state bounded by the root count (ontology roots, crawl
+    entry hosts: small by construction)."""
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+
+    e = edges.map_batches(
+        lambda b, s=src, d=dst: pa.table({
+            "src": b[s].combine_chunks().cast(pa.int64()),
+            "dst": b[d].combine_chunks().cast(pa.int64()),
+            "w": pa.array(np.full(b.num_rows, -1, np.int64))}),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    srcs = e.map_batches(lambda b: pa.table({"node": b["src"]}),
+                         batch_format="pyarrow", batch_size=None)
+    dsts = e.map_batches(
+        lambda b: pa.table({"node": b["dst"],
+                            "indeg": pa.array(np.ones(b.num_rows,
+                                                      np.int8))}),
+        batch_format="pyarrow", batch_size=None)
+
+    def _roots(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False)["indeg"].max().reset_index()
+        return g[g["indeg"].isna() | (g["indeg"] < 1)][["node"]]
+
+    roots = coarse_aggregate(
+        srcs.map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                "indeg": pa.nulls(b.num_rows, pa.int8())}),
+            batch_format="pyarrow", batch_size=None).union(dsts),
+        ["node"], _roots, n_coarse=n_coarse)
+    seed_list = [r["node"] for r in roots.take_all()]
+    if not seed_list:
+        raise ValueError("dag_depth: no in-degree-0 roots — "
+                         "input is cyclic or empty")
+
+    dist = sssp(e, seed_list, max_rounds=max_rounds, n_coarse=n_coarse)
+    return dist.map_batches(
+        lambda b: pa.table({
+            "node": b["node"],
+            "depth": pc.negate(b["dist"].combine_chunks())}),
+        batch_format="pyarrow", batch_size=None)

@@ -1329,3 +1329,29 @@ def test_neighborhood_function_hll_tracks_exact(ray_session):
     wide = est.unstack("t")
     assert (wide[1] >= wide[0] - 1e-9).all()
     assert (wide[2] >= wide[1] - 1e-9).all()
+
+
+def test_dag_depth_matches_longest_path(ray_session):
+    """dag_depth ≡ the longest-path-from-roots oracle on a random DAG
+    (edges only i→j with i<j, so acyclicity holds by construction)."""
+    from omop2obo_ray.pipelines.graph import dag_depth
+
+    rng = np.random.default_rng(23)
+    pairs = sorted({(int(min(a, b)), int(max(a, b)))
+                    for a, b in rng.integers(0, 80, size=(200, 2))
+                    if a != b})
+    df = pd.DataFrame(pairs, columns=["src", "dst"])
+    got = (dag_depth(rd.from_pandas(df).repartition(4))
+           .to_pandas().set_index("node")["depth"].to_dict())
+
+    # oracle: DP over topological (numeric) order
+    parents = {}
+    nodes = set()
+    for a, b in pairs:
+        parents.setdefault(b, []).append(a)
+        nodes.update((a, b))
+    depth = {}
+    for v in sorted(nodes):
+        ps = [p for p in parents.get(v, [])]
+        depth[v] = 0 if not ps else 1 + max(depth[p] for p in ps)
+    assert got == depth
