@@ -1985,6 +1985,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            right_on="c_custkey", hot_threshold=5,
                            n_salts=4)
 
+    def q_bloom_semi(sf):
+        # Bloom-pushdown semi join: keep orders whose customer sits in
+        # the BUILDING market segment — the bitmap is broadcast-sized,
+        # the exact verify join ships only bloom survivors. Gate is the
+        # plain IN-subquery semi join (the bloom layer must be
+        # semantically invisible).
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import bloom_semi_join
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey"])
+        cust = rd.read_parquet(f"{sf}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"])
+        seg = cust.filter(
+            expr="c_mktsegment == 'BUILDING'").select_columns(
+                ["c_custkey"])
+        return bloom_semi_join(orders, seg, on="o_custkey",
+                               right_on="c_custkey", how="left_semi")
+
+    def q_bloom_anti(sf):
+        # the anti complement on the same shape: bloom non-members
+        # stream straight through with no exchange at all
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import bloom_semi_join
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey"])
+        cust = rd.read_parquet(f"{sf}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"])
+        seg = cust.filter(
+            expr="c_mktsegment == 'BUILDING'").select_columns(
+                ["c_custkey"])
+        return bloom_semi_join(orders, seg, on="o_custkey",
+                               right_on="c_custkey", how="left_anti")
+
     def q_neighbor_mean(sf):
         # one GraphSAGE-mean propagation round over a deterministic
         # synthetic link rule (src = vec_id, dst = (vec_id*7+3) % 499 —
@@ -2753,6 +2790,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q_dedup_incremental,  # crawl-refresh dedup vs seen-hash store (SQL-checked)
         "snapshot_diff": q_snapshot_diff,  # added/removed/changed crawl diff, join-free (SQL-checked)
         "salted_join": q_salted_join,  # head-key-skew-safe join rewrite (SQL-checked)
+        "bloom_semi_join": q_bloom_semi,  # Bloom-pushdown semi join (SQL-checked)
+        "bloom_anti_join": q_bloom_anti,  # Bloom-pushdown anti join (SQL-checked)
         "bpe_merges": q_bpe_train,  # distributed BPE merge learning (rows-only: iterative)
         "bpe_token_counts": q_bpe_token_counts,  # BPE token counts (rows-only: iterative model)
     }
@@ -4525,6 +4564,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o.o_orderkey, o.o_custkey, c.c_name "
             "FROM orders o JOIN customer c "
             "ON c.c_custkey = o.o_custkey"
+        ),
+        # bloom pushdown must be semantically invisible: gates are the
+        # plain IN / NOT IN subquery semi/anti joins
+        "bloom_semi_join": (
+            "SELECT o_orderkey, o_custkey FROM orders "
+            "WHERE o_custkey IN (SELECT c_custkey FROM customer "
+            "WHERE c_mktsegment = 'BUILDING')"
+        ),
+        "bloom_anti_join": (
+            "SELECT o_orderkey, o_custkey FROM orders "
+            "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer "
+            "WHERE c_mktsegment = 'BUILDING')"
         ),
         # crawl diff: full-outer md5 compare over the two synthetic
         # snapshots (rules shared with the engine wrapper)

@@ -1904,6 +1904,70 @@ def bloom_probe(ds: Dataset, value_col: str,
         concurrency=(max(1, cpus // 4), max(2, cpus)), num_cpus=1)
 
 
+def bloom_semi_join(left: Dataset, right: Dataset, *, on: str,
+                    right_on: str | None = None, how: str = "left_semi",
+                    n_bits: int = 1 << 20, k: int = 4,
+                    n_coarse: int | None = None) -> Dataset:
+    """Exact semi/anti join with a broadcast Bloom-filter pushdown —
+    the join-avoidance primitive for a big-probe/small-build join
+    (e.g. "keep pages whose host appears in the seed list", "drop docs
+    whose hash is in the published-corpus filter").
+
+    Scale shape: the right side's distinct keys light a fixed-size
+    bitmap in ONE streaming pass (driver state = n_bits/8 bytes,
+    corpus-size-independent); the bitmap is ``ray.put`` once and every
+    left block filters against it in-stream. A Bloom filter has no
+    false negatives, so for ``left_semi`` only the bloom SURVIVORS
+    (true matches + the ~(1-e^{-kn/m})^k false-positive sliver) enter
+    the exact verification exchange — the all-to-all join ships
+    match-mass, not probe-mass. For ``left_anti`` the complement holds:
+    bloom non-members are DEFINITE non-matches and stream straight to
+    the output with no exchange at all; only the member sliver is
+    anti-verified. Either way the result is exactly the semi/anti join
+    (the verify join removes every false positive).
+
+    Keys are hashed via their canonical string form on both sides, so
+    any Arrow key type joins; the verify join compares native values.
+    """
+    if how not in ("left_semi", "left_anti"):
+        raise ValueError(f"bloom_semi_join: how={how!r}")
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    rkey = right_on or on
+    rkeys = right.select_columns([rkey])
+    bloom = bloom_build(
+        rkeys.map_batches(
+            lambda b: pa.table(
+                {rkey: pc.cast(b[rkey].combine_chunks(), pa.string())}),
+            batch_format="pyarrow", batch_size=None),
+        rkey, n_bits=n_bits, k=k)
+
+    lcols = left.columns()
+    probed = bloom_probe(
+        left.map_batches(
+            lambda b: b.append_column(
+                "_bk", pc.cast(b[on].combine_chunks(), pa.string())),
+            batch_format="pyarrow", batch_size=None),
+        "_bk", bloom)
+
+    def _take(b: pa.Table, member: bool) -> pa.Table:
+        m = b["member"].combine_chunks()
+        return b.filter(m if member else pc.invert(m)).select(lcols)
+
+    survivors = probed.map_batches(
+        lambda b: _take(b, True), batch_format="pyarrow",
+        batch_size=None)
+    if how == "left_semi":
+        return coarse_join(survivors, rkeys, on=on, right_on=rkey,
+                           how="left_semi", n_coarse=n_coarse)
+    definite = probed.map_batches(
+        lambda b: _take(b, False), batch_format="pyarrow",
+        batch_size=None)
+    verified = coarse_join(survivors, rkeys, on=on, right_on=rkey,
+                           how="left_anti", n_coarse=n_coarse)
+    return definite.union(verified)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic train/val/test split (the last step before a training
 # run: content-addressed so the split is stable across runs, resumes,

@@ -744,6 +744,30 @@ def test_bloom_partition_invariant(ray_session):
     assert np.array_equal(b1.bits, b16.bits)   # set union is the merge
 
 
+def test_bloom_semi_join_exact_even_with_forced_fps(ray_session):
+    """bloom_semi_join ≡ pandas isin for semi AND anti — with n_bits
+    tiny enough that the bloom pre-filter passes many false positives,
+    so the exact-verification join is proven to remove every one."""
+    from omop2obo_ray.pipelines.curate import bloom_semi_join
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({"k": rng.integers(0, 500, 3000),
+                         "payload": np.arange(3000)})
+    right = pd.DataFrame({"rk": rng.integers(0, 500, 120)})
+    member = left["k"].isin(set(right["rk"]))
+    for how, want in (("left_semi", left[member]),
+                      ("left_anti", left[~member])):
+        got = bloom_semi_join(
+            rd.from_pandas(left).repartition(6),
+            rd.from_pandas(right).repartition(3),
+            on="k", right_on="rk", how=how,
+            n_bits=1 << 8, k=2,              # saturated → heavy FPs
+        ).to_pandas().sort_values("payload").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got, want.sort_values("payload").reset_index(drop=True),
+            check_dtype=False)   # exchange may restore ints as Int64
+
+
 def test_train_test_split_deterministic_and_disjoint(ray_session):
     from omop2obo_ray.pipelines.curate import train_test_split
 
