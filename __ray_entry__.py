@@ -175,6 +175,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         return jaccard_ngram_pairs(docs, n=3, threshold=0.8, max_df=50)
 
+    def q_containment_pairs(sf):
+        # asymmetric excerpt/superset detection: directed pairs where
+        # doc_a's 3-gram set is >= 60% covered by doc_b's
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import containment_ngram_pairs
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        return containment_ngram_pairs(docs, n=3, threshold=0.6,
+                                       max_df=50)
+
     def q_dup_span_stats(sf):
         import ray.data as rd
 
@@ -2664,6 +2675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "histogram_quantile": q_histogram_quantile,  # mergeable sketch path
         "jaccard_pairs": q_jaccard_pairs,  # exact n-gram Jaccard (dedup family)
+        "containment_pairs": q_containment_pairs,  # directed n-gram containment (SQL-checked)
         "dup_span_stats": q_dup_span_stats,  # duplicated-span signal (Lee'22)
         "canonical_urls": q_canonical_urls,  # CC url canonicalization
         "host_stats": q_host_stats,          # per-host crawl stats
@@ -3627,6 +3639,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM co JOIN sizes sa ON sa.doc_id = co.doc_a "
             "JOIN sizes sb ON sb.doc_id = co.doc_b "
             "WHERE co.co::DOUBLE / (sa.n + sb.n - co.co) >= 0.8"
+        ),
+        # directed containment |A∩B|/|A| over the same shingle + df
+        # contract; both directions of a pair score independently
+        "containment_pairs": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents), "
+            "tg AS (SELECT doc_id, ts, "
+            "unnest(generate_series(1, len(ts) - 2)) AS i FROM toks), "
+            "d AS (SELECT DISTINCT doc_id, "
+            "ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh FROM tg), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1), "
+            "df AS (SELECT sh FROM d GROUP BY sh HAVING count(*) BETWEEN 2 AND 50), "
+            "p AS (SELECT * FROM d SEMI JOIN df USING (sh)), "
+            "co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS co "
+            "FROM p a JOIN p b USING (sh) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2) "
+            "SELECT co.doc_a, co.doc_b, "
+            "round(co.co::DOUBLE / sa.n, 6) AS containment "
+            "FROM co JOIN sizes sa ON sa.doc_id = co.doc_a "
+            "WHERE co.co::DOUBLE / sa.n >= 0.6"
         ),
         # duplicated word-5-gram spans per doc (df >= 2 corpus-wide);
         # docs with < 5 tokens emit no row on both sides

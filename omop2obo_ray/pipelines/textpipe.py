@@ -558,18 +558,20 @@ def ngram_postings(docs: Dataset, n: int = 3, key_col: str = "doc_id",
     return docs.map_batches(_grams, batch_format="pyarrow", batch_size=None)
 
 
-def jaccard_ngram_pairs(docs: Dataset, n: int = 3, threshold: float = 0.8,
-                        max_df: int = 50, key_col: str = "doc_id",
-                        text_col: str = "text",
-                        num_partitions: int = 8) -> Dataset:
-    """EXACT n-gram-set Jaccard near-duplicate pairs via a distributed
-    inverted index — the SQL-checkable exact baseline of the dedup
-    family (MinHash+verify is the probabilistic scale path; this op
-    computes the same word-shingle Jaccard without hashing or banding,
-    reference semantics: string_similarity.py's shingle overlap).
+def _ngram_overlap_counts(docs: Dataset, n: int, max_df: int,
+                          key_col: str, text_col: str,
+                          num_partitions: int,
+                          ordered: bool) -> Dataset | None:
+    """Shared engine of the exact set-overlap family: distinct word
+    n-grams → inverted-index self-join → per-pair intersection counts
+    with both denominators attached → (doc_a, doc_b, co, n_a, n_b).
+    ``ordered=True`` keeps only doc_a < doc_b (symmetric measures,
+    Jaccard); ``ordered=False`` keeps every directed pair a ≠ b
+    (asymmetric measures, containment). Returns None when no gram
+    survives the df gate (caller emits its typed empty result).
 
-    Stop-gram contract (shared verbatim by the DuckDB oracle, so the
-    gate is data-independent): grams with document frequency > max_df
+    Stop-gram contract (shared verbatim by the DuckDB oracles, so the
+    gates are data-independent): grams with document frequency > max_df
     are excluded from the INTERSECTION counts (standard stop-shingle
     pruning — it also bounds every posting list, capping the pair
     expansion at df² rows per gram); denominators count ALL distinct
@@ -610,13 +612,13 @@ def jaccard_ngram_pairs(docs: Dataset, n: int = 3, threshold: float = 0.8,
     # a fully-empty join side still surfaces schema-less aggregator
     # partitions in Ray 2.49 — short-circuit instead of joining on it
     if shared.count() == 0:
-        return _empty_pairs({"jaccard": pa.array([], pa.float64())})
+        return None
     posts = _sanitize_join_output(
         grams.join(shared, join_type="left_semi",
                    num_partitions=num_partitions, on=("gram",)),
         _pa_schema_of(grams))
     if posts.count() == 0:
-        return _empty_pairs({"jaccard": pa.array([], pa.float64())})
+        return None
     # self-join the posting lists on gram (right key renamed in a map —
     # Dataset.rename_columns passes zero-row blocks through unrenamed)
     right = posts.map_batches(
@@ -628,12 +630,13 @@ def jaccard_ngram_pairs(docs: Dataset, n: int = 3, threshold: float = 0.8,
                    num_partitions=num_partitions, on=("gram",)),
         pa.schema([(key_col, kt), ("gram", gt), ("doc_b", kt)]))
 
-    def _ordered(batch: pa.Table) -> pa.Table:
+    def _pair_gate(batch: pa.Table) -> pa.Table:
         a = batch[key_col].combine_chunks()
         b = batch["doc_b"].combine_chunks()
-        return pa.table({"doc_a": a, "doc_b": b}).filter(pc.less(a, b))
+        gate = pc.less(a, b) if ordered else pc.not_equal(a, b)
+        return pa.table({"doc_a": a, "doc_b": b}).filter(gate)
 
-    pairs = joined.map_batches(_ordered, batch_format="pyarrow")
+    pairs = joined.map_batches(_pair_gate, batch_format="pyarrow")
     # |A ∩ B| per pair — (doc_a, doc_b) cardinality is unbounded →
     # coarse aggregate
     co = _sanitize_join_output(coarse_aggregate(
@@ -653,13 +656,30 @@ def jaccard_ngram_pairs(docs: Dataset, n: int = 3, threshold: float = 0.8,
                    ("n_a", pa.int64())]),
     ).map_batches(functools.partial(_ren, out_col="n_a"),
                   batch_format="pyarrow", batch_size=None)
-    with_ab = _sanitize_join_output(
+    return _sanitize_join_output(
         with_a.join(sizes, join_type="inner", num_partitions=num_partitions,
                     on=("doc_b",), right_on=(key_col,)),
         pa.schema([("doc_a", kt), ("doc_b", kt), ("co", pa.int64()),
                    ("n_a", pa.int64()), ("n_b", pa.int64())]),
     ).map_batches(functools.partial(_ren, out_col="n_b"),
                   batch_format="pyarrow", batch_size=None)
+
+
+def jaccard_ngram_pairs(docs: Dataset, n: int = 3, threshold: float = 0.8,
+                        max_df: int = 50, key_col: str = "doc_id",
+                        text_col: str = "text",
+                        num_partitions: int = 8) -> Dataset:
+    """EXACT n-gram-set Jaccard near-duplicate pairs via a distributed
+    inverted index — the SQL-checkable exact baseline of the dedup
+    family (MinHash+verify is the probabilistic scale path; this op
+    computes the same word-shingle Jaccard without hashing or banding,
+    reference semantics: string_similarity.py's shingle overlap).
+    Undirected pairs (doc_a < doc_b); stop-gram/denominator contract
+    and scale shape documented on :func:`_ngram_overlap_counts`."""
+    with_ab = _ngram_overlap_counts(docs, n, max_df, key_col, text_col,
+                                    num_partitions, ordered=True)
+    if with_ab is None:
+        return _empty_pairs({"jaccard": pa.array([], pa.float64())})
 
     def _jaccard(batch: pa.Table) -> pa.Table:
         cov = _np_col(batch, "co").astype(np.float64)
@@ -674,6 +694,45 @@ def jaccard_ngram_pairs(docs: Dataset, n: int = 3, threshold: float = 0.8,
         })
 
     return with_ab.map_batches(_jaccard, batch_format="pyarrow")
+
+
+def containment_ngram_pairs(docs: Dataset, n: int = 3,
+                            threshold: float = 0.8, max_df: int = 50,
+                            key_col: str = "doc_id",
+                            text_col: str = "text",
+                            num_partitions: int = 8) -> Dataset:
+    """ASYMMETRIC near-duplicate detection by n-gram-set CONTAINMENT
+    C(A→B) = |A ∩ B| / |A| (Broder's resemblance companion measure):
+    DIRECTED (doc_a, doc_b, containment) pairs where doc_a's gram set
+    is ≥ ``threshold`` covered by doc_b's. Catches what Jaccard
+    structurally cannot — a short quote/excerpt inside a much longer
+    superset document scores near-zero Jaccard (the union is huge) but
+    containment ≈ 1 in the excerpt→source direction; it is the
+    standard signal for quote/mirror-fragment and train-on-test
+    contamination where the contaminant is embedded in a larger page.
+
+    Same inverted-index engine, stop-gram contract and no-driver-state
+    scale shape as :func:`jaccard_ngram_pairs` (see
+    :func:`_ngram_overlap_counts`); the only deltas are the directed
+    pair gate (a ≠ b instead of a < b — both directions score
+    independently) and the one-sided denominator."""
+    with_ab = _ngram_overlap_counts(docs, n, max_df, key_col, text_col,
+                                    num_partitions, ordered=False)
+    if with_ab is None:
+        return _empty_pairs({"containment": pa.array([], pa.float64())})
+
+    def _containment(batch: pa.Table) -> pa.Table:
+        cov = _np_col(batch, "co").astype(np.float64)
+        na = _np_col(batch, "n_a").astype(np.float64)
+        c = cov / na
+        keepm = c >= threshold
+        return pa.table({
+            "doc_a": batch["doc_a"].combine_chunks().filter(pa.array(keepm)),
+            "doc_b": batch["doc_b"].combine_chunks().filter(pa.array(keepm)),
+            "containment": pa.array(np.round(c[keepm], 6), pa.float64()),
+        })
+
+    return with_ab.map_batches(_containment, batch_format="pyarrow")
 
 
 def dup_span_stats(docs: Dataset, n: int = 5, min_df: int = 2,

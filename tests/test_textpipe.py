@@ -491,6 +491,38 @@ def test_jaccard_ngram_pairs_planted(ray_session):
     assert out.iloc[0]["jaccard"] == pytest.approx(0.75)
 
 
+def test_containment_catches_excerpt_jaccard_misses(ray_session):
+    """A short excerpt inside a long superset doc: containment in the
+    excerpt→source direction is 1.0 while Jaccard stays below any
+    useful threshold — the asymmetric measure's reason to exist. Doc 0
+    'a b c d e' grams {abc,bcd,cde} all sit inside doc 1's 12-token
+    superset (10 grams): C(0→1)=3/3=1.0, C(1→0)=3/10=0.3,
+    J = 3/10 = 0.3."""
+    from omop2obo_ray.pipelines.textpipe import (containment_ngram_pairs,
+                                                 jaccard_ngram_pairs)
+
+    rows = [
+        {"doc_id": 0, "text": "a b c d e"},
+        {"doc_id": 1, "text": "a b c d e f g h i j k l"},
+        {"doc_id": 2, "text": "x y z w q r"},
+    ]
+    docs = rd.from_pandas(pd.DataFrame(rows))
+    cont = containment_ngram_pairs(docs, n=3, threshold=0.9,
+                                   max_df=50).to_pandas()
+    assert len(cont) == 1          # only the excerpt→source direction
+    assert (cont.iloc[0]["doc_a"], cont.iloc[0]["doc_b"]) == (0, 1)
+    assert cont.iloc[0]["containment"] == pytest.approx(1.0)
+    jac = jaccard_ngram_pairs(docs, n=3, threshold=0.5,
+                              max_df=50).to_pandas()
+    assert len(jac) == 0           # Jaccard 0.3 — blind to the excerpt
+    # both directions score independently below the 1.0 bar
+    both = containment_ngram_pairs(docs, n=3, threshold=0.25,
+                                   max_df=50).to_pandas()
+    got = {(r.doc_a, r.doc_b): r.containment for r in both.itertuples()}
+    assert got[(0, 1)] == pytest.approx(1.0)
+    assert got[(1, 0)] == pytest.approx(0.3)
+
+
 def test_jaccard_ngram_stop_gram_cap(ray_session):
     """A gram present in > max_df docs is excluded from intersections:
     with max_df=2 the shared gram appears in 3 docs and is dropped, so
