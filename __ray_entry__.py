@@ -1856,6 +1856,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                batch_size=None)
         return dag_depth(e)
 
+    def q_mis(sf):
+        # Luby MIS, first two rounds (deterministic partial — the
+        # oracle unrolls the identical two rounds) over a synthetic
+        # orderkey graph: u = k % 997, v = (k*31+7) % 997
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import maximal_independent_set
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _edges(b: pa.Table) -> pa.Table:
+            import numpy as np
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            u, v = k % 997, (k * 31 + 7) % 997
+            m = u != v
+            return pa.table({"src": pa.array(u[m], pa.int64()),
+                             "dst": pa.array(v[m], pa.int64())})
+
+        e = orders.map_batches(_edges, batch_format="pyarrow",
+                               batch_size=None)
+        return maximal_independent_set(e, max_rounds=2,
+                                       allow_partial=True)
+
     def q_bpe_train(sf):
         # rows-only: iterative argmax merge learning has no SQL
         # equivalent; pytest carries the reference-identity check
@@ -2794,6 +2819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": q_kcore,  # k-core peeling (SQL-checked: unrolled-peel oracle)
         "neighborhood": q_neighborhood,  # HyperBall ball sizes, exact mode (SQL-checked)
         "dag_depth": q_dag_depth,        # longest-path DAG depth from roots (SQL-checked)
+        "mis": q_mis,                    # Luby maximal independent set, 2 unrolled rounds (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
         "neighbor_mean": q_neighbor_mean,  # GraphSAGE-mean propagation round (SQL-checked)
@@ -2942,6 +2968,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ed.dst, p.d + 1 FROM p "
             "JOIN ed ON ed.src = p.node) "
             "SELECT node, max(d) AS depth FROM p GROUP BY node"
+        ),
+        # Luby MIS, 2 rounds unrolled: priority H(x,r) = (x*30011 +
+        # r*1009 + 17) % 1000000007, lexicographic (H, node) tie-break;
+        # winners' closed neighborhoods leave the live set after round 0
+        "mis": (
+            "WITH e0 AS (SELECT o_orderkey % 997 AS a, "
+            "(o_orderkey * 31 + 7) % 997 AS b FROM orders "
+            "WHERE o_orderkey % 997 <> (o_orderkey * 31 + 7) % 997), "
+            "sym AS (SELECT DISTINCT a AS u, b AS v FROM e0 "
+            "UNION SELECT DISTINCT b, a FROM e0), "
+            "n0 AS (SELECT DISTINCT u AS node FROM sym), "
+            "w0 AS (SELECT node FROM n0 t WHERE NOT EXISTS ("
+            "SELECT 1 FROM sym e WHERE e.u = t.node AND "
+            "((e.v * 30011 + 17) % 1000000007 "
+            "< (t.node * 30011 + 17) % 1000000007 OR "
+            "((e.v * 30011 + 17) % 1000000007 "
+            "= (t.node * 30011 + 17) % 1000000007 AND e.v < t.node)))), "
+            "dead0 AS (SELECT node FROM w0 UNION "
+            "SELECT DISTINCT e.v FROM sym e "
+            "JOIN w0 ON w0.node = e.u), "
+            "n1 AS (SELECT node FROM n0 EXCEPT "
+            "SELECT node FROM dead0), "
+            "w1 AS (SELECT node FROM n1 t WHERE NOT EXISTS ("
+            "SELECT 1 FROM sym e JOIN n1 a ON a.node = e.v "
+            "WHERE e.u = t.node AND "
+            "((e.v * 30011 + 1009 + 17) % 1000000007 "
+            "< (t.node * 30011 + 1009 + 17) % 1000000007 OR "
+            "((e.v * 30011 + 1009 + 17) % 1000000007 "
+            "= (t.node * 30011 + 1009 + 17) % 1000000007 "
+            "AND e.v < t.node)))) "
+            "SELECT node, 0 AS sel_round FROM w0 "
+            "UNION ALL SELECT node, 1 FROM w1"
         ),
         # neighborhood: bounded-hop recursive CTE (UNION dedups visited
         # rows; min(d) collapses longer rediscoveries), then ball(node,

@@ -2722,3 +2722,150 @@ def dag_depth(edges: Dataset, *, src: str = "src", dst: str = "dst",
             "node": b["node"],
             "depth": pc.negate(b["dist"].combine_chunks())}),
         batch_format="pyarrow", batch_size=None)
+
+
+def _mis_priority(nodes: np.ndarray, r: int, seed: int) -> np.ndarray:
+    """Round-r Luby priority — the pure int64 modular form shared
+    verbatim with the SQL oracle (same family as random_walks' H)."""
+    return (nodes * np.int64(30011) + np.int64(r) * np.int64(1009)
+            + np.int64(seed)) % np.int64(1_000_000_007)
+
+
+def maximal_independent_set(edges: Dataset, *, src: str = "src",
+                            dst: str = "dst", seed: int = 17,
+                            max_rounds: int = 32,
+                            allow_partial: bool = False,
+                            n_coarse: int | None = None) -> Dataset:
+    """Luby's maximal independent set over an INTEGER-id undirected
+    graph → (node, sel_round): no two selected nodes share an edge,
+    and every unselected node has a selected neighbor. The classic
+    symmetry-breaking primitive — one-per-cluster representative
+    election over a near-duplicate pair graph, conflict-free
+    task/color assignment, landmark selection — in O(log n) expected
+    rounds (Luby'86).
+
+    Round r (everything deterministic, so resumable and SQL-gateable):
+    every live node v draws priority ``H(v, r)`` (pinned modular hash,
+    :func:`_mis_priority` — computed in-map on BOTH sides of every
+    edge, never joined or stored); v is selected iff
+    ``(H(v,r), v) < (H(u,r), u)`` lexicographically for ALL live
+    neighbors u (node id breaks hash ties exactly). Selected nodes and
+    their neighbors then leave the live set. With ``max_rounds=k`` the
+    result is the (deterministic) partial MIS after k rounds — the
+    oracle unrolls the same k (pass ``allow_partial=True`` for that
+    use); run with the default to completion for the true MIS (an
+    exhaustion guard raises if rounds run out).
+
+    Scale shape: the live edge list and live node set are Datasets
+    end-to-end. Per round: ONE decision exchange keyed on node
+    (neighbor rows carry ``(H(dst,r), dst)``; zero-marker rows keep
+    isolated-in-the-live-subgraph nodes, exactly pagerank's
+    marker-row trick — no node-side outer join), ONE semi-join to
+    expand winners' neighborhoods, ONE anti-join shrinking the live
+    node set and TWO semi-joins shrinking the live edge list — all
+    coarse task-based exchanges (`coarse_join`; the native join's
+    per-plan actor-pool cost dominates iterative ops, NOTES_r3). Each
+    round's exchanges carry only live-subgraph mass, which Luby
+    shrinks by a constant factor per round in expectation."""
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    if n_coarse is None:
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        n_coarse = max(32, 3 * cpus)
+
+    def _sym(b: pa.Table) -> pa.Table:
+        u = b[src].combine_chunks().cast(pa.int64())
+        v = b[dst].combine_chunks().cast(pa.int64())
+        t = pa.table({"u": pa.concat_arrays([u, v]),
+                      "v": pa.concat_arrays([v, u])})
+        return t.filter(pc.not_equal(t["u"], t["v"]))
+
+    live_e = _sanitize_join_output(coarse_aggregate(
+        edges.map_batches(_sym, batch_format="pyarrow", batch_size=None),
+        ["u", "v"], lambda df: df.drop_duplicates(),
+        n_coarse=n_coarse),
+        pa.schema([("u", pa.int64()), ("v", pa.int64())])).materialize()
+    live_n = _sanitize_join_output(coarse_aggregate(
+        live_e.select_columns(["u"]), ["u"],
+        lambda df: df.drop_duplicates().rename(columns={"u": "node"}),
+        n_coarse=n_coarse),
+        pa.schema([("node", pa.int64())])).materialize()
+
+    won: list[Dataset] = []
+    out_schema = pa.schema([("node", pa.int64()),
+                            ("sel_round", pa.int64())])
+    for r in range(max_rounds):
+        if live_n.count() == 0:
+            break
+
+        def _nbr(b: pa.Table, r=r) -> pa.Table:
+            d = b["v"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": b["u"],
+                "nb_h": pa.array(_mis_priority(d, r, seed)),
+                "nb": b["v"],
+                "own": pa.array(np.zeros(b.num_rows, np.int8))})
+
+        def _own(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": b["node"],
+                "nb_h": pa.nulls(b.num_rows, pa.int64()),
+                "nb": pa.nulls(b.num_rows, pa.int64()),
+                "own": pa.array(np.ones(b.num_rows, np.int8))})
+
+        def _decide(df: pd.DataFrame, r=r) -> pd.DataFrame:
+            nodes = df.loc[df["own"] == 1, "node"].to_numpy()
+            if nodes.size == 0:
+                return pd.DataFrame({"node": pd.Series([], dtype=np.int64)})
+            nb = df[df["own"] == 0]
+            if nb.empty:
+                win = nodes
+            else:
+                best = (nb.sort_values(["nb_h", "nb"], kind="mergesort")
+                        .groupby("node", sort=False)[["nb_h", "nb"]]
+                        .first())
+                mh = best["nb_h"].reindex(nodes).to_numpy(dtype=np.float64)
+                mn = best["nb"].reindex(nodes).to_numpy(dtype=np.float64)
+                hn = _mis_priority(nodes, r, seed).astype(np.float64)
+                win = nodes[np.isnan(mh) | (hn < mh)
+                            | ((hn == mh) & (nodes < mn))]
+            return pd.DataFrame({"node": win.astype(np.int64)})
+
+        nbr = live_e.map_batches(_nbr, batch_format="pyarrow",
+                                 batch_size=None)
+        mark = live_n.map_batches(_own, batch_format="pyarrow",
+                                  batch_size=None)
+        winners = _sanitize_join_output(
+            coarse_aggregate(nbr.union(mark), ["node"], _decide,
+                             n_coarse=n_coarse),
+            pa.schema([("node", pa.int64())])).materialize()
+        won.append(winners.map_batches(
+            lambda b, r=r: b.append_column(
+                "sel_round", pa.array(np.full(b.num_rows, r, np.int64))),
+            batch_format="pyarrow", batch_size=None))
+
+        # winners' neighborhoods die with them
+        wn_edges = coarse_join(live_e, winners, on="u", right_on="node",
+                               how="left_semi", n_coarse=n_coarse)
+        dead = winners.union(
+            wn_edges.map_batches(
+                lambda b: pa.table({"node": b["v"]}),
+                batch_format="pyarrow", batch_size=None))
+        live_n = coarse_join(live_n, dead, on="node", how="left_anti",
+                             n_coarse=n_coarse).materialize()
+        live_e = coarse_join(
+            coarse_join(live_e, live_n, on="u", right_on="node",
+                        how="left_semi", n_coarse=n_coarse),
+            live_n, on="v", right_on="node", how="left_semi",
+            n_coarse=n_coarse).materialize()
+    else:
+        if not allow_partial and live_n.count() > 0:
+            raise RuntimeError(
+                f"maximal_independent_set: {live_n.count()} nodes still "
+                f"live after max_rounds={max_rounds} — raise max_rounds")
+
+    if not won:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return _sanitize_join_output(
+        functools.reduce(lambda a, b_: a.union(b_), won), out_schema)

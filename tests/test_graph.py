@@ -1355,3 +1355,51 @@ def test_dag_depth_matches_longest_path(ray_session):
         ps = [p for p in parents.get(v, [])]
         depth[v] = 0 if not ps else 1 + max(depth[p] for p in ps)
     assert got == depth
+
+
+def test_maximal_independent_set_properties(ray_session):
+    """Luby MIS on a random graph: the selection is (a) independent —
+    no edge inside it, (b) maximal — every unselected node has a
+    selected neighbor, (c) partition-invariant (deterministic
+    priorities, not RNG state)."""
+    from omop2obo_ray.pipelines.graph import maximal_independent_set
+
+    rng = np.random.default_rng(11)
+    e = pd.DataFrame({"src": rng.integers(0, 120, 500),
+                      "dst": rng.integers(0, 120, 500)})
+    e = e[e.src != e.dst].drop_duplicates()
+    got = maximal_independent_set(
+        rd.from_pandas(e).repartition(5)).to_pandas()
+    mis = set(got["node"])
+
+    adj: dict[int, set] = {}
+    for a, b in zip(e.src, e.dst):
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    assert all(not (adj[v] & mis) for v in mis)                # independent
+    assert all(adj[v] & mis for v in adj if v not in mis)      # maximal
+
+    again = maximal_independent_set(
+        rd.from_pandas(e).repartition(17)).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("node").reset_index(drop=True),
+        again.sort_values("node").reset_index(drop=True))
+
+
+def test_maximal_independent_set_star_and_guard(ray_session):
+    """On a star graph the hub either wins alone round 0 or every leaf
+    wins — never both; and the exhaustion guard raises at
+    max_rounds=0 unless allow_partial."""
+    import pytest
+
+    from omop2obo_ray.pipelines.graph import maximal_independent_set
+
+    e = pd.DataFrame({"src": [0] * 8, "dst": list(range(1, 9))})
+    got = maximal_independent_set(rd.from_pandas(e)).to_pandas()
+    mis = set(got["node"])
+    assert mis == {0} or mis == set(range(1, 9))
+    with pytest.raises(RuntimeError):
+        maximal_independent_set(rd.from_pandas(e), max_rounds=0)
+    part = maximal_independent_set(rd.from_pandas(e), max_rounds=0,
+                                   allow_partial=True).to_pandas()
+    assert len(part) == 0
