@@ -1827,6 +1827,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return neighborhood_function(_synth_tri_edges(sf), max_t=2,
                                      mode="exact")
 
+    def q_harmonic(sf):
+        # bounded-radius harmonic centrality from exact ball sizes;
+        # fixed ascending-t 2-term IEEE fold shared with the oracle
+        from omop2obo_ray.pipelines.graph import harmonic_centrality
+
+        return harmonic_centrality(_synth_tri_edges(sf), max_t=2,
+                                   mode="exact")
+
     def q_dag_depth(sf):
         # longest-path depth over a synthetic orderkey DAG (parent
         # rules k//8→k and k//64→k — ≤ 2 parents/node, depth ≈
@@ -2818,6 +2826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": q_bfs_hops,  # frontier BFS distance (SQL-checked vs recursive CTE)
         "kcore": q_kcore,  # k-core peeling (SQL-checked: unrolled-peel oracle)
         "neighborhood": q_neighborhood,  # HyperBall ball sizes, exact mode (SQL-checked)
+        "harmonic_centrality": q_harmonic,  # bounded-radius harmonic centrality (SQL-checked)
         "dag_depth": q_dag_depth,        # longest-path DAG depth from roots (SQL-checked)
         "mis": q_mis,                    # Luby maximal independent set, 2 unrolled rounds (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -3022,6 +3031,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md.root AS node, t.t, count(*) AS ball "
             "FROM md JOIN (VALUES (0), (1), (2)) AS t(t) "
             "ON md.d <= t.t GROUP BY md.root, t.t"
+        ),
+        # harmonic centrality over the same synthetic graph: count
+        # nodes at min-distance exactly 1 and 2, fold c1/1.0 + c2/2.0
+        # (left-assoc, the engine's ascending-t order)
+        "harmonic_centrality": (
+            "WITH RECURSIVE "
+            "pk AS (SELECT p_partkey AS k FROM part), "
+            "raw AS (SELECT 'n' || (k % 23) AS s, 'n' || (k % 29) AS t "
+            "FROM pk UNION ALL SELECT 'c' || (k % 509), "
+            "'c' || ((k % 509) + 1) FROM pk), "
+            "e AS (SELECT DISTINCT s AS src, t AS dst FROM raw "
+            "UNION SELECT DISTINCT t, s FROM raw), "
+            "n AS (SELECT DISTINCT src AS node FROM e), "
+            "r AS (SELECT node AS root, node AS node, 0 AS d FROM n "
+            "UNION "
+            "SELECT r.root, e.dst, r.d + 1 FROM r "
+            "JOIN e ON e.src = r.node WHERE r.d < 2), "
+            "md AS (SELECT root, node, min(d) AS d FROM r "
+            "GROUP BY root, node), "
+            "c AS (SELECT root, "
+            "sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS c1, "
+            "sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS c2 "
+            "FROM md GROUP BY root) "
+            "SELECT root AS node, "
+            "c1::DOUBLE / 1.0 + c2::DOUBLE / 2.0 AS harmonic FROM c"
         ),
         "funnel": _funnel,
         "cohort_retention": _cohort,

@@ -1403,3 +1403,36 @@ def test_maximal_independent_set_star_and_guard(ray_session):
     part = maximal_independent_set(rd.from_pandas(e), max_rounds=0,
                                    allow_partial=True).to_pandas()
     assert len(part) == 0
+
+
+def test_harmonic_centrality_vs_bfs_oracle(ray_session):
+    """Exact-mode harmonic centrality ≡ Σ 1/d over a BFS oracle on a
+    random undirected graph (bounded radius 3)."""
+    from collections import deque
+
+    from omop2obo_ray.pipelines.graph import harmonic_centrality
+
+    rng = np.random.default_rng(3)
+    e = pd.DataFrame({"src": [f"v{a}" for a in rng.integers(0, 60, 150)],
+                      "dst": [f"v{b}" for b in rng.integers(0, 60, 150)]})
+    e = e[e.src != e.dst].drop_duplicates()
+    got = (harmonic_centrality(rd.from_pandas(e).repartition(4), max_t=3)
+           .to_pandas().set_index("node")["harmonic"].to_dict())
+
+    adj: dict[str, set] = {}
+    for a, b in zip(e.src, e.dst):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for v in adj:
+        dist = {v: 0}
+        q = deque([v])
+        while q:
+            x = q.popleft()
+            if dist[x] >= 3:
+                continue
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        want = sum(1.0 / d for d in dist.values() if d > 0)
+        assert got[v] == pytest.approx(want, abs=1e-9), v
