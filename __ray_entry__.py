@@ -1889,6 +1889,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return maximal_independent_set(e, max_rounds=2,
                                        allow_partial=True)
 
+    def q_redirect_resolve(sf):
+        # pointer-doubling redirect-chain resolution over a synthetic
+        # acyclic redirect map (k → k//2 when k ≥ 2 and k % 3 ≠ 0 —
+        # multiples of 3 are terminals); chains are ~log₂(max key)
+        # long, resolved in O(log log) doubling rounds. Gate exact.
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import redirect_resolve
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _edges(b: pa.Table) -> pa.Table:
+            import numpy as np
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            k = k[(k >= 2) & (k % 3 != 0)]
+            return pa.table({
+                "src": pa.array(k, pa.int64()),
+                "dst": pa.array(k // 2, pa.int64())})
+
+        e = orders.map_batches(_edges, batch_format="pyarrow",
+                               batch_size=None)
+        return redirect_resolve(e)
+
     def q_bpe_train(sf):
         # rows-only: iterative argmax merge learning has no SQL
         # equivalent; pytest carries the reference-identity check
@@ -2829,6 +2854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_centrality": q_harmonic,  # bounded-radius harmonic centrality (SQL-checked)
         "dag_depth": q_dag_depth,        # longest-path DAG depth from roots (SQL-checked)
         "mis": q_mis,                    # Luby maximal independent set, 2 unrolled rounds (SQL-checked)
+        "redirect_resolve": q_redirect_resolve,  # pointer-doubling redirect-chain resolution (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
         "neighbor_mean": q_neighbor_mean,  # GraphSAGE-mean propagation round (SQL-checked)
@@ -3009,6 +3035,22 @@ def oracle_sql() -> dict[str, str]:
             "AND e.v < t.node)))) "
             "SELECT node, 0 AS sel_round FROM w0 "
             "UNION ALL SELECT node, 1 FROM w1"
+        ),
+        # redirect_resolve: the synthetic redirect map k → k//2 (k ≥ 2,
+        # k % 3 ≠ 0) is acyclic, so the recursive walk from each source
+        # terminates at its first non-redirecting ancestor; each source
+        # contributes exactly ONE terminal row (functional graph ⇒ the
+        # walk is a simple path)
+        "redirect_resolve": (
+            "WITH RECURSIVE "
+            "ed AS (SELECT o_orderkey AS src, o_orderkey // 2 AS dst "
+            "FROM orders WHERE o_orderkey >= 2 AND o_orderkey % 3 <> 0), "
+            "walk AS (SELECT src AS node, dst AS ptr FROM ed "
+            "UNION ALL "
+            "SELECT w.node, ed.dst FROM walk w "
+            "JOIN ed ON ed.src = w.ptr) "
+            "SELECT node, ptr AS final, CAST(1 AS TINYINT) AS resolved "
+            "FROM walk WHERE ptr NOT IN (SELECT src FROM ed)"
         ),
         # neighborhood: bounded-hop recursive CTE (UNION dedups visited
         # rows; min(d) collapses longer rediscoveries), then ball(node,

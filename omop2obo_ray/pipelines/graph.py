@@ -2911,3 +2911,125 @@ def harmonic_centrality(edges: Dataset, max_t: int = 3, *,
     return _sanitize_join_output(
         coarse_aggregate(nf, ["node"], _fold, n_coarse=n_coarse),
         pa.schema([("node", kt), ("harmonic", pa.float64())]))
+
+
+def redirect_resolve(edges: Dataset, *, src: str = "src",
+                     dst: str = "dst", max_rounds: int = 32,
+                     n_coarse: int | None = None) -> Dataset:
+    """Resolve redirect chains to their terminal target via pointer
+    doubling → ``(node, final, resolved)`` for every redirecting node.
+    The input is a functional graph (HTTP 3xx map: each url points at
+    ONE target — duplicate sources are collapsed deterministically to
+    their min target first). ``final`` is the first non-redirecting
+    url on the chain; chains that never terminate inside
+    ``2^max_rounds`` hops (pure redirect cycles) come back
+    ``resolved = 0`` with ``final`` = the farthest pointer reached.
+
+    Crawl-pipeline role: canonicalizing link targets before graph
+    construction (the reference resolves each clinical code through
+    UMLS CUI chains one hop at a time, `umls_api.py`-style; at web
+    scale a chain walk must be logarithmic, not linear).
+
+    Scale shape: O(log max_chain_len) rounds — each round is ONE
+    ``coarse_join`` of the still-unresolved frontier against the full
+    pointer table on ``ptr == node`` (pointer doubling:
+    R_{k+1}(x) = R_k(R_k(x))). Settled rows stay in the LOOKUP side
+    (their pointer is already the terminal, so a frontier row landing
+    on them settles immediately) but never re-enter the frontier; the
+    table is sanitize-materialized per round so no round replays its
+    predecessors. No driver-side state beyond the loop counter.
+    """
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    if n_coarse is None:
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        n_coarse = max(32, 3 * cpus)
+
+    def _slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b[src].combine_chunks().cast(pa.int64()),
+            "ptr": b[dst].combine_chunks().cast(pa.int64())})
+
+    slim = edges.map_batches(_slim, batch_format="pyarrow",
+                             batch_size=None)
+
+    # collapse duplicate sources (min target) — ONE keyed exchange
+    def _min_ptr(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", sort=False)["ptr"].min().reset_index()
+
+    tbl_schema = pa.schema([("node", pa.int64()), ("ptr", pa.int64()),
+                            ("done", pa.int8())])
+    table = _sanitize_join_output(
+        coarse_aggregate(slim, ["node"], _min_ptr, n_coarse=n_coarse),
+        pa.schema([("node", pa.int64()), ("ptr", pa.int64())])
+    ).map_batches(
+        lambda b: b.append_column(
+            "done", pa.array(np.zeros(b.num_rows, np.int8))),
+        batch_format="pyarrow", batch_size=None)
+    table = _sanitize_join_output(table, tbl_schema)
+
+    probe_schema = pa.schema([("node", pa.int64()), ("ptr", pa.int64())])
+    for _round in range(max_rounds):
+        # sanitize-materialize the frontier projection: a lazy
+        # Filter→Project over mixed-provenance refs mis-propagates
+        # its schema after a few rounds (Ray 2.49), which coarse_join
+        # trusts for its exchange layout — same idiom as sssp
+        probe = _sanitize_join_output(
+            table.filter(expr="done == 0").select_columns(
+                ["node", "ptr"]), probe_schema)
+        if probe.count() == 0:
+            break
+        look = table.map_batches(
+            lambda b: pa.table({"lnode": b["node"], "lptr": b["ptr"],
+                                "ldone": b["done"]}),
+            batch_format="pyarrow", batch_size=None)
+        j = coarse_join(probe, look, on="ptr", right_on="lnode",
+                        how="left_outer", n_coarse=n_coarse)
+
+        def _advance(b: pa.Table) -> pa.Table:
+            ptr = b["ptr"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            # all-miss buckets surface lptr/ldone as NULL-typed arrays
+            # — cast to the target type BEFORE fill_null
+            lptr = b["lptr"].combine_chunks().cast(pa.int64())
+            hit = pc.is_valid(lptr).to_numpy(zero_copy_only=False)
+            lptr = lptr.fill_null(0).to_numpy(zero_copy_only=False)
+            ldone = (b["ldone"].combine_chunks().cast(pa.int8())
+                     .fill_null(0).to_numpy(zero_copy_only=False))
+            # miss → ptr is a terminal url; hit on a settled row →
+            # its ptr IS the terminal; hit on a live row → double
+            new_ptr = np.where(hit, lptr, ptr)
+            done = (~hit) | (ldone == 1)
+            return pa.table({
+                "node": b["node"],
+                "ptr": pa.array(new_ptr, pa.int64()),
+                "done": pa.array(done.astype(np.int8))})
+
+        advanced = j.map_batches(_advance, batch_format="pyarrow",
+                                 batch_size=None)
+
+        # pin (node, ptr, done) column ORDER on both union sides:
+        # blocks of mixed order poison downstream ``schema()`` (Ray
+        # 2.49 reports the first block's layout), which coarse_join
+        # trusts for its exchange schema
+        def _order(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": b["node"].combine_chunks().cast(pa.int64()),
+                "ptr": b["ptr"].combine_chunks().cast(pa.int64()),
+                "done": b["done"].combine_chunks().cast(pa.int8())})
+
+        settled = table.filter(expr="done == 1").map_batches(
+            _order, batch_format="pyarrow", batch_size=None)
+        table = _sanitize_join_output(
+            settled.union(advanced.map_batches(
+                _order, batch_format="pyarrow", batch_size=None)),
+            tbl_schema)
+
+    def _emit(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b["node"], "final": b["ptr"],
+            "resolved": b["done"].combine_chunks().cast(pa.int8())})
+
+    return table.map_batches(_emit, batch_format="pyarrow",
+                             batch_size=None)

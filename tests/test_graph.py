@@ -1436,3 +1436,57 @@ def test_harmonic_centrality_vs_bfs_oracle(ray_session):
                     q.append(y)
         want = sum(1.0 / d for d in dist.values() if d > 0)
         assert got[v] == pytest.approx(want, abs=1e-9), v
+
+
+def test_redirect_resolve_chains_and_cycles(ray_session):
+    """Pointer doubling ≡ the naive chain walk on a random functional
+    graph with planted terminals and a planted 3-cycle; duplicate
+    sources collapse to their min target."""
+    from omop2obo_ray.pipelines.graph import redirect_resolve
+
+    rng = np.random.default_rng(7)
+    n = 300
+    # functional map: node k redirects to f(k); ~1/3 of nodes are
+    # terminals (no outgoing row); nodes 900/901/902 form a cycle
+    srcs = [k for k in range(n) if k % 3 != 0]
+    ptr = {k: int((k * 7 + 3) % n) for k in srcs}
+    ptr.update({900: 901, 901: 902, 902: 900})
+    rows = [(k, v) for k, v in ptr.items()]
+    rows.append((5, 999))  # duplicate source: min target wins
+    df = pd.DataFrame(rows, columns=["src", "dst"])
+
+    got = (redirect_resolve(rd.from_pandas(df).repartition(4))
+           .to_pandas().set_index("node"))
+
+    eff = dict(ptr)
+    eff[5] = min(ptr[5], 999)
+    for k, tgt in eff.items():
+        seen, cur, steps = {k}, tgt, 0
+        while cur in eff and steps < 10_000:
+            if cur in seen:
+                steps = None  # cycle
+                break
+            seen.add(cur)
+            cur = eff[cur]
+            steps += 1
+        if steps is None or k in (900, 901, 902):
+            assert got.loc[k, "resolved"] == 0, k
+        else:
+            assert got.loc[k, "resolved"] == 1, k
+            assert got.loc[k, "final"] == cur, k
+    assert set(got.index) == set(eff)
+
+
+def test_redirect_resolve_log_rounds(ray_session):
+    """A 200-link chain resolves within 9 doubling rounds (2^8 = 256 ≥
+    200) — the logarithmic bound that makes the op viable at crawl
+    scale — and an insufficient budget reports resolved=0."""
+    from omop2obo_ray.pipelines.graph import redirect_resolve
+
+    df = pd.DataFrame({"src": range(200), "dst": range(1, 201)})
+    ds = rd.from_pandas(df).repartition(4)
+    got = redirect_resolve(ds, max_rounds=9).to_pandas()
+    assert (got["resolved"] == 1).all()
+    assert (got["final"] == 200).all()
+    capped = redirect_resolve(ds, max_rounds=3).to_pandas()
+    assert (capped["resolved"] == 0).any()
