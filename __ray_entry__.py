@@ -2634,6 +2634,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return window_rank(lin, key_col="l_orderkey",
                            val_col="l_quantity")
 
+    def q_window_pct(sf):
+        # PERCENT_RANK / CUME_DIST per order over line quantities
+        # (integral doubles, heavy ties); exact-ratio gate
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import window_pct
+
+        lin = rd.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber", "l_quantity"])
+        return window_pct(lin, key_col="l_orderkey",
+                          val_col="l_quantity")
+
+    def q_ewma(sf):
+        # per-user exponentially weighted moving average (alpha=0.5)
+        # over the event stream; engine emits the recursive scan, the
+        # oracle replays the identical recurrence via a row_number
+        # recursive CTE; both sides quantize at 1e6 (the two
+        # float64 recursions agree to ~1e-11)
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import ewma
+
+        ev = rd.read_parquet(
+            f"{sf}/events.parquet",
+            columns=["user_id", "ts", "event_id", "value"])
+        out = ewma(ev)
+
+        def _q(b):
+            import numpy as np
+            import pyarrow as pa
+            y = b["y"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table({
+                "user_id": b["user_id"], "event_id": b["event_id"],
+                "y_q": pa.array(np.floor(y * 1e6 + 1e-6).astype(np.int64),
+                                pa.int64())})
+
+        return out.map_batches(_q, batch_format="pyarrow",
+                               batch_size=None)
+
     def q_interval_join(sf):
         # point-in-time join of a shifted copy of the event stream to
         # its own SCD2 validity intervals; half-open boundary and
@@ -2761,6 +2801,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,  # A-Res weighted sampling w/o replacement (SQL-checked)
         "interval_join": q_interval_join,    # point-in-time join to SCD2 intervals (SQL-checked)
         "window_rank": q_window_rank,        # RANK/DENSE_RANK window family (SQL-checked)
+        "window_pct": q_window_pct,          # PERCENT_RANK/CUME_DIST window family (SQL-checked)
+        "ewma": q_ewma,                      # per-key exponentially weighted moving average (SQL-checked)
         "mmr_rerank": q_mmr_rerank,          # MMR diversified top-k (rows-only: greedy argmax)
         "skipgram_pairs": q_skipgram_pairs,  # item2vec context-pair counts (SQL-checked)
         "cap_per_key": q_cap_per_key,        # deterministic per-key row cap (SQL-checked)
@@ -3257,6 +3299,33 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY l_quantity) AS rnk, "
             "dense_rank() OVER (PARTITION BY l_orderkey "
             "ORDER BY l_quantity) AS drnk FROM lineitem"
+        ),
+        # window_pct: PERCENT_RANK / CUME_DIST are single IEEE
+        # divisions of exact integers — engine and oracle perform the
+        # identical float64 op, gate exact without quantization
+        # ewma: the engine's cython ewm kernel and this recursive CTE
+        # replay the SAME recurrence y = 0.5*y_prev + 0.5*x; both
+        # sides quantize floor(y*1e6 + 1e-6)
+        "ewma": (
+            "WITH RECURSIVE "
+            "base AS (SELECT user_id, event_id, value AS x, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn FROM events), "
+            "r AS (SELECT user_id, event_id, rn, x AS y FROM base "
+            "WHERE rn = 1 "
+            "UNION ALL "
+            "SELECT b.user_id, b.event_id, b.rn, 0.5 * r.y + 0.5 * b.x "
+            "FROM r JOIN base b ON b.user_id = r.user_id "
+            "AND b.rn = r.rn + 1) "
+            "SELECT user_id, event_id, "
+            "CAST(floor(y * 1e6 + 1e-6) AS BIGINT) AS y_q FROM r"
+        ),
+        "window_pct": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, "
+            "percent_rank() OVER (PARTITION BY l_orderkey "
+            "ORDER BY l_quantity) AS pct_rank, "
+            "cume_dist() OVER (PARTITION BY l_orderkey "
+            "ORDER BY l_quantity) AS cume FROM lineitem"
         ),
         # interval_join: SCD2 intervals (same CTE as scd2_intervals)
         # range-joined to the 90-min-shifted event stream

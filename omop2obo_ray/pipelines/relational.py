@@ -1539,3 +1539,59 @@ def window_rank(ds: Dataset, *, key_col: str, val_col: str,
             drnk=g.rank(method="dense").astype(np.int64))
 
     return coarse_aggregate(ds, [key_col], _rank, n_coarse=n_coarse)
+
+
+def window_pct(ds: Dataset, *, key_col: str, val_col: str,
+               n_coarse: int | None = None) -> Dataset:
+    """Relative-rank window family in one keyed exchange → every input
+    row plus ``pct_rank`` (PERCENT_RANK: (rank−1)/(n−1), 0.0 for a
+    1-row partition) and ``cume`` (CUME_DIST: peers-max-rank/n) over
+    ``val_col`` ascending within ``key_col``. Both are single IEEE
+    divisions of exact integers — the engine and any SQL oracle
+    perform the identical float64 operation, so the gate needs no
+    quantization. Complements :func:`window_rank` (the reference
+    ranks candidate mappings per concept before its 0.25-score cut,
+    `string_similarity.py`; a percentile cut is the corpus-quality
+    analogue — CCNet keeps documents below a perplexity percentile).
+
+    Scale shape: ONE coarse exchange keyed ``key_col``; ranks and
+    sizes inside the frame are cython groupby kernels. Hot-key caveat
+    as in window_rank."""
+    def _pct(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_col, sort=False)[val_col]
+        rnk = g.rank(method="min").astype(np.int64)
+        rmax = g.rank(method="max").astype(np.int64)
+        n = df.groupby(key_col, sort=False)[val_col].transform("size") \
+              .astype(np.int64)
+        pct = np.where(n > 1, (rnk - 1) / np.maximum(n - 1, 1), 0.0)
+        return df.assign(pct_rank=pct, cume=rmax.to_numpy() / n.to_numpy())
+
+    return coarse_aggregate(ds, [key_col], _pct, n_coarse=n_coarse)
+
+
+def ewma(events: Dataset, *, key_col: str = "user_id",
+         ts_col: str = "ts", id_col: str = "event_id",
+         val_col: str = "value", alpha: float = 0.5,
+         n_coarse: int | None = None) -> Dataset:
+    """Per-key exponentially weighted moving average ordered by
+    ``(ts, id)`` → every input row plus ``y`` where
+    y₁ = x₁, yₙ = (1−α)·yₙ₋₁ + α·xₙ (pandas ``ewm(adjust=False)``).
+    The time-decayed feature primitive (decayed engagement scores,
+    decayed quality signals) the reference's static aggregations
+    don't need but a streaming corpus refresh does.
+
+    Scale shape: ONE coarse exchange keyed ``key_col``; the
+    sequential scan runs per frame through pandas' cython ewm kernel
+    after an in-frame (key, ts, id) sort. Hot-key caveat as in
+    window_rank: a key's whole history lands in one frame (EWMA's
+    sequential dependency makes that minimal)."""
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, id_col],
+                            kind="mergesort")
+        y = (df.groupby(key_col, sort=False)[val_col]
+               .transform(lambda s: s.ewm(alpha=alpha,
+                                          adjust=False).mean()))
+        return df.assign(y=y)
+
+    return coarse_aggregate(events, [key_col], _scan,
+                            n_coarse=n_coarse)

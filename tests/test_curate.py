@@ -2285,3 +2285,53 @@ def test_window_rank_matches_sql(ray_session):
         FROM df""").df().sort_values(["k", "rid"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[exp.columns], exp,
                                   check_dtype=False)
+
+
+def test_window_pct_matches_sql(ray_session):
+    """PERCENT_RANK/CUME_DIST ≡ DuckDB bit-for-bit (integer-ratio IEEE
+    divisions), incl. 1-row partitions (PERCENT_RANK = 0)."""
+    import duckdb
+
+    from omop2obo_ray.pipelines.relational import window_pct
+
+    rng = np.random.default_rng(22)
+    df = pd.DataFrame({"k": rng.integers(0, 20, 500),
+                       "rid": np.arange(500, dtype=np.int64),
+                       "v": rng.integers(0, 8, 500).astype(float)})
+    df.loc[0, "k"] = 99  # singleton partition
+    got = (window_pct(rd.from_pandas(df).repartition(4),
+                      key_col="k", val_col="v")
+           .to_pandas().sort_values(["k", "rid"]).reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT k, rid, v,
+               percent_rank() OVER (PARTITION BY k ORDER BY v) AS pct_rank,
+               cume_dist() OVER (PARTITION BY k ORDER BY v) AS cume
+        FROM df""").df().sort_values(["k", "rid"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp,
+                                  check_dtype=False)
+
+
+def test_ewma_matches_recurrence(ray_session):
+    """ewma ≡ the explicit y = (1-a)y' + a·x recurrence per key in
+    (ts, id) order, across partition boundaries."""
+    from omop2obo_ray.pipelines.relational import ewma
+
+    rng = np.random.default_rng(33)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 15, n),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, n), unit="s"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": rng.normal(50, 10, n)})
+    got = (ewma(rd.from_pandas(df).repartition(5), alpha=0.3)
+           .to_pandas().set_index("event_id")["y"])
+
+    exp = {}
+    for _, g in df.sort_values(["user_id", "ts", "event_id"]) \
+                  .groupby("user_id"):
+        y = None
+        for eid, x in zip(g["event_id"], g["value"]):
+            y = x if y is None else 0.7 * y + 0.3 * x
+            exp[eid] = y
+    for eid, y in exp.items():
+        assert abs(got[eid] - y) < 1e-9, eid
