@@ -1914,6 +1914,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                batch_size=None)
         return redirect_resolve(e)
 
+    def q_k_truss(sf):
+        # 4-truss peeling, exactly 2 unrolled rounds (allow_partial —
+        # the oracle unrolls the identical 2 rounds) over a dense
+        # synthetic graph on 97 string-id nodes
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import k_truss
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _edges(b: pa.Table) -> pa.Table:
+            import numpy as np
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            u, v = k % 41, (k // 41) % 41
+            m = u != v
+            return pa.table({
+                "src": pa.array(np.char.add("n", u[m].astype(str))),
+                "dst": pa.array(np.char.add("n", v[m].astype(str)))})
+
+        e = orders.map_batches(_edges, batch_format="pyarrow",
+                               batch_size=None)
+        return k_truss(e, 4, max_iters=2, allow_partial=True)
+
     def q_bpe_train(sf):
         # rows-only: iterative argmax merge learning has no SQL
         # equivalent; pytest carries the reference-identity check
@@ -2897,6 +2922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dag_depth": q_dag_depth,        # longest-path DAG depth from roots (SQL-checked)
         "mis": q_mis,                    # Luby maximal independent set, 2 unrolled rounds (SQL-checked)
         "redirect_resolve": q_redirect_resolve,  # pointer-doubling redirect-chain resolution (SQL-checked)
+        "k_truss": q_k_truss,            # 4-truss cohesive-subgraph peel, 2 unrolled rounds (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
         "neighbor_mean": q_neighbor_mean,  # GraphSAGE-mean propagation round (SQL-checked)
@@ -3077,6 +3103,36 @@ def oracle_sql() -> dict[str, str]:
             "AND e.v < t.node)))) "
             "SELECT node, 0 AS sel_round FROM w0 "
             "UNION ALL SELECT node, 1 FROM w1"
+        ),
+        # k_truss: 2 peel rounds unrolled — per round enumerate each
+        # triangle once (a<b<c lexicographic), fan it out to its 3
+        # edges, keep edges with support >= k-2 = 2. Same synthetic
+        # edge rules as the engine query; string ids compare binary-
+        # lexicographic on both sides.
+        "k_truss": (
+            "WITH e0 AS (SELECT DISTINCT "
+            "least('n' || (o_orderkey % 41), "
+            "'n' || ((o_orderkey // 41) % 41)) AS a, "
+            "greatest('n' || (o_orderkey % 41), "
+            "'n' || ((o_orderkey // 41) % 41)) AS b "
+            "FROM orders WHERE (o_orderkey % 41) <> "
+            "((o_orderkey // 41) % 41)), "
+            "t1 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            "FROM e0 e1 JOIN e0 e2 ON e2.a = e1.a AND e2.b > e1.b "
+            "JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b), "
+            "s1 AS (SELECT a, b, count(*) AS c FROM ("
+            "SELECT x AS a, y AS b FROM t1 "
+            "UNION ALL SELECT x, z FROM t1 "
+            "UNION ALL SELECT y, z FROM t1) GROUP BY a, b), "
+            "r1 AS (SELECT a, b FROM s1 WHERE c >= 2), "
+            "t2 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            "FROM r1 e1 JOIN r1 e2 ON e2.a = e1.a AND e2.b > e1.b "
+            "JOIN r1 e3 ON e3.a = e1.b AND e3.b = e2.b), "
+            "s2 AS (SELECT a, b, count(*) AS c FROM ("
+            "SELECT x AS a, y AS b FROM t2 "
+            "UNION ALL SELECT x, z FROM t2 "
+            "UNION ALL SELECT y, z FROM t2) GROUP BY a, b) "
+            "SELECT a, b FROM s2 WHERE c >= 2"
         ),
         # redirect_resolve: the synthetic redirect map k → k//2 (k ≥ 2,
         # k % 3 ≠ 0) is acyclic, so the recursive walk from each source

@@ -3033,3 +3033,82 @@ def redirect_resolve(edges: Dataset, *, src: str = "src",
 
     return table.map_batches(_emit, batch_format="pyarrow",
                              batch_size=None)
+
+
+def k_truss(edges: Dataset, k: int, *, src: str = "src",
+            dst: str = "dst", max_iters: int = 16,
+            allow_partial: bool = False,
+            num_partitions: int = 8) -> Dataset:
+    """k-truss of the undirected simple graph underlying ``edges`` →
+    the canonical edge set (a, b), a < b, of the maximal subgraph in
+    which every edge closes ≥ k−2 triangles WITHIN the subgraph — the
+    standard cohesive-subgraph refinement of k-core (every k-truss is
+    a (k−1)-core, but far denser; Cohen 2008). Peels iteratively:
+    count per-edge triangle support over the CURRENT subgraph, drop
+    edges below k−2, repeat to fixpoint (or exactly ``max_iters``
+    rounds when ``allow_partial`` — a well-defined bounded operator,
+    which is what the SQL gate unrolls).
+
+    Scale shape per round: the degree-oriented closed-wedge stream
+    (each triangle materialized ONCE, hub fan-out √m-bounded by the
+    Suri–Vassilvitskii orientation, exactly as triangle_count) → a
+    3-records-per-triangle flat map → ONE edge-keyed coarse count.
+    Survivors are read straight off the support table (an edge with
+    support ≥ k−2 ≥ 1 always has a support row), so no semi-join back;
+    the subgraph shrinks monotonically and later rounds cost less.
+    Only the two per-round convergence counters touch the driver."""
+    if k < 3:
+        raise ValueError("k-truss is defined for k >= 3")
+    und = _canonical_undirected(edges, src, dst)
+    thresh = k - 2
+    ab_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+    n_edges = und.count()
+
+    for _round in range(max_iters):
+        if n_edges == 0:
+            break
+        closed = _closed_wedges(und, _undirected_degrees(und),
+                                num_partitions=num_partitions)
+        if closed is None:
+            und = ray.data.from_arrow(ab_schema.empty_table())
+            n_edges = 0
+            break
+
+        def _edge_records(b: pa.Table) -> pa.Table:
+            ws = b["ws"].to_numpy(zero_copy_only=False)
+            a = b["a"].to_numpy(zero_copy_only=False)
+            bb = b["b"].to_numpy(zero_copy_only=False)
+            # 3 canonical edges per triangle; (a, b) is canonical
+            # already, the two center legs canonicalize by id
+            ea = np.r_[np.minimum(ws, a), np.minimum(ws, bb), a]
+            eb = np.r_[np.maximum(ws, a), np.maximum(ws, bb), bb]
+            return pa.table({"ea": pa.array(ea, pa.string()),
+                             "eb": pa.array(eb, pa.string())})
+
+        recs = closed.map_batches(_edge_records, batch_format="pyarrow",
+                                  batch_size=None)
+
+        def _support(df: pd.DataFrame) -> pd.DataFrame:
+            return (df.groupby(["ea", "eb"], sort=False).size()
+                    .rename("sup").reset_index())
+
+        sup = _sanitize_join_output(
+            coarse_aggregate(recs, ["ea", "eb"], _support),
+            pa.schema([("ea", pa.string()), ("eb", pa.string()),
+                       ("sup", pa.int64())]))
+        survivors = _sanitize_join_output(
+            sup.filter(expr=f"sup >= {thresh}").map_batches(
+                lambda b: pa.table({"a": b["ea"], "b": b["eb"]}),
+                batch_format="pyarrow", batch_size=None),
+            ab_schema)
+        n_next = survivors.count()
+        und = survivors
+        if n_next == n_edges:
+            n_edges = n_next
+            break
+        n_edges = n_next
+    else:
+        if not allow_partial:
+            raise RuntimeError(
+                f"k_truss did not converge in {max_iters} rounds")
+    return und

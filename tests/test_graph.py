@@ -1490,3 +1490,39 @@ def test_redirect_resolve_log_rounds(ray_session):
     assert (got["final"] == 200).all()
     capped = redirect_resolve(ds, max_rounds=3).to_pandas()
     assert (capped["resolved"] == 0).any()
+
+
+def test_k_truss_matches_peeling_oracle(ray_session):
+    """k_truss (full fixpoint) ≡ the naive support-peel oracle on a
+    random graph with a planted 6-clique (non-empty 5-truss)."""
+    from omop2obo_ray.pipelines.graph import k_truss
+
+    rng = np.random.default_rng(13)
+    pairs = {(f"n{a}", f"n{b}") for a, b in
+             rng.integers(0, 40, size=(150, 2)) if a != b}
+    cl = [f"c{i}" for i in range(6)]
+    pairs |= {(cl[i], cl[j]) for i in range(6) for j in range(i + 1, 6)}
+    df = pd.DataFrame(sorted(pairs), columns=["src", "dst"])
+
+    def oracle(k):
+        edges = {tuple(sorted(p)) for p in pairs}
+        while True:
+            adj = {}
+            for a, b in edges:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            new = {(a, b) for a, b in edges
+                   if len(adj[a] & adj[b]) >= k - 2}
+            if new == edges:
+                return edges
+            edges = new
+
+    for k in (3, 4, 5):
+        got = (k_truss(rd.from_pandas(df).repartition(4), k)
+               .to_pandas())
+        got_set = set(zip(got["a"], got["b"]))
+        assert got_set == oracle(k), k
+    # the planted clique survives as the 5-truss core
+    got5 = oracle(5)
+    assert {(cl[i], cl[j]) for i in range(6)
+            for j in range(i + 1, 6)} <= got5
