@@ -1939,6 +1939,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                batch_size=None)
         return k_truss(e, 4, max_iters=2, allow_partial=True)
 
+    def q_betweenness(sf):
+        # rows-only: Brandes dependency accumulation (forward sigma +
+        # backward delta recursions) has no tractable SQL equivalent;
+        # the pytest oracle carries the exact-identity check
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import betweenness
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _edges(b: pa.Table) -> pa.Table:
+            import numpy as np
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            u, v = k % 211, (k * 13 + 5) % 211
+            m = u != v
+            return pa.table({"src": pa.array(u[m], pa.int64()),
+                             "dst": pa.array(v[m], pa.int64())})
+
+        e = orders.map_batches(_edges, batch_format="pyarrow",
+                               batch_size=None)
+        return betweenness(e, [0, 1, 2, 3, 4], max_hops=6)
+
     def q_bpe_train(sf):
         # rows-only: iterative argmax merge learning has no SQL
         # equivalent; pytest carries the reference-identity check
@@ -2923,6 +2947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis": q_mis,                    # Luby maximal independent set, 2 unrolled rounds (SQL-checked)
         "redirect_resolve": q_redirect_resolve,  # pointer-doubling redirect-chain resolution (SQL-checked)
         "k_truss": q_k_truss,            # 4-truss cohesive-subgraph peel, 2 unrolled rounds (SQL-checked)
+        "betweenness": q_betweenness,    # sampled-pivot Brandes betweenness (rows-only; pytest oracle)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
         "neighbor_mean": q_neighbor_mean,  # GraphSAGE-mean propagation round (SQL-checked)

@@ -1526,3 +1526,52 @@ def test_k_truss_matches_peeling_oracle(ray_session):
     got5 = oracle(5)
     assert {(cl[i], cl[j]) for i in range(6)
             for j in range(i + 1, 6)} <= got5
+
+
+def test_betweenness_matches_brandes(ray_session):
+    """Multi-source distributed Brandes ≡ the textbook per-source
+    Brandes accumulation (raw dependency sums, undirected) on a
+    random graph, seeded from 5 pivots."""
+    from collections import deque
+
+    from omop2obo_ray.pipelines.graph import betweenness
+
+    rng = np.random.default_rng(17)
+    pairs = sorted({(int(min(a, b)), int(max(a, b))) for a, b in
+                    rng.integers(0, 60, size=(220, 2)) if a != b})
+    df = pd.DataFrame(pairs, columns=["src", "dst"])
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds = [0, 7, 13, 21, 42]
+
+    exp = {v: 0.0 for v in adj}
+    for s in seeds:
+        if s not in adj:
+            continue
+        dist, sigma, order = {s: 0}, {s: 1.0}, [s]
+        dq = deque([s])
+        while dq:
+            v = dq.popleft()
+            for w in sorted(adj[v]):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0.0
+                    dq.append(w)
+                    order.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for v in adj[w]:
+                if dist.get(v, -9) == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                exp[w] += delta[w]
+
+    got = (betweenness(rd.from_pandas(df).repartition(4), seeds)
+           .to_pandas().set_index("node")["bc"].to_dict())
+    for v, e in exp.items():
+        g = got.get(v, 0.0)
+        assert abs(g - e) < 1e-9, (v, g, e)
