@@ -1963,6 +1963,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                batch_size=None)
         return betweenness(e, [0, 1, 2, 3, 4], max_hops=6)
 
+    def q_reciprocity(sf):
+        # directed reciprocity of the synthetic 211-node link graph;
+        # integer counts + one IEEE division, gate exact
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import reciprocity
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _edges(b: pa.Table) -> pa.Table:
+            import numpy as np
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            u, v = k % 211, (k * 13 + 5) % 211
+            m = u != v
+            return pa.table({"src": pa.array(u[m], pa.int64()),
+                             "dst": pa.array(v[m], pa.int64())})
+
+        return reciprocity(orders.map_batches(
+            _edges, batch_format="pyarrow", batch_size=None))
+
+    def q_assortativity(sf):
+        # degree assortativity of the same graph, undirected; corr is
+        # float — both sides quantize floor(r*1e6 + 1e-6)
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import assortativity
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _edges(b: pa.Table) -> pa.Table:
+            import numpy as np
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            u, v = k % 141, (k // 141) % 141
+            m = u != v
+            return pa.table({"src": pa.array(u[m], pa.int64()),
+                             "dst": pa.array(v[m], pa.int64())})
+
+        out = assortativity(orders.map_batches(
+            _edges, batch_format="pyarrow", batch_size=None))
+
+        def _q(b):
+            import numpy as np
+            import pyarrow as pa
+            r = b["r"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table({
+                "n": b["n"],
+                "r_q": pa.array(np.floor(r * 1e6 + 1e-6)
+                                .astype(np.int64), pa.int64())})
+
+        return out.map_batches(_q, batch_format="pyarrow",
+                               batch_size=None)
+
     def q_bpe_train(sf):
         # rows-only: iterative argmax merge learning has no SQL
         # equivalent; pytest carries the reference-identity check
@@ -2948,6 +3004,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redirect_resolve": q_redirect_resolve,  # pointer-doubling redirect-chain resolution (SQL-checked)
         "k_truss": q_k_truss,            # 4-truss cohesive-subgraph peel, 2 unrolled rounds (SQL-checked)
         "betweenness": q_betweenness,    # sampled-pivot Brandes betweenness (rows-only; pytest oracle)
+        "reciprocity": q_reciprocity,    # directed-edge reciprocity (SQL-checked)
+        "assortativity": q_assortativity,  # degree assortativity, Newman r (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
         "neighbor_mean": q_neighbor_mean,  # GraphSAGE-mean propagation round (SQL-checked)
@@ -3158,6 +3216,36 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT x, z FROM t2 "
             "UNION ALL SELECT y, z FROM t2) GROUP BY a, b) "
             "SELECT a, b FROM s2 WHERE c >= 2"
+        ),
+        # reciprocity / assortativity over the shared synthetic
+        # 211-node graph (u = k%211, v = (k*13+5)%211)
+        "reciprocity": (
+            "WITH e AS (SELECT DISTINCT o_orderkey % 211 AS s, "
+            "(o_orderkey * 13 + 5) % 211 AS d FROM orders "
+            "WHERE o_orderkey % 211 <> (o_orderkey * 13 + 5) % 211), "
+            "r AS (SELECT count(*) AS c FROM e e1 "
+            "JOIN e e2 ON e1.s = e2.d AND e1.d = e2.s) "
+            "SELECT (SELECT count(*) FROM e) AS n_edges, "
+            "(SELECT c FROM r) AS n_recip, "
+            "CAST((SELECT c FROM r) AS DOUBLE) "
+            "/ (SELECT count(*) FROM e) AS ratio"
+        ),
+        "assortativity": (
+            "WITH e0 AS (SELECT DISTINCT "
+            "least(o_orderkey % 141, (o_orderkey // 141) % 141) AS a, "
+            "greatest(o_orderkey % 141, (o_orderkey // 141) % 141) AS b "
+            "FROM orders "
+            "WHERE o_orderkey % 141 <> (o_orderkey // 141) % 141), "
+            "deg AS (SELECT node, count(*) AS d FROM ("
+            "SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) "
+            "GROUP BY node), "
+            "j AS (SELECT da.d AS x, db.d AS y FROM e0 "
+            "JOIN deg da ON da.node = e0.a "
+            "JOIN deg db ON db.node = e0.b), "
+            "bo AS (SELECT x, y FROM j UNION ALL SELECT y, x FROM j) "
+            "SELECT count(*) AS n, "
+            "CAST(floor(corr(x, y) * 1e6 + 1e-6) AS BIGINT) AS r_q "
+            "FROM bo"
         ),
         # redirect_resolve: the synthetic redirect map k → k//2 (k ≥ 2,
         # k % 3 ≠ 0) is acyclic, so the recursive walk from each source

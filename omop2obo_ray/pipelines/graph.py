@@ -3285,3 +3285,122 @@ def betweenness(edges: Dataset, seeds: list, *, src: str = "src",
     return _sanitize_join_output(
         coarse_aggregate(all_d.select_columns(["v", "delta"]), ["v"],
                          _bc, n_coarse=n_coarse), bc_schema)
+
+
+def reciprocity(edges: Dataset, *, src: str = "src",
+                dst: str = "dst",
+                n_coarse: int | None = None) -> Dataset:
+    """Directed-graph reciprocity → one row (n_edges, n_recip, ratio):
+    the fraction of distinct directed edges (u→v, u≠v) whose reverse
+    v→u also exists — THE shape statistic separating link-exchange /
+    mutual-citation subwebs from the broadly one-way web link graph.
+
+    Scale shape: dedup to distinct directed edges (ONE coarse
+    exchange on the packed pair); a directed edge and its reverse
+    land in the SAME frame by keying on the UNORDERED pair, so
+    reciprocation is decided in-frame with no self-join — frames are
+    ≤ 2 rows per pair; block-local partial counts then one tiny
+    fold."""
+    def _slim(b: pa.Table) -> pa.Table:
+        s = b[src].combine_chunks().cast(pa.large_string())
+        d = b[dst].combine_chunks().cast(pa.large_string())
+        keep = pc.not_equal(s, d)
+        return pa.table({"s": s.filter(keep), "d": d.filter(keep)})
+
+    slim = edges.map_batches(_slim, batch_format="pyarrow",
+                             batch_size=None)
+
+    # key on the unordered pair; count distinct directions per pair
+    def _pair(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pc.min_element_wise(b["s"], b["d"]),
+            "b": pc.max_element_wise(b["s"], b["d"]),
+            "fwd": pc.cast(pc.equal(
+                b["s"], pc.min_element_wise(b["s"], b["d"])),
+                pa.int8())})
+
+    pairs = slim.map_batches(_pair, batch_format="pyarrow",
+                             batch_size=None)
+
+    def _decide(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["a", "b"], sort=False)["fwd"]
+             .agg(["min", "max"]).reset_index())
+        both = (g["min"] != g["max"]).to_numpy()
+        n_edges = int(len(g) + both.sum())  # directions present
+        return pd.DataFrame({"n_edges": [n_edges],
+                             "n_recip": [int(2 * both.sum())]})
+
+    partial = coarse_aggregate(pairs, ["a", "b"], _decide,
+                               n_coarse=n_coarse)
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        ne = int(df["n_edges"].sum())
+        nr = int(df["n_recip"].sum())
+        return pd.DataFrame({
+            "n_edges": [ne], "n_recip": [nr],
+            "ratio": [nr / ne if ne else 0.0]})
+
+    out = partial.map_batches(
+        lambda df: df.assign(_g=np.zeros(len(df), np.int8)),
+        batch_format="pandas", batch_size=None)
+    return _sanitize_join_output(
+        coarse_aggregate(out, ["_g"],
+                         lambda df: _fold(df)), pa.schema(
+            [("n_edges", pa.int64()), ("n_recip", pa.int64()),
+             ("ratio", pa.float64())]))
+
+
+def assortativity(edges: Dataset, *, src: str = "src",
+                  dst: str = "dst",
+                  n_coarse: int | None = None) -> Dataset:
+    """Degree assortativity (Newman 2002) of the undirected simple
+    graph → one row (n, r): the Pearson correlation of (deg(u),
+    deg(v)) over both orientations of every distinct edge — positive
+    on social-style graphs, negative on hub-and-spoke web graphs.
+
+    Scale shape: canonical dedup (one exchange) → degrees (one
+    exchange) → TWO degree-attach hash joins → block-local sufficient
+    stats (n, Σx, Σy, Σx², Σy², Σxy — 6 numbers per block, the
+    grouped_corr combiner shape) → one single-group fold. Only the
+    final scalar leaves the cluster."""
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    und = _canonical_undirected(edges, src, dst)
+    deg = _undirected_degrees(und)
+    j1 = coarse_join(und, deg.map_batches(
+        lambda b: pa.table({"node": b["node"], "da": b["d"]}),
+        batch_format="pyarrow", batch_size=None),
+        on="a", right_on="node", n_coarse=n_coarse)
+    j2 = coarse_join(j1, deg.map_batches(
+        lambda b: pa.table({"node": b["node"], "db": b["d"]}),
+        batch_format="pyarrow", batch_size=None),
+        on="b", right_on="node", n_coarse=n_coarse)
+
+    def _stats(df: pd.DataFrame) -> pd.DataFrame:
+        # both orientations: (da, db) and (db, da)
+        x = np.r_[df["da"].to_numpy(np.float64),
+                  df["db"].to_numpy(np.float64)]
+        y = np.r_[df["db"].to_numpy(np.float64),
+                  df["da"].to_numpy(np.float64)]
+        return pd.DataFrame({
+            "_g": [np.int8(0)], "n": [float(len(x))],
+            "sx": [x.sum()], "sy": [y.sum()],
+            "sxx": [(x * x).sum()], "syy": [(y * y).sum()],
+            "sxy": [(x * y).sum()]})
+
+    part = j2.map_batches(_stats, batch_format="pandas",
+                          batch_size=None)
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        n, sx, sy = df["n"].sum(), df["sx"].sum(), df["sy"].sum()
+        sxx, syy, sxy = (df["sxx"].sum(), df["syy"].sum(),
+                         df["sxy"].sum())
+        cov = sxy - sx * sy / n
+        vx = sxx - sx * sx / n
+        vy = syy - sy * sy / n
+        r = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else 0.0
+        return pd.DataFrame({"n": [np.int64(n)], "r": [r]})
+
+    return _sanitize_join_output(
+        coarse_aggregate(part, ["_g"], _fold),
+        pa.schema([("n", pa.int64()), ("r", pa.float64())]))

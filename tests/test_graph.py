@@ -1575,3 +1575,46 @@ def test_betweenness_matches_brandes(ray_session):
     for v, e in exp.items():
         g = got.get(v, 0.0)
         assert abs(g - e) < 1e-9, (v, g, e)
+
+
+def test_reciprocity_matches_oracle(ray_session):
+    """reciprocity ≡ the naive reverse-set count on a random directed
+    graph with planted mutual pairs; duplicates don't double-count."""
+    from omop2obo_ray.pipelines.graph import reciprocity
+
+    rng = np.random.default_rng(29)
+    es = {(int(a), int(b)) for a, b in
+          rng.integers(0, 50, size=(300, 2)) if a != b}
+    es |= {(1, 2), (2, 1), (3, 4), (4, 3)}
+    rows = sorted(es) + [(1, 2), (3, 4)]  # duplicates
+    df = pd.DataFrame(rows, columns=["src", "dst"])
+    got = (reciprocity(rd.from_pandas(df).repartition(4))
+           .to_pandas().iloc[0])
+    n_recip = sum(1 for (a, b) in es if (b, a) in es)
+    assert got["n_edges"] == len(es)
+    assert got["n_recip"] == n_recip
+    assert abs(got["ratio"] - n_recip / len(es)) < 1e-12
+
+
+def test_assortativity_matches_pearson(ray_session):
+    """assortativity ≡ Pearson corr of endpoint degrees over both
+    orientations of the deduped undirected edge set."""
+    from omop2obo_ray.pipelines.graph import assortativity
+
+    rng = np.random.default_rng(31)
+    pairs = sorted({(int(min(a, b)), int(max(a, b))) for a, b in
+                    rng.integers(0, 40, size=(200, 2)) if a != b})
+    df = pd.DataFrame(pairs, columns=["src", "dst"])
+    got = (assortativity(rd.from_pandas(df).repartition(4))
+           .to_pandas().iloc[0])
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    x = np.array([deg[a] for a, b in pairs]
+                 + [deg[b] for a, b in pairs], float)
+    y = np.array([deg[b] for a, b in pairs]
+                 + [deg[a] for a, b in pairs], float)
+    r = np.corrcoef(x, y)[0, 1]
+    assert got["n"] == 2 * len(pairs)
+    assert abs(got["r"] - r) < 1e-9
