@@ -2019,6 +2019,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(_q, batch_format="pyarrow",
                                batch_size=None)
 
+    def q_sorted_neighborhood(sf):
+        # sorted-neighborhood ER blocking over parts ordered by
+        # (p_name, p_partkey), window 4; gate exact (integer pairs)
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import (
+            sorted_neighborhood_pairs)
+
+        part = rd.read_parquet(f"{sf}/part.parquet",
+                               columns=["p_partkey", "p_name"])
+        return sorted_neighborhood_pairs(
+            part, key_col="p_name", id_col="p_partkey", window=4)
+
     def q_bpe_train(sf):
         # rows-only: iterative argmax merge learning has no SQL
         # equivalent; pytest carries the reference-identity check
@@ -3006,6 +3019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness": q_betweenness,    # sampled-pivot Brandes betweenness (rows-only; pytest oracle)
         "reciprocity": q_reciprocity,    # directed-edge reciprocity (SQL-checked)
         "assortativity": q_assortativity,  # degree assortativity, Newman r (SQL-checked)
+        "sorted_neighborhood": q_sorted_neighborhood,  # sorted-neighborhood ER blocking pairs (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
         "neighbor_mean": q_neighbor_mean,  # GraphSAGE-mean propagation round (SQL-checked)
@@ -3246,6 +3260,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n, "
             "CAST(floor(corr(x, y) * 1e6 + 1e-6) AS BIGINT) AS r_q "
             "FROM bo"
+        ),
+        # sorted_neighborhood: rank-difference self-join over the
+        # global (p_name, p_partkey) order
+        "sorted_neighborhood": (
+            "WITH s AS (SELECT p_partkey AS id, row_number() "
+            "OVER (ORDER BY p_name, p_partkey) AS rn FROM part) "
+            "SELECT s1.id AS id_a, s2.id AS id_b FROM s s1 "
+            "JOIN s s2 ON s2.rn - s1.rn BETWEEN 1 AND 3"
         ),
         # redirect_resolve: the synthetic redirect map k → k//2 (k ≥ 2,
         # k % 3 ≠ 0) is acyclic, so the recursive walk from each source

@@ -2335,3 +2335,30 @@ def test_ewma_matches_recurrence(ray_session):
             exp[eid] = y
     for eid, y in exp.items():
         assert abs(got[eid] - y) < 1e-9, eid
+
+
+def test_sorted_neighborhood_pairs_exact(ray_session):
+    """sorted_neighborhood_pairs ≡ the rank-difference self-join
+    oracle: every pair within `window` positions of the global
+    (key, id) order appears exactly once, across block boundaries."""
+    from omop2obo_ray.pipelines.relational import (
+        sorted_neighborhood_pairs)
+
+    rng = np.random.default_rng(41)
+    n = 300
+    df = pd.DataFrame({
+        "k": [f"key{v:03d}" for v in rng.integers(0, 80, n)],
+        "rid": np.arange(1000, 1000 + n, dtype=np.int64)})
+    got = (sorted_neighborhood_pairs(
+        rd.from_pandas(df).repartition(7), key_col="k",
+        id_col="rid", window=5).to_pandas())
+    got_pairs = sorted(zip(got["id_a"], got["id_b"]))
+    assert len(got_pairs) == len(set(got_pairs)), "duplicate pairs"
+
+    srt = df.sort_values(["k", "rid"], kind="mergesort").reset_index(
+        drop=True)
+    exp = []
+    ids = srt["rid"].to_numpy()
+    for d in range(1, 5):
+        exp += list(zip(ids[:-d], ids[d:]))
+    assert got_pairs == sorted(exp)
