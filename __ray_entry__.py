@@ -2032,6 +2032,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sorted_neighborhood_pairs(
             part, key_col="p_name", id_col="p_partkey", window=4)
 
+    def q_er_cluster(sf):
+        # end-to-end entity resolution over synthetic alias groups:
+        # 7 variants per group differ in one trailing char (lev 1),
+        # group prefixes scrambled by *7919 %% 100003 so cross-group
+        # lev-1 strays are rare (and deterministic on both sides)
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.functions.shuffle import coarse_aggregate
+        from omop2obo_ray.pipelines.curate import er_cluster
+        from omop2obo_ray.pipelines.textpipe import (
+            _sanitize_join_output)
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _ents(b: pa.Table) -> pa.Table:
+            import numpy as np
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            g, d = k % 500, (k // 500) % 7
+            pref = (g * 7919) % 100003
+            txt = np.char.add(np.char.add(np.char.add(
+                "e", pref.astype(str)), "x"), d.astype(str))
+            return pa.table({
+                "id": pa.array(g * 7 + d, pa.int64()),
+                "txt": pa.array(txt.tolist(), pa.large_string())})
+
+        ents = _sanitize_join_output(
+            coarse_aggregate(
+                orders.map_batches(_ents, batch_format="pyarrow",
+                                   batch_size=None),
+                ["id"],
+                lambda df: df.drop_duplicates(subset=["id"])),
+            pa.schema([("id", pa.int64()),
+                       ("txt", pa.large_string())]))
+        return er_cluster(ents, id_col="id", text_col="txt",
+                          window=8)
+
     def q_bpe_train(sf):
         # rows-only: iterative argmax merge learning has no SQL
         # equivalent; pytest carries the reference-identity check
@@ -3020,6 +3058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocity": q_reciprocity,    # directed-edge reciprocity (SQL-checked)
         "assortativity": q_assortativity,  # degree assortativity, Newman r (SQL-checked)
         "sorted_neighborhood": q_sorted_neighborhood,  # sorted-neighborhood ER blocking pairs (SQL-checked)
+        "er_cluster": q_er_cluster,      # end-to-end entity resolution: block+verify+CC (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
         "neighbor_mean": q_neighbor_mean,  # GraphSAGE-mean propagation round (SQL-checked)
@@ -3268,6 +3307,30 @@ def oracle_sql() -> dict[str, str]:
             "OVER (ORDER BY p_name, p_partkey) AS rn FROM part) "
             "SELECT s1.id AS id_a, s2.id AS id_b FROM s s1 "
             "JOIN s s2 ON s2.rn - s1.rn BETWEEN 1 AND 3"
+        ),
+        # er_cluster: replay the full contract in SQL — distinct
+        # entities, rank-diff<8 sorted-neighborhood candidates,
+        # levenshtein<=1 verify, transitive closure from every node
+        # (UNION dedups; closure mass is bounded by sum of component
+        # sizes squared ~ 500 * 49), cluster = min reachable id
+        "er_cluster": (
+            "WITH RECURSIVE "
+            "ent AS (SELECT DISTINCT o_orderkey % 500 AS g, "
+            "(o_orderkey // 500) % 7 AS d FROM orders), "
+            "e2 AS (SELECT g * 7 + d AS id, "
+            "'e' || CAST((g * 7919) % 100003 AS VARCHAR) || 'x' || "
+            "CAST(d AS VARCHAR) AS txt FROM ent), "
+            "s AS (SELECT id, txt, row_number() OVER "
+            "(ORDER BY txt, id) AS rn FROM e2), "
+            "m AS (SELECT s1.id AS a, s2.id AS b FROM s s1 "
+            "JOIN s s2 ON s2.rn - s1.rn BETWEEN 1 AND 7 "
+            "WHERE levenshtein(s1.txt, s2.txt) <= 1), "
+            "sym AS (SELECT a AS u, b AS v FROM m "
+            "UNION SELECT b, a FROM m), "
+            "reach AS (SELECT id AS r, id AS v FROM e2 "
+            "UNION SELECT reach.r, sym.v FROM reach "
+            "JOIN sym ON sym.u = reach.v) "
+            "SELECT r AS id, min(v) AS cluster FROM reach GROUP BY r"
         ),
         # redirect_resolve: the synthetic redirect map k → k//2 (k ≥ 2,
         # k % 3 ≠ 0) is acyclic, so the recursive walk from each source

@@ -4013,3 +4013,94 @@ def synth_robots(docs: Dataset, key_col: str = "doc_id") -> tuple[Dataset, Datas
         rows.append({"host": f"h{k}.test", "robots_txt": txt})
     robots = ray.data.from_pandas(pd.DataFrame(rows))
     return pages, robots
+
+
+def er_cluster(entities: "Dataset", *, id_col: str, text_col: str,
+               window: int = 8, max_dist: int = 1,
+               n_coarse: int | None = None) -> "Dataset":
+    """End-to-end entity resolution → (id, cluster) for EVERY input
+    entity, cluster = min id of its match-graph connected component —
+    the distributed analogue of the reference's concept_id
+    consolidation (OMOP2OBO merges aliases of one concept across
+    string-match tiers; here the tiers are blocking + fuzzy verify +
+    transitive closure). Composition of the repo's own primitives:
+
+    1. sorted-neighborhood blocking over the (text, id) order
+       (:func:`~omop2obo_ray.pipelines.relational.sorted_neighborhood_pairs`)
+       — candidates only among sort neighbors, never all pairs;
+    2. two slim ``coarse_join``s re-attach candidate texts;
+    3. banded-Levenshtein verify (``<= max_dist``) inside a map —
+       exact on the candidate set;
+    4. alternating-star connected components over the verified match
+       edges (O(log n) rounds on any chain shape);
+    5. singleton backfill: one left_outer join, null → own id.
+
+    Recall contract = the blocker's: a true match pair is found iff
+    the two rows sit within ``window`` positions of the sort order
+    (the standard sorted-neighborhood tradeoff; multi-pass with a
+    second key order is the classic recall amplifier and composes by
+    unioning edge sets before step 4)."""
+    from omop2obo_ray.functions.shuffle import coarse_join
+    from omop2obo_ray.pipelines.graph import (
+        connected_components_alternating)
+    from omop2obo_ray.pipelines.relational import (
+        sorted_neighborhood_pairs)
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    pairs = sorted_neighborhood_pairs(
+        entities, key_col=text_col, id_col=id_col, window=window)
+
+    txt = entities.map_batches(
+        lambda b: pa.table({
+            "tid": b[id_col].combine_chunks().cast(pa.int64()),
+            "txt": b[text_col].combine_chunks().cast(
+                pa.large_string())}),
+        batch_format="pyarrow", batch_size=None)
+    j1 = coarse_join(pairs, txt, on="id_a", right_on="tid",
+                     n_coarse=n_coarse).map_batches(
+        lambda b: pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                            "ta": b["txt"]}),
+        batch_format="pyarrow", batch_size=None)
+    j2 = coarse_join(j1, txt, on="id_b", right_on="tid",
+                     n_coarse=n_coarse)
+
+    def _verify(df: pd.DataFrame) -> pd.DataFrame:
+        keep = [i for i, (a, b) in enumerate(zip(df["ta"], df["txt"]))
+                if _lev_band(a or "", b or "", max_dist) <= max_dist]
+        out = df.iloc[keep]
+        return pd.DataFrame({"src": out["id_a"].astype(np.int64),
+                             "dst": out["id_b"].astype(np.int64)})
+
+    edges = _sanitize_join_output(
+        j2.map_batches(_verify, batch_format="pandas",
+                       batch_size=None),
+        pa.schema([("src", pa.int64()), ("dst", pa.int64())]))
+
+    ids = entities.map_batches(
+        lambda b: pa.table({
+            "id": b[id_col].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    if edges.count() == 0:
+        return ids.map_batches(
+            lambda b: pa.table({"id": b["id"], "cluster": b["id"]}),
+            batch_format="pyarrow", batch_size=None)
+
+    comp = connected_components_alternating(edges, n_coarse=n_coarse)
+    comp = comp.map_batches(
+        lambda b: pa.table({
+            "node": b["node"].combine_chunks().cast(pa.int64()),
+            "component": b["component"].combine_chunks().cast(
+                pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    out = coarse_join(ids, comp, on="id", right_on="node",
+                      how="left_outer", n_coarse=n_coarse)
+
+    def _backfill(b: pa.Table) -> pa.Table:
+        comp_c = b["component"].combine_chunks().cast(pa.int64())
+        idc = b["id"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "id": idc,
+            "cluster": pc.coalesce(comp_c, idc)})
+
+    return out.map_batches(_backfill, batch_format="pyarrow",
+                           batch_size=None)

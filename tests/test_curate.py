@@ -2362,3 +2362,51 @@ def test_sorted_neighborhood_pairs_exact(ray_session):
     for d in range(1, 5):
         exp += list(zip(ids[:-d], ids[d:]))
     assert got_pairs == sorted(exp)
+
+
+def test_er_cluster_matches_pipeline_oracle(ray_session):
+    """er_cluster ≡ the replayed contract: sorted-neighborhood
+    candidates (rank diff < window) → lev<=1 verify → union-find →
+    singleton backfill. Planted alias groups + noise singletons."""
+    from omop2obo_ray.pipelines.curate import er_cluster
+
+    rows = []
+    for g in range(12):
+        base = f"entity{g * 7919 % 1000:03d}"
+        for d in range(4):
+            rows.append((g * 10 + d, base + ("" if d == 0 else
+                                             chr(ord("a") + d))))
+    rows += [(900 + i, f"zzunique{i:02d}xx") for i in range(5)]
+    df = pd.DataFrame(rows, columns=["id", "name"])
+
+    got = (er_cluster(rd.from_pandas(df).repartition(4),
+                      id_col="id", text_col="name", window=6)
+           .to_pandas().set_index("id")["cluster"].to_dict())
+
+    def lev(a, b):
+        m = np.zeros((len(a) + 1, len(b) + 1), int)
+        m[:, 0] = np.arange(len(a) + 1)
+        m[0, :] = np.arange(len(b) + 1)
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i, j] = min(m[i - 1, j] + 1, m[i, j - 1] + 1,
+                              m[i - 1, j - 1] + (a[i - 1] != b[j - 1]))
+        return m[len(a), len(b)]
+
+    srt = df.sort_values(["name", "id"]).reset_index(drop=True)
+    parent = {i: i for i in df["id"]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(srt)):
+        for j in range(i + 1, min(i + 6, len(srt))):
+            a, b = srt.iloc[i], srt.iloc[j]
+            if lev(a["name"], b["name"]) <= 1:
+                ra, rb = find(a["id"]), find(b["id"])
+                parent[max(ra, rb)] = min(ra, rb)
+    exp = {i: find(i) for i in df["id"]}
+    assert got == exp
