@@ -2070,6 +2070,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return er_cluster(ents, id_col="id", text_col="txt",
                           window=8)
 
+    def q_edge_embeddedness(sf):
+        # per-edge triangle support (Granovetter embeddedness) over
+        # the dense 41-node k_truss fixture graph; integer counts,
+        # gate exact, zero-support bridges included
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import edge_embeddedness
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _edges(b: pa.Table) -> pa.Table:
+            import numpy as np
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            u, v = k % 41, (k // 41) % 41
+            m = u != v
+            return pa.table({
+                "src": pa.array(np.char.add("n", u[m].astype(str))),
+                "dst": pa.array(np.char.add("n", v[m].astype(str)))})
+
+        return edge_embeddedness(orders.map_batches(
+            _edges, batch_format="pyarrow", batch_size=None))
+
     def q_bpe_train(sf):
         # rows-only: iterative argmax merge learning has no SQL
         # equivalent; pytest carries the reference-identity check
@@ -3059,6 +3083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": q_assortativity,  # degree assortativity, Newman r (SQL-checked)
         "sorted_neighborhood": q_sorted_neighborhood,  # sorted-neighborhood ER blocking pairs (SQL-checked)
         "er_cluster": q_er_cluster,      # end-to-end entity resolution: block+verify+CC (SQL-checked)
+        "edge_embeddedness": q_edge_embeddedness,  # per-edge triangle support incl. bridges (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
         "neighbor_mean": q_neighbor_mean,  # GraphSAGE-mean propagation round (SQL-checked)
@@ -3331,6 +3356,26 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT reach.r, sym.v FROM reach "
             "JOIN sym ON sym.u = reach.v) "
             "SELECT r AS id, min(v) AS cluster FROM reach GROUP BY r"
+        ),
+        # edge_embeddedness: one triangle pass fanned to 3 edge
+        # records + LEFT JOIN for zero-support bridges
+        "edge_embeddedness": (
+            "WITH e0 AS (SELECT DISTINCT "
+            "least('n' || (o_orderkey % 41), "
+            "'n' || ((o_orderkey // 41) % 41)) AS a, "
+            "greatest('n' || (o_orderkey % 41), "
+            "'n' || ((o_orderkey // 41) % 41)) AS b "
+            "FROM orders WHERE (o_orderkey % 41) <> "
+            "((o_orderkey // 41) % 41)), "
+            "t1 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            "FROM e0 e1 JOIN e0 e2 ON e2.a = e1.a AND e2.b > e1.b "
+            "JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b), "
+            "s1 AS (SELECT a, b, count(*) AS c FROM ("
+            "SELECT x AS a, y AS b FROM t1 "
+            "UNION ALL SELECT x, z FROM t1 "
+            "UNION ALL SELECT y, z FROM t1) GROUP BY a, b) "
+            "SELECT e0.a, e0.b, coalesce(s1.c, 0) AS support "
+            "FROM e0 LEFT JOIN s1 ON s1.a = e0.a AND s1.b = e0.b"
         ),
         # redirect_resolve: the synthetic redirect map k → k//2 (k ≥ 2,
         # k % 3 ≠ 0) is acyclic, so the recursive walk from each source

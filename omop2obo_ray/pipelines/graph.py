@@ -3404,3 +3404,55 @@ def assortativity(edges: Dataset, *, src: str = "src",
     return _sanitize_join_output(
         coarse_aggregate(part, ["_g"], _fold),
         pa.schema([("n", pa.int64()), ("r", pa.float64())]))
+
+
+def edge_embeddedness(edges: Dataset, *, src: str = "src",
+                      dst: str = "dst",
+                      num_partitions: int = 8,
+                      n_coarse: int | None = None) -> Dataset:
+    """Per-edge embeddedness → (a, b, support): the number of
+    triangles each canonical undirected edge closes (= common
+    neighbors of its endpoints) — Granovetter's tie-strength measure
+    and k_truss's round-0 support table exposed as its own operator
+    (zero-support bridges INCLUDED, they're the interesting rows).
+
+    Scale shape: one degree-oriented closed-wedge pass (each triangle
+    once), a 3-records-per-triangle flat map, then ONE edge-keyed
+    coarse sum where every canonical edge also ships a zero marker —
+    so bridges surface with support 0 without any outer join."""
+    und = _canonical_undirected(edges, src, dst)
+    closed = _closed_wedges(und, _undirected_degrees(und),
+                            num_partitions=num_partitions)
+    zero = und.map_batches(
+        lambda b: pa.table({
+            "ea": b["a"].combine_chunks().cast(pa.string()),
+            "eb": b["b"].combine_chunks().cast(pa.string()),
+            "c": pa.array(np.zeros(b.num_rows, np.int64))}),
+        batch_format="pyarrow", batch_size=None)
+    if closed is None:
+        recs = zero
+    else:
+        def _edge_records(b: pa.Table) -> pa.Table:
+            ws = b["ws"].to_numpy(zero_copy_only=False)
+            a = b["a"].to_numpy(zero_copy_only=False)
+            bb = b["b"].to_numpy(zero_copy_only=False)
+            ea = np.r_[np.minimum(ws, a), np.minimum(ws, bb), a]
+            eb = np.r_[np.maximum(ws, a), np.maximum(ws, bb), bb]
+            return pa.table({
+                "ea": pa.array(ea, pa.string()),
+                "eb": pa.array(eb, pa.string()),
+                "c": pa.array(np.ones(3 * b.num_rows, np.int64))})
+
+        recs = zero.union(closed.map_batches(
+            _edge_records, batch_format="pyarrow", batch_size=None))
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["ea", "eb"], sort=False)["c"].sum()
+                .rename("support").reset_index()
+                .rename(columns={"ea": "a", "eb": "b"}))
+
+    return _sanitize_join_output(
+        coarse_aggregate(recs, ["ea", "eb"], _sum,
+                         n_coarse=n_coarse),
+        pa.schema([("a", pa.string()), ("b", pa.string()),
+                   ("support", pa.int64())]))

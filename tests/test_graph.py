@@ -1618,3 +1618,26 @@ def test_assortativity_matches_pearson(ray_session):
     r = np.corrcoef(x, y)[0, 1]
     assert got["n"] == 2 * len(pairs)
     assert abs(got["r"] - r) < 1e-9
+
+
+def test_edge_embeddedness_matches_common_neighbors(ray_session):
+    """edge_embeddedness ≡ |N(a) ∩ N(b)| per deduped canonical edge,
+    with 0-support bridges included."""
+    from omop2obo_ray.pipelines.graph import edge_embeddedness
+
+    rng = np.random.default_rng(19)
+    # canonical order is LEXICOGRAPHIC on string ids ('n15' < 'n3'),
+    # matching the engine's min/max_element_wise
+    pairs = sorted({tuple(sorted((f"n{a}", f"n{b}"))) for a, b in
+                    rng.integers(0, 30, size=(120, 2)) if a != b})
+    pairs.append(("x1", "x2"))  # isolated bridge, support 0
+    df = pd.DataFrame(pairs, columns=["src", "dst"])
+    got = (edge_embeddedness(rd.from_pandas(df).repartition(4))
+           .to_pandas())
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    exp = {(a, b): len(adj[a] & adj[b]) for a, b in pairs}
+    assert {(r.a, r.b): r.support
+            for r in got.itertuples()} == exp
