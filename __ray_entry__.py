@@ -2094,6 +2094,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return edge_embeddedness(orders.map_batches(
             _edges, batch_format="pyarrow", batch_size=None))
 
+    def q_powerlaw_alpha(sf):
+        # Hill MLE of the degree-tail exponent over the 141-node
+        # two-digit graph; ln-sum reassociation -> 1e6 quantizer
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import powerlaw_alpha
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _edges(b: pa.Table) -> pa.Table:
+            import numpy as np
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            u, v = k % 141, (k // 141) % 141
+            m = u != v
+            return pa.table({"src": pa.array(u[m], pa.int64()),
+                             "dst": pa.array(v[m], pa.int64())})
+
+        out = powerlaw_alpha(orders.map_batches(
+            _edges, batch_format="pyarrow", batch_size=None),
+            d_min=2)
+
+        def _q(b):
+            import numpy as np
+            import pyarrow as pa
+            a = b["alpha"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "n_tail": b["n_tail"],
+                "alpha_q": pa.array(np.floor(a * 1e6 + 1e-6)
+                                    .astype(np.int64), pa.int64())})
+
+        return out.map_batches(_q, batch_format="pyarrow",
+                               batch_size=None)
+
     def q_bpe_train(sf):
         # rows-only: iterative argmax merge learning has no SQL
         # equivalent; pytest carries the reference-identity check
@@ -3084,6 +3120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood": q_sorted_neighborhood,  # sorted-neighborhood ER blocking pairs (SQL-checked)
         "er_cluster": q_er_cluster,      # end-to-end entity resolution: block+verify+CC (SQL-checked)
         "edge_embeddedness": q_edge_embeddedness,  # per-edge triangle support incl. bridges (SQL-checked)
+        "powerlaw_alpha": q_powerlaw_alpha,  # Hill MLE degree-tail exponent (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
         "neighbor_mean": q_neighbor_mean,  # GraphSAGE-mean propagation round (SQL-checked)
@@ -3376,6 +3413,24 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT y, z FROM t1) GROUP BY a, b) "
             "SELECT e0.a, e0.b, coalesce(s1.c, 0) AS support "
             "FROM e0 LEFT JOIN s1 ON s1.a = e0.a AND s1.b = e0.b"
+        ),
+        # powerlaw_alpha: Hill MLE 1 + n/sum(ln(d/dmin)), dmin=2,
+        # over the same deduped undirected degree table
+        "powerlaw_alpha": (
+            "WITH e0 AS (SELECT DISTINCT "
+            "least(o_orderkey % 141, (o_orderkey // 141) % 141) AS a, "
+            "greatest(o_orderkey % 141, (o_orderkey // 141) % 141) AS b "
+            "FROM orders "
+            "WHERE o_orderkey % 141 <> (o_orderkey // 141) % 141), "
+            "deg AS (SELECT node, count(*) AS d FROM ("
+            "SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) "
+            "GROUP BY node), "
+            "t AS (SELECT CAST(d AS DOUBLE) AS d FROM deg "
+            "WHERE d >= 2) "
+            "SELECT count(*) AS n_tail, "
+            "CAST(floor((1.0 + count(*) / (sum(ln(d)) "
+            "- count(*) * ln(2.0))) * 1e6 + 1e-6) AS BIGINT) "
+            "AS alpha_q FROM t"
         ),
         # redirect_resolve: the synthetic redirect map k → k//2 (k ≥ 2,
         # k % 3 ≠ 0) is acyclic, so the recursive walk from each source

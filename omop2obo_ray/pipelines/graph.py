@@ -3456,3 +3456,42 @@ def edge_embeddedness(edges: Dataset, *, src: str = "src",
                          n_coarse=n_coarse),
         pa.schema([("a", pa.string()), ("b", pa.string()),
                    ("support", pa.int64())]))
+
+
+def powerlaw_alpha(edges: Dataset, *, src: str = "src",
+                   dst: str = "dst", d_min: int = 2,
+                   n_coarse: int | None = None) -> Dataset:
+    """Hill / Clauset-Shalizi-Newman MLE of the degree-distribution
+    power-law exponent → one row (n_tail, alpha):
+    α = 1 + n / Σ ln(dᵢ/d_min) over degrees ≥ d_min — the standard
+    sanity statistic for a crawled link graph (web in/out-degree tails
+    run α ≈ 2.1-2.7; a crawler bug or dedup failure shows up as a
+    wildly different exponent long before a browse would catch it).
+
+    Scale shape: degrees (ONE coarse exchange) → block-local partials
+    (count, Σ ln d — 2 numbers per block) → one single-group fold.
+    ln sums are folded in float64 both here and in any SQL oracle;
+    gate with a quantizer (reassociation differs)."""
+    deg = _undirected_degrees(_canonical_undirected(edges, src, dst))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["d"].to_numpy(np.float64)
+        d = d[d >= d_min]
+        return pd.DataFrame({
+            "_g": [np.int8(0)], "n": [np.int64(len(d))],
+            "slog": [np.log(d).sum() if len(d) else 0.0]})
+
+    part = deg.map_batches(_partial, batch_format="pandas",
+                           batch_size=None)
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n"].sum())
+        slog = float(df["slog"].sum())
+        denom = slog - n * float(np.log(d_min))
+        alpha = 1.0 + n / denom if denom > 0 else float("nan")
+        return pd.DataFrame({"n_tail": [np.int64(n)],
+                             "alpha": [alpha]})
+
+    return _sanitize_join_output(
+        coarse_aggregate(part, ["_g"], _fold, n_coarse=n_coarse),
+        pa.schema([("n_tail", pa.int64()), ("alpha", pa.float64())]))

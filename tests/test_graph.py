@@ -1641,3 +1641,25 @@ def test_edge_embeddedness_matches_common_neighbors(ray_session):
     exp = {(a, b): len(adj[a] & adj[b]) for a, b in pairs}
     assert {(r.a, r.b): r.support
             for r in got.itertuples()} == exp
+
+
+def test_powerlaw_alpha_matches_mle(ray_session):
+    """powerlaw_alpha ≡ the closed-form Hill MLE over the deduped
+    undirected degree distribution."""
+    from omop2obo_ray.pipelines.graph import powerlaw_alpha
+
+    rng = np.random.default_rng(37)
+    pairs = sorted({(f"n{min(a, b)}", f"n{max(a, b)}") for a, b in
+                    rng.integers(0, 60, size=(400, 2)) if a != b})
+    df = pd.DataFrame(pairs, columns=["src", "dst"])
+    got = (powerlaw_alpha(rd.from_pandas(df).repartition(4), d_min=3)
+           .to_pandas().iloc[0])
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    tail = np.array([d for d in deg.values() if d >= 3], float)
+    alpha = 1.0 + len(tail) / (np.log(tail).sum()
+                               - len(tail) * np.log(3.0))
+    assert got["n_tail"] == len(tail)
+    assert abs(got["alpha"] - alpha) < 1e-9
