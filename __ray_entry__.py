@@ -2130,6 +2130,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(_q, batch_format="pyarrow",
                                batch_size=None)
 
+    def q_entity_pair_pmi(sf):
+        # document-level co-occurrence PMI over length>=5 tokens
+        # (bounded per-doc fan-out on this corpus: <=15 entities);
+        # ln -> 1e6 quantizer
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import entity_pair_pmi
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        out = entity_pair_pmi(docs, min_len=5, min_pair_count=2)
+
+        def _q(b):
+            import numpy as np
+            import pyarrow as pa
+            p = b["pmi"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "a": b["a"], "b": b["b"], "cab": b["cab"],
+                "pmi_q": pa.array(np.floor(p * 1e6 + 1e-6)
+                                  .astype(np.int64), pa.int64())})
+
+        return out.map_batches(_q, batch_format="pyarrow",
+                               batch_size=None)
+
     def q_bpe_train(sf):
         # rows-only: iterative argmax merge learning has no SQL
         # equivalent; pytest carries the reference-identity check
@@ -3121,6 +3147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_cluster": q_er_cluster,      # end-to-end entity resolution: block+verify+CC (SQL-checked)
         "edge_embeddedness": q_edge_embeddedness,  # per-edge triangle support incl. bridges (SQL-checked)
         "powerlaw_alpha": q_powerlaw_alpha,  # Hill MLE degree-tail exponent (SQL-checked)
+        "entity_pair_pmi": q_entity_pair_pmi,  # doc-level entity co-occurrence PMI (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
         "neighbor_mean": q_neighbor_mean,  # GraphSAGE-mean propagation round (SQL-checked)
@@ -3431,6 +3458,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor((1.0 + count(*) / (sum(ln(d)) "
             "- count(*) * ln(2.0))) * 1e6 + 1e-6) AS BIGINT) "
             "AS alpha_q FROM t"
+        ),
+        # entity_pair_pmi: distinct per-doc tokens >= 5 chars, pair
+        # df via self-join, PMI = ln(cab*N/(ca*cb)) 1e6-quantized
+        "entity_pair_pmi": (
+            "WITH toks AS (SELECT DISTINCT doc_id, tok FROM ("
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+            "FROM documents) WHERE length(tok) >= 5), "
+            "n AS (SELECT count(*) AS nd FROM documents), "
+            "dfr AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), "
+            "pc AS (SELECT t1.tok AS a, t2.tok AS b, count(*) AS cab "
+            "FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id "
+            "AND t1.tok < t2.tok GROUP BY t1.tok, t2.tok "
+            "HAVING count(*) >= 2) "
+            "SELECT pc.a, pc.b, pc.cab, "
+            "CAST(floor(ln(CAST(pc.cab AS DOUBLE) * n.nd "
+            "/ (da.c * db.c)) * 1e6 + 1e-6) AS BIGINT) AS pmi_q "
+            "FROM pc, n "
+            "JOIN dfr da ON da.tok = pc.a "
+            "JOIN dfr db ON db.tok = pc.b"
         ),
         # redirect_resolve: the synthetic redirect map k → k//2 (k ≥ 2,
         # k % 3 ≠ 0) is acyclic, so the recursive walk from each source

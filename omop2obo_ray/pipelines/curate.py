@@ -4104,3 +4104,99 @@ def er_cluster(entities: "Dataset", *, id_col: str, text_col: str,
 
     return out.map_batches(_backfill, batch_format="pyarrow",
                            batch_size=None)
+
+
+def entity_pair_pmi(docs: "Dataset", *, doc_col: str = "doc_id",
+                    text_col: str = "text", min_len: int = 5,
+                    min_pair_count: int = 2,
+                    n_coarse: int | None = None) -> "Dataset":
+    """Document-level entity co-occurrence PMI → (a, b, cab, pmi) for
+    unordered entity pairs co-occurring in ≥ ``min_pair_count`` docs:
+    pmi = ln(cab·N / (ca·cb)) over document frequencies — the classic
+    relation-candidate miner (entities that co-occur far above chance
+    are edge candidates for the KG; the reference's concept
+    co-occurrence analysis is the single-machine ancestor).
+
+    Scale shape: a document is ONE row, so per-doc distinct entities
+    AND their pair fan-out are emitted inside the same vectorized map
+    (no doc-keyed exchange at all); then ONE pair-keyed coarse count,
+    ONE entity-keyed coarse count (df), and two slim ``coarse_join``s
+    to attach df to the surviving pairs. N is the input row count —
+    the only driver scalar. Skew guard: per-doc pair fan-out is
+    k(k−1)/2 in the per-doc entity count — bound k upstream (entity
+    extraction, not raw tokens) exactly as the fixture's length
+    filter does."""
+    from omop2obo_ray.functions.shuffle import (coarse_aggregate,
+                                                coarse_join)
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    n_docs = docs.count()
+
+    def _pairs_and_ents(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            b[text_col].combine_chunks().cast(pa.large_string()), " ")
+        out_a, out_b = [], []
+        ents_out = []
+        for row in toks.to_pylist():
+            ents = sorted({t for t in row if len(t) >= min_len})
+            ents_out.append(ents)
+            for i in range(len(ents)):
+                for j in range(i + 1, len(ents)):
+                    out_a.append(ents[i])
+                    out_b.append(ents[j])
+        # entity rows ride along tagged pair=(a, NULL)
+        flat = [e for ents in ents_out for e in ents]
+        return pa.table({
+            "a": pa.array(out_a + flat, pa.large_string()),
+            "b": pa.array(out_b + [None] * len(flat),
+                          pa.large_string())})
+
+    rows = docs.map_batches(_pairs_and_ents, batch_format="pyarrow",
+                            batch_size=None)
+    pair_rows = rows.map_batches(
+        lambda b: b.filter(pc.is_valid(b["b"])),
+        batch_format="pyarrow", batch_size=None)
+    ent_rows = rows.map_batches(
+        lambda b: pa.table(
+            {"a": b["a"].filter(pc.is_null(b["b"]))}),
+        batch_format="pyarrow", batch_size=None)
+
+    def _cnt_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["a", "b"], sort=False).size()
+             .rename("cab").reset_index())
+        return g[g["cab"] >= min_pair_count]
+
+    pairs = _sanitize_join_output(
+        coarse_aggregate(pair_rows, ["a", "b"], _cnt_pairs,
+                         n_coarse=n_coarse),
+        pa.schema([("a", pa.large_string()), ("b", pa.large_string()),
+                   ("cab", pa.int64())]))
+
+    df_tbl = _sanitize_join_output(
+        coarse_aggregate(
+            ent_rows, ["a"],
+            lambda df: df.groupby("a", sort=False).size()
+            .rename("c").reset_index(), n_coarse=n_coarse),
+        pa.schema([("a", pa.large_string()), ("c", pa.int64())]))
+
+    j1 = coarse_join(pairs, df_tbl.map_batches(
+        lambda b: pa.table({"e": b["a"], "ca": b["c"]}),
+        batch_format="pyarrow", batch_size=None),
+        on="a", right_on="e", n_coarse=n_coarse)
+    j2 = coarse_join(j1, df_tbl.map_batches(
+        lambda b: pa.table({"e": b["a"], "cb": b["c"]}),
+        batch_format="pyarrow", batch_size=None),
+        on="b", right_on="e", n_coarse=n_coarse)
+
+    def _pmi(b: pa.Table) -> pa.Table:
+        cab = b["cab"].combine_chunks().to_numpy(zero_copy_only=False)
+        ca = b["ca"].combine_chunks().to_numpy(zero_copy_only=False)
+        cb = b["cb"].combine_chunks().to_numpy(zero_copy_only=False)
+        pmi = np.log(cab.astype(np.float64) * n_docs
+                     / (ca.astype(np.float64) * cb))
+        return pa.table({"a": b["a"], "b": b["b"],
+                         "cab": pa.array(cab, pa.int64()),
+                         "pmi": pa.array(pmi, pa.float64())})
+
+    return j2.map_batches(_pmi, batch_format="pyarrow",
+                          batch_size=None)

@@ -2410,3 +2410,32 @@ def test_er_cluster_matches_pipeline_oracle(ray_session):
                 parent[max(ra, rb)] = min(ra, rb)
     exp = {i: find(i) for i in df["id"]}
     assert got == exp
+
+
+def test_entity_pair_pmi_matches_oracle(ray_session):
+    """entity_pair_pmi ≡ the per-doc distinct-pair df oracle."""
+    from itertools import combinations
+
+    from omop2obo_ray.pipelines.curate import entity_pair_pmi
+
+    docs = ["alpha beta gamma alpha", "alpha beta xx", "beta gamma",
+            "alpha gamma zz beta", "solo", "alpha beta"]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    got = (entity_pair_pmi(rd.from_pandas(df).repartition(3),
+                           min_len=4, min_pair_count=2)
+           .to_pandas().set_index(["a", "b"]))
+
+    N = len(docs)
+    dfreq, pfreq = {}, {}
+    for t in docs:
+        ents = sorted({w for w in t.split() if len(w) >= 4})
+        for e in ents:
+            dfreq[e] = dfreq.get(e, 0) + 1
+        for a, b in combinations(ents, 2):
+            pfreq[(a, b)] = pfreq.get((a, b), 0) + 1
+    exp = {k: v for k, v in pfreq.items() if v >= 2}
+    assert set(got.index) == set(exp)
+    for (a, b), cab in exp.items():
+        assert got.loc[(a, b), "cab"] == cab
+        want = np.log(cab * N / (dfreq[a] * dfreq[b]))
+        assert abs(got.loc[(a, b), "pmi"] - want) < 1e-9
