@@ -2156,6 +2156,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(_q, batch_format="pyarrow",
                                batch_size=None)
 
+    def q_wu_palmer(sf):
+        # Wu-Palmer similarity for fixed concept pairs over a
+        # synthetic binary-tree DAG on orderkey residues (child m →
+        # parent m//2, m = o_orderkey % 1021, m >= 2); depth = exact
+        # distributed ancestor-closure count (integer), sim =
+        # 2.0*lca_depth/(da+db) — single-rounding IEEE ops shared
+        # with the oracle, gate exact unquantized
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import wu_palmer
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _edges(b: pa.Table) -> pa.Table:
+            import numpy as np
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            m = k % 1021
+            m = m[m >= 2]
+            return pa.table({
+                "child": pa.array(m, pa.int64()),
+                "parent": pa.array(m // 2, pa.int64())})
+
+        e = orders.map_batches(_edges, batch_format="pyarrow",
+                               batch_size=None)
+        return wu_palmer(e, [(40, 41), (13, 97), (96, 97),
+                             (5, 119), (2, 3), (500, 1019)])
+
     def q_bpe_train(sf):
         # rows-only: iterative argmax merge learning has no SQL
         # equivalent; pytest carries the reference-identity check
@@ -3148,6 +3177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_embeddedness": q_edge_embeddedness,  # per-edge triangle support incl. bridges (SQL-checked)
         "powerlaw_alpha": q_powerlaw_alpha,  # Hill MLE degree-tail exponent (SQL-checked)
         "entity_pair_pmi": q_entity_pair_pmi,  # doc-level entity co-occurrence PMI (SQL-checked)
+        "wu_palmer": q_wu_palmer,        # ontology Wu-Palmer similarity over a distributed ancestor closure (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
         "neighbor_mean": q_neighbor_mean,  # GraphSAGE-mean propagation round (SQL-checked)
@@ -3477,6 +3507,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM pc, n "
             "JOIN dfr da ON da.tok = pc.a "
             "JOIN dfr db ON db.tok = pc.b"
+        ),
+        # wu_palmer: recursive-CTE ancestor closure (UNION dedups DAG
+        # rediscoveries) over the residue binary tree; depth = closure
+        # count incl. self; LCA depth = max depth over common
+        # ancestors; sim = 2.0*lca/(da+db) — same single-rounding IEEE
+        # ops as the engine, exact. Pairs with an absent endpoint drop
+        # on both sides (the closure only contains existing nodes).
+        "wu_palmer": (
+            "WITH RECURSIVE "
+            "ed AS (SELECT DISTINCT o_orderkey % 1021 AS c, "
+            "(o_orderkey % 1021) // 2 AS p FROM orders "
+            "WHERE o_orderkey % 1021 >= 2), "
+            "nodes AS (SELECT c AS node FROM ed "
+            "UNION SELECT p FROM ed), "
+            "cl AS (SELECT node, node AS anc FROM nodes "
+            "UNION SELECT cl.node, ed.p FROM cl "
+            "JOIN ed ON ed.c = cl.anc), "
+            "d AS (SELECT node, count(*) AS dep FROM cl "
+            "GROUP BY node), "
+            "pr(qa, qb) AS (VALUES (40, 41), (13, 97), (96, 97), "
+            "(5, 119), (2, 3), (500, 1019)), "
+            "lca AS (SELECT pr.qa, pr.qb, max(dd.dep) AS lca_depth "
+            "FROM pr JOIN cl a ON a.node = pr.qa "
+            "JOIN cl b ON b.node = pr.qb AND b.anc = a.anc "
+            "JOIN d dd ON dd.node = a.anc GROUP BY pr.qa, pr.qb) "
+            "SELECT CAST(l.qa AS BIGINT) AS qa, "
+            "CAST(l.qb AS BIGINT) AS qb, l.lca_depth, "
+            "2.0 * l.lca_depth / (da.dep + db.dep) AS sim "
+            "FROM lca l JOIN d da ON da.node = l.qa "
+            "JOIN d db ON db.node = l.qb"
         ),
         # redirect_resolve: the synthetic redirect map k → k//2 (k ≥ 2,
         # k % 3 ≠ 0) is acyclic, so the recursive walk from each source

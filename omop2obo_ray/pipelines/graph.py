@@ -3495,3 +3495,184 @@ def powerlaw_alpha(edges: Dataset, *, src: str = "src",
     return _sanitize_join_output(
         coarse_aggregate(part, ["_g"], _fold, n_coarse=n_coarse),
         pa.schema([("n_tail", pa.int64()), ("alpha", pa.float64())]))
+
+
+def ancestor_closure_distributed(edges: Dataset, *, child: str = "child",
+                                 parent: str = "parent",
+                                 include_self: bool = True,
+                                 max_rounds: int = 64,
+                                 n_coarse: int | None = None) -> Dataset:
+    """Transitive ancestor closure of a child→parent DAG →
+    (node, anc), optionally including the node itself — the
+    distributed form of the reference's precomputed ancestor input
+    (`omop2obo` ships closure dictionaries; at ontology-union scale
+    the closure must be built, not loaded). Per round ONE
+    ``coarse_join`` of the newly-discovered frontier onto the parent
+    edges (frontier-sized, not closure-sized); closure mass is the
+    output itself (Σ node-depths), the irreducible cost of
+    materializing ancestors. Edges are deduped once up front and the
+    frontier is deduped every round — duplicate edges / DAG diamonds
+    otherwise multiply frontier rows geometrically per hop."""
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    def _slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c": b[child].combine_chunks().cast(pa.int64()),
+            "p": b[parent].combine_chunks().cast(pa.int64())})
+
+    edge_schema = pa.schema([("c", pa.int64()), ("p", pa.int64())])
+    e = _sanitize_join_output(
+        coarse_aggregate(
+            edges.map_batches(_slim, batch_format="pyarrow",
+                              batch_size=None),
+            ["c", "p"], lambda df: df.drop_duplicates(),
+            n_coarse=n_coarse), edge_schema)
+    pair_schema = pa.schema([("node", pa.int64()), ("anc", pa.int64())])
+
+    nodes = _sanitize_join_output(
+        coarse_aggregate(
+            e.map_batches(
+                lambda b: pa.table({"node": pa.concat_arrays(
+                    [b["c"].combine_chunks(),
+                     b["p"].combine_chunks()])}),
+                batch_format="pyarrow", batch_size=None),
+            ["node"], lambda df: df.drop_duplicates(),
+            n_coarse=n_coarse),
+        pa.schema([("node", pa.int64())]))
+    self_rows = nodes.map_batches(
+        lambda b: pa.table({"node": b["node"], "anc": b["node"]}),
+        batch_format="pyarrow", batch_size=None)
+
+    frontier = _sanitize_join_output(self_rows, pair_schema)
+    parts = [frontier] if include_self else []
+    for _ in range(max_rounds):
+        nxt = coarse_join(frontier, e, on="anc", right_on="c",
+                          how="inner", n_coarse=n_coarse)
+        # per-round dedup: diamonds rediscover (node, anc) pairs and
+        # would otherwise compound across hops
+        frontier = _sanitize_join_output(
+            coarse_aggregate(
+                nxt.map_batches(
+                    lambda b: pa.table({"node": b["node"],
+                                        "anc": b["p"]}),
+                    batch_format="pyarrow", batch_size=None),
+                ["node", "anc"], lambda df: df.drop_duplicates(),
+                n_coarse=n_coarse), pair_schema)
+        if frontier.count() == 0:
+            break
+        parts.append(frontier)
+    if not parts:  # include_self=False on an edgeless graph
+        return ray.data.from_arrow(pair_schema.empty_table())
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    # a DAG can rediscover an ancestor via two paths — dedup
+    return _sanitize_join_output(
+        coarse_aggregate(out, ["node", "anc"],
+                         lambda df: df.drop_duplicates(),
+                         n_coarse=n_coarse), pair_schema)
+
+
+def wu_palmer(edges: Dataset, pairs: list, *, child: str = "child",
+              parent: str = "parent", max_rounds: int = 64,
+              n_coarse: int | None = None) -> Dataset:
+    """Wu-Palmer semantic similarity for the given concept pairs over
+    a child→parent DAG → (qa, qb, lca_depth, sim):
+    sim = 2·depth(LCA) / (depth(a) + depth(b)), depth = ancestor
+    count INCLUDING self (root = 1) and LCA depth = the maximum depth
+    among common ancestors — the reference's similarity tier uses
+    string TF-IDF; this is the structural tier any ontology-backed KG
+    adds on top (Wu & Palmer 1994 / Resnik's depth convention).
+    Pairs with no common ancestor are absent from the output.
+
+    Scale shape: distributed ancestor closure (above) → depths as a
+    per-node coarse COUNT of that closure (integer-exact, no float
+    anywhere until the final division) → the closure filtered to the
+    query nodes (broadcast query-sized id set) → one anc-keyed
+    ``coarse_join`` between the two query sides → pair filter → one
+    depth-attach join → per-pair coarse max. Driver state is bounded
+    by the QUERY set (the final depth lookup for the requested ids),
+    never by the graph."""
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    closure = ancestor_closure_distributed(
+        edges, child=child, parent=parent, include_self=True,
+        max_rounds=max_rounds, n_coarse=n_coarse)
+
+    depth = _sanitize_join_output(
+        coarse_aggregate(
+            closure, ["node"],
+            lambda df: df.groupby("node", sort=False).size()
+            .rename("d").reset_index(), n_coarse=n_coarse),
+        pa.schema([("node", pa.int64()), ("d", pa.int64())]))
+
+    qa_ids = sorted({int(a) for a, _ in pairs})
+    qb_ids = sorted({int(b) for _, b in pairs})
+    pair_keys = {(int(a) << 32) | int(b) for a, b in pairs}
+
+    def _side(ids, out_col):
+        idset = np.array(ids, np.int64)
+
+        def fn(b: pa.Table) -> pa.Table:
+            node = b["node"].combine_chunks()
+            keep = pc.is_in(node, value_set=pa.array(idset, pa.int64()))
+            t = b.filter(keep)
+            return pa.table({out_col: t["node"], "anc": t["anc"]})
+        return fn
+
+    ja = closure.map_batches(_side(qa_ids, "qa"),
+                             batch_format="pyarrow", batch_size=None)
+    jb = closure.map_batches(_side(qb_ids, "qb"),
+                             batch_format="pyarrow", batch_size=None)
+    crossed = coarse_join(ja, jb, on="anc", how="inner",
+                          n_coarse=n_coarse)
+
+    pk_arr = pa.array(sorted(pair_keys), pa.int64())
+
+    def _pair_filter(b: pa.Table) -> pa.Table:
+        qa = b["qa"].combine_chunks().to_numpy(zero_copy_only=False)
+        qb = b["qb"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = pa.array((qa.astype(np.int64) << 32) | qb, pa.int64())
+        return b.filter(pc.is_in(key, value_set=pk_arr))
+
+    wanted = crossed.map_batches(_pair_filter, batch_format="pyarrow",
+                                 batch_size=None)
+    withd = coarse_join(wanted, depth.map_batches(
+        lambda b: pa.table({"n2": b["node"], "danc": b["d"]}),
+        batch_format="pyarrow", batch_size=None),
+        on="anc", right_on="n2", n_coarse=n_coarse)
+
+    def _maxd(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["qa", "qb"], sort=False)["danc"].max()
+                .rename("lca_depth").reset_index())
+
+    lca = _sanitize_join_output(
+        coarse_aggregate(withd, ["qa", "qb"], _maxd,
+                         n_coarse=n_coarse),
+        pa.schema([("qa", pa.int64()), ("qb", pa.int64()),
+                   ("lca_depth", pa.int64())]))
+
+    # depths of the query ids only — bounded by the query set
+    qset = pa.array(sorted(set(qa_ids) | set(qb_ids)), pa.int64())
+    qd = depth.map_batches(
+        lambda b: b.filter(pc.is_in(b["node"].combine_chunks(),
+                                    value_set=qset)),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    dmap = dict(zip(qd["node"], qd["d"]))
+    dref = ray.put(dmap)
+
+    def _sim(b: pa.Table) -> pa.Table:
+        dm = ray.get(dref)
+        qa = b["qa"].combine_chunks().to_numpy(zero_copy_only=False)
+        qb = b["qb"].combine_chunks().to_numpy(zero_copy_only=False)
+        dl = b["lca_depth"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        da = np.array([dm[int(x)] for x in qa], np.int64)
+        db = np.array([dm[int(x)] for x in qb], np.int64)
+        return pa.table({
+            "qa": b["qa"], "qb": b["qb"],
+            "lca_depth": b["lca_depth"],
+            "sim": pa.array(2.0 * dl / (da + db), pa.float64())})
+
+    return lca.map_batches(_sim, batch_format="pyarrow",
+                           batch_size=None)

@@ -1663,3 +1663,38 @@ def test_powerlaw_alpha_matches_mle(ray_session):
                                - len(tail) * np.log(3.0))
     assert got["n_tail"] == len(tail)
     assert abs(got["alpha"] - alpha) < 1e-9
+
+
+def test_wu_palmer_matches_oracle(ray_session):
+    """wu_palmer ≡ the set-intersection LCA oracle on a binary-ish
+    tree with an extra diamond (DAG rediscovery dedup exercised)."""
+    from omop2obo_ray.pipelines.graph import wu_palmer
+
+    edges = [(k, k // 2) for k in range(2, 120)]
+    edges.append((97, 3))  # diamond: 97 has parents 48 and 3
+    df = pd.DataFrame(edges, columns=["child", "parent"])
+    pairs = [(40, 41), (97, 13), (5, 119), (2, 3), (97, 96)]
+
+    anc = {}
+    par = {}
+    for c, p in edges:
+        par.setdefault(c, set()).add(p)
+
+    def ancestors(v):
+        if v in anc:
+            return anc[v]
+        out = {v}
+        for p in par.get(v, ()):
+            out |= ancestors(p)
+        anc[v] = out
+        return out
+
+    got = (wu_palmer(rd.from_pandas(df).repartition(4), pairs)
+           .to_pandas().set_index(["qa", "qb"]))
+    for a, b in pairs:
+        common = ancestors(a) & ancestors(b)
+        dl = max(len(ancestors(x)) for x in common)
+        da, db = len(ancestors(a)), len(ancestors(b))
+        assert got.loc[(a, b), "lca_depth"] == dl, (a, b)
+        assert abs(got.loc[(a, b), "sim"] - 2 * dl / (da + db)) < 1e-12
+    assert len(got) == len(pairs)
