@@ -2185,6 +2185,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return wu_palmer(e, [(40, 41), (13, 97), (96, 97),
                              (5, 119), (2, 3), (500, 1019)])
 
+    def q_resnik_lin(sf):
+        # IC-based semantic similarity over the same residue tree;
+        # annotation counts = orderkeys per residue (all residues —
+        # 0/1 drop via the node-set semi-join inside the op);
+        # min_freq exact int, resnik/lin single-ln floats → 1e6
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import resnik_lin
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _edges(b: pa.Table) -> pa.Table:
+            import numpy as np
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            m = k % 1021
+            m = m[m >= 2]
+            return pa.table({
+                "child": pa.array(m, pa.int64()),
+                "parent": pa.array(m // 2, pa.int64())})
+
+        def _cnt(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "concept": pa.array(k % 1021, pa.int64()),
+                "n": pa.array([1] * len(k), pa.int64())})
+
+        e = orders.map_batches(_edges, batch_format="pyarrow",
+                               batch_size=None)
+        c = orders.map_batches(_cnt, batch_format="pyarrow",
+                               batch_size=None)
+        out = resnik_lin(e, c, [(40, 41), (13, 97), (96, 97),
+                                (5, 119), (2, 3), (500, 1019)])
+
+        def _q(b: pa.Table) -> pa.Table:
+            import numpy as np
+            r = b["resnik"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            l = b["lin"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "qa": b["qa"], "qb": b["qb"],
+                "min_freq": b["min_freq"],
+                "resnik_q": pa.array(np.floor(r * 1e6 + 1e-6)
+                                     .astype(np.int64), pa.int64()),
+                "lin_q": pa.array(np.floor(l * 1e6 + 1e-6)
+                                  .astype(np.int64), pa.int64())})
+
+        return out.map_batches(_q, batch_format="pyarrow",
+                               batch_size=None)
+
     def q_bpe_train(sf):
         # rows-only: iterative argmax merge learning has no SQL
         # equivalent; pytest carries the reference-identity check
@@ -3178,6 +3230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "powerlaw_alpha": q_powerlaw_alpha,  # Hill MLE degree-tail exponent (SQL-checked)
         "entity_pair_pmi": q_entity_pair_pmi,  # doc-level entity co-occurrence PMI (SQL-checked)
         "wu_palmer": q_wu_palmer,        # ontology Wu-Palmer similarity over a distributed ancestor closure (SQL-checked)
+        "resnik_lin": q_resnik_lin,      # information-content (Resnik/Lin) ontology similarity (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
         "neighbor_mean": q_neighbor_mean,  # GraphSAGE-mean propagation round (SQL-checked)
@@ -3537,6 +3590,48 @@ def oracle_sql() -> dict[str, str]:
             "2.0 * l.lca_depth / (da.dep + db.dep) AS sim "
             "FROM lca l JOIN d da ON da.node = l.qa "
             "JOIN d db ON db.node = l.qb"
+        ),
+        # resnik_lin: freq_desc = closure-join rollup of residue
+        # annotation counts (exact ints); most-informative common
+        # ancestor = MIN freq (IC strictly decreasing in freq);
+        # resnik = ln(N/min_freq), lin = 2·resnik/(IC(a)+IC(b)) —
+        # identical single-rounding expressions, 1e6-quantized
+        "resnik_lin": (
+            "WITH RECURSIVE "
+            "ed AS (SELECT DISTINCT o_orderkey % 1021 AS c, "
+            "(o_orderkey % 1021) // 2 AS p FROM orders "
+            "WHERE o_orderkey % 1021 >= 2), "
+            "nodes AS (SELECT c AS node FROM ed "
+            "UNION SELECT p FROM ed), "
+            "cl AS (SELECT node, node AS anc FROM nodes "
+            "UNION SELECT cl.node, ed.p FROM cl "
+            "JOIN ed ON ed.c = cl.anc), "
+            "cnt AS (SELECT o_orderkey % 1021 AS node, "
+            "count(*) AS c FROM orders GROUP BY 1), "
+            "f AS (SELECT cl.anc AS node, "
+            "CAST(sum(cnt.c) AS BIGINT) AS f FROM cl "
+            "JOIN cnt ON cnt.node = cl.node GROUP BY cl.anc), "
+            "nt AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt "
+            "WHERE node IN (SELECT node FROM nodes)), "
+            "pr(qa, qb) AS (VALUES (40, 41), (13, 97), (96, 97), "
+            "(5, 119), (2, 3), (500, 1019)), "
+            "mif AS (SELECT pr.qa, pr.qb, "
+            "CAST(min(f.f) AS BIGINT) AS min_freq "
+            "FROM pr JOIN cl a ON a.node = pr.qa "
+            "JOIN cl b ON b.node = pr.qb AND b.anc = a.anc "
+            "JOIN f ON f.node = a.anc GROUP BY pr.qa, pr.qb) "
+            "SELECT CAST(m.qa AS BIGINT) AS qa, "
+            "CAST(m.qb AS BIGINT) AS qb, m.min_freq, "
+            "CAST(floor(ln(nt.n / m.min_freq) * 1e6 + 1e-6) "
+            "AS BIGINT) AS resnik_q, "
+            "CAST(floor(CASE WHEN ln(nt.n / fa.f) + ln(nt.n / fb.f) "
+            "> 0 THEN 2.0 * ln(nt.n / m.min_freq) / "
+            "(ln(nt.n / fa.f) + ln(nt.n / fb.f)) ELSE 1.0 END "
+            "* 1e6 + 1e-6) AS BIGINT) AS lin_q "
+            "FROM mif m "
+            "JOIN f fa ON fa.node = m.qa "
+            "JOIN f fb ON fb.node = m.qb "
+            "CROSS JOIN nt"
         ),
         # redirect_resolve: the synthetic redirect map k → k//2 (k ≥ 2,
         # k % 3 ≠ 0) is acyclic, so the recursive walk from each source

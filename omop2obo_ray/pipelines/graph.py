@@ -3573,6 +3573,81 @@ def ancestor_closure_distributed(edges: Dataset, *, child: str = "child",
                          n_coarse=n_coarse), pair_schema)
 
 
+def _pair_common_anc_stat(closure: Dataset, pairs: list,
+                          stat: Dataset, stat_col: str, agg: str,
+                          out_col: str,
+                          n_coarse: int | None = None) -> Dataset:
+    """Per-pair aggregate of a per-node statistic over the COMMON
+    ancestors of each query pair → (qa, qb, <out_col>). ``closure``
+    is (node, anc); ``stat`` is (node, <stat_col>) int64. The closure
+    is filtered to the broadcast query-id sets on both sides, the two
+    sides meet in one anc-keyed ``coarse_join``, non-requested pair
+    combinations drop in-map, the stat attaches via one more join,
+    and the pair aggregate is one coarse exchange. Pairs with no
+    common ancestor (or absent endpoints) are absent from the output.
+    Pair ids must fit in int32 halves (packed (a<<32)|b filter)."""
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    qa_ids = sorted({int(a) for a, _ in pairs})
+    qb_ids = sorted({int(b) for _, b in pairs})
+    pair_keys = {(int(a) << 32) | int(b) for a, b in pairs}
+
+    def _side(ids, col):
+        idset = np.array(ids, np.int64)
+
+        def fn(b: pa.Table) -> pa.Table:
+            node = b["node"].combine_chunks()
+            keep = pc.is_in(node, value_set=pa.array(idset, pa.int64()))
+            t = b.filter(keep)
+            return pa.table({col: t["node"], "anc": t["anc"]})
+        return fn
+
+    ja = closure.map_batches(_side(qa_ids, "qa"),
+                             batch_format="pyarrow", batch_size=None)
+    jb = closure.map_batches(_side(qb_ids, "qb"),
+                             batch_format="pyarrow", batch_size=None)
+    crossed = coarse_join(ja, jb, on="anc", how="inner",
+                          n_coarse=n_coarse)
+
+    pk_arr = pa.array(sorted(pair_keys), pa.int64())
+
+    def _pair_filter(b: pa.Table) -> pa.Table:
+        qa = b["qa"].combine_chunks().to_numpy(zero_copy_only=False)
+        qb = b["qb"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = pa.array((qa.astype(np.int64) << 32) | qb, pa.int64())
+        return b.filter(pc.is_in(key, value_set=pk_arr))
+
+    wanted = crossed.map_batches(_pair_filter, batch_format="pyarrow",
+                                 batch_size=None)
+    withs = coarse_join(wanted, stat.map_batches(
+        lambda b: pa.table({"n2": b["node"], "_sv": b[stat_col]}),
+        batch_format="pyarrow", batch_size=None),
+        on="anc", right_on="n2", n_coarse=n_coarse)
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["qa", "qb"], sort=False)["_sv"].agg(agg)
+                .rename(out_col).reset_index())
+
+    return _sanitize_join_output(
+        coarse_aggregate(withs, ["qa", "qb"], _fold,
+                         n_coarse=n_coarse),
+        pa.schema([("qa", pa.int64()), ("qb", pa.int64()),
+                   (out_col, pa.int64())]))
+
+
+def _query_stat_lookup(stat: Dataset, stat_col: str,
+                       pairs: list) -> dict:
+    """Driver dict {query_id: stat} for the requested pair endpoints
+    only — bounded by the QUERY set, never the graph."""
+    ids = sorted({int(x) for p in pairs for x in p})
+    qset = pa.array(ids, pa.int64())
+    qd = stat.map_batches(
+        lambda b: b.filter(pc.is_in(b["node"].combine_chunks(),
+                                    value_set=qset)),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    return dict(zip(qd["node"], qd[stat_col]))
+
+
 def wu_palmer(edges: Dataset, pairs: list, *, child: str = "child",
               parent: str = "parent", max_rounds: int = 64,
               n_coarse: int | None = None) -> Dataset:
@@ -3606,59 +3681,9 @@ def wu_palmer(edges: Dataset, pairs: list, *, child: str = "child",
             .rename("d").reset_index(), n_coarse=n_coarse),
         pa.schema([("node", pa.int64()), ("d", pa.int64())]))
 
-    qa_ids = sorted({int(a) for a, _ in pairs})
-    qb_ids = sorted({int(b) for _, b in pairs})
-    pair_keys = {(int(a) << 32) | int(b) for a, b in pairs}
-
-    def _side(ids, out_col):
-        idset = np.array(ids, np.int64)
-
-        def fn(b: pa.Table) -> pa.Table:
-            node = b["node"].combine_chunks()
-            keep = pc.is_in(node, value_set=pa.array(idset, pa.int64()))
-            t = b.filter(keep)
-            return pa.table({out_col: t["node"], "anc": t["anc"]})
-        return fn
-
-    ja = closure.map_batches(_side(qa_ids, "qa"),
-                             batch_format="pyarrow", batch_size=None)
-    jb = closure.map_batches(_side(qb_ids, "qb"),
-                             batch_format="pyarrow", batch_size=None)
-    crossed = coarse_join(ja, jb, on="anc", how="inner",
-                          n_coarse=n_coarse)
-
-    pk_arr = pa.array(sorted(pair_keys), pa.int64())
-
-    def _pair_filter(b: pa.Table) -> pa.Table:
-        qa = b["qa"].combine_chunks().to_numpy(zero_copy_only=False)
-        qb = b["qb"].combine_chunks().to_numpy(zero_copy_only=False)
-        key = pa.array((qa.astype(np.int64) << 32) | qb, pa.int64())
-        return b.filter(pc.is_in(key, value_set=pk_arr))
-
-    wanted = crossed.map_batches(_pair_filter, batch_format="pyarrow",
-                                 batch_size=None)
-    withd = coarse_join(wanted, depth.map_batches(
-        lambda b: pa.table({"n2": b["node"], "danc": b["d"]}),
-        batch_format="pyarrow", batch_size=None),
-        on="anc", right_on="n2", n_coarse=n_coarse)
-
-    def _maxd(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby(["qa", "qb"], sort=False)["danc"].max()
-                .rename("lca_depth").reset_index())
-
-    lca = _sanitize_join_output(
-        coarse_aggregate(withd, ["qa", "qb"], _maxd,
-                         n_coarse=n_coarse),
-        pa.schema([("qa", pa.int64()), ("qb", pa.int64()),
-                   ("lca_depth", pa.int64())]))
-
-    # depths of the query ids only — bounded by the query set
-    qset = pa.array(sorted(set(qa_ids) | set(qb_ids)), pa.int64())
-    qd = depth.map_batches(
-        lambda b: b.filter(pc.is_in(b["node"].combine_chunks(),
-                                    value_set=qset)),
-        batch_format="pyarrow", batch_size=None).to_pandas()
-    dmap = dict(zip(qd["node"], qd["d"]))
+    lca = _pair_common_anc_stat(closure, pairs, depth, "d",
+                                "max", "lca_depth", n_coarse=n_coarse)
+    dmap = _query_stat_lookup(depth, "d", pairs)
     dref = ray.put(dmap)
 
     def _sim(b: pa.Table) -> pa.Table:
@@ -3675,4 +3700,115 @@ def wu_palmer(edges: Dataset, pairs: list, *, child: str = "child",
             "sim": pa.array(2.0 * dl / (da + db), pa.float64())})
 
     return lca.map_batches(_sim, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def resnik_lin(edges: Dataset, counts: Dataset, pairs: list, *,
+               child: str = "child", parent: str = "parent",
+               concept_col: str = "concept", count_col: str = "n",
+               max_rounds: int = 64,
+               n_coarse: int | None = None) -> Dataset:
+    """Information-content semantic similarity (Resnik 1995 /
+    Lin 1998) for the given concept pairs over a child→parent DAG
+    plus a corpus annotation-count table → (qa, qb, min_freq,
+    resnik, lin). IC(c) = -ln(freq_desc(c)/N) with freq_desc(c) =
+    Σ counts over descendants-of-c INCLUDING c and N = Σ counts of
+    annotated concepts present in the graph; resnik = IC of the
+    most-informative common ancestor; lin = 2·resnik/(IC(a)+IC(b)).
+    The reference's similarity tier is string TF-IDF
+    (`omop2obo/string_similarity.py`); IC similarity is the
+    corpus-statistics tier an annotated ontology KG adds on top.
+
+    Exactness shape: IC is strictly decreasing in freq_desc, so the
+    most-informative common ancestor is the one with MINIMUM
+    freq_desc — the whole pipeline aggregates exact int64 counts
+    (closure join + one anc-keyed sum; per-pair coarse MIN) and
+    floats appear only in the final single-rounding map (one ln per
+    value), so an oracle replaying the same expressions matches to
+    the last ulp-stable quantizer. Concepts with zero annotated
+    descendants have undefined IC and drop (inner joins — same as
+    the SQL oracle's). Driver state: query-sized freq lookup + the
+    scalar N."""
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    closure = ancestor_closure_distributed(
+        edges, child=child, parent=parent, include_self=True,
+        max_rounds=max_rounds, n_coarse=n_coarse)
+
+    cnt_schema = pa.schema([("node", pa.int64()), ("c", pa.int64())])
+    cnt = _sanitize_join_output(
+        coarse_aggregate(
+            counts.map_batches(
+                lambda b: pa.table({
+                    "node": b[concept_col].combine_chunks()
+                    .cast(pa.int64()),
+                    "c": b[count_col].combine_chunks()
+                    .cast(pa.int64())}),
+                batch_format="pyarrow", batch_size=None),
+            ["node"],
+            lambda df: df.groupby("node", sort=False)["c"].sum()
+            .reset_index(), n_coarse=n_coarse), cnt_schema)
+
+    # freq_desc: annotation counts roll up every ancestor via the
+    # closure — one join + one anc-keyed sum, all int64-exact
+    joined = coarse_join(
+        closure, cnt.map_batches(
+            lambda b: pa.table({"n2": b["node"], "c": b["c"]}),
+            batch_format="pyarrow", batch_size=None),
+        on="node", right_on="n2", how="inner", n_coarse=n_coarse)
+    freq = _sanitize_join_output(
+        coarse_aggregate(
+            joined.map_batches(
+                lambda b: pa.table({"node": b["anc"], "c": b["c"]}),
+                batch_format="pyarrow", batch_size=None),
+            ["node"],
+            lambda df: df.groupby("node", sort=False)["c"].sum()
+            .rename("f").reset_index(), n_coarse=n_coarse),
+        pa.schema([("node", pa.int64()), ("f", pa.int64())]))
+
+    # N = Σ counts of annotated concepts that exist in the graph —
+    # exactly the self-rows' contribution, i.e. Σ over cnt∩nodes
+    in_graph = coarse_join(
+        cnt, closure.map_batches(
+            lambda b: pa.table({"n2": b["node"]}),
+            batch_format="pyarrow", batch_size=None),
+        on="node", right_on="n2", how="left_semi", n_coarse=n_coarse)
+    total = int(in_graph.map_batches(
+        lambda b: pa.table({"s": pa.array(
+            [pc.sum(b["c"]).as_py() or 0], pa.int64())}),
+        batch_format="pyarrow", batch_size=None).to_pandas()["s"]
+        .sum())
+
+    mif = _pair_common_anc_stat(closure, pairs, freq, "f", "min",
+                                "min_freq", n_coarse=n_coarse)
+    fmap = _query_stat_lookup(freq, "f", pairs)
+    fref = ray.put(fmap)
+
+    def _sim(b: pa.Table) -> pa.Table:
+        fm = ray.get(fref)
+        # an endpoint with zero annotated descendants has undefined
+        # IC — its pairs drop (it is absent from the freq table even
+        # when its ANCESTORS are annotated)
+        keep = pa.array([int(x) in fm and int(y) in fm
+                         for x, y in zip(b["qa"].to_pylist(),
+                                         b["qb"].to_pylist())])
+        b = b.filter(keep)
+        qa = b["qa"].combine_chunks().to_numpy(zero_copy_only=False)
+        qb = b["qb"].combine_chunks().to_numpy(zero_copy_only=False)
+        mf = b["min_freq"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        fa = np.array([fm[int(x)] for x in qa], np.int64)
+        fb = np.array([fm[int(x)] for x in qb], np.int64)
+        resnik = np.log(float(total) / mf)
+        ica = np.log(float(total) / fa)
+        icb = np.log(float(total) / fb)
+        denom = ica + icb
+        lin = np.where(denom > 0.0, 2.0 * resnik / denom, 1.0)
+        return pa.table({
+            "qa": b["qa"], "qb": b["qb"],
+            "min_freq": b["min_freq"],
+            "resnik": pa.array(resnik, pa.float64()),
+            "lin": pa.array(lin, pa.float64())})
+
+    return mif.map_batches(_sim, batch_format="pyarrow",
                            batch_size=None)

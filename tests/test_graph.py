@@ -1698,3 +1698,62 @@ def test_wu_palmer_matches_oracle(ray_session):
         assert got.loc[(a, b), "lca_depth"] == dl, (a, b)
         assert abs(got.loc[(a, b), "sim"] - 2 * dl / (da + db)) < 1e-12
     assert len(got) == len(pairs)
+
+
+def test_resnik_lin_matches_oracle(ray_session):
+    """resnik_lin ≡ the pure-python IC oracle on a diamond DAG with
+    sparse annotations (some nodes annotated 0, duplicate edges)."""
+    from omop2obo_ray.pipelines.graph import resnik_lin
+
+    edges = [(k, k // 2) for k in range(2, 64)]
+    edges.append((31, 5))          # diamond
+    edges.append((40, 20))         # duplicate edge
+    df = pd.DataFrame(edges, columns=["child", "parent"])
+    # annotate odd nodes only, count = node % 7 + 1; even nodes get
+    # IC purely from descendants
+    cdf = pd.DataFrame({"concept": [n for n in range(1, 64) if n % 2],
+                        "n": [n % 7 + 1 for n in range(1, 64)
+                              if n % 2]})
+    pairs = [(20, 21), (31, 44), (5, 63), (2, 3), (40, 41)]
+
+    par = {}
+    for c, p in set(edges):
+        par.setdefault(c, set()).add(p)
+
+    def ancestors(v):
+        out = {v}
+        for p in par.get(v, ()):
+            out |= ancestors(p)
+        return out
+
+    cnt = dict(zip(cdf["concept"], cdf["n"]))
+    nodes = {x for e in edges for x in e}
+    desc = {a: 0 for a in nodes}
+    for v in nodes:
+        for a in ancestors(v):
+            desc[a] += cnt.get(v, 0)
+    N = sum(c for n, c in cnt.items() if n in nodes)
+
+    got = (resnik_lin(rd.from_pandas(df).repartition(4),
+                      rd.from_pandas(cdf).repartition(2), pairs)
+           .to_pandas().set_index(["qa", "qb"]))
+    import math
+    kept = 0
+    for a, b in pairs:
+        if desc[a] == 0 or desc[b] == 0:
+            # undefined IC endpoint (44 has no annotated
+            # descendants) — the pair must be absent
+            assert (a, b) not in got.index, (a, b)
+            continue
+        kept += 1
+        common = {x for x in ancestors(a) & ancestors(b)
+                  if desc[x] > 0}
+        mf = min(desc[x] for x in common)
+        res = math.log(N / mf)
+        lin = 2 * res / (math.log(N / desc[a]) + math.log(N / desc[b]))
+        assert got.loc[(a, b), "min_freq"] == mf, (a, b)
+        assert abs(got.loc[(a, b), "resnik"] - res) < 1e-12
+        assert abs(got.loc[(a, b), "lin"] - lin) < 1e-12
+    # (31,44) and (40,41) drop: 44 and 40 have no annotated
+    # descendants in range
+    assert len(got) == kept and kept == len(pairs) - 2
