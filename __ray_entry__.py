@@ -2237,6 +2237,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(_q, batch_format="pyarrow",
                                batch_size=None)
 
+    def q_transitive_reduction(sf):
+        # minimal equivalent edge set over the residue tree PLUS
+        # asserted grandparent shortcuts (m → m//4 for m % 5 == 0,
+        # m >= 4) — a shortcut survives only where the intermediate
+        # hop's edge is absent from the data; exact integer gate
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import transitive_reduction
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _edges(b: pa.Table) -> pa.Table:
+            import numpy as np
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            m = k % 1021
+            m1 = m[m >= 2]
+            m2 = m[(m >= 4) & (m % 5 == 0)]
+            return pa.table({
+                "child": pa.array(np.r_[m1, m2], pa.int64()),
+                "parent": pa.array(np.r_[m1 // 2, m2 // 4],
+                                   pa.int64())})
+
+        e = orders.map_batches(_edges, batch_format="pyarrow",
+                               batch_size=None)
+        return transitive_reduction(e)
+
     def q_bpe_train(sf):
         # rows-only: iterative argmax merge learning has no SQL
         # equivalent; pytest carries the reference-identity check
@@ -3231,6 +3259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_pair_pmi": q_entity_pair_pmi,  # doc-level entity co-occurrence PMI (SQL-checked)
         "wu_palmer": q_wu_palmer,        # ontology Wu-Palmer similarity over a distributed ancestor closure (SQL-checked)
         "resnik_lin": q_resnik_lin,      # information-content (Resnik/Lin) ontology similarity (SQL-checked)
+        "transitive_reduction": q_transitive_reduction,  # minimal equivalent DAG edge set (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
         "neighbor_mean": q_neighbor_mean,  # GraphSAGE-mean propagation round (SQL-checked)
@@ -3632,6 +3661,29 @@ def oracle_sql() -> dict[str, str]:
             "JOIN f fa ON fa.node = m.qa "
             "JOIN f fb ON fb.node = m.qb "
             "CROSS JOIN nt"
+        ),
+        # transitive_reduction: keep asserted (c, p) unless p is a
+        # PROPER ancestor of another parent q of c (recursive-CTE
+        # closure re-derives it); exact
+        "transitive_reduction": (
+            "WITH RECURSIVE "
+            "ed AS (SELECT DISTINCT c, p FROM ("
+            "SELECT o_orderkey % 1021 AS c, "
+            "(o_orderkey % 1021) // 2 AS p FROM orders "
+            "WHERE o_orderkey % 1021 >= 2 "
+            "UNION ALL "
+            "SELECT o_orderkey % 1021, (o_orderkey % 1021) // 4 "
+            "FROM orders WHERE o_orderkey % 1021 >= 4 "
+            "AND o_orderkey % 1021 % 5 = 0)), "
+            "nodes AS (SELECT c AS node FROM ed "
+            "UNION SELECT p FROM ed), "
+            "cl AS (SELECT node, node AS anc FROM nodes "
+            "UNION SELECT cl.node, ed.p FROM cl "
+            "JOIN ed ON ed.c = cl.anc) "
+            "SELECT e.c, e.p FROM ed e WHERE NOT EXISTS ("
+            "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
+            "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
+            "AND a.anc <> a.node)"
         ),
         # redirect_resolve: the synthetic redirect map k → k//2 (k ≥ 2,
         # k % 3 ≠ 0) is acyclic, so the recursive walk from each source

@@ -3648,6 +3648,80 @@ def _query_stat_lookup(stat: Dataset, stat_col: str,
     return dict(zip(qd["node"], qd[stat_col]))
 
 
+def transitive_reduction(edges: Dataset, *, child: str = "child",
+                         parent: str = "parent", max_rounds: int = 64,
+                         n_coarse: int | None = None) -> Dataset:
+    """Transitive reduction of a child→parent DAG → the minimal edge
+    set (child, parent) with the same reachability — asserted-edge
+    cleanup for ontology subsumption hierarchies (OBO files routinely
+    assert derivable is_a shortcuts; the reference consumes hierarchies
+    already reduced upstream). An edge (c, p) is redundant iff p is a
+    PROPER ancestor of some other parent q of c (then c→q→…→p
+    re-derives it).
+
+    Scale shape: dedup edges → distributed ancestor closure → ONE
+    ``coarse_join`` of edges (keyed parent) onto the closure to fan
+    out each edge's re-derivable targets → tagged union with the
+    original edges → ONE (c, p)-keyed coarse aggregate keeping rows
+    that are asserted (tag 0 present) and not re-derived (no tag 1).
+    No driver state; no multi-column anti-join (the marker aggregate
+    replaces it exactly for arbitrary int64 ids)."""
+    def _slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c": b[child].combine_chunks().cast(pa.int64()),
+            "p": b[parent].combine_chunks().cast(pa.int64())})
+
+    edge_schema = pa.schema([("c", pa.int64()), ("p", pa.int64())])
+    e = _sanitize_join_output(
+        coarse_aggregate(
+            edges.map_batches(_slim, batch_format="pyarrow",
+                              batch_size=None),
+            ["c", "p"], lambda df: df.drop_duplicates(),
+            n_coarse=n_coarse), edge_schema)
+
+    closure = ancestor_closure_distributed(
+        e, child="c", parent="p", include_self=True,
+        max_rounds=max_rounds, n_coarse=n_coarse)
+
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    # fan out: for each asserted edge c→q, every PROPER ancestor of q
+    # is re-derivable from c
+    fan = coarse_join(
+        e.map_batches(lambda b: pa.table({"c": b["c"], "q": b["p"]}),
+                      batch_format="pyarrow", batch_size=None),
+        closure.map_batches(
+            lambda b: pa.table({"n2": b["node"], "anc": b["anc"]}),
+            batch_format="pyarrow", batch_size=None),
+        on="q", right_on="n2", how="inner", n_coarse=n_coarse)
+
+    def _red(b: pa.Table) -> pa.Table:
+        q = b["q"].combine_chunks()
+        anc = b["anc"].combine_chunks()
+        t = b.filter(pc.not_equal(anc, q))
+        return pa.table({"c": t["c"], "p": t["anc"],
+                         "tag": pa.array([1] * t.num_rows, pa.int8())})
+
+    red = fan.map_batches(_red, batch_format="pyarrow",
+                          batch_size=None)
+    asserted = e.map_batches(
+        lambda b: pa.table({"c": b["c"], "p": b["p"],
+                            "tag": pa.array([0] * b.num_rows,
+                                            pa.int8())}),
+        batch_format="pyarrow", batch_size=None)
+
+    def _keep(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["c", "p"], sort=False)["tag"].agg(["min",
+                                                           "max"])
+        g = g[(g["min"] == 0) & (g["max"] == 0)]
+        return g.reset_index()[["c", "p"]]
+
+    return _sanitize_join_output(
+        coarse_aggregate(asserted.union(red), ["c", "p"], _keep,
+                         n_coarse=n_coarse),
+        pa.schema([("c", pa.int64()), ("p", pa.int64())]))
+
+
 def wu_palmer(edges: Dataset, pairs: list, *, child: str = "child",
               parent: str = "parent", max_rounds: int = 64,
               n_coarse: int | None = None) -> Dataset:

@@ -1757,3 +1757,38 @@ def test_resnik_lin_matches_oracle(ray_session):
     # (31,44) and (40,41) drop: 44 and 40 have no annotated
     # descendants in range
     assert len(got) == kept and kept == len(pairs) - 2
+
+
+def test_transitive_reduction_matches_oracle(ray_session):
+    """transitive_reduction ≡ the pure-python redundancy oracle on a
+    tree + asserted shortcut edges (some redundant, one not)."""
+    from omop2obo_ray.pipelines.graph import transitive_reduction
+
+    edges = [(k, k // 2) for k in range(2, 64)]
+    edges += [(20, 5), (44, 11), (9, 1)]   # grandparent shortcuts
+    edges += [(33, 7)]                     # cross edge, oracle decides
+    edges += [(40, 20), (40, 20)]          # duplicate edge
+    df = pd.DataFrame(edges, columns=["child", "parent"])
+
+    par = {}
+    for c, p in set(edges):
+        par.setdefault(c, set()).add(p)
+
+    def ancestors(v):
+        out = {v}
+        for p in par.get(v, ()):
+            out |= ancestors(p)
+        return out
+
+    want = set()
+    for c, p in set(edges):
+        redundant = any(p in (ancestors(q) - {q}) for q in par[c])
+        if not redundant:
+            want.add((c, p))
+
+    got = set(map(tuple, transitive_reduction(
+        rd.from_pandas(df).repartition(4))
+        .to_pandas()[["c", "p"]].itertuples(index=False)))
+    assert got == want
+    assert (20, 5) not in got and (44, 11) not in got
+    assert (20, 10) in got
