@@ -1835,6 +1835,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return harmonic_centrality(_synth_tri_edges(sf), max_t=2,
                                    mode="exact")
 
+    def q_effective_diameter(sf):
+        # ANF effective diameter (q=0.9, interpolated) from exact
+        # ball sizes; every arithmetic step single-rounding IEEE on
+        # exact integer pair counts — gate exact unquantized
+        from omop2obo_ray.pipelines.graph import effective_diameter
+
+        return effective_diameter(_synth_tri_edges(sf), max_t=2,
+                                  q=0.9, mode="exact")
+
+    def q_partition_quality(sf):
+        # modularity/conductance scoring of a pinned 3-community
+        # assignment (digits % 3) over the synthetic graph; integer
+        # sums exact, the float finale mirrors the oracle's
+        # single-rounding expressions
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from omop2obo_ray.functions.shuffle import coarse_aggregate
+        from omop2obo_ray.pipelines.graph import partition_quality
+        from omop2obo_ray.pipelines.textpipe import \
+            _sanitize_join_output
+
+        e = _synth_tri_edges(sf)
+        nodes = coarse_aggregate(
+            e.map_batches(
+                lambda b: pa.table({"node": pa.concat_arrays(
+                    [b["src"].combine_chunks(),
+                     b["dst"].combine_chunks()])}),
+                batch_format="pyarrow", batch_size=None),
+            ["node"], lambda df: df.drop_duplicates())
+        nodes = _sanitize_join_output(
+            nodes, pa.schema([("node", pa.string())]))
+
+        def _asg(b: pa.Table) -> pa.Table:
+            import numpy as np
+            digits = pc.cast(pc.utf8_slice_codeunits(
+                b["node"].combine_chunks(), 1, 99), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            comm = pa.array((digits % 3).astype(str), pa.string())
+            return pa.table({"node": b["node"], "community": comm})
+
+        asg = nodes.map_batches(_asg, batch_format="pyarrow",
+                                batch_size=None)
+        return partition_quality(e, asg)
+
     def q_dag_depth(sf):
         # longest-path depth over a synthetic orderkey DAG (parent
         # rules k//8→k and k//64→k — ≤ 2 parents/node, depth ≈
@@ -3260,6 +3305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wu_palmer": q_wu_palmer,        # ontology Wu-Palmer similarity over a distributed ancestor closure (SQL-checked)
         "resnik_lin": q_resnik_lin,      # information-content (Resnik/Lin) ontology similarity (SQL-checked)
         "transitive_reduction": q_transitive_reduction,  # minimal equivalent DAG edge set (SQL-checked)
+        "effective_diameter": q_effective_diameter,  # ANF interpolated effective diameter (SQL-checked)
+        "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
         "neighbor_mean": q_neighbor_mean,  # GraphSAGE-mean propagation round (SQL-checked)
@@ -3661,6 +3708,79 @@ def oracle_sql() -> dict[str, str]:
             "JOIN f fa ON fa.node = m.qa "
             "JOIN f fb ON fb.node = m.qb "
             "CROSS JOIN nt"
+        ),
+        # effective_diameter: P(t) = Σ ball sizes from the bounded-hop
+        # CTE; t_hi = first t with P(t) ≥ 0.9·P(2); interpolate inside
+        # the last hop — identical single-rounding IEEE expressions
+        "effective_diameter": (
+            "WITH RECURSIVE "
+            "pk AS (SELECT p_partkey AS k FROM part), "
+            "raw AS (SELECT 'n' || (k % 23) AS s, 'n' || (k % 29) AS t "
+            "FROM pk UNION ALL SELECT 'c' || (k % 509), "
+            "'c' || ((k % 509) + 1) FROM pk), "
+            "e AS (SELECT DISTINCT s AS src, t AS dst FROM raw "
+            "UNION SELECT DISTINCT t, s FROM raw), "
+            "n AS (SELECT DISTINCT src AS node FROM e), "
+            "r AS (SELECT node AS root, node AS node, 0 AS d FROM n "
+            "UNION "
+            "SELECT r.root, e.dst, r.d + 1 FROM r "
+            "JOIN e ON e.src = r.node WHERE r.d < 2), "
+            "md AS (SELECT root, node, min(d) AS d FROM r "
+            "GROUP BY root, node), "
+            "p AS (SELECT t.t AS t, CAST(count(*) AS DOUBLE) AS p "
+            "FROM md JOIN (VALUES (0), (1), (2)) AS t(t) "
+            "ON md.d <= t.t GROUP BY t.t), "
+            "mx AS (SELECT p AS pmax FROM p WHERE t = 2), "
+            "hi AS (SELECT min(p.t) AS thi FROM p CROSS JOIN mx "
+            "WHERE p.p >= 0.9 * mx.pmax) "
+            "SELECT 0.9 AS q, CAST(hi.thi AS BIGINT) AS t_hi, "
+            "CASE WHEN hi.thi = 0 THEN 0.0 "
+            "ELSE CAST(hi.thi - 1 AS DOUBLE) "
+            "+ (0.9 * mx.pmax - pl.p) / (ph.p - pl.p) END "
+            "AS eff_diameter "
+            "FROM hi CROSS JOIN mx "
+            "JOIN p ph ON ph.t = hi.thi "
+            "LEFT JOIN p pl ON pl.t = hi.thi - 1"
+        ),
+        # partition_quality: canonical undirected dedup (self-loops
+        # out) → 2-rows-per-edge fan with (deg, internal, cut)
+        # markers → per-community sums; conductance + modularity term
+        # replay the engine's float expressions
+        "partition_quality": (
+            "WITH "
+            "pk AS (SELECT p_partkey AS k FROM part), "
+            "raw AS (SELECT 'n' || (k % 23) AS s, 'n' || (k % 29) AS t "
+            "FROM pk UNION ALL SELECT 'c' || (k % 509), "
+            "'c' || ((k % 509) + 1) FROM pk), "
+            "w AS (SELECT DISTINCT least(s, t) AS a, "
+            "greatest(s, t) AS b FROM raw WHERE s <> t), "
+            "nd AS (SELECT a AS node FROM w UNION SELECT b FROM w), "
+            "asg AS (SELECT node, CAST(CAST(substr(node, 2) "
+            "AS BIGINT) % 3 AS VARCHAR) AS cm FROM nd), "
+            "wc AS (SELECT w.a, w.b, x.cm AS ca, y.cm AS cb FROM w "
+            "JOIN asg x ON x.node = w.a "
+            "JOIN asg y ON y.node = w.b), "
+            "fan AS (SELECT ca AS community, 1 AS deg, "
+            "CASE WHEN ca = cb THEN 1 ELSE 0 END AS internal, "
+            "CASE WHEN ca <> cb THEN 1 ELSE 0 END AS cut FROM wc "
+            "UNION ALL SELECT cb, 1, 0, "
+            "CASE WHEN ca <> cb THEN 1 ELSE 0 END FROM wc), "
+            "s AS (SELECT community, "
+            "CAST(sum(internal) AS BIGINT) AS internal, "
+            "CAST(sum(cut) AS BIGINT) AS cut, "
+            "CAST(sum(deg) AS BIGINT) AS vol FROM fan "
+            "GROUP BY community), "
+            "m AS (SELECT CAST(count(*) AS DOUBLE) AS md FROM w) "
+            "SELECT s.community, s.internal, s.cut, s.vol, "
+            "CASE WHEN least(CAST(s.vol AS DOUBLE), "
+            "2.0 * m.md - s.vol) > 0 THEN s.cut / "
+            "least(CAST(s.vol AS DOUBLE), 2.0 * m.md - s.vol) "
+            "ELSE NULL END AS conductance, "
+            "CAST(s.internal AS DOUBLE) / m.md "
+            "- (CAST(s.vol AS DOUBLE) / (2.0 * m.md)) "
+            "* (CAST(s.vol AS DOUBLE) / (2.0 * m.md)) "
+            "AS modularity_term "
+            "FROM s CROSS JOIN m"
         ),
         # transitive_reduction: keep asserted (c, p) unless p is a
         # PROPER ancestor of another parent q of c (recursive-CTE

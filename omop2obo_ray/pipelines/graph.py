@@ -2913,6 +2913,166 @@ def harmonic_centrality(edges: Dataset, max_t: int = 3, *,
         pa.schema([("node", kt), ("harmonic", pa.float64())]))
 
 
+def effective_diameter(edges: Dataset, max_t: int = 3, *, q: float = 0.9,
+                       mode: str = "exact", hll_bits: int = 8,
+                       directed: bool = False,
+                       n_coarse: int | None = None) -> Dataset:
+    """Effective diameter (Leskovec/Palmer ANF convention) → one row
+    (q, t_hi, eff_diameter): the interpolated hop count at which a
+    ``q`` fraction of all reachable-within-``max_t`` pairs is reached.
+    P(t) = Σ_node ball(node, t) from the neighborhood function;
+    t_hi = first t with P(t) ≥ q·P(max_t); the answer interpolates
+    linearly inside the last hop:
+    d = (t_hi − 1) + (q·P(max_t) − P(t_hi−1)) / (P(t_hi) − P(t_hi−1)),
+    or 0.0 when the self-balls alone already cover q.
+
+    Cost on top of :func:`neighborhood_function`: one per-block
+    partial sum keyed t (≤ max_t+1 rows per block) + one single-group
+    fold — the finale touches max_t+1 numbers, never the graph. In
+    exact mode every arithmetic step is a single-rounding IEEE op on
+    exact integer sums, so the SQL oracle matches unquantized; HLL
+    mode inherits HyperBall's error and is pytest-gated."""
+    col = "ball" if mode == "exact" else "ball_est"
+    nf = neighborhood_function(edges, max_t, mode=mode,
+                               hll_bits=hll_bits, directed=directed,
+                               n_coarse=n_coarse)
+
+    def _part(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("t", sort=False)[col].sum()
+                .rename("p").reset_index())
+
+    part = nf.map_batches(_part, batch_format="pandas",
+                          batch_size=None)
+
+    def _fin(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("t", sort=False)["p"].sum().sort_index()
+        p = tot.to_numpy(np.float64)
+        target = q * p[max_t]
+        t_hi = int(np.argmax(p >= target))
+        if t_hi == 0:
+            d = 0.0
+        else:
+            d = float(t_hi - 1) + (target - p[t_hi - 1]) / (
+                p[t_hi] - p[t_hi - 1])
+        return pd.DataFrame({"q": [q], "t_hi": [t_hi],
+                             "eff_diameter": [d]})
+
+    def _one(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_g"] = 0
+        return df
+
+    return _sanitize_join_output(
+        coarse_aggregate(part.map_batches(_one, batch_format="pandas",
+                                          batch_size=None),
+                         ["_g"], lambda df: _fin(df.drop(columns=["_g"])),
+                         n_coarse=n_coarse),
+        pa.schema([("q", pa.float64()), ("t_hi", pa.int64()),
+                   ("eff_diameter", pa.float64())]))
+
+
+def partition_quality(edges: Dataset, assign: Dataset, *,
+                      src: str = "src", dst: str = "dst",
+                      node_col: str = "node",
+                      comm_col: str = "community",
+                      n_coarse: int | None = None) -> Dataset:
+    """Score a community assignment against an undirected graph → one
+    row per community: (community, internal, cut, vol, conductance,
+    modularity_term). ``internal`` = intra-community edges, ``cut`` =
+    edges with exactly one endpoint inside, ``vol`` = Σ endpoint
+    degrees; conductance φ = cut / min(vol, 2m − vol) (null when the
+    denominator is 0) and Newman modularity term = internal/m −
+    (vol/2m)² — global Q is the sum of the terms. The evaluation
+    companion to :func:`label_propagation` / the CC family: KG entity
+    clusters are only as good as their measured cohesion.
+
+    Scale shape: canonical undirected dedup (self-loops dropped) →
+    TWO slim community-attach ``coarse_join``s → a 2-rows-per-edge
+    fan-out carrying (deg, intra, cut) markers → ONE community-keyed
+    coarse sum → a vectorized finale with the single scalar m (a
+    driver count, not data). Edges with an unassigned endpoint drop
+    via the inner joins — the assignment is expected to cover the
+    graph (same contract as the SQL oracle's joins)."""
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    def _canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src].astype(str)
+        b = df[dst].astype(str)
+        lo = a.where(a <= b, b)
+        hi = b.where(a <= b, a)
+        out = pd.DataFrame({"a": lo, "b": hi})
+        return out[out["a"] != out["b"]].drop_duplicates()
+
+    e = _sanitize_join_output(
+        coarse_aggregate(
+            edges.map_batches(_canon, batch_format="pandas",
+                              batch_size=None),
+            ["a", "b"], lambda df: df.drop_duplicates(),
+            n_coarse=n_coarse),
+        pa.schema([("a", pa.string()), ("b", pa.string())])
+    ).materialize()
+    m = e.count()
+
+    asg = assign.map_batches(
+        lambda b: pa.table({
+            "n2": pc.cast(b[node_col].combine_chunks(), pa.string()),
+            "_c": b[comm_col]}),
+        batch_format="pyarrow", batch_size=None)
+    ct = _pa_schema_of(assign).field(comm_col).type
+
+    wa = coarse_join(e, asg.map_batches(
+        lambda b: pa.table({"n2": b["n2"], "ca": b["_c"]}),
+        batch_format="pyarrow", batch_size=None),
+        on="a", right_on="n2", how="inner", n_coarse=n_coarse)
+    wb = coarse_join(wa, asg.map_batches(
+        lambda b: pa.table({"n3": b["n2"], "cb": b["_c"]}),
+        batch_format="pyarrow", batch_size=None),
+        on="b", right_on="n3", how="inner", n_coarse=n_coarse)
+
+    def _fan(df: pd.DataFrame) -> pd.DataFrame:
+        intra = (df["ca"] == df["cb"]).to_numpy()
+        inter = ~intra
+        return pd.DataFrame({
+            "community": pd.concat([df["ca"], df["cb"]],
+                                   ignore_index=True),
+            "deg": 1,
+            "internal": np.r_[intra.astype(np.int64),
+                              np.zeros(len(df), np.int64)],
+            "cut": np.r_[inter.astype(np.int64),
+                         inter.astype(np.int64)]})
+
+    fan = wb.map_batches(_fan, batch_format="pandas",
+                         batch_size=None)
+
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("community", sort=False)
+                .agg(internal=("internal", "sum"),
+                     cut=("cut", "sum"), vol=("deg", "sum"))
+                .reset_index())
+
+    sums = _sanitize_join_output(
+        coarse_aggregate(fan, ["community"], _agg, n_coarse=n_coarse),
+        pa.schema([("community", ct), ("internal", pa.int64()),
+                   ("cut", pa.int64()), ("vol", pa.int64())]))
+
+    mf = float(m)
+
+    def _fin(df: pd.DataFrame) -> pd.DataFrame:
+        vol = df["vol"].to_numpy(np.float64)
+        cut = df["cut"].to_numpy(np.float64)
+        internal = df["internal"].to_numpy(np.float64)
+        denom = np.minimum(vol, 2.0 * mf - vol)
+        cond = np.where(denom > 0.0, cut / denom, np.nan)
+        frac = vol / (2.0 * mf)
+        out = df.copy(deep=False)
+        out["conductance"] = cond
+        out["modularity_term"] = internal / mf - frac * frac
+        return out
+
+    return sums.map_batches(_fin, batch_format="pandas",
+                            batch_size=None)
+
+
 def redirect_resolve(edges: Dataset, *, src: str = "src",
                      dst: str = "dst", max_rounds: int = 32,
                      n_coarse: int | None = None) -> Dataset:

@@ -1792,3 +1792,92 @@ def test_transitive_reduction_matches_oracle(ray_session):
     assert got == want
     assert (20, 5) not in got and (44, 11) not in got
     assert (20, 10) in got
+
+
+def test_effective_diameter_matches_bfs_oracle(ray_session):
+    """effective_diameter ≡ the BFS-ball interpolation oracle on a
+    two-component graph (path + clique)."""
+    from omop2obo_ray.pipelines.graph import effective_diameter
+
+    edges = [(f"p{i}", f"p{i+1}") for i in range(8)]
+    edges += [(f"k{i}", f"k{j}") for i in range(5) for j in range(5)
+              if i < j]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def ball(v, t):
+        cur = {v}
+        for _ in range(t):
+            cur = cur | {w for u in cur for w in adj.get(u, ())}
+        return len(cur)
+
+    max_t, q = 3, 0.9
+    p = [float(sum(ball(v, t) for v in adj)) for t in range(max_t + 1)]
+    target = q * p[max_t]
+    t_hi = next(t for t in range(max_t + 1) if p[t] >= target)
+    want = 0.0 if t_hi == 0 else (t_hi - 1) + (
+        target - p[t_hi - 1]) / (p[t_hi] - p[t_hi - 1])
+
+    got = effective_diameter(rd.from_pandas(df).repartition(3),
+                             max_t=max_t, q=q,
+                             mode="exact").to_pandas()
+    assert len(got) == 1
+    assert got["t_hi"][0] == t_hi
+    assert abs(got["eff_diameter"][0] - want) < 1e-12
+
+    # HLL mode runs the same recurrence on estimates — sane range
+    est = effective_diameter(rd.from_pandas(df).repartition(3),
+                             max_t=max_t, q=q, mode="hll",
+                             hll_bits=10).to_pandas()
+    assert 0.0 <= est["eff_diameter"][0] <= max_t
+
+
+def test_partition_quality_matches_oracle(ray_session):
+    """partition_quality ≡ the per-community python oracle (two
+    planted cliques + a bridge; one straggler community)."""
+    from omop2obo_ray.pipelines.graph import partition_quality
+
+    edges = ([(f"a{i}", f"a{j}") for i in range(4) for j in range(4)
+              if i < j]
+             + [(f"b{i}", f"b{j}") for i in range(4) for j in range(4)
+                if i < j]
+             + [("a0", "b0"), ("a1", "x0"), ("x0", "x0")])  # bridge, straggler, self-loop
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    nodes = sorted({x for e in edges for x in e})
+    comm = {n: n[0] for n in nodes}   # community = first letter
+    adf = pd.DataFrame({"node": nodes,
+                        "community": [comm[n] for n in nodes]})
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    m = len(und)
+    import collections
+    st = collections.defaultdict(lambda: [0, 0, 0])  # internal, cut, vol
+    for a, b in und:
+        ca, cb = comm[a], comm[b]
+        st[ca][2] += 1
+        st[cb][2] += 1
+        if ca == cb:
+            st[ca][0] += 1
+        else:
+            st[ca][1] += 1
+            st[cb][1] += 1
+
+    got = partition_quality(rd.from_pandas(df).repartition(3),
+                            rd.from_pandas(adf).repartition(2)) \
+        .to_pandas().set_index("community")
+    assert len(got) == len(st)
+    for c, (internal, cut, vol) in st.items():
+        row = got.loc[c]
+        assert row["internal"] == internal and row["cut"] == cut \
+            and row["vol"] == vol, c
+        denom = min(vol, 2 * m - vol)
+        if denom > 0:
+            assert abs(row["conductance"] - cut / denom) < 1e-12
+        want_q = internal / m - (vol / (2 * m)) ** 2
+        assert abs(row["modularity_term"] - want_q) < 1e-12
+    # global modularity of the planted partition is clearly positive
+    assert got["modularity_term"].sum() > 0.3
