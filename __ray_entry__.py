@@ -1835,6 +1835,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return harmonic_centrality(_synth_tri_edges(sf), max_t=2,
                                    mode="exact")
 
+    def q_kge_negatives(sf):
+        # KGE corrupted-triple negative sampling over a synthetic
+        # orderkey triple store (s = k%211, p = k%7, o = (k·31+5)%211),
+        # k=2 negatives per distinct triple; the pinned modular hash
+        # and global entity ranks replay exactly in SQL — gate exact
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import kge_negative_samples
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _tri(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "s": pa.array(k % 211, pa.int64()),
+                "p": pa.array(k % 7, pa.int64()),
+                "o": pa.array((k * 31 + 5) % 211, pa.int64())})
+
+        t = orders.map_batches(_tri, batch_format="pyarrow",
+                               batch_size=None)
+        return kge_negative_samples(t, 2)
+
     def q_effective_diameter(sf):
         # ANF effective diameter (q=0.9, interpolated) from exact
         # ball sizes; every arithmetic step single-rounding IEEE on
@@ -3306,6 +3330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resnik_lin": q_resnik_lin,      # information-content (Resnik/Lin) ontology similarity (SQL-checked)
         "transitive_reduction": q_transitive_reduction,  # minimal equivalent DAG edge set (SQL-checked)
         "effective_diameter": q_effective_diameter,  # ANF interpolated effective diameter (SQL-checked)
+        "kge_negatives": q_kge_negatives,  # deterministic KGE corrupted-triple sampling (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
@@ -3708,6 +3733,37 @@ def oracle_sql() -> dict[str, str]:
             "JOIN f fa ON fa.node = m.qa "
             "JOIN f fb ON fb.node = m.qb "
             "CROSS JOIN nt"
+        ),
+        # kge_negatives: replay the pinned modular hash (M =
+        # 1000000007) over each distinct triple × j, pick head/tail
+        # and a uniform entity rank, join ROW_NUMBER ranks; exact
+        "kge_negatives": (
+            "WITH tri AS (SELECT DISTINCT o_orderkey % 211 AS s, "
+            "o_orderkey % 7 AS p, (o_orderkey * 31 + 5) % 211 AS o "
+            "FROM orders), "
+            "ent AS (SELECT DISTINCT e FROM ("
+            "SELECT s AS e FROM tri UNION SELECT o FROM tri)), "
+            "rk AS (SELECT e AS ent, "
+            "ROW_NUMBER() OVER (ORDER BY e) - 1 AS r FROM ent), "
+            "cnt AS (SELECT count(*) AS ne FROM ent), "
+            "fan AS (SELECT tri.s, tri.p, tri.o, j.j, "
+            "(((((tri.s % 1000000007) * 1000003 "
+            "+ tri.p % 1000000007) % 1000000007) * 1000003 "
+            "+ tri.o % 1000000007) % 1000000007 "
+            "+ j.j * 7919) % 1000000007 AS kj "
+            "FROM tri CROSS JOIN (VALUES (0), (1)) AS j(j)), "
+            "fx AS (SELECT s, p, o, CAST(j AS BIGINT) AS j, "
+            "(kj * 30011 + 17) % 1000000007 % 2 AS head, "
+            "(kj * 48271 + 11) % 1000000007 % cnt.ne AS want "
+            "FROM fan CROSS JOIN cnt) "
+            "SELECT fx.s, fx.p, fx.o, fx.j, "
+            "CASE WHEN fx.head = 1 THEN 'head' ELSE 'tail' END "
+            "AS side, "
+            "CASE WHEN fx.head = 1 THEN rk.ent ELSE fx.s END "
+            "AS neg_s, "
+            "CASE WHEN fx.head = 1 THEN fx.o ELSE rk.ent END "
+            "AS neg_o "
+            "FROM fx JOIN rk ON rk.r = fx.want"
         ),
         # effective_diameter: P(t) = Σ ball sizes from the bounded-hop
         # CTE; t_hi = first t with P(t) ≥ 0.9·P(2); interpolate inside

@@ -3733,6 +3733,130 @@ def ancestor_closure_distributed(edges: Dataset, *, child: str = "child",
                          n_coarse=n_coarse), pair_schema)
 
 
+def kge_negative_samples(triples: Dataset, k: int = 2, *,
+                         s_col: str = "s", p_col: str = "p",
+                         o_col: str = "o",
+                         n_coarse: int | None = None) -> Dataset:
+    """Deterministic negative sampling for knowledge-graph-embedding
+    training (TransE/DistMult corrupted triples, Bordes 2013) → for
+    each distinct int64 triple (s, p, o) and j = 0..k−1 one corrupted
+    row (s, p, o, j, side, neg_s, neg_o): a pinned modular hash of
+    (s, p, o, j) decides head-vs-tail corruption and selects the
+    replacement UNIFORMLY by global entity rank — reproducible,
+    resumable, and exactly SQL-replayable (the same arithmetic the
+    `mis` / `random_walks` gates pin). Degenerate draws (replacement
+    == original, or accidentally-true triples) are NOT filtered —
+    standard unfiltered sampling; callers wanting Bordes' "filtered"
+    setting anti-join the output against the triple set.
+
+    Scale shape: distinct entities via one coarse dedup → ONE
+    distributed sort + zero-copy per-block offset attach (the
+    `sorted_neighborhood_pairs` pattern; driver state = #blocks row
+    counts) → the k-way fan-out computes want_rank in-map → ONE
+    rank-keyed ``coarse_join`` fetches replacements → in-map
+    composition. Entity count E is the one driver scalar."""
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    M = 1000000007
+
+    tri = _sanitize_join_output(
+        coarse_aggregate(
+            triples.map_batches(
+                lambda b: pa.table({
+                    "s": b[s_col].combine_chunks().cast(pa.int64()),
+                    "p": b[p_col].combine_chunks().cast(pa.int64()),
+                    "o": b[o_col].combine_chunks().cast(pa.int64())}),
+                batch_format="pyarrow", batch_size=None),
+            ["s", "p", "o"], lambda df: df.drop_duplicates(),
+            n_coarse=n_coarse),
+        pa.schema([("s", pa.int64()), ("p", pa.int64()),
+                   ("o", pa.int64())])).materialize()
+
+    ents = _sanitize_join_output(
+        coarse_aggregate(
+            tri.map_batches(
+                lambda b: pa.table({"ent": pa.concat_arrays(
+                    [b["s"].combine_chunks(),
+                     b["o"].combine_chunks()])}),
+                batch_format="pyarrow", batch_size=None),
+            ["ent"], lambda df: df.drop_duplicates(),
+            n_coarse=n_coarse),
+        pa.schema([("ent", pa.int64())]))
+
+    srt = ents.sort("ent").materialize()
+    refs, counts = [], []
+    for bu in srt.iter_internal_ref_bundles():
+        for ref, meta in bu.blocks:
+            refs.append(ref)
+            counts.append(meta.num_rows)
+    E = int(sum(counts))
+    if E == 0:
+        return ray.data.from_arrow(pa.schema(
+            [("s", pa.int64()), ("p", pa.int64()), ("o", pa.int64()),
+             ("j", pa.int64()), ("side", pa.string()),
+             ("neg_s", pa.int64()),
+             ("neg_o", pa.int64())]).empty_table())
+
+    @ray.remote
+    def _add_rank(block, offset: int):
+        import pyarrow as _pa
+        if isinstance(block, pd.DataFrame):
+            block = _pa.Table.from_pandas(block, preserve_index=False)
+        n = block.num_rows
+        return _pa.table({
+            "rank": _pa.array(np.arange(offset, offset + n,
+                                        dtype=np.int64)),
+            "ent": block["ent"].combine_chunks().cast(_pa.int64())})
+
+    off, rrefs = 0, []
+    for ref, c in zip(refs, counts):
+        if c:
+            rrefs.append(_add_rank.remote(ref, off))
+            off += c
+    ranks = ray.data.from_arrow_refs(rrefs)
+
+    def _fan(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False)
+        p = b["p"].to_numpy(zero_copy_only=False)
+        o = b["o"].to_numpy(zero_copy_only=False)
+        n = len(s)
+        s = np.repeat(s, k)
+        p = np.repeat(p, k)
+        o = np.repeat(o, k)
+        j = np.tile(np.arange(k, dtype=np.int64), n)
+        key = ((((s % M) * 1000003 + p % M) % M) * 1000003
+               + o % M) % M
+        kj = (key + j * 7919) % M
+        head = (kj * 30011 + 17) % M % 2
+        want = (kj * 48271 + 11) % M % E
+        return pa.table({
+            "s": pa.array(s, pa.int64()), "p": pa.array(p, pa.int64()),
+            "o": pa.array(o, pa.int64()), "j": pa.array(j, pa.int64()),
+            "head": pa.array(head, pa.int64()),
+            "want_rank": pa.array(want, pa.int64())})
+
+    fan = tri.map_batches(_fan, batch_format="pyarrow",
+                          batch_size=None)
+    joined = coarse_join(fan, ranks.map_batches(
+        lambda b: pa.table({"r2": b["rank"], "repl": b["ent"]}),
+        batch_format="pyarrow", batch_size=None),
+        on="want_rank", right_on="r2", how="inner", n_coarse=n_coarse)
+
+    def _compose(b: pa.Table) -> pa.Table:
+        head = b["head"].to_numpy(zero_copy_only=False).astype(bool)
+        s = b["s"].to_numpy(zero_copy_only=False)
+        o = b["o"].to_numpy(zero_copy_only=False)
+        repl = b["repl"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "s": b["s"], "p": b["p"], "o": b["o"], "j": b["j"],
+            "side": pa.array(np.where(head, "head", "tail")),
+            "neg_s": pa.array(np.where(head, repl, s), pa.int64()),
+            "neg_o": pa.array(np.where(head, o, repl), pa.int64())})
+
+    return joined.map_batches(_compose, batch_format="pyarrow",
+                              batch_size=None)
+
+
 def _pair_common_anc_stat(closure: Dataset, pairs: list,
                           stat: Dataset, stat_col: str, agg: str,
                           out_col: str,

@@ -1881,3 +1881,34 @@ def test_partition_quality_matches_oracle(ray_session):
         assert abs(row["modularity_term"] - want_q) < 1e-12
     # global modularity of the planted partition is clearly positive
     assert got["modularity_term"].sum() > 0.3
+
+
+def test_kge_negative_samples_matches_oracle(ray_session):
+    """kge_negative_samples ≡ the pinned-hash python replay (exact
+    row-set identity; duplicate input triples collapse first)."""
+    from omop2obo_ray.pipelines.graph import kge_negative_samples
+
+    tri = [(i % 13, i % 3, (i * 7 + 1) % 13) for i in range(60)]
+    ents = sorted({x for s, _, o in tri for x in (s, o)})
+    E, M = len(ents), 1000000007
+
+    want = set()
+    for s, p, o in set(tri):
+        key = ((((s % M) * 1000003 + p % M) % M) * 1000003
+               + o % M) % M
+        for j in range(2):
+            kj = (key + j * 7919) % M
+            head = (kj * 30011 + 17) % M % 2
+            repl = ents[(kj * 48271 + 11) % M % E]
+            if head:
+                want.add((s, p, o, j, "head", repl, o))
+            else:
+                want.add((s, p, o, j, "tail", s, repl))
+
+    got = set(map(tuple, kge_negative_samples(
+        rd.from_pandas(pd.DataFrame(tri, columns=["s", "p", "o"]))
+        .repartition(3), 2).to_pandas().itertuples(index=False)))
+    assert got == want
+    # both sides corrupted somewhere, never both at once
+    sides = {r[4] for r in got}
+    assert sides == {"head", "tail"}
