@@ -1835,6 +1835,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return harmonic_centrality(_synth_tri_edges(sf), max_t=2,
                                    mode="exact")
 
+    def q_dbscan(sf):
+        # DBSCAN over the embeddings table, cosine distance eps=0.65
+        # (cos >= 0.35; nearest pair-boundary gap >= 2.8e-5 at both
+        # SFs, far beyond matmul-vs-list_cosine ulp drift), min_pts=3
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import dbscan_cluster
+
+        emb = rd.read_parquet(f"{sf}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        return dbscan_cluster(emb, eps=0.65, min_pts=3)
+
     def q_kge_negatives(sf):
         # KGE corrupted-triple negative sampling over a synthetic
         # orderkey triple store (s = k%211, p = k%7, o = (k·31+5)%211),
@@ -3331,6 +3343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitive_reduction": q_transitive_reduction,  # minimal equivalent DAG edge set (SQL-checked)
         "effective_diameter": q_effective_diameter,  # ANF interpolated effective diameter (SQL-checked)
         "kge_negatives": q_kge_negatives,  # deterministic KGE corrupted-triple sampling (SQL-checked)
+        "dbscan": q_dbscan,              # DBSCAN density clustering over embeddings (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
@@ -3733,6 +3746,45 @@ def oracle_sql() -> dict[str, str]:
             "JOIN f fa ON fa.node = m.qa "
             "JOIN f fb ON fb.node = m.qb "
             "CROSS JOIN nt"
+        ),
+        # dbscan: ε-pairs via list_cosine_similarity self-join, cores
+        # by neighbor count (incl. self), recursive-CTE reachability
+        # over core-core edges (component = min id), borders adopt
+        # the MIN core-neighbor cluster, rest noise
+        "dbscan": (
+            "WITH RECURSIVE "
+            "e AS (SELECT vec_id, embedding FROM embeddings), "
+            "p AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM e a "
+            "JOIN e b ON a.vec_id < b.vec_id "
+            "AND list_cosine_similarity(a.embedding, b.embedding) "
+            ">= 0.35), "
+            "nb AS (SELECT node, count(*) AS nn FROM ("
+            "SELECT ia AS node FROM p UNION ALL SELECT ib FROM p) "
+            "GROUP BY node), "
+            "core AS (SELECT node FROM nb WHERE nn + 1 >= 3), "
+            "ce AS (SELECT ia, ib FROM p "
+            "WHERE ia IN (SELECT node FROM core) "
+            "AND ib IN (SELECT node FROM core)), "
+            "r AS (SELECT node, node AS m FROM core "
+            "UNION "
+            "SELECT r.node, CASE WHEN ce.ia = r.m THEN ce.ib "
+            "ELSE ce.ia END FROM r "
+            "JOIN ce ON ce.ia = r.m OR ce.ib = r.m), "
+            "comp AS (SELECT node, min(m) AS cluster FROM r "
+            "GROUP BY node), "
+            "fan AS (SELECT ia AS me, ib AS nb2 FROM p "
+            "UNION ALL SELECT ib, ia FROM p), "
+            "bc AS (SELECT f.me AS node, min(c.cluster) AS cluster "
+            "FROM fan f JOIN comp c ON c.node = f.nb2 "
+            "WHERE f.me NOT IN (SELECT node FROM core) "
+            "GROUP BY f.me) "
+            "SELECT e.vec_id, "
+            "CASE WHEN comp.node IS NOT NULL THEN 'core' "
+            "WHEN bc.node IS NOT NULL THEN 'border' "
+            "ELSE 'noise' END AS role, "
+            "coalesce(comp.cluster, bc.cluster) AS cluster "
+            "FROM e LEFT JOIN comp ON comp.node = e.vec_id "
+            "LEFT JOIN bc ON bc.node = e.vec_id"
         ),
         # kge_negatives: replay the pinned modular hash (M =
         # 1000000007) over each distinct triple × j, pick head/tail

@@ -1731,6 +1731,183 @@ class HyperplaneHasher:
         })
 
 
+def _cast_to(ds: Dataset, schema: pa.Schema) -> Dataset:
+    """Force every column to the schema's type — pandas-backed join
+    buckets with no matches promote int64 to float64, and
+    ``_sanitize_join_output`` rebuilds blocks without casting."""
+    def _c(t: pa.Table) -> pa.Table:
+        return pa.table({f.name: t[f.name].combine_chunks()
+                         .cast(f.type) for f in schema})
+
+    return ds.map_batches(_c, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def dbscan_cluster(embeddings: Dataset, *, eps: float = 0.65,
+                   min_pts: int = 3, key_col: str = "vec_id",
+                   vec_col: str = "embedding", method: str = "exact",
+                   n_coarse: int | None = None) -> Dataset:
+    """DBSCAN (Ester 1996) over an embedding column with cosine
+    distance (neighbors: 1 − cos ≤ eps ⟺ cos ≥ 1 − eps) →
+    (vec_id, role, cluster): role ∈ {core, border, noise};
+    cluster = min member id of the density-connected core component
+    (borders adopt the MIN cluster among their core neighbors — the
+    deterministic tie-break; noise gets a null cluster). |N(p)|
+    counts p itself, the textbook convention.
+
+    Composition over repo primitives — the point of this operator is
+    that density clustering at scale is exactly three existing
+    shapes: an ε-neighbor pair stream (``embedding_near_pairs`` /
+    ``embedding_near_pairs_lsh`` by ``method``), degree counting
+    (one node-keyed coarse count), and alternating-star connected
+    components over the core-core subgraph, plus two slim joins for
+    border adoption. Pairs materialize once and feed all three uses;
+    no driver state beyond plan handles."""
+    from omop2obo_ray.functions.shuffle import coarse_join
+    from omop2obo_ray.pipelines.graph import \
+        connected_components_alternating
+
+    thr = 1.0 - eps
+    if method == "exact":
+        raw = embedding_near_pairs(embeddings, threshold=thr,
+                                   key_col=key_col, vec_col=vec_col)
+    elif method == "lsh":
+        raw = embedding_near_pairs_lsh(embeddings, threshold=thr,
+                                       key_col=key_col,
+                                       vec_col=vec_col)
+    else:
+        raise ValueError(f"dbscan_cluster: unknown method {method!r}")
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    pairs = _sanitize_join_output(
+        raw.map_batches(
+            lambda t: pa.table({
+                "a": t["doc_a"].combine_chunks().cast(pa.int64()),
+                "b": t["doc_b"].combine_chunks().cast(pa.int64())}),
+            batch_format="pyarrow", batch_size=None),
+        pair_schema).materialize()
+
+    # |N(p)| − 1 per point that has at least one ε-neighbor
+    deg = _sanitize_join_output(
+        coarse_aggregate(
+            pairs.map_batches(
+                lambda t: pa.table({"node": pa.concat_arrays(
+                    [t["a"].combine_chunks(),
+                     t["b"].combine_chunks()])}),
+                batch_format="pyarrow", batch_size=None),
+            ["node"],
+            lambda df: df.groupby("node", sort=False).size()
+            .rename("nn").reset_index(), n_coarse=n_coarse),
+        pa.schema([("node", pa.int64()), ("nn", pa.int64())]))
+
+    core = deg.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            pc.add(t["nn"].combine_chunks(), 1), min_pts))
+        .select(["node"]),
+        batch_format="pyarrow", batch_size=None).materialize()
+    # min_pts <= 1 would make isolated points cores; they have no
+    # pair rows, so the deg table cannot see them — handled in the
+    # final assembly below.
+
+    # core-core subgraph via two slim semi-joins
+    cc_a = coarse_join(pairs, core.map_batches(
+        lambda t: pa.table({"n2": t["node"]}),
+        batch_format="pyarrow", batch_size=None),
+        on="a", right_on="n2", how="left_semi", n_coarse=n_coarse)
+    cc_e = _cast_to(_sanitize_join_output(
+        coarse_join(cc_a, core.map_batches(
+            lambda t: pa.table({"n3": t["node"]}),
+            batch_format="pyarrow", batch_size=None),
+            on="b", right_on="n3", how="left_semi",
+            n_coarse=n_coarse), pair_schema), pair_schema)
+
+    comp = connected_components_alternating(cc_e, src="a", dst="b",
+                                            n_coarse=n_coarse)
+    comp = _sanitize_join_output(
+        comp, pa.schema([("node", pa.int64()),
+                         ("component", pa.int64())])).materialize()
+
+    # cores: CC component where present, else own id (isolated core)
+    core_clusters = coarse_join(
+        core, comp.map_batches(
+            lambda t: pa.table({"n4": t["node"],
+                                "component": t["component"]}),
+            batch_format="pyarrow", batch_size=None),
+        on="node", right_on="n4", how="left_outer",
+        n_coarse=n_coarse).map_batches(
+        lambda df: pd.DataFrame({
+            "node": df["node"],
+            "cluster": df["component"].fillna(df["node"])
+            .astype(np.int64),
+            "role": "core"}),
+        batch_format="pandas", batch_size=None)
+    core_clusters = _sanitize_join_output(
+        core_clusters,
+        pa.schema([("node", pa.int64()), ("cluster", pa.int64()),
+                   ("role", pa.string())])).materialize()
+
+    # borders: non-core endpoints of mixed pairs adopt the MIN
+    # neighbor cluster. Fan both orientations, keep rows whose
+    # neighbor is core (join to core_clusters), drop rows whose own
+    # endpoint is core later via anti-join.
+    fan = pairs.map_batches(
+        lambda t: pa.table({
+            "me": pa.concat_arrays([t["a"].combine_chunks(),
+                                    t["b"].combine_chunks()]),
+            "nb": pa.concat_arrays([t["b"].combine_chunks(),
+                                    t["a"].combine_chunks()])}),
+        batch_format="pyarrow", batch_size=None)
+    with_c = coarse_join(fan, core_clusters.map_batches(
+        lambda t: pa.table({"n5": t["node"], "ncl": t["cluster"]}),
+        batch_format="pyarrow", batch_size=None),
+        on="nb", right_on="n5", how="inner", n_coarse=n_coarse)
+    wc_schema = pa.schema([("me", pa.int64()), ("nb", pa.int64()),
+                           ("ncl", pa.int64())])
+    noncore = _cast_to(coarse_join(
+        _cast_to(_sanitize_join_output(with_c, wc_schema), wc_schema),
+        core.map_batches(lambda t: pa.table({"n6": t["node"]}),
+                         batch_format="pyarrow", batch_size=None),
+        on="me", right_on="n6", how="left_anti", n_coarse=n_coarse),
+        wc_schema)
+    border_clusters = _sanitize_join_output(
+        coarse_aggregate(
+            noncore, ["me"],
+            lambda df: df.groupby("me", sort=False)["ncl"].min()
+            .rename("cluster").reset_index(), n_coarse=n_coarse),
+        pa.schema([("me", pa.int64()), ("cluster", pa.int64())])
+    ).map_batches(
+        lambda t: pa.table({"node": t["me"], "cluster": t["cluster"],
+                            "role": pa.array(["border"] * t.num_rows,
+                                             pa.string())}),
+        batch_format="pyarrow", batch_size=None)
+
+    labeled = _sanitize_join_output(
+        core_clusters.union(border_clusters),
+        pa.schema([("node", pa.int64()), ("cluster", pa.int64()),
+                   ("role", pa.string())]))
+
+    # every input point appears: unlabeled points are noise
+    allp = embeddings.map_batches(
+        lambda t: pa.table({key_col: t[key_col].combine_chunks()
+                            .cast(pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    out = coarse_join(allp, labeled.map_batches(
+        lambda t: pa.table({"n7": t["node"], "cluster": t["cluster"],
+                            "role": t["role"]}),
+        batch_format="pyarrow", batch_size=None),
+        on=key_col, right_on="n7", how="left_outer",
+        n_coarse=n_coarse)
+
+    def _fin(df: pd.DataFrame) -> pd.DataFrame:
+        out_ = df.copy(deep=False)
+        out_["role"] = out_["role"].fillna("noise")
+        out_["cluster"] = out_["cluster"].astype("Int64")
+        return out_
+
+    return out.map_batches(_fin, batch_format="pandas",
+                           batch_size=None)
+
+
 def embedding_near_pairs_lsh(embeddings: Dataset, threshold: float = 0.9,
                              n_planes: int = 32, n_bands: int = 8,
                              key_col: str = "vec_id", vec_col: str = "embedding",

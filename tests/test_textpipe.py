@@ -1143,3 +1143,65 @@ def test_mmr_rerank_matches_pure_python(ray_session):
                 .head(5).to_numpy())
         assert (pure[pure["qid"] == qid]["vec_id"].to_numpy()
                 == top5).all()
+
+
+def test_dbscan_cluster_matches_oracle(ray_session):
+    """dbscan_cluster ≡ a textbook python DBSCAN replay (cosine
+    distance): two planted blobs, a border point, isolated noise."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.textpipe import dbscan_cluster
+
+    rng = np.random.RandomState(7)
+    base_a = rng.randn(8)
+    base_b = rng.randn(8)
+    vecs, ids = [], []
+    for i in range(6):             # blob A: tight around base_a
+        vecs.append(base_a + 0.05 * rng.randn(8)); ids.append(i)
+    for i in range(6, 11):         # blob B
+        vecs.append(base_b + 0.05 * rng.randn(8)); ids.append(i)
+    vecs.append(-base_a); ids.append(11)   # antipode: isolated noise
+    vecs.append(-base_b); ids.append(12)
+    df = pd.DataFrame({"vec_id": ids,
+                       "embedding": [v.tolist() for v in vecs]})
+
+    eps, min_pts = 0.3, 3
+    X = np.stack(vecs)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = Xn @ Xn.T
+    nbr = {i: {j for j in ids if j != i and cos[i, j] >= 1 - eps}
+           for i in ids}
+    cores = {i for i in ids if len(nbr[i]) + 1 >= min_pts}
+    # CC over core-core edges, component = min id
+    comp = {i: i for i in cores}
+    changed = True
+    while changed:
+        changed = False
+        for i in cores:
+            for j in nbr[i] & cores:
+                m = min(comp[i], comp[j])
+                if comp[i] != m or comp[j] != m:
+                    comp[i] = comp[j] = m
+                    changed = True
+    want = {}
+    for i in ids:
+        if i in cores:
+            want[i] = ("core", comp[i])
+        else:
+            adj = {comp[j] for j in nbr[i] & cores}
+            want[i] = ("border", min(adj)) if adj else ("noise", None)
+
+    got = dbscan_cluster(rd.from_pandas(df).repartition(3), eps=eps,
+                         min_pts=min_pts).to_pandas() \
+        .set_index("vec_id")
+    assert len(got) == len(ids)
+    for i in ids:
+        role, cl = want[i]
+        assert got.loc[i, "role"] == role, (i, got.loc[i])
+        if cl is None:
+            assert pd.isna(got.loc[i, "cluster"]), i
+        else:
+            assert got.loc[i, "cluster"] == cl, i
+    assert {r for r in got["role"]} >= {"core", "noise"}
