@@ -1835,6 +1835,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return harmonic_centrality(_synth_tri_edges(sf), max_t=2,
                                    mode="exact")
 
+    def q_neighbor_sample(sf):
+        # GraphSAGE-style 2-hop pinned-hash neighbor sampling
+        # (fanouts [3, 2]) over the synthetic directed orderkey graph
+        # (u = k%997 → v = (k·31+7)%997); exact set gate
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import neighbor_sample
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _edges(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            u, v = k % 997, (k * 31 + 7) % 997
+            m = u != v
+            return pa.table({"src": pa.array(u[m], pa.int64()),
+                             "dst": pa.array(v[m], pa.int64())})
+
+        e = orders.map_batches(_edges, batch_format="pyarrow",
+                               batch_size=None)
+        return neighbor_sample(e, [3, 2])
+
     def q_dbscan(sf):
         # DBSCAN over the embeddings table, cosine distance eps=0.65
         # (cos >= 0.35; nearest pair-boundary gap >= 2.8e-5 at both
@@ -3344,6 +3367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "effective_diameter": q_effective_diameter,  # ANF interpolated effective diameter (SQL-checked)
         "kge_negatives": q_kge_negatives,  # deterministic KGE corrupted-triple sampling (SQL-checked)
         "dbscan": q_dbscan,              # DBSCAN density clustering over embeddings (SQL-checked)
+        "neighbor_sample": q_neighbor_sample,  # deterministic GraphSAGE k-hop neighbor sampling (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
@@ -3746,6 +3770,27 @@ def oracle_sql() -> dict[str, str]:
             "JOIN f fa ON fa.node = m.qa "
             "JOIN f fb ON fb.node = m.qb "
             "CROSS JOIN nt"
+        ),
+        # neighbor_sample: ROW_NUMBER over the pinned modular hash per
+        # source replays the sampled adjacency; 2 unrolled hops with
+        # DISTINCT frontiers; exact
+        "neighbor_sample": (
+            "WITH e AS (SELECT DISTINCT o_orderkey % 997 AS s, "
+            "(o_orderkey * 31 + 7) % 997 AS d FROM orders "
+            "WHERE o_orderkey % 997 <> (o_orderkey * 31 + 7) % 997), "
+            "rk AS (SELECT s, d, ROW_NUMBER() OVER ("
+            "PARTITION BY s ORDER BY ((d % 1000000007) * 48271 "
+            "+ (s % 1000000007) * 30011) % 1000000007, d) - 1 AS rk "
+            "FROM e), "
+            "seeds AS (SELECT DISTINCT s AS seed FROM e), "
+            "h1 AS (SELECT DISTINCT seeds.seed, rk.d AS node "
+            "FROM seeds JOIN rk ON rk.s = seeds.seed AND rk.rk < 3), "
+            "h2 AS (SELECT DISTINCT h1.seed, rk.d AS node FROM h1 "
+            "JOIN rk ON rk.s = h1.node AND rk.rk < 2) "
+            "SELECT seed, CAST(0 AS BIGINT) AS hop, seed AS node "
+            "FROM seeds "
+            "UNION ALL SELECT seed, 1, node FROM h1 "
+            "UNION ALL SELECT seed, 2, node FROM h2"
         ),
         # dbscan: ε-pairs via list_cosine_similarity self-join, cores
         # by neighbor count (incl. self), recursive-CTE reachability

@@ -3857,6 +3857,113 @@ def kge_negative_samples(triples: Dataset, k: int = 2, *,
                               batch_size=None)
 
 
+def neighbor_sample(edges: Dataset, fanouts: list[int], *,
+                    src: str = "src", dst: str = "dst",
+                    seeds: Dataset | None = None,
+                    n_coarse: int | None = None) -> Dataset:
+    """Deterministic k-hop neighbor sampling (GraphSAGE / GNN
+    minibatch fan-in, Hamilton 2017) → DISTINCT (seed, hop, node):
+    hop 0 is the seed itself; hop h holds the ≤ ``fanouts[h-1]``
+    out-neighbors sampled per hop-(h−1) node. Selection is a pinned
+    modular hash order per source (ties by dst) — reproducible,
+    resumable, and exactly replayable as a ROW_NUMBER in SQL, like
+    :func:`kge_negative_samples` / `random_walks`.
+
+    Scale shape: ONE src-keyed exchange ranks every adjacency list
+    once (rank < max(fanouts) kept — the sampled adjacency is built
+    once and reused by every hop); per hop ONE ``coarse_join`` of
+    the frontier onto it plus ONE (seed, node) dedup exchange. No
+    driver state. ``seeds=None`` seeds every distinct source node."""
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    M = 1000000007
+    maxf = max(fanouts)
+
+    e = _sanitize_join_output(
+        coarse_aggregate(
+            edges.map_batches(
+                lambda b: pa.table({
+                    "s": b[src].combine_chunks().cast(pa.int64()),
+                    "d": b[dst].combine_chunks().cast(pa.int64())}),
+                batch_format="pyarrow", batch_size=None),
+            ["s", "d"], lambda df: df.drop_duplicates(),
+            n_coarse=n_coarse),
+        pa.schema([("s", pa.int64()), ("d", pa.int64())]))
+
+    def _rank(df: pd.DataFrame) -> pd.DataFrame:
+        h = ((df["d"] % M) * 48271 + (df["s"] % M) * 30011) % M
+        df = df.assign(_h=h).sort_values(["s", "_h", "d"],
+                                         kind="mergesort")
+        df["rk"] = df.groupby("s", sort=False).cumcount()
+        return df[df["rk"] < maxf][["s", "d", "rk"]]
+
+    ranked = _sanitize_join_output(
+        coarse_aggregate(e, ["s"], _rank, n_coarse=n_coarse),
+        pa.schema([("s", pa.int64()), ("d", pa.int64()),
+                   ("rk", pa.int64())])).materialize()
+
+    if seeds is None:
+        seed_ds = _sanitize_join_output(
+            coarse_aggregate(
+                e.map_batches(
+                    lambda b: pa.table({"seed": b["s"]}),
+                    batch_format="pyarrow", batch_size=None),
+                ["seed"], lambda df: df.drop_duplicates(),
+                n_coarse=n_coarse),
+            pa.schema([("seed", pa.int64())]))
+    else:
+        seed_ds = seeds.map_batches(
+            lambda b: pa.table({
+                "seed": b[b.column_names[0]].combine_chunks()
+                .cast(pa.int64())}),
+            batch_format="pyarrow", batch_size=None)
+
+    out_schema = pa.schema([("seed", pa.int64()), ("hop", pa.int64()),
+                            ("node", pa.int64())])
+    frontier = _sanitize_join_output(
+        seed_ds.map_batches(
+            lambda b: pa.table({"seed": b["seed"],
+                                "node": b["seed"]}),
+            batch_format="pyarrow", batch_size=None),
+        pa.schema([("seed", pa.int64()), ("node", pa.int64())]))
+    parts = [frontier.map_batches(
+        lambda b: pa.table({"seed": b["seed"],
+                            "hop": pa.array([0] * b.num_rows,
+                                            pa.int64()),
+                            "node": b["node"]}),
+        batch_format="pyarrow", batch_size=None)]
+
+    for hop, f in enumerate(fanouts, 1):
+        adj = ranked.map_batches(
+            lambda b, f_=f: pa.table({
+                "s2": b["s"].combine_chunks(),
+                "d": b["d"].combine_chunks()}).filter(
+                pc.less(b["rk"].combine_chunks(), f_)),
+            batch_format="pyarrow", batch_size=None)
+        nxt = coarse_join(frontier, adj, on="node", right_on="s2",
+                          how="inner", n_coarse=n_coarse)
+        frontier = _sanitize_join_output(
+            coarse_aggregate(
+                nxt.map_batches(
+                    lambda b: pa.table({"seed": b["seed"],
+                                        "node": b["d"]}),
+                    batch_format="pyarrow", batch_size=None),
+                ["seed", "node"], lambda df: df.drop_duplicates(),
+                n_coarse=n_coarse),
+            pa.schema([("seed", pa.int64()), ("node", pa.int64())]))
+        parts.append(frontier.map_batches(
+            lambda b, h_=hop: pa.table({
+                "seed": b["seed"],
+                "hop": pa.array([h_] * b.num_rows, pa.int64()),
+                "node": b["node"]}),
+            batch_format="pyarrow", batch_size=None))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return _sanitize_join_output(out, out_schema)
+
+
 def _pair_common_anc_stat(closure: Dataset, pairs: list,
                           stat: Dataset, stat_col: str, agg: str,
                           out_col: str,

@@ -1912,3 +1912,41 @@ def test_kge_negative_samples_matches_oracle(ray_session):
     # both sides corrupted somewhere, never both at once
     sides = {r[4] for r in got}
     assert sides == {"head", "tail"}
+
+
+def test_neighbor_sample_matches_oracle(ray_session):
+    """neighbor_sample ≡ the pinned-hash fan-sampling replay
+    (2 hops, fanouts [3, 2], hub + chain + duplicate edges)."""
+    from omop2obo_ray.pipelines.graph import neighbor_sample
+
+    edges = [(0, i) for i in range(1, 8)]          # hub fan-out 7
+    edges += [(i, i + 1) for i in range(1, 6)]     # chain
+    edges += [(3, 9), (3, 10), (3, 11), (0, 1)]    # branch + dup
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    M = 1000000007
+    fanouts = [3, 2]
+
+    adj = {}
+    for s, d in sorted(set(edges)):
+        adj.setdefault(s, []).append(d)
+    for s in adj:
+        adj[s].sort(key=lambda d: ((d % M) * 48271
+                                   + (s % M) * 30011) % M * 10**12 + d)
+
+    want = set()
+    seeds = sorted(adj)
+    for seed in seeds:
+        want.add((seed, 0, seed))
+        cur = {seed}
+        for hop, f in enumerate(fanouts, 1):
+            nxt = {d for n in cur for d in adj.get(n, [])[:f]}
+            for d in nxt:
+                want.add((seed, hop, d))
+            cur = nxt
+
+    got = set(map(tuple, neighbor_sample(
+        rd.from_pandas(df).repartition(3), fanouts)
+        .to_pandas().itertuples(index=False)))
+    assert got == want
+    # hub kept only 3 of 7 hop-1 neighbors
+    assert len({n for s, h, n in got if s == 0 and h == 1}) == 3
