@@ -1835,6 +1835,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return harmonic_centrality(_synth_tri_edges(sf), max_t=2,
                                    mode="exact")
 
+    def q_image_meta(sf):
+        # REAL multimodal header parse: build a genuine PNG byte
+        # column from orderkeys (magic + IHDR, width = k%1920+1,
+        # height = k%1080+1) with a zero-loop buffer construction,
+        # then parse it back; oracle recomputes the dims
+        # arithmetically. Exact gate.
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import image_meta
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            n = len(k)
+            w = (k % 1920 + 1).astype(np.int64)
+            h = (k % 1080 + 1).astype(np.int64)
+            m = np.zeros((n, 24), np.uint8)
+            m[:, :8] = np.frombuffer(b"\x89PNG\r\n\x1a\n", np.uint8)
+            m[:, 11] = 13                      # IHDR length
+            m[:, 12:16] = np.frombuffer(b"IHDR", np.uint8)
+            for j in range(4):
+                m[:, 16 + j] = (w >> (8 * (3 - j))) & 0xFF
+                m[:, 20 + j] = (h >> (8 * (3 - j))) & 0xFF
+            offs = (np.arange(n + 1, dtype=np.int32) * 24)
+            payload = pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(offs.tobytes()),
+                 pa.py_buffer(m.tobytes())])
+            return pa.table({"doc_id": pa.array(k, pa.int64()),
+                             "payload": payload})
+
+        ds = orders.map_batches(_mk, batch_format="pyarrow",
+                                batch_size=None)
+        return image_meta(ds)
+
     def q_neighbor_sample(sf):
         # GraphSAGE-style 2-hop pinned-hash neighbor sampling
         # (fanouts [3, 2]) over the synthetic directed orderkey graph
@@ -3368,6 +3407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kge_negatives": q_kge_negatives,  # deterministic KGE corrupted-triple sampling (SQL-checked)
         "dbscan": q_dbscan,              # DBSCAN density clustering over embeddings (SQL-checked)
         "neighbor_sample": q_neighbor_sample,  # deterministic GraphSAGE k-hop neighbor sampling (SQL-checked)
+        "image_meta": q_image_meta,      # real PNG/JPEG header parsing over a binary column (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
@@ -3770,6 +3810,13 @@ def oracle_sql() -> dict[str, str]:
             "JOIN f fa ON fa.node = m.qa "
             "JOIN f fb ON fb.node = m.qb "
             "CROSS JOIN nt"
+        ),
+        # image_meta: the engine parses REAL PNG bytes it built from
+        # orderkeys; the oracle recomputes the planted dims
+        "image_meta": (
+            "SELECT o_orderkey AS doc_id, 'png' AS format, "
+            "o_orderkey % 1920 + 1 AS width, "
+            "o_orderkey % 1080 + 1 AS height FROM orders"
         ),
         # neighbor_sample: ROW_NUMBER over the pinned modular hash per
         # source replays the sampled adjacency; 2 unrolled hops with

@@ -1644,6 +1644,87 @@ def decode_media(ds: Dataset, media_col: str = "payload") -> Dataset:
     )
 
 
+_PNG_MAGIC = np.frombuffer(b"\x89PNG\r\n\x1a\n", np.uint8)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def image_meta(ds: Dataset, media_col: str = "payload",
+               id_col: str = "doc_id") -> Dataset:
+    """REAL (non-stubbed) multimodal header parsing over an opaque
+    binary column → (id, format, width, height): PNG via the
+    spec-mandated IHDR-first layout (magic + big-endian dims at bytes
+    16..23), JPEG via an SOFn marker scan. Unknown/truncated payloads
+    come back (format='unknown', null dims). This is the typed-
+    metadata step of the multimodal contract that needs no codec
+    library, so unlike :class:`MediaDecoder`'s pixel kernel it runs
+    for real in this container.
+
+    Vectorization: the PNG path is pure numpy gathers against the
+    Arrow binary buffer (offsets + data read zero-copy; an (n, 8)
+    magic compare and an (n, 8) dimension gather — no per-row Python).
+    The JPEG path falls back to a per-row marker scan bounded by the
+    header segment chain (a few dozen bytes each), over ONLY the rows
+    whose first two bytes are FF D8. Embarrassingly parallel — one
+    ``map_batches``, no exchange."""
+    def _parse(b: pa.Table) -> pa.Table:
+        arr = b[media_col].combine_chunks().cast(pa.large_binary())
+        arr = arr.fill_null(b"")
+        bufs = arr.buffers()
+        offs = np.frombuffer(bufs[1], np.int64)[
+            arr.offset:arr.offset + len(arr) + 1]
+        data = (np.frombuffer(bufs[2], np.uint8)
+                if bufs[2] is not None else np.empty(0, np.uint8))
+        start = offs[:-1]
+        ln = np.diff(offs)
+        n = len(start)
+        fmt = np.full(n, "unknown", object)
+        w = np.full(n, -1, np.int64)
+        h = np.full(n, -1, np.int64)
+
+        idx = np.nonzero(ln >= 24)[0]
+        if len(idx):
+            head = data[start[idx, None] + np.arange(8)]
+            png = idx[(head == _PNG_MAGIC).all(axis=1)]
+            if len(png):
+                wh = data[start[png, None]
+                          + np.arange(16, 24)].astype(np.int64)
+                w[png] = ((wh[:, 0] << 24) | (wh[:, 1] << 16)
+                          | (wh[:, 2] << 8) | wh[:, 3])
+                h[png] = ((wh[:, 4] << 24) | (wh[:, 5] << 16)
+                          | (wh[:, 6] << 8) | wh[:, 7])
+                fmt[png] = "png"
+
+        idx2 = np.nonzero(ln >= 4)[0]
+        if len(idx2):
+            h2 = data[start[idx2, None] + np.arange(2)]
+            jpg = idx2[(h2[:, 0] == 0xFF) & (h2[:, 1] == 0xD8)]
+            for i in jpg:  # bounded header-segment walk per JPEG row
+                buf = data[start[i]:start[i] + ln[i]]
+                p = 2
+                while p + 9 <= len(buf) and buf[p] == 0xFF:
+                    marker = int(buf[p + 1])
+                    seg = (int(buf[p + 2]) << 8) | int(buf[p + 3])
+                    if marker in _JPEG_SOF:
+                        h[i] = (int(buf[p + 5]) << 8) | int(buf[p + 6])
+                        w[i] = (int(buf[p + 7]) << 8) | int(buf[p + 8])
+                        fmt[i] = "jpeg"
+                        break
+                    p += 2 + seg
+
+        known = w >= 0
+        return pa.table({
+            id_col: b[id_col],
+            "format": pa.array(fmt, pa.string()),
+            "width": pa.array(np.where(known, w, 0), pa.int64(),
+                              mask=~known),
+            "height": pa.array(np.where(known, h, 0), pa.int64(),
+                               mask=~known)})
+
+    return ds.map_batches(_parse, batch_format="pyarrow",
+                          batch_size=None)
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (exact small-side path + hyperplane-LSH scale path)
 # ---------------------------------------------------------------------------

@@ -1205,3 +1205,44 @@ def test_dbscan_cluster_matches_oracle(ray_session):
         else:
             assert got.loc[i, "cluster"] == cl, i
     assert {r for r in got["role"]} >= {"core", "noise"}
+
+
+def test_image_meta_parses_real_headers(ray_session):
+    """image_meta parses genuine PNG IHDR and JPEG SOF0 headers and
+    nulls out junk/truncated/empty payloads."""
+    import struct
+
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.textpipe import image_meta
+
+    def png(w, h):
+        return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13)
+                + b"IHDR" + struct.pack(">II", w, h)
+                + b"\x08\x02\x00\x00\x00" + b"\x00" * 4)
+
+    def jpeg(w, h):
+        # SOI + APP0 stub + SOF0 + EOI
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" \
+            + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+        return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+    rows = [
+        (1, png(640, 480)), (2, png(1, 99999)),
+        (3, jpeg(1024, 768)), (4, jpeg(33, 7)),
+        (5, b"not an image at all........."),
+        (6, b"\x89PN"), (7, b""),
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "payload"])
+    got = image_meta(rd.from_pandas(df).repartition(3)) \
+        .to_pandas().set_index("doc_id")
+    assert got.loc[1].tolist() == ["png", 640, 480]
+    assert got.loc[2].tolist() == ["png", 1, 99999]
+    assert got.loc[3].tolist() == ["jpeg", 1024, 768]
+    assert got.loc[4].tolist() == ["jpeg", 33, 7]
+    for i in (5, 6, 7):
+        assert got.loc[i, "format"] == "unknown"
+        assert pd.isna(got.loc[i, "width"])
+        assert pd.isna(got.loc[i, "height"])
