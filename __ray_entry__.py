@@ -1874,6 +1874,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 batch_size=None)
         return image_meta(ds)
 
+    def q_audio_meta(sf):
+        # REAL WAV header parse: plant canonical RIFF/fmt bytes from
+        # orderkeys (zero-loop build), parse back; oracle recomputes
+        # arithmetically. Exact gate.
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import audio_meta
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            n = len(k)
+            ch = (k % 8 + 1).astype(np.int64)
+            sr = ((k % 4 + 1) * 8000).astype(np.int64)
+            bits = (8 * (k % 3 + 1)).astype(np.int64)
+            m = np.zeros((n, 36), np.uint8)
+            m[:, 0:4] = np.frombuffer(b"RIFF", np.uint8)
+            m[:, 4] = 28                        # chunk size (LE)
+            m[:, 8:16] = np.frombuffer(b"WAVEfmt ", np.uint8)
+            m[:, 16] = 16                       # fmt length
+            m[:, 20] = 1                        # PCM
+            m[:, 22] = ch & 0xFF
+            for j in range(4):
+                m[:, 24 + j] = (sr >> (8 * j)) & 0xFF
+            m[:, 34] = bits & 0xFF
+            offs = (np.arange(n + 1, dtype=np.int32) * 36)
+            payload = pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(offs.tobytes()),
+                 pa.py_buffer(m.tobytes())])
+            return pa.table({"doc_id": pa.array(k, pa.int64()),
+                             "payload": payload})
+
+        ds = orders.map_batches(_mk, batch_format="pyarrow",
+                                batch_size=None)
+        return audio_meta(ds)
+
     def q_neighbor_sample(sf):
         # GraphSAGE-style 2-hop pinned-hash neighbor sampling
         # (fanouts [3, 2]) over the synthetic directed orderkey graph
@@ -3408,6 +3449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan": q_dbscan,              # DBSCAN density clustering over embeddings (SQL-checked)
         "neighbor_sample": q_neighbor_sample,  # deterministic GraphSAGE k-hop neighbor sampling (SQL-checked)
         "image_meta": q_image_meta,      # real PNG/JPEG header parsing over a binary column (SQL-checked)
+        "audio_meta": q_audio_meta,      # real WAV RIFF/fmt header parsing over a binary column (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
@@ -3810,6 +3852,14 @@ def oracle_sql() -> dict[str, str]:
             "JOIN f fa ON fa.node = m.qa "
             "JOIN f fb ON fb.node = m.qb "
             "CROSS JOIN nt"
+        ),
+        # audio_meta: engine parses REAL WAV bytes planted from
+        # orderkeys; oracle recomputes the planted fields
+        "audio_meta": (
+            "SELECT o_orderkey AS doc_id, 'wav' AS format, "
+            "o_orderkey % 8 + 1 AS channels, "
+            "(o_orderkey % 4 + 1) * 8000 AS sample_rate, "
+            "8 * (o_orderkey % 3 + 1) AS bits_per_sample FROM orders"
         ),
         # image_meta: the engine parses REAL PNG bytes it built from
         # orderkeys; the oracle recomputes the planted dims

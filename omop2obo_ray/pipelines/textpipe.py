@@ -1725,6 +1725,64 @@ def image_meta(ds: Dataset, media_col: str = "payload",
                           batch_size=None)
 
 
+def audio_meta(ds: Dataset, media_col: str = "payload",
+               id_col: str = "doc_id") -> Dataset:
+    """REAL audio header parsing over an opaque binary column →
+    (id, format, channels, sample_rate, bits_per_sample): canonical
+    WAV layout (RIFF....WAVEfmt␣ with the fmt chunk at byte 12 —
+    the layout every encoder emits) parsed with pure numpy gathers
+    against the Arrow buffer, like :func:`image_meta`'s PNG path.
+    Non-WAV / truncated payloads → (format='unknown', nulls).
+    Embarrassingly parallel, one ``map_batches``, no exchange."""
+    def _parse(b: pa.Table) -> pa.Table:
+        arr = b[media_col].combine_chunks().cast(pa.large_binary())
+        arr = arr.fill_null(b"")
+        bufs = arr.buffers()
+        offs = np.frombuffer(bufs[1], np.int64)[
+            arr.offset:arr.offset + len(arr) + 1]
+        data = (np.frombuffer(bufs[2], np.uint8)
+                if bufs[2] is not None else np.empty(0, np.uint8))
+        start = offs[:-1]
+        ln = np.diff(offs)
+        n = len(start)
+        fmt = np.full(n, "unknown", object)
+        ch = np.full(n, -1, np.int64)
+        sr = np.full(n, -1, np.int64)
+        bits = np.full(n, -1, np.int64)
+
+        idx = np.nonzero(ln >= 36)[0]
+        if len(idx):
+            head = data[start[idx, None] + np.arange(16)]
+            riff = ((head[:, :4] == np.frombuffer(b"RIFF", np.uint8))
+                    .all(axis=1)
+                    & (head[:, 8:16] == np.frombuffer(b"WAVEfmt ",
+                                                      np.uint8))
+                    .all(axis=1))
+            wav = idx[riff]
+            if len(wav):
+                f = data[start[wav, None]
+                         + np.arange(22, 36)].astype(np.int64)
+                ch[wav] = f[:, 0] | (f[:, 1] << 8)
+                sr[wav] = (f[:, 2] | (f[:, 3] << 8) | (f[:, 4] << 16)
+                           | (f[:, 5] << 24))
+                bits[wav] = f[:, 12] | (f[:, 13] << 8)
+                fmt[wav] = "wav"
+
+        known = ch >= 0
+        return pa.table({
+            id_col: b[id_col],
+            "format": pa.array(fmt, pa.string()),
+            "channels": pa.array(np.where(known, ch, 0), pa.int64(),
+                                 mask=~known),
+            "sample_rate": pa.array(np.where(known, sr, 0),
+                                    pa.int64(), mask=~known),
+            "bits_per_sample": pa.array(np.where(known, bits, 0),
+                                        pa.int64(), mask=~known)})
+
+    return ds.map_batches(_parse, batch_format="pyarrow",
+                          batch_size=None)
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (exact small-side path + hyperplane-LSH scale path)
 # ---------------------------------------------------------------------------

@@ -1246,3 +1246,37 @@ def test_image_meta_parses_real_headers(ray_session):
         assert got.loc[i, "format"] == "unknown"
         assert pd.isna(got.loc[i, "width"])
         assert pd.isna(got.loc[i, "height"])
+
+
+def test_audio_meta_parses_real_wav_headers(ray_session):
+    """audio_meta parses genuine canonical WAV headers (stdlib `wave`
+    writes them) and nulls junk."""
+    import io
+    import wave
+
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.textpipe import audio_meta
+
+    def wav(channels, rate, sampwidth):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(channels)
+            f.setframerate(rate)
+            f.setsampwidth(sampwidth)
+            f.writeframes(b"\x00" * 64)
+        return buf.getvalue()
+
+    rows = [(1, wav(2, 44100, 2)), (2, wav(1, 16000, 1)),
+            (3, wav(6, 96000, 3)), (4, b"RIFFxxxxJUNK" + b"\x00" * 30),
+            (5, b"short"), (6, b"")]
+    df = pd.DataFrame(rows, columns=["doc_id", "payload"])
+    got = audio_meta(rd.from_pandas(df).repartition(2)) \
+        .to_pandas().set_index("doc_id")
+    assert got.loc[1].tolist() == ["wav", 2, 44100, 16]
+    assert got.loc[2].tolist() == ["wav", 1, 16000, 8]
+    assert got.loc[3].tolist() == ["wav", 6, 96000, 24]
+    for i in (4, 5, 6):
+        assert got.loc[i, "format"] == "unknown"
+        assert pd.isna(got.loc[i, "channels"])
