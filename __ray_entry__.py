@@ -2019,6 +2019,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 batch_size=None)
         return partition_quality(e, asg)
 
+    def q_closeness(sf):
+        # bounded-radius closeness centrality from exact ball sizes;
+        # Σd is an exact integer in both engines, ONE IEEE division
+        # at the end — gate exact unquantized
+        from omop2obo_ray.pipelines.graph import closeness_centrality
+
+        return closeness_centrality(_synth_tri_edges(sf), max_t=2,
+                                    mode="exact")
+
     def q_dag_depth(sf):
         # longest-path depth over a synthetic orderkey DAG (parent
         # rules k//8→k and k//64→k — ≤ 2 parents/node, depth ≈
@@ -3450,6 +3459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_sample": q_neighbor_sample,  # deterministic GraphSAGE k-hop neighbor sampling (SQL-checked)
         "image_meta": q_image_meta,      # real PNG/JPEG header parsing over a binary column (SQL-checked)
         "audio_meta": q_audio_meta,      # real WAV RIFF/fmt header parsing over a binary column (SQL-checked)
+        "closeness_centrality": q_closeness,  # bounded-radius closeness off HyperBall ball sizes (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
@@ -3958,6 +3968,31 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN fx.head = 1 THEN fx.o ELSE rk.ent END "
             "AS neg_o "
             "FROM fx JOIN rk ON rk.r = fx.want"
+        ),
+        # closeness: reached = c1+c2, Σd = c1 + 2·c2 (exact ints),
+        # ONE division — same CTE skeleton as neighborhood
+        "closeness_centrality": (
+            "WITH RECURSIVE "
+            "pk AS (SELECT p_partkey AS k FROM part), "
+            "raw AS (SELECT 'n' || (k % 23) AS s, 'n' || (k % 29) AS t "
+            "FROM pk UNION ALL SELECT 'c' || (k % 509), "
+            "'c' || ((k % 509) + 1) FROM pk), "
+            "e AS (SELECT DISTINCT s AS src, t AS dst FROM raw "
+            "UNION SELECT DISTINCT t, s FROM raw), "
+            "n AS (SELECT DISTINCT src AS node FROM e), "
+            "r AS (SELECT node AS root, node AS node, 0 AS d FROM n "
+            "UNION "
+            "SELECT r.root, e.dst, r.d + 1 FROM r "
+            "JOIN e ON e.src = r.node WHERE r.d < 2), "
+            "md AS (SELECT root, node, min(d) AS d FROM r "
+            "GROUP BY root, node), "
+            "ct AS (SELECT root, "
+            "count(*) FILTER (d = 1) AS c1, "
+            "count(*) FILTER (d = 2) AS c2 FROM md GROUP BY root) "
+            "SELECT root AS node, c1 + c2 AS reached, "
+            "CASE WHEN c1 + 2 * c2 = 0 THEN 0.0 ELSE "
+            "CAST(c1 + c2 AS DOUBLE) / (c1 + 2 * c2) END "
+            "AS closeness FROM ct"
         ),
         # effective_diameter: P(t) = Σ ball sizes from the bounded-hop
         # CTE; t_hi = first t with P(t) ≥ 0.9·P(2); interpolate inside

@@ -2913,6 +2913,47 @@ def harmonic_centrality(edges: Dataset, max_t: int = 3, *,
         pa.schema([("node", kt), ("harmonic", pa.float64())]))
 
 
+def closeness_centrality(edges: Dataset, max_t: int = 3, *,
+                         mode: str = "exact", hll_bits: int = 8,
+                         directed: bool = False,
+                         n_coarse: int | None = None) -> Dataset:
+    """Bounded-radius closeness centrality → (node, reached,
+    closeness): c(v) = reached(v) / Σ_{u: d ≤ max_t} d(v,u) with
+    reached(v) = |ball(v, max_t)| − 1 (Lin's index numerator
+    convention restricted to the radius; 0.0 for isolated-within-
+    radius nodes). Derived from the same HyperBall ball sizes as
+    :func:`harmonic_centrality`: Σ d = Σ_t t·(ball(t) − ball(t−1)),
+    a fixed ascending-t integer fold, then ONE IEEE division — the
+    exact-mode gate needs no quantization. ``mode='hll'`` inherits
+    HyperBall's accuracy at fixed per-node memory."""
+    col = "ball" if mode == "exact" else "ball_est"
+    nf = neighborhood_function(edges, max_t, mode=mode,
+                               hll_bits=hll_bits, directed=directed,
+                               n_coarse=n_coarse)
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        w = df.pivot(index="node", columns="t", values=col)
+        tot = np.zeros(len(w))
+        prev = w[0].to_numpy(np.float64)
+        for t in range(1, max_t + 1):
+            cur = w[t].to_numpy(np.float64)
+            tot = tot + float(t) * (cur - prev)
+            prev = cur
+        reached = prev - w[0].to_numpy(np.float64)
+        clo = np.where(tot > 0.0, reached / tot, 0.0)
+        return pd.DataFrame({"node": w.index.to_numpy(),
+                             "reached": reached.astype(np.int64)
+                             if mode == "exact" else reached,
+                             "closeness": clo})
+
+    kt = _pa_schema_of(nf).field("node").type
+    rt = pa.int64() if mode == "exact" else pa.float64()
+    return _sanitize_join_output(
+        coarse_aggregate(nf, ["node"], _fold, n_coarse=n_coarse),
+        pa.schema([("node", kt), ("reached", rt),
+                   ("closeness", pa.float64())]))
+
+
 def effective_diameter(edges: Dataset, max_t: int = 3, *, q: float = 0.9,
                        mode: str = "exact", hll_bits: int = 8,
                        directed: bool = False,

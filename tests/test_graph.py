@@ -1950,3 +1950,33 @@ def test_neighbor_sample_matches_oracle(ray_session):
     assert got == want
     # hub kept only 3 of 7 hop-1 neighbors
     assert len({n for s, h, n in got if s == 0 and h == 1}) == 3
+
+
+def test_closeness_centrality_matches_bfs(ray_session):
+    """closeness ≡ BFS oracle at radius 2 (path + triangle graph)."""
+    from omop2obo_ray.pipelines.graph import closeness_centrality
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+             ("x", "y"), ("y", "z"), ("z", "x")]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    got = closeness_centrality(rd.from_pandas(df).repartition(2),
+                               max_t=2, mode="exact").to_pandas() \
+        .set_index("node")
+    for v in adj:
+        dist, cur, seen = {v: 0}, {v}, {v}
+        for t in (1, 2):
+            cur = {w for u in cur for w in adj[u]} - seen
+            for w in cur:
+                dist[w] = t
+            seen |= cur
+        reached = len(dist) - 1
+        totd = sum(dist.values())
+        want = reached / totd if totd else 0.0
+        assert got.loc[v, "reached"] == reached, v
+        assert abs(got.loc[v, "closeness"] - want) < 1e-12, v
