@@ -2458,6 +2458,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                batch_size=None)
         return transitive_reduction(e)
 
+    def q_assoc_rules(sf):
+        # directed association rules over doc-level entity
+        # co-occurrence; conf/lift are single-rounding IEEE ratios of
+        # exact counts — gate exact unquantized
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import assoc_rules
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return assoc_rules(docs, min_len=5, min_pair_count=2,
+                           min_conf=0.5)
+
     def q_bpe_train(sf):
         # rows-only: iterative argmax merge learning has no SQL
         # equivalent; pytest carries the reference-identity check
@@ -3460,6 +3473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta": q_image_meta,      # real PNG/JPEG header parsing over a binary column (SQL-checked)
         "audio_meta": q_audio_meta,      # real WAV RIFF/fmt header parsing over a binary column (SQL-checked)
         "closeness_centrality": q_closeness,  # bounded-radius closeness off HyperBall ball sizes (SQL-checked)
+        "assoc_rules": q_assoc_rules,    # directed association rules (conf/lift) over entity co-occurrence (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
@@ -4089,6 +4103,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # assoc_rules: both directions per surviving pair; conf =
+        # cab/ca, lift = cab·N/(ca·cb); exact IEEE, no quantizer
+        "assoc_rules": (
+            "WITH toks AS (SELECT DISTINCT doc_id, tok FROM ("
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+            "FROM documents) WHERE length(tok) >= 5), "
+            "n AS (SELECT count(*) AS nd FROM documents), "
+            "dfr AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), "
+            "pc AS (SELECT t1.tok AS a, t2.tok AS b, count(*) AS cab "
+            "FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id "
+            "AND t1.tok < t2.tok GROUP BY t1.tok, t2.tok "
+            "HAVING count(*) >= 2), "
+            "j AS (SELECT pc.a, pc.b, pc.cab, da.c AS ca, db.c AS cb, "
+            "CAST(pc.cab AS DOUBLE) * n.nd "
+            "/ (CAST(da.c AS DOUBLE) * db.c) AS lift "
+            "FROM pc CROSS JOIN n "
+            "JOIN dfr da ON da.tok = pc.a "
+            "JOIN dfr db ON db.tok = pc.b), "
+            "r AS (SELECT a AS antecedent, b AS consequent, cab, "
+            "CAST(cab AS DOUBLE) / ca AS conf, lift FROM j "
+            "UNION ALL SELECT b, a, cab, "
+            "CAST(cab AS DOUBLE) / cb, lift FROM j) "
+            "SELECT * FROM r WHERE conf >= 0.5"
         ),
         # redirect_resolve: the synthetic redirect map k → k//2 (k ≥ 2,
         # k % 3 ≠ 0) is acyclic, so the recursive walk from each source

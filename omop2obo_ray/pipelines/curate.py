@@ -4106,26 +4106,12 @@ def er_cluster(entities: "Dataset", *, id_col: str, text_col: str,
                            batch_size=None)
 
 
-def entity_pair_pmi(docs: "Dataset", *, doc_col: str = "doc_id",
-                    text_col: str = "text", min_len: int = 5,
-                    min_pair_count: int = 2,
-                    n_coarse: int | None = None) -> "Dataset":
-    """Document-level entity co-occurrence PMI → (a, b, cab, pmi) for
-    unordered entity pairs co-occurring in ≥ ``min_pair_count`` docs:
-    pmi = ln(cab·N / (ca·cb)) over document frequencies — the classic
-    relation-candidate miner (entities that co-occur far above chance
-    are edge candidates for the KG; the reference's concept
-    co-occurrence analysis is the single-machine ancestor).
-
-    Scale shape: a document is ONE row, so per-doc distinct entities
-    AND their pair fan-out are emitted inside the same vectorized map
-    (no doc-keyed exchange at all); then ONE pair-keyed coarse count,
-    ONE entity-keyed coarse count (df), and two slim ``coarse_join``s
-    to attach df to the surviving pairs. N is the input row count —
-    the only driver scalar. Skew guard: per-doc pair fan-out is
-    k(k−1)/2 in the per-doc entity count — bound k upstream (entity
-    extraction, not raw tokens) exactly as the fixture's length
-    filter does."""
+def _entity_pair_counts(docs: "Dataset", doc_col: str, text_col: str,
+                        min_len: int, min_pair_count: int,
+                        n_coarse: int | None):
+    """Shared core of :func:`entity_pair_pmi` / :func:`assoc_rules`:
+    → ((a, b, cab, ca, cb) Dataset, n_docs). See entity_pair_pmi for
+    the scale-shape discussion."""
     from omop2obo_ray.functions.shuffle import (coarse_aggregate,
                                                 coarse_join)
     from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
@@ -4187,6 +4173,32 @@ def entity_pair_pmi(docs: "Dataset", *, doc_col: str = "doc_id",
         lambda b: pa.table({"e": b["a"], "cb": b["c"]}),
         batch_format="pyarrow", batch_size=None),
         on="b", right_on="e", n_coarse=n_coarse)
+    return j2, n_docs
+
+
+def entity_pair_pmi(docs: "Dataset", *, doc_col: str = "doc_id",
+                    text_col: str = "text", min_len: int = 5,
+                    min_pair_count: int = 2,
+                    n_coarse: int | None = None) -> "Dataset":
+    """Document-level entity co-occurrence PMI → (a, b, cab, pmi) for
+    unordered entity pairs co-occurring in ≥ ``min_pair_count`` docs:
+    pmi = ln(cab·N / (ca·cb)) over document frequencies — the classic
+    relation-candidate miner (entities that co-occur far above chance
+    are edge candidates for the KG; the reference's concept
+    co-occurrence analysis is the single-machine ancestor).
+
+    Scale shape: a document is ONE row, so per-doc distinct entities
+    AND their pair fan-out are emitted inside the same vectorized map
+    (no doc-keyed exchange at all); then ONE pair-keyed coarse count,
+    ONE entity-keyed coarse count (df), and two slim ``coarse_join``s
+    to attach df to the surviving pairs. N is the input row count —
+    the only driver scalar. Skew guard: per-doc pair fan-out is
+    k(k−1)/2 in the per-doc entity count — bound k upstream (entity
+    extraction, not raw tokens) exactly as the fixture's length
+    filter does."""
+    j2, n_docs = _entity_pair_counts(docs, doc_col, text_col,
+                                     min_len, min_pair_count,
+                                     n_coarse)
 
     def _pmi(b: pa.Table) -> pa.Table:
         cab = b["cab"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -4199,4 +4211,49 @@ def entity_pair_pmi(docs: "Dataset", *, doc_col: str = "doc_id",
                          "pmi": pa.array(pmi, pa.float64())})
 
     return j2.map_batches(_pmi, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def assoc_rules(docs: "Dataset", *, doc_col: str = "doc_id",
+                text_col: str = "text", min_len: int = 5,
+                min_pair_count: int = 2, min_conf: float = 0.0,
+                n_coarse: int | None = None) -> "Dataset":
+    """Association rules over document-level entity co-occurrence
+    (Agrawal/A-priori at the pair level) → BOTH directed rules per
+    surviving unordered pair: (antecedent, consequent, cab, conf,
+    lift) with conf = cab/c(antecedent) and lift = cab·N/(ca·cb)
+    (direction-symmetric), filtered to conf ≥ ``min_conf``. The
+    relation-candidate miner's decision layer: PMI ranks pairs,
+    confidence orients them (A→B strong, B→A weak ⇒ B is the hub).
+
+    Cost on top of :func:`entity_pair_pmi`'s shared count core: one
+    vectorized direction fan-out map — no additional exchange. All
+    arithmetic is single-rounding IEEE on exact integers (one
+    division for conf, one product-pair + division for lift), so the
+    gate runs unquantized."""
+    j2, n_docs = _entity_pair_counts(docs, doc_col, text_col,
+                                     min_len, min_pair_count,
+                                     n_coarse)
+
+    def _rules(b: pa.Table) -> pa.Table:
+        cab = b["cab"].combine_chunks().to_numpy(zero_copy_only=False)
+        ca = b["ca"].combine_chunks().to_numpy(zero_copy_only=False)
+        cb = b["cb"].combine_chunks().to_numpy(zero_copy_only=False)
+        a = b["a"].combine_chunks()
+        bb = b["b"].combine_chunks()
+        lift = (cab.astype(np.float64) * n_docs
+                / (ca.astype(np.float64) * cb))
+        conf_ab = cab.astype(np.float64) / ca
+        conf_ba = cab.astype(np.float64) / cb
+        ante = pa.concat_arrays([a, bb])
+        cons = pa.concat_arrays([bb, a])
+        conf = np.r_[conf_ab, conf_ba]
+        out = pa.table({
+            "antecedent": ante, "consequent": cons,
+            "cab": pa.array(np.r_[cab, cab], pa.int64()),
+            "conf": pa.array(conf, pa.float64()),
+            "lift": pa.array(np.r_[lift, lift], pa.float64())})
+        return out.filter(pa.array(conf >= min_conf))
+
+    return j2.map_batches(_rules, batch_format="pyarrow",
                           batch_size=None)

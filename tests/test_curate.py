@@ -2439,3 +2439,58 @@ def test_entity_pair_pmi_matches_oracle(ray_session):
         assert got.loc[(a, b), "cab"] == cab
         want = np.log(cab * N / (dfreq[a] * dfreq[b]))
         assert abs(got.loc[(a, b), "pmi"] - want) < 1e-9
+
+
+def test_assoc_rules_matches_oracle(ray_session):
+    """assoc_rules ≡ the itertools replay (both directions, conf
+    filter); entity_pair_pmi still green after the refactor."""
+    import itertools
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import assoc_rules, entity_pair_pmi
+
+    docs = [
+        "alpha bravo charlie x",
+        "alpha bravo delta",
+        "alpha bravo",
+        "charlie delta echoecho",
+        "alpha charlie",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    N = len(docs)
+
+    dfreq, pcnt = {}, {}
+    for t in docs:
+        ents = sorted({w for w in t.split() if len(w) >= 5})
+        for e in ents:
+            dfreq[e] = dfreq.get(e, 0) + 1
+        for a, b in itertools.combinations(ents, 2):
+            pcnt[(a, b)] = pcnt.get((a, b), 0) + 1
+
+    want = {}
+    for (a, b), cab in pcnt.items():
+        if cab < 2:
+            continue
+        lift = cab * N / (dfreq[a] * dfreq[b])
+        for ante, cons, ca in ((a, b, dfreq[a]), (b, a, dfreq[b])):
+            conf = cab / ca
+            if conf >= 0.6:
+                want[(ante, cons)] = (cab, conf, lift)
+
+    got = assoc_rules(rd.from_pandas(df).repartition(2), min_conf=0.6) \
+        .to_pandas().set_index(["antecedent", "consequent"])
+    assert len(got) == len(want)
+    for k, (cab, conf, lift) in want.items():
+        assert got.loc[k, "cab"] == cab, k
+        assert abs(got.loc[k, "conf"] - conf) < 1e-12
+        assert abs(got.loc[k, "lift"] - lift) < 1e-12
+
+    pmi = entity_pair_pmi(rd.from_pandas(df).repartition(2)) \
+        .to_pandas().set_index(["a", "b"])
+    for (a, b), cab in pcnt.items():
+        if cab >= 2:
+            assert abs(pmi.loc[(a, b), "pmi"]
+                       - math.log(cab * N / (dfreq[a] * dfreq[b]))) < 1e-12
