@@ -1915,6 +1915,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 batch_size=None)
         return audio_meta(ds)
 
+    def q_sniff_format(sf):
+        # magic-byte content-type routing: plant one of 4 real magics
+        # by k % 4 (png / jpeg / pdf / none), detect back; oracle
+        # recomputes the planted label arithmetically. Exact.
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import sniff_format
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            n = len(k)
+            sel = (k % 4).astype(np.int64)
+            m = np.zeros((n, 12), np.uint8)
+            mag = {0: b"\x89PNG\r\n\x1a\n", 1: b"\xff\xd8\xff",
+                   2: b"%PDF"}
+            for s, bts in mag.items():
+                rows_ = sel == s
+                m[rows_, :len(bts)] = np.frombuffer(bts, np.uint8)
+            offs = (np.arange(n + 1, dtype=np.int32) * 12)
+            payload = pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(offs.tobytes()),
+                 pa.py_buffer(m.tobytes())])
+            return pa.table({"doc_id": pa.array(k, pa.int64()),
+                             "payload": payload})
+
+        ds = orders.map_batches(_mk, batch_format="pyarrow",
+                                batch_size=None)
+        return sniff_format(ds)
+
     def q_neighbor_sample(sf):
         # GraphSAGE-style 2-hop pinned-hash neighbor sampling
         # (fanouts [3, 2]) over the synthetic directed orderkey graph
@@ -3474,6 +3509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_meta": q_audio_meta,      # real WAV RIFF/fmt header parsing over a binary column (SQL-checked)
         "closeness_centrality": q_closeness,  # bounded-radius closeness off HyperBall ball sizes (SQL-checked)
         "assoc_rules": q_assoc_rules,    # directed association rules (conf/lift) over entity co-occurrence (SQL-checked)
+        "sniff_format": q_sniff_format,  # magic-byte content-type detection over a binary column (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
@@ -3876,6 +3912,13 @@ def oracle_sql() -> dict[str, str]:
             "JOIN f fa ON fa.node = m.qa "
             "JOIN f fb ON fb.node = m.qb "
             "CROSS JOIN nt"
+        ),
+        # sniff_format: oracle recomputes the planted magic label
+        "sniff_format": (
+            "SELECT o_orderkey AS doc_id, "
+            "CASE o_orderkey % 4 WHEN 0 THEN 'png' "
+            "WHEN 1 THEN 'jpeg' WHEN 2 THEN 'pdf' "
+            "ELSE 'unknown' END AS format FROM orders"
         ),
         # audio_meta: engine parses REAL WAV bytes planted from
         # orderkeys; oracle recomputes the planted fields

@@ -1783,6 +1783,60 @@ def audio_meta(ds: Dataset, media_col: str = "payload",
                           batch_size=None)
 
 
+_MAGICS = [  # (format, offset, bytes) — first match wins, in order
+    ("png", 0, b"\x89PNG\r\n\x1a\n"),
+    ("jpeg", 0, b"\xff\xd8\xff"),
+    ("gif", 0, b"GIF8"),
+    ("pdf", 0, b"%PDF"),
+    ("gzip", 0, b"\x1f\x8b"),
+    ("zip", 0, b"PK\x03\x04"),
+    ("wav", 8, b"WAVE"),
+    ("avi", 8, b"AVI "),
+    ("webp", 8, b"WEBP"),
+    ("mp4", 4, b"ftyp"),
+]
+
+
+def sniff_format(ds: Dataset, media_col: str = "payload",
+                 id_col: str = "doc_id") -> Dataset:
+    """Magic-byte content-type detection over an opaque binary column
+    → (id, format) — the crawl-side gatekeeper that routes payloads
+    to :func:`image_meta` / :func:`audio_meta` / text extraction
+    (Common Crawl labels lie; bytes don't). One vectorized numpy
+    gather per magic against the Arrow buffer, first match wins;
+    undetected → 'unknown'. Embarrassingly parallel, no exchange."""
+    max_need = max(off + len(m) for _, off, m in _MAGICS)
+
+    def _sniff(b: pa.Table) -> pa.Table:
+        arr = b[media_col].combine_chunks().cast(pa.large_binary())
+        arr = arr.fill_null(b"")
+        bufs = arr.buffers()
+        offs = np.frombuffer(bufs[1], np.int64)[
+            arr.offset:arr.offset + len(arr) + 1]
+        data = (np.frombuffer(bufs[2], np.uint8)
+                if bufs[2] is not None else np.empty(0, np.uint8))
+        start = offs[:-1]
+        ln = np.diff(offs)
+        n = len(start)
+        fmt = np.full(n, "unknown", object)
+        undecided = np.ones(n, bool)
+        for name, off, magic in _MAGICS:
+            need = off + len(magic)
+            cand = np.nonzero(undecided & (ln >= need))[0]
+            if not len(cand):
+                continue
+            got = data[start[cand, None] + np.arange(off, need)]
+            hit = cand[(got == np.frombuffer(magic, np.uint8))
+                       .all(axis=1)]
+            fmt[hit] = name
+            undecided[hit] = False
+        return pa.table({id_col: b[id_col],
+                         "format": pa.array(fmt, pa.string())})
+
+    return ds.map_batches(_sniff, batch_format="pyarrow",
+                          batch_size=None)
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (exact small-side path + hyperplane-LSH scale path)
 # ---------------------------------------------------------------------------

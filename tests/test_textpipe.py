@@ -1280,3 +1280,33 @@ def test_audio_meta_parses_real_wav_headers(ray_session):
     for i in (4, 5, 6):
         assert got.loc[i, "format"] == "unknown"
         assert pd.isna(got.loc[i, "channels"])
+
+
+def test_sniff_format_detects_magics(ray_session):
+    """sniff_format detects all ten formats + unknown/empty."""
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.textpipe import sniff_format
+
+    rows = [
+        (0, b"\x89PNG\r\n\x1a\n" + b"\x00" * 16, "png"),
+        (1, b"\xff\xd8\xff\xe0rest", "jpeg"),
+        (2, b"GIF89a.....", "gif"),
+        (3, b"%PDF-1.7\n", "pdf"),
+        (4, b"\x1f\x8b\x08data", "gzip"),
+        (5, b"PK\x03\x04zipzip", "zip"),
+        (6, b"RIFF\x00\x00\x00\x00WAVEfmt ", "wav"),
+        (7, b"RIFF\x00\x00\x00\x00AVI LIST", "avi"),
+        (8, b"RIFF\x00\x00\x00\x00WEBPVP8 ", "webp"),
+        (9, b"\x00\x00\x00\x18ftypmp42", "mp4"),
+        (10, b"plain text here", "unknown"),
+        (11, b"", "unknown"),
+        (12, b"PK", "unknown"),  # too short for the zip magic
+    ]
+    df = pd.DataFrame([(i, p) for i, p, _ in rows],
+                      columns=["doc_id", "payload"])
+    got = sniff_format(rd.from_pandas(df).repartition(3)) \
+        .to_pandas().set_index("doc_id")
+    for i, _, want in rows:
+        assert got.loc[i, "format"] == want, i
