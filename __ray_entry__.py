@@ -2063,6 +2063,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return closeness_centrality(_synth_tri_edges(sf), max_t=2,
                                     mode="exact")
 
+    def q_quotient_graph(sf):
+        # community supergraph over the synthetic graph with the
+        # pinned digits%3 assignment (shared with partition_quality)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from omop2obo_ray.functions.shuffle import coarse_aggregate
+        from omop2obo_ray.pipelines.graph import quotient_graph
+        from omop2obo_ray.pipelines.textpipe import \
+            _sanitize_join_output
+
+        e = _synth_tri_edges(sf)
+        nodes = _sanitize_join_output(coarse_aggregate(
+            e.map_batches(
+                lambda b: pa.table({"node": pa.concat_arrays(
+                    [b["src"].combine_chunks(),
+                     b["dst"].combine_chunks()])}),
+                batch_format="pyarrow", batch_size=None),
+            ["node"], lambda df: df.drop_duplicates()),
+            pa.schema([("node", pa.string())]))
+
+        def _asg(b: pa.Table) -> pa.Table:
+            import numpy as np
+            digits = pc.cast(pc.utf8_slice_codeunits(
+                b["node"].combine_chunks(), 1, 99), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": b["node"],
+                "community": pa.array((digits % 3).astype(str),
+                                      pa.string())})
+
+        asg = nodes.map_batches(_asg, batch_format="pyarrow",
+                                batch_size=None)
+        return quotient_graph(e, asg)
+
+    def q_cc_incremental(sf):
+        # incremental CC: assign = CC over the OLD residue chains
+        # (m → m+1 inside 12-groups), then fold in NEW bridge edges
+        # (m → m+12 for m%24==5) + a brand-new chain (m+10000 →
+        # m+10001 for m%48==7); oracle recomputes CC over old ∪ new
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import (
+            cc_incremental, connected_components_alternating)
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _old(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            m = k % 1200
+            m = m[m % 12 != 11]
+            return pa.table({"src": pa.array(m, pa.int64()),
+                             "dst": pa.array(m + 1, pa.int64())})
+
+        def _new(b: pa.Table) -> pa.Table:
+            import numpy as np
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            m = k % 1200
+            b1 = m[m % 24 == 5]
+            b2 = m[m % 48 == 7]
+            return pa.table({
+                "src": pa.array(np.r_[b1, b2 + 10000], pa.int64()),
+                "dst": pa.array(np.r_[b1 + 12, b2 + 10001],
+                                pa.int64())})
+
+        old_e = orders.map_batches(_old, batch_format="pyarrow",
+                                   batch_size=None)
+        new_e = orders.map_batches(_new, batch_format="pyarrow",
+                                   batch_size=None)
+        assign = connected_components_alternating(old_e)
+        return cc_incremental(assign, new_e)
+
     def q_dag_depth(sf):
         # longest-path depth over a synthetic orderkey DAG (parent
         # rules k//8→k and k//64→k — ≤ 2 parents/node, depth ≈
@@ -3510,6 +3584,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closeness_centrality": q_closeness,  # bounded-radius closeness off HyperBall ball sizes (SQL-checked)
         "assoc_rules": q_assoc_rules,    # directed association rules (conf/lift) over entity co-occurrence (SQL-checked)
         "sniff_format": q_sniff_format,  # magic-byte content-type detection over a binary column (SQL-checked)
+        "quotient_graph": q_quotient_graph,  # community supergraph rollup (SQL-checked)
+        "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
         "char_entropy": q_char_entropy,  # printable-ASCII Shannon entropy (SQL-checked)
@@ -3912,6 +3988,48 @@ def oracle_sql() -> dict[str, str]:
             "JOIN f fa ON fa.node = m.qa "
             "JOIN f fb ON fb.node = m.qb "
             "CROSS JOIN nt"
+        ),
+        # quotient_graph: canonical undirected dedup → community map
+        # (digits % 3) → unordered community-pair counts
+        "quotient_graph": (
+            "WITH pk AS (SELECT p_partkey AS k FROM part), "
+            "raw AS (SELECT 'n' || (k % 23) AS s, 'n' || (k % 29) AS t "
+            "FROM pk UNION ALL SELECT 'c' || (k % 509), "
+            "'c' || ((k % 509) + 1) FROM pk), "
+            "w AS (SELECT DISTINCT least(s, t) AS a, "
+            "greatest(s, t) AS b FROM raw WHERE s <> t), "
+            "nd AS (SELECT a AS node FROM w UNION SELECT b FROM w), "
+            "asg AS (SELECT node, CAST(CAST(substr(node, 2) "
+            "AS BIGINT) % 3 AS VARCHAR) AS cm FROM nd), "
+            "wc AS (SELECT least(x.cm, y.cm) AS ca, "
+            "greatest(x.cm, y.cm) AS cb FROM w "
+            "JOIN asg x ON x.node = w.a "
+            "JOIN asg y ON y.node = w.b) "
+            "SELECT ca, cb, count(*) AS n_edges FROM wc "
+            "GROUP BY ca, cb"
+        ),
+        # cc_incremental: oracle = min-reachable recursive CTE over
+        # old ∪ new undirected edges (identical to full recompute,
+        # which is exactly the operator's contract)
+        "cc_incremental": (
+            "WITH RECURSIVE "
+            "m0 AS (SELECT o_orderkey % 1200 AS m FROM orders), "
+            "olde AS (SELECT DISTINCT m AS u, m + 1 AS v FROM m0 "
+            "WHERE m % 12 <> 11), "
+            "newe AS (SELECT DISTINCT m AS u, m + 12 AS v FROM m0 "
+            "WHERE m % 24 = 5 "
+            "UNION SELECT DISTINCT m + 10000, m + 10001 FROM m0 "
+            "WHERE m % 48 = 7), "
+            "alle AS (SELECT u, v FROM olde "
+            "UNION SELECT u, v FROM newe), "
+            "und AS (SELECT u, v FROM alle "
+            "UNION SELECT v, u FROM alle), "
+            "nd AS (SELECT DISTINCT u AS node FROM und), "
+            "r AS (SELECT node, node AS m FROM nd "
+            "UNION "
+            "SELECT r.node, und.v FROM r "
+            "JOIN und ON und.u = r.m) "
+            "SELECT node, min(m) AS component FROM r GROUP BY node"
         ),
         # sniff_format: oracle recomputes the planted magic label
         "sniff_format": (

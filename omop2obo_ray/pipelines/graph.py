@@ -3774,6 +3774,183 @@ def ancestor_closure_distributed(edges: Dataset, *, child: str = "child",
                          n_coarse=n_coarse), pair_schema)
 
 
+def quotient_graph(edges: Dataset, assign: Dataset, *,
+                   src: str = "src", dst: str = "dst",
+                   node_col: str = "node",
+                   comm_col: str = "community",
+                   n_coarse: int | None = None) -> Dataset:
+    """Community supergraph (graph summarization / KG rollup) →
+    (ca, cb, n_edges): canonical undirected edges mapped onto their
+    endpoints' communities, counted per unordered community pair.
+    Intra-community rows (ca == cb) carry the internal-edge counts —
+    the zoomed-out graph a 10¹¹-node web graph becomes after
+    :func:`label_propagation` / CC, small enough to analyze directly.
+
+    Scale shape: canonical dedup → TWO slim community-attach
+    ``coarse_join``s → in-map pair canonicalization → ONE pair-keyed
+    coarse count. Edges with an unassigned endpoint drop via the
+    inner joins (same contract as :func:`partition_quality`)."""
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    def _canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src].astype(str)
+        b = df[dst].astype(str)
+        lo = a.where(a <= b, b)
+        hi = b.where(a <= b, a)
+        out = pd.DataFrame({"a": lo, "b": hi})
+        return out[out["a"] != out["b"]].drop_duplicates()
+
+    e = _sanitize_join_output(
+        coarse_aggregate(
+            edges.map_batches(_canon, batch_format="pandas",
+                              batch_size=None),
+            ["a", "b"], lambda df: df.drop_duplicates(),
+            n_coarse=n_coarse),
+        pa.schema([("a", pa.string()), ("b", pa.string())]))
+
+    asg = assign.map_batches(
+        lambda b: pa.table({
+            "n2": pc.cast(b[node_col].combine_chunks(), pa.string()),
+            "_c": pc.cast(b[comm_col].combine_chunks(),
+                          pa.string())}),
+        batch_format="pyarrow", batch_size=None)
+
+    wa = coarse_join(e, asg.map_batches(
+        lambda b: pa.table({"n2": b["n2"], "ca": b["_c"]}),
+        batch_format="pyarrow", batch_size=None),
+        on="a", right_on="n2", how="inner", n_coarse=n_coarse)
+    wb = coarse_join(wa, asg.map_batches(
+        lambda b: pa.table({"n3": b["n2"], "cb": b["_c"]}),
+        batch_format="pyarrow", batch_size=None),
+        on="b", right_on="n3", how="inner", n_coarse=n_coarse)
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df["ca"].where(df["ca"] <= df["cb"], df["cb"])
+        hi = df["cb"].where(df["ca"] <= df["cb"], df["ca"])
+        return pd.DataFrame({"ca": lo, "cb": hi})
+
+    return _sanitize_join_output(
+        coarse_aggregate(
+            wb.map_batches(_pairs, batch_format="pandas",
+                           batch_size=None),
+            ["ca", "cb"],
+            lambda df: df.groupby(["ca", "cb"], sort=False).size()
+            .rename("n_edges").reset_index(), n_coarse=n_coarse),
+        pa.schema([("ca", pa.string()), ("cb", pa.string()),
+                   ("n_edges", pa.int64())]))
+
+
+def cc_incremental(assign: Dataset, new_edges: Dataset, *,
+                   node_col: str = "node",
+                   comp_col: str = "component",
+                   src: str = "src", dst: str = "dst",
+                   n_coarse: int | None = None) -> Dataset:
+    """Incremental connected components (crawl-refresh KG
+    maintenance) → updated (node, component) after new edges arrive:
+    instead of re-running CC over all 10¹² edges, lift the NEW edges
+    onto the existing component ids (unseen endpoints act as their
+    own singleton component), run alternating-star CC over that
+    COMPONENT-level graph — bounded by the new batch, not the
+    corpus — and remap the full assignment through the resulting
+    supercomponent table with one join. Component ids stay "min
+    member id", so the result is IDENTICAL to recomputing CC over
+    old ∪ new edges whenever ``assign`` came from this family's CC
+    operators (pytest-pinned).
+
+    Scale shape: two slim comp-attach ``coarse_join``s on the new
+    edges + the CC rounds on the (small) component graph + ONE
+    left-outer remap join over the assignment; the full edge set is
+    never touched."""
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    asg_schema = pa.schema([("node", pa.int64()),
+                            ("component", pa.int64())])
+    asg = _sanitize_join_output(
+        coarse_aggregate(
+            assign.map_batches(
+                lambda b: pa.table({
+                    "node": b[node_col].combine_chunks()
+                    .cast(pa.int64()),
+                    "component": b[comp_col].combine_chunks()
+                    .cast(pa.int64())}),
+                batch_format="pyarrow", batch_size=None),
+            ["node", "component"], lambda df: df.drop_duplicates(),
+            n_coarse=n_coarse), asg_schema).materialize()
+
+    e = new_edges.map_batches(
+        lambda b: pa.table({
+            "u": b[src].combine_chunks().cast(pa.int64()),
+            "v": b[dst].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+
+    # lift endpoints onto existing comp ids (unseen → own id)
+    wa = coarse_join(e, asg.map_batches(
+        lambda b: pa.table({"n2": b["node"], "cu": b["component"]}),
+        batch_format="pyarrow", batch_size=None),
+        on="u", right_on="n2", how="left_outer", n_coarse=n_coarse)
+    wb = coarse_join(wa, asg.map_batches(
+        lambda b: pa.table({"n3": b["node"], "cv": b["component"]}),
+        batch_format="pyarrow", batch_size=None),
+        on="v", right_on="n3", how="left_outer", n_coarse=n_coarse)
+
+    def _lift(df: pd.DataFrame) -> pd.DataFrame:
+        cu = df["cu"].fillna(df["u"]).astype(np.int64)
+        cv = df["cv"].fillna(df["v"]).astype(np.int64)
+        return pd.DataFrame({"src": cu, "dst": cv})
+
+    comp_edges = wb.map_batches(_lift, batch_format="pandas",
+                                batch_size=None)
+    sup = _sanitize_join_output(
+        connected_components_alternating(comp_edges,
+                                         n_coarse=n_coarse),
+        pa.schema([("node", pa.int64()),
+                   ("component", pa.int64())])).materialize()
+
+    # remap the full assignment + any brand-new nodes
+    new_nodes = _sanitize_join_output(
+        coarse_aggregate(
+            wb.map_batches(_lift, batch_format="pandas",
+                           batch_size=None).map_batches(
+                lambda b: pa.table({"m": pa.concat_arrays(
+                    [b["src"].combine_chunks(),
+                     b["dst"].combine_chunks()])}),
+                batch_format="pyarrow", batch_size=None),
+            ["m"], lambda df: df.drop_duplicates(),
+            n_coarse=n_coarse),
+        pa.schema([("m", pa.int64())]))
+    # brand-new nodes appear in the lifted edges as their own comp id;
+    # rows already covered by assign are dropped by the anti-join
+    extra = coarse_join(
+        new_nodes, asg.map_batches(
+            lambda b: pa.table({"n4": b["node"]}),
+            batch_format="pyarrow", batch_size=None),
+        on="m", right_on="n4", how="left_anti", n_coarse=n_coarse) \
+        .map_batches(
+        lambda b: pa.table({"node": b["m"].combine_chunks()
+                            .cast(pa.int64()),
+                            "component": b["m"].combine_chunks()
+                            .cast(pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+
+    full = _sanitize_join_output(asg.union(
+        _sanitize_join_output(extra, asg_schema)), asg_schema)
+
+    out = coarse_join(full, sup.map_batches(
+        lambda b: pa.table({"c2": b["node"], "sc": b["component"]}),
+        batch_format="pyarrow", batch_size=None),
+        on="component", right_on="c2", how="left_outer",
+        n_coarse=n_coarse)
+
+    def _fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": df["node"].astype(np.int64),
+            "component": df["sc"].fillna(df["component"])
+            .astype(np.int64)})
+
+    return out.map_batches(_fin, batch_format="pandas",
+                           batch_size=None)
+
+
 def kge_negative_samples(triples: Dataset, k: int = 2, *,
                          s_col: str = "s", p_col: str = "p",
                          o_col: str = "o",

@@ -1980,3 +1980,62 @@ def test_closeness_centrality_matches_bfs(ray_session):
         want = reached / totd if totd else 0.0
         assert got.loc[v, "reached"] == reached, v
         assert abs(got.loc[v, "closeness"] - want) < 1e-12, v
+
+
+def test_quotient_graph_matches_oracle(ray_session):
+    """quotient_graph ≡ the pandas rollup (intra loops included)."""
+    from omop2obo_ray.pipelines.graph import quotient_graph
+
+    edges = [("a1", "a2"), ("a2", "a3"), ("a1", "b1"), ("a2", "b2"),
+             ("b1", "b2"), ("b2", "c1"), ("c1", "c2"), ("a3", "a1"),
+             ("a1", "a2"), ("x1", "x1")]   # dup + self loop
+    comm = {n: n[0] for e in edges for n in e}
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    adf = pd.DataFrame({"node": list(comm), "community":
+                        [comm[n] for n in comm]})
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    want = {}
+    for a, b in und:
+        k = tuple(sorted((comm[a], comm[b])))
+        want[k] = want.get(k, 0) + 1
+
+    got = quotient_graph(rd.from_pandas(df).repartition(3),
+                         rd.from_pandas(adf).repartition(2)) \
+        .to_pandas().set_index(["ca", "cb"])["n_edges"].to_dict()
+    assert got == want
+    assert got[("a", "a")] == 3 and got[("a", "b")] == 2
+
+
+def test_cc_incremental_equals_full_recompute(ray_session):
+    """cc_incremental(assign, new) ≡ CC over old ∪ new edges when
+    assign came from the CC family (bridge two old components, add a
+    brand-new chain, touch one isolated old component not at all)."""
+    from omop2obo_ray.pipelines.graph import (
+        cc_incremental, connected_components_alternating)
+
+    old = ([(i, i + 1) for i in range(1, 5)]       # comp min 1
+           + [(i, i + 1) for i in range(10, 15)]   # comp min 10
+           + [(i, i + 1) for i in range(20, 23)]   # comp min 20
+           + [(30, 31)])                            # untouched
+    new = [(4, 12), (22, 40), (40, 41), (50, 51)]  # bridge, grow, new
+
+    old_df = pd.DataFrame(old, columns=["src", "dst"])
+    new_df = pd.DataFrame(new, columns=["src", "dst"])
+
+    assign = connected_components_alternating(
+        rd.from_pandas(old_df).repartition(3)).to_pandas()
+
+    got = cc_incremental(rd.from_pandas(assign).repartition(2),
+                         rd.from_pandas(new_df).repartition(2)) \
+        .to_pandas().set_index("node")["component"].to_dict()
+
+    want = connected_components_alternating(
+        rd.from_pandas(pd.concat([old_df, new_df]))
+        .repartition(3)).to_pandas() \
+        .set_index("node")["component"].to_dict()
+    # full recompute lacks rows for isolated nodes? no — every node
+    # here touches an edge, so domains must match exactly
+    assert got == want
+    assert got[12] == 1 and got[41] == 20 and got[51] == 50
+    assert got[31] == 30
