@@ -2063,6 +2063,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return closeness_centrality(_synth_tri_edges(sf), max_t=2,
                                     mode="exact")
 
+    def q_scc(sf):
+        # directed SCC over a DENSE synthetic digraph (u = k%97 →
+        # v = (k·31+7)%97 — min-label propagation is O(path-to-min),
+        # so the gate graph must be low-diameter); giant SCC +
+        # periphery; oracle = mutual-reachability closure, exact
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import \
+            strongly_connected_components
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _edges(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            u, v = k % 97, (k * 31 + 7) % 97
+            m = u != v
+            return pa.table({"src": pa.array(u[m], pa.int64()),
+                             "dst": pa.array(v[m], pa.int64())})
+
+        e = orders.map_batches(_edges, batch_format="pyarrow",
+                               batch_size=None)
+        return strongly_connected_components(e)
+
     def q_quotient_graph(sf):
         # community supergraph over the synthetic graph with the
         # pinned digits%3 assignment (shared with partition_quality)
@@ -3585,6 +3610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assoc_rules": q_assoc_rules,    # directed association rules (conf/lift) over entity co-occurrence (SQL-checked)
         "sniff_format": q_sniff_format,  # magic-byte content-type detection over a binary column (SQL-checked)
         "quotient_graph": q_quotient_graph,  # community supergraph rollup (SQL-checked)
+        "scc": q_scc,                    # directed strongly connected components, FW-BW-MIN peeling (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -3988,6 +4014,24 @@ def oracle_sql() -> dict[str, str]:
             "JOIN f fa ON fa.node = m.qa "
             "JOIN f fb ON fb.node = m.qb "
             "CROSS JOIN nt"
+        ),
+        # scc: forward closure pairs; SCC(x) = min over mutually-
+        # reachable partners (self included via cycles), singletons
+        # via the left-join coalesce
+        "scc": (
+            "WITH RECURSIVE "
+            "e AS (SELECT DISTINCT o_orderkey % 97 AS u, "
+            "(o_orderkey * 31 + 7) % 97 AS v FROM orders "
+            "WHERE o_orderkey % 97 <> (o_orderkey * 31 + 7) % 97), "
+            "nd AS (SELECT DISTINCT node FROM ("
+            "SELECT u AS node FROM e UNION ALL SELECT v FROM e)), "
+            "r AS (SELECT u AS a, v AS b FROM e "
+            "UNION SELECT r.a, e.v FROM r JOIN e ON e.u = r.b), "
+            "m AS (SELECT r1.a AS node, min(r1.b) AS mm FROM r r1 "
+            "JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a "
+            "GROUP BY r1.a) "
+            "SELECT nd.node, least(nd.node, coalesce(m.mm, nd.node)) "
+            "AS component FROM nd LEFT JOIN m ON m.node = nd.node"
         ),
         # quotient_graph: canonical undirected dedup → community map
         # (digits % 3) → unordered community-pair counts

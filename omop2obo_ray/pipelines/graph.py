@@ -3774,6 +3774,204 @@ def ancestor_closure_distributed(edges: Dataset, *, child: str = "child",
                          n_coarse=n_coarse), pair_schema)
 
 
+def strongly_connected_components(edges: Dataset, *,
+                                  src: str = "src", dst: str = "dst",
+                                  max_peels: int = 16,
+                                  max_rounds: int = 64,
+                                  n_coarse: int | None = None,
+                                  stats: dict | None = None
+                                  ) -> Dataset:
+    """Directed strongly connected components → (node, component),
+    component = min member id — the web-graph bowtie primitive
+    (Broder 2000's giant-SCC decomposition of the link graph; the
+    directed sibling of this file's CC family).
+
+    Algorithm (FW-BW-MIN coloring, Orzan/Hong): per peel round,
+    propagate two min-labels to fixpoint over the LIVE subgraph —
+    f(x) = min id that can reach x (backward min), b(x) = min id
+    reachable from x (forward min). f(x) = b(x) = m proves m→x and
+    x→m, so exactly the nodes with f = b are settled (x ∈ SCC(m));
+    they peel off and the next round runs on the remainder. Every
+    trivial (singleton) SCC with a locally-minimal id settles in its
+    first round, so real web graphs (bowtie + tendrils) need few
+    peels; pathological chains of interleaved ids are bounded by
+    ``max_peels`` (raises if exceeded — partial SCCs are never
+    emitted).
+
+    Scale shape: each propagation round is ONE ``coarse_join``
+    (labels onto edges) + ONE node-keyed coarse min per direction,
+    with a change-count convergence scalar (the CC family's
+    contract); peeling is one semi/anti filter per round. Labels and
+    edges are the only state; nothing graph-sized on the driver."""
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    if n_coarse is None:
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        n_coarse = max(32, 3 * cpus)
+
+    pair = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    live = _sanitize_join_output(
+        coarse_aggregate(
+            edges.map_batches(
+                lambda b: pa.table({
+                    "u": b[src].combine_chunks().cast(pa.int64()),
+                    "v": b[dst].combine_chunks().cast(pa.int64())}),
+                batch_format="pyarrow", batch_size=None),
+            ["u", "v"], lambda df: df.drop_duplicates(),
+            n_coarse=n_coarse), pair).materialize()
+
+    def _nodes_of(e: Dataset) -> Dataset:
+        return _sanitize_join_output(
+            coarse_aggregate(
+                e.map_batches(
+                    lambda b: pa.table({"node": pa.concat_arrays(
+                        [b["u"].combine_chunks(),
+                         b["v"].combine_chunks()])}),
+                    batch_format="pyarrow", batch_size=None),
+                ["node"], lambda df: df.drop_duplicates(),
+                n_coarse=n_coarse),
+            pa.schema([("node", pa.int64())]))
+
+    def _propagate(e: Dataset, nodes: Dataset, forward: bool
+                   ) -> Dataset:
+        # min label over descendants (forward=True) or ancestors;
+        # label flows AGAINST reach direction onto the reached node
+        lbl = _sanitize_join_output(
+            nodes.map_batches(
+                lambda b: pa.table({"node": b["node"],
+                                    "lab": b["node"]}),
+                batch_format="pyarrow", batch_size=None),
+            pa.schema([("node", pa.int64()), ("lab", pa.int64())])
+        ).materialize()
+        key_from, key_to = ("v", "u") if forward else ("u", "v")
+        for _ in range(max_rounds):
+            moved = coarse_join(
+                e, lbl.map_batches(
+                    lambda b: pa.table({"n2": b["node"],
+                                        "lab2": b["lab"]}),
+                    batch_format="pyarrow", batch_size=None),
+                on=key_from, right_on="n2", how="inner",
+                n_coarse=n_coarse)
+            cand = moved.map_batches(
+                lambda b, kt=key_to: pa.table({
+                    "node": b[kt], "lab": b["lab2"]}),
+                batch_format="pyarrow", batch_size=None)
+
+            def _fold(df: pd.DataFrame) -> pd.DataFrame:
+                g = (df.groupby("node", sort=False)
+                     .agg(old=("old", "min"), new=("lab", "min"))
+                     .reset_index())
+                g["lab"] = g[["old", "new"]].min(axis=1)
+                g["chg"] = (g["lab"] < g["old"]).astype(np.int64)
+                return g[["node", "lab", "chg"]]
+
+            tagged = lbl.map_batches(
+                lambda b: pa.table({"node": b["node"],
+                                    "old": b["lab"],
+                                    "lab": b["lab"]}),
+                batch_format="pyarrow", batch_size=None)
+            cand2 = cand.map_batches(
+                lambda b: pa.table({
+                    "node": b["node"],
+                    "old": pa.array([2**62] * b.num_rows, pa.int64()),
+                    "lab": b["lab"]}),
+                batch_format="pyarrow", batch_size=None)
+            merged = _sanitize_join_output(
+                coarse_aggregate(tagged.union(cand2), ["node"],
+                                 _fold, n_coarse=n_coarse),
+                pa.schema([("node", pa.int64()), ("lab", pa.int64()),
+                           ("chg", pa.int64())])).materialize()
+            changed = int(merged.map_batches(
+                lambda b: pa.table({"c": pa.array(
+                    [pc.sum(b["chg"]).as_py() or 0], pa.int64())}),
+                batch_format="pyarrow", batch_size=None)
+                .to_pandas()["c"].sum())
+            lbl = merged.map_batches(
+                lambda b: pa.table({"node": b["node"],
+                                    "lab": b["lab"]}),
+                batch_format="pyarrow", batch_size=None).materialize()
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                "strongly_connected_components: propagation did not "
+                f"converge within max_rounds={max_rounds}")
+        return lbl
+
+    out_parts: list[Dataset] = []
+    asg_schema = pa.schema([("node", pa.int64()),
+                            ("component", pa.int64())])
+    for _peel in range(max_peels):
+        if live.count() == 0:
+            break
+        nodes = _nodes_of(live).materialize()
+        fwd = _propagate(live, nodes, forward=True)
+        bwd = _propagate(live, nodes, forward=False)
+        both = coarse_join(fwd, bwd.map_batches(
+            lambda b: pa.table({"n3": b["node"], "lab_b": b["lab"]}),
+            batch_format="pyarrow", batch_size=None),
+            on="node", right_on="n3", how="inner", n_coarse=n_coarse)
+        settled = _sanitize_join_output(
+            both.map_batches(
+                lambda b: (lambda t: pa.table(
+                    {"node": t["node"], "component": t["lab"]}))(
+                    b.filter(pc.equal(b["lab"].combine_chunks(),
+                                      b["lab_b"].combine_chunks()))),
+                batch_format="pyarrow", batch_size=None),
+            asg_schema).materialize()
+        out_parts.append(settled)
+        if stats is not None:
+            stats.setdefault("peels", 0)
+            stats["peels"] += 1
+        # peel: drop edges touching settled nodes on either side
+        sett_nodes = settled.map_batches(
+            lambda b: pa.table({"n4": b["node"]}),
+            batch_format="pyarrow", batch_size=None)
+        from omop2obo_ray.pipelines.textpipe import _cast_to
+        live = coarse_join(live, sett_nodes, on="u", right_on="n4",
+                           how="left_anti", n_coarse=n_coarse)
+        live = _cast_to(_sanitize_join_output(
+            coarse_join(live, settled.map_batches(
+                lambda b: pa.table({"n5": b["node"]}),
+                batch_format="pyarrow", batch_size=None),
+                on="v", right_on="n5", how="left_anti",
+                n_coarse=n_coarse), pair), pair).materialize()
+        # nodes whose every edge vanished are singleton SCCs
+        remaining = _sanitize_join_output(
+            _nodes_of(live).map_batches(
+                lambda b: pa.table({"n6": b["node"]}),
+                batch_format="pyarrow", batch_size=None),
+            pa.schema([("n6", pa.int64())]))
+        gone = coarse_join(
+            nodes, remaining, on="node", right_on="n6",
+            how="left_anti", n_coarse=n_coarse)
+        gone = coarse_join(
+            _sanitize_join_output(gone, pa.schema(
+                [("node", pa.int64())])),
+            sett_nodes, on="node", right_on="n4", how="left_anti",
+            n_coarse=n_coarse)
+        out_parts.append(_sanitize_join_output(
+            gone.map_batches(
+                lambda b: pa.table({
+                    "node": b["node"].combine_chunks()
+                    .cast(pa.int64()),
+                    "component": b["node"].combine_chunks()
+                    .cast(pa.int64())}),
+                batch_format="pyarrow", batch_size=None),
+            asg_schema))
+    else:
+        if live.count() > 0:
+            raise RuntimeError(
+                "strongly_connected_components: live subgraph not "
+                f"exhausted within max_peels={max_peels}")
+
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.union(p)
+    return _sanitize_join_output(out, asg_schema)
+
+
 def quotient_graph(edges: Dataset, assign: Dataset, *,
                    src: str = "src", dst: str = "dst",
                    node_col: str = "node",

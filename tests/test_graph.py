@@ -2039,3 +2039,49 @@ def test_cc_incremental_equals_full_recompute(ray_session):
     assert got == want
     assert got[12] == 1 and got[41] == 20 and got[51] == 50
     assert got[31] == 30
+
+
+def test_scc_matches_mutual_reachability_oracle(ray_session):
+    """SCC ≡ the BFS mutual-reachability oracle on a bowtie-ish
+    graph; the upstream feeder (1 → cycle{5,6,7}) forces a second
+    peel round (f(5)=1 ≠ b(5)=5 in round one)."""
+    from omop2obo_ray.pipelines.graph import \
+        strongly_connected_components
+
+    edges = [(5, 6), (6, 7), (7, 5),          # cycle A (min 5)
+             (1, 5),                            # feeder into A
+             (7, 20), (20, 21), (21, 20),       # A → cycle B (min 20)
+             (21, 30),                          # B → sink chain
+             (30, 31), (31, 32),
+             (2, 2),                            # self-loop singleton
+             (40, 41), (41, 42), (42, 40), (40, 40),  # cycle C + loop
+             (3, 1)]                            # chain into feeder
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+
+    adj, radj = {}, {}
+    nodes = set()
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        radj.setdefault(b, set()).add(a)
+        nodes |= {a, b}
+
+    def reach(v, g):
+        seen, cur = {v}, {v}
+        while cur:
+            cur = {w for u in cur for w in g.get(u, ())} - seen
+            seen |= cur
+        return seen
+
+    want = {}
+    for v in sorted(nodes):
+        scc = reach(v, adj) & reach(v, radj)
+        want[v] = min(scc)
+
+    stats = {}
+    got = strongly_connected_components(
+        rd.from_pandas(df).repartition(3), stats=stats).to_pandas() \
+        .set_index("node")["component"].to_dict()
+    assert got == want
+    assert stats["peels"] >= 2            # the feeder forces peeling
+    assert got[5] == got[6] == got[7] == 5
+    assert got[20] == got[21] == 20 and got[30] == 30
