@@ -2063,6 +2063,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return closeness_centrality(_synth_tri_edges(sf), max_t=2,
                                     mode="exact")
 
+    def q_bgp_filter(sf):
+        # SPARQL FILTER over the match_bgp geography solutions:
+        # exclude nation n3, keep even-suffix ?c via RE2 regex —
+        # same regex engine as DuckDB's regexp_matches
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import (filter_bindings,
+                                                  match_bgp)
+
+        cust = rd.read_parquet(f"{sf}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"])
+        nat = rd.read_parquet(f"{sf}/nation.parquet",
+                              columns=["n_nationkey", "n_regionkey"])
+
+        import pandas as pd
+
+        def _t(skey, pred, okey, sp, op):
+            def inner(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({
+                    "subj": sp + df[skey].astype(str),
+                    "pred": pred,
+                    "obj": op + df[okey].astype(str)})
+            return inner
+
+        triples = (
+            cust.map_batches(_t("c_custkey", "in_nation",
+                                "c_nationkey", "c", "n"),
+                             batch_format="pandas", batch_size=None)
+            .union(nat.map_batches(_t("n_nationkey", "in_region",
+                                      "n_regionkey", "n", "r"),
+                                   batch_format="pandas",
+                                   batch_size=None)))
+        sols = match_bgp(triples, [("?c", "in_nation", "?n"),
+                                   ("?n", "in_region", "?r")])
+        return filter_bindings(sols, [
+            ("n", "!=", "n3"),
+            ("c", "regex", "^c[0-9]*[02468]$")])
+
     def q_scc(sf):
         # directed SCC over a DENSE synthetic digraph (u = k%97 →
         # v = (k·31+7)%97 — min-label propagation is O(path-to-min),
@@ -3611,6 +3649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sniff_format": q_sniff_format,  # magic-byte content-type detection over a binary column (SQL-checked)
         "quotient_graph": q_quotient_graph,  # community supergraph rollup (SQL-checked)
         "scc": q_scc,                    # directed strongly connected components, FW-BW-MIN peeling (SQL-checked)
+        "bgp_filter": q_bgp_filter,      # SPARQL FILTER (comparisons + RE2 regex) over BGP solutions (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -4014,6 +4053,21 @@ def oracle_sql() -> dict[str, str]:
             "JOIN f fa ON fa.node = m.qa "
             "JOIN f fb ON fb.node = m.qb "
             "CROSS JOIN nt"
+        ),
+        # bgp_filter: FILTER = WHERE over the BGP join; regex via
+        # regexp_matches (RE2, same engine as pyarrow)
+        "bgp_filter": (
+            "WITH t AS ("
+            "SELECT 'c' || c_custkey AS subj, 'in_nation' AS pred, "
+            "'n' || c_nationkey AS obj FROM customer "
+            "UNION ALL "
+            "SELECT 'n' || n_nationkey, 'in_region', "
+            "'r' || n_regionkey FROM nation) "
+            "SELECT p1.subj AS c, p1.obj AS n, p2.obj AS r "
+            "FROM t p1 "
+            "JOIN t p2 ON p2.subj = p1.obj AND p2.pred = 'in_region' "
+            "WHERE p1.pred = 'in_nation' AND p1.obj <> 'n3' "
+            "AND regexp_matches(p1.subj, '^c[0-9]*[02468]$')"
         ),
         # scc: forward closure pairs; SCC(x) = min over mutually-
         # reachable partners (self included via cycles), singletons

@@ -2067,6 +2067,50 @@ def personalized_pagerank(edges: Dataset, seeds: list[str],
     return ranks
 
 
+_FILTER_OPS = {
+    "==": pc.equal, "!=": pc.not_equal, "<": pc.less,
+    "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
+}
+
+
+def filter_bindings(solutions: Dataset,
+                    filters: list[tuple[str, str, str]]) -> Dataset:
+    """SPARQL FILTER over a BGP solution set (the output of
+    :func:`match_bgp` / :func:`match_bgp_union`): each filter is
+    (var, op, value) with op ∈ {==, !=, <, <=, >, >=, regex,
+    not_regex}; comparisons are term-string comparisons (SPARQL's
+    codepoint order for plain literals) and regex is RE2 — the same
+    engine DuckDB's `regexp_matches` uses, so oracles replay
+    byte-for-byte. Filters AND together (one conjunctive FILTER
+    clause). Rows whose var is unbound (null, from OPTIONAL) drop,
+    matching SPARQL's error-on-unbound semantics.
+
+    Vectorized per batch — no exchange; composes with any solution
+    stream since FILTER is row-local."""
+    for var, op, _ in filters:
+        if op not in _FILTER_OPS and op not in ("regex", "not_regex"):
+            raise ValueError(f"filter_bindings: unknown op {op!r}")
+
+    def _apply(b: pa.Table) -> pa.Table:
+        keep = None
+        for var, op, val in filters:
+            col = b[var].combine_chunks()
+            if op == "regex":
+                m = pc.match_substring_regex(col, val)
+            elif op == "not_regex":
+                m = pc.invert(pc.match_substring_regex(col, val))
+            else:
+                m = _FILTER_OPS[op](col, val)
+            m = pc.and_kleene(m, pc.is_valid(col))
+            keep = m if keep is None else pc.and_kleene(keep, m)
+        if keep is None:
+            return b
+        return b.filter(pc.fill_null(keep, False))
+
+    return solutions.map_batches(_apply, batch_format="pyarrow",
+                                 batch_size=None)
+
+
 def match_bgp_union(triples: Dataset,
                     branches: list[list[tuple[str, str, str]]], *,
                     s_col: str = "subj", p_col: str = "pred",

@@ -2085,3 +2085,28 @@ def test_scc_matches_mutual_reachability_oracle(ray_session):
     assert stats["peels"] >= 2            # the feeder forces peeling
     assert got[5] == got[6] == got[7] == 5
     assert got[20] == got[21] == 20 and got[30] == 30
+
+
+def test_filter_bindings_ops(ray_session):
+    """filter_bindings: comparison + regex ops AND together; unbound
+    (null) vars drop per SPARQL error semantics."""
+    from omop2obo_ray.pipelines.graph import filter_bindings
+
+    df = pd.DataFrame({
+        "c": ["c1", "c2", "c10", "c3", None],
+        "n": ["n1", "n2", "n2", "n3", "n1"]})
+    ds = rd.from_pandas(df).repartition(2)
+
+    out = filter_bindings(ds, [("n", "!=", "n3")]).to_pandas()
+    assert sorted(out["c"].dropna()) == ["c1", "c10", "c2"]
+    assert len(out) == 4  # the null-c row survives (c not filtered)
+
+    out = filter_bindings(ds, [("c", "regex", "^c1")]).to_pandas()
+    assert sorted(out["c"]) == ["c1", "c10"]   # null c dropped
+
+    out = filter_bindings(
+        ds, [("c", ">=", "c2"), ("n", "==", "n2")]).to_pandas()
+    assert sorted(out["c"]) == ["c2"]          # 'c10' < 'c2' lexic.
+
+    out = filter_bindings(ds, [("c", "not_regex", "1")]).to_pandas()
+    assert sorted(out["c"]) == ["c2", "c3"]
