@@ -234,11 +234,18 @@ def coarse_join(left: Dataset, right: Dataset, *, on: str,
                           how="left" if how == "left_outer" else "inner")
         out = out.rename(columns={"_k": on})
         # the all-null absent-side columns upcast ints to float64 in
-        # pandas — restore via the nullable Int64 extension (Arrow
-        # round-trips it to int64-with-nulls)
+        # pandas — restore. Null-free columns go straight back to
+        # numpy int64: Ray's pandas→Arrow block conversion can CHOKE
+        # on the Int64 extension dtype and fall back to float64
+        # blocks, which poison downstream concat/unions (seen in
+        # semi/anti buckets with no matches). Only genuinely-null
+        # columns (left_outer misses) use the extension dtype.
         for c in int_restore:
             if out[c].dtype != np.int64:
-                out[c] = out[c].astype("Int64")
+                if out[c].isna().any():
+                    out[c] = out[c].astype("Int64")
+                else:
+                    out[c] = out[c].astype(np.int64)
         return out[list(out_schema.names)]
 
     joined = coarse_aggregate(lt.union(rt), ["_k"], merge,

@@ -2067,7 +2067,7 @@ def personalized_pagerank(edges: Dataset, seeds: list[str],
     return ranks
 
 
-_FILTER_OPS = {
+_BINDING_FILTER_OPS = {
     "==": pc.equal, "!=": pc.not_equal, "<": pc.less,
     "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
 }
@@ -2088,7 +2088,8 @@ def filter_bindings(solutions: Dataset,
     Vectorized per batch — no exchange; composes with any solution
     stream since FILTER is row-local."""
     for var, op, _ in filters:
-        if op not in _FILTER_OPS and op not in ("regex", "not_regex"):
+        if op not in _BINDING_FILTER_OPS and op not in ("regex",
+                                                        "not_regex"):
             raise ValueError(f"filter_bindings: unknown op {op!r}")
 
     def _apply(b: pa.Table) -> pa.Table:
@@ -2100,7 +2101,7 @@ def filter_bindings(solutions: Dataset,
             elif op == "not_regex":
                 m = pc.invert(pc.match_substring_regex(col, val))
             else:
-                m = _FILTER_OPS[op](col, val)
+                m = _BINDING_FILTER_OPS[op](col, val)
             m = pc.and_kleene(m, pc.is_valid(col))
             keep = m if keep is None else pc.and_kleene(keep, m)
         if keep is None:
