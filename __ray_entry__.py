@@ -2630,6 +2630,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                batch_size=None)
         return transitive_reduction(e)
 
+    def q_mask_tokens(sf):
+        # deterministic MLM masking over documents; pinned-hash
+        # election replays exactly in SQL
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import mask_tokens
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return mask_tokens(docs, rate_pct=15)
+
     def q_assoc_rules(sf):
         # directed association rules over doc-level entity
         # co-occurrence; conf/lift are single-rounding IEEE ratios of
@@ -3650,6 +3661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quotient_graph": q_quotient_graph,  # community supergraph rollup (SQL-checked)
         "scc": q_scc,                    # directed strongly connected components, FW-BW-MIN peeling (SQL-checked)
         "bgp_filter": q_bgp_filter,      # SPARQL FILTER (comparisons + RE2 regex) over BGP solutions (SQL-checked)
+        "mask_tokens": q_mask_tokens,    # deterministic MLM-style token masking (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -4362,6 +4374,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # mask_tokens: parallel unnest(token, range) + pinned-hash
+        # CASE — exact
+        "mask_tokens": (
+            "WITH t AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS token, "
+            "unnest(range(len(string_split(text, ' ')))) AS pos "
+            "FROM documents) "
+            "SELECT doc_id, pos, token, "
+            "CASE WHEN ((doc_id % 1000000007) * 30011 "
+            "+ pos * 48271 + 17) % 1000000007 % 100 < 15 "
+            "THEN '[MASK]' ELSE token END AS masked_text FROM t"
         ),
         # assoc_rules: both directions per surviving pair; conf =
         # cab/ca, lift = cab·N/(ca·cb); exact IEEE, no quantizer

@@ -4106,6 +4106,52 @@ def er_cluster(entities: "Dataset", *, id_col: str, text_col: str,
                            batch_size=None)
 
 
+def mask_tokens(docs: "Dataset", *, doc_col: str = "doc_id",
+                text_col: str = "text", rate_pct: int = 15,
+                mask_token: str = "[MASK]") -> "Dataset":
+    """Deterministic MLM-style token masking (BERT pretraining input
+    prep) → one row per token: (doc_id, pos, token, masked_text) with
+    a pinned modular hash of (doc_id, pos) electing ``rate_pct``% of
+    positions — reproducible across runs/resumes and exactly
+    SQL-replayable (the `mis`/`kge_negatives` arithmetic).
+    ``masked_text`` carries the original token or ``mask_token``.
+
+    Vectorization: one `split_pattern` per batch; per-token rows come
+    from the list-offsets buffer (parent doc index + in-doc position
+    both pure numpy, no Python loop). Row-local — no exchange; feed
+    the output to `pack_sequences` for training batches."""
+    M = 1000000007
+
+    def _mask(b: pa.Table) -> pa.Table:
+        ids = b[doc_col].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(
+            b[text_col].combine_chunks().cast(pa.large_string()), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        flat = toks.values
+        n_per = np.diff(offs)
+        parent = np.repeat(np.arange(len(ids)), n_per)
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            offs[:-1], n_per)
+        did = ids[parent]
+        h = ((did % M) * 30011 + pos * 48271 + 17) % M % 100
+        masked = h < rate_pct
+        tok_str = flat.cast(pa.string())
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "token": tok_str,
+            "masked_text": pa.array(
+                np.where(masked, mask_token,
+                         tok_str.to_numpy(zero_copy_only=False)),
+                pa.string())})
+
+    return docs.map_batches(_mask, batch_format="pyarrow",
+                            batch_size=None)
+
+
 def _entity_pair_counts(docs: "Dataset", doc_col: str, text_col: str,
                         min_len: int, min_pair_count: int,
                         n_coarse: int | None):

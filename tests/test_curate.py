@@ -2494,3 +2494,34 @@ def test_assoc_rules_matches_oracle(ray_session):
         if cab >= 2:
             assert abs(pmi.loc[(a, b), "pmi"]
                        - math.log(cab * N / (dfreq[a] * dfreq[b]))) < 1e-12
+
+
+def test_mask_tokens_matches_replay(ray_session):
+    """mask_tokens ≡ the pinned-hash python replay; deterministic
+    across repartitions."""
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import mask_tokens
+
+    df = pd.DataFrame({
+        "doc_id": [7, 12, 99],
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "a b c d e f g h i j k l m n o p",
+                 "single"]})
+    M = 1000000007
+
+    want = []
+    for did, text in zip(df["doc_id"], df["text"]):
+        for pos, tok in enumerate(text.split(" ")):
+            h = ((did % M) * 30011 + pos * 48271 + 17) % M % 100
+            want.append((did, pos, tok,
+                         "[MASK]" if h < 15 else tok))
+
+    got = mask_tokens(rd.from_pandas(df).repartition(2)) \
+        .to_pandas().sort_values(["doc_id", "pos"])
+    assert list(map(tuple, got.itertuples(index=False))) == sorted(want)
+    assert (got["masked_text"] == "[MASK]").any()
+
+    got2 = mask_tokens(rd.from_pandas(df).repartition(3)).to_pandas()
+    assert sorted(map(tuple, got2.itertuples(index=False))) == sorted(want)
