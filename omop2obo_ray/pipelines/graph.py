@@ -4387,6 +4387,8 @@ def neighbor_sample(edges: Dataset, fanouts: list[int], *,
                                 "node": b["seed"]}),
             batch_format="pyarrow", batch_size=None),
         pa.schema([("seed", pa.int64()), ("node", pa.int64())]))
+    if frontier.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
     parts = [frontier.map_batches(
         lambda b: pa.table({"seed": b["seed"],
                             "hop": pa.array([0] * b.num_rows,
@@ -4395,12 +4397,13 @@ def neighbor_sample(edges: Dataset, fanouts: list[int], *,
         batch_format="pyarrow", batch_size=None)]
 
     for hop, f in enumerate(fanouts, 1):
-        adj = ranked.map_batches(
+        adj = _sanitize_join_output(ranked.map_batches(
             lambda b, f_=f: pa.table({
                 "s2": b["s"].combine_chunks(),
                 "d": b["d"].combine_chunks()}).filter(
                 pc.less(b["rk"].combine_chunks(), f_)),
-            batch_format="pyarrow", batch_size=None)
+            batch_format="pyarrow", batch_size=None),
+            pa.schema([("s2", pa.int64()), ("d", pa.int64())]))
         nxt = coarse_join(frontier, adj, on="node", right_on="s2",
                           how="inner", n_coarse=n_coarse)
         frontier = _sanitize_join_output(

@@ -182,3 +182,76 @@ def test_sssp_unknown_seed_only(ray_session):
     e = pd.DataFrame({"src": [1], "dst": [2], "w": [3]})
     got = sssp(rd.from_pandas(e), [99]).to_pandas()
     assert got.to_dict("records") == [{"node": 99, "dist": 0}]
+
+
+def test_filter_bindings_rejects_unknown_op(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.graph import filter_bindings
+
+    ds = rd.from_pandas(pd.DataFrame({"c": ["x"]}))
+    with pytest.raises(ValueError, match="unknown op"):
+        filter_bindings(ds, [("c", "~=", "x")])
+
+
+def test_scc_raises_on_round_budget(ray_session):
+    """A long id-decreasing chain cannot converge in 2 rounds —
+    the budget raise fires instead of emitting partial SCCs."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.graph import \
+        strongly_connected_components
+
+    e = pd.DataFrame({"src": list(range(10, 0, -1)),
+                      "dst": list(range(9, -1, -1))})
+    with pytest.raises(RuntimeError, match="did not converge"):
+        strongly_connected_components(rd.from_pandas(e),
+                                      max_rounds=2)
+
+
+def test_dbscan_rejects_unknown_method(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.textpipe import dbscan_cluster
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": [1], "embedding": [[1.0, 0.0]]}))
+    with pytest.raises(ValueError, match="unknown method"):
+        dbscan_cluster(ds, method="annoy")
+
+
+def test_neighbor_sample_empty_graph(ray_session):
+    """No edges → no seeds → empty typed output, no crash."""
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.graph import neighbor_sample
+
+    e = pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                      "dst": pd.Series([], dtype="int64")})
+    got = neighbor_sample(rd.from_pandas(e), [2]).to_pandas()
+    assert len(got) == 0
+    # Ray 2.49 strips column metadata from zero-row from_arrow
+    # datasets on to_pandas (repo-wide empty-fallback quirk), so
+    # only emptiness is contractual here
+    assert list(got.columns) in ([], ["seed", "hop", "node"])
+
+
+def test_image_meta_all_junk(ray_session):
+    """A batch of only junk payloads yields all-unknown, null dims."""
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.textpipe import image_meta
+
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "payload": [b"garbage", None]})
+    got = image_meta(rd.from_pandas(df)).to_pandas()
+    assert (got["format"] == "unknown").all()
+    assert got["width"].isna().all()
