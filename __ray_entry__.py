@@ -2630,6 +2630,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                batch_size=None)
         return transitive_reduction(e)
 
+    def q_regex_extract(sf):
+        # plant access-log lines from orderkeys (k%7==0 rows are
+        # malformed), parse them back with RE2 named groups; oracle
+        # recomputes the planted fields. Exact.
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import regex_extract
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            verbs = np.array(["GET", "POST", "PUT"])[k % 3]
+            code = (200 + (k % 4) * 100).astype(str)
+            path = np.char.add("/p/", k.astype(str))
+            line = np.char.add(np.char.add(np.char.add(
+                np.char.add(verbs, " "), path), " "), code)
+            bad = k % 7 == 0
+            line = np.where(bad, "malformed line", line)
+            return pa.table({
+                "doc_id": pa.array(k, pa.int64()),
+                "text": pa.array(line, pa.string())})
+
+        ds = orders.map_batches(_mk, batch_format="pyarrow",
+                                batch_size=None)
+        return regex_extract(
+            ds, r"(?P<verb>[A-Z]+) (?P<path>\S+) (?P<code>[0-9]{3})",
+            keep_cols=["doc_id"])
+
     def q_mask_tokens(sf):
         # deterministic MLM masking over documents; pinned-hash
         # election replays exactly in SQL
@@ -3662,6 +3694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc": q_scc,                    # directed strongly connected components, FW-BW-MIN peeling (SQL-checked)
         "bgp_filter": q_bgp_filter,      # SPARQL FILTER (comparisons + RE2 regex) over BGP solutions (SQL-checked)
         "mask_tokens": q_mask_tokens,    # deterministic MLM-style token masking (SQL-checked)
+        "regex_extract": q_regex_extract,  # vectorized RE2 named-group field extraction (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -4374,6 +4407,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # regex_extract: engine parses planted log lines; oracle
+        # recomputes the fields (malformed rows null out)
+        "regex_extract": (
+            "SELECT o_orderkey AS doc_id, "
+            "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE "
+            "CASE o_orderkey % 3 WHEN 0 THEN 'GET' WHEN 1 THEN "
+            "'POST' ELSE 'PUT' END END AS verb, "
+            "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE "
+            "'/p/' || o_orderkey END AS path, "
+            "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE "
+            "CAST(200 + (o_orderkey % 4) * 100 AS VARCHAR) END "
+            "AS code FROM orders"
         ),
         # mask_tokens: parallel unnest(token, range) + pinned-hash
         # CASE — exact

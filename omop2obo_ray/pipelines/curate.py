@@ -4106,6 +4106,35 @@ def er_cluster(entities: "Dataset", *, id_col: str, text_col: str,
                            batch_size=None)
 
 
+def regex_extract(ds: "Dataset", pattern: str, *,
+                  text_col: str = "text",
+                  keep_cols: list[str] | None = None) -> "Dataset":
+    """Vectorized named-group regex extraction (log/scrape field
+    parsing) → the kept columns plus one column per named group in
+    ``pattern``; rows that don't match get nulls in every group
+    column (rows are never dropped — filter on a group's validity
+    downstream). Runs on Arrow's RE2 via ``pc.extract_regex`` — the
+    same engine as DuckDB's `regexp_extract`, so oracles replay
+    byte-for-byte. Row-local, no exchange, zero per-row Python."""
+    import re as _re
+    groups = _re.findall(r"\(\?P<([A-Za-z_][A-Za-z0-9_]*)>", pattern)
+    if not groups:
+        raise ValueError("regex_extract: pattern needs at least one "
+                         "named group (?P<name>...)")
+
+    def _ex(b: pa.Table) -> pa.Table:
+        col = b[text_col].combine_chunks().cast(pa.string())
+        st = pc.extract_regex(col, pattern)  # struct or null per row
+        cols = {c: b[c] for c in (keep_cols or b.column_names)
+                if c in b.column_names}
+        for g in groups:
+            cols[g] = pc.struct_field(st, g)
+        return pa.table(cols)
+
+    return ds.map_batches(_ex, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def mask_tokens(docs: "Dataset", *, doc_col: str = "doc_id",
                 text_col: str = "text", rate_pct: int = 15,
                 mask_token: str = "[MASK]") -> "Dataset":

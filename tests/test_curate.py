@@ -2525,3 +2525,28 @@ def test_mask_tokens_matches_replay(ray_session):
 
     got2 = mask_tokens(rd.from_pandas(df).repartition(3)).to_pandas()
     assert sorted(map(tuple, got2.itertuples(index=False))) == sorted(want)
+
+
+def test_regex_extract_named_groups(ray_session):
+    """regex_extract pulls named groups; non-matches null out, rows
+    never drop."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import regex_extract
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["GET /index.html 200", "POST /api/v1 500",
+                 "garbage line"]})
+    got = regex_extract(
+        rd.from_pandas(df).repartition(2),
+        r"(?P<verb>[A-Z]+) (?P<path>\S+) (?P<code>[0-9]{3})",
+        keep_cols=["doc_id"]).to_pandas().set_index("doc_id")
+    assert got.loc[1].tolist() == ["GET", "/index.html", "200"]
+    assert got.loc[2].tolist() == ["POST", "/api/v1", "500"]
+    assert got.loc[3].isna().all()
+
+    with pytest.raises(ValueError, match="named group"):
+        regex_extract(rd.from_pandas(df), "[A-Z]+")
