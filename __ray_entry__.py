@@ -2662,6 +2662,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, r"(?P<verb>[A-Z]+) (?P<path>\S+) (?P<code>[0-9]{3})",
             keep_cols=["doc_id"])
 
+    def q_json_flatten(sf):
+        # plant JSON sidecar metadata from orderkeys (k%11==0 rows
+        # malformed), flatten three paths back; oracle recomputes
+        # the planted fields. Exact.
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import json_flatten
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            lang = np.array(["en", "de", "fr"])[k % 3]
+            ok = np.where(k % 2 == 0, "true", "false")
+            js = np.char.add(np.char.add(np.char.add(np.char.add(
+                np.char.add('{"id": ', k.astype(str)),
+                ', "meta": {"lang": "'), lang),
+                '", "depth": ' + ""), np.char.add(
+                (k % 5).astype(str), np.char.add(
+                    '}, "ok": ', np.char.add(ok, "}"))))
+            js = np.where(k % 11 == 0, "{broken", js)
+            return pa.table({
+                "doc_id": pa.array(k, pa.int64()),
+                "payload": pa.array(js, pa.string())})
+
+        ds = orders.map_batches(_mk, batch_format="pyarrow",
+                                batch_size=None)
+        return json_flatten(ds, ["id", "meta.lang", "meta.depth",
+                                 "ok"], keep_cols=["doc_id"])
+
     def q_mask_tokens(sf):
         # deterministic MLM masking over documents; pinned-hash
         # election replays exactly in SQL
@@ -3695,6 +3728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bgp_filter": q_bgp_filter,      # SPARQL FILTER (comparisons + RE2 regex) over BGP solutions (SQL-checked)
         "mask_tokens": q_mask_tokens,    # deterministic MLM-style token masking (SQL-checked)
         "regex_extract": q_regex_extract,  # vectorized RE2 named-group field extraction (SQL-checked)
+        "json_flatten": q_json_flatten,  # JSON sidecar-metadata flattening to columns (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -4407,6 +4441,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # json_flatten: engine parses planted JSON; oracle recomputes
+        # the planted fields (k%11==0 rows malformed → nulls)
+        "json_flatten": (
+            "SELECT o_orderkey AS doc_id, "
+            "CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE "
+            "CAST(o_orderkey AS VARCHAR) END AS id, "
+            "CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE "
+            "CASE o_orderkey % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' "
+            "ELSE 'fr' END END AS meta_lang, "
+            "CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE "
+            "CAST(o_orderkey % 5 AS VARCHAR) END AS meta_depth, "
+            "CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE "
+            "CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'false' "
+            "END END AS ok FROM orders"
         ),
         # regex_extract: engine parses planted log lines; oracle
         # recomputes the fields (malformed rows null out)

@@ -4106,6 +4106,75 @@ def er_cluster(entities: "Dataset", *, id_col: str, text_col: str,
                            batch_size=None)
 
 
+def json_flatten(ds: "Dataset", paths: list[str], *,
+                 json_col: str = "payload",
+                 keep_cols: list[str] | None = None) -> "Dataset":
+    """Flatten a JSON string column into typed-string columns, one
+    per dotted ``path`` (API/crawl sidecar metadata → relational
+    columns). Scalars stringify canonically (ints as digits, bools
+    as ``true``/``false``); missing paths, non-object intermediates
+    and malformed JSON yield null; nested values serialize compact.
+    Output column name = the path with dots replaced by ``_``.
+
+    Parse is per-record by nature (orjson, ~2-10× stdlib); this is a
+    CPU-bound stage — size it like a scorer actor pool
+    (`map_batches(..., concurrency=N)`) when the JSON dominates the
+    row. Row-local, no exchange."""
+    try:
+        import orjson as _json
+
+        def _loads(s):
+            return _json.loads(s)
+    except ImportError:                      # pragma: no cover
+        import json as _json
+
+        def _loads(s):
+            return _json.loads(s)
+
+    split_paths = [(p, p.replace(".", "_"), p.split("."))
+                   for p in paths]
+
+    def _str(v):
+        if v is None or isinstance(v, str):
+            return v
+        if v is True:
+            return "true"
+        if v is False:
+            return "false"
+        if isinstance(v, (int, float)):
+            return str(v)
+        import orjson
+        return orjson.dumps(v).decode()
+
+    def _flat(b: pa.Table) -> pa.Table:
+        raw = b[json_col].combine_chunks().cast(pa.string()) \
+            .to_pylist()
+        parsed = []
+        for s in raw:
+            try:
+                v = _loads(s) if s is not None else None
+                parsed.append(v if isinstance(v, dict) else None)
+            except Exception:
+                parsed.append(None)
+        cols = {c: b[c] for c in (keep_cols or b.column_names)
+                if c in b.column_names}
+        for _p, name, parts in split_paths:
+            vals = []
+            for obj in parsed:
+                cur = obj
+                for key in parts:
+                    if not isinstance(cur, dict):
+                        cur = None
+                        break
+                    cur = cur.get(key)
+                vals.append(_str(cur))
+            cols[name] = pa.array(vals, pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(_flat, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def regex_extract(ds: "Dataset", pattern: str, *,
                   text_col: str = "text",
                   keep_cols: list[str] | None = None) -> "Dataset":

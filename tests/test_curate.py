@@ -2550,3 +2550,33 @@ def test_regex_extract_named_groups(ray_session):
 
     with pytest.raises(ValueError, match="named group"):
         regex_extract(rd.from_pandas(df), "[A-Z]+")
+
+
+def test_json_flatten_paths(ray_session):
+    """json_flatten: nested paths, scalar stringification, malformed
+    and missing handling."""
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import json_flatten
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "payload": [
+            '{"id": 7, "meta": {"lang": "en", "depth": 2}, "ok": true}',
+            '{"id": 8, "meta": {"lang": "de"}, "ok": false}',
+            '{"id": 9, "meta": "notdict", "tags": [1, 2]}',
+            'not json at all',
+            None]})
+    got = json_flatten(
+        rd.from_pandas(df).repartition(2),
+        ["id", "meta.lang", "meta.depth", "ok", "tags", "nope.x"],
+        keep_cols=["doc_id"]).to_pandas().set_index("doc_id")
+    assert got.loc[1].tolist() == ["7", "en", "2", "true", None,
+                                   None]
+    assert got.loc[2].tolist() == ["8", "de", None, "false", None,
+                                   None]
+    assert got.loc[3, "meta_lang"] is None     # non-dict intermediate
+    assert got.loc[3, "tags"] == "[1,2]"       # compact nested
+    assert got.loc[4].tolist() == [None] * 6   # malformed
+    assert got.loc[5].tolist() == [None] * 6   # null payload
