@@ -2662,6 +2662,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, r"(?P<verb>[A-Z]+) (?P<path>\S+) (?P<code>[0-9]{3})",
             keep_cols=["doc_id"])
 
+    def q_grouped_outliers(sf):
+        # per-order quantity z-scores; integer accumulation is exact
+        # so the float finale replays unquantized
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import grouped_outliers
+
+        li = rd.read_parquet(f"{sf}/lineitem.parquet",
+                             columns=["l_orderkey", "l_linenumber",
+                                      "l_quantity"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            k = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            ln = b["l_linenumber"].to_numpy(zero_copy_only=False)
+            q = b["l_quantity"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "id": pa.array(k * 10 + ln, pa.int64()),
+                "k": pa.array(k, pa.int64()),
+                "v": pa.array(q.astype("int64"), pa.int64())})
+
+        ds = li.map_batches(_mk, batch_format="pyarrow",
+                            batch_size=None)
+        return grouped_outliers(ds, "k", "v", "id", z_thresh=1.2)
+
     def q_json_flatten(sf):
         # plant JSON sidecar metadata from orderkeys (k%11==0 rows
         # malformed), flatten three paths back; oracle recomputes
@@ -3729,6 +3754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mask_tokens": q_mask_tokens,    # deterministic MLM-style token masking (SQL-checked)
         "regex_extract": q_regex_extract,  # vectorized RE2 named-group field extraction (SQL-checked)
         "json_flatten": q_json_flatten,  # JSON sidecar-metadata flattening to columns (SQL-checked)
+        "grouped_outliers": q_grouped_outliers,  # per-group z-score outlier flags (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -4441,6 +4467,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # grouped_outliers: exact int sufficient stats; mean/var/
+        # sqrt/z replay the engine's single-rounding expressions
+        "grouped_outliers": (
+            "WITH x AS (SELECT l_orderkey * 10 + l_linenumber AS id, "
+            "l_orderkey AS k, CAST(l_quantity AS BIGINT) AS v "
+            "FROM lineitem), "
+            "st AS (SELECT k, count(*) AS n, "
+            "CAST(sum(v) AS BIGINT) AS s, "
+            "CAST(sum(v * v) AS BIGINT) AS sq FROM x GROUP BY k) "
+            "SELECT x.id, x.k, x.v, "
+            "CASE WHEN st.n > 1 AND CAST(st.sq AS DOUBLE) / st.n "
+            "- (CAST(st.s AS DOUBLE) / st.n) "
+            "* (CAST(st.s AS DOUBLE) / st.n) > 0 THEN "
+            "(CAST(x.v AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n) "
+            "/ sqrt(CAST(st.sq AS DOUBLE) / st.n "
+            "- (CAST(st.s AS DOUBLE) / st.n) "
+            "* (CAST(st.s AS DOUBLE) / st.n)) ELSE NULL END AS z, "
+            "CASE WHEN st.n > 1 AND CAST(st.sq AS DOUBLE) / st.n "
+            "- (CAST(st.s AS DOUBLE) / st.n) "
+            "* (CAST(st.s AS DOUBLE) / st.n) > 0 AND "
+            "abs((CAST(x.v AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n) "
+            "/ sqrt(CAST(st.sq AS DOUBLE) / st.n "
+            "- (CAST(st.s AS DOUBLE) / st.n) "
+            "* (CAST(st.s AS DOUBLE) / st.n))) > 1.2 "
+            "THEN 1 ELSE 0 END AS is_outlier "
+            "FROM x JOIN st ON st.k = x.k"
         ),
         # json_flatten: engine parses planted JSON; oracle recomputes
         # the planted fields (k%11==0 rows malformed → nulls)

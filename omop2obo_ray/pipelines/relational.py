@@ -1111,6 +1111,91 @@ def ntile(ds: Dataset, key_col: str, order_cols: list[str], n: int, *,
                             n_coarse=n_coarse)
 
 
+def grouped_outliers(ds: Dataset, key_col: str, val_col: str,
+                     id_col: str, *, z_thresh: float = 3.0,
+                     n_coarse: int | None = None) -> Dataset:
+    """Per-group z-score outlier flagging (data-cleaning primitive)
+    → (id, key, val, z, is_outlier): z = (val − mean_g)/std_g with
+    population std; single-member or zero-variance groups yield null
+    z and is_outlier = 0 (no basis for deviation).
+
+    Scale shape: block-local sufficient-stats partials
+    (count, Σ, Σ²) → ONE key-keyed coarse merge → broadcast-free
+    second pass attaching stats by ONE ``coarse_join`` and flagging
+    in-map. Integer-typed values accumulate in exact int64 (no float
+    reassociation anywhere before the final single-rounding
+    mean/std/z expressions — the gate runs EXACT); float inputs take
+    the same path in float64 with the usual combiner tolerance."""
+    from omop2obo_ray.functions.shuffle import coarse_join
+    from omop2obo_ray.pipelines.textpipe import (_pa_schema_of,
+                                                 _sanitize_join_output)
+
+    vt = _pa_schema_of(ds).field(val_col).type
+    integral = pa.types.is_integer(vt)
+    acc = np.int64 if integral else np.float64
+    sum_t = pa.int64() if integral else pa.float64()
+
+    def _part(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[val_col].to_numpy(acc)
+        g = pd.DataFrame({"k": df[key_col], "v": v, "v2": v * v})
+        out = (g.groupby("k", sort=False)
+               .agg(n=("v", "size"), s=("v", "sum"),
+                    sq=("v2", "sum")).reset_index())
+        return out
+
+    part = ds.map_batches(_part, batch_format="pandas",
+                          batch_size=None)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("k", sort=False)
+                .agg(n=("n", "sum"), s=("s", "sum"),
+                     sq=("sq", "sum")).reset_index())
+
+    kt = _pa_schema_of(ds).field(key_col).type
+    stats = _sanitize_join_output(
+        coarse_aggregate(part, ["k"], _merge, n_coarse=n_coarse),
+        pa.schema([("k", kt), ("n", pa.int64()), ("s", sum_t),
+                   ("sq", sum_t)]))
+
+    slim = ds.map_batches(
+        lambda b: pa.table({id_col: b[id_col], key_col: b[key_col],
+                            val_col: b[val_col]}),
+        batch_format="pyarrow", batch_size=None)
+    joined = coarse_join(slim, stats.map_batches(
+        lambda b: pa.table({"k2": b["k"], "n": b["n"], "s": b["s"],
+                            "sq": b["sq"]}),
+        batch_format="pyarrow", batch_size=None),
+        on=key_col, right_on="k2", how="inner", n_coarse=n_coarse)
+
+    def _flag(b: pa.Table) -> pa.Table:
+        v = b[val_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        n = b["n"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        s = b["s"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sq = b["sq"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        mean = s / n
+        var = sq / n - mean * mean
+        with np.errstate(invalid="ignore"):
+            std = np.sqrt(var)
+        ok = (n > 1) & (std > 0.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.where(ok, (v - mean) / std, np.nan)
+        flag = np.where(ok & (np.abs(z) > z_thresh), 1, 0)
+        return pa.table({
+            id_col: b[id_col], key_col: b[key_col],
+            val_col: b[val_col],
+            "z": pa.array(np.where(ok, z, 0.0), pa.float64(),
+                          mask=~ok),
+            "is_outlier": pa.array(flag.astype(np.int64),
+                                   pa.int64())})
+
+    return joined.map_batches(_flag, batch_format="pyarrow",
+                              batch_size=None)
+
+
 def grouped_corr(ds: Dataset, key_col: str, x_col: str, y_col: str, *,
                  n_coarse: int | None = None) -> Dataset:
     """Per-group Pearson correlation + least-squares line

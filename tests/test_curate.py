@@ -2580,3 +2580,41 @@ def test_json_flatten_paths(ray_session):
     assert got.loc[3, "tags"] == "[1,2]"       # compact nested
     assert got.loc[4].tolist() == [None] * 6   # malformed
     assert got.loc[5].tolist() == [None] * 6   # null payload
+
+
+def test_grouped_outliers_matches_oracle(ray_session):
+    """grouped_outliers ≡ the numpy population-std oracle; singleton
+    and zero-variance groups null out."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.relational import grouped_outliers
+
+    rows = []
+    rid = 0
+    for g, vals in [("a", [10, 11, 9, 10, 12, 50]),    # 50 = outlier
+                    ("b", [5, 5, 5, 5]),               # zero variance
+                    ("c", [7]),                        # singleton
+                    ("d", [0, 100])]:
+        for v in vals:
+            rows.append((rid, g, v))
+            rid += 1
+    df = pd.DataFrame(rows, columns=["id", "key", "val"])
+
+    got = grouped_outliers(rd.from_pandas(df).repartition(3),
+                           "key", "val", "id", z_thresh=2.0) \
+        .to_pandas().set_index("id").sort_index()
+    assert len(got) == len(df)
+    for g in ("a", "b", "c", "d"):
+        vals = df[df["key"] == g]["val"].to_numpy(float)
+        mean, std = vals.mean(), vals.std()
+        for _, r in df[df["key"] == g].iterrows():
+            row = got.loc[r["id"]]
+            if len(vals) <= 1 or std == 0:
+                assert pd.isna(row["z"]) and row["is_outlier"] == 0
+            else:
+                z = (r["val"] - mean) / std
+                assert abs(row["z"] - z) < 1e-9
+                assert row["is_outlier"] == int(abs(z) > 2.0)
+    assert got[got["is_outlier"] == 1].index.tolist() == [5]
