@@ -2662,6 +2662,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, r"(?P<verb>[A-Z]+) (?P<path>\S+) (?P<code>[0-9]{3})",
             keep_cols=["doc_id"])
 
+    def q_kfold(sf):
+        # stratified 4-fold assignment over customers by market
+        # segment; pinned-hash ROW_NUMBER replay — exact
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import kfold_assign
+
+        cust = rd.read_parquet(f"{sf}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"])
+
+        ds = cust.map_batches(
+            lambda b: pa.table({
+                "id": b["c_custkey"].combine_chunks()
+                .cast(pa.int64()),
+                "seg": b["c_mktsegment"]}),
+            batch_format="pyarrow", batch_size=None)
+        return kfold_assign(ds, 4, id_col="id", strata_col="seg")
+
     def q_grouped_outliers(sf):
         # per-order quantity z-scores; integer accumulation is exact
         # so the float finale replays unquantized
@@ -3755,6 +3774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_extract": q_regex_extract,  # vectorized RE2 named-group field extraction (SQL-checked)
         "json_flatten": q_json_flatten,  # JSON sidecar-metadata flattening to columns (SQL-checked)
         "grouped_outliers": q_grouped_outliers,  # per-group z-score outlier flags (SQL-checked)
+        "kfold": q_kfold,                # balanced stratified k-fold assignment (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -4467,6 +4487,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # kfold: ROW_NUMBER over the pinned multiplicative hash per
+        # stratum, % k — exact
+        "kfold": (
+            "SELECT c_custkey AS id, c_mktsegment AS seg, "
+            "(ROW_NUMBER() OVER (PARTITION BY c_mktsegment "
+            "ORDER BY (c_custkey * 2654435761) % 4294967296, "
+            "c_custkey) - 1) % 4 AS fold FROM customer"
         ),
         # grouped_outliers: exact int sufficient stats; mean/var/
         # sqrt/z replay the engine's single-rounding expressions

@@ -1111,6 +1111,57 @@ def ntile(ds: Dataset, key_col: str, order_cols: list[str], n: int, *,
                             n_coarse=n_coarse)
 
 
+def kfold_assign(ds: Dataset, k: int, *, id_col: str,
+                 strata_col: str | None = None,
+                 n_coarse: int | None = None) -> Dataset:
+    """Deterministic stratified k-fold assignment (cross-validation
+    splits) → input rows + ``fold`` ∈ [0, k): within each stratum
+    rows are ordered by the pinned multiplicative hash of ``id``
+    (ties by id) and fold = rank % k — folds are balanced to ±1 row
+    PER STRATUM by construction (hash-mod splits like
+    `train_test_split` only balance in expectation), reproducible
+    across runs/repartitions, and exactly SQL-replayable as a
+    ROW_NUMBER. No strata ⇒ one global stratum.
+
+    Scale shape: ONE stratum-keyed coarse exchange with a vectorized
+    in-frame argsort — same contract as `ntile`/`window_rank`;
+    stratum cardinality bounds the frame like any window."""
+    if k < 2:
+        raise ValueError("kfold_assign: k must be >= 2")
+    from omop2obo_ray.pipelines.textpipe import (_pa_schema_of,
+                                                 _sanitize_join_output)
+
+    sch = _pa_schema_of(ds)
+
+    def _with_stratum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy(deep=False)
+        out["_st"] = (df[strata_col].astype(str) if strata_col
+                      else "_all")
+        return out
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        h = (ids * np.int64(2654435761)) % np.int64(2**32)
+        order = np.lexsort((ids, h))
+        rank = np.empty(len(df), np.int64)
+        rank[order] = np.arange(len(df))
+        out = df.copy(deep=False)
+        out["fold"] = rank % k
+        return out.drop(columns=["_st"])
+
+    out_schema = pa.schema(list(zip(sch.names, sch.types))
+                           + [("fold", pa.int64())])
+    return _sanitize_join_output(
+        coarse_aggregate(
+            ds.map_batches(_with_stratum, batch_format="pandas",
+                           batch_size=None),
+            ["_st"],
+            lambda df: pd.concat([
+                _assign(g) for _, g in df.groupby("_st", sort=False)
+            ]) if len(df) else df.drop(columns=["_st"]),
+            n_coarse=n_coarse), out_schema)
+
+
 def grouped_outliers(ds: Dataset, key_col: str, val_col: str,
                      id_col: str, *, z_thresh: float = 3.0,
                      n_coarse: int | None = None) -> Dataset:

@@ -2618,3 +2618,43 @@ def test_grouped_outliers_matches_oracle(ray_session):
                 assert abs(row["z"] - z) < 1e-9
                 assert row["is_outlier"] == int(abs(z) > 2.0)
     assert got[got["is_outlier"] == 1].index.tolist() == [5]
+
+
+def test_kfold_assign_balanced_and_deterministic(ray_session):
+    """kfold_assign: ±1 balance per stratum, hash-rank replay,
+    repartition-stable."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.relational import kfold_assign
+
+    df = pd.DataFrame({
+        "id": range(100),
+        "label": ["x" if i % 3 else "y" for i in range(100)]})
+
+    got = kfold_assign(rd.from_pandas(df).repartition(4), 5,
+                       id_col="id", strata_col="label").to_pandas()
+    assert len(got) == 100 and set(got["fold"]) == set(range(5))
+    for lab, g in got.groupby("label"):
+        counts = g["fold"].value_counts()
+        assert counts.max() - counts.min() <= 1, lab
+
+    # replay: within stratum, rank by (hash, id) % 5
+    want = {}
+    for lab, g in df.groupby("label"):
+        ids = g["id"].to_numpy(np.int64)
+        h = (ids * np.int64(2654435761)) % np.int64(2**32)
+        order = np.lexsort((ids, h))
+        for r, idx in enumerate(order):
+            want[ids[idx]] = r % 5
+    assert {r["id"]: r["fold"] for _, r in got.iterrows()} == want
+
+    got2 = kfold_assign(rd.from_pandas(df).repartition(7), 5,
+                        id_col="id", strata_col="label").to_pandas()
+    assert got.set_index("id")["fold"].to_dict() \
+        == got2.set_index("id")["fold"].to_dict()
+
+    with pytest.raises(ValueError, match="k must be"):
+        kfold_assign(rd.from_pandas(df), 1, id_col="id")
