@@ -2681,6 +2681,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow", batch_size=None)
         return kfold_assign(ds, 4, id_col="id", strata_col="seg")
 
+    def q_token_label_mi(sf):
+        # token-vs-language mutual information over documents;
+        # ln → 1e6 quantizer
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import token_label_mi
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+        out = token_label_mi(docs, min_len=5, min_count=2)
+
+        def _q(b: pa.Table) -> pa.Table:
+            import numpy as np
+            m = b["mi"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "token": b["token"], "label": b["label"],
+                "n_tc": b["n_tc"],
+                "mi_q": pa.array(np.floor(m * 1e6 + 1e-6)
+                                 .astype(np.int64), pa.int64())})
+
+        return out.map_batches(_q, batch_format="pyarrow",
+                               batch_size=None)
+
     def q_grouped_outliers(sf):
         # per-order quantity z-scores; integer accumulation is exact
         # so the float finale replays unquantized
@@ -3775,6 +3800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_flatten": q_json_flatten,  # JSON sidecar-metadata flattening to columns (SQL-checked)
         "grouped_outliers": q_grouped_outliers,  # per-group z-score outlier flags (SQL-checked)
         "kfold": q_kfold,                # balanced stratified k-fold assignment (SQL-checked)
+        "token_label_mi": q_token_label_mi,  # token-vs-label mutual information feature selection (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -4487,6 +4513,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # token_label_mi: distinct per-doc (token, lang) events;
+        # marginals from the same counts + docs-per-label; ln 1e6
+        "token_label_mi": (
+            "WITH toks AS (SELECT DISTINCT doc_id, lang, tok FROM ("
+            "SELECT doc_id, lang, unnest(string_split(text, ' ')) "
+            "AS tok FROM documents) WHERE length(tok) >= 5), "
+            "n AS (SELECT count(*) AS nd FROM documents), "
+            "tc AS (SELECT tok AS token, lang AS label, "
+            "count(*) AS n_tc FROM toks GROUP BY 1, 2), "
+            "nt AS (SELECT token, CAST(sum(n_tc) AS BIGINT) AS n_t "
+            "FROM tc GROUP BY token), "
+            "nc AS (SELECT lang AS label, count(*) AS n_c "
+            "FROM documents GROUP BY lang) "
+            "SELECT tc.token, tc.label, tc.n_tc, "
+            "CAST(floor(ln(CAST(tc.n_tc AS DOUBLE) * n.nd "
+            "/ (CAST(nt.n_t AS DOUBLE) * nc.n_c)) * 1e6 + 1e-6) "
+            "AS BIGINT) AS mi_q "
+            "FROM tc CROSS JOIN n "
+            "JOIN nt ON nt.token = tc.token "
+            "JOIN nc ON nc.label = tc.label WHERE tc.n_tc >= 2"
         ),
         # kfold: ROW_NUMBER over the pinned multiplicative hash per
         # stratum, % k — exact

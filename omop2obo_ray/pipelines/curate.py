@@ -4106,6 +4106,98 @@ def er_cluster(entities: "Dataset", *, id_col: str, text_col: str,
                            batch_size=None)
 
 
+def token_label_mi(docs: "Dataset", *, doc_col: str = "doc_id",
+                   text_col: str = "text", label_col: str = "lang",
+                   min_len: int = 5, min_count: int = 2,
+                   n_coarse: int | None = None) -> "Dataset":
+    """Pointwise mutual information between document-level token
+    presence and a document label → (token, label, n_tc, mi) for
+    (token, label) pairs with ≥ ``min_count`` co-occurrences:
+    mi = ln(N·n_tc / (n_t·n_c)) over document frequencies — the
+    feature-selection signal behind `nb_train`/`dsir_weights`
+    (which tokens identify a language/domain/quality bucket).
+
+    Scale shape (the `entity_pair_pmi` family): per-doc DISTINCT
+    tokens emitted with the doc's label in one vectorized map (a doc
+    is one row — no doc-keyed exchange), ONE (token, label) coarse
+    count, a token-marginal derived from the SAME counts by a second
+    tiny fold (no second corpus pass), the label marginal likewise,
+    and one slim token-attach ``coarse_join``. Label cardinality is
+    assumed driver-small (languages/buckets — broadcast scalars)."""
+    from omop2obo_ray.functions.shuffle import (coarse_aggregate,
+                                                coarse_join)
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    n_docs = docs.count()
+
+    def _emit(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            b[text_col].combine_chunks().cast(pa.large_string()), " ")
+        labels = b[label_col].combine_chunks().cast(pa.string()) \
+            .to_pylist()
+        out_t, out_l = [], []
+        for row, lab in zip(toks.to_pylist(), labels):
+            for t in {x for x in row if len(x) >= min_len}:
+                out_t.append(t)
+                out_l.append(lab)
+        return pa.table({"token": pa.array(out_t, pa.large_string()),
+                         "label": pa.array(out_l, pa.string())})
+
+    rows = docs.map_batches(_emit, batch_format="pyarrow",
+                            batch_size=None)
+    tc = _sanitize_join_output(
+        coarse_aggregate(
+            rows, ["token", "label"],
+            lambda df: df.groupby(["token", "label"], sort=False)
+            .size().rename("n_tc").reset_index(),
+            n_coarse=n_coarse),
+        pa.schema([("token", pa.large_string()),
+                   ("label", pa.string()),
+                   ("n_tc", pa.int64())])).materialize()
+
+    # marginals from the SAME counts: n_t per token, n_c per label
+    nt = _sanitize_join_output(
+        coarse_aggregate(
+            tc, ["token"],
+            lambda df: df.groupby("token", sort=False)["n_tc"].sum()
+            .rename("n_t").reset_index(), n_coarse=n_coarse),
+        pa.schema([("token", pa.large_string()),
+                   ("n_t", pa.int64())]))
+    # label marginal = docs per label (same doc-event space as n_t):
+    # per-block partial counts, tiny frames to the driver
+    nc = (docs.map_batches(
+        lambda df: df[label_col].astype(str).value_counts()
+        .rename_axis("label").rename("n").reset_index(),
+        batch_format="pandas", batch_size=None)
+        .to_pandas().groupby("label")["n"].sum().to_dict())
+    nc_ref = ray.put(nc)
+
+    surv = tc.map_batches(
+        lambda b: b.filter(pc.greater_equal(
+            b["n_tc"].combine_chunks(), min_count)),
+        batch_format="pyarrow", batch_size=None)
+    joined = coarse_join(surv, nt.map_batches(
+        lambda b: pa.table({"t2": b["token"], "n_t": b["n_t"]}),
+        batch_format="pyarrow", batch_size=None),
+        on="token", right_on="t2", how="inner", n_coarse=n_coarse)
+
+    def _mi(b: pa.Table) -> pa.Table:
+        ncm = ray.get(nc_ref)
+        ntc = b["n_tc"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ntk = b["n_t"].combine_chunks().to_numpy(zero_copy_only=False)
+        lab = b["label"].combine_chunks().to_pylist()
+        ncv = np.array([ncm[x] for x in lab], np.int64)
+        mi = np.log(ntc.astype(np.float64) * n_docs
+                    / (ntk.astype(np.float64) * ncv))
+        return pa.table({"token": b["token"], "label": b["label"],
+                         "n_tc": pa.array(ntc, pa.int64()),
+                         "mi": pa.array(mi, pa.float64())})
+
+    return joined.map_batches(_mi, batch_format="pyarrow",
+                              batch_size=None)
+
+
 def json_flatten(ds: "Dataset", paths: list[str], *,
                  json_col: str = "payload",
                  keep_cols: list[str] | None = None) -> "Dataset":

@@ -2658,3 +2658,44 @@ def test_kfold_assign_balanced_and_deterministic(ray_session):
 
     with pytest.raises(ValueError, match="k must be"):
         kfold_assign(rd.from_pandas(df), 1, id_col="id")
+
+
+def test_token_label_mi_matches_oracle(ray_session):
+    """token_label_mi ≡ the pure-python doc-frequency PMI oracle."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import token_label_mi
+
+    docs = [
+        ("hello bonjour world", "en"),
+        ("hello world again today", "en"),
+        ("bonjour monde bonjour", "fr"),
+        ("monde encore hello", "fr"),
+        ("world today hello", "en"),
+    ]
+    df = pd.DataFrame(docs, columns=["text", "lang"])
+    df["doc_id"] = range(len(df))
+    N = len(docs)
+
+    ntc, nt, nc = {}, {}, {}
+    for text, lab in docs:
+        nc[lab] = nc.get(lab, 0) + 1
+        for t in {w for w in text.split() if len(w) >= 5}:
+            ntc[(t, lab)] = ntc.get((t, lab), 0) + 1
+            nt[t] = nt.get(t, 0) + 1
+
+    got = token_label_mi(rd.from_pandas(df).repartition(2),
+                         min_len=5, min_count=2).to_pandas() \
+        .set_index(["token", "label"])
+    want = {k: v for k, v in ntc.items() if v >= 2}
+    assert len(got) == len(want)
+    for (t, lab), v in want.items():
+        row = got.loc[(t, lab)]
+        assert row["n_tc"] == v
+        assert abs(row["mi"]
+                   - math.log(v * N / (nt[t] * nc[lab]))) < 1e-12
+    # 'monde' is a strong fr signal (2/2 fr docs, 0 en docs)
+    assert got.loc[("monde", "fr"), "mi"] > 0
