@@ -2706,6 +2706,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(_q, batch_format="pyarrow",
                                batch_size=None)
 
+    def q_cusum(sf):
+        # per-user CUSUM drift alarms over event values (floored to
+        # ints so both engines fold exact integers); the prefix-
+        # extrema identity replays as SQL window functions — exact
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import cusum_flags
+
+        ev = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["event_id", "ts", "user_id",
+                                      "value"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            import numpy as np
+            v = b["value"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "id": b["event_id"].combine_chunks()
+                .cast(pa.int64()),
+                "k": b["user_id"].combine_chunks().cast(pa.int64()),
+                "t": b["ts"].combine_chunks().cast(
+                    pa.timestamp("us")).cast(pa.int64()),
+                "v": pa.array(np.floor(v).astype(np.int64),
+                              pa.int64())})
+
+        ds = ev.map_batches(_mk, batch_format="pyarrow",
+                            batch_size=None)
+        return cusum_flags(ds, key_col="k", ts_col="t", val_col="v",
+                           id_col="id", target=5, threshold=20.0)
+
     def q_grouped_outliers(sf):
         # per-order quantity z-scores; integer accumulation is exact
         # so the float finale replays unquantized
@@ -3801,6 +3831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_outliers": q_grouped_outliers,  # per-group z-score outlier flags (SQL-checked)
         "kfold": q_kfold,                # balanced stratified k-fold assignment (SQL-checked)
         "token_label_mi": q_token_label_mi,  # token-vs-label mutual information feature selection (SQL-checked)
+        "cusum": q_cusum,                # per-key CUSUM change-point alarms (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -4513,6 +4544,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # cusum: prefix-extrema identity as window functions —
+        # s+ = c − least(min(c) over prefix, 0), s− symmetric; exact
+        "cusum": (
+            "WITH x AS (SELECT event_id AS id, user_id AS k, "
+            "epoch_us(ts) AS t, "
+            "CAST(floor(value) AS BIGINT) AS v FROM events), "
+            "c1 AS (SELECT *, SUM(v - 5) OVER (PARTITION BY k "
+            "ORDER BY t, id ROWS UNBOUNDED PRECEDING) AS c FROM x), "
+            "c2 AS (SELECT *, "
+            "MIN(c) OVER (PARTITION BY k ORDER BY t, id "
+            "ROWS UNBOUNDED PRECEDING) AS mn, "
+            "MAX(c) OVER (PARTITION BY k ORDER BY t, id "
+            "ROWS UNBOUNDED PRECEDING) AS mx FROM c1) "
+            "SELECT id, k, t, v, "
+            "CAST(c - least(mn, 0) AS DOUBLE) AS cusum_pos, "
+            "CAST(c - greatest(mx, 0) AS DOUBLE) AS cusum_neg, "
+            "CASE WHEN c - least(mn, 0) > 20.0 "
+            "OR c - greatest(mx, 0) < -20.0 THEN 1 ELSE 0 END "
+            "AS flag FROM c2"
         ),
         # token_label_mi: distinct per-doc (token, lang) events;
         # marginals from the same counts + docs-per-label; ln 1e6

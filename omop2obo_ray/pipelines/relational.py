@@ -1111,6 +1111,54 @@ def ntile(ds: Dataset, key_col: str, order_cols: list[str], n: int, *,
                             n_coarse=n_coarse)
 
 
+def cusum_flags(ds: Dataset, *, key_col: str, ts_col: str,
+                val_col: str, id_col: str, target: float,
+                threshold: float,
+                n_coarse: int | None = None) -> Dataset:
+    """Per-key CUSUM change-point detection (Page 1954) → input keys
+    plus (cusum_pos, cusum_neg, flag): s⁺_t = max(0, s⁺_{t−1} + d_t)
+    and s⁻_t = min(0, s⁻_{t−1} + d_t) with d_t = val_t − target,
+    rows ordered by (ts, id) within key; flag = 1 where s⁺ >
+    ``threshold`` or s⁻ < −``threshold`` (drift alarms on quality /
+    latency / rate streams).
+
+    The reset-recurrences vectorize exactly via the prefix-extrema
+    identity s⁺_t = c_t − min(0, min_{j≤t} c_j) (and symmetrically
+    s⁻ with max), c = prefix sum of d — one `cumsum` + one
+    `minimum.accumulate` per frame, no Python loop, and the SAME
+    identity is expressible as SQL window functions, so integer
+    inputs gate exactly. ONE key-keyed coarse exchange (the
+    `ewma`/`streaks` shape)."""
+    from omop2obo_ray.pipelines.textpipe import (_pa_schema_of,
+                                                 _sanitize_join_output)
+
+    sch = _pa_schema_of(ds)
+
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby(key_col, sort=False):
+            g = g.sort_values([ts_col, id_col], kind="mergesort")
+            d = g[val_col].to_numpy(np.float64) - float(target)
+            c = np.cumsum(d)
+            lo = np.minimum(np.minimum.accumulate(c), 0.0)
+            hi = np.maximum(np.maximum.accumulate(c), 0.0)
+            pos = c - lo
+            neg = c - hi
+            g = g.assign(cusum_pos=pos, cusum_neg=neg,
+                         flag=((pos > threshold)
+                               | (neg < -threshold)).astype(np.int64))
+            out.append(g)
+        return pd.concat(out) if out else df
+
+    out_schema = pa.schema(
+        list(zip(sch.names, sch.types))
+        + [("cusum_pos", pa.float64()), ("cusum_neg", pa.float64()),
+           ("flag", pa.int64())])
+    return _sanitize_join_output(
+        coarse_aggregate(ds, [key_col], _scan, n_coarse=n_coarse),
+        out_schema)
+
+
 def kfold_assign(ds: Dataset, k: int, *, id_col: str,
                  strata_col: str | None = None,
                  n_coarse: int | None = None) -> Dataset:

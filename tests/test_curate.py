@@ -2699,3 +2699,42 @@ def test_token_label_mi_matches_oracle(ray_session):
                    - math.log(v * N / (nt[t] * nc[lab]))) < 1e-12
     # 'monde' is a strong fr signal (2/2 fr docs, 0 en docs)
     assert got.loc[("monde", "fr"), "mi"] > 0
+
+
+def test_cusum_flags_matches_recurrence(ray_session):
+    """cusum_flags ≡ the literal Page recurrence replay."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.relational import cusum_flags
+
+    rows = []
+    vals = {"a": [10, 10, 14, 15, 16, 9, 10, 3, 2, 10],
+            "b": [10] * 5}
+    rid = 0
+    for k, vs in vals.items():
+        for t, v in enumerate(vs):
+            rows.append((rid, k, t, v))
+            rid += 1
+    df = pd.DataFrame(rows, columns=["id", "key", "ts", "val"])
+
+    got = cusum_flags(rd.from_pandas(df).repartition(3),
+                      key_col="key", ts_col="ts", val_col="val",
+                      id_col="id", target=10, threshold=5.0) \
+        .to_pandas().set_index("id").sort_index()
+    for k, vs in vals.items():
+        sp = sn = 0.0
+        sub = df[df["key"] == k].sort_values("ts")
+        for _, r in sub.iterrows():
+            d = r["val"] - 10
+            sp = max(0.0, sp + d)
+            sn = min(0.0, sn + d)
+            row = got.loc[r["id"]]
+            assert abs(row["cusum_pos"] - sp) < 1e-12, r["id"]
+            assert abs(row["cusum_neg"] - sn) < 1e-12
+            assert row["flag"] == int(sp > 5.0 or sn < -5.0)
+    # the planted drift up (14,15,16) alarms from id 3 and stays
+    # elevated until the crash (3,2), which alarms the negative side
+    assert got[got["flag"] == 1].index.tolist() == [3, 4, 5, 6, 7,
+                                                    8, 9]
