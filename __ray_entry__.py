@@ -2706,6 +2706,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(_q, batch_format="pyarrow",
                                batch_size=None)
 
+    def q_er_eval(sf):
+        # pairwise P/R/F1 of the CC clustering over the old residue
+        # chains against synthetic gold pairs (every 3rd chain link
+        # = easy TP; cross-group (m, m+12) pairs = planted FNs);
+        # exact counts + single-rounding ratios
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.functions.shuffle import coarse_aggregate
+        from omop2obo_ray.pipelines.curate import er_eval
+        from omop2obo_ray.pipelines.graph import \
+            connected_components_alternating
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _old(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            m = k % 1200
+            m = m[m % 12 != 11]
+            return pa.table({"src": pa.array(m, pa.int64()),
+                             "dst": pa.array(m + 1, pa.int64())})
+
+        def _gold(b: pa.Table) -> pa.Table:
+            import numpy as np
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            m = k % 1200
+            g1 = m[(m % 12 != 11) & (m % 3 == 0)]
+            g2 = m[m % 24 == 5]
+            return pa.table({
+                "a": pa.array(np.r_[g1, g2], pa.int64()),
+                "b": pa.array(np.r_[g1 + 1, g2 + 12], pa.int64())})
+
+        assign = connected_components_alternating(
+            orders.map_batches(_old, batch_format="pyarrow",
+                               batch_size=None))
+        gold = coarse_aggregate(
+            orders.map_batches(_gold, batch_format="pyarrow",
+                               batch_size=None),
+            ["a", "b"], lambda df: df.drop_duplicates())
+        return er_eval(assign, gold, cluster_col="component")
+
     def q_cusum(sf):
         # per-user CUSUM drift alarms over event values (floored to
         # ints so both engines fold exact integers); the prefix-
@@ -3832,6 +3874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kfold": q_kfold,                # balanced stratified k-fold assignment (SQL-checked)
         "token_label_mi": q_token_label_mi,  # token-vs-label mutual information feature selection (SQL-checked)
         "cusum": q_cusum,                # per-key CUSUM change-point alarms (SQL-checked)
+        "er_eval": q_er_eval,            # pairwise ER clustering P/R/F1 without pair materialization (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -4544,6 +4587,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # er_eval: pp from cluster sizes, tp via two cluster-attach
+        # joins on the gold pairs; ratios single-rounding — exact
+        "er_eval": (
+            "WITH RECURSIVE "
+            "m0 AS (SELECT o_orderkey % 1200 AS m FROM orders), "
+            "olde AS (SELECT DISTINCT m AS u, m + 1 AS v FROM m0 "
+            "WHERE m % 12 <> 11), "
+            "und AS (SELECT u, v FROM olde "
+            "UNION SELECT v, u FROM olde), "
+            "nd AS (SELECT DISTINCT u AS node FROM und), "
+            "r AS (SELECT node, node AS mm FROM nd "
+            "UNION SELECT r.node, und.v FROM r "
+            "JOIN und ON und.u = r.mm), "
+            "comp AS (SELECT node, min(mm) AS cl FROM r "
+            "GROUP BY node), "
+            "sizes AS (SELECT cl, count(*) AS k FROM comp "
+            "GROUP BY cl), "
+            "ppx AS (SELECT CAST(sum(k * (k - 1) / 2) AS BIGINT) "
+            "AS pp FROM sizes), "
+            "gold AS (SELECT DISTINCT m AS a, m + 1 AS b FROM m0 "
+            "WHERE m % 12 <> 11 AND m % 3 = 0 "
+            "UNION SELECT DISTINCT m, m + 12 FROM m0 "
+            "WHERE m % 24 = 5), "
+            "ng AS (SELECT count(*) AS n FROM gold), "
+            "tpx AS (SELECT count(*) AS tp FROM gold "
+            "JOIN comp x ON x.node = gold.a "
+            "JOIN comp y ON y.node = gold.b AND y.cl = x.cl) "
+            "SELECT tpx.tp, ppx.pp AS predicted_pairs, "
+            "ng.n AS gold_pairs, "
+            "CAST(tpx.tp AS DOUBLE) / ppx.pp AS precision, "
+            "CAST(tpx.tp AS DOUBLE) / ng.n AS recall, "
+            "2.0 * (CAST(tpx.tp AS DOUBLE) / ppx.pp) "
+            "* (CAST(tpx.tp AS DOUBLE) / ng.n) "
+            "/ ((CAST(tpx.tp AS DOUBLE) / ppx.pp) "
+            "+ (CAST(tpx.tp AS DOUBLE) / ng.n)) AS f1 "
+            "FROM tpx CROSS JOIN ppx CROSS JOIN ng"
         ),
         # cusum: prefix-extrema identity as window functions —
         # s+ = c − least(min(c) over prefix, 0), s− symmetric; exact

@@ -4106,6 +4106,82 @@ def er_cluster(entities: "Dataset", *, id_col: str, text_col: str,
                            batch_size=None)
 
 
+def er_eval(assign: "Dataset", gold_pairs: "Dataset", *,
+            id_col: str = "node", cluster_col: str = "cluster",
+            a_col: str = "a", b_col: str = "b",
+            n_coarse: int | None = None) -> "Dataset":
+    """Pairwise evaluation of an entity-resolution clustering against
+    gold match pairs → ONE row (tp, predicted_pairs, gold_pairs,
+    precision, recall, f1). The standard ER metric (pairwise P/R,
+    Menestrina 2010) computed WITHOUT materializing within-cluster
+    pairs: predicted-pair mass is Σ_c k_c(k_c−1)/2 off cluster sizes
+    alone, and TP needs only the GOLD pairs (two slim cluster-attach
+    ``coarse_join``s + an equality count) — a 10⁹-row cluster costs
+    one size row, never 10¹⁸ pairs. Gold pairs whose BOTH sides are
+    missing from the assignment count as unmatched (recall hit),
+    mirroring the closed-world SQL oracle. All counts exact int64;
+    the three ratios are single-rounding divisions — gate exact."""
+    from omop2obo_ray.functions.shuffle import (coarse_aggregate,
+                                                coarse_join)
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    asg = assign.map_batches(
+        lambda b: pa.table({
+            "node": b[id_col].combine_chunks().cast(pa.int64()),
+            "cl": b[cluster_col].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    # predicted-pair mass from cluster sizes only
+    sizes = _sanitize_join_output(
+        coarse_aggregate(
+            asg, ["cl"],
+            lambda df: df.groupby("cl", sort=False).size()
+            .rename("k").reset_index(), n_coarse=n_coarse),
+        pa.schema([("cl", pa.int64()), ("k", pa.int64())]))
+    pp = int(sizes.map_batches(
+        lambda b: pa.table({"s": pa.array([int(np.sum(
+            (lambda k: k * (k - 1) // 2)(
+                b["k"].to_numpy(zero_copy_only=False))))],
+            pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+        .to_pandas()["s"].sum())
+
+    gp = gold_pairs.map_batches(
+        lambda b: pa.table({
+            "a": b[a_col].combine_chunks().cast(pa.int64()),
+            "b": b[b_col].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    n_gold = gp.count()
+
+    wa = coarse_join(gp, asg.map_batches(
+        lambda b: pa.table({"n2": b["node"], "ca": b["cl"]}),
+        batch_format="pyarrow", batch_size=None),
+        on="a", right_on="n2", how="inner", n_coarse=n_coarse)
+    wb = coarse_join(wa, asg.map_batches(
+        lambda b: pa.table({"n3": b["node"], "cb": b["cl"]}),
+        batch_format="pyarrow", batch_size=None),
+        on="b", right_on="n3", how="inner", n_coarse=n_coarse)
+    tp = int(wb.map_batches(
+        lambda b: pa.table({"s": pa.array([int(np.sum(
+            b["ca"].to_numpy(zero_copy_only=False)
+            == b["cb"].to_numpy(zero_copy_only=False)))],
+            pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+        .to_pandas()["s"].sum())
+
+    prec = tp / pp if pp else 0.0
+    rec = tp / n_gold if n_gold else 0.0
+    f1 = (2.0 * prec * rec / (prec + rec)
+          if (prec + rec) > 0 else 0.0)
+    return ray.data.from_arrow(pa.table({
+        "tp": pa.array([tp], pa.int64()),
+        "predicted_pairs": pa.array([pp], pa.int64()),
+        "gold_pairs": pa.array([n_gold], pa.int64()),
+        "precision": pa.array([prec], pa.float64()),
+        "recall": pa.array([rec], pa.float64()),
+        "f1": pa.array([f1], pa.float64())}))
+
+
 def token_label_mi(docs: "Dataset", *, doc_col: str = "doc_id",
                    text_col: str = "text", label_col: str = "lang",
                    min_len: int = 5, min_count: int = 2,

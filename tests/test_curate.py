@@ -2738,3 +2738,29 @@ def test_cusum_flags_matches_recurrence(ray_session):
     # elevated until the crash (3,2), which alarms the negative side
     assert got[got["flag"] == 1].index.tolist() == [3, 4, 5, 6, 7,
                                                     8, 9]
+
+
+def test_er_eval_matches_oracle(ray_session):
+    """er_eval ≡ hand-computed pairwise P/R on planted clusters."""
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import er_eval
+
+    # clusters: {1,2,3}, {4,5}, {6}  → pp = 3 + 1 + 0 = 4
+    adf = pd.DataFrame({"node": [1, 2, 3, 4, 5, 6],
+                        "cluster": [1, 1, 1, 4, 4, 6]})
+    # gold: (1,2) TP, (2,3) TP, (4,5) TP, (1,4) FN-only,
+    # (7,8) both-missing FN
+    gdf = pd.DataFrame({"a": [1, 2, 4, 1, 7],
+                        "b": [2, 3, 5, 4, 8]})
+    got = er_eval(rd.from_pandas(adf).repartition(2),
+                  rd.from_pandas(gdf).repartition(2)).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r["tp"] == 3 and r["predicted_pairs"] == 4 \
+        and r["gold_pairs"] == 5
+    assert abs(r["precision"] - 3 / 4) < 1e-12
+    assert abs(r["recall"] - 3 / 5) < 1e-12
+    p, q = 3 / 4, 3 / 5
+    assert abs(r["f1"] - 2 * p * q / (p + q)) < 1e-12
