@@ -2706,6 +2706,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(_q, batch_format="pyarrow",
                                batch_size=None)
 
+    def q_calibration(sf):
+        # reliability bins over synthetic scores from events
+        # (score = floor(value)%100/100, label = event_id%3==0);
+        # float bin-sums quantized 1e6, counts/frac_pos exact
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import calibration_bins
+
+        ev = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["event_id", "value"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            import numpy as np
+            v = b["value"].to_numpy(zero_copy_only=False)
+            eid = b["event_id"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "score": pa.array(
+                    (np.floor(v).astype(np.int64) % 100) / 100.0,
+                    pa.float64()),
+                "label": pa.array((eid % 3 == 0).astype(np.int64),
+                                  pa.int64())})
+
+        ds = ev.map_batches(_mk, batch_format="pyarrow",
+                            batch_size=None)
+        out = calibration_bins(ds, score_col="score",
+                               label_col="label")
+
+        def _q(b: pa.Table) -> pa.Table:
+            import numpy as np
+            ms = b["mean_score"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            gp = b["gap"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "bin": b["bin"], "n": b["n"],
+                "mean_score_q": pa.array(
+                    np.floor(ms * 1e6 + 1e-6).astype(np.int64),
+                    pa.int64()),
+                "frac_pos": b["frac_pos"],
+                "gap_q": pa.array(
+                    np.floor(gp * 1e6 + 1e-6).astype(np.int64),
+                    pa.int64())})
+
+        return out.map_batches(_q, batch_format="pyarrow",
+                               batch_size=None)
+
     def q_er_eval(sf):
         # pairwise P/R/F1 of the CC clustering over the old residue
         # chains against synthetic gold pairs (every 3rd chain link
@@ -3875,6 +3922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_label_mi": q_token_label_mi,  # token-vs-label mutual information feature selection (SQL-checked)
         "cusum": q_cusum,                # per-key CUSUM change-point alarms (SQL-checked)
         "er_eval": q_er_eval,            # pairwise ER clustering P/R/F1 without pair materialization (SQL-checked)
+        "calibration": q_calibration,    # reliability-diagram ECE bins for model scores (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -4587,6 +4635,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # calibration: same planted score/label construction; float
+        # bin-sums 1e6-quantized, frac_pos = exact int ratio
+        "calibration": (
+            "WITH x AS (SELECT "
+            "CAST(floor(value) AS BIGINT) % 100 / 100.0 AS s, "
+            "CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS y "
+            "FROM events), "
+            "b AS (SELECT least(CAST(floor(s * 10) AS BIGINT), 9) "
+            "AS bin, s, y FROM x) "
+            "SELECT bin, count(*) AS n, "
+            "CAST(floor(sum(s) / count(*) * 1e6 + 1e-6) AS BIGINT) "
+            "AS mean_score_q, "
+            "CAST(sum(y) AS DOUBLE) / count(*) AS frac_pos, "
+            "CAST(floor(abs(CAST(sum(y) AS DOUBLE) / count(*) "
+            "- sum(s) / count(*)) * 1e6 + 1e-6) AS BIGINT) "
+            "AS gap_q FROM b GROUP BY bin"
         ),
         # er_eval: pp from cluster sizes, tp via two cluster-attach
         # joins on the gold pairs; ratios single-rounding — exact

@@ -1111,6 +1111,52 @@ def ntile(ds: Dataset, key_col: str, order_cols: list[str], n: int, *,
                             n_coarse=n_coarse)
 
 
+def calibration_bins(ds: Dataset, *, score_col: str, label_col: str,
+                     n_bins: int = 10,
+                     n_coarse: int | None = None) -> Dataset:
+    """Reliability-diagram bins for probabilistic model scores →
+    one row per non-empty bin: (bin, n, mean_score, frac_pos,
+    gap = |frac_pos − mean_score|) — the per-bin decomposition of
+    expected calibration error (ECE = Σ n_b/N · gap_b; sum the
+    output). Bin = min(floor(score·n_bins), n_bins−1), scores in
+    [0, 1], labels 0/1.
+
+    Scale shape: per-block partials (bin → count, Σscore, Σlabel)
+    → ONE tiny bin-keyed merge (≤ n_bins groups) → vectorized
+    ratios. Label sums are exact ints; score sums are float partials
+    (combiner reassociation — gate quantized like `grouped_corr`)."""
+    def _part(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[score_col].to_numpy(np.float64)
+        y = df[label_col].to_numpy(np.int64)
+        b = np.minimum((np.floor(s * n_bins)).astype(np.int64),
+                       n_bins - 1)
+        g = pd.DataFrame({"bin": b, "s": s, "y": y})
+        return (g.groupby("bin", sort=False)
+                .agg(n=("s", "size"), ss=("s", "sum"),
+                     sy=("y", "sum")).reset_index())
+
+    part = ds.map_batches(_part, batch_format="pandas",
+                          batch_size=None)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("bin", sort=False)
+             .agg(n=("n", "sum"), ss=("ss", "sum"),
+                  sy=("sy", "sum")).reset_index())
+        g["mean_score"] = g["ss"] / g["n"]
+        g["frac_pos"] = g["sy"] / g["n"]
+        g["gap"] = (g["frac_pos"] - g["mean_score"]).abs()
+        return g[["bin", "n", "mean_score", "frac_pos", "gap"]]
+
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    return _sanitize_join_output(
+        coarse_aggregate(part, ["bin"], _merge, n_coarse=n_coarse),
+        pa.schema([("bin", pa.int64()), ("n", pa.int64()),
+                   ("mean_score", pa.float64()),
+                   ("frac_pos", pa.float64()),
+                   ("gap", pa.float64())]))
+
+
 def cusum_flags(ds: Dataset, *, key_col: str, ts_col: str,
                 val_col: str, id_col: str, target: float,
                 threshold: float,

@@ -2764,3 +2764,33 @@ def test_er_eval_matches_oracle(ray_session):
     assert abs(r["recall"] - 3 / 5) < 1e-12
     p, q = 3 / 4, 3 / 5
     assert abs(r["f1"] - 2 * p * q / (p + q)) < 1e-12
+
+
+def test_calibration_bins_matches_oracle(ray_session):
+    """calibration_bins ≡ the numpy binning oracle (boundary scores
+    land per IEEE floor, empty bins absent)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.relational import calibration_bins
+
+    rng = np.random.RandomState(3)
+    s = np.r_[rng.uniform(0, 1, 200), [0.0, 1.0, 0.3, 0.999]]
+    y = (rng.uniform(0, 1, len(s)) < s).astype(int)  # calibrated-ish
+    df = pd.DataFrame({"score": s, "label": y})
+
+    b = np.minimum(np.floor(s * 10).astype(int), 9)
+    got = calibration_bins(rd.from_pandas(df).repartition(3),
+                           score_col="score", label_col="label") \
+        .to_pandas().set_index("bin").sort_index()
+    assert set(got.index) == set(np.unique(b))
+    for bb in np.unique(b):
+        m = b == bb
+        assert got.loc[bb, "n"] == m.sum()
+        assert abs(got.loc[bb, "mean_score"] - s[m].mean()) < 1e-9
+        assert abs(got.loc[bb, "frac_pos"] - y[m].mean()) < 1e-12
+        assert abs(got.loc[bb, "gap"]
+                   - abs(y[m].mean() - s[m].mean())) < 1e-9
+    # score 1.0 clamps into bin 9
+    assert got.loc[9, "n"] >= 2
