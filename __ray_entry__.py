@@ -2706,6 +2706,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(_q, batch_format="pyarrow",
                                batch_size=None)
 
+    def q_readability(sf):
+        # Flesch-Kincaid over documents; exact RE2 counts + three
+        # single-rounding IEEE ops — gate exact unquantized
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import readability_scores
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return readability_scores(docs)
+
     def q_calibration(sf):
         # reliability bins over synthetic scores from events
         # (score = floor(value)%100/100, label = event_id%3==0);
@@ -3923,6 +3934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum": q_cusum,                # per-key CUSUM change-point alarms (SQL-checked)
         "er_eval": q_er_eval,            # pairwise ER clustering P/R/F1 without pair materialization (SQL-checked)
         "calibration": q_calibration,    # reliability-diagram ECE bins for model scores (SQL-checked)
+        "readability": q_readability,    # Flesch-Kincaid readability scoring (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -4635,6 +4647,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # readability: RE2 counts via regexp_extract_all lengths;
+        # identical single-rounding grade expression — exact
+        "readability": (
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, '\\S+')) AS n_words, "
+            "len(regexp_extract_all(text, '[.!?]+')) "
+            "AS n_sentences, "
+            "len(regexp_extract_all(lower(text), '[aeiouy]+')) "
+            "AS n_syllables, "
+            "CASE WHEN len(regexp_extract_all(text, '\\S+')) = 0 "
+            "THEN NULL ELSE "
+            "0.39 * (CAST(len(regexp_extract_all(text, '\\S+')) "
+            "AS DOUBLE) / greatest(len(regexp_extract_all(text, "
+            "'[.!?]+')), 1)) + 11.8 * (CAST(len("
+            "regexp_extract_all(lower(text), '[aeiouy]+')) "
+            "AS DOUBLE) / len(regexp_extract_all(text, '\\S+'))) "
+            "- 15.59 END AS fk_grade FROM documents"
         ),
         # calibration: same planted score/label construction; float
         # bin-sums 1e6-quantized, frac_pos = exact int ratio

@@ -4106,6 +4106,45 @@ def er_cluster(entities: "Dataset", *, id_col: str, text_col: str,
                            batch_size=None)
 
 
+def readability_scores(docs: "Dataset", *, doc_col: str = "doc_id",
+                       text_col: str = "text") -> "Dataset":
+    """Flesch-Kincaid readability per document → (doc_id, n_words,
+    n_sentences, n_syllables, fk_grade): grade = 0.39·(W/S) +
+    11.8·(Sy/W) − 15.59 with the standard heuristics — words =
+    whitespace tokens, sentences = `[.!?]+` runs (min 1), syllables
+    = `[aeiouy]+` vowel groups (the textbook approximation) — the
+    corpus-quality signal behind edu-value filtering
+    (FineWeb-Edu-style) next to `gopher_stats`/`quality_filter`.
+
+    All three counts are exact integers from vectorized RE2 kernels
+    (`count_substring_regex` — the same engine as DuckDB's
+    `regexp_extract_all`), and the grade is three single-rounding
+    IEEE ops, so the gate replays exactly. Row-local, no exchange."""
+    def _score(b: pa.Table) -> pa.Table:
+        txt = b[text_col].combine_chunks().cast(pa.string())
+        lo = pc.utf8_lower(txt)
+        w = pc.count_substring_regex(txt, r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pc.count_substring_regex(txt, r"[.!?]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sy = pc.count_substring_regex(lo, r"[aeiouy]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        s_eff = np.maximum(s, 1)
+        ok = w > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            fk = (0.39 * (w / s_eff) + 11.8 * (sy / w) - 15.59)
+        return pa.table({
+            doc_col: b[doc_col],
+            "n_words": pa.array(w, pa.int64()),
+            "n_sentences": pa.array(s, pa.int64()),
+            "n_syllables": pa.array(sy, pa.int64()),
+            "fk_grade": pa.array(np.where(ok, fk, 0.0), pa.float64(),
+                                 mask=~ok)})
+
+    return docs.map_batches(_score, batch_format="pyarrow",
+                            batch_size=None)
+
+
 def er_eval(assign: "Dataset", gold_pairs: "Dataset", *,
             id_col: str = "node", cluster_col: str = "cluster",
             a_col: str = "a", b_col: str = "b",

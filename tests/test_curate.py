@@ -2794,3 +2794,35 @@ def test_calibration_bins_matches_oracle(ray_session):
                    - abs(y[m].mean() - s[m].mean())) < 1e-9
     # score 1.0 clamps into bin 9
     assert got.loc[9, "n"] >= 2
+
+
+def test_readability_scores_matches_oracle(ray_session):
+    """readability_scores ≡ the regex-count replay; empty text nulls."""
+    import re
+
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import readability_scores
+
+    texts = ["The cat sat. The dog ran! Did it?",
+             "Incomprehensibility notwithstanding, antidisestablishmentarianism perseveres.",
+             "no punctuation here at all",
+             ""]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = readability_scores(rd.from_pandas(df).repartition(2)) \
+        .to_pandas().set_index("doc_id")
+    for i, t in enumerate(texts):
+        w = len(re.findall(r"\S+", t))
+        s = len(re.findall(r"[.!?]+", t))
+        sy = len(re.findall(r"[aeiouy]+", t.lower()))
+        assert got.loc[i, "n_words"] == w
+        assert got.loc[i, "n_sentences"] == s
+        assert got.loc[i, "n_syllables"] == sy
+        if w:
+            fk = 0.39 * (w / max(s, 1)) + 11.8 * (sy / w) - 15.59
+            assert abs(got.loc[i, "fk_grade"] - fk) < 1e-12
+        else:
+            assert pd.isna(got.loc[i, "fk_grade"])
+    # long latinate words score much harder than the cat sentence
+    assert got.loc[1, "fk_grade"] > got.loc[0, "fk_grade"] + 5
