@@ -2706,6 +2706,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(_q, batch_format="pyarrow",
                                batch_size=None)
 
+    def q_classifier_eval(sf):
+        # per-class confusion P/R/F1 over a deterministic noisy
+        # predictor (every 5th doc misread as 'xx'); exact gate
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import classifier_eval
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "lang"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            import numpy as np
+            did = b["doc_id"].to_numpy(zero_copy_only=False)
+            lang = b["lang"].combine_chunks().cast(pa.string()) \
+                .to_numpy(zero_copy_only=False)
+            pred = np.where(did % 5 == 0, "xx", lang)
+            return pa.table({
+                "pred": pa.array(pred, pa.string()),
+                "gold": pa.array(lang, pa.string())})
+
+        return classifier_eval(docs.map_batches(
+            _mk, batch_format="pyarrow", batch_size=None))
+
     def q_readability(sf):
         # Flesch-Kincaid over documents; exact RE2 counts + three
         # single-rounding IEEE ops — gate exact unquantized
@@ -3935,6 +3960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_eval": q_er_eval,            # pairwise ER clustering P/R/F1 without pair materialization (SQL-checked)
         "calibration": q_calibration,    # reliability-diagram ECE bins for model scores (SQL-checked)
         "readability": q_readability,    # Flesch-Kincaid readability scoring (SQL-checked)
+        "classifier_eval": q_classifier_eval,  # per-class confusion precision/recall/F1 (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -4647,6 +4673,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # classifier_eval: confusion from the same noisy predictor;
+        # ratios single-rounding, zero-division → 0.0 — exact
+        "classifier_eval": (
+            "WITH x AS (SELECT CASE WHEN doc_id % 5 = 0 THEN 'xx' "
+            "ELSE lang END AS pred, lang AS gold FROM documents), "
+            "lbl AS (SELECT DISTINCT pred AS label FROM x "
+            "UNION SELECT DISTINCT gold FROM x), "
+            "m AS (SELECT lbl.label, "
+            "CAST(count(*) FILTER (x.pred = lbl.label "
+            "AND x.gold = lbl.label) AS BIGINT) AS tp, "
+            "CAST(count(*) FILTER (x.pred = lbl.label "
+            "AND x.gold <> lbl.label) AS BIGINT) AS fp, "
+            "CAST(count(*) FILTER (x.pred <> lbl.label "
+            "AND x.gold = lbl.label) AS BIGINT) AS fn "
+            "FROM lbl CROSS JOIN x GROUP BY lbl.label) "
+            "SELECT label, tp, fp, fn, tp + fn AS support, "
+            "CASE WHEN tp + fp = 0 THEN 0.0 ELSE "
+            "CAST(tp AS DOUBLE) / (tp + fp) END AS precision, "
+            "CASE WHEN tp + fn = 0 THEN 0.0 ELSE "
+            "CAST(tp AS DOUBLE) / (tp + fn) END AS recall, "
+            "CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0 ELSE "
+            "CAST(tp AS DOUBLE) / (tp + fp) END) + "
+            "(CASE WHEN tp + fn = 0 THEN 0.0 ELSE "
+            "CAST(tp AS DOUBLE) / (tp + fn) END) = 0 THEN 0.0 ELSE "
+            "2.0 * (CASE WHEN tp + fp = 0 THEN 0.0 ELSE "
+            "CAST(tp AS DOUBLE) / (tp + fp) END) "
+            "* (CASE WHEN tp + fn = 0 THEN 0.0 ELSE "
+            "CAST(tp AS DOUBLE) / (tp + fn) END) "
+            "/ ((CASE WHEN tp + fp = 0 THEN 0.0 ELSE "
+            "CAST(tp AS DOUBLE) / (tp + fp) END) + "
+            "(CASE WHEN tp + fn = 0 THEN 0.0 ELSE "
+            "CAST(tp AS DOUBLE) / (tp + fn) END)) END AS f1 "
+            "FROM m"
         ),
         # readability: RE2 counts via regexp_extract_all lengths;
         # identical single-rounding grade expression — exact

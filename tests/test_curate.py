@@ -2826,3 +2826,29 @@ def test_readability_scores_matches_oracle(ray_session):
             assert pd.isna(got.loc[i, "fk_grade"])
     # long latinate words score much harder than the cat sentence
     assert got.loc[1, "fk_grade"] > got.loc[0, "fk_grade"] + 5
+
+
+def test_classifier_eval_matches_sklearn_conventions(ray_session):
+    """classifier_eval ≡ hand confusion incl. zero-division classes."""
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import classifier_eval
+
+    preds = ["a", "a", "a", "b", "b", "c", "a"]
+    golds = ["a", "a", "b", "b", "b", "b", "d"]
+    df = pd.DataFrame({"pred": preds, "gold": golds})
+    got = classifier_eval(rd.from_pandas(df).repartition(3)) \
+        .to_pandas().set_index("label")
+    assert set(got.index) == {"a", "b", "c", "d"}
+    a = got.loc["a"]
+    assert (a["tp"], a["fp"], a["fn"]) == (2, 2, 0)
+    assert abs(a["precision"] - 0.5) < 1e-12 and a["recall"] == 1.0
+    b = got.loc["b"]
+    assert (b["tp"], b["fp"], b["fn"]) == (2, 0, 2)
+    c = got.loc["c"]            # predicted once, never gold
+    assert (c["tp"], c["fp"], c["fn"]) == (0, 1, 0)
+    assert c["precision"] == 0.0 and c["recall"] == 0.0 \
+        and c["f1"] == 0.0
+    d = got.loc["d"]            # gold once, never predicted
+    assert (d["tp"], d["fp"], d["fn"], d["support"]) == (0, 0, 1, 1)
