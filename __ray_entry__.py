@@ -2706,6 +2706,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(_q, batch_format="pyarrow",
                                batch_size=None)
 
+    def q_ndcg(sf):
+        # NDCG@5 over synthetic runs (orders) and qrels (part);
+        # log2 folds quantized 1e6
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import ndcg_at_k
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+        part = rd.read_parquet(f"{sf}/part.parquet",
+                               columns=["p_partkey"])
+
+        def _runs(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            qid = k % 50
+            doc = (k * 7 + 1) % 400
+            return pa.table({
+                "qid": pa.array(qid, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "score": pa.array(
+                    ((qid * 131 + doc * 17) % 997).astype("float64"),
+                    pa.float64())})
+
+        def _qrels(b: pa.Table) -> pa.Table:
+            p = b["p_partkey"].to_numpy(zero_copy_only=False)
+            qid = p % 50
+            doc = (p * 3) % 400
+            return pa.table({
+                "qid": pa.array(qid, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "rel": pa.array((qid + doc) % 3 + 1, pa.int64())})
+
+        from omop2obo_ray.functions.shuffle import coarse_aggregate
+        runs = coarse_aggregate(
+            orders.map_batches(_runs, batch_format="pyarrow",
+                               batch_size=None),
+            ["qid", "doc_id"], lambda df: df.drop_duplicates())
+        qrels = coarse_aggregate(
+            part.map_batches(_qrels, batch_format="pyarrow",
+                             batch_size=None),
+            ["qid", "doc_id"], lambda df: df.drop_duplicates())
+        out = ndcg_at_k(runs, qrels, k=5)
+
+        def _q(b: pa.Table) -> pa.Table:
+            import numpy as np
+            cols = {"qid": b["qid"]}
+            for c in ("dcg", "idcg", "ndcg"):
+                v = b[c].combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                cols[c + "_q"] = pa.array(
+                    np.floor(v * 1e6 + 1e-6).astype(np.int64),
+                    pa.int64())
+            return pa.table(cols)
+
+        return out.map_batches(_q, batch_format="pyarrow",
+                               batch_size=None)
+
     def q_classifier_eval(sf):
         # per-class confusion P/R/F1 over a deterministic noisy
         # predictor (every 5th doc misread as 'xx'); exact gate
@@ -3961,6 +4019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "calibration": q_calibration,    # reliability-diagram ECE bins for model scores (SQL-checked)
         "readability": q_readability,    # Flesch-Kincaid readability scoring (SQL-checked)
         "classifier_eval": q_classifier_eval,  # per-class confusion precision/recall/F1 (SQL-checked)
+        "ndcg": q_ndcg,                  # NDCG@5 ranking evaluation over run/qrel tables (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -4673,6 +4732,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # ndcg: ROW_NUMBER rankings both sides; union of qids from
+        # runs and qrels; log2 sums 1e6-quantized
+        "ndcg": (
+            "WITH r0 AS (SELECT DISTINCT o_orderkey % 50 AS qid, "
+            "(o_orderkey * 7 + 1) % 400 AS doc FROM orders), "
+            "r1 AS (SELECT qid, doc, CAST((qid * 131 + doc * 17) "
+            "% 997 AS DOUBLE) AS score FROM r0), "
+            "q0 AS (SELECT DISTINCT p_partkey % 50 AS qid, "
+            "(p_partkey * 3) % 400 AS doc FROM part), "
+            "q1 AS (SELECT qid, doc, (qid + doc) % 3 + 1 AS rel "
+            "FROM q0), "
+            "rk AS (SELECT r1.qid, coalesce(q1.rel, 0) AS rel, "
+            "ROW_NUMBER() OVER (PARTITION BY r1.qid "
+            "ORDER BY r1.score DESC, r1.doc) AS rnk FROM r1 "
+            "LEFT JOIN q1 ON q1.qid = r1.qid AND q1.doc = r1.doc), "
+            "d AS (SELECT qid, sum(rel / log2(rnk + 1)) AS dcg "
+            "FROM rk WHERE rnk <= 5 GROUP BY qid), "
+            "ik AS (SELECT qid, rel, ROW_NUMBER() OVER ("
+            "PARTITION BY qid ORDER BY rel DESC, doc) AS rnk "
+            "FROM q1), "
+            "i AS (SELECT qid, sum(rel / log2(rnk + 1)) AS idcg "
+            "FROM ik WHERE rnk <= 5 GROUP BY qid), "
+            "qs AS (SELECT qid FROM r0 UNION SELECT qid FROM q0) "
+            "SELECT qs.qid, "
+            "CAST(floor(coalesce(d.dcg, 0.0) * 1e6 + 1e-6) "
+            "AS BIGINT) AS dcg_q, "
+            "CAST(floor(coalesce(i.idcg, 0.0) * 1e6 + 1e-6) "
+            "AS BIGINT) AS idcg_q, "
+            "CAST(floor(CASE WHEN coalesce(i.idcg, 0.0) > 0 THEN "
+            "coalesce(d.dcg, 0.0) / i.idcg ELSE 0.0 END "
+            "* 1e6 + 1e-6) AS BIGINT) AS ndcg_q "
+            "FROM qs LEFT JOIN d ON d.qid = qs.qid "
+            "LEFT JOIN i ON i.qid = qs.qid"
         ),
         # classifier_eval: confusion from the same noisy predictor;
         # ratios single-rounding, zero-division → 0.0 — exact

@@ -4106,6 +4106,93 @@ def er_cluster(entities: "Dataset", *, id_col: str, text_col: str,
                            batch_size=None)
 
 
+def ndcg_at_k(runs: "Dataset", qrels: "Dataset", k: int = 10, *,
+              qid_col: str = "qid", doc_col: str = "doc_id",
+              score_col: str = "score", rel_col: str = "rel",
+              n_coarse: int | None = None) -> "Dataset":
+    """NDCG@k per query (Järvelin & Kekäläinen) → (qid, dcg, idcg,
+    ndcg): DCG over the retrieved ranking (score desc, doc asc
+    tie-break), IDCG over the ideal ordering of the FULL qrel set
+    (graded relevance; unjudged retrieved docs count rel 0), ndcg =
+    DCG/IDCG or 0 when the query has no relevant docs — the
+    evaluation mate of `bm25`/`hybrid_search`/`rrf_fuse`.
+
+    Scale shape: one (qid, doc)-keyed coarse merge attaches rel to
+    run rows (tagged union — no two-column join packing), then ONE
+    qid-keyed exchange computes both folds in-frame (vectorized
+    argsorts; frames bounded by per-query depth, a window like
+    `window_rank`'s). log2 sums are floats — gate quantized."""
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    r = runs.map_batches(
+        lambda b: pa.table({
+            "qid": b[qid_col].combine_chunks().cast(pa.int64()),
+            "doc": b[doc_col].combine_chunks().cast(pa.int64()),
+            "score": b[score_col].combine_chunks()
+            .cast(pa.float64()),
+            "rel": pa.nulls(b.num_rows, pa.int64()),
+            "kind": pa.array([0] * b.num_rows, pa.int8())}),
+        batch_format="pyarrow", batch_size=None)
+    q = qrels.map_batches(
+        lambda b: pa.table({
+            "qid": b[qid_col].combine_chunks().cast(pa.int64()),
+            "doc": b[doc_col].combine_chunks().cast(pa.int64()),
+            "score": pa.nulls(b.num_rows, pa.float64()),
+            "rel": b[rel_col].combine_chunks().cast(pa.int64()),
+            "kind": pa.array([1] * b.num_rows, pa.int8())}),
+        batch_format="pyarrow", batch_size=None)
+
+    def _attach(df: pd.DataFrame) -> pd.DataFrame:
+        # rel from the qrel row (if any) onto the run rows — one
+        # vectorized frame-local merge; qrel rows ride along for the
+        # IDCG side
+        rn = df[df["kind"] == 0].drop(columns=["rel"])
+        qr = df[df["kind"] == 1]
+        if len(rn):
+            rn = rn.merge(
+                qr[["qid", "doc", "rel"]].drop_duplicates(
+                    ["qid", "doc"]),
+                on=["qid", "doc"], how="left")
+            rn["rel"] = rn["rel"].fillna(0).astype(np.int64)
+        else:
+            rn = rn.assign(rel=np.array([], np.int64))
+        return pd.concat([rn, qr], ignore_index=True)
+
+    merged = coarse_aggregate(r.union(q), ["qid", "doc"], _attach,
+                              n_coarse=n_coarse)
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for qid, g in df.groupby("qid", sort=False):
+            run = g[g["kind"] == 0]
+            disc = None
+            dcg = 0.0
+            if len(run):
+                srt = run.sort_values(["score", "doc"],
+                                      ascending=[False, True],
+                                      kind="mergesort").head(k)
+                rel = srt["rel"].to_numpy(np.float64)
+                disc = np.log2(np.arange(2, len(rel) + 2,
+                                         dtype=np.float64))
+                dcg = float(np.sum(rel / disc))
+            ideal = np.sort(g.loc[g["kind"] == 1, "rel"]
+                            .to_numpy(np.float64))[::-1][:k]
+            idcg = float(np.sum(
+                ideal / np.log2(np.arange(2, len(ideal) + 2,
+                                          dtype=np.float64)))) \
+                if len(ideal) else 0.0
+            ndcg = dcg / idcg if idcg > 0.0 else 0.0
+            rows.append((qid, dcg, idcg, ndcg))
+        return pd.DataFrame(rows, columns=["qid", "dcg", "idcg",
+                                           "ndcg"])
+
+    return _sanitize_join_output(
+        coarse_aggregate(merged, ["qid"], _fold, n_coarse=n_coarse),
+        pa.schema([("qid", pa.int64()), ("dcg", pa.float64()),
+                   ("idcg", pa.float64()), ("ndcg", pa.float64())]))
+
+
 def classifier_eval(ds: "Dataset", *, pred_col: str = "pred",
                     gold_col: str = "gold",
                     n_coarse: int | None = None) -> "Dataset":

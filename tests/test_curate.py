@@ -2852,3 +2852,42 @@ def test_classifier_eval_matches_sklearn_conventions(ray_session):
         and c["f1"] == 0.0
     d = got.loc["d"]            # gold once, never predicted
     assert (d["tp"], d["fp"], d["fn"], d["support"]) == (0, 0, 1, 1)
+
+
+def test_ndcg_at_k_matches_oracle(ray_session):
+    """ndcg_at_k ≡ the textbook replay: graded rels, unjudged
+    retrieved docs, relevant-but-unretrieved docs, empty-qrel query."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import ndcg_at_k
+
+    runs = [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7), (1, 13, 0.6),
+            (2, 20, 0.5), (2, 21, 0.4),
+            (3, 30, 0.3)]
+    qrels = [(1, 10, 3), (1, 12, 1), (1, 99, 2),   # 99 not retrieved
+             (2, 21, 2)]
+    rdf = pd.DataFrame(runs, columns=["qid", "doc_id", "score"])
+    qdf = pd.DataFrame(qrels, columns=["qid", "doc_id", "rel"])
+
+    got = ndcg_at_k(rd.from_pandas(rdf).repartition(2),
+                    rd.from_pandas(qdf).repartition(2), k=3) \
+        .to_pandas().set_index("qid").sort_index()
+
+    rel_by = {}
+    for q_, d_, r_ in qrels:
+        rel_by[(q_, d_)] = r_
+    for qid in (1, 2, 3):
+        rr = sorted([x for x in runs if x[0] == qid],
+                    key=lambda x: (-x[2], x[1]))[:3]
+        rels = [rel_by.get((qid, d), 0) for _, d, _ in rr]
+        dcg = sum(r / np.log2(i + 2) for i, r in enumerate(rels))
+        ideal = sorted([r for (q_, _), r in rel_by.items()
+                        if q_ == qid], reverse=True)[:3]
+        idcg = sum(r / np.log2(i + 2) for i, r in enumerate(ideal))
+        ndcg = dcg / idcg if idcg else 0.0
+        assert abs(got.loc[qid, "dcg"] - dcg) < 1e-12, qid
+        assert abs(got.loc[qid, "idcg"] - idcg) < 1e-12
+        assert abs(got.loc[qid, "ndcg"] - ndcg) < 1e-12
+    assert got.loc[3, "ndcg"] == 0.0
