@@ -2764,6 +2764,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(_q, batch_format="pyarrow",
                                batch_size=None)
 
+    def q_mrr(sf):
+        # MRR@5 over the same run/qrel fixture as ndcg; rr is one
+        # IEEE division of an exact rank — gate exact
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.functions.shuffle import coarse_aggregate
+        from omop2obo_ray.pipelines.curate import mrr_at_k
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+        part = rd.read_parquet(f"{sf}/part.parquet",
+                               columns=["p_partkey"])
+
+        def _runs(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            qid = k % 50
+            doc = (k * 7 + 1) % 400
+            return pa.table({
+                "qid": pa.array(qid, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "score": pa.array(
+                    ((qid * 131 + doc * 17) % 997).astype("float64"),
+                    pa.float64())})
+
+        def _qrels(b: pa.Table) -> pa.Table:
+            p = b["p_partkey"].to_numpy(zero_copy_only=False)
+            qid = p % 50
+            doc = (p * 3) % 400
+            return pa.table({
+                "qid": pa.array(qid, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "rel": pa.array((qid + doc) % 3 + 1, pa.int64())})
+
+        runs = coarse_aggregate(
+            orders.map_batches(_runs, batch_format="pyarrow",
+                               batch_size=None),
+            ["qid", "doc_id"], lambda df: df.drop_duplicates())
+        qrels = coarse_aggregate(
+            part.map_batches(_qrels, batch_format="pyarrow",
+                             batch_size=None),
+            ["qid", "doc_id"], lambda df: df.drop_duplicates())
+        return mrr_at_k(runs, qrels, k=5)
+
     def q_classifier_eval(sf):
         # per-class confusion P/R/F1 over a deterministic noisy
         # predictor (every 5th doc misread as 'xx'); exact gate
@@ -4020,6 +4064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": q_readability,    # Flesch-Kincaid readability scoring (SQL-checked)
         "classifier_eval": q_classifier_eval,  # per-class confusion precision/recall/F1 (SQL-checked)
         "ndcg": q_ndcg,                  # NDCG@5 ranking evaluation over run/qrel tables (SQL-checked)
+        "mrr": q_mrr,                    # MRR@5 first-relevant reciprocal rank (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -4732,6 +4777,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # mrr: min qualifying ROW_NUMBER per query; exact
+        "mrr": (
+            "WITH r0 AS (SELECT DISTINCT o_orderkey % 50 AS qid, "
+            "(o_orderkey * 7 + 1) % 400 AS doc FROM orders), "
+            "r1 AS (SELECT qid, doc, CAST((qid * 131 + doc * 17) "
+            "% 997 AS DOUBLE) AS score FROM r0), "
+            "q0 AS (SELECT DISTINCT p_partkey % 50 AS qid, "
+            "(p_partkey * 3) % 400 AS doc FROM part), "
+            "q1 AS (SELECT qid, doc, (qid + doc) % 3 + 1 AS rel "
+            "FROM q0), "
+            "rk AS (SELECT r1.qid, coalesce(q1.rel, 0) AS rel, "
+            "ROW_NUMBER() OVER (PARTITION BY r1.qid "
+            "ORDER BY r1.score DESC, r1.doc) AS rnk FROM r1 "
+            "LEFT JOIN q1 ON q1.qid = r1.qid AND q1.doc = r1.doc), "
+            "fr AS (SELECT qid, CAST(min(rnk) AS BIGINT) AS frr "
+            "FROM rk WHERE rnk <= 5 AND rel > 0 GROUP BY qid) "
+            "SELECT qs.qid, fr.frr AS first_rel_rank, "
+            "CASE WHEN fr.frr IS NULL THEN 0.0 "
+            "ELSE 1.0 / fr.frr END AS rr "
+            "FROM (SELECT DISTINCT qid FROM r0) qs "
+            "LEFT JOIN fr ON fr.qid = qs.qid"
         ),
         # ndcg: ROW_NUMBER rankings both sides; union of qids from
         # runs and qrels; log2 sums 1e6-quantized

@@ -4193,6 +4193,83 @@ def ndcg_at_k(runs: "Dataset", qrels: "Dataset", k: int = 10, *,
                    ("idcg", pa.float64()), ("ndcg", pa.float64())]))
 
 
+def mrr_at_k(runs: "Dataset", qrels: "Dataset", k: int = 10, *,
+             qid_col: str = "qid", doc_col: str = "doc_id",
+             score_col: str = "score", rel_col: str = "rel",
+             n_coarse: int | None = None) -> "Dataset":
+    """Reciprocal rank per query → (qid, first_rel_rank, rr):
+    rr = 1/rank of the FIRST relevant (rel > 0) document within the
+    top ``k`` of the score-desc/doc-asc ranking, 0.0 (null rank)
+    when none lands in the window — MRR is the mean of ``rr`` over
+    queries (one tiny aggregate of this output). Same exchange shape
+    and rel-attach as :func:`ndcg_at_k`; rr is ONE IEEE division of
+    an exact integer rank, so the gate replays exactly."""
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    r = runs.map_batches(
+        lambda b: pa.table({
+            "qid": b[qid_col].combine_chunks().cast(pa.int64()),
+            "doc": b[doc_col].combine_chunks().cast(pa.int64()),
+            "score": b[score_col].combine_chunks()
+            .cast(pa.float64()),
+            "rel": pa.nulls(b.num_rows, pa.int64()),
+            "kind": pa.array([0] * b.num_rows, pa.int8())}),
+        batch_format="pyarrow", batch_size=None)
+    q = qrels.map_batches(
+        lambda b: pa.table({
+            "qid": b[qid_col].combine_chunks().cast(pa.int64()),
+            "doc": b[doc_col].combine_chunks().cast(pa.int64()),
+            "score": pa.nulls(b.num_rows, pa.float64()),
+            "rel": b[rel_col].combine_chunks().cast(pa.int64()),
+            "kind": pa.array([1] * b.num_rows, pa.int8())}),
+        batch_format="pyarrow", batch_size=None)
+
+    def _attach(df: pd.DataFrame) -> pd.DataFrame:
+        rn = df[df["kind"] == 0].drop(columns=["rel"])
+        qr = df[df["kind"] == 1]
+        if len(rn):
+            rn = rn.merge(
+                qr[["qid", "doc", "rel"]].drop_duplicates(
+                    ["qid", "doc"]),
+                on=["qid", "doc"], how="left")
+            rn["rel"] = rn["rel"].fillna(0).astype(np.int64)
+        else:
+            rn = rn.assign(rel=np.array([], np.int64))
+        return rn
+
+    merged = coarse_aggregate(r.union(q), ["qid", "doc"], _attach,
+                              n_coarse=n_coarse)
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for qid, g in df.groupby("qid", sort=False):
+            srt = g.sort_values(["score", "doc"],
+                                ascending=[False, True],
+                                kind="mergesort").head(k)
+            hit = np.nonzero(srt["rel"].to_numpy(np.int64) > 0)[0]
+            if len(hit):
+                rank = int(hit[0]) + 1
+                rows.append((qid, rank, 1.0 / rank))
+            else:
+                rows.append((qid, None, 0.0))
+        return pd.DataFrame(rows, columns=["qid", "first_rel_rank",
+                                           "rr"])
+
+    def _typed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["first_rel_rank"] = df["first_rel_rank"].astype("Int64")
+        return df
+
+    return _sanitize_join_output(
+        coarse_aggregate(merged, ["qid"],
+                         lambda df: _typed(_fold(df)),
+                         n_coarse=n_coarse),
+        pa.schema([("qid", pa.int64()),
+                   ("first_rel_rank", pa.int64()),
+                   ("rr", pa.float64())]))
+
+
 def classifier_eval(ds: "Dataset", *, pred_col: str = "pred",
                     gold_col: str = "gold",
                     n_coarse: int | None = None) -> "Dataset":

@@ -2891,3 +2891,30 @@ def test_ndcg_at_k_matches_oracle(ray_session):
         assert abs(got.loc[qid, "idcg"] - idcg) < 1e-12
         assert abs(got.loc[qid, "ndcg"] - ndcg) < 1e-12
     assert got.loc[3, "ndcg"] == 0.0
+
+
+def test_mrr_at_k_matches_oracle(ray_session):
+    """mrr_at_k: first-relevant rank within the window, null past k."""
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import mrr_at_k
+
+    runs = [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7),
+            (2, 20, 0.9), (2, 21, 0.8), (2, 22, 0.7), (2, 23, 0.6),
+            (3, 30, 0.5)]
+    qrels = [(1, 11, 2), (2, 23, 1), (3, 99, 3)]
+    rdf = pd.DataFrame(runs, columns=["qid", "doc_id", "score"])
+    qdf = pd.DataFrame(qrels, columns=["qid", "doc_id", "rel"])
+
+    got = mrr_at_k(rd.from_pandas(rdf).repartition(2),
+                   rd.from_pandas(qdf).repartition(2), k=3) \
+        .to_pandas().set_index("qid").sort_index()
+    assert got.loc[1, "first_rel_rank"] == 2 \
+        and abs(got.loc[1, "rr"] - 0.5) < 1e-15
+    # q2's only relevant doc ranks 4th — outside k=3
+    assert pd.isna(got.loc[2, "first_rel_rank"]) \
+        and got.loc[2, "rr"] == 0.0
+    # q3's relevant doc was never retrieved
+    assert pd.isna(got.loc[3, "first_rel_rank"]) \
+        and got.loc[3, "rr"] == 0.0
