@@ -2918,3 +2918,29 @@ def test_mrr_at_k_matches_oracle(ray_session):
     # q3's relevant doc was never retrieved
     assert pd.isna(got.loc[3, "first_rel_rank"]) \
         and got.loc[3, "rr"] == 0.0
+
+
+def test_recall_at_k_matches_oracle(ray_session):
+    """recall_at_k: hits in window over ALL relevants (retrieved or
+    not); no-relevant queries report 0/0 → 0.0."""
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import recall_at_k
+
+    runs = [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7), (1, 13, 0.6),
+            (2, 20, 0.5),
+            (3, 30, 0.4)]
+    qrels = [(1, 11, 1), (1, 13, 2), (1, 99, 1),  # 99 unretrieved
+             (2, 20, 3)]
+    got = recall_at_k(
+        rd.from_pandas(pd.DataFrame(
+            runs, columns=["qid", "doc_id", "score"])).repartition(2),
+        rd.from_pandas(pd.DataFrame(
+            qrels, columns=["qid", "doc_id", "rel"])).repartition(2),
+        k=3).to_pandas().set_index("qid").sort_index()
+    # q1: top-3 = 10,11,12 → hit 11 only; relevants = 11,13,99
+    assert (got.loc[1, "hits"], got.loc[1, "n_rel"]) == (1, 3)
+    assert abs(got.loc[1, "recall"] - 1 / 3) < 1e-15
+    assert got.loc[2].tolist() == [1, 1, 1.0]
+    assert got.loc[3].tolist() == [0, 0, 0.0]
