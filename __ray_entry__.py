@@ -2808,6 +2808,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["qid", "doc_id"], lambda df: df.drop_duplicates())
         return mrr_at_k(runs, qrels, k=5)
 
+    def q_ap_at_k(sf):
+        # AP@5 over the same run/qrel fixture; float term-sum → 1e6
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.functions.shuffle import coarse_aggregate
+        from omop2obo_ray.pipelines.curate import ap_at_k
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+        part = rd.read_parquet(f"{sf}/part.parquet",
+                               columns=["p_partkey"])
+
+        def _runs(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            qid = k % 50
+            doc = (k * 7 + 1) % 400
+            return pa.table({
+                "qid": pa.array(qid, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "score": pa.array(
+                    ((qid * 131 + doc * 17) % 997).astype("float64"),
+                    pa.float64())})
+
+        def _qrels(b: pa.Table) -> pa.Table:
+            p = b["p_partkey"].to_numpy(zero_copy_only=False)
+            qid = p % 50
+            doc = (p * 3) % 400
+            return pa.table({
+                "qid": pa.array(qid, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "rel": pa.array((qid + doc) % 3 + 1, pa.int64())})
+
+        runs = coarse_aggregate(
+            orders.map_batches(_runs, batch_format="pyarrow",
+                               batch_size=None),
+            ["qid", "doc_id"], lambda df: df.drop_duplicates())
+        qrels = coarse_aggregate(
+            part.map_batches(_qrels, batch_format="pyarrow",
+                             batch_size=None),
+            ["qid", "doc_id"], lambda df: df.drop_duplicates())
+        out = ap_at_k(runs, qrels, k=5)
+
+        def _q(b: pa.Table) -> pa.Table:
+            import numpy as np
+            v = b["ap"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "qid": b["qid"], "n_rel": b["n_rel"],
+                "ap_q": pa.array(np.floor(v * 1e6 + 1e-6)
+                                 .astype(np.int64), pa.int64())})
+
+        return out.map_batches(_q, batch_format="pyarrow",
+                               batch_size=None)
+
     def q_recall_at_k(sf):
         # recall@5 over the same run/qrel fixture; exact int ratio
         import pyarrow as pa
@@ -4109,6 +4164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ndcg": q_ndcg,                  # NDCG@5 ranking evaluation over run/qrel tables (SQL-checked)
         "mrr": q_mrr,                    # MRR@5 first-relevant reciprocal rank (SQL-checked)
         "recall_at_k": q_recall_at_k,    # recall@5 over all relevants incl. unretrieved (SQL-checked)
+        "ap_at_k": q_ap_at_k,            # average precision@5 (MAP family, SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -4821,6 +4877,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # ap_at_k: cumulative-precision window terms / n_rel; 1e6
+        "ap_at_k": (
+            "WITH r0 AS (SELECT DISTINCT o_orderkey % 50 AS qid, "
+            "(o_orderkey * 7 + 1) % 400 AS doc FROM orders), "
+            "r1 AS (SELECT qid, doc, CAST((qid * 131 + doc * 17) "
+            "% 997 AS DOUBLE) AS score FROM r0), "
+            "q0 AS (SELECT DISTINCT p_partkey % 50 AS qid, "
+            "(p_partkey * 3) % 400 AS doc FROM part), "
+            "q1 AS (SELECT qid, doc, (qid + doc) % 3 + 1 AS rel "
+            "FROM q0), "
+            "rk AS (SELECT r1.qid, coalesce(q1.rel, 0) AS rel, "
+            "ROW_NUMBER() OVER (PARTITION BY r1.qid "
+            "ORDER BY r1.score DESC, r1.doc) AS rnk FROM r1 "
+            "LEFT JOIN q1 ON q1.qid = r1.qid AND q1.doc = r1.doc), "
+            "cw AS (SELECT qid, rel, rnk, "
+            "SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) OVER ("
+            "PARTITION BY qid ORDER BY rnk "
+            "ROWS UNBOUNDED PRECEDING) AS ch FROM rk), "
+            "nr AS (SELECT qid, CAST(count(*) FILTER (rel > 0) "
+            "AS BIGINT) AS n_rel FROM q1 GROUP BY qid), "
+            "a AS (SELECT qid, sum(CASE WHEN rel > 0 THEN "
+            "CAST(ch AS DOUBLE) / rnk ELSE 0.0 END) AS s FROM cw "
+            "WHERE rnk <= 5 GROUP BY qid), "
+            "qs AS (SELECT qid FROM r0 UNION SELECT qid FROM q0) "
+            "SELECT qs.qid, coalesce(nr.n_rel, 0) AS n_rel, "
+            "CAST(floor(CASE WHEN coalesce(nr.n_rel, 0) = 0 "
+            "THEN 0.0 ELSE coalesce(a.s, 0.0) / nr.n_rel END "
+            "* 1e6 + 1e-6) AS BIGINT) AS ap_q "
+            "FROM qs LEFT JOIN a ON a.qid = qs.qid "
+            "LEFT JOIN nr ON nr.qid = qs.qid"
         ),
         # recall_at_k: hits in window / all relevants (union of
         # qids from runs and qrels — qrel rows ride along); exact

@@ -4270,6 +4270,79 @@ def mrr_at_k(runs: "Dataset", qrels: "Dataset", k: int = 10, *,
                    ("rr", pa.float64())]))
 
 
+def ap_at_k(runs: "Dataset", qrels: "Dataset", k: int = 10, *,
+            qid_col: str = "qid", doc_col: str = "doc_id",
+            score_col: str = "score", rel_col: str = "rel",
+            n_coarse: int | None = None) -> "Dataset":
+    """Average precision per query (TREC convention) → (qid, n_rel,
+    ap): AP@k = Σ_{i ≤ k, rel_i > 0} precision@i / n_rel with n_rel
+    counting ALL the query's relevant docs (retrieved or not); MAP
+    is the mean of ``ap``. Same rel-attach + qid-keyed exchange as
+    :func:`ndcg_at_k`; precision@i terms are exact integer ratios
+    folded ascending — the gate quantizes the float sum."""
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    r = runs.map_batches(
+        lambda b: pa.table({
+            "qid": b[qid_col].combine_chunks().cast(pa.int64()),
+            "doc": b[doc_col].combine_chunks().cast(pa.int64()),
+            "score": b[score_col].combine_chunks()
+            .cast(pa.float64()),
+            "rel": pa.nulls(b.num_rows, pa.int64()),
+            "kind": pa.array([0] * b.num_rows, pa.int8())}),
+        batch_format="pyarrow", batch_size=None)
+    q = qrels.map_batches(
+        lambda b: pa.table({
+            "qid": b[qid_col].combine_chunks().cast(pa.int64()),
+            "doc": b[doc_col].combine_chunks().cast(pa.int64()),
+            "score": pa.nulls(b.num_rows, pa.float64()),
+            "rel": b[rel_col].combine_chunks().cast(pa.int64()),
+            "kind": pa.array([1] * b.num_rows, pa.int8())}),
+        batch_format="pyarrow", batch_size=None)
+
+    def _attach(df: pd.DataFrame) -> pd.DataFrame:
+        rn = df[df["kind"] == 0].drop(columns=["rel"])
+        qr = df[df["kind"] == 1]
+        if len(rn):
+            rn = rn.merge(
+                qr[["qid", "doc", "rel"]].drop_duplicates(
+                    ["qid", "doc"]),
+                on=["qid", "doc"], how="left")
+            rn["rel"] = rn["rel"].fillna(0).astype(np.int64)
+        else:
+            rn = rn.assign(rel=np.array([], np.int64))
+        return pd.concat([rn, qr], ignore_index=True)
+
+    merged = coarse_aggregate(r.union(q), ["qid", "doc"], _attach,
+                              n_coarse=n_coarse)
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for qid, g in df.groupby("qid", sort=False):
+            run = g[g["kind"] == 0]
+            n_rel = int((g.loc[g["kind"] == 1, "rel"]
+                         .to_numpy(np.int64) > 0).sum())
+            ap = 0.0
+            if len(run) and n_rel:
+                srt = run.sort_values(["score", "doc"],
+                                      ascending=[False, True],
+                                      kind="mergesort").head(k)
+                isrel = (srt["rel"].to_numpy(np.int64)
+                         > 0).astype(np.float64)
+                csum = np.cumsum(isrel)
+                ranks = np.arange(1, len(isrel) + 1,
+                                  dtype=np.float64)
+                ap = float(np.sum(isrel * (csum / ranks)) / n_rel)
+            rows.append((qid, n_rel, ap))
+        return pd.DataFrame(rows, columns=["qid", "n_rel", "ap"])
+
+    return _sanitize_join_output(
+        coarse_aggregate(merged, ["qid"], _fold, n_coarse=n_coarse),
+        pa.schema([("qid", pa.int64()), ("n_rel", pa.int64()),
+                   ("ap", pa.float64())]))
+
+
 def recall_at_k(runs: "Dataset", qrels: "Dataset", k: int = 10, *,
                 qid_col: str = "qid", doc_col: str = "doc_id",
                 score_col: str = "score", rel_col: str = "rel",

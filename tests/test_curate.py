@@ -2944,3 +2944,24 @@ def test_recall_at_k_matches_oracle(ray_session):
     assert abs(got.loc[1, "recall"] - 1 / 3) < 1e-15
     assert got.loc[2].tolist() == [1, 1, 1.0]
     assert got.loc[3].tolist() == [0, 0, 0.0]
+
+
+def test_ap_at_k_matches_oracle(ray_session):
+    """ap_at_k ≡ the textbook TREC replay."""
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import ap_at_k
+
+    runs = [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7), (1, 13, 0.6)]
+    qrels = [(1, 10, 1), (1, 12, 2), (1, 99, 1)]
+    got = ap_at_k(
+        rd.from_pandas(pd.DataFrame(
+            runs, columns=["qid", "doc_id", "score"])).repartition(2),
+        rd.from_pandas(pd.DataFrame(
+            qrels, columns=["qid", "doc_id", "rel"])).repartition(2),
+        k=3).to_pandas().set_index("qid")
+    # top-3: 10(rel), 11, 12(rel) → P@1=1, P@3=2/3; n_rel=3
+    want = (1.0 + 2 / 3) / 3
+    assert got.loc[1, "n_rel"] == 3
+    assert abs(got.loc[1, "ap"] - want) < 1e-12
