@@ -2808,6 +2808,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["qid", "doc_id"], lambda df: df.drop_duplicates())
         return mrr_at_k(runs, qrels, k=5)
 
+    def q_gini(sf):
+        # per-group quantity concentration over lineitem (key =
+        # orderkey % 50); exact int numerator/denominator, one
+        # division — exact gate
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import gini_per_key
+
+        li = rd.read_parquet(f"{sf}/lineitem.parquet",
+                             columns=["l_orderkey", "l_quantity"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            k = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            q = b["l_quantity"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "key": pa.array(k % 50, pa.int64()),
+                "val": pa.array(q.astype("int64"), pa.int64())})
+
+        return gini_per_key(li.map_batches(
+            _mk, batch_format="pyarrow", batch_size=None),
+            key_col="key", val_col="val")
+
     def q_ap_at_k(sf):
         # AP@5 over the same run/qrel fixture; float term-sum → 1e6
         import pyarrow as pa
@@ -4165,6 +4188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mrr": q_mrr,                    # MRR@5 first-relevant reciprocal rank (SQL-checked)
         "recall_at_k": q_recall_at_k,    # recall@5 over all relevants incl. unretrieved (SQL-checked)
         "ap_at_k": q_ap_at_k,            # average precision@5 (MAP family, SQL-checked)
+        "gini": q_gini,                  # per-key Gini concentration coefficient (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -4877,6 +4901,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # gini: ROW_NUMBER ascending formula (tie order cancels);
+        # exact integer num/denom, one division
+        "gini": (
+            "WITH x AS (SELECT l_orderkey % 50 AS key, "
+            "CAST(l_quantity AS BIGINT) AS val FROM lineitem), "
+            "g AS (SELECT key, val, ROW_NUMBER() OVER ("
+            "PARTITION BY key ORDER BY val) AS i, "
+            "COUNT(*) OVER (PARTITION BY key) AS n, "
+            "SUM(val) OVER (PARTITION BY key) AS tot FROM x) "
+            "SELECT key, CAST(max(n) AS BIGINT) AS n, "
+            "CAST(max(tot) AS BIGINT) AS total, "
+            "CASE WHEN max(n) > 1 AND max(tot) > 0 THEN "
+            "CAST(sum((2 * i - n - 1) * val) AS DOUBLE) "
+            "/ (max(n) * max(tot)) ELSE NULL END AS gini "
+            "FROM g GROUP BY key"
         ),
         # ap_at_k: cumulative-precision window terms / n_rel; 1e6
         "ap_at_k": (

@@ -1111,6 +1111,47 @@ def ntile(ds: Dataset, key_col: str, order_cols: list[str], n: int, *,
                             n_coarse=n_coarse)
 
 
+def gini_per_key(ds: Dataset, *, key_col: str, val_col: str,
+                 n_coarse: int | None = None) -> Dataset:
+    """Gini concentration coefficient per key → (key, n, total,
+    gini): G = Σ_i (2i − n − 1)·x_(i) / (n·Σx) over the ascending
+    sort (i 1-based) — the skew audit for per-host page counts /
+    per-domain token mass (a crawl where one host owns half the
+    corpus shows up as G → 1). Tie order cannot change the sum
+    (equal values share their coefficient block), so no tie-break
+    is needed on either side. Zero-total or singleton keys yield
+    null gini.
+
+    Scale shape: ONE key-keyed coarse exchange; in-frame vectorized
+    sort + dot. The numerator and denominator are exact int64 for
+    integer inputs — ONE final IEEE division, gate exact."""
+    from omop2obo_ray.pipelines.textpipe import (_pa_schema_of,
+                                                 _sanitize_join_output)
+
+    kt = _pa_schema_of(ds).field(key_col).type
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, g in df.groupby(key_col, sort=False):
+            x = np.sort(g[val_col].to_numpy(np.int64))
+            n = len(x)
+            tot = int(x.sum())
+            if n > 1 and tot > 0:
+                i = np.arange(1, n + 1, dtype=np.int64)
+                num = int(np.sum((2 * i - n - 1) * x))
+                gini = num / (n * tot)
+            else:
+                gini = None
+            rows.append((key, n, tot, gini))
+        return pd.DataFrame(rows, columns=[key_col, "n", "total",
+                                           "gini"])
+
+    return _sanitize_join_output(
+        coarse_aggregate(ds, [key_col], _fold, n_coarse=n_coarse),
+        pa.schema([(key_col, kt), ("n", pa.int64()),
+                   ("total", pa.int64()), ("gini", pa.float64())]))
+
+
 def calibration_bins(ds: Dataset, *, score_col: str, label_col: str,
                      n_bins: int = 10,
                      n_coarse: int | None = None) -> Dataset:

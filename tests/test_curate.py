@@ -2965,3 +2965,33 @@ def test_ap_at_k_matches_oracle(ray_session):
     want = (1.0 + 2 / 3) / 3
     assert got.loc[1, "n_rel"] == 3
     assert abs(got.loc[1, "ap"] - want) < 1e-12
+
+
+def test_gini_per_key_matches_oracle(ray_session):
+    """gini_per_key ≡ the sorted-formula replay; uniform → 0,
+    all-mass-on-one → (n-1)/n, singleton/zero-total → null."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.relational import gini_per_key
+
+    rows = []
+    data = {"uni": [5, 5, 5, 5], "one": [0, 0, 0, 12],
+            "mix": [1, 2, 3, 10], "single": [7], "zero": [0, 0]}
+    for k, vs in data.items():
+        rows += [(k, v) for v in vs]
+    df = pd.DataFrame(rows, columns=["key", "val"])
+
+    got = gini_per_key(rd.from_pandas(df).repartition(3),
+                       key_col="key", val_col="val") \
+        .to_pandas().set_index("key")
+    assert got.loc["uni", "gini"] == 0.0
+    assert abs(got.loc["one", "gini"] - 3 / 4) < 1e-15
+    x = np.sort(np.array(data["mix"]))
+    i = np.arange(1, 5)
+    want = np.sum((2 * i - 5) * x) / (4 * x.sum())
+    assert abs(got.loc["mix", "gini"] - want) < 1e-15
+    assert pd.isna(got.loc["single", "gini"])
+    assert pd.isna(got.loc["zero", "gini"])
+    assert got.loc["mix", "n"] == 4 and got.loc["mix", "total"] == 16
