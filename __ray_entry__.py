@@ -2808,6 +2808,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["qid", "doc_id"], lambda df: df.drop_duplicates())
         return mrr_at_k(runs, qrels, k=5)
 
+    def _bag_sides(sf):
+        import pyarrow as pa
+        import ray.data as rd
+
+        cust = rd.read_parquet(f"{sf}/customer.parquet",
+                               columns=["c_nationkey",
+                                        "c_mktsegment"])
+        supp = rd.read_parquet(f"{sf}/supplier.parquet",
+                               columns=["s_suppkey", "s_nationkey"])
+        l = cust.map_batches(
+            lambda b: pa.table({
+                "a": b["c_nationkey"].combine_chunks()
+                .cast(pa.int64()),
+                "b": b["c_mktsegment"]}),
+            batch_format="pyarrow", batch_size=None)
+
+        def _r(b: pa.Table) -> pa.Table:
+            import numpy as np
+            s = b["s_suppkey"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "a": b["s_nationkey"].combine_chunks()
+                .cast(pa.int64()),
+                "b": pa.array(np.where(s % 2 == 0, "BUILDING",
+                                       "MACHINERY"), pa.string())})
+
+        r = supp.map_batches(_r, batch_format="pyarrow",
+                             batch_size=None)
+        return l, r
+
+    def q_bag_intersect(sf):
+        # INTERSECT ALL multiplicity semantics; exact
+        from omop2obo_ray.pipelines.relational import bag_set_op
+
+        l, r = _bag_sides(sf)
+        return bag_set_op(l, r, "intersect")
+
+    def q_bag_except(sf):
+        # EXCEPT ALL multiplicity semantics; exact
+        from omop2obo_ray.pipelines.relational import bag_set_op
+
+        l, r = _bag_sides(sf)
+        return bag_set_op(l, r, "except")
+
     def q_gini(sf):
         # per-group quantity concentration over lineitem (key =
         # orderkey % 50); exact int numerator/denominator, one
@@ -4189,6 +4232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recall_at_k": q_recall_at_k,    # recall@5 over all relevants incl. unretrieved (SQL-checked)
         "ap_at_k": q_ap_at_k,            # average precision@5 (MAP family, SQL-checked)
         "gini": q_gini,                  # per-key Gini concentration coefficient (SQL-checked)
+        "bag_intersect": q_bag_intersect,  # INTERSECT ALL multiset semantics (SQL-checked)
+        "bag_except": q_bag_except,      # EXCEPT ALL multiset semantics (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -4901,6 +4946,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # bag ops: native INTERSECT ALL / EXCEPT ALL — exact
+        "bag_intersect": (
+            "SELECT c_nationkey AS a, c_mktsegment AS b "
+            "FROM customer "
+            "INTERSECT ALL "
+            "SELECT s_nationkey, CASE WHEN s_suppkey % 2 = 0 "
+            "THEN 'BUILDING' ELSE 'MACHINERY' END FROM supplier"
+        ),
+        "bag_except": (
+            "SELECT c_nationkey AS a, c_mktsegment AS b "
+            "FROM customer "
+            "EXCEPT ALL "
+            "SELECT s_nationkey, CASE WHEN s_suppkey % 2 = 0 "
+            "THEN 'BUILDING' ELSE 'MACHINERY' END FROM supplier"
         ),
         # gini: ROW_NUMBER ascending formula (tie order cancels);
         # exact integer num/denom, one division

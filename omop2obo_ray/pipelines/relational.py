@@ -1111,6 +1111,51 @@ def ntile(ds: Dataset, key_col: str, order_cols: list[str], n: int, *,
                             n_coarse=n_coarse)
 
 
+def bag_set_op(left: Dataset, right: Dataset, op: str, *,
+               n_coarse: int | None = None) -> Dataset:
+    """Multiset (bag) set operations — SQL's INTERSECT ALL /
+    EXCEPT ALL, the multiplicity-preserving siblings of the gated
+    set-semantics ops: ``op='intersect'`` keeps each distinct row
+    min(count_left, count_right) times; ``op='except'`` keeps it
+    max(0, count_left − count_right) times. Schemas must match.
+
+    Scale shape: tagged union → ONE coarse exchange keyed on ALL
+    columns (the row tuple is the key) → per-distinct-row count
+    arithmetic + an index-repeat emit. Row multiplicity never
+    materializes anywhere except the output itself."""
+    if op not in ("intersect", "except"):
+        raise ValueError(f"bag_set_op: unknown op {op!r}")
+    from omop2obo_ray.pipelines.textpipe import (_pa_schema_of,
+                                                 _sanitize_join_output)
+
+    sch = _pa_schema_of(left)
+    cols = list(sch.names)
+
+    lt = left.map_batches(
+        lambda df: df.assign(_side=np.int8(0)),
+        batch_format="pandas", batch_size=None)
+    rt = right.map_batches(
+        lambda df: df.assign(_side=np.int8(1)),
+        batch_format="pandas", batch_size=None)
+
+    def _emit(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(cols, sort=False, dropna=False)["_side"]
+             .agg(cl=lambda s: int((s == 0).sum()),
+                  cr=lambda s: int((s == 1).sum())).reset_index())
+        if op == "intersect":
+            g["_k"] = np.minimum(g["cl"], g["cr"])
+        else:
+            g["_k"] = np.maximum(g["cl"] - g["cr"], 0)
+        g = g[g["_k"] > 0]
+        out = g.loc[g.index.repeat(g["_k"])]
+        return out[cols]
+
+    return _sanitize_join_output(
+        coarse_aggregate(lt.union(rt), cols, _emit,
+                         n_coarse=n_coarse),
+        pa.schema(list(zip(sch.names, sch.types))))
+
+
 def gini_per_key(ds: Dataset, *, key_col: str, val_col: str,
                  n_coarse: int | None = None) -> Dataset:
     """Gini concentration coefficient per key → (key, n, total,

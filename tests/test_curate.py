@@ -2995,3 +2995,33 @@ def test_gini_per_key_matches_oracle(ray_session):
     assert pd.isna(got.loc["single", "gini"])
     assert pd.isna(got.loc["zero", "gini"])
     assert got.loc["mix", "n"] == 4 and got.loc["mix", "total"] == 16
+
+
+def test_bag_set_op_matches_sql_all_semantics(ray_session):
+    """bag_set_op ≡ DuckDB INTERSECT ALL / EXCEPT ALL."""
+    import duckdb
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.relational import bag_set_op
+
+    l = pd.DataFrame({"a": [1, 1, 1, 2, 2, 3],
+                      "b": ["x", "x", "y", "z", "z", "w"]})
+    r = pd.DataFrame({"a": [1, 1, 2, 4],
+                      "b": ["x", "x", "z", "q"]})
+    con = duckdb.connect()
+    con.register("l", l)
+    con.register("r", r)
+    for op, sql in (("intersect", "INTERSECT ALL"),
+                    ("except", "EXCEPT ALL")):
+        got = sorted(map(tuple, bag_set_op(
+            rd.from_pandas(l).repartition(3),
+            rd.from_pandas(r).repartition(2), op).to_pandas()
+            .itertuples(index=False)))
+        want = sorted(map(tuple, con.sql(
+            f"SELECT * FROM l {sql} SELECT * FROM r").df()
+            .itertuples(index=False)))
+        assert got == want, op
+    with pytest.raises(ValueError, match="unknown op"):
+        bag_set_op(rd.from_pandas(l), rd.from_pandas(r), "union")
