@@ -2851,6 +2851,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         l, r = _bag_sides(sf)
         return bag_set_op(l, r, "except")
 
+    def q_mad_outliers(sf):
+        # robust modified z-scores per order over quantities;
+        # medians are identical (a+b)/2 interpolations both sides —
+        # exact gate
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import mad_outliers
+
+        li = rd.read_parquet(f"{sf}/lineitem.parquet",
+                             columns=["l_orderkey", "l_linenumber",
+                                      "l_quantity"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            k = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            ln = b["l_linenumber"].to_numpy(zero_copy_only=False)
+            q = b["l_quantity"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "id": pa.array(k * 10 + ln, pa.int64()),
+                "k": pa.array(k, pa.int64()),
+                "v": pa.array(q.astype("int64"), pa.int64())})
+
+        return mad_outliers(li.map_batches(
+            _mk, batch_format="pyarrow", batch_size=None),
+            key_col="k", val_col="v", id_col="id", z_thresh=1.0)
+
     def q_gini(sf):
         # per-group quantity concentration over lineitem (key =
         # orderkey % 50); exact int numerator/denominator, one
@@ -4234,6 +4260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini": q_gini,                  # per-key Gini concentration coefficient (SQL-checked)
         "bag_intersect": q_bag_intersect,  # INTERSECT ALL multiset semantics (SQL-checked)
         "bag_except": q_bag_except,      # EXCEPT ALL multiset semantics (SQL-checked)
+        "mad_outliers": q_mad_outliers,  # robust MAD modified z-score outlier flags (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -4946,6 +4973,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # mad_outliers: two median() aggregates + one modified-z
+        # expression replaying the engine's ops — exact
+        "mad_outliers": (
+            "WITH x AS (SELECT l_orderkey * 10 + l_linenumber "
+            "AS id, l_orderkey AS k, "
+            "CAST(l_quantity AS BIGINT) AS v FROM lineitem), "
+            "m1 AS (SELECT k, count(*) AS n, median(v) AS med "
+            "FROM x GROUP BY k), "
+            "m2 AS (SELECT x.k, median(abs(x.v - m1.med)) AS mad "
+            "FROM x JOIN m1 ON m1.k = x.k GROUP BY x.k) "
+            "SELECT x.id, x.k, x.v, "
+            "CASE WHEN m1.n > 1 AND m2.mad > 0 THEN "
+            "0.6745 * (x.v - m1.med) / m2.mad ELSE NULL END "
+            "AS mad_z, "
+            "CASE WHEN m1.n > 1 AND m2.mad > 0 AND "
+            "abs(0.6745 * (x.v - m1.med) / m2.mad) > 1.0 "
+            "THEN 1 ELSE 0 END AS is_outlier "
+            "FROM x JOIN m1 ON m1.k = x.k JOIN m2 ON m2.k = x.k"
         ),
         # bag ops: native INTERSECT ALL / EXCEPT ALL — exact
         "bag_intersect": (

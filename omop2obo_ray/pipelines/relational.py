@@ -1111,6 +1111,57 @@ def ntile(ds: Dataset, key_col: str, order_cols: list[str], n: int, *,
                             n_coarse=n_coarse)
 
 
+def mad_outliers(ds: Dataset, *, key_col: str, val_col: str,
+                 id_col: str, z_thresh: float = 3.5,
+                 n_coarse: int | None = None) -> Dataset:
+    """Per-group robust outlier flagging via the median absolute
+    deviation (Iglewicz-Hoaglin modified z-score) → (id, key, val,
+    mad_z, is_outlier): z = 0.6745·(val − median)/MAD with MAD =
+    median(|val − median|) — the robust sibling of
+    :func:`grouped_outliers` (a single wild value cannot drag the
+    center the way it drags a mean/std). MAD = 0 or singleton groups
+    yield null z and flag 0.
+
+    Scale shape: ONE key-keyed coarse exchange; both medians are
+    in-frame vectorized `np.median` calls ((a+b)/2 interpolation —
+    the same arithmetic SQL's `median()` performs on integers, so
+    the gate replays exactly). Frames are per-key windows like every
+    windowed op here."""
+    from omop2obo_ray.pipelines.textpipe import (_pa_schema_of,
+                                                 _sanitize_join_output)
+
+    kt = _pa_schema_of(ds).field(key_col).type
+    vt = _pa_schema_of(ds).field(val_col).type
+    ds = ds.map_batches(
+        lambda b: pa.table({id_col: b[id_col], key_col: b[key_col],
+                            val_col: b[val_col]}),
+        batch_format="pyarrow", batch_size=None)
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, g in df.groupby(key_col, sort=False):
+            v = g[val_col].to_numpy(np.float64)
+            med = float(np.median(v))
+            mad = float(np.median(np.abs(v - med)))
+            o = g.copy(deep=False)
+            if len(v) > 1 and mad > 0.0:
+                z = 0.6745 * (v - med) / mad
+                o["mad_z"] = z
+                o["is_outlier"] = (np.abs(z)
+                                   > z_thresh).astype(np.int64)
+            else:
+                o["mad_z"] = np.nan
+                o["is_outlier"] = np.int64(0)
+            out.append(o)
+        return pd.concat(out) if out else df
+
+    return _sanitize_join_output(
+        coarse_aggregate(ds, [key_col], _fold, n_coarse=n_coarse),
+        pa.schema([(id_col, pa.int64()), (key_col, kt),
+                   (val_col, vt), ("mad_z", pa.float64()),
+                   ("is_outlier", pa.int64())]))
+
+
 def bag_set_op(left: Dataset, right: Dataset, op: str, *,
                n_coarse: int | None = None) -> Dataset:
     """Multiset (bag) set operations — SQL's INTERSECT ALL /

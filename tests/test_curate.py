@@ -3025,3 +3025,36 @@ def test_bag_set_op_matches_sql_all_semantics(ray_session):
         assert got == want, op
     with pytest.raises(ValueError, match="unknown op"):
         bag_set_op(rd.from_pandas(l), rd.from_pandas(r), "union")
+
+
+def test_mad_outliers_matches_oracle(ray_session):
+    """mad_outliers ≡ the Iglewicz-Hoaglin replay; MAD robustness
+    shown where mean/std would miss the outlier."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.relational import mad_outliers
+
+    rows, rid = [], 0
+    data = {"a": [10, 10, 11, 9, 10, 300],  # 300 = wild outlier
+            "b": [5, 5, 5, 5],              # MAD 0 → null
+            "c": [7]}
+    for k, vs in data.items():
+        for v in vs:
+            rows.append((rid, k, v)); rid += 1
+    df = pd.DataFrame(rows, columns=["id", "key", "val"])
+
+    got = mad_outliers(rd.from_pandas(df).repartition(3),
+                       key_col="key", val_col="val", id_col="id",
+                       z_thresh=3.5).to_pandas() \
+        .set_index("id").sort_index()
+    v = np.array(data["a"], float)
+    med = np.median(v); mad = np.median(np.abs(v - med))
+    for i, x in enumerate(data["a"]):
+        z = 0.6745 * (x - med) / mad
+        assert abs(got.loc[i, "mad_z"] - z) < 1e-12
+        assert got.loc[i, "is_outlier"] == int(abs(z) > 3.5)
+    assert got.loc[5, "is_outlier"] == 1          # the 300
+    assert got[got["key"] == "b"]["mad_z"].isna().all()
+    assert pd.isna(got.loc[10, "mad_z"])          # singleton c
