@@ -2851,6 +2851,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         l, r = _bag_sides(sf)
         return bag_set_op(l, r, "except")
 
+    def q_ks_drift(sf):
+        # KS drift between even- and odd-user event-value samples
+        # (floored ints); exact cumsum ECDF comparison
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import ks_drift
+
+        ev = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["user_id", "value"])
+
+        def _side(par):
+            def fn(b: pa.Table) -> pa.Table:
+                import numpy as np
+                u = b["user_id"].to_numpy(zero_copy_only=False)
+                v = b["value"].to_numpy(zero_copy_only=False)
+                m = (u % 2) == par
+                return pa.table({"v": pa.array(
+                    np.floor(v[m]).astype(np.int64), pa.int64())})
+            return fn
+
+        l = ev.map_batches(_side(0), batch_format="pyarrow",
+                           batch_size=None)
+        r = ev.map_batches(_side(1), batch_format="pyarrow",
+                           batch_size=None)
+        return ks_drift(l, r)
+
     def q_mad_outliers(sf):
         # robust modified z-scores per order over quantities;
         # medians are identical (a+b)/2 interpolations both sides —
@@ -4261,6 +4288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bag_intersect": q_bag_intersect,  # INTERSECT ALL multiset semantics (SQL-checked)
         "bag_except": q_bag_except,      # EXCEPT ALL multiset semantics (SQL-checked)
         "mad_outliers": q_mad_outliers,  # robust MAD modified z-score outlier flags (SQL-checked)
+        "ks_drift": q_ks_drift,          # two-sample KS distribution-drift statistic (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -4973,6 +5001,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # ks_drift: windowed cumsum ECDFs, max abs step gap — exact
+        "ks_drift": (
+            "WITH x AS (SELECT CAST(floor(value) AS BIGINT) AS v, "
+            "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS il "
+            "FROM events), "
+            "g AS (SELECT v, CAST(sum(il) AS BIGINT) AS c1, "
+            "CAST(sum(1 - il) AS BIGINT) AS c2 FROM x GROUP BY v), "
+            "c AS (SELECT v, SUM(c1) OVER (ORDER BY v "
+            "ROWS UNBOUNDED PRECEDING) AS a1, "
+            "SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) "
+            "AS a2 FROM g), "
+            "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, "
+            "CAST(sum(c2) AS BIGINT) AS n2 FROM g) "
+            "SELECT t.n1, t.n2, "
+            "max(abs(CAST(c.a1 AS DOUBLE) / t.n1 "
+            "- CAST(c.a2 AS DOUBLE) / t.n2)) AS d_stat "
+            "FROM c CROSS JOIN t GROUP BY t.n1, t.n2"
         ),
         # mad_outliers: two median() aggregates + one modified-z
         # expression replaying the engine's ops — exact

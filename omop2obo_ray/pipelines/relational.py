@@ -1111,6 +1111,76 @@ def ntile(ds: Dataset, key_col: str, order_cols: list[str], n: int, *,
                             n_coarse=n_coarse)
 
 
+def ks_drift(left: Dataset, right: Dataset, *,
+             val_col: str = "v",
+             n_coarse: int | None = None) -> Dataset:
+    """Two-sample Kolmogorov-Smirnov statistic → one row (n1, n2,
+    d_stat): D = max_v |ECDF_left(v) − ECDF_right(v)| — the
+    distribution-drift monitor for training-data refreshes (did this
+    crawl's quality-score / length / perplexity distribution move?).
+    Works on any discrete/binned numeric column; bin continuous
+    signals upstream (drift monitors bin anyway).
+
+    Scale shape: tagged union → ONE value-keyed coarse count →
+    one single-group fold over the DISTINCT-value table (sorted
+    cumsums; the distinct-value cardinality bounds the frame — the
+    `skyline`/`histogram` contract). Cumulative counts are exact
+    ints; each ECDF step is two single-rounding divisions — the
+    gate replays exactly."""
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    lt = left.map_batches(
+        lambda b: pa.table({
+            "v": b[val_col].combine_chunks().cast(pa.int64()),
+            "c1": pa.array([1] * b.num_rows, pa.int64()),
+            "c2": pa.array([0] * b.num_rows, pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(
+        lambda b: pa.table({
+            "v": b[val_col].combine_chunks().cast(pa.int64()),
+            "c1": pa.array([0] * b.num_rows, pa.int64()),
+            "c2": pa.array([1] * b.num_rows, pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+
+    g = _sanitize_join_output(
+        coarse_aggregate(
+            lt.union(rt), ["v"],
+            lambda df: df.groupby("v", sort=False)
+            .agg(c1=("c1", "sum"), c2=("c2", "sum")).reset_index(),
+            n_coarse=n_coarse),
+        pa.schema([("v", pa.int64()), ("c1", pa.int64()),
+                   ("c2", pa.int64())]))
+
+    def _one(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_g"] = 0
+        return df
+
+    def _fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("v", kind="mergesort")
+        a1 = df["c1"].to_numpy(np.int64).cumsum()
+        a2 = df["c2"].to_numpy(np.int64).cumsum()
+        n1, n2 = int(a1[-1]) if len(a1) else 0, \
+            int(a2[-1]) if len(a2) else 0
+        if n1 and n2:
+            d = float(np.max(np.abs(
+                a1.astype(np.float64) / n1
+                - a2.astype(np.float64) / n2)))
+        else:
+            d = None
+        return pd.DataFrame({"n1": [n1], "n2": [n2],
+                             "d_stat": [d]})
+
+    return _sanitize_join_output(
+        coarse_aggregate(
+            g.map_batches(_one, batch_format="pandas",
+                          batch_size=None),
+            ["_g"], lambda df: _fin(df.drop(columns=["_g"])),
+            n_coarse=n_coarse),
+        pa.schema([("n1", pa.int64()), ("n2", pa.int64()),
+                   ("d_stat", pa.float64())]))
+
+
 def mad_outliers(ds: Dataset, *, key_col: str, val_col: str,
                  id_col: str, z_thresh: float = 3.5,
                  n_coarse: int | None = None) -> Dataset:

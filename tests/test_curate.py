@@ -3058,3 +3058,37 @@ def test_mad_outliers_matches_oracle(ray_session):
     assert got.loc[5, "is_outlier"] == 1          # the 300
     assert got[got["key"] == "b"]["mad_z"].isna().all()
     assert pd.isna(got.loc[10, "mad_z"])          # singleton c
+
+
+def test_ks_drift_matches_scipy_convention(ray_session):
+    """ks_drift ≡ the ECDF-max replay (and scipy where available)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.relational import ks_drift
+
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 40, 300)
+    b = rng.randint(10, 50, 200)   # shifted distribution
+    got = ks_drift(
+        rd.from_pandas(pd.DataFrame({"v": a})).repartition(3),
+        rd.from_pandas(pd.DataFrame({"v": b})).repartition(2)) \
+        .to_pandas().iloc[0]
+    vals = np.unique(np.r_[a, b])
+    e1 = np.searchsorted(np.sort(a), vals, side="right") / len(a)
+    e2 = np.searchsorted(np.sort(b), vals, side="right") / len(b)
+    want = np.max(np.abs(e1 - e2))
+    assert got["n1"] == 300 and got["n2"] == 200
+    assert abs(got["d_stat"] - want) < 1e-12
+    try:
+        from scipy.stats import ks_2samp
+        assert abs(got["d_stat"] - ks_2samp(a, b).statistic) < 1e-12
+    except ImportError:
+        pass
+    # identical samples → D = 0
+    same = ks_drift(
+        rd.from_pandas(pd.DataFrame({"v": a})).repartition(2),
+        rd.from_pandas(pd.DataFrame({"v": a})).repartition(3)) \
+        .to_pandas().iloc[0]
+    assert same["d_stat"] == 0.0
