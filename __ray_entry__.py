@@ -2878,6 +2878,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            batch_size=None)
         return ks_drift(l, r)
 
+    def q_psi_drift(sf):
+        # PSI between even/odd-user event-value bins (v // 10);
+        # ln terms → 1e6 quantizer
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import psi_drift
+
+        ev = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["user_id", "value"])
+
+        def _side(par):
+            def fn(b: pa.Table) -> pa.Table:
+                import numpy as np
+                u = b["user_id"].to_numpy(zero_copy_only=False)
+                v = b["value"].to_numpy(zero_copy_only=False)
+                m = (u % 2) == par
+                return pa.table({"v": pa.array(
+                    np.floor(v[m]).astype(np.int64) // 10,
+                    pa.int64())})
+            return fn
+
+        out = psi_drift(
+            ev.map_batches(_side(0), batch_format="pyarrow",
+                           batch_size=None),
+            ev.map_batches(_side(1), batch_format="pyarrow",
+                           batch_size=None))
+
+        def _q(b: pa.Table) -> pa.Table:
+            import numpy as np
+            p = b["psi"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "n1": b["n1"], "n2": b["n2"], "n_bins": b["n_bins"],
+                "n_skipped": b["n_skipped"],
+                "psi_q": pa.array(np.floor(p * 1e6 + 1e-6)
+                                  .astype(np.int64), pa.int64())})
+
+        return out.map_batches(_q, batch_format="pyarrow",
+                               batch_size=None)
+
     def q_mad_outliers(sf):
         # robust modified z-scores per order over quantities;
         # medians are identical (a+b)/2 interpolations both sides —
@@ -4289,6 +4330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bag_except": q_bag_except,      # EXCEPT ALL multiset semantics (SQL-checked)
         "mad_outliers": q_mad_outliers,  # robust MAD modified z-score outlier flags (SQL-checked)
         "ks_drift": q_ks_drift,          # two-sample KS distribution-drift statistic (SQL-checked)
+        "psi_drift": q_psi_drift,        # Population Stability Index drift monitor (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -5001,6 +5043,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # psi_drift: both-present bins only; (p1-p2)·ln(p1/p2) 1e6
+        "psi_drift": (
+            "WITH x AS (SELECT CAST(floor(value) AS BIGINT) // 10 "
+            "AS v, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END "
+            "AS il FROM events), "
+            "g AS (SELECT v, CAST(sum(il) AS BIGINT) AS c1, "
+            "CAST(sum(1 - il) AS BIGINT) AS c2 FROM x GROUP BY v), "
+            "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, "
+            "CAST(sum(c2) AS BIGINT) AS n2, "
+            "CAST(count(*) AS BIGINT) AS nb, "
+            "CAST(count(*) FILTER (c1 = 0 OR c2 = 0) AS BIGINT) "
+            "AS ns FROM g) "
+            "SELECT t.n1, t.n2, t.nb AS n_bins, t.ns AS n_skipped, "
+            "CAST(floor((SELECT sum((CAST(g.c1 AS DOUBLE) / t.n1 "
+            "- CAST(g.c2 AS DOUBLE) / t.n2) "
+            "* ln((CAST(g.c1 AS DOUBLE) / t.n1) "
+            "/ (CAST(g.c2 AS DOUBLE) / t.n2))) FROM g "
+            "WHERE g.c1 > 0 AND g.c2 > 0) * 1e6 + 1e-6) AS BIGINT) "
+            "AS psi_q FROM t"
         ),
         # ks_drift: windowed cumsum ECDFs, max abs step gap — exact
         "ks_drift": (

@@ -1181,6 +1181,77 @@ def ks_drift(left: Dataset, right: Dataset, *,
                    ("d_stat", pa.float64())]))
 
 
+def psi_drift(left: Dataset, right: Dataset, *, val_col: str = "v",
+              n_coarse: int | None = None) -> Dataset:
+    """Population Stability Index between two pre-binned samples →
+    one row (n1, n2, n_bins, n_skipped, psi): PSI = Σ_b (p1_b −
+    p2_b)·ln(p1_b/p2_b) over bins PRESENT IN BOTH samples (bins
+    empty on either side are skipped and counted in ``n_skipped`` —
+    the eps-free convention, stated explicitly because eps choices
+    vary); industry rule of thumb: < 0.1 stable, > 0.25 shifted.
+    The standard monitoring pair with :func:`ks_drift` (KS is
+    rank-based and eps-free; PSI weights tail mass).
+
+    Same scale shape as ks_drift: ONE value-keyed count + a
+    single-group fold bounded by bin cardinality. Counts exact; each
+    term is p-divisions, one ln, one multiply — gate quantized for
+    the ln."""
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    lt = left.map_batches(
+        lambda b: pa.table({
+            "v": b[val_col].combine_chunks().cast(pa.int64()),
+            "c1": pa.array([1] * b.num_rows, pa.int64()),
+            "c2": pa.array([0] * b.num_rows, pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(
+        lambda b: pa.table({
+            "v": b[val_col].combine_chunks().cast(pa.int64()),
+            "c1": pa.array([0] * b.num_rows, pa.int64()),
+            "c2": pa.array([1] * b.num_rows, pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+
+    g = _sanitize_join_output(
+        coarse_aggregate(
+            lt.union(rt), ["v"],
+            lambda df: df.groupby("v", sort=False)
+            .agg(c1=("c1", "sum"), c2=("c2", "sum")).reset_index(),
+            n_coarse=n_coarse),
+        pa.schema([("v", pa.int64()), ("c1", pa.int64()),
+                   ("c2", pa.int64())]))
+
+    def _one(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_g"] = 0
+        return df
+
+    def _fin(df: pd.DataFrame) -> pd.DataFrame:
+        c1 = df["c1"].to_numpy(np.int64)
+        c2 = df["c2"].to_numpy(np.int64)
+        n1, n2 = int(c1.sum()), int(c2.sum())
+        both = (c1 > 0) & (c2 > 0)
+        n_sk = int((~both).sum())
+        if n1 and n2 and both.any():
+            p1 = c1[both].astype(np.float64) / n1
+            p2 = c2[both].astype(np.float64) / n2
+            psi = float(np.sum((p1 - p2) * np.log(p1 / p2)))
+        else:
+            psi = None
+        return pd.DataFrame({
+            "n1": [n1], "n2": [n2], "n_bins": [len(df)],
+            "n_skipped": [n_sk], "psi": [psi]})
+
+    return _sanitize_join_output(
+        coarse_aggregate(
+            g.map_batches(_one, batch_format="pandas",
+                          batch_size=None),
+            ["_g"], lambda df: _fin(df.drop(columns=["_g"])),
+            n_coarse=n_coarse),
+        pa.schema([("n1", pa.int64()), ("n2", pa.int64()),
+                   ("n_bins", pa.int64()), ("n_skipped", pa.int64()),
+                   ("psi", pa.float64())]))
+
+
 def mad_outliers(ds: Dataset, *, key_col: str, val_col: str,
                  id_col: str, z_thresh: float = 3.5,
                  n_coarse: int | None = None) -> Dataset:

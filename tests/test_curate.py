@@ -3092,3 +3092,28 @@ def test_ks_drift_matches_scipy_convention(ray_session):
         rd.from_pandas(pd.DataFrame({"v": a})).repartition(3)) \
         .to_pandas().iloc[0]
     assert same["d_stat"] == 0.0
+
+
+def test_psi_drift_matches_oracle(ray_session):
+    """psi_drift ≡ the textbook replay; skipped-bin accounting."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.relational import psi_drift
+
+    a = [0] * 50 + [1] * 30 + [2] * 20 + [9] * 5   # 9 only in a
+    b = [0] * 30 + [1] * 40 + [2] * 30 + [7] * 10  # 7 only in b
+    got = psi_drift(
+        rd.from_pandas(pd.DataFrame({"v": a})).repartition(3),
+        rd.from_pandas(pd.DataFrame({"v": b})).repartition(2)) \
+        .to_pandas().iloc[0]
+    n1, n2 = len(a), len(b)
+    psi = 0.0
+    for v in (0, 1, 2):
+        p1 = a.count(v) / n1
+        p2 = b.count(v) / n2
+        psi += (p1 - p2) * np.log(p1 / p2)
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert got["n_bins"] == 5 and got["n_skipped"] == 2
+    assert abs(got["psi"] - psi) < 1e-12
