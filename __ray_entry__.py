@@ -2878,6 +2878,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            batch_size=None)
         return ks_drift(l, r)
 
+    def q_vocab_overlap(sf):
+        # vocab Jaccard between even/odd-doc_id document halves;
+        # exact int counts + single-rounding ratios
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import vocab_overlap
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+        def _half(par):
+            def fn(b: pa.Table) -> pa.Table:
+                d = b["doc_id"].to_numpy(zero_copy_only=False)
+                return b.filter(pa.array((d % 2) == par))
+            return fn
+
+        return vocab_overlap(
+            docs.map_batches(_half(0), batch_format="pyarrow",
+                             batch_size=None),
+            docs.map_batches(_half(1), batch_format="pyarrow",
+                             batch_size=None), min_len=1)
+
     def q_psi_drift(sf):
         # PSI between even/odd-user event-value bins (v // 10);
         # ln terms → 1e6 quantizer
@@ -4331,6 +4354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers": q_mad_outliers,  # robust MAD modified z-score outlier flags (SQL-checked)
         "ks_drift": q_ks_drift,          # two-sample KS distribution-drift statistic (SQL-checked)
         "psi_drift": q_psi_drift,        # Population Stability Index drift monitor (SQL-checked)
+        "vocab_overlap": q_vocab_overlap,  # corpus vocabulary Jaccard/containment audit (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -5043,6 +5067,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # vocab_overlap: two DISTINCT token sets, set arithmetic
+        "vocab_overlap": (
+            "WITH t1 AS (SELECT DISTINCT unnest(string_split("
+            "text, ' ')) AS tok FROM documents WHERE doc_id % 2 = 0), "
+            "t2 AS (SELECT DISTINCT unnest(string_split(text, ' ')) "
+            "AS tok FROM documents WHERE doc_id % 2 = 1), "
+            "s AS (SELECT "
+            "(SELECT count(*) FROM t1) AS v1, "
+            "(SELECT count(*) FROM t2) AS v2, "
+            "(SELECT count(*) FROM t1 WHERE tok IN "
+            "(SELECT tok FROM t2)) AS sh) "
+            "SELECT CAST(v1 AS BIGINT) AS vocab1, "
+            "CAST(v2 AS BIGINT) AS vocab2, "
+            "CAST(sh AS BIGINT) AS shared, "
+            "CAST(sh AS DOUBLE) / (v1 + v2 - sh) AS jaccard, "
+            "CAST(sh AS DOUBLE) / v1 AS containment_1in2, "
+            "CAST(sh AS DOUBLE) / v2 AS containment_2in1 FROM s"
         ),
         # psi_drift: both-present bins only; (p1-p2)·ln(p1/p2) 1e6
         "psi_drift": (

@@ -4584,6 +4584,77 @@ def er_eval(assign: "Dataset", gold_pairs: "Dataset", *,
         "f1": pa.array([f1], pa.float64())}))
 
 
+def vocab_overlap(left: "Dataset", right: "Dataset", *,
+                  text_col: str = "text", min_len: int = 1,
+                  n_coarse: int | None = None) -> "Dataset":
+    """Vocabulary overlap between two corpora → one row (vocab1,
+    vocab2, shared, jaccard, containment_1in2, containment_2in1) —
+    the quick corpus-comparison audit before a merge/refresh (does
+    the new crawl speak the same language as the old one?), the
+    type-level sibling of `ks_drift`/`psi_drift`'s value-level
+    monitors.
+
+    Scale shape: per-block distinct tokens per side → tagged union
+    → ONE token-keyed coarse presence-fold → per-block partial
+    (v1, v2, both) counts → one tiny scalar fold. All counts exact
+    int64; three single-rounding divisions — gate exact."""
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    def _toks(side):
+        def fn(b: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(
+                b[text_col].combine_chunks().cast(pa.large_string()),
+                " ")
+            flat = toks.combine_chunks().values if isinstance(
+                toks, pa.ChunkedArray) else toks.values
+            t = pd.unique(np.asarray(
+                flat.cast(pa.string()).to_numpy(
+                    zero_copy_only=False)))
+            t = np.array([x for x in t if len(x) >= min_len])
+            n = len(t)
+            return pa.table({
+                "token": pa.array(t, pa.string()),
+                "s1": pa.array([1 - side] * n, pa.int64()),
+                "s2": pa.array([side] * n, pa.int64())})
+        return fn
+
+    lt = left.map_batches(_toks(0), batch_format="pyarrow",
+                          batch_size=None)
+    rt = right.map_batches(_toks(1), batch_format="pyarrow",
+                           batch_size=None)
+
+    pres = _sanitize_join_output(
+        coarse_aggregate(
+            lt.union(rt), ["token"],
+            lambda df: df.groupby("token", sort=False)
+            .agg(h1=("s1", "max"), h2=("s2", "max")).reset_index(),
+            n_coarse=n_coarse),
+        pa.schema([("token", pa.string()), ("h1", pa.int64()),
+                   ("h2", pa.int64())]))
+
+    part = pres.map_batches(
+        lambda df: pd.DataFrame({
+            "v1": [int(df["h1"].sum())],
+            "v2": [int(df["h2"].sum())],
+            "both": [int((df["h1"] & df["h2"]).sum())]}),
+        batch_format="pandas", batch_size=None).to_pandas()
+    v1 = int(part["v1"].sum())
+    v2 = int(part["v2"].sum())
+    both = int(part["both"].sum())
+    union = v1 + v2 - both
+    return ray.data.from_arrow(pa.table({
+        "vocab1": pa.array([v1], pa.int64()),
+        "vocab2": pa.array([v2], pa.int64()),
+        "shared": pa.array([both], pa.int64()),
+        "jaccard": pa.array([both / union if union else 0.0],
+                            pa.float64()),
+        "containment_1in2": pa.array([both / v1 if v1 else 0.0],
+                                     pa.float64()),
+        "containment_2in1": pa.array([both / v2 if v2 else 0.0],
+                                     pa.float64())}))
+
+
 def token_label_mi(docs: "Dataset", *, doc_col: str = "doc_id",
                    text_col: str = "text", label_col: str = "lang",
                    min_len: int = 5, min_count: int = 2,

@@ -3117,3 +3117,25 @@ def test_psi_drift_matches_oracle(ray_session):
     assert (got["n1"], got["n2"]) == (n1, n2)
     assert got["n_bins"] == 5 and got["n_skipped"] == 2
     assert abs(got["psi"] - psi) < 1e-12
+
+
+def test_vocab_overlap_matches_oracle(ray_session):
+    """vocab_overlap ≡ the set-arithmetic replay."""
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import vocab_overlap
+
+    l = pd.DataFrame({"text": ["alpha beta gamma", "beta delta"]})
+    r = pd.DataFrame({"text": ["beta gamma epsilon",
+                               "zeta beta epsilon"]})
+    sl = {"alpha", "beta", "gamma", "delta"}
+    sr = {"beta", "gamma", "epsilon", "zeta"}
+    got = vocab_overlap(rd.from_pandas(l).repartition(2),
+                        rd.from_pandas(r).repartition(2)) \
+        .to_pandas().iloc[0]
+    assert (got["vocab1"], got["vocab2"]) == (len(sl), len(sr))
+    assert got["shared"] == len(sl & sr)
+    assert abs(got["jaccard"] - len(sl & sr) / len(sl | sr)) < 1e-15
+    assert abs(got["containment_1in2"]
+               - len(sl & sr) / len(sl)) < 1e-15
