@@ -2878,6 +2878,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            batch_size=None)
         return ks_drift(l, r)
 
+    def q_js_divergence(sf):
+        # JSD between even/odd-user event-value bins (v // 10);
+        # ln terms → 1e6
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import js_divergence
+
+        ev = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["user_id", "value"])
+
+        def _side(par):
+            def fn(b: pa.Table) -> pa.Table:
+                import numpy as np
+                u = b["user_id"].to_numpy(zero_copy_only=False)
+                v = b["value"].to_numpy(zero_copy_only=False)
+                m = (u % 2) == par
+                return pa.table({"v": pa.array(
+                    np.floor(v[m]).astype(np.int64) // 10,
+                    pa.int64())})
+            return fn
+
+        out = js_divergence(
+            ev.map_batches(_side(0), batch_format="pyarrow",
+                           batch_size=None),
+            ev.map_batches(_side(1), batch_format="pyarrow",
+                           batch_size=None))
+
+        def _q(b: pa.Table) -> pa.Table:
+            import numpy as np
+            j = b["jsd"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "n1": b["n1"], "n2": b["n2"], "n_bins": b["n_bins"],
+                "jsd_q": pa.array(np.floor(j * 1e6 + 1e-6)
+                                  .astype(np.int64), pa.int64())})
+
+        return out.map_batches(_q, batch_format="pyarrow",
+                               batch_size=None)
+
     def q_vocab_overlap(sf):
         # vocab Jaccard between even/odd-doc_id document halves;
         # exact int counts + single-rounding ratios
@@ -4355,6 +4395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_drift": q_ks_drift,          # two-sample KS distribution-drift statistic (SQL-checked)
         "psi_drift": q_psi_drift,        # Population Stability Index drift monitor (SQL-checked)
         "vocab_overlap": q_vocab_overlap,  # corpus vocabulary Jaccard/containment audit (SQL-checked)
+        "js_divergence": q_js_divergence,  # Jensen-Shannon divergence drift monitor (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -5067,6 +5108,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # js_divergence: p·ln(p/m) with 0-mass terms dropped; 1e6
+        "js_divergence": (
+            "WITH x AS (SELECT CAST(floor(value) AS BIGINT) // 10 "
+            "AS v, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END "
+            "AS il FROM events), "
+            "g AS (SELECT v, CAST(sum(il) AS BIGINT) AS c1, "
+            "CAST(sum(1 - il) AS BIGINT) AS c2 FROM x GROUP BY v), "
+            "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, "
+            "CAST(sum(c2) AS BIGINT) AS n2, "
+            "CAST(count(*) AS BIGINT) AS nb FROM g) "
+            "SELECT t.n1, t.n2, t.nb AS n_bins, "
+            "CAST(floor((SELECT "
+            "0.5 * sum(CASE WHEN g.c1 > 0 THEN "
+            "(CAST(g.c1 AS DOUBLE) / t.n1) "
+            "* ln((CAST(g.c1 AS DOUBLE) / t.n1) "
+            "/ (0.5 * (CAST(g.c1 AS DOUBLE) / t.n1 "
+            "+ CAST(g.c2 AS DOUBLE) / t.n2))) ELSE 0.0 END) "
+            "+ 0.5 * sum(CASE WHEN g.c2 > 0 THEN "
+            "(CAST(g.c2 AS DOUBLE) / t.n2) "
+            "* ln((CAST(g.c2 AS DOUBLE) / t.n2) "
+            "/ (0.5 * (CAST(g.c1 AS DOUBLE) / t.n1 "
+            "+ CAST(g.c2 AS DOUBLE) / t.n2))) ELSE 0.0 END) "
+            "FROM g) * 1e6 + 1e-6) AS BIGINT) AS jsd_q FROM t"
         ),
         # vocab_overlap: two DISTINCT token sets, set arithmetic
         "vocab_overlap": (

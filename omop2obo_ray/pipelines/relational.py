@@ -1252,6 +1252,77 @@ def psi_drift(left: Dataset, right: Dataset, *, val_col: str = "v",
                    ("psi", pa.float64())]))
 
 
+def js_divergence(left: Dataset, right: Dataset, *,
+                  val_col: str = "v",
+                  n_coarse: int | None = None) -> Dataset:
+    """Jensen-Shannon divergence between two pre-binned samples →
+    one row (n1, n2, n_bins, jsd): JSD = ½KL(p‖m) + ½KL(q‖m),
+    m = (p+q)/2 — the bounded (≤ ln 2), symmetric member of the
+    drift trio (:func:`ks_drift` rank-based, :func:`psi_drift`
+    eps-sensitive, JSD defined for EVERY bin incl. one-sided ones —
+    0·ln0 ≡ 0, and m > 0 wherever either side has mass, so nothing
+    is skipped).
+
+    Same shape as its siblings: ONE value-keyed count + a
+    bin-bounded single-group fold; counts exact, ln terms folded in
+    bin order — gate quantized."""
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    lt = left.map_batches(
+        lambda b: pa.table({
+            "v": b[val_col].combine_chunks().cast(pa.int64()),
+            "c1": pa.array([1] * b.num_rows, pa.int64()),
+            "c2": pa.array([0] * b.num_rows, pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(
+        lambda b: pa.table({
+            "v": b[val_col].combine_chunks().cast(pa.int64()),
+            "c1": pa.array([0] * b.num_rows, pa.int64()),
+            "c2": pa.array([1] * b.num_rows, pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+
+    g = _sanitize_join_output(
+        coarse_aggregate(
+            lt.union(rt), ["v"],
+            lambda df: df.groupby("v", sort=False)
+            .agg(c1=("c1", "sum"), c2=("c2", "sum")).reset_index(),
+            n_coarse=n_coarse),
+        pa.schema([("v", pa.int64()), ("c1", pa.int64()),
+                   ("c2", pa.int64())]))
+
+    def _one(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_g"] = 0
+        return df
+
+    def _fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("v", kind="mergesort")
+        c1 = df["c1"].to_numpy(np.int64)
+        c2 = df["c2"].to_numpy(np.int64)
+        n1, n2 = int(c1.sum()), int(c2.sum())
+        if n1 and n2:
+            p = c1.astype(np.float64) / n1
+            q = c2.astype(np.float64) / n2
+            m = 0.5 * (p + q)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t1 = np.where(p > 0.0, p * np.log(p / m), 0.0)
+                t2 = np.where(q > 0.0, q * np.log(q / m), 0.0)
+            jsd = float(0.5 * np.sum(t1) + 0.5 * np.sum(t2))
+        else:
+            jsd = None
+        return pd.DataFrame({"n1": [n1], "n2": [n2],
+                             "n_bins": [len(df)], "jsd": [jsd]})
+
+    return _sanitize_join_output(
+        coarse_aggregate(
+            g.map_batches(_one, batch_format="pandas",
+                          batch_size=None),
+            ["_g"], lambda df: _fin(df.drop(columns=["_g"])),
+            n_coarse=n_coarse),
+        pa.schema([("n1", pa.int64()), ("n2", pa.int64()),
+                   ("n_bins", pa.int64()), ("jsd", pa.float64())]))
+
+
 def mad_outliers(ds: Dataset, *, key_col: str, val_col: str,
                  id_col: str, z_thresh: float = 3.5,
                  n_coarse: int | None = None) -> Dataset:

@@ -3139,3 +3139,35 @@ def test_vocab_overlap_matches_oracle(ray_session):
     assert abs(got["jaccard"] - len(sl & sr) / len(sl | sr)) < 1e-15
     assert abs(got["containment_1in2"]
                - len(sl & sr) / len(sl)) < 1e-15
+
+
+def test_js_divergence_matches_oracle(ray_session):
+    """js_divergence ≡ the textbook replay incl. one-sided bins;
+    bounded by ln 2; identical samples → 0."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.relational import js_divergence
+
+    a = [0] * 50 + [1] * 30 + [9] * 20     # 9 only in a
+    b = [0] * 30 + [1] * 60 + [7] * 10     # 7 only in b
+    got = js_divergence(
+        rd.from_pandas(pd.DataFrame({"v": a})).repartition(3),
+        rd.from_pandas(pd.DataFrame({"v": b})).repartition(2)) \
+        .to_pandas().iloc[0]
+    vals = sorted(set(a) | set(b))
+    p = np.array([a.count(v) for v in vals]) / len(a)
+    q = np.array([b.count(v) for v in vals]) / len(b)
+    m = 0.5 * (p + q)
+    want = 0.5 * sum(x * np.log(x / y) for x, y in zip(p, m) if x) \
+        + 0.5 * sum(x * np.log(x / y) for x, y in zip(q, m) if x)
+    assert got["n_bins"] == 4
+    assert abs(got["jsd"] - want) < 1e-12
+    assert 0.0 < got["jsd"] <= np.log(2)
+
+    same = js_divergence(
+        rd.from_pandas(pd.DataFrame({"v": a})).repartition(2),
+        rd.from_pandas(pd.DataFrame({"v": a})).repartition(3)) \
+        .to_pandas().iloc[0]
+    assert same["jsd"] == 0.0
