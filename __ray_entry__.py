@@ -2878,6 +2878,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            batch_size=None)
         return ks_drift(l, r)
 
+    def q_cramers_v(sf):
+        # lang × (doc_id % 4) association; float sums → 1e6
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import cramers_v
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "lang"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            import numpy as np
+            d = b["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "a": b["lang"].combine_chunks().cast(pa.string()),
+                "b": pa.array((d % 4).astype(str), pa.string())})
+
+        out = cramers_v(docs.map_batches(
+            _mk, batch_format="pyarrow", batch_size=None),
+            a_col="a", b_col="b")
+
+        def _q(b: pa.Table) -> pa.Table:
+            import numpy as np
+            chi = b["chi2"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            v = b["v"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "n": b["n"], "r": b["r"], "c": b["c"],
+                "chi2_q": pa.array(np.floor(chi * 1e6 + 1e-6)
+                                   .astype(np.int64), pa.int64()),
+                "v_q": pa.array(np.floor(v * 1e6 + 1e-6)
+                                .astype(np.int64), pa.int64())})
+
+        return out.map_batches(_q, batch_format="pyarrow",
+                               batch_size=None)
+
     def q_js_divergence(sf):
         # JSD between even/odd-user event-value bins (v // 10);
         # ln terms → 1e6
@@ -4396,6 +4433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_drift": q_psi_drift,        # Population Stability Index drift monitor (SQL-checked)
         "vocab_overlap": q_vocab_overlap,  # corpus vocabulary Jaccard/containment audit (SQL-checked)
         "js_divergence": q_js_divergence,  # Jensen-Shannon divergence drift monitor (SQL-checked)
+        "cramers_v": q_cramers_v,        # Cramér's V categorical association (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -5108,6 +5146,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # cramers_v: chi2 over present cells + (n − ΣE_present) for
+        # the absent ones; 1e6
+        "cramers_v": (
+            "WITH x AS (SELECT lang AS a, "
+            "CAST(doc_id % 4 AS VARCHAR) AS b FROM documents), "
+            "g AS (SELECT a, b, CAST(count(*) AS BIGINT) AS nn "
+            "FROM x GROUP BY a, b), "
+            "ra AS (SELECT a, CAST(sum(nn) AS BIGINT) AS s FROM g "
+            "GROUP BY a), "
+            "cb AS (SELECT b, CAST(sum(nn) AS BIGINT) AS s FROM g "
+            "GROUP BY b), "
+            "t AS (SELECT CAST(sum(nn) AS BIGINT) AS n, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM ra) AS r, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM cb) AS c "
+            "FROM g), "
+            "s AS (SELECT "
+            "sum((g.nn - CAST(ra.s AS DOUBLE) * cb.s / t.n) "
+            "* (g.nn - CAST(ra.s AS DOUBLE) * cb.s / t.n) "
+            "/ (CAST(ra.s AS DOUBLE) * cb.s / t.n)) AS chip, "
+            "sum(CAST(ra.s AS DOUBLE) * cb.s / t.n) AS ep "
+            "FROM g JOIN ra ON ra.a = g.a JOIN cb ON cb.b = g.b "
+            "CROSS JOIN t GROUP BY t.n) "
+            "SELECT t.n, t.r, t.c, "
+            "CAST(floor((s.chip + (t.n - s.ep)) * 1e6 + 1e-6) "
+            "AS BIGINT) AS chi2_q, "
+            "CAST(floor(sqrt((s.chip + (t.n - s.ep)) "
+            "/ (t.n * least(t.r - 1, t.c - 1))) * 1e6 + 1e-6) "
+            "AS BIGINT) AS v_q "
+            "FROM t CROSS JOIN s"
         ),
         # js_divergence: p·ln(p/m) with 0-mass terms dropped; 1e6
         "js_divergence": (

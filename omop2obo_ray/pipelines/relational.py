@@ -1252,6 +1252,76 @@ def psi_drift(left: Dataset, right: Dataset, *, val_col: str = "v",
                    ("psi", pa.float64())]))
 
 
+def cramers_v(ds: Dataset, *, a_col: str, b_col: str,
+              n_coarse: int | None = None) -> Dataset:
+    """Cramér's V association between two categorical columns → one
+    row (n, r, c, chi2, v): χ² over the contingency table and
+    V = √(χ²/(n·min(r−1, c−1))) ∈ [0, 1] — the categorical
+    association/drift audit (is `lang` independent of `source`?),
+    generalizing the reference's hand-rolled chi-square analysis
+    (`omop2obo` manuscript stats) to any column pair. Degenerate
+    single-level tables yield null V.
+
+    Scale shape: per-block (a, b) pair counts → ONE pair-keyed
+    merge (bounded by level-pair cardinality) → single-frame χ²
+    fold (expected counts from the marginals of the SAME table).
+    Counts exact int64; χ² terms folded in sorted (a, b) order —
+    gate quantized for the float sum."""
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    def _part(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([a_col, b_col], sort=False)
+                .size().rename("nn").reset_index())
+
+    part = ds.map_batches(_part, batch_format="pandas",
+                          batch_size=None)
+    g = _sanitize_join_output(
+        coarse_aggregate(
+            part.map_batches(
+                lambda df: df.assign(
+                    a=df[a_col].astype(str),
+                    b=df[b_col].astype(str))[["a", "b", "nn"]],
+                batch_format="pandas", batch_size=None),
+            ["a", "b"],
+            lambda df: df.groupby(["a", "b"], sort=False)["nn"]
+            .sum().reset_index(), n_coarse=n_coarse),
+        pa.schema([("a", pa.string()), ("b", pa.string()),
+                   ("nn", pa.int64())]))
+
+    def _one(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_g"] = 0
+        return df
+
+    def _fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["a", "b"], kind="mergesort")
+        n = int(df["nn"].sum())
+        ra = df.groupby("a")["nn"].sum()
+        cb = df.groupby("b")["nn"].sum()
+        r, c = len(ra), len(cb)
+        e = (df["a"].map(ra).to_numpy(np.float64)
+             * df["b"].map(cb).to_numpy(np.float64)) / n
+        d = df["nn"].to_numpy(np.float64) - e
+        # absent (zero-count) cells each contribute E to chi2:
+        # Σ_absent E = Σ_all E − Σ_present E = n − Σ_present E
+        chi2 = float(np.sum(d * d / e)) + (float(n)
+                                           - float(np.sum(e)))
+        denom = n * min(r - 1, c - 1)
+        v = float(np.sqrt(chi2 / denom)) if denom > 0 else None
+        return pd.DataFrame({"n": [n], "r": [r], "c": [c],
+                             "chi2": [chi2], "v": [v]})
+
+    return _sanitize_join_output(
+        coarse_aggregate(
+            g.map_batches(_one, batch_format="pandas",
+                          batch_size=None),
+            ["_g"], lambda df: _fin(df.drop(columns=["_g"])),
+            n_coarse=n_coarse),
+        pa.schema([("n", pa.int64()), ("r", pa.int64()),
+                   ("c", pa.int64()), ("chi2", pa.float64()),
+                   ("v", pa.float64())]))
+
+
 def js_divergence(left: Dataset, right: Dataset, *,
                   val_col: str = "v",
                   n_coarse: int | None = None) -> Dataset:

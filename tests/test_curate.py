@@ -3171,3 +3171,39 @@ def test_js_divergence_matches_oracle(ray_session):
         rd.from_pandas(pd.DataFrame({"v": a})).repartition(3)) \
         .to_pandas().iloc[0]
     assert same["jsd"] == 0.0
+
+
+def test_cramers_v_matches_scipy_convention(ray_session):
+    """cramers_v ≡ the contingency replay (zero cells included) and
+    scipy where available."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.relational import cramers_v
+
+    rng = np.random.RandomState(5)
+    a = rng.choice(["x", "y", "z"], 300)
+    # b correlated with a, plus a level never seen with z
+    b = np.where(a == "x",
+                 rng.choice(["p", "q"], 300, p=[0.8, 0.2]),
+                 rng.choice(["q", "r"], 300, p=[0.6, 0.4]))
+    df = pd.DataFrame({"a": a, "b": b})
+    got = cramers_v(rd.from_pandas(df).repartition(3),
+                    a_col="a", b_col="b").to_pandas().iloc[0]
+
+    tab = pd.crosstab(df["a"], df["b"]).to_numpy(float)
+    n = tab.sum()
+    e = np.outer(tab.sum(1), tab.sum(0)) / n
+    chi2 = float(((tab - e) ** 2 / e).sum())
+    v = np.sqrt(chi2 / (n * min(tab.shape[0] - 1,
+                                tab.shape[1] - 1)))
+    assert got["n"] == 300 and got["r"] == 3 and got["c"] == 3
+    assert abs(got["chi2"] - chi2) < 1e-9
+    assert abs(got["v"] - v) < 1e-12
+    try:
+        from scipy.stats import chi2_contingency
+        assert abs(got["chi2"]
+                   - chi2_contingency(tab, correction=False)[0]) < 1e-9
+    except ImportError:
+        pass
