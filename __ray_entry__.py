@@ -2878,6 +2878,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            batch_size=None)
         return ks_drift(l, r)
 
+    def q_spearman(sf):
+        # per-priority Spearman between quantity and extendedprice
+        # ranks over lineitem joined to orders... kept slim: key =
+        # l_orderkey % 20, x = quantity, y = floor(extendedprice);
+        # rho quantized 1e6 (corr accumulation order differs)
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import spearman_per_key
+
+        li = rd.read_parquet(f"{sf}/lineitem.parquet",
+                             columns=["l_orderkey", "l_quantity",
+                                      "l_extendedprice"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            import numpy as np
+            k = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            q = b["l_quantity"].to_numpy(zero_copy_only=False)
+            p = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "k": pa.array(k % 20, pa.int64()),
+                "x": pa.array(q.astype("int64"), pa.int64()),
+                "y": pa.array(np.floor(p).astype("int64"),
+                              pa.int64())})
+
+        out = spearman_per_key(li.map_batches(
+            _mk, batch_format="pyarrow", batch_size=None),
+            key_col="k", x_col="x", y_col="y")
+
+        def _q(b: pa.Table) -> pa.Table:
+            import numpy as np
+            r = b["rho"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "k": b["k"], "n": b["n"],
+                "rho_q": pa.array(np.floor(r * 1e6 + 1e-6)
+                                  .astype(np.int64), pa.int64())})
+
+        return out.map_batches(_q, batch_format="pyarrow",
+                               batch_size=None)
+
     def q_cramers_v(sf):
         # lang × (doc_id % 4) association; float sums → 1e6
         import pyarrow as pa
@@ -4434,6 +4475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_overlap": q_vocab_overlap,  # corpus vocabulary Jaccard/containment audit (SQL-checked)
         "js_divergence": q_js_divergence,  # Jensen-Shannon divergence drift monitor (SQL-checked)
         "cramers_v": q_cramers_v,        # Cramér's V categorical association (SQL-checked)
+        "spearman": q_spearman,          # per-key Spearman rank correlation (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -5146,6 +5188,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # spearman: average ranks via RANK() + (ties-1)/2, then
+        # corr() of the ranks; 1e6
+        "spearman": (
+            "WITH x AS (SELECT l_orderkey % 20 AS k, "
+            "CAST(l_quantity AS BIGINT) AS xv, "
+            "CAST(floor(l_extendedprice) AS BIGINT) AS yv "
+            "FROM lineitem), "
+            "r AS (SELECT k, "
+            "RANK() OVER (PARTITION BY k ORDER BY xv) "
+            "+ (COUNT(*) OVER (PARTITION BY k, xv) - 1) / 2.0 "
+            "AS rx, "
+            "RANK() OVER (PARTITION BY k ORDER BY yv) "
+            "+ (COUNT(*) OVER (PARTITION BY k, yv) - 1) / 2.0 "
+            "AS ry FROM x) "
+            "SELECT k, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(floor(corr(rx, ry) * 1e6 + 1e-6) AS BIGINT) "
+            "AS rho_q FROM r GROUP BY k"
         ),
         # cramers_v: chi2 over present cells + (n − ΣE_present) for
         # the absent ones; 1e6

@@ -1252,6 +1252,55 @@ def psi_drift(left: Dataset, right: Dataset, *, val_col: str = "v",
                    ("psi", pa.float64())]))
 
 
+def spearman_per_key(ds: Dataset, *, key_col: str, x_col: str,
+                     y_col: str,
+                     n_coarse: int | None = None) -> Dataset:
+    """Per-group Spearman rank correlation → (key, n, rho): Pearson
+    correlation of the average-method ranks (ties share the mean of
+    their positions — the same value SQL's
+    ``RANK() + (tie_count − 1)/2`` produces) — the robust,
+    monotonic-relationship sibling of :func:`grouped_corr` (a single
+    wild pair cannot dominate). Degenerate groups (n < 2 or a
+    zero-variance rank vector) yield null rho.
+
+    ONE key-keyed coarse exchange; in-frame vectorized pandas
+    ``rank(method='average')`` + the closed-form Pearson on ranks.
+    Gate quantized (rank sums are exact, the correlation's float
+    accumulation order differs from SQL's corr())."""
+    from omop2obo_ray.pipelines.textpipe import (_pa_schema_of,
+                                                 _sanitize_join_output)
+
+    kt = _pa_schema_of(ds).field(key_col).type
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, g in df.groupby(key_col, sort=False):
+            n = len(g)
+            rho = None
+            if n > 1:
+                rx = g[x_col].rank(method="average") \
+                    .to_numpy(np.float64)
+                ry = g[y_col].rank(method="average") \
+                    .to_numpy(np.float64)
+                dx = rx - rx.mean()
+                dy = ry - ry.mean()
+                den = float(np.sqrt(np.sum(dx * dx)
+                                    * np.sum(dy * dy)))
+                if den > 0.0:
+                    rho = float(np.sum(dx * dy) / den)
+            rows.append((key, n, rho))
+        return pd.DataFrame(rows, columns=[key_col, "n", "rho"])
+
+    return _sanitize_join_output(
+        coarse_aggregate(ds.map_batches(
+            lambda b: pa.table({key_col: b[key_col],
+                                x_col: b[x_col], y_col: b[y_col]}),
+            batch_format="pyarrow", batch_size=None),
+            [key_col], _fold, n_coarse=n_coarse),
+        pa.schema([(key_col, kt), ("n", pa.int64()),
+                   ("rho", pa.float64())]))
+
+
 def cramers_v(ds: Dataset, *, a_col: str, b_col: str,
               n_coarse: int | None = None) -> Dataset:
     """Cramér's V association between two categorical columns → one

@@ -3207,3 +3207,36 @@ def test_cramers_v_matches_scipy_convention(ray_session):
                    - chi2_contingency(tab, correction=False)[0]) < 1e-9
     except ImportError:
         pass
+
+
+def test_spearman_per_key_matches_rank_oracle(ray_session):
+    """spearman_per_key ≡ Pearson-on-average-ranks replay (ties
+    included; scipy absent in this container)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.relational import spearman_per_key
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for key, n in (("a", 40), ("b", 25)):
+        x = rng.randint(0, 10, n)           # ties guaranteed
+        y = x * 3 + rng.randint(0, 5, n)    # monotone-ish + noise
+        rows += [(key, int(xi), int(yi)) for xi, yi in zip(x, y)]
+    rows += [("c", 1, 1)]                   # singleton → null
+    rows += [("d", 2, 5), ("d", 2, 7)]      # constant x → null
+    df = pd.DataFrame(rows, columns=["key", "x", "y"])
+
+    got = spearman_per_key(rd.from_pandas(df).repartition(3),
+                           key_col="key", x_col="x", y_col="y") \
+        .to_pandas().set_index("key")
+    for key in ("a", "b"):
+        sub = df[df["key"] == key]
+        rx = sub["x"].rank(method="average").to_numpy(float)
+        ry = sub["y"].rank(method="average").to_numpy(float)
+        want = np.corrcoef(rx, ry)[0, 1]
+        assert abs(got.loc[key, "rho"] - want) < 1e-12, key
+        assert got.loc[key, "rho"] > 0.8       # monotone-ish signal
+    assert pd.isna(got.loc["c", "rho"])
+    assert pd.isna(got.loc["d", "rho"])
