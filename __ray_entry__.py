@@ -2878,6 +2878,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            batch_size=None)
         return ks_drift(l, r)
 
+    def q_entropy_per_key(sf):
+        # per-user event-type entropy; ln terms → 1e6
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import entropy_per_key
+
+        ev = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["user_id", "event_type"])
+
+        out = entropy_per_key(
+            ev.map_batches(
+                lambda b: pa.table({
+                    "k": b["user_id"].combine_chunks()
+                    .cast(pa.int64()),
+                    "v": b["event_type"]}),
+                batch_format="pyarrow", batch_size=None),
+            key_col="k", val_col="v")
+
+        def _q(b: pa.Table) -> pa.Table:
+            import numpy as np
+            h = b["entropy"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "k": b["k"], "n": b["n"],
+                "n_distinct": b["n_distinct"],
+                "entropy_q": pa.array(np.floor(h * 1e6 + 1e-6)
+                                      .astype(np.int64),
+                                      pa.int64())})
+
+        return out.map_batches(_q, batch_format="pyarrow",
+                               batch_size=None)
+
     def q_spearman(sf):
         # per-priority Spearman between quantity and extendedprice
         # ranks over lineitem joined to orders... kept slim: key =
@@ -4476,6 +4509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "js_divergence": q_js_divergence,  # Jensen-Shannon divergence drift monitor (SQL-checked)
         "cramers_v": q_cramers_v,        # Cramér's V categorical association (SQL-checked)
         "spearman": q_spearman,          # per-key Spearman rank correlation (SQL-checked)
+        "entropy_per_key": q_entropy_per_key,  # per-key categorical Shannon entropy (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -5188,6 +5222,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # entropy_per_key: -Σ p·ln p over per-key value counts; 1e6
+        "entropy_per_key": (
+            "WITH g AS (SELECT user_id AS k, event_type AS v, "
+            "CAST(count(*) AS BIGINT) AS nn FROM events "
+            "GROUP BY user_id, event_type), "
+            "t AS (SELECT k, CAST(sum(nn) AS BIGINT) AS n, "
+            "CAST(count(*) AS BIGINT) AS nd FROM g GROUP BY k) "
+            "SELECT t.k, t.n, t.nd AS n_distinct, "
+            "CAST(floor((SELECT -sum((CAST(g.nn AS DOUBLE) / t.n) "
+            "* ln(CAST(g.nn AS DOUBLE) / t.n)) FROM g "
+            "WHERE g.k = t.k) * 1e6 + 1e-6) AS BIGINT) "
+            "AS entropy_q FROM t"
         ),
         # spearman: average ranks via RANK() + (ties-1)/2, then
         # corr() of the ranks; 1e6

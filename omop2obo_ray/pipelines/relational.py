@@ -1252,6 +1252,59 @@ def psi_drift(left: Dataset, right: Dataset, *, val_col: str = "v",
                    ("psi", pa.float64())]))
 
 
+def entropy_per_key(ds: Dataset, *, key_col: str, val_col: str,
+                    n_coarse: int | None = None) -> Dataset:
+    """Shannon entropy of the categorical value distribution per key
+    → (key, n, n_distinct, entropy): H = −Σ p·ln p (nats) — the
+    diversity audit beside :func:`gini_per_key`'s concentration (a
+    host serving one template page has H ≈ 0; entropy of per-host
+    content types, per-source languages, per-user event mixes).
+    Single-value keys report 0.0 exactly.
+
+    Scale shape: ONE (key, value)-keyed coarse count → ONE key-keyed
+    fold over the distinct-value counts (never the raw rows twice).
+    Counts exact; ln terms folded per-key in value order — gate
+    quantized."""
+    from omop2obo_ray.pipelines.textpipe import (_pa_schema_of,
+                                                 _sanitize_join_output)
+
+    kt = _pa_schema_of(ds).field(key_col).type
+
+    def _cnt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy(deep=False)
+        out["_v"] = df[val_col].astype(str)
+        return (out.groupby([key_col, "_v"], sort=False)
+                .size().rename("nn").reset_index())
+
+    g = _sanitize_join_output(
+        coarse_aggregate(
+            ds.map_batches(_cnt, batch_format="pandas",
+                           batch_size=None),
+            [key_col, "_v"],
+            lambda df: df.groupby([key_col, "_v"], sort=False)["nn"]
+            .sum().reset_index(), n_coarse=n_coarse),
+        pa.schema([(key_col, kt), ("_v", pa.string()),
+                   ("nn", pa.int64())]))
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, gg in df.groupby(key_col, sort=False):
+            gg = gg.sort_values("_v", kind="mergesort")
+            c = gg["nn"].to_numpy(np.int64)
+            n = int(c.sum())
+            p = c.astype(np.float64) / n
+            h = float(-np.sum(p * np.log(p)))
+            rows.append((key, n, len(c), h))
+        return pd.DataFrame(rows, columns=[key_col, "n",
+                                           "n_distinct", "entropy"])
+
+    return _sanitize_join_output(
+        coarse_aggregate(g, [key_col], _fold, n_coarse=n_coarse),
+        pa.schema([(key_col, kt), ("n", pa.int64()),
+                   ("n_distinct", pa.int64()),
+                   ("entropy", pa.float64())]))
+
+
 def spearman_per_key(ds: Dataset, *, key_col: str, x_col: str,
                      y_col: str,
                      n_coarse: int | None = None) -> Dataset:

@@ -3240,3 +3240,32 @@ def test_spearman_per_key_matches_rank_oracle(ray_session):
         assert got.loc[key, "rho"] > 0.8       # monotone-ish signal
     assert pd.isna(got.loc["c", "rho"])
     assert pd.isna(got.loc["d", "rho"])
+
+
+def test_entropy_per_key_matches_oracle(ray_session):
+    """entropy_per_key ≡ -Σ p ln p replay; uniform = ln k, point
+    mass = 0."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.relational import entropy_per_key
+
+    rows = []
+    data = {"uni": ["a", "b", "c", "d"] * 5,
+            "point": ["z"] * 7,
+            "mix": ["x"] * 6 + ["y"] * 3 + ["w"]}
+    for k, vs in data.items():
+        rows += [(k, v) for v in vs]
+    df = pd.DataFrame(rows, columns=["key", "val"])
+
+    got = entropy_per_key(rd.from_pandas(df).repartition(3),
+                          key_col="key", val_col="val") \
+        .to_pandas().set_index("key")
+    assert abs(got.loc["uni", "entropy"] - np.log(4)) < 1e-12
+    assert got.loc["point", "entropy"] == 0.0
+    c = np.array([6, 3, 1], float) / 10
+    assert abs(got.loc["mix", "entropy"]
+               - (-np.sum(c * np.log(c)))) < 1e-12
+    assert got.loc["mix", "n_distinct"] == 3 \
+        and got.loc["mix", "n"] == 10
