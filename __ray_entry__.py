@@ -2878,6 +2878,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            batch_size=None)
         return ks_drift(l, r)
 
+    def q_label_spreading(sf):
+        # seeded typing over the bipartite order-part graph: every
+        # 7th order seeded with type 't'||(k%3), 2 unrolled rounds
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import label_spreading
+
+        li = rd.read_parquet(f"{sf}/lineitem.parquet",
+                             columns=["l_orderkey", "l_partkey"])
+
+        def _e(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "src": "o" + df["l_orderkey"].astype(str),
+                "dst": "p" + df["l_partkey"].astype(str)})
+
+        def _s(df: pd.DataFrame) -> pd.DataFrame:
+            m = df["l_orderkey"] % 7 == 0
+            k = df.loc[m, "l_orderkey"]
+            return pd.DataFrame({
+                "node": "o" + k.astype(str),
+                "label": "t" + (k % 3).astype(str)
+            }).drop_duplicates()
+
+        e = li.map_batches(_e, batch_format="pandas",
+                           batch_size=None)
+        seeds = li.map_batches(_s, batch_format="pandas",
+                               batch_size=None)
+        from omop2obo_ray.functions.shuffle import coarse_aggregate
+        seeds = coarse_aggregate(seeds, ["node"],
+                                 lambda df: df.drop_duplicates())
+        return label_spreading(e, seeds, iterations=2)
+
     def q_entropy_per_key(sf):
         # per-user event-type entropy; ln terms → 1e6
         import pyarrow as pa
@@ -4510,6 +4544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cramers_v": q_cramers_v,        # Cramér's V categorical association (SQL-checked)
         "spearman": q_spearman,          # per-key Spearman rank correlation (SQL-checked)
         "entropy_per_key": q_entropy_per_key,  # per-key categorical Shannon entropy (SQL-checked)
+        "label_spreading": q_label_spreading,  # seeded semi-supervised KG entity typing (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -5222,6 +5257,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # label_spreading: 2-round unrolled votes, seeds ride the
+        # stream with an unreachable clamp weight — exact
+        "label_spreading": (
+            "WITH e0 AS (SELECT 'o' || l_orderkey AS src, "
+            "'p' || l_partkey AS dst FROM lineitem), "
+            "e AS (SELECT src, dst FROM e0 "
+            "UNION ALL SELECT dst, src FROM e0), "
+            "s0 AS (SELECT DISTINCT 'o' || l_orderkey AS node, "
+            "'t' || (l_orderkey % 3) AS label FROM lineitem "
+            "WHERE l_orderkey % 7 = 0), "
+            "a1 AS (SELECT node, label, sum(w) AS w FROM ("
+            "SELECT e.dst AS node, l.label, 1 AS w FROM e "
+            "JOIN s0 l ON l.node = e.src "
+            "UNION ALL SELECT node, label, 0 FROM s0 "
+            "UNION ALL SELECT node, label, 1099511627776 FROM s0) "
+            "GROUP BY node, label), "
+            "l1 AS (SELECT node, label FROM ("
+            "SELECT node, label, row_number() OVER ("
+            "PARTITION BY node ORDER BY w DESC, label ASC) AS rn "
+            "FROM a1) WHERE rn = 1), "
+            "a2 AS (SELECT node, label, sum(w) AS w FROM ("
+            "SELECT e.dst AS node, l.label, 1 AS w FROM e "
+            "JOIN l1 l ON l.node = e.src "
+            "UNION ALL SELECT node, label, 0 FROM l1 "
+            "UNION ALL SELECT node, label, 1099511627776 FROM s0) "
+            "GROUP BY node, label), "
+            "l2 AS (SELECT node, label FROM ("
+            "SELECT node, label, row_number() OVER ("
+            "PARTITION BY node ORDER BY w DESC, label ASC) AS rn "
+            "FROM a2) WHERE rn = 1) "
+            "SELECT l2.node, l2.label, "
+            "CASE WHEN s0.node IS NOT NULL THEN 1 ELSE 0 END "
+            "AS is_seed FROM l2 "
+            "LEFT JOIN s0 ON s0.node = l2.node"
         ),
         # entropy_per_key: -Σ p·ln p over per-key value counts; 1e6
         "entropy_per_key": (

@@ -1968,6 +1968,113 @@ def label_propagation(edges: Dataset, iterations: int = 5, *,
     return labels
 
 
+def label_spreading(edges: Dataset, seeds: Dataset,
+                    iterations: int = 5, *, undirected: bool = True,
+                    node_col: str = "node", label_col: str = "label",
+                    n_coarse: int | None = None) -> Dataset:
+    """Seeded semi-supervised label spreading (KG entity typing /
+    spam-label diffusion) → (node, label, is_seed) for every node
+    reached within ``iterations`` hops of a seed: each round every
+    labeled-neighborhood node adopts the MOST FREQUENT label among
+    its labeled neighbors (ties → lexicographically smallest), seeds
+    stay CLAMPED to their given label, and nodes with no labeled
+    neighbor keep their current label. The supervised sibling of
+    :func:`label_propagation` (which self-seeds every node with its
+    own id).
+
+    Scale shape: identical to label_propagation — per round ONE
+    ``coarse_join`` (labels onto the symmetrized edge list,
+    materialized once) + ONE node-keyed coarse mode fold. Seed
+    clamping costs NO extra join: seed rows ride the same vote
+    stream with a weight (2⁴⁰) no neighborhood count can reach. The
+    final is_seed flag is one left-outer join."""
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    if n_coarse is None:
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        n_coarse = max(32, 3 * cpus)
+    ntype = _pa_schema_of(edges).field("src").type
+    CLAMP = np.int64(1) << 40
+
+    def _sym(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.concat_arrays([b["src"].combine_chunks(),
+                                     b["dst"].combine_chunks()]),
+            "dst": pa.concat_arrays([b["dst"].combine_chunks(),
+                                     b["src"].combine_chunks()])})
+
+    e = edges.select_columns(["src", "dst"])
+    if undirected:
+        e = e.map_batches(_sym, batch_format="pyarrow",
+                          batch_size=None)
+    e = _sanitize_join_output(
+        e, pa.schema([("src", ntype), ("dst", ntype)])).materialize()
+
+    seed_schema = pa.schema([("node", ntype),
+                             ("label", pa.string())])
+    seed_t = _sanitize_join_output(
+        seeds.map_batches(
+            lambda b: pa.table({
+                "node": b[node_col].combine_chunks().cast(ntype),
+                "label": b[label_col].combine_chunks()
+                .cast(pa.string())}),
+            batch_format="pyarrow", batch_size=None),
+        seed_schema).materialize()
+
+    labels = seed_t
+
+    def _nbr(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["dst"], "label": b["label"],
+                         "w": pa.array(np.ones(b.num_rows,
+                                               np.int64))})
+
+    def _own(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "label": b["label"],
+                         "w": pa.array(np.zeros(b.num_rows,
+                                                np.int64))})
+
+    def _clamp(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "label": b["label"],
+                         "w": pa.array(np.full(b.num_rows, CLAMP,
+                                               np.int64))})
+
+    def _mode(df: pd.DataFrame) -> pd.DataFrame:
+        c = (df.groupby(["node", "label"], sort=False)["w"].sum()
+             .reset_index())
+        c = c.sort_values(["node", "w", "label"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        return c.drop_duplicates("node",
+                                 keep="first")[["node", "label"]]
+
+    for _ in range(iterations):
+        votes = coarse_join(e, labels, on="src", right_on="node",
+                            how="inner", n_coarse=n_coarse)
+        stream = votes.map_batches(
+            _nbr, batch_format="pyarrow", batch_size=None,
+        ).union(labels.map_batches(_own, batch_format="pyarrow",
+                                   batch_size=None)) \
+            .union(seed_t.map_batches(_clamp,
+                                      batch_format="pyarrow",
+                                      batch_size=None))
+        labels = _sanitize_join_output(
+            coarse_aggregate(stream, ["node"], _mode,
+                             n_coarse=n_coarse), seed_schema)
+
+    flagged = coarse_join(labels, seed_t.map_batches(
+        lambda b: pa.table({"n2": b["node"],
+                            "sl": b["label"]}),
+        batch_format="pyarrow", batch_size=None),
+        on="node", right_on="n2", how="left_outer",
+        n_coarse=n_coarse)
+    return flagged.map_batches(
+        lambda df: pd.DataFrame({
+            "node": df["node"], "label": df["label"],
+            "is_seed": df["sl"].notna().astype(np.int64)}),
+        batch_format="pandas", batch_size=None)
+
+
 def personalized_pagerank(edges: Dataset, seeds: list[str],
                           iterations: int = 3, damping: float = 0.85, *,
                           undirected: bool = False,

@@ -2110,3 +2110,47 @@ def test_filter_bindings_ops(ray_session):
 
     out = filter_bindings(ds, [("c", "not_regex", "1")]).to_pandas()
     assert sorted(out["c"]) == ["c2", "c3"]
+
+
+def test_label_spreading_matches_oracle(ray_session):
+    """label_spreading ≡ the synchronous python replay: seeds
+    clamped, majority+lex tie-break, frontier grows one hop/round."""
+    from omop2obo_ray.pipelines.graph import label_spreading
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5),      # chain
+             (10, 11), (11, 12), (2, 10),          # branch
+             (20, 21)]                              # unreachable pair
+    seeds = {1: "A", 5: "B", 12: "C"}
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    sdf = pd.DataFrame({"node": list(seeds),
+                        "label": list(seeds.values())})
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    lab = dict(seeds)
+    for _ in range(3):
+        new = {}
+        for v in adj:
+            votes = {}
+            for u in adj[v]:
+                if u in lab:
+                    votes[lab[u]] = votes.get(lab[u], 0) + 1
+            if v in seeds:
+                new[v] = seeds[v]
+            elif votes:
+                new[v] = sorted(votes.items(),
+                                key=lambda kv: (-kv[1], kv[0]))[0][0]
+            elif v in lab:
+                new[v] = lab[v]
+        lab = new
+
+    got = label_spreading(rd.from_pandas(df).repartition(3),
+                          rd.from_pandas(sdf).repartition(2),
+                          iterations=3).to_pandas() \
+        .set_index("node")
+    assert got["label"].to_dict() == lab
+    assert set(got[got["is_seed"] == 1].index) == set(seeds)
+    assert 20 not in got.index and 21 not in got.index
