@@ -2878,6 +2878,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            batch_size=None)
         return ks_drift(l, r)
 
+    def q_triple_vote(sf):
+        # multi-source conflicting triples from lineitem; exact
+        # counts + one division
+        import pandas as pd
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import triple_vote
+
+        li = rd.read_parquet(f"{sf}/lineitem.parquet",
+                             columns=["l_orderkey", "l_partkey",
+                                      "l_suppkey"])
+
+        def _t(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "subj": "o" + (df["l_orderkey"] % 500).astype(str),
+                "pred": "has",
+                "obj": "p" + (df["l_partkey"] % 7).astype(str),
+                "source": "s" + (df["l_suppkey"] % 11).astype(str)})
+
+        return triple_vote(li.map_batches(
+            _t, batch_format="pandas", batch_size=None))
+
     def q_label_spreading(sf):
         # seeded typing over the bipartite order-part graph: every
         # 7th order seeded with type 't'||(k%3), 2 unrolled rounds
@@ -4545,6 +4567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman": q_spearman,          # per-key Spearman rank correlation (SQL-checked)
         "entropy_per_key": q_entropy_per_key,  # per-key categorical Shannon entropy (SQL-checked)
         "label_spreading": q_label_spreading,  # seeded semi-supervised KG entity typing (SQL-checked)
+        "triple_vote": q_triple_vote,    # source-vote knowledge fusion over conflicting triples (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -5257,6 +5280,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM ed e2 JOIN cl a ON a.node = e2.p "
             "AND a.anc = e.p WHERE e2.c = e.c AND e2.p <> e.p "
             "AND a.anc <> a.node)"
+        ),
+        # triple_vote: COUNT(DISTINCT source) per triple, group vote
+        # mass, ROW_NUMBER plurality — exact
+        "triple_vote": (
+            "WITH t AS (SELECT DISTINCT "
+            "'o' || (l_orderkey % 500) AS subj, 'has' AS pred, "
+            "'p' || (l_partkey % 7) AS obj, "
+            "'s' || (l_suppkey % 11) AS source FROM lineitem), "
+            "c AS (SELECT subj, pred, obj, "
+            "CAST(count(DISTINCT source) AS BIGINT) AS n_sources "
+            "FROM t GROUP BY subj, pred, obj), "
+            "g AS (SELECT subj, pred, "
+            "CAST(sum(n_sources) AS BIGINT) AS n_total FROM c "
+            "GROUP BY subj, pred), "
+            "r AS (SELECT c.*, g.n_total, "
+            "row_number() OVER (PARTITION BY c.subj, c.pred "
+            "ORDER BY c.n_sources DESC, c.obj ASC) AS rn "
+            "FROM c JOIN g ON g.subj = c.subj AND g.pred = c.pred) "
+            "SELECT subj, pred, obj, n_sources, n_total, "
+            "CAST(n_sources AS DOUBLE) / n_total AS confidence, "
+            "CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_majority "
+            "FROM r"
         ),
         # label_spreading: 2-round unrolled votes, seeds ride the
         # stream with an unreachable clamp weight — exact

@@ -1968,6 +1968,75 @@ def label_propagation(edges: Dataset, iterations: int = 5, *,
     return labels
 
 
+def triple_vote(triples: Dataset, *, s_col: str = "subj",
+                p_col: str = "pred", o_col: str = "obj",
+                src_col: str = "source",
+                n_coarse: int | None = None) -> Dataset:
+    """Source-vote knowledge fusion over conflicting extractions →
+    one row per distinct (subj, pred, obj): (n_sources, n_total,
+    confidence, is_majority): n_sources = distinct sources asserting
+    the triple, n_total = the (subj, pred) group's total vote mass
+    (Σ of per-object n_sources — a source asserting two objects
+    votes twice, once each), confidence = n_sources/n_total (vote
+    shares sum to 1 per (subj, pred)), and is_majority marks the
+    plurality object (ties → lexicographically smallest —
+    deterministic). The
+    vote baseline of the truth-finding literature (Dong 2009's
+    starting point) applied to multi-source web extraction before
+    triples enter the KG.
+
+    Scale shape: per-block (s, p, o, source) dedup → ONE
+    (s, p, o)-keyed distinct-source count → ONE (s, p)-keyed fold
+    attaching the group total and the majority flag in-frame (a
+    (subj, pred) group is bounded by its object fan-out — the
+    window contract). Counts exact; confidence is one division —
+    gate exact."""
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    quad = triples.map_batches(
+        lambda df: df[[s_col, p_col, o_col, src_col]]
+        .drop_duplicates(),
+        batch_format="pandas", batch_size=None)
+
+    cnt = _sanitize_join_output(
+        coarse_aggregate(
+            quad, [s_col, p_col, o_col],
+            lambda df: df.groupby([s_col, p_col, o_col],
+                                  sort=False)[src_col]
+            .nunique().rename("n_sources").reset_index(),
+            n_coarse=n_coarse),
+        pa.schema([(s_col, pa.string()), (p_col, pa.string()),
+                   (o_col, pa.string()),
+                   ("n_sources", pa.int64())]))
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby([s_col, p_col], sort=False):
+            tot = int(g["n_sources"].sum())
+            g = g.sort_values(["n_sources", o_col],
+                              ascending=[False, True],
+                              kind="mergesort")
+            o = g.copy(deep=False)
+            o["n_total"] = tot
+            o["confidence"] = g["n_sources"].to_numpy(
+                np.float64) / tot
+            flag = np.zeros(len(g), np.int64)
+            flag[0] = 1
+            o["is_majority"] = flag
+            out.append(o)
+        return pd.concat(out) if out else df
+
+    return _sanitize_join_output(
+        coarse_aggregate(cnt, [s_col, p_col], _fold,
+                         n_coarse=n_coarse),
+        pa.schema([(s_col, pa.string()), (p_col, pa.string()),
+                   (o_col, pa.string()), ("n_sources", pa.int64()),
+                   ("n_total", pa.int64()),
+                   ("confidence", pa.float64()),
+                   ("is_majority", pa.int64())]))
+
+
 def label_spreading(edges: Dataset, seeds: Dataset,
                     iterations: int = 5, *, undirected: bool = True,
                     node_col: str = "node", label_col: str = "label",

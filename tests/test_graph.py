@@ -2154,3 +2154,32 @@ def test_label_spreading_matches_oracle(ray_session):
     assert got["label"].to_dict() == lab
     assert set(got[got["is_seed"] == 1].index) == set(seeds)
     assert 20 not in got.index and 21 not in got.index
+
+
+def test_triple_vote_matches_oracle(ray_session):
+    """triple_vote: distinct-source counts, vote shares, plurality
+    flag with lex tie-break; duplicate assertions collapse."""
+    from omop2obo_ray.pipelines.graph import triple_vote
+
+    rows = [
+        ("e1", "born_in", "paris", "s1"),
+        ("e1", "born_in", "paris", "s2"),
+        ("e1", "born_in", "paris", "s2"),   # dup assertion
+        ("e1", "born_in", "lyon", "s3"),
+        ("e1", "born_in", "nice", "s4"),
+        ("e2", "type", "city", "s1"),
+        ("e3", "type", "a", "s1"), ("e3", "type", "b", "s2"),  # tie
+    ]
+    df = pd.DataFrame(rows, columns=["subj", "pred", "obj",
+                                     "source"])
+    got = triple_vote(rd.from_pandas(df).repartition(3)) \
+        .to_pandas().set_index(["subj", "pred", "obj"])
+    r = got.loc[("e1", "born_in", "paris")]
+    assert (r["n_sources"], r["n_total"]) == (2, 4)
+    assert abs(r["confidence"] - 0.5) < 1e-15
+    assert r["is_majority"] == 1
+    assert got.loc[("e1", "born_in", "lyon"), "is_majority"] == 0
+    assert got.loc[("e2", "type", "city"), "confidence"] == 1.0
+    # tie → lexicographically smallest object wins
+    assert got.loc[("e3", "type", "a"), "is_majority"] == 1
+    assert got.loc[("e3", "type", "b"), "is_majority"] == 0
