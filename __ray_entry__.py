@@ -5797,7 +5797,8 @@ def oracle_sql() -> dict[str, str]:
         "kfold": (
             "SELECT c_custkey AS id, c_mktsegment AS seg, "
             "(ROW_NUMBER() OVER (PARTITION BY c_mktsegment "
-            "ORDER BY (c_custkey * 2654435761) % 4294967296, "
+            "ORDER BY ((c_custkey % 2147483648) * 2654435761) "
+            "% 4294967296, "
             "c_custkey) - 1) % 4 AS fold FROM customer"
         ),
         # grouped_outliers: exact int sufficient stats; mean/var/

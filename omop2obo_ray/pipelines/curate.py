@@ -4611,7 +4611,10 @@ def vocab_overlap(left: "Dataset", right: "Dataset", *,
             t = pd.unique(np.asarray(
                 flat.cast(pa.string()).to_numpy(
                     zero_copy_only=False)))
-            t = np.array([x for x in t if len(x) >= min_len])
+            # dtype=object: an empty comprehension would otherwise
+            # yield float64 and pa.array(..., pa.string()) rejects it
+            t = np.asarray([x for x in t if len(x) >= min_len],
+                           dtype=object)
             n = len(t)
             return pa.table({
                 "token": pa.array(t, pa.string()),

@@ -4187,6 +4187,8 @@ def strongly_connected_components(edges: Dataset, *,
                 "strongly_connected_components: live subgraph not "
                 f"exhausted within max_peels={max_peels}")
 
+    if not out_parts:  # empty edge set: no SCCs at all
+        return ray.data.from_arrow(asg_schema.empty_table())
     out = out_parts[0]
     for p in out_parts[1:]:
         out = out.union(p)
@@ -4619,6 +4621,12 @@ def _pair_common_anc_stat(closure: Dataset, pairs: list,
     Pair ids must fit in int32 halves (packed (a<<32)|b filter)."""
     from omop2obo_ray.functions.shuffle import coarse_join
 
+    for a, b in pairs:
+        if not (0 <= int(a) < 2**32 and 0 <= int(b) < 2**32):
+            raise ValueError(
+                "_pair_common_anc_stat: pair endpoints must fit in "
+                f"[0, 2^32) for the packed (a<<32)|b filter, got "
+                f"({a}, {b})")
     qa_ids = sorted({int(a) for a, _ in pairs})
     qb_ids = sorted({int(b) for _, b in pairs})
     pair_keys = {(int(a) << 32) | int(b) for a, b in pairs}

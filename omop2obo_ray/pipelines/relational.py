@@ -1756,7 +1756,12 @@ def kfold_assign(ds: Dataset, k: int, *, id_col: str,
 
     def _assign(df: pd.DataFrame) -> pd.DataFrame:
         ids = df[id_col].to_numpy(np.int64)
-        h = (ids * np.int64(2654435761)) % np.int64(2**32)
+        # reduce mod 2^31 BEFORE multiplying: int64 wraparound for
+        # |id| >~ 2^32 would diverge from the SQL ROW_NUMBER replay
+        # (DuckDB BIGINT errors/promotes instead of wrapping) — same
+        # pinned form the mask_tokens / sample oracles use
+        h = ((ids % np.int64(2**31)) * np.int64(2654435761)) \
+            % np.int64(2**32)
         order = np.lexsort((ids, h))
         rank = np.empty(len(df), np.int64)
         rank[order] = np.arange(len(df))

@@ -255,3 +255,66 @@ def test_image_meta_all_junk(ray_session):
     got = image_meta(rd.from_pandas(df)).to_pandas()
     assert (got["format"] == "unknown").all()
     assert got["width"].isna().all()
+
+
+def test_scc_empty_edge_set(ray_session):
+    """SCC on an empty edge set → empty typed (node, component)
+    output, not an IndexError (ADVICE r3)."""
+    from omop2obo_ray.pipelines.graph import \
+        strongly_connected_components
+
+    e = pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                      "dst": pd.Series([], dtype="int64")})
+    got = strongly_connected_components(rd.from_pandas(e))
+    assert got.count() == 0
+    # note: .to_pandas() on an empty from_arrow dataset drops
+    # columns (Ray 2.49) — check the Dataset schema instead
+    assert got.schema().names == ["node", "component"]
+
+
+def test_vocab_overlap_all_tokens_filtered(ray_session):
+    """A block whose tokens all fail min_len (e.g. empty text) must
+    not crash the typed token table build (ADVICE r3)."""
+    from omop2obo_ray.pipelines.curate import vocab_overlap
+
+    l = pd.DataFrame({"text": ["", "a b", ""]})
+    r = pd.DataFrame({"text": ["hello world", ""]})
+    got = vocab_overlap(rd.from_pandas(l).repartition(2),
+                        rd.from_pandas(r).repartition(2),
+                        min_len=3).to_pandas()
+    assert int(got["vocab1"].iloc[0]) == 0
+    assert int(got["vocab2"].iloc[0]) == 2
+    assert float(got["jaccard"].iloc[0]) == 0.0
+
+
+def test_kfold_large_ids_match_sql_replay(ray_session):
+    """kfold_assign with |id| > 2^32: the mod-2^31-first hash agrees
+    with a DuckDB BIGINT replay (no silent int64 wraparound)."""
+    import duckdb
+
+    from omop2obo_ray.pipelines.relational import kfold_assign
+
+    ids = [2**40 + 7, 2**35, 5, 12, 2**33 + 1, 99, 2**31, 2**32 + 3]
+    df = pd.DataFrame({"id": pd.Series(ids, dtype="int64")})
+    got = (kfold_assign(rd.from_pandas(df).repartition(3), 3,
+                        id_col="id")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        "SELECT id, (ROW_NUMBER() OVER (ORDER BY "
+        "((id % 2147483648) * 2654435761) % 4294967296, id) - 1) "
+        "% 3 AS fold FROM t ORDER BY id").df()
+    assert got["fold"].tolist() == want["fold"].astype(int).tolist()
+
+
+def test_pair_common_anc_rejects_oversized_ids(ray_session):
+    """wu_palmer pair endpoints outside [0, 2^32) raise instead of
+    silently colliding in the packed pair filter (ADVICE r3)."""
+    from omop2obo_ray.pipelines.graph import wu_palmer
+
+    e = pd.DataFrame({"child": [2, 3], "parent": [1, 1]})
+    with pytest.raises(ValueError, match="2\\^32"):
+        wu_palmer(rd.from_pandas(e), [(2, 2**32)])
+    with pytest.raises(ValueError, match="2\\^32"):
+        wu_palmer(rd.from_pandas(e), [(-1, 3)])
