@@ -169,6 +169,18 @@ def coarse_join(left: Dataset, right: Dataset, *, on: str,
                                                  _sanitize_join_output)
 
     rkey = right_on or on
+    # A lazy not-yet-executed plan (metadata count unknown) would be
+    # executed TWICE below — once by the schema fetch (Ray 2.49's
+    # `schema()` runs the whole plan for UDF stages and does not
+    # cache blocks) and once by the exchange. Materialize it ONCE up
+    # front so every later schema/count touch is metadata-only. The
+    # sort exchange pins the full input at its barrier anyway, so
+    # this adds no asymptotic memory; read_parquet / from_* inputs
+    # have metadata counts and skip this.
+    if left._meta_count() is None:
+        left = left.materialize()
+    if right._meta_count() is None:
+        right = right.materialize()
     lsch = _pa_schema_of(left)
     rsch = _pa_schema_of(right)
     semi = how in ("left_semi", "left_anti")
@@ -176,9 +188,17 @@ def coarse_join(left: Dataset, right: Dataset, *, on: str,
     out_schema = pa.schema(
         list(zip(lsch.names, lsch.types))
         + [(n, rsch.field(n).type) for n in rpay])
-    if left.count() == 0:
+    # Empty-side fast paths gate on METADATA counts only
+    # (`_meta_count()` is None for a lazy, not-yet-executed plan):
+    # a `count()` here would execute the upstream plan an extra time
+    # for lazy callers. When the count is unknown, the general
+    # exchange handles empty sides exactly (the per-bucket merge is
+    # correct for any empty frame; a fully-empty union falls through
+    # to `_sanitize_join_output`'s typed-empty fallback).
+    lcount, rcount = left._meta_count(), right._meta_count()
+    if lcount == 0:
         return ray.data.from_arrow(out_schema.empty_table())
-    if right.count() == 0:
+    if rcount == 0:
         if how in ("left_outer", "left_anti"):
             return left if how == "left_anti" else left.map_batches(
                 lambda b: pa.table(

@@ -2598,12 +2598,18 @@ def random_walks(edges: Dataset, *, walk_len: int, walks_per_node: int = 1,
     return out
 
 
-def sssp(edges: Dataset, seeds: list, *, src: str = "src",
+def sssp(edges: Dataset, seeds, *, src: str = "src",
          dst: str = "dst", weight: str = "w", max_rounds: int = 16,
+         seed_col: str = "node",
          n_coarse: int | None = None) -> Dataset:
     """Weighted single-source(-set) shortest paths — frontier
     Bellman-Ford. Returns ``(node, dist)`` for every node reachable
     from ``seeds`` (seeds at 0); weights must be non-negative.
+    ``seeds`` is either a small driver list of node ids OR a Dataset
+    with a ``seed_col`` column — the Dataset form keeps an unbounded
+    seed set (e.g. every in-degree-0 node of a web-shaped DAG) off
+    the driver entirely: it is deduped in one coarse exchange and
+    becomes the distance-0 table directly.
     Stops early when a round improves nothing, or after ``max_rounds``
     (Bellman-Ford's round-k table = exact distances using ≤ k edges,
     so a fixed ``max_rounds`` is a well-defined operator in itself —
@@ -2637,10 +2643,29 @@ def sssp(edges: Dataset, seeds: list, *, src: str = "src",
                           batch_size=None).materialize()
 
     dist_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
-    seed_tbl = pa.table({
-        "node": pa.array(sorted({int(s) for s in seeds}), pa.int64()),
-        "dist": pa.array([0] * len({int(s) for s in seeds}), pa.int64())})
-    dist = ray.data.from_arrow(seed_tbl)
+    if isinstance(seeds, Dataset):
+        # distributed seed set: dedupe in ONE coarse exchange (a dup
+        # seed row would make the fold's old-dist index non-unique)
+        # and attach distance 0 in-map — nothing seed-sized ever
+        # lands on the driver
+        dist = _sanitize_join_output(
+            coarse_aggregate(
+                seeds.map_batches(
+                    lambda b, c=seed_col: pa.table({
+                        "node": b[c].combine_chunks().cast(pa.int64())}),
+                    batch_format="pyarrow", batch_size=None),
+                ["node"], lambda df: df.drop_duplicates(),
+                n_coarse=n_coarse),
+            pa.schema([("node", pa.int64())])).map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                "dist": pa.array(np.zeros(b.num_rows, np.int64))}),
+            batch_format="pyarrow", batch_size=None).materialize()
+    else:
+        seed_tbl = pa.table({
+            "node": pa.array(sorted({int(s) for s in seeds}), pa.int64()),
+            "dist": pa.array([0] * len({int(s) for s in seeds}), pa.int64())})
+        dist = ray.data.from_arrow(seed_tbl)
     frontier = dist
 
     for _round in range(max_rounds):
@@ -2901,9 +2926,11 @@ def dag_depth(edges: Dataset, *, src: str = "src", dst: str = "dst",
     is the guard) with int64 node ids.
 
     Root discovery is distributed (distinct srcs anti-join distinct
-    dsts); the root LIST then seeds sssp through the driver —
-    driver state bounded by the root count (ontology roots, crawl
-    entry hosts: small by construction)."""
+    dsts) and the root set seeds sssp AS A DATASET — on a web-shaped
+    graph "in-degree-0 nodes" is an unbounded fraction of all nodes,
+    so nothing root-sized ever materializes on the driver (the only
+    driver scalar is the is-empty count guard on the materialized
+    root set)."""
     from omop2obo_ray.functions.shuffle import coarse_aggregate
 
     e = edges.map_batches(
@@ -2925,19 +2952,22 @@ def dag_depth(edges: Dataset, *, src: str = "src", dst: str = "dst",
         g = df.groupby("node", sort=False)["indeg"].max().reset_index()
         return g[g["indeg"].isna() | (g["indeg"] < 1)][["node"]]
 
-    roots = coarse_aggregate(
-        srcs.map_batches(
-            lambda b: pa.table({
-                "node": b["node"],
-                "indeg": pa.nulls(b.num_rows, pa.int8())}),
-            batch_format="pyarrow", batch_size=None).union(dsts),
-        ["node"], _roots, n_coarse=n_coarse)
-    seed_list = [r["node"] for r in roots.take_all()]
-    if not seed_list:
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    roots = _sanitize_join_output(
+        coarse_aggregate(
+            srcs.map_batches(
+                lambda b: pa.table({
+                    "node": b["node"],
+                    "indeg": pa.nulls(b.num_rows, pa.int8())}),
+                batch_format="pyarrow", batch_size=None).union(dsts),
+            ["node"], _roots, n_coarse=n_coarse),
+        pa.schema([("node", pa.int64())])).materialize()
+    if roots.count() == 0:
         raise ValueError("dag_depth: no in-degree-0 roots — "
                          "input is cyclic or empty")
 
-    dist = sssp(e, seed_list, max_rounds=max_rounds, n_coarse=n_coarse)
+    dist = sssp(e, roots, max_rounds=max_rounds, n_coarse=n_coarse)
     return dist.map_batches(
         lambda b: pa.table({
             "node": b["node"],

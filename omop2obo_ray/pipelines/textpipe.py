@@ -55,6 +55,15 @@ def _pa_schema_of(ds: Dataset) -> pa.Schema:
     """Arrow schema of a dataset, robust to pandas-backed blocks (whose
     ``Schema.types`` can surface numpy dtypes / Python classes)."""
     s = ds.schema()
+    if s is None:
+        # Ray 2.49 drops zero-row UDF output blocks, so a genuinely
+        # empty map_batches/filter result carries NO schema and no
+        # downstream op can repair it — wrap such stages in
+        # `_sanitize_join_output(ds, typed_schema)` at the producer
+        raise ValueError(
+            "dataset has no schema (empty UDF output?) — pass it "
+            "through _sanitize_join_output with a typed schema at "
+            "the producing stage")
     base = getattr(s, "base_schema", None)
     if isinstance(base, pa.Schema):
         return base

@@ -2183,3 +2183,52 @@ def test_triple_vote_matches_oracle(ray_session):
     # tie → lexicographically smallest object wins
     assert got.loc[("e3", "type", "a"), "is_majority"] == 1
     assert got.loc[("e3", "type", "b"), "is_majority"] == 0
+
+
+def test_sssp_seed_dataset_matches_list(ray_session):
+    """sssp with seeds as a Dataset (with duplicate seed rows) ≡
+    sssp with the same seeds as a driver list (VERDICT r3 #2)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.graph import sssp
+
+    e = pd.DataFrame({
+        "src": [1, 1, 2, 3, 4, 5, 2],
+        "dst": [2, 3, 4, 4, 5, 6, 6],
+        "w": [1, 4, 1, 1, 2, 3, 10]})
+    seeds = [1, 3]
+    a = (sssp(rd.from_pandas(e).repartition(3), seeds)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    seed_ds = rd.from_pandas(pd.DataFrame(
+        {"node": [1, 3, 1, 3, 3]}))  # dup rows must be deduped
+    b = (sssp(rd.from_pandas(e).repartition(3), seed_ds)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_dag_depth_many_roots_no_driver_list(ray_session):
+    """dag_depth on a DAG whose root set is ~half of all nodes (the
+    web-graph shape): the root set flows into sssp as a Dataset —
+    correctness checked against the closed-form depth."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.graph import dag_depth
+
+    # 20_000 roots r_i -> mid(i%50) -> sink(i%7): depths are
+    # roots 0, mids 1, sinks 2
+    n_roots = 20_000
+    roots = np.arange(n_roots, dtype=np.int64)
+    mids = 10**6 + (roots % 50)
+    sinks = 2 * 10**6 + (np.arange(50, dtype=np.int64) % 7)
+    e = pd.DataFrame({
+        "src": np.concatenate([roots, 10**6 + np.arange(50)]),
+        "dst": np.concatenate([mids, sinks])})
+    got = dag_depth(rd.from_pandas(e).repartition(8)).to_pandas()
+    got = got.set_index("node")["depth"]
+    assert len(got) == n_roots + 50 + 7
+    assert (got.loc[roots] == 0).all()
+    assert (got.loc[10**6 + np.arange(50)] == 1).all()
+    assert (got.loc[np.unique(sinks)] == 2).all()

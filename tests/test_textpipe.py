@@ -1310,3 +1310,94 @@ def test_sniff_format_detects_magics(ray_session):
         .to_pandas().set_index("doc_id")
     for i, _, want in rows:
         assert got.loc[i, "format"] == want, i
+
+
+def test_coarse_join_lazy_input_single_execution(ray_session):
+    """coarse_join must not execute a lazy upstream plan extra times
+    for its empty-side checks (VERDICT r3 #3): the pre-pass gates on
+    metadata counts only, so the upstream map runs exactly once per
+    block when the result is consumed once."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def incr(self, k=1):
+            self.n += k
+
+        def get(self):
+            return self.n
+
+    ctr = Counter.remote()
+
+    def _tap(df: pd.DataFrame) -> pd.DataFrame:
+        ray.get(ctr.incr.remote(1))
+        return df
+
+    left = (rd.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3, 4], "a": [10, 20, 30, 40]}))
+        .repartition(2)
+        .map_batches(_tap, batch_format="pandas", batch_size=None))
+    # .filter keeps the plan lazy with unknown row count
+    left = left.filter(lambda r: True)
+    assert left._meta_count() is None
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": [2, 3], "b": [200, 300]}))
+
+    out = coarse_join(left, right, on="k", how="inner").to_pandas()
+    assert sorted(out["k"].tolist()) == [2, 3]
+    # 2 blocks through the tap, exactly once each (the lazy input is
+    # materialized ONCE up front; schema/count/exchange all reuse it)
+    assert ray.get(ctr.get.remote()) == 2
+
+
+def test_coarse_join_empty_sides(ray_session):
+    """Empty sides with metadata-known counts take the typed fast
+    paths (no plan execution); a SCHEMA-LESS empty side (Ray 2.49
+    drops zero-row UDF blocks) raises the documented error instead
+    of crashing opaquely."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    l = pd.DataFrame({"k": pd.Series([1, 2], dtype="int64"),
+                      "a": pd.Series([10, 20], dtype="int64")})
+    e = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                      "b": pd.Series([], dtype="int64")})
+
+    ld, ed = rd.from_pandas(l), rd.from_pandas(e)
+    assert ed._meta_count() == 0
+    # empty right: inner → empty; left_outer → nulls; anti → left
+    assert coarse_join(ld, ed, on="k", how="inner").count() == 0
+    lo = coarse_join(ld, ed, on="k", how="left_outer").to_pandas()
+    assert sorted(lo["k"].tolist()) == [1, 2]
+    assert lo["b"].isna().all()
+    la = coarse_join(ld, rd.from_pandas(e.drop(columns=["b"])),
+                     on="k", how="left_anti").to_pandas()
+    assert sorted(la["k"].tolist()) == [1, 2]
+    # empty left
+    el = rd.from_pandas(pd.DataFrame(
+        {"k": pd.Series([], dtype="int64"),
+         "a": pd.Series([], dtype="int64")}))
+    r = rd.from_pandas(pd.DataFrame(
+        {"k": pd.Series([1], dtype="int64"),
+         "b": pd.Series([9], dtype="int64")}))
+    out = coarse_join(el, r, on="k", how="inner")
+    assert out.count() == 0
+    assert out.schema().names == ["k", "a", "b"]
+
+    # a lazy side that executes to zero rows loses its schema
+    # entirely in Ray 2.49 — the join raises the documented error
+    lazy_empty = rd.from_pandas(e).map_batches(
+        lambda b: b, batch_format="pandas", batch_size=None)
+    assert lazy_empty._meta_count() is None
+    with pytest.raises(ValueError, match="no schema"):
+        coarse_join(ld, lazy_empty, on="k", how="inner")
