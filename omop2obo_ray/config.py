@@ -96,12 +96,12 @@ class PipelineConfig:
     # links materialize (zero-CPU accumulator actors fed by a
     # pass-through tap) instead of a separate scan over the
     # materialized links — removes the serial map-build phase from the
-    # corpus path's critical section. Exact whenever no map task is
-    # re-executed (the local deployment); a retried task would add its
-    # block's partials twice, perturbing only the support-count
-    # TIE-BREAK among equal-tier candidates. Set False (or use
-    # links_checkpoint_dir, which keeps the separate exact pass) for
-    # retry-prone clusters.
+    # corpus path's critical section. RETRY-EXACT: every add is keyed
+    # on a deterministic block id (XOR of the block's unique url
+    # hashes — blocks are page-aligned so url sets partition across
+    # blocks) and routed to sinks[id % n_sinks]; a re-executed map
+    # task replays the same id into the same sink, which drops the
+    # duplicate. Safe as the default on retry-prone clusters.
     canonical_fold_in: bool = True
     # score tier-3 candidates inside the linker actor (one operator
     # boundary less); False runs the standalone ScorerActor stage

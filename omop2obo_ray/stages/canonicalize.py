@@ -132,13 +132,23 @@ class _PartialCountSink:
     lexicon-bounded (surface, ontology, uri) → (min tier rank, count)
     partials, compacting buffered tables with a vectorized pandas
     groupby every 64 adds so memory never exceeds ~64 blocks of
-    partials + one compacted frame."""
+    partials + one compacted frame.
+
+    Adds are IDEMPOTENT per ``block_id``: a re-executed map task (the
+    norm on a multi-node cluster, not the exception) replays the same
+    deterministic id and the duplicate add is dropped, so the fold-in
+    stays exact under task retries. The seen-id set costs 8 bytes per
+    block — bounded by block count, not data size."""
 
     def __init__(self):
         self._buf: list[pa.Table] = []
         self._compacted: pd.DataFrame | None = None
+        self._seen: set[int] = set()
 
-    def add(self, tbl: pa.Table) -> None:
+    def add(self, block_id: int, tbl: pa.Table) -> None:
+        if block_id in self._seen:
+            return
+        self._seen.add(block_id)
         self._buf.append(tbl)
         if len(self._buf) >= 64:
             self._compact()
@@ -164,6 +174,30 @@ class _PartialCountSink:
                                     preserve_index=False)
 
 
+def _make_fold_in_tap(sinks):
+    """Pass-through tap shipping each block's canonical-map partials
+    to its deterministically-chosen accumulator sink. Factored out of
+    :func:`materialize_links_with_canonical` so the retry-replay test
+    can drive it directly (calling it twice on the same block, as a
+    re-executed Ray task would)."""
+    import ray
+
+    n_sinks = len(sinks)
+
+    def _tap(batch: pa.Table) -> pa.Table:
+        part = _partial_counts(batch)
+        if part.num_rows:
+            h = np.unique(hash64_array(batch["url"]))
+            bid = int(np.bitwise_xor.reduce(h)) ^ batch.num_rows
+            # counts merge associatively+commutatively; the sink is a
+            # pure function of the block id so a RETRIED task hits the
+            # same sink and its duplicate add is dropped there
+            ray.get(sinks[bid % n_sinks].add.remote(bid, part))
+        return batch
+
+    return _tap
+
+
 def materialize_links_with_canonical(
         links: "Dataset", n_sinks: int = 8,
 ) -> tuple["Dataset", dict[tuple[str, str], str]]:
@@ -178,25 +212,24 @@ def materialize_links_with_canonical(
 
     The tap ``ray.get``s each add so a map task only completes after
     its partials are accumulated (actor ordering alone doesn't give
-    that). Exactness caveat lives on ``PipelineConfig.canonical_fold_in``.
-    Returns blocks unchanged (zero-copy), so page-aligned block
-    boundaries — the page-local assembly contract — survive."""
-    import random
+    that).
 
+    RETRY-EXACT: each add is keyed on a deterministic block id — the
+    XOR of the block's unique url hashes (links blocks are
+    page-aligned, so url sets partition across blocks and the XOR
+    identifies the block; a re-executed task reproduces the identical
+    id) — routed to ``sinks[id % n_sinks]`` so the retry lands on the
+    SAME sink, whose seen-set drops the duplicate. Double-counting
+    under cluster task re-execution is therefore impossible, not just
+    unlikely. Returns blocks unchanged (zero-copy), so page-aligned
+    block boundaries — the page-local assembly contract — survive."""
     import ray
 
     sink_cls = ray.remote(num_cpus=0)(_PartialCountSink)
     sinks = [sink_cls.remote() for _ in range(n_sinks)]
 
-    def _tap(batch: pa.Table) -> pa.Table:
-        part = _partial_counts(batch)
-        if part.num_rows:
-            # counts merge associatively+commutatively: any sink works,
-            # random spread avoids a hot accumulator
-            ray.get(sinks[random.randrange(n_sinks)].add.remote(part))
-        return batch
-
-    mat = links.map_batches(_tap, batch_format="pyarrow",
+    mat = links.map_batches(_make_fold_in_tap(sinks),
+                            batch_format="pyarrow",
                             batch_size=None).materialize()
     tables = [t for t in ray.get([s.get.remote() for s in sinks])
               if t is not None]
