@@ -1950,6 +1950,138 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 batch_size=None)
         return sniff_format(ds)
 
+    def q_bmp_decode(sf):
+        # REAL PIXEL decode (not just headers): plant genuine
+        # uncompressed 24-bit bottom-up BGR BMPs (w = k%4+1,
+        # h = k%3+1, stride padding included) whose DECODED pixel
+        # (r, c, ch) = (k + 3*(r*w+c) + ch) % 251; the engine must
+        # undo the row flip, the BGR order and the padding to get
+        # px_sum = Σ_{i<3wh} (k+i)%251 and first_px = k%251 — the
+        # oracle recomputes both arithmetically with generate_series.
+        # Builder is vectorized per (w, h) combo (12 combos, each a
+        # zero-row-loop matrix build). Exact gate.
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import image_decode
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            k0 = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            n = len(k0)
+            ws = (k0 % 4 + 1).astype(np.int64)
+            hs = (k0 % 3 + 1).astype(np.int64)
+            bufs, order = [], []
+            for w in range(1, 5):
+                for h in range(1, 4):
+                    rows = np.nonzero((ws == w) & (hs == h))[0]
+                    if not len(rows):
+                        continue
+                    k = k0[rows]
+                    stride = ((w * 3 + 3) // 4) * 4
+                    size = 54 + stride * h
+                    m = np.zeros((len(rows), size), np.uint8)
+                    m[:, 0], m[:, 1] = 0x42, 0x4D           # BM
+                    m[:, 2] = size & 0xFF
+                    m[:, 3] = (size >> 8) & 0xFF
+                    m[:, 10] = 54                            # data offset
+                    m[:, 14] = 40                            # DIB size
+                    m[:, 18], m[:, 22] = w, h                # dims (LE)
+                    m[:, 26], m[:, 28] = 1, 24               # planes/bpp
+                    for j in range(h):                       # file rows
+                        r = h - 1 - j                        # bottom-up
+                        for bpos in range(stride):
+                            p = 54 + j * stride + bpos
+                            if bpos >= 3 * w:
+                                continue                     # padding 0
+                            c, cb = bpos // 3, bpos % 3      # BGR byte
+                            off = 3 * (r * w + c) + (2 - cb)
+                            m[:, p] = ((k + off) % 251) & 0xFF
+                    bufs.append(m)
+                    order.append(rows)
+            idx = np.concatenate(order)
+            inv = np.empty(n, np.int64)
+            inv[idx] = np.arange(n)
+            flat = [bytes(row) for mm in bufs for row in mm]
+            payload = pa.array(flat, pa.binary()).take(
+                pa.array(inv, pa.int64()))
+            return pa.table({"doc_id": pa.array(k0, pa.int64()),
+                             "payload": payload})
+
+        ds = orders.map_batches(_mk, batch_format="pyarrow",
+                                batch_size=None)
+        return image_decode(ds)
+
+    def q_wav_decode(sf):
+        # REAL PCM sample extraction: plant genuine 16-bit WAVs
+        # (channels = k%2+1, frames = k%5+2, rate = 8000·(k%3+1))
+        # whose flat sample j is the u16 (k·7 + j·13) % 65536 decoded
+        # as SIGNED int16 (= ((v+32768)%65536)−32768); the
+        # engine must walk the RIFF chunks and view-cast the LE
+        # int16s; the oracle recomputes sample_sum / first_sample
+        # arithmetically with generate_series. Exact gate.
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import audio_decode
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            k0 = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            n = len(k0)
+            chs = (k0 % 2 + 1).astype(np.int64)
+            frs = (k0 % 5 + 2).astype(np.int64)
+            bufs, order = [], []
+            for ch in (1, 2):
+                for fr in range(2, 7):
+                    rows = np.nonzero((chs == ch) & (frs == fr))[0]
+                    if not len(rows):
+                        continue
+                    k = k0[rows]
+                    nsmp = fr * ch
+                    dlen = 2 * nsmp
+                    size = 44 + dlen
+                    m = np.zeros((len(rows), size), np.uint8)
+                    m[:, 0:4] = np.frombuffer(b"RIFF", np.uint8)
+                    m[:, 4] = (36 + dlen) & 0xFF
+                    m[:, 8:16] = np.frombuffer(b"WAVEfmt ", np.uint8)
+                    m[:, 16] = 16                            # fmt len
+                    m[:, 20] = 1                             # PCM
+                    m[:, 22] = ch
+                    rate = (8000 * (k % 3 + 1)).astype(np.int64)
+                    for j in range(4):
+                        m[:, 24 + j] = (rate >> (8 * j)) & 0xFF
+                        m[:, 28 + j] = ((rate * 2 * ch)
+                                        >> (8 * j)) & 0xFF
+                    m[:, 32] = 2 * ch                        # block
+                    m[:, 34] = 16                            # bits
+                    m[:, 36:40] = np.frombuffer(b"data", np.uint8)
+                    m[:, 40] = dlen & 0xFF
+                    for j in range(nsmp):
+                        v = (k * 7 + j * 13) % 65536
+                        m[:, 44 + 2 * j] = v & 0xFF
+                        m[:, 45 + 2 * j] = (v >> 8) & 0xFF
+                    bufs.append(m)
+                    order.append(rows)
+            idx = np.concatenate(order)
+            inv = np.empty(n, np.int64)
+            inv[idx] = np.arange(n)
+            flat = [bytes(row) for mm in bufs for row in mm]
+            payload = pa.array(flat, pa.binary()).take(
+                pa.array(inv, pa.int64()))
+            return pa.table({"doc_id": pa.array(k0, pa.int64()),
+                             "payload": payload})
+
+        ds = orders.map_batches(_mk, batch_format="pyarrow",
+                                batch_size=None)
+        return audio_decode(ds)
+
     def q_neighbor_sample(sf):
         # GraphSAGE-style 2-hop pinned-hash neighbor sampling
         # (fanouts [3, 2]) over the synthetic directed orderkey graph
@@ -4534,6 +4666,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_sample": q_neighbor_sample,  # deterministic GraphSAGE k-hop neighbor sampling (SQL-checked)
         "image_meta": q_image_meta,      # real PNG/JPEG header parsing over a binary column (SQL-checked)
         "audio_meta": q_audio_meta,      # real WAV RIFF/fmt header parsing over a binary column (SQL-checked)
+        "bmp_decode": q_bmp_decode,      # REAL BMP pixel decode (flip/BGR/padding pinned) (SQL-checked)
+        "wav_decode": q_wav_decode,      # REAL WAV PCM sample extraction (SQL-checked)
         "closeness_centrality": q_closeness,  # bounded-radius closeness off HyperBall ball sizes (SQL-checked)
         "assoc_rules": q_assoc_rules,    # directed association rules (conf/lift) over entity co-occurrence (SQL-checked)
         "sniff_format": q_sniff_format,  # magic-byte content-type detection over a binary column (SQL-checked)
@@ -5068,6 +5202,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey AS doc_id, 'png' AS format, "
             "o_orderkey % 1920 + 1 AS width, "
             "o_orderkey % 1080 + 1 AS height FROM orders"
+        ),
+        # bmp_decode: the engine DECODES real BMP pixel rasters
+        # (bottom-up BGR + padding); the oracle recomputes the
+        # planted per-pixel values arithmetically
+        "bmp_decode": (
+            "WITH px AS (SELECT o_orderkey AS k, i FROM orders "
+            "CROSS JOIN generate_series(0, 35) AS t(i) "
+            "WHERE i < 3 * (o_orderkey % 4 + 1) "
+            "* (o_orderkey % 3 + 1)) "
+            "SELECT k AS doc_id, 'bmp' AS format, "
+            "k % 4 + 1 AS width, k % 3 + 1 AS height, "
+            "CAST(sum((k + i) % 251) AS BIGINT) AS px_sum, "
+            "k % 251 AS first_px FROM px GROUP BY k"
+        ),
+        # wav_decode: the engine extracts real 16-bit PCM samples via
+        # the RIFF chunk walk; oracle replays the planted recurrence
+        "wav_decode": (
+            "WITH smp AS (SELECT o_orderkey AS k, i FROM orders "
+            "CROSS JOIN generate_series(0, 11) AS t(i) "
+            "WHERE i < (o_orderkey % 5 + 2) "
+            "* (o_orderkey % 2 + 1)) "
+            "SELECT k AS doc_id, 'wav' AS format, "
+            "k % 5 + 2 AS n_frames, k % 2 + 1 AS channels, "
+            "8000 * (k % 3 + 1) AS sample_rate, "
+            "CAST(sum((k * 7 + i * 13 + 32768) % 65536 - 32768) "
+            "AS BIGINT) AS sample_sum, "
+            "(k * 7 + 32768) % 65536 - 32768 AS first_sample "
+            "FROM smp GROUP BY k"
         ),
         # neighbor_sample: ROW_NUMBER over the pinned modular hash per
         # source replays the sampled adjacency; 2 unrolled hops with

@@ -1605,26 +1605,154 @@ def analyze_text(docs: Dataset, key_col: str = "doc_id", text_col: str = "text")
 # multimodal plumbing (decode stubbed — no image/audio libs in container)
 # ---------------------------------------------------------------------------
 
+def _decode_bmp(buf: np.ndarray) -> np.ndarray | None:
+    """REAL uncompressed 24-bit BMP pixel decode (no codec library
+    needed — the format is a header + padded raster): returns an
+    (h, w, 3) uint8 RGB array in top-down row order, or None if the
+    payload is not a BI_RGB 24-bit BMP. Pure numpy: one reshape-slice
+    over the raster, one vertical flip for bottom-up files, one
+    channel reversal for BGR→RGB."""
+    if len(buf) < 54 or buf[0] != 0x42 or buf[1] != 0x4D:  # "BM"
+        return None
+    u32 = lambda o: int(buf[o]) | (int(buf[o + 1]) << 8) \
+        | (int(buf[o + 2]) << 16) | (int(buf[o + 3]) << 24)
+    u16 = lambda o: int(buf[o]) | (int(buf[o + 1]) << 8)
+    off = u32(10)
+    w = u32(18)
+    h_raw = u32(22)
+    h = h_raw if h_raw < 2**31 else h_raw - 2**32  # signed height
+    bpp, comp = u16(28), u32(30)
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    hh = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    if off + stride * hh > len(buf):
+        return None
+    px = buf[off:off + stride * hh].reshape(hh, stride)[:, :w * 3]
+    px = px.reshape(hh, w, 3)
+    if h > 0:  # positive height = bottom-up storage
+        px = px[::-1]
+    return px[:, :, ::-1].copy()  # BGR → RGB
+
+
+def _decode_pnm(buf: np.ndarray) -> np.ndarray | None:
+    """REAL binary PPM (P6) / PGM (P5) pixel decode: ASCII header
+    (magic, width, height, maxval; '#' comments supported) + raw
+    raster. Returns (h, w, 3) uint8 for P6, (h, w) uint8 for P5
+    (maxval ≤ 255), else None."""
+    if len(buf) < 10 or buf[0] != 0x50 or buf[1] not in (0x35, 0x36):
+        return None
+    channels = 3 if buf[1] == 0x36 else 1
+    vals, p, n = [], 2, len(buf)
+    while len(vals) < 3 and p < n:
+        c = buf[p]
+        if c in (0x20, 0x09, 0x0A, 0x0D):
+            p += 1
+        elif c == 0x23:  # '#' comment to end of line
+            while p < n and buf[p] != 0x0A:
+                p += 1
+        elif 0x30 <= c <= 0x39:
+            v = 0
+            while p < n and 0x30 <= buf[p] <= 0x39:
+                v = v * 10 + (buf[p] - 0x30)
+                p += 1
+            vals.append(v)
+        else:
+            return None
+    if len(vals) < 3 or p >= n:
+        return None
+    w, h, maxval = vals
+    if maxval > 255 or w <= 0 or h <= 0:
+        return None
+    p += 1  # single whitespace after maxval
+    need = w * h * channels
+    if p + need > n:
+        return None
+    px = buf[p:p + need]
+    return (px.reshape(h, w, 3) if channels == 3
+            else px.reshape(h, w)).copy()
+
+
+def _decode_wav_pcm(buf: np.ndarray) -> tuple[np.ndarray, int] | None:
+    """REAL WAV PCM sample extraction: RIFF chunk walk to the fmt and
+    data chunks; 8-bit (offset-128) and 16-bit LE PCM supported.
+    Returns (samples int32 array shaped (frames, channels),
+    sample_rate), or None for non-PCM / truncated payloads."""
+    if len(buf) < 44 or bytes(buf[0:4]) != b"RIFF" \
+            or bytes(buf[8:12]) != b"WAVE":
+        return None
+    u32 = lambda o: int(buf[o]) | (int(buf[o + 1]) << 8) \
+        | (int(buf[o + 2]) << 16) | (int(buf[o + 3]) << 24)
+    u16 = lambda o: int(buf[o]) | (int(buf[o + 1]) << 8)
+    p, n = 12, len(buf)
+    fmt = None
+    data = None
+    while p + 8 <= n:
+        cid = bytes(buf[p:p + 4])
+        sz = u32(p + 4)
+        body = p + 8
+        if cid == b"fmt " and body + 16 <= n:
+            fmt = (u16(body), u16(body + 2), u32(body + 4),
+                   u16(body + 14))  # (audio_fmt, ch, rate, bits)
+        elif cid == b"data":
+            data = buf[body:min(body + sz, n)]
+        p = body + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_fmt, ch, rate, bits = fmt
+    if audio_fmt != 1 or ch < 1 or bits not in (8, 16):
+        return None
+    if bits == 16:
+        usable = (len(data) // (2 * ch)) * 2 * ch
+        smp = data[:usable].view(np.uint8).copy().view("<i2") \
+            .astype(np.int32)
+    else:
+        usable = (len(data) // ch) * ch
+        smp = data[:usable].astype(np.int32) - 128
+    return smp.reshape(-1, ch), rate
+
+
 class MediaDecoder:
     """Actor-pool stage for opaque binary media columns.
 
-    The Ray-side plumbing (schema, small batch size for large payloads,
-    actor signature, typed output layout) is real; the actual
-    decode/resize/frame-sample kernel is a deterministic fake
-    (``mode='fake'``) because no image/audio codec libraries exist in
-    this container — swap ``_decode`` for a real library in production.
+    ``mode='raw'`` decodes the codec-free formats FOR REAL — BMP
+    (uncompressed 24-bit), PPM/PGM binary rasters, WAV PCM (the
+    samples' per-channel stats) — with pure numpy kernels
+    (:func:`_decode_bmp` / :func:`_decode_pnm` /
+    :func:`_decode_wav_pcm`); payloads in any other format fall back
+    to the deterministic fake. ``mode='fake'`` is the fake for every
+    payload — kept because compressed formats (JPEG/PNG raster, MP3)
+    need codec libraries this container doesn't have; swap the
+    fallback for a real library in production.
     """
 
     def __init__(self, media_col: str = "payload", mode: str = "fake",
                  target_size: tuple[int, int] = (32, 32)):
         self.media_col, self.mode, self.target = media_col, mode, target_size
-        if mode not in ("fake",):
+        if mode not in ("fake", "raw"):
             raise NotImplementedError(
-                "real decoders (PIL/av/soundfile) are not available in this "
-                "environment; only the deterministic 'fake' mode is implemented"
+                "compressed-format decoders (PIL/av/soundfile) are not "
+                "available in this environment; modes: 'raw' (real "
+                "BMP/PPM/PGM/WAV-PCM + fake fallback) or 'fake'"
             )
 
     def _decode(self, payload: bytes) -> np.ndarray:
+        if self.mode == "raw" and payload:
+            buf = np.frombuffer(payload, np.uint8)
+            img = _decode_bmp(buf)
+            if img is None:
+                img = _decode_pnm(buf)
+            if img is not None:
+                if img.ndim == 2:  # grayscale → stacked channels
+                    img = np.repeat(img[:, :, None], 3, axis=2)
+                return img
+            wav = _decode_wav_pcm(buf)
+            if wav is not None:
+                # audio "image": frames × channels sample matrix,
+                # shifted to uint8-range stats domain
+                smp, _rate = wav
+                return np.clip(smp[:, :, None] // 256 + 128,
+                               0, 255).astype(np.uint8)
         # deterministic fake decode: bytes → seeded uint8 "pixels"
         seed = stable_hash64(payload or b"") & 0x7FFFFFFF
         rng = np.random.RandomState(seed)
@@ -1635,9 +1763,11 @@ class MediaDecoder:
         feats, shapes = [], []
         for payload in batch[self.media_col].to_pylist():
             img = self._decode(payload)
-            feats.append([float(img.mean()), float(img.std()),
-                          float(img[..., 0].mean()), float(img[..., 1].mean()),
-                          float(img[..., 2].mean())])
+            if img.ndim == 3 and img.shape[2] >= 3:
+                chan = [float(img[..., j].mean()) for j in range(3)]
+            else:  # audio sample matrix / grayscale
+                chan = [float(img.mean())] * 3
+            feats.append([float(img.mean()), float(img.std())] + chan)
             shapes.append(list(img.shape))
         out = batch.drop_columns([self.media_col])
         return out.append_column(
@@ -1787,6 +1917,100 @@ def audio_meta(ds: Dataset, media_col: str = "payload",
                                     pa.int64(), mask=~known),
             "bits_per_sample": pa.array(np.where(known, bits, 0),
                                         pa.int64(), mask=~known)})
+
+    return ds.map_batches(_parse, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def image_decode(ds: Dataset, media_col: str = "payload",
+                 id_col: str = "doc_id") -> Dataset:
+    """REAL pixel decode over an opaque binary column → (id, format,
+    width, height, px_sum, first_px): BMP (uncompressed 24-bit,
+    bottom-up BGR handled) and binary PPM/PGM rasters decoded with
+    the pure-numpy kernels (:func:`_decode_bmp` / :func:`_decode_pnm`
+    — no codec library needed). ``px_sum`` is the int64 sum of every
+    decoded sample; ``first_px`` is the decoded top-left red-channel
+    value, which PINS the row-flip and BGR→RGB handling (a sum alone
+    is permutation-invariant). Unknown/compressed formats → nulls.
+    Embarrassingly parallel, one ``map_batches``, no exchange; the
+    per-payload kernel is numpy end-to-end (the row loop only
+    dispatches on format)."""
+    def _parse(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        fmt = np.full(n, "unknown", object)
+        w = np.full(n, -1, np.int64)
+        h = np.full(n, -1, np.int64)
+        s = np.zeros(n, np.int64)
+        f0 = np.zeros(n, np.int64)
+        for i, payload in enumerate(b[media_col].to_pylist()):
+            if not payload:
+                continue
+            buf = np.frombuffer(payload, np.uint8)
+            img = _decode_bmp(buf)
+            if img is not None:
+                fmt[i] = "bmp"
+            else:
+                img = _decode_pnm(buf)
+                if img is not None:
+                    fmt[i] = "ppm" if img.ndim == 3 else "pgm"
+            if img is None:
+                continue
+            h[i], w[i] = img.shape[0], img.shape[1]
+            s[i] = int(img.sum(dtype=np.int64))
+            f0[i] = int(img[0, 0, 0] if img.ndim == 3 else img[0, 0])
+        known = w >= 0
+        return pa.table({
+            id_col: b[id_col],
+            "format": pa.array(fmt, pa.string()),
+            "width": pa.array(np.where(known, w, 0), pa.int64(),
+                              mask=~known),
+            "height": pa.array(np.where(known, h, 0), pa.int64(),
+                               mask=~known),
+            "px_sum": pa.array(s, pa.int64(), mask=~known),
+            "first_px": pa.array(f0, pa.int64(), mask=~known)})
+
+    return ds.map_batches(_parse, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def audio_decode(ds: Dataset, media_col: str = "payload",
+                 id_col: str = "doc_id") -> Dataset:
+    """REAL WAV PCM sample extraction over an opaque binary column →
+    (id, format, n_frames, channels, sample_rate, sample_sum,
+    first_sample): full RIFF chunk walk + 8/16-bit LE PCM decode
+    (:func:`_decode_wav_pcm` — pure numpy view casts, no library).
+    ``sample_sum`` is the int64 sum over every decoded sample;
+    ``first_sample`` pins byte order and signedness. Non-PCM /
+    truncated payloads → nulls. One ``map_batches``, no exchange."""
+    def _parse(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        fmt = np.full(n, "unknown", object)
+        fr = np.full(n, -1, np.int64)
+        ch = np.zeros(n, np.int64)
+        sr = np.zeros(n, np.int64)
+        s = np.zeros(n, np.int64)
+        f0 = np.zeros(n, np.int64)
+        for i, payload in enumerate(b[media_col].to_pylist()):
+            if not payload:
+                continue
+            got = _decode_wav_pcm(np.frombuffer(payload, np.uint8))
+            if got is None:
+                continue
+            smp, rate = got
+            fmt[i] = "wav"
+            fr[i], ch[i], sr[i] = smp.shape[0], smp.shape[1], rate
+            s[i] = int(smp.sum(dtype=np.int64))
+            f0[i] = int(smp[0, 0]) if smp.size else 0
+        known = fr >= 0
+        return pa.table({
+            id_col: b[id_col],
+            "format": pa.array(fmt, pa.string()),
+            "n_frames": pa.array(np.where(known, fr, 0), pa.int64(),
+                                 mask=~known),
+            "channels": pa.array(ch, pa.int64(), mask=~known),
+            "sample_rate": pa.array(sr, pa.int64(), mask=~known),
+            "sample_sum": pa.array(s, pa.int64(), mask=~known),
+            "first_sample": pa.array(f0, pa.int64(), mask=~known)})
 
     return ds.map_batches(_parse, batch_format="pyarrow",
                           batch_size=None)

@@ -1401,3 +1401,129 @@ def test_coarse_join_empty_sides(ray_session):
     assert lazy_empty._meta_count() is None
     with pytest.raises(ValueError, match="no schema"):
         coarse_join(ld, lazy_empty, on="k", how="inner")
+
+
+def _mk_bmp(px_rgb):
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit
+    bottom-up BMP — the test's independent encoder."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = px_rgb.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    raster = np.zeros((h, stride), np.uint8)
+    raster[:, :w * 3] = px_rgb[::-1, :, ::-1].reshape(h, w * 3)
+    data = raster.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                      2835, 2835, 0, 0)
+    return header + dib + data
+
+
+def _mk_wav(samples, rate=8000, bits=16):
+    """Encode an (n, ch) int array as canonical PCM WAV."""
+    import struct
+
+    import numpy as np
+
+    n, ch = samples.shape
+    if bits == 16:
+        data = samples.astype("<i2").tobytes()
+    else:
+        data = (samples + 128).astype(np.uint8).tobytes()
+    block = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, bits)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_image_decode_bmp_ppm_pgm_roundtrip(ray_session):
+    """image_decode recovers the EXACT planted pixels from real BMP
+    (bottom-up BGR + row padding), binary PPM and PGM payloads built
+    by an independent encoder; junk rows come back null."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.textpipe import image_decode
+
+    rng = np.random.RandomState(7)
+    bmp_px = rng.randint(0, 256, (5, 3, 3), np.uint8)  # w=3: stride pad
+    ppm_px = rng.randint(0, 256, (4, 6, 3), np.uint8)
+    pgm_px = rng.randint(0, 256, (3, 5), np.uint8)
+    ppm = (b"P6\n# comment\n6 4\n255\n" + ppm_px.tobytes())
+    pgm = (b"P5\n5 3\n255\n" + pgm_px.tobytes())
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "payload": [_mk_bmp(bmp_px), ppm, pgm, b"garbage"]})
+    got = (image_decode(rd.from_pandas(df)).to_pandas()
+           .set_index("doc_id"))
+    assert got.loc[1, "format"] == "bmp"
+    assert (got.loc[1, ["width", "height"]].tolist() == [3, 5])
+    assert got.loc[1, "px_sum"] == int(bmp_px.sum())
+    assert got.loc[1, "first_px"] == int(bmp_px[0, 0, 0])
+    assert got.loc[2, "format"] == "ppm"
+    assert got.loc[2, "px_sum"] == int(ppm_px.sum())
+    assert got.loc[2, "first_px"] == int(ppm_px[0, 0, 0])
+    assert got.loc[3, "format"] == "pgm"
+    assert (got.loc[3, ["width", "height"]].tolist() == [5, 3])
+    assert got.loc[3, "px_sum"] == int(pgm_px.sum())
+    assert got.loc[4, "format"] == "unknown"
+    assert pd.isna(got.loc[4, "px_sum"])
+
+
+def test_audio_decode_wav_pcm_roundtrip(ray_session):
+    """audio_decode recovers the exact planted PCM samples (16-bit
+    stereo incl. negatives, 8-bit mono offset-128)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.textpipe import audio_decode
+
+    rng = np.random.RandomState(11)
+    s16 = rng.randint(-32768, 32768, (50, 2), np.int64)
+    s8 = rng.randint(-128, 128, (30, 1), np.int64)
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "payload": [_mk_wav(s16, rate=44100, bits=16),
+                    _mk_wav(s8, rate=8000, bits=8),
+                    b"RIFFjunk"]})
+    got = (audio_decode(rd.from_pandas(df)).to_pandas()
+           .set_index("doc_id"))
+    assert got.loc[1, "format"] == "wav"
+    assert (got.loc[1, ["n_frames", "channels", "sample_rate"]]
+            .tolist() == [50, 2, 44100])
+    assert got.loc[1, "sample_sum"] == int(s16.sum())
+    assert got.loc[1, "first_sample"] == int(s16[0, 0])
+    assert got.loc[2, "format"] == "wav"
+    assert got.loc[2, "sample_sum"] == int(s8.sum())
+    assert got.loc[3, "format"] == "unknown"
+
+
+def test_media_decoder_raw_mode_real_stats(ray_session):
+    """MediaDecoder(mode='raw') computes features from the REAL
+    decoded pixels for codec-free formats and falls back to the
+    deterministic fake otherwise."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.textpipe import MediaDecoder
+
+    px = np.full((4, 4, 3), 100, np.uint8)
+    px[..., 0] = 200  # red-heavy so channel means differ
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "payload": [_mk_bmp(px), b"not media"]})
+    out = rd.from_pandas(df).map_batches(
+        MediaDecoder, fn_constructor_kwargs=dict(mode="raw"),
+        batch_format="pyarrow", batch_size=64,
+        concurrency=1, num_cpus=1).to_pandas()
+    f1 = out.loc[0, "features"]
+    assert abs(f1[2] - 200.0) < 1e-9  # real red mean
+    assert abs(f1[3] - 100.0) < 1e-9
+    assert list(out.loc[0, "shape"]) == [4, 4, 3]
+    # fake fallback still deterministic for non-media payloads
+    assert list(out.loc[1, "shape"]) == [32, 32, 3]
