@@ -393,3 +393,15 @@ def test_warc_gzip_roundtrip_per_record_members(ray_session, tmp_path):
             .sort_values("url").reset_index(drop=True))
     assert all(a == b for a, b in
                zip(back["payload"], df.sort_values("url")["payload"]))
+
+
+def test_coverage_totals_not_stale():
+    """COVERAGE.md's generated totals block must match the live
+    queries()/oracle_sql() inventory (VERDICT r3 #8)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/coverage_index.py", "--check"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stdout + r.stderr
