@@ -4485,6 +4485,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return cohort_retention(ev)
 
+    def q_alias_table(sf):
+        # mention→entity prior over the REAL anchor-text parse of the
+        # synth pages (text chr(96+k), target (doc_id·31+k·17)%500);
+        # oracle recomputes counts + window total + one CAST-DOUBLE
+        # division. Exact gate.
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import (alias_table,
+                                                  anchor_text_edges,
+                                                  synth_anchor_pages)
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id"])
+        return alias_table(anchor_text_edges(synth_anchor_pages(docs)))
+
+    def q_mode_per_key(sf):
+        # dominant returnflag per supplier (3 values, ties common → the
+        # lexicographic tie-break is load-bearing); exact gate
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import mode_per_key
+
+        li = rd.read_parquet(f"{sf}/lineitem.parquet",
+                             columns=["l_suppkey", "l_returnflag"])
+        ds = li.map_batches(
+            lambda b: pa.table({"k": b["l_suppkey"],
+                                "v": b["l_returnflag"]}),
+            batch_format="pyarrow", batch_size=None)
+        return mode_per_key(ds, "k", "v")
+
+    def q_merge_intervals(sf):
+        # per-supplier shipment-window coalescing: [shipday,
+        # shipday + orderkey%20] closed intervals; oracle is the
+        # window prefix-max island detection. Exact gate.
+        import pandas as pd
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import merge_intervals
+
+        li = rd.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_suppkey", "l_orderkey", "l_shipdate"])
+
+        def _iv(df: pd.DataFrame) -> pd.DataFrame:
+            day = (df["l_shipdate"]
+                   - pd.Timestamp("1970-01-01")).dt.days
+            return pd.DataFrame({
+                "k": df["l_suppkey"].astype("int64"),
+                "s": day.astype("int64"),
+                "e": (day + df["l_orderkey"] % 20).astype("int64")})
+
+        ds = li.map_batches(_iv, batch_format="pandas",
+                            batch_size=None)
+        return merge_intervals(ds, key_col="k", start_col="s",
+                               end_col="e")
+
     return {
         # SURVEY §2 operator families (SQL-checked)
         "normalize_codes": R.q_normalize_codes,          # M1
@@ -4702,6 +4759,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entropy_per_key": q_entropy_per_key,  # per-key categorical Shannon entropy (SQL-checked)
         "label_spreading": q_label_spreading,  # seeded semi-supervised KG entity typing (SQL-checked)
         "triple_vote": q_triple_vote,    # source-vote knowledge fusion over conflicting triples (SQL-checked)
+        "alias_table": q_alias_table,    # mention→entity prior from anchor texts (SQL-checked)
+        "mode_per_key": q_mode_per_key,  # per-key modal value, deterministic tie-break (SQL-checked)
+        "merge_intervals": q_merge_intervals,  # per-key interval coalescing (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -7465,6 +7525,49 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN k = 3 THEN '?x=1&y=2' ELSE '' END AS dst, "
             "chr(CAST(96 + k AS INTEGER)) AS anchor_text "
             "FROM documents, generate_series(1, 3) AS g(k)"
+        ),
+        # alias_table: mention→entity prior replayed from the planted
+        # anchor contract; one CAST-DOUBLE division (exact IEEE)
+        "alias_table": (
+            "WITH e AS (SELECT chr(CAST(96 + k AS INTEGER)) "
+            "AS mention, "
+            "'https://site-' || ((doc_id * 31 + k * 17) % 500) || "
+            "'.example.com/page' || "
+            "CASE WHEN k = 3 THEN '?x=1&y=2' ELSE '' END AS dst "
+            "FROM documents, generate_series(1, 3) AS g(k)), "
+            "c AS (SELECT mention, dst, count(*) AS n FROM e "
+            "GROUP BY 1, 2), "
+            "t AS (SELECT mention, CAST(sum(n) AS BIGINT) AS total "
+            "FROM c GROUP BY 1) "
+            "SELECT c.mention, c.dst, CAST(c.n AS BIGINT) AS n, "
+            "t.total, CAST(c.n AS DOUBLE) / t.total AS p "
+            "FROM c JOIN t USING (mention)"
+        ),
+        # mode_per_key: ROW_NUMBER over (count DESC, value) replays
+        # the deterministic tie-break; exact
+        "mode_per_key": (
+            "WITH c AS (SELECT l_suppkey AS k, l_returnflag AS v, "
+            "count(*) AS n FROM lineitem GROUP BY 1, 2), "
+            "r AS (SELECT k, v, n, ROW_NUMBER() OVER ("
+            "PARTITION BY k ORDER BY n DESC, v) AS rn FROM c) "
+            "SELECT k, v AS mode, CAST(n AS BIGINT) AS n FROM r "
+            "WHERE rn = 1"
+        ),
+        # merge_intervals: window prefix-max island detection over
+        # the same (s, e) sort the engine uses; exact ints
+        "merge_intervals": (
+            "WITH iv AS (SELECT l_suppkey AS k, "
+            "datediff('day', DATE '1970-01-01', l_shipdate) AS s, "
+            "datediff('day', DATE '1970-01-01', l_shipdate) "
+            "+ l_orderkey % 20 AS e FROM lineitem), "
+            "o AS (SELECT k, s, e, max(e) OVER (PARTITION BY k "
+            "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING) AS pmax FROM iv), "
+            "g AS (SELECT k, s, e, sum(CASE WHEN pmax IS NULL "
+            "OR s > pmax THEN 1 ELSE 0 END) OVER (PARTITION BY k "
+            "ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp FROM o) "
+            "SELECT k, min(s) AS start, max(e) AS \"end\", "
+            "count(*) AS n_merged FROM g GROUP BY k, grp"
         ),
         # HyperLogLog p=12: hash = first 16 md5-hex chars as UBIGINT,
         # reg = h % 4096, rho = trailing zeros of (h >> 12) + 1 (all

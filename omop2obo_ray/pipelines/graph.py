@@ -1773,6 +1773,60 @@ def anchor_text_edges(pages: Dataset, url_col: str = "url",
         _edges, batch_format="pyarrow", batch_size=None)
 
 
+def alias_table(edges: Dataset, *, text_col: str = "anchor_text",
+                dst_col: str = "dst", min_count: int = 1,
+                lowercase: bool = True,
+                n_coarse: int | None = None) -> Dataset:
+    """Mention→entity prior from anchor-text evidence →
+    (mention, dst, n, total, p): for every normalized link text, how
+    often it points at each target and the resulting conditional
+    prior p = n / total — the CrossWikis / Wikipedia
+    anchor-dictionary artifact that seeds web-scale entity linking
+    (the reference's surface→concept lexicon is the ontology-side
+    analogue of exactly this table; ``clinical_concept_annotator.py``
+    builds its surface map the same count-and-rank way). ``total``
+    counts ALL of a mention's evidence (including pairs later cut by
+    ``min_count``), so priors stay calibrated after the cut.
+
+    Scale shape: per-block (mention, dst) partial counts (vectorized
+    pandas groupby — the combiner-first shape) → ONE mention-keyed
+    coarse exchange whose frame folds partials, computes the
+    mention total in-frame (the key co-locates every target of a
+    mention) and derives p with one IEEE division. A head mention
+    ("click here") concentrates its DISTINCT targets in one frame —
+    bounded by targets-per-mention, not corpus size; empty mentions
+    drop up front."""
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[text_col].astype(str)
+        if lowercase:
+            m = m.str.lower()
+        m = m.str.strip()
+        out = pd.DataFrame({"mention": m, "dst": df[dst_col]})
+        out = out[out["mention"] != ""]
+        return (out.groupby(["mention", "dst"], sort=False)
+                .size().rename("n").reset_index())
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["mention", "dst"], sort=False)["n"].sum()
+             .reset_index())
+        g["total"] = g.groupby("mention", sort=False)["n"].transform(
+            "sum")
+        g = g[g["n"] >= min_count]
+        g["p"] = g["n"] / g["total"].astype(np.float64)
+        return g
+
+    parts = edges.map_batches(_partial, batch_format="pandas",
+                              batch_size=None)
+    return _sanitize_join_output(
+        coarse_aggregate(parts, ["mention"], _fold, n_coarse=n_coarse),
+        pa.schema([("mention", pa.string()), ("dst", pa.string()),
+                   ("n", pa.int64()), ("total", pa.int64()),
+                   ("p", pa.float64())]))
+
+
 # ---------------------------------------------------------------------------
 # SPARQL solution modifiers + aggregates over BGP bindings
 # ---------------------------------------------------------------------------

@@ -2446,3 +2446,110 @@ def sorted_neighborhood_pairs(ds: Dataset, *, key_col: str,
         batch_size=None)
     return _sanitize_join_output(paired, pa.schema(
         [("id_a", pa.int64()), ("id_b", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
+# per-key mode (most frequent value, deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+def mode_per_key(ds: Dataset, key_col: str, val_col: str, *,
+                 n_coarse: int | None = None) -> Dataset:
+    """Most frequent value per key → (key, mode, n): the categorical
+    "typical value" imputation/profiling primitive (majority label
+    per entity, dominant language per host). Ties break to the
+    LEXICOGRAPHICALLY SMALLEST value — fully deterministic and
+    SQL-replayable (ROW_NUMBER ... ORDER BY n DESC, val).
+
+    Scale shape: per-block (key, val) partial counts → ONE key-keyed
+    coarse exchange; the frame folds partials and arg-maxes with one
+    vectorized sort — frame size is distinct-values-per-key, never
+    row count."""
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([key_col, val_col], sort=False)
+                .size().rename("n").reset_index())
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby([key_col, val_col], sort=False)["n"].sum()
+             .reset_index())
+        g = g.sort_values([key_col, "n", val_col],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        g = g.drop_duplicates(key_col, keep="first")
+        return g.rename(columns={val_col: "mode"})
+
+    vt = _pa_type_of(ds, val_col)
+    kt = _pa_type_of(ds, key_col)
+    return _sanitize_join_output(
+        coarse_aggregate(
+            ds.map_batches(_partial, batch_format="pandas",
+                           batch_size=None),
+            [key_col], _fold, n_coarse=n_coarse),
+        pa.schema([(key_col, kt), ("mode", vt), ("n", pa.int64())]))
+
+
+def _pa_type_of(ds: Dataset, col: str) -> pa.DataType:
+    from omop2obo_ray.pipelines.textpipe import _pa_schema_of
+
+    sch = _pa_schema_of(ds)
+    return sch.field(col).type
+
+
+# ---------------------------------------------------------------------------
+# per-key interval coalescing (merge overlapping intervals)
+# ---------------------------------------------------------------------------
+
+def merge_intervals(ds: Dataset, *, key_col: str, start_col: str,
+                    end_col: str, closed: bool = True,
+                    n_coarse: int | None = None) -> Dataset:
+    """Coalesce overlapping/adjacent intervals per key →
+    (key, start, end, n_merged): the availability/session/validity
+    union primitive (SCD2 sibling — `interval join` matches rows INTO
+    intervals, this normalizes the intervals themselves). ``closed``
+    treats [a, b] touching [b, c] as overlapping (the calendar
+    convention); ``closed=False`` requires strict overlap.
+
+    Scale shape: ONE key-keyed coarse exchange; the frame sorts its
+    key's intervals once and finds group boundaries with the
+    exclusive-prefix-max trick (a new group starts exactly where
+    start > max(previous ends)) — vectorized numpy, no per-interval
+    Python loop. Frame size is intervals-per-key (a session key's
+    history), never corpus size."""
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    kt = _pa_type_of(ds, key_col)
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for k, g in df.groupby(key_col, sort=False):
+            s = g[start_col].to_numpy(np.int64)
+            e = g[end_col].to_numpy(np.int64)
+            order = np.lexsort((e, s))
+            s, e = s[order], e[order]
+            run_max = np.maximum.accumulate(e)
+            prev_max = np.concatenate(([np.iinfo(np.int64).min],
+                                       run_max[:-1]))
+            new_grp = (s > prev_max) if closed else (s >= prev_max)
+            new_grp[0] = True
+            gid = np.cumsum(new_grp) - 1
+            n_grp = gid[-1] + 1
+            starts = s[np.nonzero(new_grp)[0]]
+            ends = np.full(n_grp, np.iinfo(np.int64).min, np.int64)
+            np.maximum.at(ends, gid, e)
+            counts = np.zeros(n_grp, np.int64)
+            np.add.at(counts, gid, 1)
+            outs.append(pd.DataFrame({
+                key_col: k, "start": starts, "end": ends,
+                "n_merged": counts}))
+        return (pd.concat(outs, ignore_index=True) if outs
+                else pd.DataFrame({key_col: pd.Series([], dtype=object),
+                                   "start": pd.Series([], dtype="int64"),
+                                   "end": pd.Series([], dtype="int64"),
+                                   "n_merged": pd.Series([],
+                                                         dtype="int64")}))
+
+    return _sanitize_join_output(
+        coarse_aggregate(ds, [key_col], _fold, n_coarse=n_coarse),
+        pa.schema([(key_col, kt), ("start", pa.int64()),
+                   ("end", pa.int64()), ("n_merged", pa.int64())]))

@@ -3269,3 +3269,93 @@ def test_entropy_per_key_matches_oracle(ray_session):
                - (-np.sum(c * np.log(c)))) < 1e-12
     assert got.loc["mix", "n_distinct"] == 3 \
         and got.loc["mix", "n"] == 10
+
+
+def test_alias_table_matches_counts(ray_session):
+    """alias_table ≡ pandas count/total/prior replay, lowercased,
+    empties dropped, min_count cutting pairs but not totals."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.graph import alias_table
+
+    e = pd.DataFrame({
+        "anchor_text": ["Paris", "paris", "paris", "click here",
+                        "click here", "", "ville lumiere"],
+        "dst": ["e1", "e1", "e2", "e1", "e3", "e9", "e1"]})
+    got = (alias_table(rd.from_pandas(e).repartition(3), min_count=2)
+           .to_pandas().sort_values(["mention", "dst"])
+           .reset_index(drop=True))
+    # paris: e1 n=2 total=3 p=2/3 (e2 cut by min_count but counted
+    # in total); click here: both n=1, cut; ville lumiere n=1 cut
+    assert got["mention"].tolist() == ["paris"]
+    assert got["dst"].tolist() == ["e1"]
+    assert got["n"].tolist() == [2]
+    assert got["total"].tolist() == [3]
+    assert abs(got["p"].iloc[0] - 2 / 3) < 1e-12
+
+    got_all = (alias_table(rd.from_pandas(e).repartition(3))
+               .to_pandas())
+    assert len(got_all) == 5  # (paris,e1),(paris,e2),(ch,e1),(ch,e3),(vl,e1)
+    assert int(got_all["n"].sum()) == 6  # empty mention dropped
+
+
+def test_mode_per_key_deterministic_tiebreak(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.relational import mode_per_key
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 3],
+        "v": ["b", "a", "b", "z", "a", "q"]})
+    got = (mode_per_key(rd.from_pandas(df).repartition(3), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got["mode"].tolist() == ["b", "a", "q"]  # tie 2: lex min
+    assert got["n"].tolist() == [2, 1, 1]
+
+
+def test_merge_intervals_matches_oracle(ray_session):
+    """merge_intervals ≡ brute-force sweep, closed and open
+    conventions, across multi-block input."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.relational import merge_intervals
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for k in range(6):
+        for _ in range(40):
+            s = int(rng.randint(0, 200))
+            rows.append({"k": k, "s": s, "e": s + int(rng.randint(0, 15))})
+    df = pd.DataFrame(rows)
+
+    def brute(g, closed):
+        ivs = sorted(zip(g["s"], g["e"]))
+        out = []
+        for s, e in ivs:
+            if out and (s <= out[-1][1] if closed else s < out[-1][1]):
+                out[-1][1] = max(out[-1][1], e)
+                out[-1][2] += 1
+            else:
+                out.append([s, e, 1])
+        return out
+
+    for closed in (True, False):
+        got = (merge_intervals(rd.from_pandas(df).repartition(5),
+                               key_col="k", start_col="s",
+                               end_col="e", closed=closed)
+               .to_pandas().sort_values(["k", "start"])
+               .reset_index(drop=True))
+        want = []
+        for k, g in df.groupby("k"):
+            for s, e, n in brute(g, closed):
+                want.append((k, s, e, n))
+        want = pd.DataFrame(want, columns=["k", "start", "end",
+                                           "n_merged"])
+        pd.testing.assert_frame_equal(
+            got, want.sort_values(["k", "start"])
+            .reset_index(drop=True), check_dtype=False)

@@ -8,6 +8,7 @@ Usage: python tools/check_queries.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -71,24 +72,28 @@ def main() -> int:
 
     qs, sqls = E.queries(), E.oracle_sql()
     failures = 0
+    times: list[tuple[float, str]] = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             got = to_pandas(fn(sf_dir))
         except Exception as ex:
             print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
             failures += 1
             continue
+        dt = time.perf_counter() - t0
+        times.append((dt, name))
         if name not in sqls:
-            print(f"ok   {name}: rows-only, {len(got)} rows")
+            print(f"ok   {name}: rows-only, {len(got)} rows  [{dt:.2f}s]")
             continue
         want = con.sql(sqls[name]).df()
         ok_rows = len(got) == len(want)
         ok_cols = sorted(got.columns) == sorted(want.columns)
         ok_hash = ok_rows and ok_cols and value_hash(got) == value_hash(want)
         if ok_hash:
-            print(f"PASS {name}: {len(got)} rows")
+            print(f"PASS {name}: {len(got)} rows  [{dt:.2f}s]")
         else:
             failures += 1
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}, cols "
@@ -98,6 +103,12 @@ def main() -> int:
                 neq = (g != w).any(axis=1)
                 print(g[neq].head(3))
                 print(w[neq].head(3))
+    if len(times) > 1:
+        total = sum(t for t, _ in times)
+        print(f"\nTOTAL engine wall {total:.1f}s over {len(times)} "
+              "queries; 10 slowest:")
+        for dt, name in sorted(times, reverse=True)[:10]:
+            print(f"  {dt:7.2f}s  {name}")
     ray.shutdown()
     return failures
 
