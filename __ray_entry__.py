@@ -4485,6 +4485,87 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return cohort_retention(ev)
 
+    def q_katz(sf):
+        # truncated Katz over the synthetic directed orderkey graph
+        # (u = k%997 → v = (k·31+7)%997), beta = 1/8, rounds = 2:
+        # katz_num = 64 + 8·walks_1 + walks_2 is exact int64; the
+        # oracle unrolls both walk-count joins. Exact (one final
+        # IEEE division shared by both engines).
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import katz_centrality
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _edges(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            u, v = k % 997, (k * 31 + 7) % 997
+            m = u != v
+            return pa.table({"src": pa.array(u[m], pa.int64()),
+                             "dst": pa.array(v[m], pa.int64())})
+
+        e = orders.map_batches(_edges, batch_format="pyarrow",
+                               batch_size=None)
+        return katz_centrality(e, beta_inv=8, rounds=2)
+
+    def q_graph_diff(sf):
+        # crawl-delta audit: old crawl = edges from odd orderkeys,
+        # new crawl = edges from orderkeys % 3 != 0, same edge rule —
+        # overlap gives all three statuses. Exact set gate.
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import graph_diff
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _edges(keep_mod, keep_ne):
+            def fn(b: pa.Table) -> pa.Table:
+                k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+                k = k[k % keep_mod != keep_ne]
+                u, v = k % 700, (k * 31 + 7) % 700
+                m = u != v
+                return pa.table({"src": pa.array(u[m], pa.int64()),
+                                 "dst": pa.array(v[m], pa.int64())})
+            return fn
+
+        old = orders.map_batches(_edges(2, 0),
+                                 batch_format="pyarrow",
+                                 batch_size=None)
+        new = orders.map_batches(_edges(3, 0),
+                                 batch_format="pyarrow",
+                                 batch_size=None)
+        return graph_diff(old, new)
+
+    def q_nfc_normalize(sf):
+        # REAL Unicode normalization, engine-vs-engine: plant
+        # denormalized text (combining acute 'e'+U+0301, combining
+        # ring 'A'+U+030A, ligature U+FB01 — untouched by NFC) from
+        # doc ids; the engine normalizes via unicodedata, DuckDB via
+        # its own nfc_normalize. Exact string gate.
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import normalize_unicode
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            txt = [f"w{int(i)} e\u0301 A\u030a \ufb01x"
+                   if i % 2 == 0 else f"w{int(i)} plain"
+                   for i in ids]
+            return pa.table({"doc_id": b["doc_id"],
+                             "text": pa.array(txt, pa.string())})
+
+        ds = docs.map_batches(_mk, batch_format="pyarrow",
+                              batch_size=None)
+        return normalize_unicode(ds, form="NFC", out_col="text_nfc")
+
     def q_alias_table(sf):
         # mention→entity prior over the REAL anchor-text parse of the
         # synth pages (text chr(96+k), target (doc_id·31+k·17)%500);
@@ -4762,6 +4843,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alias_table": q_alias_table,    # mention→entity prior from anchor texts (SQL-checked)
         "mode_per_key": q_mode_per_key,  # per-key modal value, deterministic tie-break (SQL-checked)
         "merge_intervals": q_merge_intervals,  # per-key interval coalescing (SQL-checked)
+        "katz": q_katz,                  # truncated Katz centrality, exact-integer numerator (SQL-checked)
+        "graph_diff": q_graph_diff,      # crawl-to-crawl edge delta statuses (SQL-checked)
+        "nfc_normalize": q_nfc_normalize,  # real Unicode NFC normalization, engine-vs-engine (SQL-checked)
         "cc_incremental": q_cc_incremental,  # incremental connected components over new edges (SQL-checked)
         "partition_quality": q_partition_quality,  # modularity + conductance of a community assignment (SQL-checked)
         "link_prediction": q_link_prediction,  # CN/Adamic-Adar/Jaccard (SQL-checked)
@@ -7552,6 +7636,58 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY k ORDER BY n DESC, v) AS rn FROM c) "
             "SELECT k, v AS mode, CAST(n AS BIGINT) AS n FROM r "
             "WHERE rn = 1"
+        ),
+        # katz: unrolled walk-count joins; exact ints + one shared
+        # IEEE division
+        "katz": (
+            "WITH e AS (SELECT DISTINCT o_orderkey % 997 AS u, "
+            "(o_orderkey * 31 + 7) % 997 AS v FROM orders "
+            "WHERE o_orderkey % 997 <> (o_orderkey * 31 + 7) % 997), "
+            "nd AS (SELECT u AS node FROM e "
+            "UNION SELECT v FROM e), "
+            "p1 AS (SELECT v AS node, count(*) AS p FROM e "
+            "GROUP BY v), "
+            "p2 AS (SELECT e.v AS node, CAST(sum(p1.p) AS BIGINT) "
+            "AS p FROM e JOIN p1 ON p1.node = e.u GROUP BY e.v) "
+            "SELECT nd.node, CAST(64 + 8 * coalesce(p1.p, 0) "
+            "+ coalesce(p2.p, 0) AS BIGINT) AS katz_num, "
+            "CAST(64 + 8 * coalesce(p1.p, 0) + coalesce(p2.p, 0) "
+            "AS DOUBLE) / 64 AS katz "
+            "FROM nd LEFT JOIN p1 ON p1.node = nd.node "
+            "LEFT JOIN p2 ON p2.node = nd.node"
+        ),
+        # graph_diff: per-side DISTINCT edge sets full-outer folded
+        # into statuses; exact
+        "graph_diff": (
+            "WITH olde AS (SELECT DISTINCT o_orderkey % 700 AS src, "
+            "(o_orderkey * 31 + 7) % 700 AS dst FROM orders "
+            "WHERE o_orderkey % 2 <> 0 "
+            "AND o_orderkey % 700 <> (o_orderkey * 31 + 7) % 700), "
+            "newe AS (SELECT DISTINCT o_orderkey % 700 AS src, "
+            "(o_orderkey * 31 + 7) % 700 AS dst FROM orders "
+            "WHERE o_orderkey % 3 <> 0 "
+            "AND o_orderkey % 700 <> (o_orderkey * 31 + 7) % 700) "
+            "SELECT coalesce(o.src, n.src) AS src, "
+            "coalesce(o.dst, n.dst) AS dst, "
+            "CASE WHEN o.src IS NOT NULL AND n.src IS NOT NULL "
+            "THEN 'kept' WHEN n.src IS NOT NULL THEN 'added' "
+            "ELSE 'removed' END AS status "
+            "FROM olde o FULL OUTER JOIN newe n "
+            "ON o.src = n.src AND o.dst = n.dst"
+        ),
+        # nfc_normalize: DuckDB normalizes the SAME planted
+        # denormalized text with ITS OWN nfc_normalize — a true
+        # engine-vs-engine check, not a replay
+        "nfc_normalize": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'w' || doc_id || ' e' || "
+            "chr(769) || ' A' || chr(778) || ' ' || chr(64257) || "
+            "'x' ELSE 'w' || doc_id || ' plain' END AS text, "
+            "CASE WHEN doc_id % 2 = 0 THEN nfc_normalize("
+            "'w' || doc_id || ' e' || chr(769) || ' A' || chr(778) "
+            "|| ' ' || chr(64257) || 'x') "
+            "ELSE 'w' || doc_id || ' plain' END AS text_nfc "
+            "FROM documents"
         ),
         # merge_intervals: window prefix-max island detection over
         # the same (s, e) sort the engine uses; exact ints

@@ -5045,3 +5045,48 @@ def assoc_rules(docs: "Dataset", *, doc_col: str = "doc_id",
 
     return j2.map_batches(_rules, batch_format="pyarrow",
                           batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (NFC/NFKC text canonicalization)
+# ---------------------------------------------------------------------------
+
+def normalize_unicode(ds: "Dataset", *, text_col: str = "text",
+                      form: str = "NFC",
+                      out_col: str | None = None) -> "Dataset":
+    """Unicode-normalize a text column (NFC/NFKC/NFD/NFKD) — the
+    canonicalization step before any exact-match dedup or lexicon
+    lookup (composed vs combining-mark spellings of the same word
+    hash differently; NFKC additionally folds width/compatibility
+    forms). Same normal forms DuckDB's ``nfc_normalize`` implements,
+    so the gate is engine-vs-engine on REAL denormalized text.
+
+    Kernel note: pyarrow 16.1's ``utf8_normalize`` is BROKEN for the
+    composing forms (NFC/NFKC return decomposed output — verified:
+    'café' → 'cafe'+U+0301), so this uses ``unicodedata`` batched
+    through ONE C-level call per batch: the column is NUL-joined,
+    normalized once, and split (U+0000 is a non-composing starter,
+    so normalizing the joined string ≡ normalizing each piece;
+    rows that themselves contain NUL take a per-row fallback)."""
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"normalize_unicode: unknown form {form!r}")
+    dst = out_col or text_col
+
+    def _norm(b: pa.Table) -> pa.Table:
+        vals = b[text_col].to_pylist()
+        safe = [v for v in vals if v is not None and "\x00" not in v]
+        normed = iter(unicodedata.normalize(
+            form, "\x00".join(safe)).split("\x00")) if safe else iter(())
+        out = [None if v is None
+               else (unicodedata.normalize(form, v) if "\x00" in v
+                     else next(normed))
+               for v in vals]
+        arr = pa.array(out, pa.string())
+        if dst in b.column_names:
+            return b.set_column(b.column_names.index(dst), dst, arr)
+        return b.append_column(dst, arr)
+
+    return ds.map_batches(_norm, batch_format="pyarrow",
+                          batch_size=None)

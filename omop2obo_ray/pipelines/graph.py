@@ -5009,3 +5009,166 @@ def resnik_lin(edges: Dataset, counts: Dataset, pairs: list, *,
 
     return mif.map_batches(_sim, batch_format="pyarrow",
                            batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality (attenuated walk counting) — exact-integer variant
+# ---------------------------------------------------------------------------
+
+def katz_centrality(edges: Dataset, *, src: str = "src",
+                    dst: str = "dst", beta_inv: int = 8,
+                    rounds: int = 4,
+                    n_coarse: int | None = None) -> Dataset:
+    """Truncated Katz centrality → (node, katz_num, katz):
+    katz(v) = Σ_{k=0..rounds} β^k · walks_k(v) with β = 1/beta_inv,
+    where walks_k(v) counts directed length-k walks ENDING at v from
+    any node — the attenuated-influence score between degree (k=1)
+    and eigenvector centrality (k→∞; Katz'53). The truncation is a
+    well-defined operator (the SQL gate unrolls the same k), and
+    ``katz_num = katz · beta_inv^rounds`` is an exact int64 — every
+    aggregation is integer, the ONLY float op is the final division
+    (the IC/LCA exactness pattern, NOTES_r3). Walk counts grow like
+    avg_deg^k: int64 overflow bounds rounds·log(avg_deg) ≲ 63·ln 2,
+    the practical regime for the short horizons Katz is used at.
+
+    Scale shape: per round ONE ``coarse_join`` (walk counts onto
+    their out-edges, keyed src) + ONE dst-keyed coarse sum — the
+    pagerank exchange shape, task-based, no per-plan actor pools.
+    Per-round term tables accumulate WITHOUT an acc exchange: the
+    rounds+1 scaled term tables union into ONE final node-keyed sum.
+    """
+    from omop2obo_ray.functions.shuffle import (coarse_aggregate,
+                                                coarse_join)
+
+    if rounds < 1:
+        raise ValueError("katz_centrality: rounds must be >= 1")
+    if n_coarse is None:
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        n_coarse = max(32, 3 * cpus)
+
+    pair = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    e = _sanitize_join_output(
+        coarse_aggregate(
+            edges.map_batches(
+                lambda b: pa.table({
+                    "u": b[src].combine_chunks().cast(pa.int64()),
+                    "v": b[dst].combine_chunks().cast(pa.int64())}),
+                batch_format="pyarrow", batch_size=None),
+            ["u", "v"], lambda df: df.drop_duplicates(),
+            n_coarse=n_coarse), pair).materialize()
+
+    nodes = _sanitize_join_output(
+        coarse_aggregate(
+            e.map_batches(
+                lambda b: pa.table({"node": pa.concat_arrays(
+                    [b["u"].combine_chunks(),
+                     b["v"].combine_chunks()])}),
+                batch_format="pyarrow", batch_size=None),
+            ["node"], lambda df: df.drop_duplicates(),
+            n_coarse=n_coarse),
+        pa.schema([("node", pa.int64())])).materialize()
+
+    pk_schema = pa.schema([("node", pa.int64()), ("pk", pa.int64())])
+    scale0 = beta_inv ** rounds
+    terms = [nodes.map_batches(
+        lambda b, s=scale0: pa.table({
+            "node": b["node"],
+            "term": pa.array(np.full(b.num_rows, s, np.int64))}),
+        batch_format="pyarrow", batch_size=None)]
+
+    p = nodes.map_batches(
+        lambda b: pa.table({
+            "node": b["node"],
+            "pk": pa.array(np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    for k in range(1, rounds + 1):
+        moved = coarse_join(p, e, on="node", right_on="u",
+                            how="inner", n_coarse=n_coarse)
+        p = _sanitize_join_output(
+            coarse_aggregate(
+                moved.map_batches(
+                    lambda b: pa.table({"node": b["v"],
+                                        "pk": b["pk"]}),
+                    batch_format="pyarrow", batch_size=None),
+                ["node"],
+                lambda df: df.groupby("node", sort=False)["pk"].sum()
+                .reset_index(), n_coarse=n_coarse),
+            pk_schema).materialize()
+        s = beta_inv ** (rounds - k)
+        terms.append(p.map_batches(
+            lambda b, s=s: pa.table({
+                "node": b["node"],
+                "term": pc.multiply_checked(
+                    b["pk"].combine_chunks(),
+                    pa.scalar(s, pa.int64()))}),
+            batch_format="pyarrow", batch_size=None))
+
+    allt = terms[0]
+    for t in terms[1:]:
+        allt = allt.union(t)
+    acc = _sanitize_join_output(
+        coarse_aggregate(
+            allt, ["node"],
+            lambda df: df.groupby("node", sort=False)["term"].sum()
+            .rename("katz_num").reset_index(), n_coarse=n_coarse),
+        pa.schema([("node", pa.int64()), ("katz_num", pa.int64())]))
+    denom = float(scale0)
+    return acc.map_batches(
+        lambda b: pa.table({
+            "node": b["node"], "katz_num": b["katz_num"],
+            "katz": pc.divide(
+                b["katz_num"].combine_chunks().cast(pa.float64()),
+                pa.scalar(denom, pa.float64()))}),
+        batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# crawl-to-crawl edge delta
+# ---------------------------------------------------------------------------
+
+def graph_diff(old_edges: Dataset, new_edges: Dataset, *,
+               src: str = "src", dst: str = "dst",
+               n_coarse: int | None = None) -> Dataset:
+    """Edge-level delta between two crawl snapshots → (src, dst,
+    status) with status ∈ {'added', 'removed', 'kept'} — the
+    refresh-audit primitive feeding :func:`cc_incremental` (which
+    edges changed) and link-rot/growth dashboards. Duplicate edges
+    within a side count once (set semantics, like the CC family's
+    canonical dedup).
+
+    Scale shape: tagged union → ONE (src, dst)-keyed coarse
+    presence-fold emitting the status in-frame. No joins, no driver
+    state."""
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    def _tag(side):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table({
+                "src": b[src].combine_chunks().cast(pa.int64()),
+                "dst": b[dst].combine_chunks().cast(pa.int64()),
+                "o": pa.array(np.full(n, 1 - side, np.int8)),
+                "n": pa.array(np.full(n, side, np.int8))})
+        return fn
+
+    tagged = old_edges.map_batches(_tag(0), batch_format="pyarrow",
+                                   batch_size=None).union(
+        new_edges.map_batches(_tag(1), batch_format="pyarrow",
+                              batch_size=None))
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["src", "dst"], sort=False)
+             .agg(o=("o", "max"), n=("n", "max")).reset_index())
+        status = np.where(g["o"] & g["n"], "kept",
+                          np.where(g["n"], "added", "removed"))
+        return pd.DataFrame({"src": g["src"], "dst": g["dst"],
+                             "status": status})
+
+    return _sanitize_join_output(
+        coarse_aggregate(tagged, ["src", "dst"], _fold,
+                         n_coarse=n_coarse),
+        pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                   ("status", pa.string())]))

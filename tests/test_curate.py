@@ -3359,3 +3359,28 @@ def test_merge_intervals_matches_oracle(ray_session):
         pd.testing.assert_frame_equal(
             got, want.sort_values(["k", "start"])
             .reset_index(drop=True), check_dtype=False)
+
+
+def test_normalize_unicode_matches_unicodedata(ray_session):
+    """normalize_unicode ≡ python unicodedata over combining marks,
+    precomposed chars and NFKC compatibility forms."""
+    import unicodedata
+
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import normalize_unicode
+
+    texts = ["café", "éclair", "Åmstrong",
+             "ﬁne ①", "plain ascii", ""]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    for form in ("NFC", "NFKC"):
+        got = (normalize_unicode(rd.from_pandas(df).repartition(2),
+                                 form=form, out_col="norm")
+               .to_pandas().sort_values("doc_id"))
+        want = [unicodedata.normalize(form, t) for t in texts]
+        assert got["norm"].tolist() == want
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown form"):
+        normalize_unicode(rd.from_pandas(df), form="NFX")

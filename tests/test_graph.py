@@ -2232,3 +2232,48 @@ def test_dag_depth_many_roots_no_driver_list(ray_session):
     assert (got.loc[roots] == 0).all()
     assert (got.loc[10**6 + np.arange(50)] == 1).all()
     assert (got.loc[np.unique(sinks)] == 2).all()
+
+
+def test_katz_centrality_matches_matrix_replay(ray_session):
+    """katz_centrality ≡ the numpy adjacency-power replay (exact
+    integer scaled numerator, one final division)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.graph import katz_centrality
+
+    e = pd.DataFrame({"src": [0, 0, 1, 2, 3, 3, 1],
+                      "dst": [1, 2, 2, 3, 0, 1, 2]})  # dup edge 1->2
+    got = (katz_centrality(rd.from_pandas(e).repartition(3),
+                           beta_inv=8, rounds=3)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    A = np.zeros((4, 4), np.int64)
+    for s, d in set(zip(e["src"], e["dst"])):
+        A[s, d] = 1
+    p = np.ones(4, np.int64)
+    acc = np.full(4, 8 ** 3, np.int64)
+    for k in range(1, 4):
+        p = p @ A
+        acc += p * 8 ** (3 - k)
+    assert got["katz_num"].tolist() == acc.tolist()
+    assert np.allclose(got["katz"], acc / 8.0 ** 3)
+
+
+def test_graph_diff_statuses(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.graph import graph_diff
+
+    old = pd.DataFrame({"src": [1, 1, 2, 2], "dst": [2, 3, 3, 3]})
+    new = pd.DataFrame({"src": [1, 2, 4], "dst": [2, 4, 5]})
+    got = (graph_diff(rd.from_pandas(old).repartition(2),
+                      rd.from_pandas(new).repartition(2))
+           .to_pandas().sort_values(["src", "dst"])
+           .reset_index(drop=True))
+    want = {(1, 2): "kept", (1, 3): "removed", (2, 3): "removed",
+            (2, 4): "added", (4, 5): "added"}
+    assert {(r.src, r.dst): r.status
+            for r in got.itertuples()} == want
+    assert len(got) == 5  # dup (2,3) in old counted once
