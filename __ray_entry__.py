@@ -4485,6 +4485,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return cohort_retention(ev)
 
+    def q_hearst(sf):
+        # Hearst hypernym mining, engine-vs-engine regex: plant
+        # deterministic pattern sentences from doc ids; the engine
+        # extracts with Python re, DuckDB with RE2
+        # regexp_extract_all — both run the real scan. Exact gate.
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import hearst_patterns
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            txt = []
+            for i in ids:
+                k = int(i)
+                t = f"metal{k % 7} such as iron{k % 11}"
+                if k % 2 == 0:
+                    t += f" tool{k % 5} including hammer{k % 13}"
+                if k % 3 == 0:
+                    t += f" cat{k % 3} and other beast{k % 4}"
+                txt.append(t)
+            return pa.table({"doc_id": b["doc_id"],
+                             "text": pa.array(txt, pa.string())})
+
+        ds = docs.map_batches(_mk, batch_format="pyarrow",
+                              batch_size=None)
+        return hearst_patterns(ds)
+
     def q_katz(sf):
         # truncated Katz over the synthetic directed orderkey graph
         # (u = k%997 → v = (k·31+7)%997), beta = 1/8, rounds = 2:
@@ -4843,6 +4874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alias_table": q_alias_table,    # mention→entity prior from anchor texts (SQL-checked)
         "mode_per_key": q_mode_per_key,  # per-key modal value, deterministic tie-break (SQL-checked)
         "merge_intervals": q_merge_intervals,  # per-key interval coalescing (SQL-checked)
+        "hearst": q_hearst,              # Hearst-pattern hypernym mining, engine-vs-engine regex (SQL-checked)
         "katz": q_katz,                  # truncated Katz centrality, exact-integer numerator (SQL-checked)
         "graph_diff": q_graph_diff,      # crawl-to-crawl edge delta statuses (SQL-checked)
         "nfc_normalize": q_nfc_normalize,  # real Unicode NFC normalization, engine-vs-engine (SQL-checked)
@@ -7636,6 +7668,34 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY k ORDER BY n DESC, v) AS rn FROM c) "
             "SELECT k, v AS mode, CAST(n AS BIGINT) AS n FROM r "
             "WHERE rn = 1"
+        ),
+        # hearst: DuckDB runs ITS OWN RE2 extraction over the same
+        # planted sentences — engine-vs-engine, exact
+        "hearst": (
+            "WITH t AS (SELECT doc_id, "
+            "'metal' || (doc_id % 7) || ' such as iron' || "
+            "(doc_id % 11) || "
+            "CASE WHEN doc_id % 2 = 0 THEN ' tool' || (doc_id % 5) "
+            "|| ' including hammer' || (doc_id % 13) ELSE '' END || "
+            "CASE WHEN doc_id % 3 = 0 THEN ' cat' || (doc_id % 3) "
+            "|| ' and other beast' || (doc_id % 4) ELSE '' END "
+            "AS text FROM documents), "
+            "m1 AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'(\\w+) such as (\\w+)', 1)) AS hypernym, "
+            "unnest(regexp_extract_all(lower(text), "
+            "'(\\w+) such as (\\w+)', 2)) AS hyponym, "
+            "'such_as' AS pattern FROM t), "
+            "m2 AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'(\\w+) including (\\w+)', 1)), "
+            "unnest(regexp_extract_all(lower(text), "
+            "'(\\w+) including (\\w+)', 2)), 'including' FROM t), "
+            "m3 AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'(\\w+) and other (\\w+)', 2)), "
+            "unnest(regexp_extract_all(lower(text), "
+            "'(\\w+) and other (\\w+)', 1)), 'and_other' FROM t) "
+            "SELECT hypernym, hyponym, pattern, count(*) AS n "
+            "FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2 "
+            "UNION ALL SELECT * FROM m3) GROUP BY 1, 2, 3"
         ),
         # katz: unrolled walk-count joins; exact ints + one shared
         # IEEE division

@@ -5090,3 +5090,78 @@ def normalize_unicode(ds: "Dataset", *, text_col: str = "text",
 
     return ds.map_batches(_norm, batch_format="pyarrow",
                           batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Hearst-pattern hypernym extraction (taxonomy mining from raw text)
+# ---------------------------------------------------------------------------
+
+_HEARST_PATTERNS = [
+    # (regex, name, hypernym group, hyponym group) — group order
+    # differs per pattern ("X and other H" names the hyponym first)
+    (r"(\w+) such as (\w+)", "such_as", 1, 2),
+    (r"(\w+) including (\w+)", "including", 1, 2),
+    (r"(\w+) and other (\w+)", "and_other", 2, 1),
+]
+
+
+def hearst_patterns(docs: "Dataset", *, text_col: str = "text",
+                    lowercase: bool = True,
+                    n_coarse: int | None = None) -> "Dataset":
+    """Hypernym/hyponym pair mining via Hearst lexico-syntactic
+    patterns → (hypernym, hyponym, pattern, n): "metals such as
+    iron", "tools including hammers", "cats and other animals" — the
+    classic bootstrap for taxonomy/ISA edges from raw web text
+    (Hearst'92), feeding the same ancestor-DAG machinery the
+    reference builds from curated OBO hierarchies
+    (`ontology_explorer.py`'s subClassOf walk is the curated-world
+    analogue). ALL matches per document count (extractall), not just
+    the first.
+
+    Scale shape: per-block vectorized ``str.extractall`` per pattern
+    (compiled once per block set, C-level scan) → per-block
+    (pair, pattern) partial counts → ONE pair-keyed coarse sum.
+    Pattern list is fixed and tiny; nothing doc-sized survives the
+    map."""
+    import re
+
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    compiled = [(re.compile(p), name, hg, og)
+                for p, name, hg, og in _HEARST_PATTERNS]
+
+    def _extract(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].astype(str)
+        if lowercase:
+            s = s.str.lower()
+        parts = []
+        for rx, name, hg, og in compiled:
+            m = s.str.extractall(rx)
+            if not len(m):
+                continue
+            parts.append(pd.DataFrame({
+                "hypernym": m[hg - 1].to_numpy(),
+                "hyponym": m[og - 1].to_numpy(),
+                "pattern": name}))
+        if not parts:
+            return pd.DataFrame({
+                "hypernym": pd.Series([], dtype=str),
+                "hyponym": pd.Series([], dtype=str),
+                "pattern": pd.Series([], dtype=str),
+                "n": pd.Series([], dtype="int64")})
+        allm = pd.concat(parts, ignore_index=True)
+        return (allm.groupby(["hypernym", "hyponym", "pattern"],
+                             sort=False).size().rename("n")
+                .reset_index())
+
+    parts = docs.map_batches(_extract, batch_format="pandas",
+                             batch_size=None)
+    return _sanitize_join_output(
+        coarse_aggregate(
+            parts, ["hypernym", "hyponym"],
+            lambda df: df.groupby(["hypernym", "hyponym", "pattern"],
+                                  sort=False)["n"].sum().reset_index(),
+            n_coarse=n_coarse),
+        pa.schema([("hypernym", pa.string()), ("hyponym", pa.string()),
+                   ("pattern", pa.string()), ("n", pa.int64())]))

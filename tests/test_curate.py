@@ -3384,3 +3384,29 @@ def test_normalize_unicode_matches_unicodedata(ray_session):
 
     with pytest.raises(ValueError, match="unknown form"):
         normalize_unicode(rd.from_pandas(df), form="NFX")
+
+
+def test_hearst_patterns_extraction(ray_session):
+    """hearst_patterns finds all three pattern families, all matches
+    per doc, correct hypernym/hyponym orientation, counts merged
+    across blocks."""
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import hearst_patterns
+
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [
+        "Metals such as iron are heavy. Metals such as iron rust.",
+        "tools including hammers help",
+        "cats and other animals sleep",
+        "nothing to see here"]})
+    got = (hearst_patterns(rd.from_pandas(docs).repartition(3))
+           .to_pandas()
+           .sort_values(["hypernym", "hyponym"])
+           .reset_index(drop=True))
+    rows = {(r.hypernym, r.hyponym, r.pattern): r.n
+            for r in got.itertuples()}
+    assert rows == {
+        ("metals", "iron", "such_as"): 2,
+        ("tools", "hammers", "including"): 1,
+        ("animals", "cats", "and_other"): 1}
