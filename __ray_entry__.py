@@ -4485,6 +4485,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return cohort_retention(ev)
 
+    def q_cocitation(sf):
+        # co-citation pairs over the synthetic directed orderkey
+        # graph (cap far above fixture degrees); oracle is the
+        # distinct-edge self-join count. Exact gate.
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import directed_wedge_pairs
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _edges(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            u, v = k % 499, (k * 31 + 7) % 503
+            m = u != v
+            return pa.table({"src": pa.array(u[m], pa.int64()),
+                             "dst": pa.array(v[m], pa.int64())})
+
+        e = orders.map_batches(_edges, batch_format="pyarrow",
+                               batch_size=None)
+        return directed_wedge_pairs(e, mode="cocitation")
+
+    def q_bib_coupling(sf):
+        # bibliographic-coupling pairs, same graph, transposed
+        # wedge direction. Exact gate.
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import directed_wedge_pairs
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _edges(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            u, v = k % 499, (k * 31 + 7) % 503
+            m = u != v
+            return pa.table({"src": pa.array(u[m], pa.int64()),
+                             "dst": pa.array(v[m], pa.int64())})
+
+        e = orders.map_batches(_edges, batch_format="pyarrow",
+                               batch_size=None)
+        return directed_wedge_pairs(e, mode="coupling")
+
     def q_hearst(sf):
         # Hearst hypernym mining, engine-vs-engine regex: plant
         # deterministic pattern sentences from doc ids; the engine
@@ -4874,6 +4919,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alias_table": q_alias_table,    # mention→entity prior from anchor texts (SQL-checked)
         "mode_per_key": q_mode_per_key,  # per-key modal value, deterministic tie-break (SQL-checked)
         "merge_intervals": q_merge_intervals,  # per-key interval coalescing (SQL-checked)
+        "cocitation": q_cocitation,      # co-citation related-pair counts (SQL-checked)
+        "bib_coupling": q_bib_coupling,  # bibliographic-coupling pair counts (SQL-checked)
         "hearst": q_hearst,              # Hearst-pattern hypernym mining, engine-vs-engine regex (SQL-checked)
         "katz": q_katz,                  # truncated Katz centrality, exact-integer numerator (SQL-checked)
         "graph_diff": q_graph_diff,      # crawl-to-crawl edge delta statuses (SQL-checked)
@@ -7668,6 +7715,22 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY k ORDER BY n DESC, v) AS rn FROM c) "
             "SELECT k, v AS mode, CAST(n AS BIGINT) AS n FROM r "
             "WHERE rn = 1"
+        ),
+        # cocitation / bib_coupling: distinct-edge self-join pair
+        # counts; exact
+        "cocitation": (
+            "WITH e AS (SELECT DISTINCT o_orderkey % 499 AS u, "
+            "(o_orderkey * 31 + 7) % 503 AS v FROM orders "
+            "WHERE o_orderkey % 499 <> (o_orderkey * 31 + 7) % 503) "
+            "SELECT x.v AS a, y.v AS b, count(*) AS n FROM e x "
+            "JOIN e y ON x.u = y.u AND x.v < y.v GROUP BY 1, 2"
+        ),
+        "bib_coupling": (
+            "WITH e AS (SELECT DISTINCT o_orderkey % 499 AS u, "
+            "(o_orderkey * 31 + 7) % 503 AS v FROM orders "
+            "WHERE o_orderkey % 499 <> (o_orderkey * 31 + 7) % 503) "
+            "SELECT x.u AS a, y.u AS b, count(*) AS n FROM e x "
+            "JOIN e y ON x.v = y.v AND x.u < y.u GROUP BY 1, 2"
         ),
         # hearst: DuckDB runs ITS OWN RE2 extraction over the same
         # planted sentences — engine-vs-engine, exact

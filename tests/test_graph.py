@@ -2277,3 +2277,37 @@ def test_graph_diff_statuses(ray_session):
     assert {(r.src, r.dst): r.status
             for r in got.itertuples()} == want
     assert len(got) == 5  # dup (2,3) in old counted once
+
+
+def test_directed_wedge_pairs_modes(ray_session):
+    """cocitation ≡ pairs sharing an in-link; coupling ≡ pairs
+    sharing an out-link; dup edges collapse; hub guard excludes
+    over-degree centers."""
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.graph import directed_wedge_pairs
+
+    e = pd.DataFrame({
+        "src": [1, 1, 2, 2, 3, 3, 3, 1],
+        "dst": [10, 11, 10, 11, 10, 11, 12, 10]})  # dup (1,10)
+    cc = (directed_wedge_pairs(rd.from_pandas(e).repartition(3),
+                               mode="cocitation")
+          .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    # citers: 1→{10,11}, 2→{10,11}, 3→{10,11,12}
+    want_cc = {(10, 11): 3, (10, 12): 1, (11, 12): 1}
+    assert {(r.a, r.b): r.n for r in cc.itertuples()} == want_cc
+
+    bc = (directed_wedge_pairs(rd.from_pandas(e).repartition(3),
+                               mode="coupling")
+          .to_pandas())
+    # targets: 10←{1,2,3}, 11←{1,2,3}, 12←{3}
+    want_bc = {(1, 2): 2, (1, 3): 2, (2, 3): 2}
+    assert {(r.a, r.b): r.n for r in bc.itertuples()} == want_bc
+
+    # hub guard: cap 2 excludes center 3 (out-deg 3) in cocitation
+    capped = (directed_wedge_pairs(rd.from_pandas(e),
+                                   mode="cocitation",
+                                   max_center_degree=2).to_pandas())
+    assert {(r.a, r.b): r.n for r in capped.itertuples()} == {
+        (10, 11): 2}
