@@ -4485,6 +4485,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return cohort_retention(ev)
 
+    def q_rouge(sf):
+        # ROUGE-2 of each document against its own first-8-token
+        # truncation (truncation rule shared with the oracle via the
+        # pinned [a-z0-9]+ tokenizer); clipped bigram overlap, P/R
+        # single IEEE divisions, F1 from the rounded P/R in both
+        # engines. Exact gate.
+        import re
+
+        import pandas as pd
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import rouge_n
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        tok = re.compile(r"[a-z0-9]+")
+
+        def _trunc(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"],
+                "text": [" ".join(tok.findall(str(t).lower())[:8])
+                         for t in df["text"]]})
+
+        refs = docs.map_batches(_trunc, batch_format="pandas",
+                                batch_size=None)
+        return rouge_n(docs, refs, n=2)
+
     def q_cocitation(sf):
         # co-citation pairs over the synthetic directed orderkey
         # graph (cap far above fixture degrees); oracle is the
@@ -4919,6 +4946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alias_table": q_alias_table,    # mention→entity prior from anchor texts (SQL-checked)
         "mode_per_key": q_mode_per_key,  # per-key modal value, deterministic tie-break (SQL-checked)
         "merge_intervals": q_merge_intervals,  # per-key interval coalescing (SQL-checked)
+        "rouge": q_rouge,                # ROUGE-2 clipped n-gram overlap eval (SQL-checked)
         "cocitation": q_cocitation,      # co-citation related-pair counts (SQL-checked)
         "bib_coupling": q_bib_coupling,  # bibliographic-coupling pair counts (SQL-checked)
         "hearst": q_hearst,              # Hearst-pattern hypernym mining, engine-vs-engine regex (SQL-checked)
@@ -7715,6 +7743,43 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY k ORDER BY n DESC, v) AS rn FROM c) "
             "SELECT k, v AS mode, CAST(n AS BIGINT) AS n FROM r "
             "WHERE rn = 1"
+        ),
+        # rouge: clipped bigram multiset overlap vs the first-8-token
+        # truncation; exact ints, P/R single divisions, F1 from the
+        # rounded P/R
+        "rouge": (
+            "WITH tk AS (SELECT doc_id, regexp_extract_all("
+            "lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "cg AS (SELECT doc_id, unnest(list_transform("
+            "generate_series(1, greatest(len(t) - 1, 0)), "
+            "i -> t[i] || ' ' || t[i + 1])) AS gram FROM tk), "
+            "rt AS (SELECT doc_id, t[1:8] AS t FROM tk), "
+            "rg AS (SELECT doc_id, unnest(list_transform("
+            "generate_series(1, greatest(len(t) - 1, 0)), "
+            "i -> t[i] || ' ' || t[i + 1])) AS gram FROM rt), "
+            "cc AS (SELECT doc_id, gram, count(*) AS c FROM cg "
+            "GROUP BY 1, 2), "
+            "rc AS (SELECT doc_id, gram, count(*) AS c FROM rg "
+            "GROUP BY 1, 2), "
+            "j AS (SELECT coalesce(cc.doc_id, rc.doc_id) AS doc_id, "
+            "coalesce(cc.c, 0) AS c, coalesce(rc.c, 0) AS r "
+            "FROM cc FULL OUTER JOIN rc ON cc.doc_id = rc.doc_id "
+            "AND cc.gram = rc.gram), "
+            "agg AS (SELECT tk.doc_id, "
+            "CAST(coalesce(sum(j.c), 0) AS BIGINT) AS n_cand, "
+            "CAST(coalesce(sum(j.r), 0) AS BIGINT) AS n_ref, "
+            "CAST(coalesce(sum(least(j.c, j.r)), 0) AS BIGINT) "
+            "AS n_overlap FROM tk LEFT JOIN j ON j.doc_id = "
+            "tk.doc_id GROUP BY tk.doc_id), "
+            "pr AS (SELECT doc_id, n_cand, n_ref, n_overlap, "
+            "CASE WHEN n_cand > 0 THEN CAST(n_overlap AS DOUBLE) "
+            "/ n_cand ELSE 0.0 END AS \"precision\", "
+            "CASE WHEN n_ref > 0 THEN CAST(n_overlap AS DOUBLE) "
+            "/ n_ref ELSE 0.0 END AS recall FROM agg) "
+            "SELECT doc_id, n_cand, n_ref, n_overlap, \"precision\", "
+            "recall, CASE WHEN \"precision\" + recall > 0 THEN "
+            "2 * \"precision\" * recall / (\"precision\" + recall) "
+            "ELSE 0.0 END AS f1 FROM pr"
         ),
         # cocitation / bib_coupling: distinct-edge self-join pair
         # counts; exact

@@ -5165,3 +5165,91 @@ def hearst_patterns(docs: "Dataset", *, text_col: str = "text",
             n_coarse=n_coarse),
         pa.schema([("hypernym", pa.string()), ("hyponym", pa.string()),
                    ("pattern", pa.string()), ("n", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-N overlap scoring (summarization / generation eval)
+# ---------------------------------------------------------------------------
+
+def rouge_n(cands: "Dataset", refs: "Dataset", *,
+            key_col: str = "doc_id", text_col: str = "text",
+            n: int = 2, n_coarse: int | None = None) -> "Dataset":
+    """ROUGE-N between candidate and reference texts matched by id →
+    (id, n_cand, n_ref, n_overlap, precision, recall, f1): clipped
+    n-gram multiset overlap (Lin'04) — the generation/summarization
+    eval metric beside the retrieval family (ndcg/mrr/ap_at_k).
+    Tokenization is the corpus-wide pinned rule (lowercase
+    ``[a-z0-9]+``, the same one the postings/BM25 oracles share);
+    grams join with a single space. Sides with < n tokens score 0;
+    ids present on only one side keep their side's counts with 0
+    overlap. Zero denominators → 0.0 (the rouge-score convention).
+
+    Scale shape: per-doc gram counts in ONE vectorized map per side
+    (a doc is one row — no doc-keyed exchange to build grams) →
+    tagged union → ONE id-keyed coarse fold computing the clipped
+    overlap, totals and P/R/F in-frame (the id co-locates both
+    sides' gram multisets; frame size is grams-per-doc). All counts
+    int64; P/R are single IEEE divisions and F1 is computed FROM the
+    rounded P/R exactly as the SQL gate does."""
+    import re
+
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def _grams(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            ids, grams = [], []
+            for i, t in zip(df[key_col], df[text_col]):
+                toks = tok_re.findall(str(t).lower())
+                ids.extend([i] * max(0, len(toks) - n + 1))
+                grams.extend(" ".join(toks[j:j + n])
+                             for j in range(len(toks) - n + 1))
+            out = pd.DataFrame({key_col: ids, "gram": grams})
+            g = (out.groupby([key_col, "gram"], sort=False)
+                 .size().rename("c").reset_index())
+            # marker row (gram='', c=0) for gramless docs so every
+            # id gets an output row (scores 0) instead of vanishing
+            missing = df.loc[~df[key_col].isin(g[key_col]), key_col]
+            if len(missing):
+                g = pd.concat([g, pd.DataFrame(
+                    {key_col: missing.unique(), "gram": "",
+                     "c": np.int64(0)})], ignore_index=True)
+            g["side"] = np.int8(side)
+            return g
+        return fn
+
+    tagged = cands.map_batches(_grams(0), batch_format="pandas",
+                               batch_size=None).union(
+        refs.map_batches(_grams(1), batch_format="pandas",
+                         batch_size=None))
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for i, g in df.groupby(key_col, sort=False):
+            piv = (g.groupby(["gram", "side"], sort=False)["c"].sum()
+                   .unstack("side", fill_value=0))
+            c = piv[0].to_numpy(np.int64) if 0 in piv else \
+                np.zeros(len(piv), np.int64)
+            r = piv[1].to_numpy(np.int64) if 1 in piv else \
+                np.zeros(len(piv), np.int64)
+            nc, nr = int(c.sum()), int(r.sum())
+            ov = int(np.minimum(c, r).sum())
+            p = ov / nc if nc else 0.0
+            rr = ov / nr if nr else 0.0
+            f1 = 2 * p * rr / (p + rr) if (p + rr) > 0 else 0.0
+            rows.append((i, nc, nr, ov, p, rr, f1))
+        return pd.DataFrame(rows, columns=[
+            key_col, "n_cand", "n_ref", "n_overlap", "precision",
+            "recall", "f1"])
+
+    from omop2obo_ray.pipelines.textpipe import _pa_schema_of
+
+    kt = _pa_schema_of(cands).field(key_col).type
+    return _sanitize_join_output(
+        coarse_aggregate(tagged, [key_col], _fold, n_coarse=n_coarse),
+        pa.schema([(key_col, kt), ("n_cand", pa.int64()),
+                   ("n_ref", pa.int64()), ("n_overlap", pa.int64()),
+                   ("precision", pa.float64()),
+                   ("recall", pa.float64()), ("f1", pa.float64())]))

@@ -3410,3 +3410,44 @@ def test_hearst_patterns_extraction(ray_session):
         ("metals", "iron", "such_as"): 2,
         ("tools", "hammers", "including"): 1,
         ("animals", "cats", "and_other"): 1}
+
+
+def test_rouge_n_matches_reference_impl(ray_session):
+    """rouge_n ≡ a direct clipped-multiset replay (bigram), incl.
+    short docs, one-sided ids and zero denominators."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import rouge_n
+
+    cands = pd.DataFrame({"doc_id": [1, 2, 3, 5], "text": [
+        "the cat sat on the mat",
+        "a b a b a", "short", "only in cand side"]})
+    refs = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [
+        "the cat sat on a mat today",
+        "a b a", "tiny", "only in ref side"]})
+    got = (rouge_n(rd.from_pandas(cands).repartition(2),
+                   rd.from_pandas(refs).repartition(2))
+           .to_pandas().set_index("doc_id").sort_index())
+
+    def grams(t):
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        return Counter(" ".join(toks[j:j + 2])
+                       for j in range(len(toks) - 1))
+
+    for i in [1, 2]:
+        c, r = grams(cands.set_index("doc_id").loc[i, "text"]), \
+            grams(refs.set_index("doc_id").loc[i, "text"])
+        ov = sum((c & r).values())
+        nc, nr = sum(c.values()), sum(r.values())
+        assert got.loc[i, "n_overlap"] == ov
+        assert got.loc[i, "precision"] == ov / nc
+        assert got.loc[i, "recall"] == ov / nr
+    # doc 3: both sides single-token -> zero grams both sides
+    assert got.loc[3, ["n_cand", "n_ref", "f1"]].tolist() == [0, 0, 0]
+    # one-sided ids
+    assert got.loc[4, "n_cand"] == 0 and got.loc[4, "n_ref"] == 3
+    assert got.loc[5, "n_ref"] == 0 and got.loc[5, "precision"] == 0.0
