@@ -4485,6 +4485,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return cohort_retention(ev)
 
+    def q_bleu(sf):
+        # BLEU-2 of each doc against its XOR-partner's text (real
+        # cross-text overlap, varying brevity penalty); clipped
+        # precisions + bp + geometric mean spelled identically in
+        # both engines. Exact gate.
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.functions.shuffle import coarse_join
+        from omop2obo_ray.pipelines.curate import bleu_score
+        from omop2obo_ray.pipelines.textpipe import \
+            _sanitize_join_output
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        probe = docs.map_batches(
+            lambda b: pa.table({
+                "doc_id": b["doc_id"],
+                "pid": pa.array(
+                    b["doc_id"].to_numpy(zero_copy_only=False) ^ 1,
+                    pa.int64())}),
+            batch_format="pyarrow", batch_size=None)
+        rid = docs.map_batches(
+            lambda b: pa.table({"rid": b["doc_id"],
+                                "text": b["text"]}),
+            batch_format="pyarrow", batch_size=None)
+        refs = coarse_join(probe, rid, on="pid", right_on="rid",
+                           how="inner").map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"],
+                                "text": b["text"]}),
+            batch_format="pyarrow", batch_size=None)
+        return bleu_score(docs, refs, max_n=2)
+
     def q_rouge(sf):
         # ROUGE-2 of each document against its own first-8-token
         # truncation (truncation rule shared with the oracle via the
@@ -4946,6 +4979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alias_table": q_alias_table,    # mention→entity prior from anchor texts (SQL-checked)
         "mode_per_key": q_mode_per_key,  # per-key modal value, deterministic tie-break (SQL-checked)
         "merge_intervals": q_merge_intervals,  # per-key interval coalescing (SQL-checked)
+        "bleu": q_bleu,                  # BLEU-2 with brevity penalty, engine-vs-SQL exact (SQL-checked)
         "rouge": q_rouge,                # ROUGE-2 clipped n-gram overlap eval (SQL-checked)
         "cocitation": q_cocitation,      # co-citation related-pair counts (SQL-checked)
         "bib_coupling": q_bib_coupling,  # bibliographic-coupling pair counts (SQL-checked)
@@ -7743,6 +7777,60 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY k ORDER BY n DESC, v) AS rn FROM c) "
             "SELECT k, v AS mode, CAST(n AS BIGINT) AS n FROM r "
             "WHERE rn = 1"
+        ),
+        # bleu: XOR-partner refs; clipped per-order precisions,
+        # brevity penalty and geometric mean spelled identically
+        "bleu": (
+            "WITH tk AS (SELECT doc_id, regexp_extract_all("
+            "lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "pairt AS (SELECT a.doc_id, a.t AS ct, b.t AS rt "
+            "FROM tk a LEFT JOIN tk b ON b.doc_id = "
+            "xor(a.doc_id, 1)), "
+            "c1 AS (SELECT doc_id, unnest(ct) AS g FROM pairt), "
+            "c1c AS (SELECT doc_id, g, count(*) AS c FROM c1 "
+            "GROUP BY 1, 2), "
+            "r1 AS (SELECT doc_id, unnest(rt) AS g FROM pairt "
+            "WHERE rt IS NOT NULL), "
+            "r1c AS (SELECT doc_id, g, count(*) AS c FROM r1 "
+            "GROUP BY 1, 2), "
+            "o1 AS (SELECT c1c.doc_id, CAST(sum(least(c1c.c, "
+            "coalesce(r1c.c, 0))) AS BIGINT) AS ov, "
+            "CAST(sum(c1c.c) AS BIGINT) AS nc FROM c1c "
+            "LEFT JOIN r1c ON r1c.doc_id = c1c.doc_id "
+            "AND r1c.g = c1c.g GROUP BY 1), "
+            "c2 AS (SELECT doc_id, unnest(list_transform("
+            "generate_series(1, greatest(len(ct) - 1, 0)), "
+            "i -> ct[i] || ' ' || ct[i + 1])) AS g FROM pairt), "
+            "c2c AS (SELECT doc_id, g, count(*) AS c FROM c2 "
+            "GROUP BY 1, 2), "
+            "r2 AS (SELECT doc_id, unnest(list_transform("
+            "generate_series(1, greatest(len(rt) - 1, 0)), "
+            "i -> rt[i] || ' ' || rt[i + 1])) AS g FROM pairt "
+            "WHERE rt IS NOT NULL), "
+            "r2c AS (SELECT doc_id, g, count(*) AS c FROM r2 "
+            "GROUP BY 1, 2), "
+            "o2 AS (SELECT c2c.doc_id, CAST(sum(least(c2c.c, "
+            "coalesce(r2c.c, 0))) AS BIGINT) AS ov, "
+            "CAST(sum(c2c.c) AS BIGINT) AS nc FROM c2c "
+            "LEFT JOIN r2c ON r2c.doc_id = c2c.doc_id "
+            "AND r2c.g = c2c.g GROUP BY 1), "
+            "base AS (SELECT pairt.doc_id, "
+            "CAST(len(ct) AS BIGINT) AS cl, "
+            "CAST(coalesce(len(rt), 0) AS BIGINT) AS rl, "
+            "CASE WHEN o1.nc > 0 THEN CAST(o1.ov AS DOUBLE) / o1.nc "
+            "ELSE 0.0 END AS p1, "
+            "CASE WHEN o2.nc > 0 THEN CAST(o2.ov AS DOUBLE) / o2.nc "
+            "ELSE 0.0 END AS p2 "
+            "FROM pairt LEFT JOIN o1 ON o1.doc_id = pairt.doc_id "
+            "LEFT JOIN o2 ON o2.doc_id = pairt.doc_id), "
+            "wb AS (SELECT doc_id, p1, p2, "
+            "CASE WHEN cl >= rl THEN 1.0 WHEN cl > 0 THEN "
+            "exp(1 - CAST(rl AS DOUBLE) / cl) ELSE 0.0 END AS bp, "
+            "cl FROM base) "
+            "SELECT doc_id, bp, p1, p2, "
+            "CASE WHEN p1 > 0 AND p2 > 0 AND cl > 0 THEN "
+            "bp * exp((ln(p1) + ln(p2)) / 2) ELSE 0.0 END AS bleu "
+            "FROM wb"
         ),
         # rouge: clipped bigram multiset overlap vs the first-8-token
         # truncation; exact ints, P/R single divisions, F1 from the

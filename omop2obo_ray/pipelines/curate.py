@@ -5253,3 +5253,100 @@ def rouge_n(cands: "Dataset", refs: "Dataset", *,
                    ("n_ref", pa.int64()), ("n_overlap", pa.int64()),
                    ("precision", pa.float64()),
                    ("recall", pa.float64()), ("f1", pa.float64())]))
+
+
+def bleu_score(cands: "Dataset", refs: "Dataset", *,
+               key_col: str = "doc_id", text_col: str = "text",
+               max_n: int = 2,
+               n_coarse: int | None = None) -> "Dataset":
+    """Sentence-level BLEU between candidate and reference texts
+    matched by id → (id, bp, p1..p<max_n>, bleu): modified
+    (clipped) n-gram precision per order, brevity penalty
+    bp = min(1, e^{1−r/c}), and bleu = bp · exp(Σ ln pₙ / N)
+    (Papineni'02; score 0 when any pₙ = 0 — the standard sentence
+    convention without smoothing). Same pinned tokenizer as
+    :func:`rouge_n`. The machine-translation/generation eval beside
+    ROUGE's recall-oriented view.
+
+    Scale shape: one vectorized map per side emits per-doc gram
+    counts for ALL orders 1..max_n at once (the order rides the gram
+    string prefix 'n:'), marker rows keep gramless docs → ONE
+    id-keyed coarse fold computes every clipped precision, the
+    brevity penalty (token counts = order-1 totals) and the final
+    score in-frame. Floats: each pₙ one division, bp/bleu the same
+    exp/log expression the SQL gate spells — exact gate."""
+    import re
+
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+    from omop2obo_ray.pipelines.textpipe import (_pa_schema_of,
+                                                 _sanitize_join_output)
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def _grams(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            ids, grams = [], []
+            for i, t in zip(df[key_col], df[text_col]):
+                toks = tok_re.findall(str(t).lower())
+                for order in range(1, max_n + 1):
+                    m = len(toks) - order + 1
+                    ids.extend([i] * max(0, m))
+                    grams.extend(
+                        f"{order}:" + " ".join(toks[j:j + order])
+                        for j in range(m))
+            out = pd.DataFrame({key_col: ids, "gram": grams})
+            g = (out.groupby([key_col, "gram"], sort=False)
+                 .size().rename("c").reset_index())
+            missing = df.loc[~df[key_col].isin(g[key_col]), key_col]
+            if len(missing):
+                g = pd.concat([g, pd.DataFrame(
+                    {key_col: missing.unique(), "gram": "",
+                     "c": np.int64(0)})], ignore_index=True)
+            g["side"] = np.int8(side)
+            return g
+        return fn
+
+    tagged = cands.map_batches(_grams(0), batch_format="pandas",
+                               batch_size=None).union(
+        refs.map_batches(_grams(1), batch_format="pandas",
+                         batch_size=None))
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for i, g in df.groupby(key_col, sort=False):
+            piv = (g.groupby(["gram", "side"], sort=False)["c"].sum()
+                   .unstack("side", fill_value=0))
+            c = piv[0].to_numpy(np.int64) if 0 in piv else \
+                np.zeros(len(piv), np.int64)
+            r = piv[1].to_numpy(np.int64) if 1 in piv else \
+                np.zeros(len(piv), np.int64)
+            order = pd.to_numeric(
+                piv.index.to_series().str.partition(":")[0],
+                errors="coerce").fillna(0).to_numpy(np.int64)
+            ps, ok = [], True
+            c_len = r_len = 0
+            for o in range(1, max_n + 1):
+                sel = order == o
+                nc = int(c[sel].sum())
+                ov = int(np.minimum(c[sel], r[sel]).sum())
+                if o == 1:
+                    c_len, r_len = nc, int(r[sel].sum())
+                p = ov / nc if nc else 0.0
+                ps.append(p)
+                ok = ok and p > 0
+            bp = (1.0 if c_len >= r_len
+                  else (np.exp(1.0 - r_len / c_len) if c_len else 0.0))
+            bleu = (bp * np.exp(sum(np.log(p) for p in ps) / max_n)
+                    if ok and c_len else 0.0)
+            rows.append((i, bp, *ps, bleu))
+        return pd.DataFrame(rows, columns=(
+            [key_col, "bp"] + [f"p{o}" for o in range(1, max_n + 1)]
+            + ["bleu"]))
+
+    kt = _pa_schema_of(cands).field(key_col).type
+    return _sanitize_join_output(
+        coarse_aggregate(tagged, [key_col], _fold, n_coarse=n_coarse),
+        pa.schema([(key_col, kt), ("bp", pa.float64())]
+                  + [(f"p{o}", pa.float64())
+                     for o in range(1, max_n + 1)]
+                  + [("bleu", pa.float64())]))

@@ -3451,3 +3451,52 @@ def test_rouge_n_matches_reference_impl(ray_session):
     # one-sided ids
     assert got.loc[4, "n_cand"] == 0 and got.loc[4, "n_ref"] == 3
     assert got.loc[5, "n_ref"] == 0 and got.loc[5, "precision"] == 0.0
+
+
+def test_bleu_score_matches_reference_impl(ray_session):
+    """bleu_score ≡ direct Papineni replay (BLEU-2, no smoothing):
+    clipped precisions, brevity penalty, zero-p convention."""
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import bleu_score
+
+    cands = pd.DataFrame({"doc_id": [1, 2, 3], "text": [
+        "the cat sat on the mat",
+        "completely different words here",
+        "short one"]})
+    refs = pd.DataFrame({"doc_id": [1, 2, 3], "text": [
+        "the cat sat on a mat today please",
+        "nothing shared at all friend",
+        "short one exactly"]})
+    got = (bleu_score(rd.from_pandas(cands).repartition(2),
+                      rd.from_pandas(refs).repartition(2))
+           .to_pandas().set_index("doc_id").sort_index())
+
+    def replay(ct, rt):
+        c = re.findall(r"[a-z0-9]+", ct.lower())
+        r = re.findall(r"[a-z0-9]+", rt.lower())
+        ps = []
+        for n in (1, 2):
+            cg = Counter(tuple(c[j:j + n]) for j in range(len(c) - n + 1))
+            rg = Counter(tuple(r[j:j + n]) for j in range(len(r) - n + 1))
+            tot = sum(cg.values())
+            ov = sum((cg & rg).values())
+            ps.append(ov / tot if tot else 0.0)
+        bp = 1.0 if len(c) >= len(r) else math.exp(1 - len(r) / len(c))
+        bleu = (bp * math.exp(sum(math.log(p) for p in ps) / 2)
+                if all(p > 0 for p in ps) else 0.0)
+        return ps, bp, bleu
+
+    for i in (1, 2, 3):
+        ps, bp, bleu = replay(cands.set_index("doc_id").loc[i, "text"],
+                              refs.set_index("doc_id").loc[i, "text"])
+        assert abs(got.loc[i, "p1"] - ps[0]) < 1e-12
+        assert abs(got.loc[i, "p2"] - ps[1]) < 1e-12
+        assert abs(got.loc[i, "bp"] - bp) < 1e-12
+        assert abs(got.loc[i, "bleu"] - bleu) < 1e-12
+    assert got.loc[2, "bleu"] == 0.0  # no shared grams
