@@ -4485,6 +4485,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return cohort_retention(ev)
 
+    def q_dataset_diff(sf):
+        # release-to-release row delta on (orderstatus, priority)
+        # key pairs: old = odd orderkeys, new = keys % 3 != 0;
+        # exact set-status gate
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import dataset_diff
+
+        orders = rd.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_orderkey", "o_orderstatus",
+                     "o_orderpriority"])
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def _mod_filter(m):
+            def fn(b: pa.Table) -> pa.Table:
+                import numpy as np
+                k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+                return b.filter(pa.array(k % m != 0))
+            return fn
+
+        old = orders.map_batches(_mod_filter(2),
+                                 batch_format="pyarrow",
+                                 batch_size=None)
+        new = orders.map_batches(_mod_filter(3),
+                                 batch_format="pyarrow",
+                                 batch_size=None)
+        return dataset_diff(old, new,
+                            ["o_orderstatus", "o_orderpriority"])
+
     def q_profile_table(sf):
         # per-column audit profile over orders (int + varchar
         # columns — str casts agree between engines); exact
@@ -4992,6 +5023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alias_table": q_alias_table,    # mention→entity prior from anchor texts (SQL-checked)
         "mode_per_key": q_mode_per_key,  # per-key modal value, deterministic tie-break (SQL-checked)
         "merge_intervals": q_merge_intervals,  # per-key interval coalescing (SQL-checked)
+        "dataset_diff": q_dataset_diff,  # generic row-set delta between versions (SQL-checked)
         "profile_table": q_profile_table,  # per-column null/distinct/extrema audit (SQL-checked)
         "bleu": q_bleu,                  # BLEU-2 with brevity penalty, engine-vs-SQL exact (SQL-checked)
         "rouge": q_rouge,                # ROUGE-2 clipped n-gram overlap eval (SQL-checked)
@@ -7791,6 +7823,25 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY k ORDER BY n DESC, v) AS rn FROM c) "
             "SELECT k, v AS mode, CAST(n AS BIGINT) AS n FROM r "
             "WHERE rn = 1"
+        ),
+        # dataset_diff: per-side DISTINCT key sets full-outer folded
+        # into statuses; exact
+        "dataset_diff": (
+            "WITH o AS (SELECT DISTINCT o_orderstatus, "
+            "o_orderpriority FROM orders WHERE o_orderkey % 2 <> 0), "
+            "n AS (SELECT DISTINCT o_orderstatus, o_orderpriority "
+            "FROM orders WHERE o_orderkey % 3 <> 0) "
+            "SELECT coalesce(o.o_orderstatus, n.o_orderstatus) "
+            "AS o_orderstatus, "
+            "coalesce(o.o_orderpriority, n.o_orderpriority) "
+            "AS o_orderpriority, "
+            "CASE WHEN o.o_orderstatus IS NOT NULL AND "
+            "n.o_orderstatus IS NOT NULL THEN 'kept' "
+            "WHEN n.o_orderstatus IS NOT NULL THEN 'added' "
+            "ELSE 'removed' END AS status "
+            "FROM o FULL OUTER JOIN n "
+            "ON o.o_orderstatus = n.o_orderstatus "
+            "AND o.o_orderpriority = n.o_orderpriority"
         ),
         # profile_table: count / count-distinct / varchar extrema
         # per column; exact

@@ -2621,3 +2621,46 @@ def profile_table(ds: Dataset, columns: list[str], *,
         pa.schema([("column", pa.string()), ("n", pa.int64()),
                    ("n_null", pa.int64()), ("n_distinct", pa.int64()),
                    ("min_val", pa.string()), ("max_val", pa.string())]))
+
+
+def dataset_diff(old: Dataset, new: Dataset, keys: list[str], *,
+                 n_coarse: int | None = None) -> Dataset:
+    """Row-set delta between two dataset versions on ``keys`` →
+    (keys..., status) with status ∈ {'added', 'removed', 'kept'} —
+    the generic audit between consecutive runs (triple sets across
+    crawl refreshes, release tables across versions;
+    :func:`graph_diff` is the int-edge specialization). Set
+    semantics per side (duplicates within a side count once).
+
+    Scale shape: tagged union → ONE keys-keyed coarse presence-fold
+    emitting the status in-frame. No joins, no driver state."""
+    from omop2obo_ray.pipelines.textpipe import (_pa_schema_of,
+                                                 _sanitize_join_output)
+
+    sch = _pa_schema_of(old)
+
+    def _tag(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[keys].copy(deep=False)
+            out["_o"] = np.int8(1 - side)
+            out["_n"] = np.int8(side)
+            return out
+        return fn
+
+    tagged = old.map_batches(_tag(0), batch_format="pandas",
+                             batch_size=None).union(
+        new.map_batches(_tag(1), batch_format="pandas",
+                        batch_size=None))
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(keys, sort=False)
+             .agg(_o=("_o", "max"), _n=("_n", "max")).reset_index())
+        g["status"] = np.where(
+            g["_o"] & g["_n"], "kept",
+            np.where(g["_n"], "added", "removed"))
+        return g.drop(columns=["_o", "_n"])
+
+    return _sanitize_join_output(
+        coarse_aggregate(tagged, keys, _fold, n_coarse=n_coarse),
+        pa.schema([(k, sch.field(k).type) for k in keys]
+                  + [("status", pa.string())]))

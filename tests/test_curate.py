@@ -3535,3 +3535,23 @@ def test_profile_table_matches_duckdb(ray_session):
         if c == "b":
             assert got.loc[c, ["min_val", "max_val"]].tolist() == \
                 [w["mn"], w["mx"]]
+
+
+def test_dataset_diff_multi_key(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.relational import dataset_diff
+
+    old = pd.DataFrame({"s": ["a", "a", "b"], "p": ["x", "y", "x"],
+                        "extra": [1, 2, 3]})
+    new = pd.DataFrame({"s": ["a", "c", "a"], "p": ["x", "z", "x"],
+                        "extra": [9, 9, 9]})  # dup (a,x) in new
+    got = (dataset_diff(rd.from_pandas(old).repartition(2),
+                        rd.from_pandas(new).repartition(2),
+                        ["s", "p"])
+           .to_pandas().sort_values(["s", "p"])
+           .reset_index(drop=True))
+    want = {("a", "x"): "kept", ("a", "y"): "removed",
+            ("b", "x"): "removed", ("c", "z"): "added"}
+    assert {(r.s, r.p): r.status for r in got.itertuples()} == want
