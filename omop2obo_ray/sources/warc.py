@@ -121,14 +121,25 @@ def _parse_warc_bytes(data: bytes, origin: str):
         if len(payload) != length:
             raise ValueError(f"{origin}: truncated payload at {body_start}")
         yield (fields.get("warc-target-uri", ""),
-               fields.get("warc-date", ""), payload)
+               fields.get("warc-date", ""), payload,
+               fields.get("warc-type", ""))
         pos = body_start + length
 
 
-def read_warc(path: str) -> Dataset:
+def read_warc(path: str, *, responses_only: bool = False,
+              http_strip: bool = False) -> Dataset:
     """Parse ``.warc`` files (a directory of parts or one file) back to
     (url, warc_ts, payload binary). One task per file — the CC-segment
-    unit of parallelism."""
+    unit of parallelism.
+
+    REAL-crawl flags (defaults keep the engine's own round-trip
+    layout verbatim): ``responses_only=True`` drops non-``response``
+    records (warcinfo/request/metadata — envelope noise for a KG
+    pipeline; records without a WARC-Type, like this module's own
+    pre-round-4 output, still pass); ``http_strip=True`` removes the
+    wrapped HTTP status line + headers (CC response payloads are full
+    HTTP messages) so the payload is the html body bytes — payloads
+    that don't start with ``HTTP/`` pass through verbatim."""
 
     def _parse(batch: pa.Table) -> pa.Table:
         urls, tss, payloads = [], [], []
@@ -137,7 +148,14 @@ def read_warc(path: str) -> Dataset:
         for data, origin in zip(batch["bytes"].to_pylist(), paths):
             if data[:2] == b"\x1f\x8b":  # gzip magic: multi-member
                 data = gzip.decompress(data)  # (handles concatenation)
-            for u, t, p in _parse_warc_bytes(data, origin or "<warc>"):
+            for u, t, p, wt in _parse_warc_bytes(
+                    data, origin or "<warc>"):
+                if responses_only and wt not in ("response", ""):
+                    continue
+                if http_strip and p[:5] == b"HTTP/":
+                    he = p.find(_CRLF + _CRLF)
+                    if he != -1:
+                        p = p[he + 4:]
                 urls.append(u)
                 tss.append(t)
                 payloads.append(p)

@@ -405,3 +405,39 @@ def test_coverage_totals_not_stale():
         [sys.executable, "tools/coverage_index.py", "--check"],
         capture_output=True, text=True, cwd="/root/repo")
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_warc_real_crawl_flags(ray_session, tmp_path):
+    """responses_only skips warcinfo/request records; http_strip
+    unwraps the HTTP message so payload = html body bytes."""
+    import gzip
+
+    from omop2obo_ray.sources.warc import read_warc
+
+    html = b"<html><p>hi &amp; bye</p></html>"
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + html)
+    rec = ("WARC/1.0\r\nWARC-Type: response\r\n"
+           "WARC-Target-URI: https://x.test/\r\n"
+           "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+           f"Content-Length: {len(http)}\r\n\r\n").encode() \
+        + http + b"\r\n\r\n"
+    info = ("WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            "Content-Length: 4\r\n\r\nabcd\r\n\r\n").encode()
+    req = ("WARC/1.0\r\nWARC-Type: request\r\n"
+           "WARC-Target-URI: https://x.test/\r\n"
+           "Content-Length: 2\r\n\r\nGE\r\n\r\n").encode()
+    p = tmp_path / "cc.warc.gz"
+    p.write_bytes(gzip.compress(info) + gzip.compress(req)
+                  + gzip.compress(rec))
+
+    got = read_warc(str(p), responses_only=True,
+                    http_strip=True).to_pandas()
+    assert len(got) == 1
+    assert got.loc[0, "url"] == "https://x.test/"
+    assert got.loc[0, "payload"] == html
+
+    # defaults unchanged: all 3 records, payload verbatim
+    all_recs = read_warc(str(p)).to_pandas()
+    assert len(all_recs) == 3
+    assert (all_recs.sort_values("url").iloc[-1]["payload"] == http)
