@@ -4485,6 +4485,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return cohort_retention(ev)
 
+    def q_ab_test(sf):
+        # two-proportion z-test: arms from orderkey % 3 with planted
+        # arm-dependent conversion rates ((k*13)%100 < 10+5*arm);
+        # oracle spells the pooled-z float expression identically.
+        # Exact gate.
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import \
+            ab_proportion_test
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            arm = (k % 3).astype(np.int64)
+            conv = ((k * 13) % 100 < 10 + 5 * arm).astype(np.int64)
+            return pa.table({
+                "arm": pa.array([f"arm{a}" for a in arm],
+                                pa.string()),
+                "converted": pa.array(conv, pa.int64())})
+
+        ds = orders.map_batches(_mk, batch_format="pyarrow",
+                                batch_size=None)
+        return ab_proportion_test(ds)
+
     def q_dataset_diff(sf):
         # release-to-release row delta on (orderstatus, priority)
         # key pairs: old = odd orderkeys, new = keys % 3 != 0;
@@ -5023,6 +5051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alias_table": q_alias_table,    # mention→entity prior from anchor texts (SQL-checked)
         "mode_per_key": q_mode_per_key,  # per-key modal value, deterministic tie-break (SQL-checked)
         "merge_intervals": q_merge_intervals,  # per-key interval coalescing (SQL-checked)
+        "ab_test": q_ab_test,            # two-proportion z-test per experiment arm (SQL-checked)
         "dataset_diff": q_dataset_diff,  # generic row-set delta between versions (SQL-checked)
         "profile_table": q_profile_table,  # per-column null/distinct/extrema audit (SQL-checked)
         "bleu": q_bleu,                  # BLEU-2 with brevity penalty, engine-vs-SQL exact (SQL-checked)
@@ -7823,6 +7852,29 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY k ORDER BY n DESC, v) AS rn FROM c) "
             "SELECT k, v AS mode, CAST(n AS BIGINT) AS n FROM r "
             "WHERE rn = 1"
+        ),
+        # ab_test: pooled two-proportion z vs the lexicographic
+        # control arm; exact ints + identical float expression
+        "ab_test": (
+            "WITH e AS (SELECT 'arm' || (o_orderkey % 3) AS arm, "
+            "CASE WHEN (o_orderkey * 13) % 100 < "
+            "10 + 5 * (o_orderkey % 3) THEN 1 ELSE 0 END AS c "
+            "FROM orders), "
+            "g AS (SELECT arm, count(*) AS n, "
+            "CAST(sum(c) AS BIGINT) AS conv FROM e GROUP BY arm), "
+            "ctrl AS (SELECT n AS cn, conv AS cc FROM g "
+            "ORDER BY arm LIMIT 1) "
+            "SELECT g.arm, g.n, g.conv, "
+            "g.conv / CAST(g.n AS DOUBLE) AS rate, "
+            "ctrl.cn AS control_n, ctrl.cc AS control_conv, "
+            "CASE WHEN g.arm = (SELECT min(arm) FROM g) THEN 0.0 "
+            "ELSE (g.conv / CAST(g.n AS DOUBLE) "
+            "- ctrl.cc / CAST(ctrl.cn AS DOUBLE)) "
+            "/ sqrt((g.conv + ctrl.cc) / CAST(g.n + ctrl.cn "
+            "AS DOUBLE) * (1 - (g.conv + ctrl.cc) / "
+            "CAST(g.n + ctrl.cn AS DOUBLE)) * (1 / CAST(g.n "
+            "AS DOUBLE) + 1 / CAST(ctrl.cn AS DOUBLE))) END AS z "
+            "FROM g CROSS JOIN ctrl"
         ),
         # dataset_diff: per-side DISTINCT key sets full-outer folded
         # into statuses; exact

@@ -2664,3 +2664,70 @@ def dataset_diff(old: Dataset, new: Dataset, keys: list[str], *,
         coarse_aggregate(tagged, keys, _fold, n_coarse=n_coarse),
         pa.schema([(k, sch.field(k).type) for k in keys]
                   + [("status", pa.string())]))
+
+
+def ab_proportion_test(events: Dataset, *, arm_col: str = "arm",
+                       convert_col: str = "converted",
+                       control: str | None = None,
+                       n_coarse: int | None = None) -> Dataset:
+    """Two-proportion z-test of every experiment arm against the
+    control → (arm, n, conv, rate, control_n, control_conv, z):
+    pooled-variance z = (p_a − p_c) / sqrt(p̂(1−p̂)(1/n_a + 1/n_c))
+    (the A/B-test readout; crawler/ranker experiments gate on it).
+    ``control`` defaults to the lexicographically smallest arm.
+    Degenerate pools (p̂ ∈ {0, 1}) or empty sides yield z = 0.0.
+
+    Scale shape: per-block (arm, n, conv) partials → ONE tiny
+    arm-keyed fold (arms are driver-small by definition) → the
+    control row joins the others IN-FRAME via a second single-group
+    fold. Exact int counts; rate and z are the single-rounding float
+    expressions the SQL gate spells identically."""
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(arm_col, sort=False)
+             .agg(n=(convert_col, "size"),
+                  conv=(convert_col, "sum")).reset_index())
+        g["conv"] = g["conv"].astype(np.int64)
+        return g
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(arm_col, sort=False)
+             .agg(n=("n", "sum"), conv=("conv", "sum")).reset_index()
+             .sort_values(arm_col, kind="mergesort"))
+        ctrl = control if control is not None \
+            else str(g[arm_col].iloc[0])
+        crow = g[g[arm_col] == ctrl]
+        cn = int(crow["n"].iloc[0]) if len(crow) else 0
+        cc = int(crow["conv"].iloc[0]) if len(crow) else 0
+        out = g.copy()
+        out["rate"] = out["conv"] / out["n"].astype(np.float64)
+        out["control_n"] = np.int64(cn)
+        out["control_conv"] = np.int64(cc)
+        zs = []
+        for n, conv in zip(out["n"], out["conv"]):
+            if cn == 0 or n == 0:
+                zs.append(0.0)
+                continue
+            pp = (conv + cc) / float(n + cn)
+            se2 = pp * (1.0 - pp) * (1.0 / n + 1.0 / cn)
+            if se2 <= 0.0:
+                zs.append(0.0)
+                continue
+            zs.append((conv / n - cc / cn) / np.sqrt(se2))
+        out["z"] = zs
+        return out
+
+    parts = events.map_batches(_partial, batch_format="pandas",
+                               batch_size=None).map_batches(
+        lambda df: df.assign(_g=0), batch_format="pandas",
+        batch_size=None)
+    return _sanitize_join_output(
+        coarse_aggregate(parts, ["_g"],
+                         lambda df: _fold(df.drop(columns=["_g"])),
+                         n_coarse=n_coarse),
+        pa.schema([(arm_col, pa.string()), ("n", pa.int64()),
+                   ("conv", pa.int64()), ("rate", pa.float64()),
+                   ("control_n", pa.int64()),
+                   ("control_conv", pa.int64()),
+                   ("z", pa.float64())]))

@@ -3555,3 +3555,45 @@ def test_dataset_diff_multi_key(ray_session):
     want = {("a", "x"): "kept", ("a", "y"): "removed",
             ("b", "x"): "removed", ("c", "z"): "added"}
     assert {(r.s, r.p): r.status for r in got.itertuples()} == want
+
+
+def test_ab_proportion_test_matches_scipy_form(ray_session):
+    """ab_proportion_test ≡ the pooled two-proportion z formula,
+    incl. the control row itself (z = 0), degenerate pools and
+    explicit control selection."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.relational import ab_proportion_test
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for arm, p, n in [("control", 0.10, 400), ("t1", 0.14, 380),
+                      ("t2", 0.09, 420)]:
+        conv = rng.binomial(1, p, n)
+        rows.extend({"arm": arm, "converted": int(c)} for c in conv)
+    df = pd.DataFrame(rows)
+    got = (ab_proportion_test(rd.from_pandas(df).repartition(4))
+           .to_pandas().set_index("arm"))
+
+    cn = (df["arm"] == "control").sum()
+    cc = df.loc[df["arm"] == "control", "converted"].sum()
+    for arm in ["t1", "t2"]:
+        n = (df["arm"] == arm).sum()
+        conv = df.loc[df["arm"] == arm, "converted"].sum()
+        pp = (conv + cc) / (n + cn)
+        z = (conv / n - cc / cn) / math.sqrt(
+            pp * (1 - pp) * (1 / n + 1 / cn))
+        assert abs(got.loc[arm, "z"] - z) < 1e-12
+        assert got.loc[arm, "n"] == n
+    assert got.loc["control", "z"] == 0.0
+
+    # degenerate: all-zero conversions -> z = 0
+    dz = pd.DataFrame({"arm": ["a"] * 5 + ["b"] * 5,
+                       "converted": [0] * 10})
+    g2 = (ab_proportion_test(rd.from_pandas(dz)).to_pandas()
+          .set_index("arm"))
+    assert (g2["z"] == 0.0).all()
