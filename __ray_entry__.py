@@ -2015,6 +2015,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 batch_size=None)
         return image_decode(ds)
 
+    def q_png_decode(sf):
+        # REAL PNG PIXEL decode (zlib inflate + scanline unfilter,
+        # stdlib-only): plant genuine compressed PNGs (w = k%4+1,
+        # h = k%3+1, RGB, filter-0 rows) whose flat sample i =
+        # (k + i) % 251; the engine walks chunks, inflates IDAT and
+        # unfilters; the oracle recomputes the planted arithmetic.
+        # Exact gate. (Builder compresses per payload — zlib has no
+        # batch form; gate-scale only.)
+        import zlib
+
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import image_decode
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            import struct
+
+            def chunk(typ, body):
+                return (struct.pack(">I", len(body)) + typ + body
+                        + struct.pack(">I", zlib.crc32(typ + body)))
+
+            ks = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            payloads = []
+            for k in ks:
+                k = int(k)
+                w, h = k % 4 + 1, k % 3 + 1
+                px = (k + np.arange(3 * w * h, dtype=np.int64)) % 251
+                rows = px.reshape(h, 3 * w).astype(np.uint8)
+                raw = b"".join(b"\x00" + r.tobytes() for r in rows)
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(raw))
+                    + chunk(b"IEND", b""))
+            return pa.table({
+                "doc_id": pa.array(ks, pa.int64()),
+                "payload": pa.array(payloads, pa.binary())})
+
+        ds = orders.map_batches(_mk, batch_format="pyarrow",
+                                batch_size=None)
+        return image_decode(ds)
+
     def q_wav_decode(sf):
         # REAL PCM sample extraction: plant genuine 16-bit WAVs
         # (channels = k%2+1, frames = k%5+2, rate = 8000·(k%3+1))
@@ -5013,6 +5060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta": q_image_meta,      # real PNG/JPEG header parsing over a binary column (SQL-checked)
         "audio_meta": q_audio_meta,      # real WAV RIFF/fmt header parsing over a binary column (SQL-checked)
         "bmp_decode": q_bmp_decode,      # REAL BMP pixel decode (flip/BGR/padding pinned) (SQL-checked)
+        "png_decode": q_png_decode,      # REAL PNG pixel decode: zlib inflate + unfilter (SQL-checked)
         "wav_decode": q_wav_decode,      # REAL WAV PCM sample extraction (SQL-checked)
         "closeness_centrality": q_closeness,  # bounded-radius closeness off HyperBall ball sizes (SQL-checked)
         "assoc_rules": q_assoc_rules,    # directed association rules (conf/lift) over entity co-occurrence (SQL-checked)
@@ -5572,6 +5620,18 @@ def oracle_sql() -> dict[str, str]:
             "WHERE i < 3 * (o_orderkey % 4 + 1) "
             "* (o_orderkey % 3 + 1)) "
             "SELECT k AS doc_id, 'bmp' AS format, "
+            "k % 4 + 1 AS width, k % 3 + 1 AS height, "
+            "CAST(sum((k + i) % 251) AS BIGINT) AS px_sum, "
+            "k % 251 AS first_px FROM px GROUP BY k"
+        ),
+        # png_decode: engine inflates + unfilters REAL PNG bytes;
+        # oracle recomputes the planted per-sample values
+        "png_decode": (
+            "WITH px AS (SELECT o_orderkey AS k, i FROM orders "
+            "CROSS JOIN generate_series(0, 35) AS t(i) "
+            "WHERE i < 3 * (o_orderkey % 4 + 1) "
+            "* (o_orderkey % 3 + 1)) "
+            "SELECT k AS doc_id, 'png' AS format, "
             "k % 4 + 1 AS width, k % 3 + 1 AS height, "
             "CAST(sum((k + i) % 251) AS BIGINT) AS px_sum, "
             "k % 251 AS first_px FROM px GROUP BY k"

@@ -1673,6 +1673,111 @@ def _decode_pnm(buf: np.ndarray) -> np.ndarray | None:
             else px.reshape(h, w)).copy()
 
 
+def _png_unfilter(raw: np.ndarray, h: int, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Undo PNG scanline filtering → (h, stride) uint8 recon matrix.
+    ``raw`` is the inflated IDAT stream: h rows of (1 filter byte +
+    stride raw bytes). None/Up are fully vectorized; Sub is a
+    per-byte-lane modular prefix sum (vectorized cumsum); Average and
+    Paeth depend on the left-neighbor RECON byte, which is inherently
+    sequential within a row — those rows take a per-pixel loop
+    (bounded by stride; the PNG spec's data dependency, not a
+    shortcut)."""
+    rows = raw.reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    data = rows[:, 1:].astype(np.int64)
+    recon = np.zeros((h, stride), np.int64)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        f = int(ftypes[y])
+        r = data[y]
+        if f == 0:
+            cur = r
+        elif f == 2:  # Up
+            cur = (r + prev) % 256
+        elif f == 1:  # Sub: prefix sum per byte lane
+            cur = np.empty(stride, np.int64)
+            for lane in range(bpp):
+                cur[lane::bpp] = np.cumsum(r[lane::bpp]) % 256
+        elif f == 3:  # Average
+            cur = np.zeros(stride, np.int64)
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (r[i] + (left + prev[i]) // 2) % 256
+        elif f == 4:  # Paeth
+            cur = np.zeros(stride, np.int64)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                    (b if pb <= pc_ else c)
+                cur[i] = (r[i] + pred) % 256
+        else:
+            raise ValueError(f"PNG: unknown filter type {f}")
+        recon[y] = cur
+        prev = cur
+    return recon.astype(np.uint8)
+
+
+def _decode_png(buf: np.ndarray) -> np.ndarray | None:
+    """REAL PNG pixel decode with stdlib zlib + numpy: chunk walk →
+    IDAT inflate → scanline unfilter → pixel matrix. Supported: bit
+    depth 8, color types 0 (gray), 2 (RGB), 3 (palette), 4
+    (gray+alpha), 6 (RGBA), no interlace. Returns (h, w) for gray or
+    (h, w, channels) uint8; None for non-PNG / unsupported variants
+    (16-bit, Adam7) — MediaDecoder's fake fallback covers those."""
+    import zlib
+
+    if len(buf) < 45 or bytes(buf[:8]) != b"\x89PNG\r\n\x1a\n":
+        return None
+    be32 = lambda o: (int(buf[o]) << 24) | (int(buf[o + 1]) << 16) \
+        | (int(buf[o + 2]) << 8) | int(buf[o + 3])
+    pos, n = 8, len(buf)
+    w = h = None
+    depth = ctype = interlace = None
+    idat = []
+    plte = None
+    while pos + 8 <= n:
+        ln = be32(pos)
+        typ = bytes(buf[pos + 4:pos + 8])
+        body = pos + 8
+        if body + ln > n:
+            return None
+        if typ == b"IHDR":
+            w, h = be32(body), be32(body + 4)
+            depth, ctype = int(buf[body + 8]), int(buf[body + 9])
+            interlace = int(buf[body + 12])
+        elif typ == b"PLTE":
+            plte = np.asarray(buf[body:body + ln]).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(bytes(buf[body:body + ln]))
+        elif typ == b"IEND":
+            break
+        pos = body + ln + 4  # skip CRC
+    if not idat or w is None or depth != 8 or interlace != 0:
+        return None
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        return None
+    try:
+        raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        return None
+    recon = _png_unfilter(raw, h, stride, channels)
+    px = recon.reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            return None
+        px = plte[px[:, :, 0]].astype(np.uint8)
+    return px[:, :, 0] if (ctype == 0) else px
+
+
 def _decode_wav_pcm(buf: np.ndarray) -> tuple[np.ndarray, int] | None:
     """REAL WAV PCM sample extraction: RIFF chunk walk to the fmt and
     data chunks; 8-bit (offset-128) and 16-bit LE PCM supported.
@@ -1742,6 +1847,8 @@ class MediaDecoder:
             img = _decode_bmp(buf)
             if img is None:
                 img = _decode_pnm(buf)
+            if img is None:
+                img = _decode_png(buf)
             if img is not None:
                 if img.ndim == 2:  # grayscale → stacked channels
                     img = np.repeat(img[:, :, None], 3, axis=2)
@@ -1953,6 +2060,10 @@ def image_decode(ds: Dataset, media_col: str = "payload",
                 img = _decode_pnm(buf)
                 if img is not None:
                     fmt[i] = "ppm" if img.ndim == 3 else "pgm"
+                else:
+                    img = _decode_png(buf)
+                    if img is not None:
+                        fmt[i] = "png"
             if img is None:
                 continue
             h[i], w[i] = img.shape[0], img.shape[1]

@@ -1527,3 +1527,92 @@ def test_media_decoder_raw_mode_real_stats(ray_session):
     assert list(out.loc[0, "shape"]) == [4, 4, 3]
     # fake fallback still deterministic for non-media payloads
     assert list(out.loc[1, "shape"]) == [32, 32, 3]
+
+
+def _encode_png(px, ctype, filters, plte=None):
+    """Independent PNG encoder for the decoder tests (all 5 filter
+    types, bit depth 8)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body)))
+
+    h = px.shape[0]
+    w = px.shape[1]
+    ch = 1 if px.ndim == 2 else px.shape[2]
+    flat = px.reshape(h, w * ch).astype(np.int64)
+    raws = []
+    prev = np.zeros(w * ch, np.int64)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = flat[y]
+        left = np.zeros_like(cur)
+        left[ch:] = cur[:-ch]
+        if f == 0:
+            raw = cur
+        elif f == 1:
+            raw = (cur - left) % 256
+        elif f == 2:
+            raw = (cur - prev) % 256
+        elif f == 3:
+            raw = (cur - (left + prev) // 2) % 256
+        else:
+            raw = np.zeros_like(cur)
+            for i in range(w * ch):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                raw[i] = (cur[i] - pred) % 256
+        raws.append(bytes([f]) + bytes(raw.astype(np.uint8)))
+        prev = cur
+    idat = zlib.compress(b"".join(raws))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", bytes(plte.astype(np.uint8).ravel()))
+    return out + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def test_png_decode_all_filters_and_color_types(ray_session):
+    """_decode_png recovers exact pixels for every filter type and
+    color types gray/RGB/gray+alpha/RGBA/palette; image_decode
+    reports the png rows; unsupported variants fall back to None."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.textpipe import _decode_png, image_decode
+
+    rng = np.random.RandomState(9)
+    for ctype, shape in [(2, (7, 5, 3)), (0, (4, 9)),
+                         (6, (5, 4, 4)), (4, (3, 6, 2))]:
+        px = rng.randint(0, 256, shape, np.uint8)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            got = _decode_png(np.frombuffer(
+                _encode_png(px, ctype, filters), np.uint8))
+            assert got is not None and np.array_equal(got, px), \
+                (ctype, filters)
+    pal = rng.randint(0, 256, (16, 3), np.uint8)
+    idx = rng.randint(0, 16, (6, 6), np.uint8)
+    got = _decode_png(np.frombuffer(
+        _encode_png(idx, 3, [0, 1, 2], plte=pal), np.uint8))
+    assert np.array_equal(got, pal[idx])
+
+    rgb = rng.randint(0, 256, (3, 4, 3), np.uint8)
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "payload": [_encode_png(rgb, 2, [4]),
+                                   b"\x89PNG\r\n\x1a\nbroken"]})
+    out = (image_decode(rd.from_pandas(df)).to_pandas()
+           .set_index("doc_id"))
+    assert out.loc[1, "format"] == "png"
+    assert out.loc[1, "px_sum"] == int(rgb.sum())
+    assert out.loc[1, "first_px"] == int(rgb[0, 0, 0])
+    assert out.loc[2, "format"] == "unknown"
