@@ -4532,6 +4532,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return cohort_retention(ev)
 
+    def q_gunzip(sf):
+        # REAL decompression: builder gzip-compresses each doc's
+        # text; the engine inflates; text identity vs the table is
+        # the gate. Exact.
+        import gzip
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import gunzip_column
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "payload": pa.array(
+                    [gzip.compress(t.encode())
+                     for t in b["text"].to_pylist()], pa.binary())})
+
+        gz = docs.map_batches(_mk, batch_format="pyarrow",
+                              batch_size=None)
+        out = gunzip_column(gz)
+        return out.map_batches(
+            lambda b: pa.table({
+                "doc_id": b["doc_id"],
+                "text": pa.array(
+                    [v.decode() for v in b["payload"].to_pylist()],
+                    pa.string())}),
+            batch_format="pyarrow", batch_size=None)
+
+    def q_kappa(sf):
+        # Cohen's kappa over planted paired labels (60% forced
+        # agreement + deterministic disagreement); oracle replays
+        # the po/pe/kappa arithmetic. Exact gate.
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.curate import cohens_kappa
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            a = k % 4
+            bb = np.where(k % 5 < 3, a, (k * 7) % 4)
+            return pa.table({
+                "label_a": pa.array([f"l{x}" for x in a],
+                                    pa.string()),
+                "label_b": pa.array([f"l{x}" for x in bb],
+                                    pa.string())})
+
+        ds = orders.map_batches(_mk, batch_format="pyarrow",
+                                batch_size=None)
+        return cohens_kappa(ds)
+
     def q_ab_test(sf):
         # two-proportion z-test: arms from orderkey % 3 with planted
         # arm-dependent conversion rates ((k*13)%100 < 10+5*arm);
@@ -5099,6 +5158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alias_table": q_alias_table,    # mention→entity prior from anchor texts (SQL-checked)
         "mode_per_key": q_mode_per_key,  # per-key modal value, deterministic tie-break (SQL-checked)
         "merge_intervals": q_merge_intervals,  # per-key interval coalescing (SQL-checked)
+        "gunzip": q_gunzip,              # real gzip inflation of a binary column (SQL-checked)
+        "kappa": q_kappa,                # Cohen's kappa inter-annotator agreement (SQL-checked)
         "ab_test": q_ab_test,            # two-proportion z-test per experiment arm (SQL-checked)
         "dataset_diff": q_dataset_diff,  # generic row-set delta between versions (SQL-checked)
         "profile_table": q_profile_table,  # per-column null/distinct/extrema audit (SQL-checked)
@@ -7912,6 +7973,34 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY k ORDER BY n DESC, v) AS rn FROM c) "
             "SELECT k, v AS mode, CAST(n AS BIGINT) AS n FROM r "
             "WHERE rn = 1"
+        ),
+        # gunzip: engine inflates REAL gzip bytes; identity oracle
+        "gunzip": (
+            "SELECT doc_id, text FROM documents"
+        ),
+        # kappa: po/pe/kappa arithmetic replay; exact
+        "kappa": (
+            "WITH e AS (SELECT 'l' || (o_orderkey % 4) AS a, "
+            "CASE WHEN o_orderkey % 5 < 3 "
+            "THEN 'l' || (o_orderkey % 4) "
+            "ELSE 'l' || ((o_orderkey * 7) % 4) END AS b "
+            "FROM orders), "
+            "n AS (SELECT count(*) AS n, "
+            "CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS agree FROM e), "
+            "pe AS (SELECT CAST(sum(na * nb) AS BIGINT) AS pen FROM "
+            "(SELECT l, CAST(sum(ca) AS BIGINT) AS na, "
+            "CAST(sum(cb) AS BIGINT) AS nb FROM ("
+            "SELECT a AS l, count(*) AS ca, 0 AS cb FROM e GROUP BY a "
+            "UNION ALL "
+            "SELECT b, 0, count(*) FROM e GROUP BY b) GROUP BY l)) "
+            "SELECT n.n, n.agree, "
+            "n.agree / CAST(n.n AS DOUBLE) AS po, "
+            "pe.pen / CAST(n.n * n.n AS DOUBLE) AS pe, "
+            "(n.agree / CAST(n.n AS DOUBLE) "
+            "- pe.pen / CAST(n.n * n.n AS DOUBLE)) "
+            "/ (1.0 - pe.pen / CAST(n.n * n.n AS DOUBLE)) AS kappa "
+            "FROM n CROSS JOIN pe"
         ),
         # ab_test: pooled two-proportion z vs the lexicographic
         # control arm; exact ints + identical float expression

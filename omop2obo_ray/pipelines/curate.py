@@ -5350,3 +5350,98 @@ def bleu_score(cands: "Dataset", refs: "Dataset", *,
                   + [(f"p{o}", pa.float64())
                      for o in range(1, max_n + 1)]
                   + [("bleu", pa.float64())]))
+
+
+def gunzip_column(ds: "Dataset", *, col: str = "payload",
+                  out_col: str | None = None,
+                  on_error: str = "null") -> "Dataset":
+    """Decompress a binary column (gzip members or raw zlib,
+    auto-detected per row) — crawl tables often store html/body bytes
+    compressed; this is the real inflate step between a raw-payload
+    read and text extraction. ``on_error='null'`` (default) maps
+    non-compressed/corrupt rows to null; ``'keep'`` passes the
+    original bytes through; ``'raise'`` fails the task (strict
+    pipelines). Per-row zlib calls (no batch inflate exists) inside
+    one ``map_batches`` — an embarrassingly parallel CPU stage, no
+    exchange."""
+    import gzip
+    import zlib
+
+    if on_error not in ("null", "keep", "raise"):
+        raise ValueError(f"gunzip_column: bad on_error {on_error!r}")
+    dst = out_col or col
+
+    def _inflate(b: pa.Table) -> pa.Table:
+        out = []
+        for v in b[col].to_pylist():
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                if v[:2] == b"\x1f\x8b":
+                    out.append(gzip.decompress(v))
+                else:
+                    out.append(zlib.decompress(v))
+            except (OSError, zlib.error):
+                if on_error == "raise":
+                    raise
+                out.append(None if on_error == "null" else v)
+        arr = pa.array(out, pa.binary())
+        if dst in b.column_names:
+            return b.set_column(b.column_names.index(dst), dst, arr)
+        return b.append_column(dst, arr)
+
+    return ds.map_batches(_inflate, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def cohens_kappa(labels: "Dataset", *, a_col: str = "label_a",
+                 b_col: str = "label_b",
+                 n_coarse: int | None = None) -> "Dataset":
+    """Inter-annotator agreement → ONE row (n, po, pe, kappa):
+    Cohen's κ = (p_o − p_e) / (1 − p_e) over paired labels — the
+    labeling-pipeline QA readout (how much better than chance two
+    annotators/models agree; the reference's gold-standard mapping
+    validation is a two-rater protocol of exactly this shape).
+    Degenerate chance agreement (p_e = 1: both raters constant and
+    equal) yields κ = 0.0 by convention.
+
+    Scale shape: per-block (a, b) pair counts → ONE tiny single-group
+    fold (label-pair cardinality bounded); all counts exact int64,
+    p_o/p_e/κ single-rounding float expressions shared with the SQL
+    gate."""
+    from omop2obo_ray.functions.shuffle import coarse_aggregate
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby([a_col, b_col], sort=False)
+             .size().rename("c").reset_index())
+        g["_g"] = np.int8(0)
+        return g
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby([a_col, b_col], sort=False)["c"].sum()
+             .reset_index())
+        n = int(g["c"].sum())
+        agree = int(g.loc[g[a_col] == g[b_col], "c"].sum())
+        ma = g.groupby(a_col, sort=False)["c"].sum()
+        mb = g.groupby(b_col, sort=False)["c"].sum()
+        labs = sorted(set(ma.index) | set(mb.index))
+        pe_num = sum(int(ma.get(l, 0)) * int(mb.get(l, 0))
+                     for l in labs)
+        po = agree / n if n else 0.0
+        pe = pe_num / (n * n) if n else 0.0
+        kappa = (po - pe) / (1.0 - pe) if pe < 1.0 else 0.0
+        return pd.DataFrame({
+            "n": [np.int64(n)], "agree": [np.int64(agree)],
+            "po": [po], "pe": [pe], "kappa": [kappa]})
+
+    return _sanitize_join_output(
+        coarse_aggregate(
+            labels.map_batches(_partial, batch_format="pandas",
+                               batch_size=None),
+            ["_g"], lambda df: _fold(df.drop(columns=["_g"])),
+            n_coarse=n_coarse),
+        pa.schema([("n", pa.int64()), ("agree", pa.int64()),
+                   ("po", pa.float64()), ("pe", pa.float64()),
+                   ("kappa", pa.float64())]))

@@ -3597,3 +3597,60 @@ def test_ab_proportion_test_matches_scipy_form(ray_session):
     g2 = (ab_proportion_test(rd.from_pandas(dz)).to_pandas()
           .set_index("arm"))
     assert (g2["z"] == 0.0).all()
+
+
+def test_gunzip_column_modes(ray_session):
+    import gzip
+    import zlib
+
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import gunzip_column
+
+    body = b"<html>payload</html>"
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4], "payload": [
+        gzip.compress(body), zlib.compress(body * 2),
+        b"not compressed", None]})
+    got = (gunzip_column(rd.from_pandas(df).repartition(2))
+           .to_pandas().set_index("doc_id").sort_index())
+    assert got.loc[1, "payload"] == body
+    assert got.loc[2, "payload"] == body * 2
+    assert got.loc[3, "payload"] is None  # on_error='null'
+    assert got.loc[4, "payload"] is None
+
+    keep = (gunzip_column(rd.from_pandas(df), on_error="keep")
+            .to_pandas().set_index("doc_id").sort_index())
+    assert keep.loc[3, "payload"] == b"not compressed"
+    with pytest.raises(Exception):
+        gunzip_column(rd.from_pandas(df),
+                      on_error="raise").to_pandas()
+
+
+def test_cohens_kappa_matches_sklearn_formula(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import cohens_kappa
+
+    rng = np.random.RandomState(3)
+    a = rng.choice(["x", "y", "z"], 300)
+    agree_mask = rng.rand(300) < 0.7
+    b = np.where(agree_mask, a, rng.choice(["x", "y", "z"], 300))
+    df = pd.DataFrame({"label_a": a, "label_b": b})
+    got = cohens_kappa(rd.from_pandas(df).repartition(4)).to_pandas()
+
+    n = len(df)
+    po = (a == b).mean()
+    pe = sum(((a == l).sum() * (b == l).sum()) for l in "xyz") / n**2
+    kappa = (po - pe) / (1 - pe)
+    assert got["n"].iloc[0] == n
+    assert abs(got["po"].iloc[0] - po) < 1e-12
+    assert abs(got["kappa"].iloc[0] - kappa) < 1e-12
+
+    # degenerate: both constant and equal -> pe = 1 -> kappa 0
+    dz = pd.DataFrame({"label_a": ["k"] * 5, "label_b": ["k"] * 5})
+    g2 = cohens_kappa(rd.from_pandas(dz)).to_pandas()
+    assert g2["kappa"].iloc[0] == 0.0 and g2["po"].iloc[0] == 1.0
