@@ -4532,6 +4532,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return cohort_retention(ev)
 
+    def q_transitions(sf):
+        # first-order Markov next-event estimates per user sequence;
+        # LEAD window oracle; exact ints + one shared division
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import transition_probs
+
+        ev = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["user_id", "event_type", "ts",
+                                      "event_id"])
+        return transition_probs(ev)
+
     def q_gunzip(sf):
         # REAL decompression: builder gzip-compresses each doc's
         # text; the engine inflates; text identity vs the table is
@@ -5158,6 +5170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alias_table": q_alias_table,    # mention→entity prior from anchor texts (SQL-checked)
         "mode_per_key": q_mode_per_key,  # per-key modal value, deterministic tie-break (SQL-checked)
         "merge_intervals": q_merge_intervals,  # per-key interval coalescing (SQL-checked)
+        "transitions": q_transitions,    # Markov next-event transition estimates (SQL-checked)
         "gunzip": q_gunzip,              # real gzip inflation of a binary column (SQL-checked)
         "kappa": q_kappa,                # Cohen's kappa inter-annotator agreement (SQL-checked)
         "ab_test": q_ab_test,            # two-proportion z-test per experiment arm (SQL-checked)
@@ -7973,6 +7986,20 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY k ORDER BY n DESC, v) AS rn FROM c) "
             "SELECT k, v AS mode, CAST(n AS BIGINT) AS n FROM r "
             "WHERE rn = 1"
+        ),
+        # transitions: LEAD window consecutive pairs + window total;
+        # exact ints, one shared division
+        "transitions": (
+            "WITH seq AS (SELECT user_id, event_type AS cur, "
+            "lead(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS nxt FROM events), "
+            "c AS (SELECT cur, nxt, count(*) AS n FROM seq "
+            "WHERE nxt IS NOT NULL GROUP BY 1, 2), "
+            "t AS (SELECT cur, CAST(sum(n) AS BIGINT) AS total "
+            "FROM c GROUP BY cur) "
+            "SELECT c.cur, c.nxt, CAST(c.n AS BIGINT) AS n, "
+            "t.total, CAST(c.n AS DOUBLE) / t.total AS p "
+            "FROM c JOIN t USING (cur)"
         ),
         # gunzip: engine inflates REAL gzip bytes; identity oracle
         "gunzip": (

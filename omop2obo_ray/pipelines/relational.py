@@ -2731,3 +2731,58 @@ def ab_proportion_test(events: Dataset, *, arm_col: str = "arm",
                    ("control_n", pa.int64()),
                    ("control_conv", pa.int64()),
                    ("z", pa.float64())]))
+
+
+def transition_probs(events: Dataset, *, key_col: str = "user_id",
+                     item_col: str = "event_type",
+                     order_cols: list[str] | None = None,
+                     n_coarse: int | None = None) -> Dataset:
+    """First-order Markov transition estimates over per-key ordered
+    sequences → (cur, nxt, n, total, p): counts of CONSECUTIVE
+    directed (cur → nxt) steps and the conditional p = n / total —
+    the navigation/session model (next-page prediction, funnel
+    hazard) beside :func:`skipgram_pairs`' bidirectional windowed
+    pairs. ``order_cols`` must totally order each key's sequence
+    (default ``["ts", "event_id"]``, the ntile contract).
+
+    Scale shape: ONE key-keyed exchange co-locates each sequence;
+    consecutive pairs come from one vectorized shift and pre-count
+    per frame (combiner-first); ONE cur-keyed fold merges counts and
+    computes totals + p in-frame (the alias_table shape)."""
+    from omop2obo_ray.pipelines.textpipe import (_pa_schema_of,
+                                                 _sanitize_join_output)
+
+    order_cols = order_cols or ["ts", "event_id"]
+    keep = list(dict.fromkeys([key_col, item_col] + order_cols))
+    it = _pa_schema_of(events).field(item_col).type
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[keep].sort_values([key_col] + order_cols,
+                                 kind="mergesort")
+        key = d[key_col].to_numpy()
+        item = d[item_col].to_numpy()
+        if len(d) < 2:
+            return pd.DataFrame({
+                "cur": item[:0], "nxt": item[:0],
+                "n": np.zeros(0, np.int64)})
+        same = key[1:] == key[:-1]
+        g = (pd.DataFrame({"cur": item[:-1][same],
+                           "nxt": item[1:][same]})
+             .groupby(["cur", "nxt"], sort=False)
+             .size().rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["cur", "nxt"], sort=False)["n"].sum()
+             .reset_index())
+        g["total"] = g.groupby("cur", sort=False)["n"].transform("sum")
+        g["p"] = g["n"] / g["total"].astype(np.float64)
+        return g
+
+    partial = coarse_aggregate(events.select_columns(keep),
+                               [key_col], _pairs, n_coarse=n_coarse)
+    return _sanitize_join_output(
+        coarse_aggregate(partial, ["cur"], _fold, n_coarse=n_coarse),
+        pa.schema([("cur", it), ("nxt", it), ("n", pa.int64()),
+                   ("total", pa.int64()), ("p", pa.float64())]))

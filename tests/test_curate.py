@@ -3654,3 +3654,30 @@ def test_cohens_kappa_matches_sklearn_formula(ray_session):
     dz = pd.DataFrame({"label_a": ["k"] * 5, "label_b": ["k"] * 5})
     g2 = cohens_kappa(rd.from_pandas(dz)).to_pandas()
     assert g2["kappa"].iloc[0] == 0.0 and g2["po"].iloc[0] == 1.0
+
+
+def test_transition_probs_matches_replay(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.relational import transition_probs
+
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2, 2, 3],
+        "ts": pd.to_datetime(
+            ["2024-01-01 00:00", "2024-01-01 00:01",
+             "2024-01-01 00:02", "2024-01-01 00:03",
+             "2024-01-01 01:00", "2024-01-01 01:01",
+             "2024-01-01 01:02", "2024-01-01 02:00"]),
+        "event_id": range(8),
+        "event_type": ["a", "b", "a", "c", "a", "b", "b", "a"]})
+    got = (transition_probs(rd.from_pandas(ev).repartition(3))
+           .to_pandas().sort_values(["cur", "nxt"])
+           .reset_index(drop=True))
+    # user1: a->b, b->a, a->c ; user2: a->b, b->b ; user3: none
+    want = {("a", "b"): 2, ("a", "c"): 1, ("b", "a"): 1, ("b", "b"): 1}
+    assert {(r.cur, r.nxt): r.n for r in got.itertuples()} == want
+    a_total = got[got["cur"] == "a"]["total"].iloc[0]
+    assert a_total == 3
+    assert abs(got.set_index(["cur", "nxt"]).loc[("a", "b"), "p"]
+               - 2 / 3) < 1e-12
