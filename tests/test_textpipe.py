@@ -1616,3 +1616,30 @@ def test_png_decode_all_filters_and_color_types(ray_session):
     assert out.loc[1, "px_sum"] == int(rgb.sum())
     assert out.loc[1, "first_px"] == int(rgb[0, 0, 0])
     assert out.loc[2, "format"] == "unknown"
+
+
+def test_media_decoder_raw_wav_and_png(ray_session):
+    """MediaDecoder(mode='raw'): WAV features come from the real
+    sample matrix; PNG features from real decoded pixels."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.textpipe import MediaDecoder
+
+    smp = np.full((40, 2), 256 * 10, np.int64)  # maps to 10+128=138
+    wav = _mk_wav(smp, rate=8000, bits=16)
+    px = np.full((4, 4, 3), 77, np.uint8)
+    png = _encode_png(px, 2, [0])
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "payload": [wav, png]})
+    out = rd.from_pandas(df).map_batches(
+        MediaDecoder, fn_constructor_kwargs=dict(mode="raw"),
+        batch_format="pyarrow", batch_size=64,
+        concurrency=1, num_cpus=1).to_pandas()
+    f_wav = out.loc[0, "features"]
+    assert abs(f_wav[0] - 138.0) < 1e-9  # real sample stats
+    assert list(out.loc[0, "shape"]) == [40, 2, 1]
+    f_png = out.loc[1, "features"]
+    assert abs(f_png[0] - 77.0) < 1e-9
+    assert list(out.loc[1, "shape"]) == [4, 4, 3]
