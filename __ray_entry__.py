@@ -4532,6 +4532,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return cohort_retention(ev)
 
+    def q_gazetteer(sf):
+        # REAL Aho-Corasick span tagging over planted text with
+        # arithmetic offsets: 'y'*(k%5) + ' aspirin ' + 'z'*(k%3)
+        # [+ ' insulin' when k even]; the oracle recomputes the
+        # start/end positions arithmetically. Exact gate.
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import gazetteer_spans
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            ks = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            txt = []
+            for k in ks:
+                k = int(k)
+                t = "y" * (k % 5) + " aspirin " + "z" * (k % 3)
+                if k % 2 == 0:
+                    t += " insulin"
+                txt.append(t)
+            return pa.table({"doc_id": pa.array(ks, pa.int64()),
+                             "text": pa.array(txt, pa.string())})
+
+        ds = orders.map_batches(_mk, batch_format="pyarrow",
+                                batch_size=None)
+        return gazetteer_spans(ds, ["aspirin", "insulin"])
+
     def q_transitions(sf):
         # first-order Markov next-event estimates per user sequence;
         # LEAD window oracle; exact ints + one shared division
@@ -5170,6 +5199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alias_table": q_alias_table,    # mention→entity prior from anchor texts (SQL-checked)
         "mode_per_key": q_mode_per_key,  # per-key modal value, deterministic tie-break (SQL-checked)
         "merge_intervals": q_merge_intervals,  # per-key interval coalescing (SQL-checked)
+        "gazetteer": q_gazetteer,        # real AC span tagging with char offsets (SQL-checked)
         "transitions": q_transitions,    # Markov next-event transition estimates (SQL-checked)
         "gunzip": q_gunzip,              # real gzip inflation of a binary column (SQL-checked)
         "kappa": q_kappa,                # Cohen's kappa inter-annotator agreement (SQL-checked)
@@ -7986,6 +8016,18 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY k ORDER BY n DESC, v) AS rn FROM c) "
             "SELECT k, v AS mode, CAST(n AS BIGINT) AS n FROM r "
             "WHERE rn = 1"
+        ),
+        # gazetteer: arithmetic replay of the planted span offsets
+        "gazetteer": (
+            "SELECT o_orderkey AS doc_id, "
+            "o_orderkey % 5 + 1 AS start, "
+            "o_orderkey % 5 + 8 AS \"end\", "
+            "'aspirin' AS surface FROM orders "
+            "UNION ALL "
+            "SELECT o_orderkey, "
+            "o_orderkey % 5 + 10 + o_orderkey % 3, "
+            "o_orderkey % 5 + 17 + o_orderkey % 3, 'insulin' "
+            "FROM orders WHERE o_orderkey % 2 = 0"
         ),
         # transitions: LEAD window consecutive pairs + window total;
         # exact ints, one shared division

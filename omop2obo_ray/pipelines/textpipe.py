@@ -3740,3 +3740,63 @@ def mmr_rerank(cands: Dataset, embeddings: Dataset, k: int = 10,
         return pd.concat(out, ignore_index=True)
 
     return coarse_aggregate(joined, [qid_col], _greedy)
+
+
+# ---------------------------------------------------------------------------
+# gazetteer span tagging (dictionary NER with char offsets)
+# ---------------------------------------------------------------------------
+
+class GazetteerTagger:
+    """Actor: Aho-Corasick automaton over a broadcast gazetteer,
+    built ONCE per actor in ``__init__`` (the LinkerActor pattern);
+    each batch scan emits (id, start, end, surface) char-offset rows
+    with word-boundary filtering."""
+
+    def __init__(self, terms_ref, id_col: str, text_col: str,
+                 lowercase: bool):
+        from omop2obo_ray.functions.aho import AhoCorasick
+
+        terms = (ray.get(terms_ref)
+                 if isinstance(terms_ref, ray.ObjectRef) else terms_ref)
+        self.terms = [t.lower() for t in terms] if lowercase else \
+            list(terms)
+        self.ac = AhoCorasick(self.terms)
+        self.id_col, self.text_col = id_col, text_col
+        self.lowercase = lowercase
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, starts, ends, surfs = [], [], [], []
+        for i, t in zip(batch[self.id_col].to_pylist(),
+                        batch[self.text_col].to_pylist()):
+            s = str(t or "")
+            scan_s = s.lower() if self.lowercase else s
+            for a, b in self.ac.scan(scan_s):
+                ids.append(i)
+                starts.append(a)
+                ends.append(b)
+                surfs.append(scan_s[a:b])
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "start": pa.array(starts, pa.int64()),
+            "end": pa.array(ends, pa.int64()),
+            "surface": pa.array(surfs, pa.string())})
+
+
+def gazetteer_spans(docs: Dataset, terms: list[str], *,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    lowercase: bool = True) -> Dataset:
+    """Dictionary NER with character offsets → (doc_id, start, end,
+    surface): every word-boundary occurrence of any gazetteer term —
+    the span-level surface under the flagship's mention detection
+    (the LinkerActor consumes these hits internally; this exposes
+    them as a standalone operator for annotation/weak-labeling
+    pipelines). The term list broadcasts once via ``ray.put``; the
+    automaton builds once per actor; scans are per-batch. No
+    exchange — embarrassingly parallel."""
+    ref = ray.put(list(terms))
+    return docs.map_batches(
+        GazetteerTagger,
+        fn_constructor_kwargs=dict(terms_ref=ref, id_col=id_col,
+                                   text_col=text_col,
+                                   lowercase=lowercase),
+        batch_format="pyarrow", concurrency=_pool(), num_cpus=1)

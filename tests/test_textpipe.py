@@ -1643,3 +1643,28 @@ def test_media_decoder_raw_wav_and_png(ray_session):
     f_png = out.loc[1, "features"]
     assert abs(f_png[0] - 77.0) < 1e-9
     assert list(out.loc[1, "shape"]) == [4, 4, 3]
+
+
+def test_gazetteer_spans_offsets_and_boundaries(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.textpipe import gazetteer_spans
+
+    docs = pd.DataFrame({"doc_id": [1, 2, 3], "text": [
+        "take Aspirin then aspirin again",
+        "necklace is not lace but lace alone is",
+        "nothing here"]})
+    got = (gazetteer_spans(rd.from_pandas(docs).repartition(2),
+                           ["aspirin", "lace"])
+           .to_pandas().sort_values(["doc_id", "start"])
+           .reset_index(drop=True))
+    d1 = got[got["doc_id"] == 1]
+    assert d1["start"].tolist() == [5, 18]  # both casings found
+    assert (d1["surface"] == "aspirin").all()
+    d2 = got[got["doc_id"] == 2]
+    # 'lace' inside 'necklace' must NOT fire (word boundary)
+    assert d2["start"].tolist() == [16, 25]
+    assert (got[got["doc_id"] == 3].empty)
+    # offsets index the lowercased (same-length) text
+    assert docs.loc[0, "text"][5:12].lower() == "aspirin"
