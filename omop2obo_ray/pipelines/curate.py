@@ -798,7 +798,10 @@ def table_profile(ds: Dataset, columns: list[str] | None = None) -> Dataset:
     """Per-column audit statistics → (column, n_rows, n_nulls,
     n_distinct, min_str, max_str) — the data-quality gate an ingest
     pipeline runs before committing a 100-TB load (null spikes, key
-    cardinality drift, range violations).
+    cardinality drift, range violations). Hash-distinct sibling of
+    ``relational.profile_table`` (exact distinct over the raw values,
+    heavier exchange) — pick by whether the ~n²/2⁶⁴ collision caveat
+    is acceptable.
 
     Scale shape: n/nulls/min/max fold from per-BLOCK partial rows
     (≤ n_columns rows per block, merged by one bounded-key coarse

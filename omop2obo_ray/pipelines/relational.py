@@ -2564,7 +2564,12 @@ def profile_table(ds: Dataset, columns: list[str], *,
     """Per-column profile → (column, n, n_null, n_distinct, min_val,
     max_val): the schema-audit pass a pipeline runs before trusting a
     new drop (nullability drift, cardinality explosions, value-range
-    regressions). ``n_distinct`` is EXACT (nulls excluded, SQL
+    regressions). EXACT-DISTINCT sibling of
+    ``curate.table_profile`` (which hashes values to int64 for a
+    slimmer exchange — exact up to 64-bit collisions; prefer it when
+    column values are large and the collision caveat is acceptable;
+    prefer THIS one when distinct counts must be exact).
+    ``n_distinct`` here is EXACT (nulls excluded, SQL
     ``count(DISTINCT col)`` semantics); min/max are extrema OF THE
     CANONICAL STRING CAST (lexicographic — the one ordering a single
     typed output row can carry for every column type; SQL replays it
