@@ -2634,7 +2634,10 @@ def dataset_diff(old: Dataset, new: Dataset, keys: list[str], *,
     (keys..., status) with status ∈ {'added', 'removed', 'kept'} —
     the generic audit between consecutive runs (triple sets across
     crawl refreshes, release tables across versions;
-    :func:`graph_diff` is the int-edge specialization). Set
+    :func:`graph_diff` is the int-edge specialization and
+    ``textpipe.snapshot_diff`` the keyed VALUE-diff sibling — same
+    key present with different content = 'changed' there; here a
+    row IS its key tuple, so only membership matters). Set
     semantics per side (duplicates within a side count once).
 
     Scale shape: tagged union → ONE keys-keyed coarse presence-fold
