@@ -4532,6 +4532,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return cohort_retention(ev)
 
+    def q_jl_projection(sf):
+        # JL random projection to 8 dims: engine = numpy matmul
+        # against the pinned Box-Muller matrix; oracle rebuilds the
+        # SAME matrix with SQL sqrt/ln/cos/pi and sums the products.
+        # Sum reassociation (numpy pairwise vs SQL sequential)
+        # differs at ~1e-15 rel, so the gate quantizes at 1e6
+        # (deterministic inputs: verified off-boundary at both SFs).
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import random_projection
+
+        emb = rd.read_parquet(f"{sf}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        proj = random_projection(emb, 8, seed=17)
+
+        def _unpivot(b: pa.Table) -> pa.Table:
+            ids = b["vec_id"].to_numpy(zero_copy_only=False)
+            arr = b["proj"].combine_chunks()
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            n = len(ids)
+            q = np.floor(flat * 1e6 + 0.5).astype(np.int64)
+            return pa.table({
+                "vec_id": pa.array(np.repeat(ids, 8), pa.int64()),
+                "j": pa.array(np.tile(np.arange(1, 9, dtype=np.int64),
+                                      n), pa.int64()),
+                "pq": pa.array(q, pa.int64())})
+
+        return proj.map_batches(_unpivot, batch_format="pyarrow",
+                                batch_size=None)
+
     def q_gazetteer(sf):
         # REAL Aho-Corasick span tagging over planted text with
         # arithmetic offsets: 'y'*(k%5) + ' aspirin ' + 'z'*(k%3)
@@ -5199,6 +5231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alias_table": q_alias_table,    # mention→entity prior from anchor texts (SQL-checked)
         "mode_per_key": q_mode_per_key,  # per-key modal value, deterministic tie-break (SQL-checked)
         "merge_intervals": q_merge_intervals,  # per-key interval coalescing (SQL-checked)
+        "jl_projection": q_jl_projection,  # JL random projection, pinned Box-Muller matrix (SQL-checked)
         "gazetteer": q_gazetteer,        # real AC span tagging with char offsets (SQL-checked)
         "transitions": q_transitions,    # Markov next-event transition estimates (SQL-checked)
         "gunzip": q_gunzip,              # real gzip inflation of a binary column (SQL-checked)
@@ -8016,6 +8049,26 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY k ORDER BY n DESC, v) AS rn FROM c) "
             "SELECT k, v AS mode, CAST(n AS BIGINT) AS n FROM r "
             "WHERE rn = 1"
+        ),
+        # jl_projection: SQL rebuilds the pinned Box-Muller matrix
+        # and sums v_i * m_ij per (vec, j); 1e6 quantized
+        "jl_projection": (
+            "WITH dims AS (SELECT i, j, "
+            "(i - 1) * 8 + (j - 1) AS idx FROM "
+            "generate_series(1, 64) AS a(i), "
+            "generate_series(1, 8) AS b(j)), "
+            "m AS (SELECT i, j, "
+            "sqrt(-2 * ln(((idx * 2654435761 + 17) % 2147483648 "
+            "+ 1) / 2147483648.0)) "
+            "* cos(2 * pi() * ((idx * 48271 + 119) % 2147483648) "
+            "/ 2147483648.0) / sqrt(8.0) AS g FROM dims), "
+            "v AS (SELECT vec_id, i, "
+            "CAST(embedding[i] AS DOUBLE) AS val "
+            "FROM embeddings, generate_series(1, 64) AS s(i)), "
+            "p AS (SELECT v.vec_id, m.j, sum(v.val * m.g) AS pr "
+            "FROM v JOIN m ON m.i = v.i GROUP BY 1, 2) "
+            "SELECT vec_id, j, CAST(floor(pr * 1000000 + 0.5) "
+            "AS BIGINT) AS pq FROM p"
         ),
         # gazetteer: arithmetic replay of the planted span offsets
         "gazetteer": (

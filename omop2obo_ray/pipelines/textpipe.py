@@ -3800,3 +3800,55 @@ def gazetteer_spans(docs: Dataset, terms: list[str], *,
                                    text_col=text_col,
                                    lowercase=lowercase),
         batch_format="pyarrow", concurrency=_pool(), num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (dimension reduction)
+# ---------------------------------------------------------------------------
+
+def _jl_matrix(d_in: int, d_out: int, seed: int) -> np.ndarray:
+    """Deterministic Gaussian projection matrix via the pinned
+    modular hash + Box-Muller — the SAME arithmetic the SQL oracle
+    replays, so projections gate exactly. u1 is kept strictly in
+    (0, 1] (the +1 numerator) so ln(u1) is finite."""
+    idx = np.arange(d_in * d_out, dtype=np.int64)
+    h1 = (idx * np.int64(2654435761) + np.int64(seed)) \
+        % np.int64(2**31)
+    h2 = (idx * np.int64(48271) + np.int64(seed) * np.int64(7)) \
+        % np.int64(2**31)
+    u1 = (h1.astype(np.float64) + 1.0) / float(2**31)
+    u2 = h2.astype(np.float64) / float(2**31)
+    g = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+    return (g / np.sqrt(float(d_out))).reshape(d_in, d_out)
+
+
+def random_projection(embeddings: Dataset, d_out: int, *,
+                      key_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      seed: int = 17) -> Dataset:
+    """Johnson-Lindenstrauss random projection → (key, proj:
+    list<double>): embeddings × a deterministic Gaussian matrix
+    scaled 1/√d_out, preserving pairwise distances within
+    ±ε at d_out = O(log n / ε²) (JL'84) — the dimension-reduction
+    step before LSH bucketing / brute-force scans when 64-dim+
+    embeddings dominate the exchange payload (`pca_projection` is
+    the data-adaptive sibling; this one needs NO fit pass and is
+    reproducible from the seed alone).
+
+    Scale shape: the (d_in × d_out) matrix is built per actor from
+    the pinned hash (no broadcast needed — it IS its seed); each
+    batch is one zero-copy matrix extraction + one numpy matmul.
+    Embarrassingly parallel, no exchange."""
+    def _proj(b: pa.Table) -> pa.Table:
+        mat = _vec_matrix(b, vec_col)
+        if mat.shape[0] == 0:
+            return pa.table({key_col: b[key_col],
+                             "proj": pa.array([], pa.list_(pa.float64()))})
+        m = _jl_matrix(mat.shape[1], d_out, seed)
+        out = mat @ m
+        return pa.table({
+            key_col: b[key_col],
+            "proj": pa.array(list(out), pa.list_(pa.float64()))})
+
+    return embeddings.map_batches(_proj, batch_format="pyarrow",
+                                  batch_size=None)

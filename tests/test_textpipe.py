@@ -1668,3 +1668,34 @@ def test_gazetteer_spans_offsets_and_boundaries(ray_session):
     assert (got[got["doc_id"] == 3].empty)
     # offsets index the lowercased (same-length) text
     assert docs.loc[0, "text"][5:12].lower() == "aspirin"
+
+
+def test_random_projection_jl_property(ray_session):
+    """random_projection ≡ the numpy replay; distances approximately
+    preserved (JL) and deterministic across runs/partitionings."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.textpipe import (_jl_matrix,
+                                                 random_projection)
+
+    rng = np.random.RandomState(0)
+    X = rng.randn(80, 64)
+    df = pd.DataFrame({"vec_id": range(80),
+                       "embedding": [r.astype(np.float32) for r in X]})
+    got = (random_projection(rd.from_pandas(df).repartition(3), 16)
+           .to_pandas().set_index("vec_id").sort_index())
+    P = np.stack(got["proj"].to_numpy())
+    want = X.astype(np.float32).astype(np.float64) @ _jl_matrix(64, 16, 17)
+    assert np.allclose(P, want, atol=1e-12)
+
+    # JL distance preservation (loose sanity bound at d_out=16)
+    a, b = X[0], X[1]
+    d_orig = np.linalg.norm(a - b)
+    d_proj = np.linalg.norm(P[0] - P[1])
+    assert 0.4 * d_orig < d_proj < 2.2 * d_orig
+
+    got2 = (random_projection(rd.from_pandas(df).repartition(7), 16)
+            .to_pandas().set_index("vec_id").sort_index())
+    assert np.allclose(np.stack(got2["proj"].to_numpy()), P)
