@@ -4532,6 +4532,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return cohort_retention(ev)
 
+    def q_interarrival(sf):
+        # per-user inter-event gap stats: exact int sufficient stats
+        # + the single-rounding mean/std expressions the oracle
+        # spells identically. Exact gate.
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import \
+            interarrival_stats
+
+        ev = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["user_id", "ts", "event_id"])
+        return interarrival_stats(ev)
+
     def q_jl_projection(sf):
         # JL random projection to 8 dims: engine = numpy matmul
         # against the pinned Box-Muller matrix; oracle rebuilds the
@@ -5231,6 +5244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alias_table": q_alias_table,    # mention→entity prior from anchor texts (SQL-checked)
         "mode_per_key": q_mode_per_key,  # per-key modal value, deterministic tie-break (SQL-checked)
         "merge_intervals": q_merge_intervals,  # per-key interval coalescing (SQL-checked)
+        "interarrival": q_interarrival,  # per-key inter-event gap stats (SQL-checked)
         "jl_projection": q_jl_projection,  # JL random projection, pinned Box-Muller matrix (SQL-checked)
         "gazetteer": q_gazetteer,        # real AC span tagging with char offsets (SQL-checked)
         "transitions": q_transitions,    # Markov next-event transition estimates (SQL-checked)
@@ -8049,6 +8063,27 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY k ORDER BY n DESC, v) AS rn FROM c) "
             "SELECT k, v AS mode, CAST(n AS BIGINT) AS n FROM r "
             "WHERE rn = 1"
+        ),
+        # interarrival: LEAD gaps -> exact int sufficient stats +
+        # identical float mean/std expressions; exact
+        "interarrival": (
+            "WITH seq AS (SELECT user_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS s, "
+            "lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
+            "FROM events), "
+            "g AS (SELECT user_id, nxt - s AS gap FROM seq "
+            "WHERE nxt IS NOT NULL), "
+            "a AS (SELECT user_id, count(*) AS n_gaps, "
+            "CAST(sum(gap) AS BIGINT) AS sum_s, "
+            "CAST(sum(gap * gap) AS BIGINT) AS sumsq_s "
+            "FROM g GROUP BY user_id) "
+            "SELECT user_id, n_gaps, sum_s, sumsq_s, "
+            "CAST(sum_s AS DOUBLE) / n_gaps AS mean_s, "
+            "sqrt(greatest(CAST(sumsq_s AS DOUBLE) / n_gaps "
+            "- (CAST(sum_s AS DOUBLE) / n_gaps) "
+            "* (CAST(sum_s AS DOUBLE) / n_gaps), 0.0)) AS std_s "
+            "FROM a"
         ),
         # jl_projection: SQL rebuilds the pinned Box-Muller matrix
         # and sums v_i * m_ij per (vec, j); 1e6 quantized

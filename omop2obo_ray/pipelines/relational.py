@@ -2794,3 +2794,79 @@ def transition_probs(events: Dataset, *, key_col: str = "user_id",
         coarse_aggregate(partial, ["cur"], _fold, n_coarse=n_coarse),
         pa.schema([("cur", it), ("nxt", it), ("n", pa.int64()),
                    ("total", pa.int64()), ("p", pa.float64())]))
+
+
+def interarrival_stats(events: Dataset, *, key_col: str = "user_id",
+                       ts_col: str = "ts",
+                       order_cols: list[str] | None = None,
+                       n_coarse: int | None = None) -> Dataset:
+    """Per-key inter-event gap statistics → (key, n_gaps, sum_s,
+    sumsq_s, mean_s, std_s): consecutive-event time gaps in SECONDS
+    (int64) with exact integer sufficient stats and single-rounding
+    mean / population-std — the burstiness/recrawl-cadence readout
+    (how often a host's pages change, how bursty a user's sessions
+    are). Keys with < 2 events are absent (no gap to measure).
+
+    Scale shape: ONE key-keyed exchange co-locates each sequence;
+    gaps come from one vectorized shift; the same frame folds the
+    int64 sufficient stats — no second exchange (unlike
+    grouped_corr's two-table shape, the sequence must be co-located
+    anyway). Resolution rule from NOTES_r3: epoch math uses
+    ``(ts - epoch).dt.total_seconds()`` — never ``.astype(int64)``
+    on datetime64, which is resolution-dependent."""
+    from omop2obo_ray.pipelines.textpipe import (_pa_schema_of,
+                                                 _sanitize_join_output)
+
+    order_cols = order_cols or [ts_col, "event_id"]
+    keep = list(dict.fromkeys([key_col, ts_col] + order_cols))
+    kt = _pa_schema_of(events).field(key_col).type
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[keep].sort_values([key_col] + order_cols,
+                                 kind="mergesort")
+        key = d[key_col].to_numpy()
+        secs = np.floor(
+            (d[ts_col] - pd.Timestamp("1970-01-01"))
+            .dt.total_seconds().to_numpy(np.float64)).astype(np.int64)
+        if len(d) < 2:
+            return pd.DataFrame({
+                key_col: key[:0],
+                "n_gaps": np.zeros(0, np.int64),
+                "sum_s": np.zeros(0, np.int64),
+                "sumsq_s": np.zeros(0, np.int64)})
+        same = key[1:] == key[:-1]
+        gaps = (secs[1:] - secs[:-1])[same]
+        gk = key[:-1][same]
+        g = (pd.DataFrame({key_col: gk, "g": gaps,
+                           "g2": gaps * gaps})
+             .groupby(key_col, sort=False)
+             .agg(n_gaps=("g", "size"), sum_s=("g", "sum"),
+                  sumsq_s=("g2", "sum")).reset_index())
+        for c in ("n_gaps", "sum_s", "sumsq_s"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    folded = _sanitize_join_output(
+        coarse_aggregate(events.select_columns(keep), [key_col],
+                         _fold, n_coarse=n_coarse),
+        pa.schema([(key_col, kt), ("n_gaps", pa.int64()),
+                   ("sum_s", pa.int64()), ("sumsq_s", pa.int64())]))
+
+    def _final(b: pa.Table) -> pa.Table:
+        n = b["n_gaps"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        s = b["sum_s"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        s2 = b["sumsq_s"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        mean = s / n
+        var = s2 / n - (s / n) * (s / n)
+        std = np.sqrt(np.maximum(var, 0.0))
+        return pa.table({
+            b.column_names[0]: b[0], "n_gaps": b["n_gaps"],
+            "sum_s": b["sum_s"], "sumsq_s": b["sumsq_s"],
+            "mean_s": pa.array(mean, pa.float64()),
+            "std_s": pa.array(std, pa.float64())})
+
+    return folded.map_batches(_final, batch_format="pyarrow",
+                              batch_size=None)

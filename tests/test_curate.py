@@ -3681,3 +3681,29 @@ def test_transition_probs_matches_replay(ray_session):
     assert a_total == 3
     assert abs(got.set_index(["cur", "nxt"]).loc[("a", "b"), "p"]
                - 2 / 3) < 1e-12
+
+
+def test_interarrival_stats_matches_replay(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.relational import interarrival_stats
+
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "ts": pd.to_datetime(
+            ["2024-01-01 00:00:00", "2024-01-01 00:00:10",
+             "2024-01-01 00:01:10", "2024-01-01 05:00:00",
+             "2024-01-01 05:00:07", "2024-01-02 00:00:00"]),
+        "event_id": range(6)})
+    got = (interarrival_stats(rd.from_pandas(ev).repartition(3))
+           .to_pandas().set_index("user_id").sort_index())
+    assert got.loc[1, "n_gaps"] == 2
+    assert got.loc[1, "sum_s"] == 70
+    assert got.loc[1, "sumsq_s"] == 10**2 + 60**2
+    assert abs(got.loc[1, "mean_s"] - 35.0) < 1e-12
+    var = (100 + 3600) / 2 - 35.0**2
+    assert abs(got.loc[1, "std_s"] - np.sqrt(var)) < 1e-12
+    assert got.loc[2, "n_gaps"] == 1 and got.loc[2, "sum_s"] == 7
+    assert 3 not in got.index  # single event: no gap
