@@ -4532,6 +4532,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return cohort_retention(ev)
 
+    def q_page_meta(sf):
+        # REAL head-metadata parse: render pages with planted title/
+        # description/canonical/lang (entity escapes + swapped
+        # attribute order by parity); oracle replays the planted
+        # fields arithmetically. Exact gate.
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import page_meta
+
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            urls, htmls = [], []
+            for k in ids:
+                k = int(k)
+                lang = ["en", "de", "fr"][k % 3]
+                meta = (f'<meta name="description" '
+                        f'content="about topic {k % 50}">'
+                        if k % 2 == 0 else
+                        f'<META CONTENT="about topic {k % 50}" '
+                        f'NAME="description">')
+                page = (
+                    f'<html lang="{lang}"><head>'
+                    f'<title>Doc &amp; {k}</title>{meta}'
+                    f'<link rel="canonical" '
+                    f'href="https://canon-{k % 97}.test/"></head>'
+                    f'<body><p>body {k}</p></body></html>')
+                urls.append(f"https://host-{k}.test/index")
+                htmls.append(page.encode())
+            return pa.table({"url": pa.array(urls, pa.string()),
+                             "html": pa.array(htmls, pa.binary())})
+
+        pages = docs.map_batches(_mk, batch_format="pyarrow",
+                                 batch_size=None)
+        return page_meta(pages)
+
     def q_interarrival(sf):
         # per-user inter-event gap stats: exact int sufficient stats
         # + the single-rounding mean/std expressions the oracle
@@ -5244,6 +5283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alias_table": q_alias_table,    # mention→entity prior from anchor texts (SQL-checked)
         "mode_per_key": q_mode_per_key,  # per-key modal value, deterministic tie-break (SQL-checked)
         "merge_intervals": q_merge_intervals,  # per-key interval coalescing (SQL-checked)
+        "page_meta": q_page_meta,        # real head-metadata parse: title/description/canonical/lang (SQL-checked)
         "interarrival": q_interarrival,  # per-key inter-event gap stats (SQL-checked)
         "jl_projection": q_jl_projection,  # JL random projection, pinned Box-Muller matrix (SQL-checked)
         "gazetteer": q_gazetteer,        # real AC span tagging with char offsets (SQL-checked)
@@ -8063,6 +8103,18 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY k ORDER BY n DESC, v) AS rn FROM c) "
             "SELECT k, v AS mode, CAST(n AS BIGINT) AS n FROM r "
             "WHERE rn = 1"
+        ),
+        # page_meta: planted-field arithmetic replay of the REAL
+        # html head parse; exact
+        "page_meta": (
+            "SELECT 'https://host-' || doc_id || '.test/index' "
+            "AS url, "
+            "'Doc & ' || doc_id AS title, "
+            "'about topic ' || (doc_id % 50) AS meta_description, "
+            "'https://canon-' || (doc_id % 97) || '.test/' "
+            "AS canonical, "
+            "CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' "
+            "ELSE 'fr' END AS html_lang FROM documents"
         ),
         # interarrival: LEAD gaps -> exact int sufficient stats +
         # identical float mean/std expressions; exact

@@ -119,3 +119,55 @@ def expected_text(title: str, paragraphs: list[str]) -> str:
     lines = [_WS_RE.sub(" ", title).strip()]
     lines += [_WS_RE.sub(" ", p).strip() for p in paragraphs]
     return "\n".join(x for x in lines if x)
+
+
+_TITLE_RE = re.compile(rb"<title[^>]*>(.*?)</title\s*>", re.I | re.S)
+_META_RE = re.compile(
+    rb"<meta\s[^>]*?name\s*=\s*([\"'])description\1[^>]*?"
+    rb"content\s*=\s*([\"'])(.*?)\2", re.I | re.S)
+_META_RE2 = re.compile(  # content before name (attribute order free)
+    rb"<meta\s[^>]*?content\s*=\s*([\"'])(.*?)\1[^>]*?"
+    rb"name\s*=\s*([\"'])description\3", re.I | re.S)
+_CANON_RE = re.compile(
+    rb"<link\s[^>]*?rel\s*=\s*([\"'])canonical\1[^>]*?"
+    rb"href\s*=\s*([\"'])(.*?)\2", re.I | re.S)
+_CANON_RE2 = re.compile(
+    rb"<link\s[^>]*?href\s*=\s*([\"'])(.*?)\1[^>]*?"
+    rb"rel\s*=\s*([\"'])canonical\3", re.I | re.S)
+_HTML_LANG_RE = re.compile(
+    rb"<html\s[^>]*?lang\s*=\s*([\"'])(.*?)\1", re.I | re.S)
+
+
+def _clean_frag(b: bytes) -> str:
+    s = _html.unescape(b.decode("utf-8", "replace"))
+    return _WS_RE.sub(" ", s).strip()
+
+
+def extract_meta(html_bytes: bytes) -> dict:
+    """Head-metadata extraction — (title, meta_description,
+    canonical, html_lang), each '' when absent: the page-level
+    signals a crawl pipeline indexes beside the body text (canonical
+    feeds URL dedup, html lang feeds/validates language id, title +
+    description feed snippets and weak labels). Both attribute
+    orders accepted for meta/link; text handling matches
+    :func:`extract_text` (entities unescaped, whitespace
+    collapsed)."""
+    if html_bytes is None:
+        return {"title": "", "meta_description": "", "canonical": "",
+                "html_lang": ""}
+    m = _TITLE_RE.search(html_bytes)
+    title = _clean_frag(_TAG_RE.sub(b"", m.group(1))) if m else ""
+    m = _META_RE.search(html_bytes)
+    desc = _clean_frag(m.group(3)) if m else ""
+    if not desc:
+        m = _META_RE2.search(html_bytes)
+        desc = _clean_frag(m.group(2)) if m else ""
+    m = _CANON_RE.search(html_bytes)
+    canon = _clean_frag(m.group(3)) if m else ""
+    if not canon:
+        m = _CANON_RE2.search(html_bytes)
+        canon = _clean_frag(m.group(2)) if m else ""
+    m = _HTML_LANG_RE.search(html_bytes)
+    lang = _clean_frag(m.group(2)) if m else ""
+    return {"title": title, "meta_description": desc,
+            "canonical": canon, "html_lang": lang}

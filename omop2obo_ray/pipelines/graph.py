@@ -5287,3 +5287,32 @@ def directed_wedge_pairs(edges: Dataset, *, mode: str = "cocitation",
             .rename("n").reset_index(), n_coarse=n_coarse),
         pa.schema([("a", pa.int64()), ("b", pa.int64()),
                    ("n", pa.int64())]))
+
+
+def page_meta(pages: Dataset, url_col: str = "url",
+              html_col: str = "html") -> Dataset:
+    """Head-metadata table from raw pages → (url, title,
+    meta_description, canonical, html_lang) via
+    :func:`omop2obo_ray.functions.html.extract_meta` — the page-level
+    crawl signals beside the body text (canonical → URL dedup,
+    html lang → langid validation, title/description → snippets and
+    weak labels). One streaming per-page parse, no exchange —
+    the metadata sibling of :func:`anchor_edges`."""
+    from omop2obo_ray.functions.html import extract_meta
+
+    def _meta(batch: pa.Table) -> pa.Table:
+        rows = [extract_meta(h)
+                for h in batch[html_col].to_pylist()]
+        return pa.table({
+            "url": batch[url_col],
+            "title": pa.array([r["title"] for r in rows],
+                              pa.string()),
+            "meta_description": pa.array(
+                [r["meta_description"] for r in rows], pa.string()),
+            "canonical": pa.array([r["canonical"] for r in rows],
+                                  pa.string()),
+            "html_lang": pa.array([r["html_lang"] for r in rows],
+                                  pa.string())})
+
+    return pages.select_columns([url_col, html_col]).map_batches(
+        _meta, batch_format="pyarrow", batch_size=None)

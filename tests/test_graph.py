@@ -2311,3 +2311,30 @@ def test_directed_wedge_pairs_modes(ray_session):
                                    max_center_degree=2).to_pandas())
     assert {(r.a, r.b): r.n for r in capped.itertuples()} == {
         (10, 11): 2}
+
+
+def test_page_meta_extraction(ray_session):
+    """page_meta parses title/description/canonical/lang with both
+    attribute orders, entity unescape and whitespace collapse."""
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.graph import page_meta
+
+    pages = pd.DataFrame({"url": ["u1", "u2", "u3"], "html": [
+        (b'<html lang="de"><head><title>A &amp;\n B</title>'
+         b'<meta name="description" content="first desc">'
+         b'<link href="https://c.test/x" rel="canonical">'
+         b'</head></html>'),
+        (b'<html><head><META CONTENT="swapped order" '
+         b'NAME="description"></head><body>no title</body></html>'),
+        b'<p>bare</p>']})
+    got = (page_meta(rd.from_pandas(pages).repartition(2))
+           .to_pandas().set_index("url").sort_index())
+    assert got.loc["u1", "title"] == "A & B"
+    assert got.loc["u1", "meta_description"] == "first desc"
+    assert got.loc["u1", "canonical"] == "https://c.test/x"
+    assert got.loc["u1", "html_lang"] == "de"
+    assert got.loc["u2", "meta_description"] == "swapped order"
+    assert got.loc["u2", "title"] == ""
+    assert (got.loc["u3"] == "").all()
