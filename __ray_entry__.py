@@ -4532,6 +4532,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return cohort_retention(ev)
 
+    def q_wl(sf):
+        # 1-WL color refinement (2 rounds) over the synthetic
+        # coprime-moduli digraph made undirected; colors are md5 hex
+        # on BOTH sides (DuckDB md5 + ordered string_agg) — exact
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.graph import wl_labels
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _edges(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            u, v = k % 499, (k * 31 + 7) % 503
+            m = u != v
+            return pa.table({"src": pa.array(u[m], pa.int64()),
+                             "dst": pa.array(v[m], pa.int64())})
+
+        e = orders.map_batches(_edges, batch_format="pyarrow",
+                               batch_size=None)
+        return wl_labels(e, rounds=2)
+
     def q_page_meta(sf):
         # REAL head-metadata parse: render pages with planted title/
         # description/canonical/lang (entity escapes + swapped
@@ -5283,6 +5306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alias_table": q_alias_table,    # mention→entity prior from anchor texts (SQL-checked)
         "mode_per_key": q_mode_per_key,  # per-key modal value, deterministic tie-break (SQL-checked)
         "merge_intervals": q_merge_intervals,  # per-key interval coalescing (SQL-checked)
+        "wl": q_wl,                      # Weisfeiler-Lehman color refinement, engine-vs-engine md5 (SQL-checked)
         "page_meta": q_page_meta,        # real head-metadata parse: title/description/canonical/lang (SQL-checked)
         "interarrival": q_interarrival,  # per-key inter-event gap stats (SQL-checked)
         "jl_projection": q_jl_projection,  # JL random projection, pinned Box-Muller matrix (SQL-checked)
@@ -8103,6 +8127,27 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY k ORDER BY n DESC, v) AS rn FROM c) "
             "SELECT k, v AS mode, CAST(n AS BIGINT) AS n FROM r "
             "WHERE rn = 1"
+        ),
+        # wl: 2 unrolled refinement rounds; DuckDB computes ITS OWN
+        # md5 over the same ordered neighbor multisets — exact
+        "wl": (
+            "WITH e0 AS (SELECT o_orderkey % 499 AS u, "
+            "(o_orderkey * 31 + 7) % 503 AS v FROM orders "
+            "WHERE o_orderkey % 499 <> (o_orderkey * 31 + 7) % 503), "
+            "e AS (SELECT DISTINCT u, v FROM "
+            "(SELECT u, v FROM e0 UNION SELECT v, u FROM e0) "
+            "WHERE u <> v), "
+            "d0 AS (SELECT u AS node, CAST(count(*) AS VARCHAR) "
+            "AS wl FROM e GROUP BY u), "
+            "r1 AS (SELECT n.node, md5(n.wl || '|' || "
+            "string_agg(m.wl, ',' ORDER BY m.wl)) AS wl "
+            "FROM d0 n JOIN e ON e.u = n.node "
+            "JOIN d0 m ON m.node = e.v GROUP BY n.node, n.wl), "
+            "r2 AS (SELECT n.node, md5(n.wl || '|' || "
+            "string_agg(m.wl, ',' ORDER BY m.wl)) AS wl "
+            "FROM r1 n JOIN e ON e.u = n.node "
+            "JOIN r1 m ON m.node = e.v GROUP BY n.node, n.wl) "
+            "SELECT node, wl FROM r2"
         ),
         # page_meta: planted-field arithmetic replay of the REAL
         # html head parse; exact

@@ -5316,3 +5316,88 @@ def page_meta(pages: Dataset, url_col: str = "url",
 
     return pages.select_columns([url_col, html_col]).map_batches(
         _meta, batch_format="pyarrow", batch_size=None)
+
+
+def wl_labels(edges: Dataset, *, rounds: int = 2,
+              src: str = "src", dst: str = "dst",
+              n_coarse: int | None = None) -> Dataset:
+    """Weisfeiler-Lehman color refinement over the undirected simple
+    graph → (node, wl): wl₀ = degree (as a string color);
+    wl_{k+1} = md5(own || '|' || comma-joined SORTED multiset of
+    neighbor colors) — the 1-WL node fingerprint behind graph-kernel
+    features and structural-role bucketing (two nodes share a color
+    iff 1-WL cannot distinguish their k-hop neighborhoods;
+    Weisfeiler & Lehman'68, Shervashidze'11 kernels). A fixed
+    ``rounds`` is the standard kernel operator; the SQL gate unrolls
+    the same k with DuckDB's own md5 + ordered string_agg — color
+    strings are md5 hex on both sides, so the gate is exact.
+
+    Scale shape, per round: ONE ``coarse_join`` ships colors onto
+    the symmetric edge list + ONE node-keyed coarse fold that sorts
+    the neighbor multiset and hashes in-frame (own color rides as a
+    marker row — no second join). The md5-per-node is the fold's
+    CPU kernel (hashlib, same per-record rationale as
+    ``json_flatten``'s orjson); frame size is degree-bounded."""
+    import hashlib
+
+    from omop2obo_ray.functions.shuffle import coarse_join
+
+    if n_coarse is None:
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        n_coarse = max(32, 3 * cpus)
+
+    pair = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    sym = edges.map_batches(
+        lambda b: pa.table({
+            "u": pa.concat_arrays([
+                b[src].combine_chunks().cast(pa.int64()),
+                b[dst].combine_chunks().cast(pa.int64())]),
+            "v": pa.concat_arrays([
+                b[dst].combine_chunks().cast(pa.int64()),
+                b[src].combine_chunks().cast(pa.int64())])}),
+        batch_format="pyarrow", batch_size=None)
+    e = _sanitize_join_output(
+        coarse_aggregate(
+            sym, ["u", "v"],
+            lambda df: df[df["u"] != df["v"]].drop_duplicates(),
+            n_coarse=n_coarse), pair).materialize()
+
+    lab_schema = pa.schema([("node", pa.int64()), ("wl", pa.string())])
+    lab = _sanitize_join_output(
+        coarse_aggregate(
+            e, ["u"],
+            lambda df: df.groupby("u", sort=False).size()
+            .rename("wl").reset_index()
+            .assign(wl=lambda d: d["wl"].astype(str))
+            .rename(columns={"u": "node"}),
+            n_coarse=n_coarse), lab_schema).materialize()
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for node, g in df.groupby("node", sort=False):
+            own = g.loc[g["own"] == 1, "wl"]
+            own_lab = own.iloc[0] if len(own) else ""
+            nb = sorted(g.loc[g["own"] == 0, "wl"])
+            h = hashlib.md5(
+                (own_lab + "|" + ",".join(nb)).encode()).hexdigest()
+            rows.append((node, h))
+        return pd.DataFrame(rows, columns=["node", "wl"])
+
+    for _ in range(rounds):
+        moved = coarse_join(e, lab, on="v", right_on="node",
+                            how="inner", n_coarse=n_coarse)
+        nbr = moved.map_batches(
+            lambda b: pa.table({
+                "node": b["u"], "wl": b["wl"],
+                "own": pa.array(np.zeros(b.num_rows, np.int8))}),
+            batch_format="pyarrow", batch_size=None)
+        own = lab.map_batches(
+            lambda b: pa.table({
+                "node": b["node"], "wl": b["wl"],
+                "own": pa.array(np.ones(b.num_rows, np.int8))}),
+            batch_format="pyarrow", batch_size=None)
+        lab = _sanitize_join_output(
+            coarse_aggregate(nbr.union(own), ["node"], _fold,
+                             n_coarse=n_coarse), lab_schema)
+    return lab

@@ -2338,3 +2338,36 @@ def test_page_meta_extraction(ray_session):
     assert got.loc["u2", "meta_description"] == "swapped order"
     assert got.loc["u2", "title"] == ""
     assert (got.loc["u3"] == "").all()
+
+
+def test_wl_labels_distinguish_structure(ray_session):
+    """WL colors: symmetric nodes share colors, structurally distinct
+    nodes diverge; matches a pure-python replay."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.graph import wl_labels
+
+    # path 1-2-3-4-5 plus triangle 10-11-12
+    e = pd.DataFrame({
+        "src": [1, 2, 3, 4, 10, 11, 12],
+        "dst": [2, 3, 4, 5, 11, 12, 10]})
+    got = (wl_labels(rd.from_pandas(e).repartition(3), rounds=2)
+           .to_pandas().set_index("node")["wl"])
+
+    adj = {}
+    for s, d in zip(e["src"], e["dst"]):
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    lab = {n: str(len(v)) for n, v in adj.items()}
+    for _ in range(2):
+        lab = {n: hashlib.md5(
+            (lab[n] + "|" + ",".join(sorted(lab[m] for m in adj[n])))
+            .encode()).hexdigest() for n in adj}
+    assert got.to_dict() == lab
+    # symmetry: path ends equal, triangle nodes all equal
+    assert got[1] == got[5] and got[2] == got[4]
+    assert got[10] == got[11] == got[12]
+    assert got[1] != got[3] and got[10] != got[1]
