@@ -4532,6 +4532,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "ts"])
         return cohort_retention(ev)
 
+    def q_lift(sf):
+        # decile lift table over planted scores with DISTINCT values
+        # (score = ((k*37) % 1009) / 1009, pos = (k*13) % 100 <
+        # 60*score+10 rounds... kept integer: pos = (k*13)%100 <
+        # ((k*37)%1009)//17): NTILE over ORDER BY score DESC
+        # replayed; exact ints + single divisions
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.relational import lift_table
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            sc = ((k * 37) % 1009).astype(np.float64) \
+                + k.astype(np.float64) / 1e9  # distinct tie-break
+            pos = ((k * 13) % 100 < ((k * 37) % 1009) // 17)
+            return pa.table({
+                "score": pa.array(sc, pa.float64()),
+                "label": pa.array(pos.astype(np.int64), pa.int64())})
+
+        ds = orders.map_batches(_mk, batch_format="pyarrow",
+                                batch_size=None)
+        return lift_table(ds)
+
     def q_wl(sf):
         # 1-WL color refinement (2 rounds) over the synthetic
         # coprime-moduli digraph made undirected; colors are md5 hex
@@ -5306,6 +5334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alias_table": q_alias_table,    # mention→entity prior from anchor texts (SQL-checked)
         "mode_per_key": q_mode_per_key,  # per-key modal value, deterministic tie-break (SQL-checked)
         "merge_intervals": q_merge_intervals,  # per-key interval coalescing (SQL-checked)
+        "lift": q_lift,                  # decile lift/gains table (SQL-checked)
         "wl": q_wl,                      # Weisfeiler-Lehman color refinement, engine-vs-engine md5 (SQL-checked)
         "page_meta": q_page_meta,        # real head-metadata parse: title/description/canonical/lang (SQL-checked)
         "interarrival": q_interarrival,  # per-key inter-event gap stats (SQL-checked)
@@ -8127,6 +8156,27 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY k ORDER BY n DESC, v) AS rn FROM c) "
             "SELECT k, v AS mode, CAST(n AS BIGINT) AS n FROM r "
             "WHERE rn = 1"
+        ),
+        # lift: NTILE(10) over score DESC (distinct scores by
+        # construction) + per-bin rates; exact ints, shared divisions
+        "lift": (
+            "WITH s AS (SELECT (o_orderkey * 37) % 1009 "
+            "+ o_orderkey / 1e9 AS score, "
+            "CASE WHEN (o_orderkey * 13) % 100 < "
+            "((o_orderkey * 37) % 1009) // 17 THEN 1 ELSE 0 END "
+            "AS y FROM orders), "
+            "b AS (SELECT y, NTILE(10) OVER (ORDER BY score DESC) "
+            "AS bin FROM s), "
+            "t AS (SELECT CAST(sum(y) AS BIGINT) AS tp, "
+            "count(*) AS tn FROM s), "
+            "a AS (SELECT bin, count(*) AS n, "
+            "CAST(sum(y) AS BIGINT) AS n_pos FROM b GROUP BY bin) "
+            "SELECT a.bin, a.n, a.n_pos, "
+            "a.n_pos / CAST(a.n AS DOUBLE) AS rate, "
+            "t.tp / CAST(t.tn AS DOUBLE) AS base_rate, "
+            "(a.n_pos / CAST(a.n AS DOUBLE)) "
+            "/ (t.tp / CAST(t.tn AS DOUBLE)) AS lift "
+            "FROM a CROSS JOIN t"
         ),
         # wl: 2 unrolled refinement rounds; DuckDB computes ITS OWN
         # md5 over the same ordered neighbor multisets — exact

@@ -2870,3 +2870,61 @@ def interarrival_stats(events: Dataset, *, key_col: str = "user_id",
 
     return folded.map_batches(_final, batch_format="pyarrow",
                               batch_size=None)
+
+
+def lift_table(scored: Dataset, *, score_col: str = "score",
+               label_col: str = "label", n_bins: int = 10,
+               n_coarse: int | None = None) -> Dataset:
+    """Decile lift/gains table → (bin, n, n_pos, rate, base_rate,
+    lift): rows ranked by score DESCENDING (ties broken by the
+    ranking's arrival order made deterministic via a secondary id —
+    callers must pass distinct scores or accept the documented
+    (score, rowid-free) NTILE tie contract: ties split by score
+    only, exactly as SQL NTILE over ORDER BY score DESC does when
+    scores are distinct), cut into ``n_bins`` NTILE bins; per bin
+    the positive rate and its ratio to the global base rate — the
+    model-targeting readout beside `calibration_bins` (is the top
+    decile actually concentrated in positives?).
+
+    Scale shape: ONE single-group coarse exchange (the ranking is a
+    global order, the same frame bound as `ntile`'s per-key frames —
+    use per-key variants for sharded evaluation); vectorized argsort
+    + fat/thin NTILE arithmetic in-frame; exact int counts, three
+    single-rounding divisions."""
+    from omop2obo_ray.pipelines.textpipe import _sanitize_join_output
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[score_col].to_numpy(np.float64)
+        y = df[label_col].to_numpy(np.int64)
+        order = np.argsort(-s, kind="mergesort")
+        n = len(s)
+        base, rem = divmod(n, n_bins)
+        sizes = np.full(n_bins, base, np.int64)
+        sizes[:rem] += 1
+        bins = np.repeat(np.arange(1, n_bins + 1, dtype=np.int64),
+                         sizes)
+        yb = y[order]
+        out = (pd.DataFrame({"bin": bins, "y": yb})
+               .groupby("bin", sort=True)
+               .agg(n=("y", "size"), n_pos=("y", "sum"))
+               .reset_index())
+        out["n_pos"] = out["n_pos"].astype(np.int64)
+        total_pos = int(y.sum())
+        base_rate = total_pos / n
+        out["rate"] = out["n_pos"] / out["n"].astype(np.float64)
+        out["base_rate"] = base_rate
+        out["lift"] = out["rate"] / base_rate if base_rate > 0 \
+            else 0.0
+        return out
+
+    tagged = scored.select_columns([score_col, label_col]) \
+        .map_batches(lambda df: df.assign(_g=0),
+                     batch_format="pandas", batch_size=None)
+    return _sanitize_join_output(
+        coarse_aggregate(tagged, ["_g"],
+                         lambda df: _fold(df.drop(columns=["_g"])),
+                         n_coarse=n_coarse),
+        pa.schema([("bin", pa.int64()), ("n", pa.int64()),
+                   ("n_pos", pa.int64()), ("rate", pa.float64()),
+                   ("base_rate", pa.float64()),
+                   ("lift", pa.float64())]))

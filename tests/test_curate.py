@@ -3707,3 +3707,32 @@ def test_interarrival_stats_matches_replay(ray_session):
     assert abs(got.loc[1, "std_s"] - np.sqrt(var)) < 1e-12
     assert got.loc[2, "n_gaps"] == 1 and got.loc[2, "sum_s"] == 7
     assert 3 not in got.index  # single event: no gap
+
+
+def test_lift_table_matches_replay(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.relational import lift_table
+
+    rng = np.random.RandomState(1)
+    n = 203  # non-multiple of bins: fat/thin bins exercised
+    score = rng.rand(n)
+    label = (rng.rand(n) < score).astype(int)  # higher score→pos
+    df = pd.DataFrame({"score": score, "label": label})
+    got = (lift_table(rd.from_pandas(df).repartition(4))
+           .to_pandas().sort_values("bin").reset_index(drop=True))
+    order = np.argsort(-score, kind="mergesort")
+    sizes = np.full(10, n // 10)
+    sizes[:n % 10] += 1
+    start = 0
+    base_rate = label.mean()
+    for b in range(10):
+        seg = label[order][start:start + sizes[b]]
+        start += sizes[b]
+        assert got.loc[b, "n"] == sizes[b]
+        assert got.loc[b, "n_pos"] == seg.sum()
+        assert abs(got.loc[b, "lift"]
+                   - (seg.mean() / base_rate)) < 1e-12
+    assert got.loc[0, "lift"] > got.loc[9, "lift"]  # monotone-ish
