@@ -96,12 +96,16 @@ class PipelineConfig:
     # links materialize (zero-CPU accumulator actors fed by a
     # pass-through tap) instead of a separate scan over the
     # materialized links — removes the serial map-build phase from the
-    # corpus path's critical section. RETRY-EXACT: every add is keyed
-    # on a deterministic block id (XOR of the block's unique url
-    # hashes — blocks are page-aligned so url sets partition across
-    # blocks) and routed to sinks[id % n_sinks]; a re-executed map
-    # task replays the same id into the same sink, which drops the
-    # duplicate. Safe as the default on retry-prone clusters.
+    # corpus path's critical section. RETRY-EXACT under map-task
+    # re-execution (up to 64-bit block-id collision): every add is
+    # keyed on a deterministic block id (XOR of the block's unique
+    # url hashes — blocks are page-aligned so url sets partition
+    # across blocks) and routed to sinks[id % n_sinks]; a re-executed
+    # map task replays the same id into the same sink, which drops
+    # the duplicate. Sink-actor crashes are NOT silently absorbed:
+    # sinks are non-restartable, so a lost sink fails the stage hard
+    # instead of undercounting. Safe as the default on retry-prone
+    # clusters under that contract.
     canonical_fold_in: bool = True
     # score tier-3 candidates inside the linker actor (one operator
     # boundary less); False runs the standalone ScorerActor stage

@@ -299,13 +299,22 @@ def salted_join(left: Dataset, right: Dataset, *, on: str,
                                                  _sanitize_join_output)
 
     rkey = right_on or on
+    # Same lazy-input guard as coarse_join (shuffle.py coarse_join
+    # body): Ray 2.49's `schema()` EXECUTES a UDF plan without
+    # caching blocks, and a `count()` would execute it again.
+    # Materialize a lazy plan ONCE up front so the schema fetch and
+    # the empty-side gates below are metadata-only.
+    if left._meta_count() is None:
+        left = left.materialize()
+    if right._meta_count() is None:
+        right = right.materialize()
     lsch0 = _pa_schema_of(left)
     rsch0 = _pa_schema_of(right)
     empty_out = pa.schema(
         list(zip(lsch0.names, lsch0.types))
         + [(n, t) for n, t in zip(rsch0.names, rsch0.types)
            if n != rkey])
-    if left.count() == 0 or right.count() == 0:
+    if left._meta_count() == 0 or right._meta_count() == 0:
         # Ray 2.49 cannot hash-join an empty side
         return ray.data.from_arrow(empty_out.empty_table())
     counts = coarse_aggregate(

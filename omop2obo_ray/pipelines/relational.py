@@ -2825,8 +2825,13 @@ def interarrival_stats(events: Dataset, *, key_col: str = "user_id",
         d = df[keep].sort_values([key_col] + order_cols,
                                  kind="mergesort")
         key = d[key_col].to_numpy()
+        # tz-aware columns need a tz-matched epoch: naive-minus-aware
+        # subtraction raises TypeError and would fail the whole fold
+        # task (ADVICE r4).
+        epoch = pd.Timestamp("1970-01-01", tz=getattr(
+            d[ts_col].dtype, "tz", None))
         secs = np.floor(
-            (d[ts_col] - pd.Timestamp("1970-01-01"))
+            (d[ts_col] - epoch)
             .dt.total_seconds().to_numpy(np.float64)).astype(np.int64)
         if len(d) < 2:
             return pd.DataFrame({

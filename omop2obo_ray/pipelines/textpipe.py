@@ -1769,12 +1769,22 @@ def _decode_png(buf: np.ndarray) -> np.ndarray | None:
     stride = w * channels
     if len(raw) != h * (stride + 1):
         return None
-    recon = _png_unfilter(raw, h, stride, channels)
+    # Malformed-payload contract (ADVICE r4): a corrupt IDAT with an
+    # out-of-range filter byte or a palette index past PLTE must
+    # yield None (fake/null fallback), never crash the map task —
+    # one bad PNG in real crawl data must not kill the whole block.
+    try:
+        recon = _png_unfilter(raw, h, stride, channels)
+    except (ValueError, IndexError):
+        return None
     px = recon.reshape(h, w, channels)
     if ctype == 3:
         if plte is None:
             return None
-        px = plte[px[:, :, 0]].astype(np.uint8)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            return None
+        px = plte[idx].astype(np.uint8)
     return px[:, :, 0] if (ctype == 0) else px
 
 
@@ -3806,6 +3816,7 @@ def gazetteer_spans(docs: Dataset, terms: list[str], *,
 # Johnson-Lindenstrauss random projection (dimension reduction)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=8)
 def _jl_matrix(d_in: int, d_out: int, seed: int) -> np.ndarray:
     """Deterministic Gaussian projection matrix via the pinned
     modular hash + Box-Muller — the SAME arithmetic the SQL oracle
@@ -3835,10 +3846,12 @@ def random_projection(embeddings: Dataset, d_out: int, *,
     the data-adaptive sibling; this one needs NO fit pass and is
     reproducible from the seed alone).
 
-    Scale shape: the (d_in × d_out) matrix is built per actor from
-    the pinned hash (no broadcast needed — it IS its seed); each
-    batch is one zero-copy matrix extraction + one numpy matmul.
-    Embarrassingly parallel, no exchange."""
+    Scale shape: the (d_in × d_out) matrix is built ONCE per worker
+    process (``_jl_matrix`` is lru_cached on (d_in, d_out, seed) —
+    ADVICE r4 caught the old per-batch rebuild) from the pinned hash
+    (no broadcast needed — it IS its seed); each batch is one
+    zero-copy matrix extraction + one numpy matmul. Embarrassingly
+    parallel, no exchange."""
     def _proj(b: pa.Table) -> pa.Table:
         mat = _vec_matrix(b, vec_col)
         if mat.shape[0] == 0:

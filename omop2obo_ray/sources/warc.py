@@ -153,9 +153,17 @@ def read_warc(path: str, *, responses_only: bool = False,
                 if responses_only and wt not in ("response", ""):
                     continue
                 if http_strip and p[:5] == b"HTTP/":
+                    # RFC headers end CRLFCRLF, but real crawl data
+                    # includes servers emitting bare-LF terminators
+                    # (ADVICE r4) — fall back so headers never leak
+                    # into the body bytes.
                     he = p.find(_CRLF + _CRLF)
                     if he != -1:
                         p = p[he + 4:]
+                    else:
+                        he = p.find(b"\n\n")
+                        if he != -1:
+                            p = p[he + 2:]
                 urls.append(u)
                 tss.append(t)
                 payloads.append(p)

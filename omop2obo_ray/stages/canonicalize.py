@@ -214,18 +214,28 @@ def materialize_links_with_canonical(
     its partials are accumulated (actor ordering alone doesn't give
     that).
 
-    RETRY-EXACT: each add is keyed on a deterministic block id — the
-    XOR of the block's unique url hashes (links blocks are
-    page-aligned, so url sets partition across blocks and the XOR
-    identifies the block; a re-executed task reproduces the identical
-    id) — routed to ``sinks[id % n_sinks]`` so the retry lands on the
-    SAME sink, whose seen-set drops the duplicate. Double-counting
-    under cluster task re-execution is therefore impossible, not just
-    unlikely. Returns blocks unchanged (zero-copy), so page-aligned
-    block boundaries — the page-local assembly contract — survive."""
+    RETRY-EXACT under map-task re-execution: each add is keyed on a
+    deterministic block id — the XOR of the block's unique url hashes
+    (links blocks are page-aligned, so url sets partition across
+    blocks and the XOR identifies the block; a re-executed task
+    reproduces the identical id) — routed to ``sinks[id % n_sinks]``
+    so the retry lands on the SAME sink, whose seen-set drops the
+    duplicate. Scope of the guarantee (ADVICE r4): it covers map-task
+    re-execution exactly, up to 64-bit block-id collision (two
+    distinct blocks XOR-colliding would silently drop the second
+    add — ~n²/2⁶⁵ odds); it does NOT cover a crashed-and-restarted
+    SINK actor, which would lose its seen-set and partials — sinks
+    are created non-restartable (max_restarts=0, the Ray default) so
+    that failure mode surfaces as a hard error on the tap's
+    ``ray.get``, never as silent undercount. Returns blocks unchanged
+    (zero-copy), so page-aligned block boundaries — the page-local
+    assembly contract — survive."""
     import ray
 
-    sink_cls = ray.remote(num_cpus=0)(_PartialCountSink)
+    # max_restarts=0 pinned explicitly: a restarted sink would lose
+    # its seen-set + partials and silently undercount — better to
+    # fail the tap's ray.get hard and let the whole stage retry.
+    sink_cls = ray.remote(num_cpus=0, max_restarts=0)(_PartialCountSink)
     sinks = [sink_cls.remote() for _ in range(n_sinks)]
 
     mat = links.map_batches(_make_fold_in_tap(sinks),

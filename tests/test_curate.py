@@ -3708,6 +3708,14 @@ def test_interarrival_stats_matches_replay(ray_session):
     assert got.loc[2, "n_gaps"] == 1 and got.loc[2, "sum_s"] == 7
     assert 3 not in got.index  # single event: no gap
 
+    # tz-aware timestamps (ADVICE r4): naive-epoch subtraction raised
+    # TypeError before; gaps are tz-invariant so results must match
+    ev_tz = ev.assign(ts=ev["ts"].dt.tz_localize("UTC")
+                      .dt.tz_convert("US/Pacific"))
+    got_tz = (interarrival_stats(rd.from_pandas(ev_tz).repartition(3))
+              .to_pandas().set_index("user_id").sort_index())
+    pd.testing.assert_frame_equal(got_tz, got)
+
 
 def test_lift_table_matches_replay(ray_session):
     import numpy as np

@@ -441,3 +441,17 @@ def test_warc_real_crawl_flags(ray_session, tmp_path):
     all_recs = read_warc(str(p)).to_pandas()
     assert len(all_recs) == 3
     assert (all_recs.sort_values("url").iloc[-1]["payload"] == http)
+
+    # bare-LF header terminator (ADVICE r4): real servers emit \n\n;
+    # http_strip must still unwrap instead of gluing headers to body
+    http_lf = b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n" + html
+    rec_lf = ("WARC/1.0\r\nWARC-Type: response\r\n"
+              "WARC-Target-URI: https://lf.test/\r\n"
+              "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+              f"Content-Length: {len(http_lf)}\r\n\r\n").encode() \
+        + http_lf + b"\r\n\r\n"
+    p2 = tmp_path / "lf.warc.gz"
+    p2.write_bytes(gzip.compress(rec_lf))
+    got_lf = read_warc(str(p2), responses_only=True,
+                       http_strip=True).to_pandas()
+    assert got_lf.loc[0, "payload"] == html
