@@ -8,9 +8,13 @@ here calls ``ray.init()`` / ``ray.shutdown()``.
                      (SURVEY.md §2 + training-data ops), keyed by name.
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
                      query (same column names; floats rounded on both
-                     sides). Non-SQL-expressible ops (the tiered KG
-                     pipeline itself, MinHash/SimHash, heuristic
-                     language-ID, IVF) are rows-only checked.
+                     sides). Hash-dependent ops (MinHash/SimHash dedup,
+                     count-min heavy hitters, language-ID, IVF buckets)
+                     run their gates in ``hash_mode='sql'`` — md5
+                     arithmetic DuckDB replays exactly — and are
+                     hash-checked. Only genuinely non-SQL-expressible
+                     ops (the tiered KG pipeline, iterative training,
+                     zlib, eigendecompositions) remain rows-only.
 """
 
 from __future__ import annotations
@@ -893,7 +897,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         docs = rd.read_parquet(f"{sf}/documents.parquet",
                                columns=["doc_id", "text"])
-        return heavy_hitters(docs, k=20)
+        # sql hash mode + uncapped per-block candidates: the candidate
+        # union is then exactly the distinct-token set, so the DuckDB
+        # oracle replays the count-min estimates partition-independently
+        return heavy_hitters(docs, k=20, hash_mode="sql",
+                             candidates_per_block=10**6)
 
     # ---- rows-only (non-SQL-expressible) ----
     def q_kg_triples(sf):
@@ -912,14 +920,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
-        pairs = minhash_candidate_pairs(docs)
-        return verify_jaccard_pairs(docs, pairs, threshold=0.8)
+        # hash_mode='sql': md5_number_lower-based shingle/permutation/
+        # band hashes the DuckDB oracle replays value-for-value —
+        # promotes this gate from rows-only to hash-checked (VERDICT r4
+        # #1). The default blake2b fast path keeps its pytest oracles.
+        pairs = minhash_candidate_pairs(docs, hash_mode="sql")
+        return verify_jaccard_pairs(docs, pairs, threshold=0.8,
+                                    hash_mode="sql")
 
     def q_near_dup_join(sf):
         # cross-corpus contamination check: the documents table split by
         # doc_id parity plays train (even) vs eval (odd); near-dup pairs
         # crossing the split are exactly what a decontamination run
-        # needs (rows-only: LSH candidate recall is not SQL-expressible)
+        # needs. hash_mode='sql' makes the LSH candidate set (and so
+        # the whole result) DuckDB-replayable — SQL-checked since r5
         import pyarrow.compute as pc
         import ray.data as rd
 
@@ -934,7 +948,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     pc.bit_wise_and(b["doc_id"].combine_chunks(), 1), p)),
                 batch_format="pyarrow", batch_size=None)
 
-        return near_dup_join(_side(0), _side(1), threshold=0.8)
+        return near_dup_join(_side(0), _side(1), threshold=0.8,
+                             hash_mode="sql")
 
     def q_simhash(sf):
         import ray.data as rd
@@ -942,7 +957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from omop2obo_ray.pipelines.textpipe import simhash_signatures
 
         docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
-        return simhash_signatures(docs)
+        return simhash_signatures(docs, hash_mode="sql")
 
     def q_simhash_near_pairs(sf):
         import ray.data as rd
@@ -950,7 +965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from omop2obo_ray.pipelines.textpipe import simhash_near_pairs
 
         docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
-        return simhash_near_pairs(docs)
+        return simhash_near_pairs(docs, hash_mode="sql")
 
     def q_langid(sf):
         import ray.data as rd
@@ -958,7 +973,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from omop2obo_ray.pipelines.textpipe import analyze_text
 
         docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
-        return analyze_text(docs).select_columns(["doc_id", "lang_pred", "fingerprint"])
+        # every projected column is DuckDB-replayable (the RE2-safe
+        # tokenizers were designed for this); the blake2b rolling-hash
+        # fingerprint stays covered by md5_fingerprint + pytest
+        return analyze_text(docs).select_columns(
+            ["doc_id", "lang_pred", "stop_ratio", "punct_ratio",
+             "n_tokens_ws", "n_tokens_bpe"])
 
     def q_ivf_buckets(sf):
         import ray.data as rd
@@ -1125,8 +1145,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
-        pairs = minhash_candidate_pairs(docs)
-        verified = verify_jaccard_pairs(docs, pairs, threshold=0.8)
+        pairs = minhash_candidate_pairs(docs, hash_mode="sql")
+        verified = verify_jaccard_pairs(docs, pairs, threshold=0.8,
+                                        hash_mode="sql")
         return dup_clusters(verified)
 
     def q_dup_clusters_distributed(sf):
@@ -1139,8 +1160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
-        pairs = minhash_candidate_pairs(docs)
-        verified = verify_jaccard_pairs(docs, pairs, threshold=0.8)
+        pairs = minhash_candidate_pairs(docs, hash_mode="sql")
+        verified = verify_jaccard_pairs(docs, pairs, threshold=0.8,
+                                        hash_mode="sql")
         return dup_clusters_distributed(verified)
 
     def q_clip_cells(sf):
@@ -1157,7 +1179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from omop2obo_ray.pipelines.textpipe import near_dedup_corpus
 
         docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
-        return near_dedup_corpus(docs, threshold=0.8).select_columns(["doc_id"])
+        return near_dedup_corpus(docs, threshold=0.8,
+                                 hash_mode="sql").select_columns(["doc_id"])
 
     def q_embedding_near_pairs(sf):
         import ray.data as rd
@@ -5212,19 +5235,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,    # broadcast probe-automaton scan
         "table_profile": q_table_profile,    # per-column ingest audit stats
         "latest_per_key": q_latest_per_key,  # latest-snapshot-wins election
-        # rows-only (stateful / model-driven / sketch ops)
+        # stateful / model-driven / sketch ops — the hash-dependent
+        # ones run hash_mode='sql' and are SQL-checked (VERDICT r4 #1)
         "kmeans_centroids": q_kmeans_centroids,  # distributed Lloyd (iterative — pytest carries the value check)
         "kg_triples": q_kg_triples,
-        "dedup_minhash": q_dedup_minhash,
-        "near_dup_join": q_near_dup_join,  # cross-corpus contamination (rows-only)
-        "dup_clusters": q_dup_clusters,
+        "dedup_minhash": q_dedup_minhash,  # MinHash+LSH verify (SQL-checked, md5 replay)
+        "near_dup_join": q_near_dup_join,  # cross-corpus contamination (SQL-checked, md5 replay)
+        "dup_clusters": q_dup_clusters,  # CC over verified pairs (SQL-checked, recursive CTE)
         "remove_dup_spans": q_remove_dup_spans,  # Lee'22 substring-dedup transform (keeper election — not SQL-expressible)
-        "dup_clusters_distributed": q_dup_clusters_distributed,
-        "near_dedup_corpus": q_near_dedup_corpus,
-        "simhash": q_simhash,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "langid": q_langid,
-        "ivf_buckets": q_ivf_buckets,
+        "dup_clusters_distributed": q_dup_clusters_distributed,  # (SQL-checked, recursive CTE)
+        "near_dedup_corpus": q_near_dedup_corpus,  # keeper election (SQL-checked)
+        "simhash": q_simhash,  # 64-bit bit voting (SQL-checked, md5 replay)
+        "simhash_near_pairs": q_simhash_near_pairs,  # pigeonhole chunks + hamming (SQL-checked)
+        "langid": q_langid,  # trigram-profile argmax + quality cols (SQL-checked)
+        "ivf_buckets": q_ivf_buckets,  # nearest-centroid assignment (SQL-checked)
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,  # product-quantization ADC top-k (rows-only: iterative)
         "ann_ivfpq": q_ann_ivfpq,  # IVF-PQ residual ADC (rows-only: iterative)
@@ -5256,7 +5280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow": q_winnow,  # MOSS winnowing fingerprints (SQL-checked)
         "mixture_sample": q_mixture_sample,  # data-mixing quota sampler (SQL-checked)
         "n3c_mapping_table": q_n3c_mapping_table,
-        "heavy_hitters": q_heavy_hitters,  # count-min sketch top-k (est ≥ truth; pytest carries the bound check)
+        "heavy_hitters": q_heavy_hitters,  # count-min sketch top-k (SQL-checked, md5 cell replay)
         "connected_components": q_connected_components,  # min-label propagation
         "connected_components_alt": q_connected_components_alt,  # large-star/small-star
         "sameas_resolve": q_sameas_resolve,  # owl:sameAs smushing (alias→canonical rewrite)
@@ -5377,6 +5401,95 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     stop_list = "('the','a','of','and','to','in','is','it','for','on')"
+    # --- minhash hash_mode='sql' replay (VERDICT r4 #1 promotions) ---
+    # The engine's sql-mode hashes are md5_number_lower-based by
+    # construction (functions/hashing.py::md5_u64 == DuckDB's
+    # md5_number_lower, pinned by pytest), so the whole
+    # shingle -> permutation -> band -> collide -> jaccard chain
+    # replays value-for-value in pure SQL. Permutation constants come
+    # from the SAME MinHasher instance the engine uses.
+    from omop2obo_ray.pipelines.textpipe import MinHasher
+
+    _mh = MinHasher(hash_mode="sql")
+    _perm_vals = ", ".join(
+        f"({i}, {int(a)}, {int(b)})"
+        for i, (a, b) in enumerate(zip(_mh.a, _mh.b)))
+
+    def _minhash_ctes(src: str, cross_side_only: bool = False) -> str:
+        """CTE chain over ``src`` (must yield columns (k, text)) ending
+        in ``vp(ka, kb, j)`` — verified near-dup pairs with exact
+        shingle-set Jaccard >= 0.8, star-capped LSH buckets (cap 256),
+        byte-for-byte the engine's hash_mode='sql' semantics."""
+        side = ("AND substr(a.k, 1, 2) <> substr(b.k, 1, 2) "
+                if cross_side_only else "")
+        return (
+            f"lists AS (SELECT k, regexp_extract_all(lower(text), "
+            f"'[a-z0-9_]+') AS l FROM {src}), "
+            # shingle strings: k = min(3, n_tokens) consecutive tokens
+            "sh_str AS (SELECT k, l[i+1] || ' ' || l[i+2] || ' ' || "
+            "l[i+3] AS s FROM (SELECT k, l, len(l) AS n, "
+            "unnest(range(len(l))) AS i FROM lists WHERE len(l) >= 3) "
+            "WHERE i + 3 <= n "
+            "UNION ALL SELECT k, l[1] || ' ' || l[2] FROM lists "
+            "WHERE len(l) = 2 "
+            "UNION ALL SELECT k, l[1] FROM lists WHERE len(l) = 1), "
+            # 31-bit shingle hash set (0-sentinel for token-less docs)
+            "shs AS (SELECT DISTINCT k, CAST(md5_number_lower(s)"
+            "::HUGEINT % 2147483648 AS BIGINT) AS x FROM sh_str "
+            "UNION ALL SELECT k, 0 FROM lists WHERE len(l) = 0), "
+            f"perm(i, a, b) AS (VALUES {_perm_vals}), "
+            "sig AS (SELECT k, i, min((a * x + b) % 2147483647) AS v "
+            "FROM shs CROSS JOIN perm GROUP BY k, i), "
+            "band AS (SELECT k, (md5_number_lower(CAST(i // 4 AS "
+            "VARCHAR) || ':' || string_agg(v::VARCHAR, ',' ORDER BY i))"
+            " >> 1)::BIGINT AS bh FROM sig GROUP BY k, i // 4), "
+            "bux AS (SELECT DISTINCT bh, k FROM band), "
+            "bsz AS (SELECT bh, count(*) AS n, min(k) AS mn FROM bux "
+            "GROUP BY bh), "
+            "cand AS (SELECT DISTINCT a.k AS ka, b.k AS kb "
+            "FROM bux a JOIN bux b ON a.bh = b.bh AND a.k < b.k "
+            f"{side}"
+            "JOIN bsz z ON z.bh = a.bh "
+            "WHERE z.n <= 256 OR a.k = z.mn), "
+            "ssz AS (SELECT k, count(*) AS ns FROM shs GROUP BY k), "
+            "inter AS (SELECT c.ka, c.kb, count(*) AS ni FROM cand c "
+            "JOIN shs a ON a.k = c.ka "
+            "JOIN shs b ON b.k = c.kb AND b.x = a.x "
+            "GROUP BY c.ka, c.kb), "
+            "vp AS (SELECT i.ka, i.kb, "
+            "i.ni::DOUBLE / (za.ns + zb.ns - i.ni) AS j "
+            "FROM inter i JOIN ssz za ON za.k = i.ka "
+            "JOIN ssz zb ON zb.k = i.kb "
+            "WHERE i.ni::DOUBLE / (za.ns + zb.ns - i.ni) >= 0.8)")
+
+    _MINHASH_DOC = _minhash_ctes(
+        "(SELECT doc_id AS k, text FROM documents)")
+    # connected components over vp via transitive closure (dup-cluster
+    # mass is tiny relative to the corpus, so the closure is bounded)
+    _CC_TAIL = (
+        "e AS (SELECT ka AS u, kb AS v FROM vp "
+        "UNION SELECT kb, ka FROM vp), "
+        "reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e) "
+        "UNION SELECT e.u, r.v FROM e JOIN reach r ON r.u = e.v)")
+    # simhash sql-mode signatures: md5 token hashes, 64-bit bit voting
+    _SIMHASH_CTES = (
+        "lists AS (SELECT doc_id, regexp_extract_all(lower(text), "
+        "'[a-z0-9_]+') AS l FROM documents), "
+        "toks AS (SELECT doc_id, len(l) AS n, unnest(l) AS tok "
+        "FROM lists WHERE len(l) > 0), "
+        "th AS (SELECT doc_id, n, md5_number_lower(tok) AS h "
+        "FROM toks), "
+        "bitsums AS (SELECT doc_id, n, bb.b AS b, "
+        "sum(CAST((h >> CAST(bb.b AS UTINYINT)) & 1 AS BIGINT)) "
+        "AS ones FROM th CROSS JOIN "
+        "(SELECT unnest(range(64)) AS b) bb GROUP BY doc_id, n, bb.b), "
+        "sig AS (SELECT doc_id, CAST(sum(CASE WHEN 2 * ones > n THEN "
+        "CAST(1 AS HUGEINT) << CAST(b AS INTEGER) ELSE "
+        "CAST(0 AS HUGEINT) END) AS UBIGINT) AS simhash "
+        "FROM bitsums GROUP BY doc_id "
+        "UNION ALL SELECT doc_id, CAST(0 AS UBIGINT) FROM lists "
+        "WHERE len(l) = 0)")
+
     # shared by lm_perplexity and ccnet_buckets: add-1 char-bigram LM
     # trained on the documents table (chars → positions → bigrams →
     # smoothed log-probs)
@@ -8919,5 +9032,132 @@ def oracle_sql() -> dict[str, str]:
             "levenshtein(q.q_name, p.p_name)::BIGINT AS dist "
             "FROM q CROSS JOIN part p "
             "WHERE levenshtein(q.q_name, p.p_name) <= 1"
+        ),
+        # ---- VERDICT r4 #1: rows-only tail promoted to hash-checked
+        # gates via the engine's hash_mode='sql' md5 arithmetic ----
+        "dedup_minhash": (
+            "WITH " + _MINHASH_DOC + " "
+            "SELECT ka AS doc_a, kb AS doc_b, round(j, 6) AS jaccard "
+            "FROM vp"
+        ),
+        "near_dup_join": (
+            "WITH " + _minhash_ctes(
+                "(SELECT (CASE WHEN doc_id % 2 = 0 THEN 'a:' "
+                "ELSE 'b:' END) || CAST(doc_id AS VARCHAR) AS k, "
+                "text FROM documents)", cross_side_only=True) + " "
+            "SELECT CASE WHEN substr(ka, 1, 2) = 'a:' "
+            "THEN substr(ka, 3) ELSE substr(kb, 3) END AS key_a, "
+            "CASE WHEN substr(ka, 1, 2) = 'a:' "
+            "THEN substr(kb, 3) ELSE substr(ka, 3) END AS key_b, "
+            "round(j, 6) AS jaccard FROM vp"
+        ),
+        "dup_clusters": (
+            "WITH RECURSIVE " + _MINHASH_DOC + ", " + _CC_TAIL + " "
+            "SELECT u AS doc_id, min(v) AS cluster_id FROM reach "
+            "GROUP BY u"
+        ),
+        "dup_clusters_distributed": (
+            "WITH RECURSIVE " + _MINHASH_DOC + ", " + _CC_TAIL + " "
+            "SELECT u AS doc_id, min(v) AS cluster_id FROM reach "
+            "GROUP BY u"
+        ),
+        "near_dedup_corpus": (
+            "WITH RECURSIVE " + _MINHASH_DOC + ", " + _CC_TAIL + " "
+            "SELECT d.doc_id FROM documents d WHERE d.doc_id NOT IN "
+            "(SELECT u FROM reach GROUP BY u HAVING min(v) < u)"
+        ),
+        "simhash": (
+            "WITH " + _SIMHASH_CTES + " "
+            "SELECT doc_id, simhash FROM sig"
+        ),
+        "simhash_near_pairs": (
+            "WITH " + _SIMHASH_CTES + ", "
+            "ch AS (SELECT doc_id, bd.band AS band, "
+            "CAST((simhash >> CAST(16 * bd.band AS UTINYINT)) & 65535 "
+            "AS BIGINT) AS chunk, simhash FROM sig CROSS JOIN "
+            "(SELECT unnest(range(4)) AS band) bd), "
+            "bsz AS (SELECT band, chunk, count(*) AS n, "
+            "min(doc_id) AS mn FROM ch GROUP BY band, chunk), "
+            "praw AS (SELECT DISTINCT a.doc_id AS doc_a, "
+            "b.doc_id AS doc_b, CAST(bit_count(xor(a.simhash, "
+            "b.simhash)) AS BIGINT) AS hamming "
+            "FROM ch a JOIN ch b ON a.band = b.band "
+            "AND a.chunk = b.chunk AND a.doc_id < b.doc_id "
+            "JOIN bsz z ON z.band = a.band AND z.chunk = a.chunk "
+            "WHERE z.n <= 256 OR a.doc_id = z.mn) "
+            "SELECT doc_a, doc_b, min(hamming) AS hamming FROM praw "
+            "WHERE hamming <= 3 GROUP BY doc_a, doc_b"
+        ),
+        # langid: trigram-profile argmax (strict >, sorted-lang order)
+        # + the RE2-safe quality columns; fingerprint stays blake2b /
+        # pytest-covered and is no longer projected by the gate query
+        "langid": (
+            "WITH t AS (SELECT doc_id, text AS raw, lower(text) AS t "
+            "FROM documents), "
+            "tri AS (SELECT DISTINCT doc_id, "
+            "substr(t, CAST(i AS BIGINT) + 1, 3) AS g FROM "
+            "(SELECT doc_id, t, unnest(range(greatest("
+            "length(t) - 2, 0))) AS i FROM t)), "
+            "prof(lang, g) AS (VALUES ('en', 'the'), ('en', 'he '), ('en', ' th'), ('en', 'ing'), ('en', 'and'), ('en', 'ion'), ('de', 'der'), ('de', 'ein'), ('de', 'sch'), ('de', 'ich'), ('de', 'und'), ('de', 'en '), ('es', 'de '), ('es', 'la '), ('es', 'os '), ('es', 'el '), ('es', 'ión'), ('es', 'que'), ('fr', 'le '), ('fr', 'es '), ('fr', 'de '), ('fr', 'ent'), ('fr', 'que'), ('fr', 'ion')), "
+            "m AS (SELECT doc_id, lang, count(*) AS n FROM tri "
+            "JOIN prof USING (g) GROUP BY doc_id, lang), "
+            "bl AS (SELECT doc_id, lang, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY n DESC, lang) AS r FROM m), "
+            "tok AS (SELECT doc_id, regexp_extract_all(t, "
+            "'[a-z0-9_]+') AS l FROM t), "
+            "st AS (SELECT doc_id, len(list_filter(l, x -> "
+            "list_contains(['the','a','of','and','to','in','is','it',"
+            "'for','on'], x))) AS ns, len(l) AS n FROM tok) "
+            "SELECT d.doc_id, coalesce(bl.lang, 'unknown') "
+            "AS lang_pred, "
+            "round(st.ns::DOUBLE / greatest(st.n, 1), 6) "
+            "AS stop_ratio, "
+            "round(length(regexp_replace(d.text, "
+            "'[a-zA-Z0-9\\s\\x0b]', '', 'g'))::DOUBLE "
+            "/ greatest(length(d.text), 1), 6) AS punct_ratio, "
+            "len(regexp_extract_all(d.text, '[^\\s\\x0b]+'))"
+            "::BIGINT AS n_tokens_ws, "
+            "len(regexp_extract_all(d.text, "
+            "'[a-zA-Z0-9_]+|[^a-zA-Z0-9_ \\t\\r\\n\\f\\v]'))"
+            "::BIGINT AS n_tokens_bpe "
+            "FROM documents d "
+            "LEFT JOIN (SELECT doc_id, lang FROM bl WHERE r = 1) bl "
+            "ON bl.doc_id = d.doc_id "
+            "JOIN st ON st.doc_id = d.doc_id"
+        ),
+        # count-min sketch replay: global cell sums (the sketch is
+        # linear, so per-block partial sums equal these), est = min
+        # over depth rows, same (est desc, token asc) top-k tie-break
+        "heavy_hitters": (
+            "WITH toks AS (SELECT unnest(regexp_extract_all("
+            "lower(text), '[a-z0-9_]+')) AS tok FROM documents), "
+            "cnt AS (SELECT tok, count(*) AS c FROM toks "
+            "GROUP BY tok), "
+            "pos AS (SELECT tok, c, dd.d AS d, "
+            "CAST(md5_number_lower(tok || '#' || CAST(dd.d AS VARCHAR))"
+            "::HUGEINT % 4096 AS BIGINT) AS p FROM cnt CROSS JOIN "
+            "(SELECT unnest(range(4)) AS d) dd), "
+            "cell AS (SELECT d, p, sum(c) AS s FROM pos "
+            "GROUP BY d, p), "
+            "est AS (SELECT tok AS token, CAST(min(s) AS BIGINT) "
+            "AS est FROM pos JOIN cell USING (d, p) GROUP BY tok) "
+            "SELECT token, est FROM est "
+            "ORDER BY est DESC, token LIMIT 20"
+        ),
+        # IVF bucket replay: centroids are the first 8 dataset-order
+        # rows (= 8 smallest vec_ids in the sorted parquet), argmax
+        # cosine with first-index tie-break
+        "ivf_buckets": (
+            "WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 "
+            "AS cidx, embedding FROM (SELECT vec_id, embedding "
+            "FROM embeddings ORDER BY vec_id LIMIT 8)), "
+            "sc AS (SELECT e.vec_id, c.cidx, list_cosine_similarity("
+            "CAST(e.embedding AS DOUBLE[]), CAST(c.embedding "
+            "AS DOUBLE[])) AS cos FROM embeddings e CROSS JOIN c), "
+            "b AS (SELECT vec_id, cidx, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY cos DESC, cidx) AS r "
+            "FROM sc) "
+            "SELECT vec_id, CAST(cidx AS INTEGER) AS ivf_bucket "
+            "FROM b WHERE r = 1"
         ),
     }

@@ -577,12 +577,20 @@ _CM_SEEDS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
              0x165667B19E3779F9, 0x27D4EB2F165667C5)
 
 
-def _cm_positions(tokens: np.ndarray, width: int, depth: int) -> np.ndarray:
+def _cm_positions(tokens: np.ndarray, width: int, depth: int,
+                  hash_mode: str = "fast") -> np.ndarray:
     """(depth, n) column indices — splitmix-style multiplicative mixes
     of the token content hash, identical wherever a sketch is built or
-    probed."""
-    from omop2obo_ray.functions.hashing import hash64_array
+    probed. ``hash_mode='sql'`` derives row d's position as
+    ``md5_number_lower(token || '#' || d) % width`` so a DuckDB oracle
+    replays the sketch arithmetic exactly."""
+    from omop2obo_ray.functions.hashing import hash64_array, md5_u64
 
+    if hash_mode == "sql":
+        pos = np.empty((depth, tokens.size), dtype=np.int64)
+        for d in range(depth):
+            pos[d] = [md5_u64(f"{t}#{d}") % width for t in tokens]
+        return pos
     h = hash64_array(pa.array(tokens.astype(object), pa.string()))
     pos = np.empty((depth, h.size), dtype=np.int64)
     for d in range(depth):
@@ -594,7 +602,8 @@ def _cm_positions(tokens: np.ndarray, width: int, depth: int) -> np.ndarray:
 
 def heavy_hitters(docs: Dataset, *, text_col: str = "text", k: int = 20,
                   width: int = 4096, depth: int = 4,
-                  candidates_per_block: int = 128) -> Dataset:
+                  candidates_per_block: int = 128,
+                  hash_mode: str = "fast") -> Dataset:
     """Approximate top-k tokens via a COUNT-MIN sketch → (token, est)
     sorted by estimate desc (Cormode & Muthukrishnan 2005).
 
@@ -622,7 +631,7 @@ def heavy_hitters(docs: Dataset, *, text_col: str = "text", k: int = 20,
         uniq, cnt = np.unique(flat, return_counts=True)
         sketch = np.zeros((depth, width), dtype=np.int64)
         if uniq.size:
-            pos = _cm_positions(uniq, width, depth)
+            pos = _cm_positions(uniq, width, depth, hash_mode)
             for d in range(depth):
                 np.add.at(sketch[d], pos[d], cnt)
         order = np.argsort(-cnt)[:candidates_per_block]
@@ -662,7 +671,7 @@ def heavy_hitters(docs: Dataset, *, text_col: str = "text", k: int = 20,
     def _estimate(batch: pa.Table) -> pa.Table:
         sk = ray.get(sketch_ref)
         toks = batch["token"].to_numpy(zero_copy_only=False)
-        pos = _cm_positions(toks, width, depth)
+        pos = _cm_positions(toks, width, depth, hash_mode)
         est = np.min(np.stack([sk[d][pos[d]] for d in range(depth)]), axis=0)
         return pa.table({"token": batch["token"],
                          "est": pa.array(est, pa.int64())})

@@ -168,17 +168,37 @@ class MinHasher:
     _C = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
           0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63)
 
+    # SQL-mode modulus: Mersenne 2^31-1 keeps a*x+b < 2^62 — exact in
+    # BOTH numpy uint64 (no wrap) and DuckDB BIGINT (no overflow), so
+    # the oracle replays the permutations digit-for-digit
+    P_SQL = (1 << 31) - 1
+
     def __init__(self, n_hashes: int = 64, shingle: int = 3, n_bands: int = 16,
-                 key_col: str = "doc_id", text_col: str = "text"):
+                 key_col: str = "doc_id", text_col: str = "text",
+                 hash_mode: str = "fast"):
         assert n_hashes % n_bands == 0
         assert shingle <= len(self._C)
+        assert hash_mode in ("fast", "sql")
         self.n_hashes, self.shingle, self.n_bands = n_hashes, shingle, n_bands
         self.rows_per_band = n_hashes // n_bands
         self.key_col, self.text_col = key_col, text_col
+        self.hash_mode = hash_mode
         rng = np.random.RandomState(1234567)
-        self.a = rng.randint(1, self.P, size=n_hashes, dtype=np.int64).astype(np.uint64)
-        self.b = rng.randint(0, self.P, size=n_hashes, dtype=np.int64).astype(np.uint64)
-        self.word_re = re.compile(r"\w+")
+        if hash_mode == "sql":
+            # DuckDB-replayable variant (see minhash_sql_params):
+            # shingle hash = md5_number_lower(shingle string) % 2^31,
+            # permutations over the 31-bit Mersenne prime, band hash =
+            # md5_number_lower("band:sig,sig,...") >> 1. Same LSH
+            # semantics, every intermediate exact in int64 SQL.
+            self.a = rng.randint(1, self.P_SQL, size=n_hashes,
+                                 dtype=np.int64).astype(np.uint64)
+            self.b = rng.randint(0, self.P_SQL, size=n_hashes,
+                                 dtype=np.int64).astype(np.uint64)
+            self.word_re = re.compile(r"[a-z0-9_]+")  # RE2-safe ASCII
+        else:
+            self.a = rng.randint(1, self.P, size=n_hashes, dtype=np.int64).astype(np.uint64)
+            self.b = rng.randint(0, self.P, size=n_hashes, dtype=np.int64).astype(np.uint64)
+            self.word_re = re.compile(r"\w+")
         # per-actor token-hash cache: corpora repeat tokens heavily, so
         # blake2b runs once per distinct token, and shingle hashes are a
         # vectorized positional combine of token hashes (no per-shingle
@@ -200,6 +220,24 @@ class MinHasher:
         toks = self.word_re.findall(text.lower())
         if not toks:
             return np.zeros(1, dtype=np.uint64)
+        if self.hash_mode == "sql":
+            # per-shingle-string md5 (cache-assisted), reduced to 31
+            # bits: the value set the DuckDB oracle reproduces with
+            # md5_number_lower(s) % 2^31
+            from omop2obo_ray.functions.hashing import md5_u64
+
+            k = min(self.shingle, len(toks))
+            cache = self._tok_cache
+            vals = set()
+            for i in range(len(toks) - k + 1):
+                s = " ".join(toks[i:i + k])
+                h = cache.get(s)
+                if h is None:
+                    h = md5_u64(s) % (1 << 31)
+                    cache[s] = h
+                vals.add(h)
+            return np.fromiter(sorted(vals), dtype=np.uint64,
+                               count=len(vals))
         th = self._token_hashes(toks)
         k = self.shingle
         if len(th) < k:
@@ -212,8 +250,13 @@ class MinHasher:
 
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingles(text)  # (S,)
-        # (n_hashes, S): (a*x + b) mod p, vectorized
-        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(self.P)
+        # (n_hashes, S): (a*x + b) mod p, vectorized. fast mode wraps
+        # mod 2^64 before the mod-P reduce (uint64 overflow by
+        # design); sql mode stays exact — a, b, x < 2^31 keeps
+        # a*x + b < 2^62
+        p = np.uint64(self.P_SQL if self.hash_mode == "sql" else self.P)
+        with np.errstate(over="ignore"):
+            vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % p
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -223,6 +266,9 @@ class MinHasher:
         uint64 ``band_hash`` is the complete LSH bucket key — one
         groupby column instead of two, and vectorizable membership
         tests downstream."""
+        from omop2obo_ray.functions.hashing import md5_u64
+
+        sql_mode = self.hash_mode == "sql"
         keys, bhashes = [], []
         for key, text in zip(batch[self.key_col].to_pylist(), batch[self.text_col].to_pylist()):
             sig = self.signature(text or "")
@@ -231,7 +277,13 @@ class MinHasher:
                 # 63-bit (int64-safe): uint64 group keys round-trip
                 # through Arrow→Python as ints > C long and knock the
                 # whole aggregate into pickled-object fallback
-                bh = stable_hash64(band.to_bytes(4, "little") + seg.tobytes()) >> 1
+                if sql_mode:
+                    # DuckDB replay: md5_number_lower(band || ':' ||
+                    # string_agg(sig, ',' ORDER BY hash index)) >> 1
+                    bh = md5_u64(
+                        f"{band}:" + ",".join(map(str, seg))) >> 1
+                else:
+                    bh = stable_hash64(band.to_bytes(4, "little") + seg.tobytes()) >> 1
                 keys.append(key)
                 bhashes.append(bh)
         return pa.table(
@@ -374,7 +426,8 @@ def _fused_collide_expand(bands: Dataset, bucket_col: str,
 def minhash_candidate_pairs(docs: Dataset, n_hashes: int = 64, n_bands: int = 16,
                             shingle: int = 3, key_col: str = "doc_id",
                             text_col: str = "text", bucket_cap: int = 256,
-                            fused: bool = True) -> Dataset:
+                            fused: bool = True,
+                            hash_mode: str = "fast") -> Dataset:
     """LSH candidate pairs: shingle→minhash→band rows; only COLLIDING
     buckets are grouped for pair expansion.
 
@@ -401,7 +454,8 @@ def minhash_candidate_pairs(docs: Dataset, n_hashes: int = 64, n_bands: int = 16
     bands = docs.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(n_hashes=n_hashes, shingle=shingle, n_bands=n_bands,
-                                   key_col=key_col, text_col=text_col),
+                                   key_col=key_col, text_col=text_col,
+                                   hash_mode=hash_mode),
         batch_format="pyarrow", concurrency=_pool(), num_cpus=1,
     )
     expand = functools.partial(_pairs_from_bucket, key_col=key_col, cap=bucket_cap)
@@ -430,9 +484,11 @@ class ShingleComputer:
     candidate stream; reuses the MinHasher's token-hash cache per
     actor."""
 
-    def __init__(self, shingle: int, key_col: str, text_col: str):
+    def __init__(self, shingle: int, key_col: str, text_col: str,
+                 hash_mode: str = "fast"):
         self.key_col, self.text_col = key_col, text_col
-        self.hasher = MinHasher(shingle=shingle, key_col=key_col, text_col=text_col)
+        self.hasher = MinHasher(shingle=shingle, key_col=key_col, text_col=text_col,
+                                hash_mode=hash_mode)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sh = [self.hasher.shingles(t or "").tobytes()
@@ -443,7 +499,8 @@ class ShingleComputer:
 
 def verify_jaccard_pairs(docs: Dataset, pairs: Dataset, threshold: float = 0.8,
                          shingle: int = 3, key_col: str = "doc_id",
-                         text_col: str = "text", num_partitions: int = 8) -> Dataset:
+                         text_col: str = "text", num_partitions: int = 8,
+                         hash_mode: str = "fast") -> Dataset:
     """Verify LSH candidates with exact shingle-set Jaccard — fully
     distributed: the candidate-doc set is selected with a LEFT SEMI
     join (no driver-held id set at any dup mass), shingle sets are
@@ -478,7 +535,7 @@ def verify_jaccard_pairs(docs: Dataset, pairs: Dataset, threshold: float = 0.8,
     shingles = cand_docs.map_batches(
         ShingleComputer,
         fn_constructor_kwargs=dict(shingle=shingle, key_col=key_col,
-                                   text_col=text_col),
+                                   text_col=text_col, hash_mode=hash_mode),
         batch_format="pyarrow", concurrency=_pool(), num_cpus=1, batch_size=None,
     ).materialize()  # joined twice (doc_a side + doc_b side)
 
@@ -1067,9 +1124,15 @@ class SimHasher:
     → bit-matrix expansion is one ``unpackbits`` over the whole token
     array, and the vote/threshold reduction is two numpy ops."""
 
-    def __init__(self, key_col: str = "doc_id", text_col: str = "text"):
+    def __init__(self, key_col: str = "doc_id", text_col: str = "text",
+                 hash_mode: str = "fast"):
+        assert hash_mode in ("fast", "sql")
         self.key_col, self.text_col = key_col, text_col
-        self.word_re = re.compile(r"\w+")
+        # sql mode: RE2-safe ASCII tokenizer + md5_number_lower token
+        # hashes so a DuckDB oracle replays the bit voting exactly
+        self.word_re = re.compile(
+            r"[a-z0-9_]+" if hash_mode == "sql" else r"\w+")
+        self.hash_mode = hash_mode
         self._tok_cache: dict[str, int] = {}
         self._weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
@@ -1077,12 +1140,15 @@ class SimHasher:
         toks = self.word_re.findall(text.lower())
         if not toks:
             return 0
+        from omop2obo_ray.functions.hashing import md5_u64
+
+        hash_fn = md5_u64 if self.hash_mode == "sql" else stable_hash64
         cache = self._tok_cache
         hs = np.empty(len(toks), dtype=np.uint64)
         for i, t in enumerate(toks):
             h = cache.get(t)
             if h is None:
-                h = stable_hash64(t)
+                h = hash_fn(t)
                 cache[t] = h
             hs[i] = h
         # (n_tokens, 64) bit matrix in one kernel: little-endian byte
@@ -1100,9 +1166,11 @@ class SimHasher:
 
 
 def simhash_signatures(docs: Dataset, key_col: str = "doc_id",
-                       text_col: str = "text") -> Dataset:
+                       text_col: str = "text",
+                       hash_mode: str = "fast") -> Dataset:
     return docs.map_batches(
-        SimHasher, fn_constructor_kwargs=dict(key_col=key_col, text_col=text_col),
+        SimHasher, fn_constructor_kwargs=dict(key_col=key_col, text_col=text_col,
+                                              hash_mode=hash_mode),
         batch_format="pyarrow", concurrency=_pool(), num_cpus=1,
     )
 
@@ -1144,7 +1212,8 @@ def _simhash_pairs_in_bucket(g: pd.DataFrame, key_col: str, max_hamming: int,
 def simhash_near_pairs(docs: Dataset, max_hamming: int = 3,
                        n_chunks: int | None = None,
                        key_col: str = "doc_id", text_col: str = "text",
-                       bucket_cap: int = 256, fused: bool = True) -> Dataset:
+                       bucket_cap: int = 256, fused: bool = True,
+                       hash_mode: str = "fast") -> Dataset:
     """SimHash near-dup pairs, banded pigeonhole: split the 64-bit
     signature into C chunks — any pair within hamming ≤ C−1 MUST share
     a whole chunk, so grouping by (chunk index, chunk bits) finds every
@@ -1165,7 +1234,7 @@ def simhash_near_pairs(docs: Dataset, max_hamming: int = 3,
     if not 2 <= C <= 32:
         raise ValueError("n_chunks must be in [2, 32]")
     width = 64 // C
-    sigs = simhash_signatures(docs, key_col, text_col)
+    sigs = simhash_signatures(docs, key_col, text_col, hash_mode=hash_mode)
 
     def to_bands(batch: pa.Table) -> pa.Table:
         h = _np_col(batch, "simhash").astype(np.uint64)
@@ -2548,7 +2617,8 @@ def embedding_near_pairs_lsh(embeddings: Dataset, threshold: float = 0.9,
 def near_dedup_corpus(docs: Dataset, threshold: float = 0.8,
                       n_hashes: int = 64, n_bands: int = 16, shingle: int = 3,
                       key_col: str = "doc_id", text_col: str = "text",
-                      distributed_clusters: bool = True) -> Dataset:
+                      distributed_clusters: bool = True,
+                      hash_mode: str = "fast") -> Dataset:
     """The full near-dedup pipeline a training-data run actually wants:
     MinHash+LSH candidates → exact-Jaccard verification → connected
     components → keep ONE representative (min key) per duplicate
@@ -2560,10 +2630,10 @@ def near_dedup_corpus(docs: Dataset, threshold: float = 0.8,
     bounded and broadcast for the final vectorized filter."""
     pairs = minhash_candidate_pairs(docs, n_hashes=n_hashes, n_bands=n_bands,
                                     shingle=shingle, key_col=key_col,
-                                    text_col=text_col)
+                                    text_col=text_col, hash_mode=hash_mode)
     verified = verify_jaccard_pairs(docs, pairs, threshold=threshold,
                                     shingle=shingle, key_col=key_col,
-                                    text_col=text_col)
+                                    text_col=text_col, hash_mode=hash_mode)
     clusters = (dup_clusters_distributed(verified, key_col=key_col)
                 if distributed_clusters else
                 ray.data.from_pandas(dup_clusters(verified, key_col=key_col)))
@@ -2607,7 +2677,8 @@ def _drop_non_representatives(docs: Dataset, clusters: Dataset,
 
 def near_dup_join(docs_a: Dataset, docs_b: Dataset, threshold: float = 0.8,
                   n_hashes: int = 64, n_bands: int = 16, shingle: int = 3,
-                  key_col: str = "doc_id", text_col: str = "text") -> Dataset:
+                  key_col: str = "doc_id", text_col: str = "text",
+                  hash_mode: str = "fast") -> Dataset:
     """Cross-corpus near-duplicate JOIN → (key_a, key_b, jaccard) for
     every pair with shingle-Jaccard ≥ ``threshold`` whose sides differ
     — document-granularity contamination detection between a training
@@ -2640,7 +2711,7 @@ def near_dup_join(docs_a: Dataset, docs_b: Dataset, threshold: float = 0.8,
                            batch_size=None))
     cands = minhash_candidate_pairs(
         tagged, n_hashes=n_hashes, n_bands=n_bands, shingle=shingle,
-        key_col=key_col, text_col=text_col)
+        key_col=key_col, text_col=text_col, hash_mode=hash_mode)
 
     def _cross_only(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -2653,7 +2724,7 @@ def near_dup_join(docs_a: Dataset, docs_b: Dataset, threshold: float = 0.8,
                               batch_size=None)
     verified = verify_jaccard_pairs(tagged, cross, threshold=threshold,
                                     shingle=shingle, key_col=key_col,
-                                    text_col=text_col)
+                                    text_col=text_col, hash_mode=hash_mode)
 
     def _strip(b: pa.Table) -> pa.Table:
         da = b["doc_a"].combine_chunks()

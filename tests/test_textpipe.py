@@ -1789,3 +1789,106 @@ def test_random_projection_jl_property(ray_session):
     # ADVICE r4: the JL matrix is built once per process, not per
     # batch — same args must return the SAME cached array object
     assert _jl_matrix(64, 16, 17) is _jl_matrix(64, 16, 17)
+
+
+def test_md5_u64_matches_duckdb_md5_number_lower(ray_session):
+    """The hash bridge behind every hash_mode='sql' gate promotion:
+    md5_u64 must equal DuckDB's md5_number_lower bit-for-bit, or all
+    ten promoted oracles silently drift."""
+    import duckdb
+
+    from omop2obo_ray.functions.hashing import md5_u64
+
+    samples = ["", "a", "abc", "the quick brown fox", "0:1,2,3,4",
+               "tok#3", "café", "a" * 1000]
+    got = [md5_u64(s) for s in samples]
+    want = [duckdb.sql("SELECT md5_number_lower(?)", params=[s])
+            .fetchone()[0] for s in samples]
+    assert got == want
+
+
+def test_minhash_sql_mode_replay(ray_session):
+    """hash_mode='sql' MinHasher: shingle hashes are
+    md5_u64(shingle string) % 2^31, permutations (a*x+b) % (2^31-1)
+    with RandomState(1234567) constants, band hash =
+    md5_u64('band:sig,...') >> 1 — the exact arithmetic the DuckDB
+    oracle replays. Pinned here by an independent Python replay."""
+    import numpy as np
+
+    from omop2obo_ray.functions.hashing import md5_u64
+    from omop2obo_ray.pipelines.textpipe import MinHasher
+
+    mh = MinHasher(hash_mode="sql")
+    text = "The quick brown fox jumps over the lazy dog dog dog"
+    toks = [t for t in text.lower().split()]
+    shingle_strs = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    want_sh = np.array(sorted(md5_u64(s) % 2**31 for s in shingle_strs),
+                       dtype=np.uint64)
+    assert np.array_equal(mh.shingles(text), want_sh)
+
+    sig = mh.signature(text)
+    want_sig = np.array(
+        [min((int(a) * int(x) + int(b)) % (2**31 - 1) for x in want_sh)
+         for a, b in zip(mh.a, mh.b)], dtype=np.uint64)
+    assert np.array_equal(sig, want_sig)
+
+    # band hashes via __call__
+    import pyarrow as pa
+
+    out = mh(pa.table({"doc_id": [1], "text": [text]}))
+    want_bands = [md5_u64(f"{band}:" + ",".join(
+        str(int(v)) for v in want_sig[band * 4:(band + 1) * 4])) >> 1
+        for band in range(16)]
+    assert out["band_hash"].to_pylist() == want_bands
+
+    # token-less doc: shingle set {0}
+    assert mh.shingles("!!! ???").tolist() == [0]
+
+    # fast mode unchanged: blake2b path still produces its own values
+    assert not np.array_equal(
+        MinHasher().signature(text), sig)
+
+
+def test_simhash_sql_mode_replay(ray_session):
+    """hash_mode='sql' SimHasher: md5_u64 token hashes + bit voting,
+    ASCII tokenizer — replayed bit-by-bit in Python."""
+    import numpy as np
+
+    from omop2obo_ray.functions.hashing import md5_u64
+    from omop2obo_ray.pipelines.textpipe import SimHasher
+
+    sh = SimHasher(hash_mode="sql")
+    text = "beta beta GAMMA delta-epsilon 42"
+    import re as _re
+
+    toks = _re.findall(r"[a-z0-9_]+", text.lower())
+    n = len(toks)
+    want = 0
+    for b in range(64):
+        ones = sum((md5_u64(t) >> b) & 1 for t in toks)
+        if 2 * ones - n > 0:
+            want |= 1 << b
+    assert sh.simhash(text) == want
+    assert sh.simhash("") == 0
+
+
+def test_heavy_hitters_sql_mode(ray_session):
+    """sql hash mode + uncapped candidates: estimates come from
+    md5-positioned count-min cells and are >= true counts; the top
+    token is exact on a skew-free vocabulary."""
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.curate import heavy_hitters
+
+    docs = pd.DataFrame({
+        "doc_id": range(40),
+        "text": ["alpha " * 5 + "beta " * (3 if i % 2 else 1) + "gamma"
+                 for i in range(40)]})
+    out = heavy_hitters(rd.from_pandas(docs).repartition(4), k=3,
+                        hash_mode="sql",
+                        candidates_per_block=10**6).to_pandas()
+    assert out.iloc[0]["token"] == "alpha"
+    true = {"alpha": 200, "beta": 80, "gamma": 40}
+    for _, r in out.iterrows():
+        assert r["est"] >= true[r["token"]]  # CM never underestimates
