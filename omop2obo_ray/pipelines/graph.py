@@ -4003,11 +4003,60 @@ def powerlaw_alpha(edges: Dataset, *, src: str = "src",
         pa.schema([("n_tail", pa.int64()), ("alpha", pa.float64())]))
 
 
+@ray.remote
+def _closure_local_task(c: np.ndarray, p: np.ndarray,
+                        include_self: bool) -> pa.Table:
+    """Single-task ancestor closure for a small edge set: memoized
+    DFS over the child→parent DAG (iterative, diamond-safe). The
+    endgame kernel behind ``local_below`` — runs OFF the driver, in
+    one Ray task, only when the (deduped) edge count fits."""
+    parents: dict[int, list[int]] = {}
+    nodes: set[int] = set()
+    for ci, pi in zip(c.tolist(), p.tolist()):
+        parents.setdefault(ci, []).append(pi)
+        nodes.add(ci)
+        nodes.add(pi)
+    anc: dict[int, set[int]] = {}
+    for start in nodes:
+        if start in anc:
+            continue
+        stack = [start]
+        while stack:
+            n = stack[-1]
+            if n in anc:
+                stack.pop()
+                continue
+            missing = [q for q in parents.get(n, ())
+                       if q not in anc and q != n]
+            if missing:
+                stack.extend(missing)
+                continue
+            s: set[int] = set()
+            for q in parents.get(n, ()):
+                if q == n:
+                    continue
+                s.add(q)
+                s |= anc[q]
+            anc[n] = s
+            stack.pop()
+    rows_n, rows_a = [], []
+    for n in sorted(nodes):
+        if include_self:
+            rows_n.append(n)
+            rows_a.append(n)
+        for a in sorted(anc[n]):
+            rows_n.append(n)
+            rows_a.append(a)
+    return pa.table({"node": pa.array(rows_n, pa.int64()),
+                     "anc": pa.array(rows_a, pa.int64())})
+
+
 def ancestor_closure_distributed(edges: Dataset, *, child: str = "child",
                                  parent: str = "parent",
                                  include_self: bool = True,
                                  max_rounds: int = 64,
-                                 n_coarse: int | None = None) -> Dataset:
+                                 n_coarse: int | None = None,
+                                 local_below: int = 65536) -> Dataset:
     """Transitive ancestor closure of a child→parent DAG →
     (node, anc), optionally including the node itself — the
     distributed form of the reference's precomputed ancestor input
@@ -4018,7 +4067,18 @@ def ancestor_closure_distributed(edges: Dataset, *, child: str = "child",
     output itself (Σ node-depths), the irreducible cost of
     materializing ancestors. Edges are deduped once up front and the
     frontier is deduped every round — duplicate edges / DAG diamonds
-    otherwise multiply frontier rows geometrically per hop."""
+    otherwise multiply frontier rows geometrically per hop.
+
+    ``local_below`` is the ENDGAME fallback (the standard hybrid for
+    iterative graph algorithms — GraphX/Pregel-style systems switch
+    to a single worker once the active subgraph fits): when the
+    deduped edge count is at or below it, ONE Ray task computes the
+    closure with a memoized DFS instead of paying a per-hop exchange
+    round. Metadata-gated (the deduped edge table is materialized
+    either way), exact-identical output (pinned by an identity
+    pytest vs ``local_below=0``), and never triggered by a
+    production-scale ontology union — only by small inputs where
+    exchange fixed cost would dominate."""
     from omop2obo_ray.functions.shuffle import coarse_join
 
     def _slim(b: pa.Table) -> pa.Table:
@@ -4034,6 +4094,15 @@ def ancestor_closure_distributed(edges: Dataset, *, child: str = "child",
             ["c", "p"], lambda df: df.drop_duplicates(),
             n_coarse=n_coarse), edge_schema)
     pair_schema = pa.schema([("node", pa.int64()), ("anc", pa.int64())])
+    ecount = e.count()  # metadata-only: e is materialized refs
+    if 0 < ecount <= local_below:
+        et = pa.concat_tables(
+            [b for b in e.iter_batches(batch_size=None,
+                                       batch_format="pyarrow")])
+        ref = _closure_local_task.remote(
+            et["c"].to_numpy(zero_copy_only=False),
+            et["p"].to_numpy(zero_copy_only=False), include_self)
+        return ray.data.from_arrow_refs([ref])
 
     nodes = _sanitize_join_output(
         coarse_aggregate(
@@ -4096,12 +4165,75 @@ class _SumSink:
         return v
 
 
+@ray.remote
+def _scc_local_task(u: np.ndarray, v: np.ndarray) -> pa.Table:
+    """Single-task SCC for a small edge set: iterative Kosaraju
+    (finish-order DFS on G, component sweep on Gᵀ), component id =
+    min member id — exactly the distributed contract. The endgame
+    kernel behind ``local_below``; O(V+E), runs off the driver."""
+    nodes = np.unique(np.concatenate([u, v]))
+    n = len(nodes)
+    ui = np.searchsorted(nodes, u)
+    vi = np.searchsorted(nodes, v)
+
+    def _csr(s: np.ndarray, d: np.ndarray):
+        order = np.argsort(s, kind="stable")
+        dd = d[order]
+        starts = np.searchsorted(s[order], np.arange(n))
+        ends = np.searchsorted(s[order], np.arange(n), side="right")
+        return dd, starts, ends
+
+    fd, fs, fe = _csr(ui, vi)          # forward adjacency
+    rd_, rs, re_ = _csr(vi, ui)        # reverse adjacency
+
+    visited = np.zeros(n, bool)
+    finish: list[int] = []
+    ptr = fs.copy()
+    for s0 in range(n):
+        if visited[s0]:
+            continue
+        visited[s0] = True
+        stack = [s0]
+        while stack:
+            x = stack[-1]
+            if ptr[x] < fe[x]:
+                w = int(fd[ptr[x]])
+                ptr[x] += 1
+                if not visited[w]:
+                    visited[w] = True
+                    stack.append(w)
+            else:
+                finish.append(stack.pop())
+
+    assigned = np.zeros(n, bool)
+    labels = np.zeros(n, np.int64)
+    for s0 in reversed(finish):
+        if assigned[s0]:
+            continue
+        members = [s0]
+        assigned[s0] = True
+        stack = [s0]
+        while stack:
+            x = stack.pop()
+            for w in rd_[rs[x]:re_[x]]:
+                w = int(w)
+                if not assigned[w]:
+                    assigned[w] = True
+                    members.append(w)
+                    stack.append(w)
+        m = np.asarray(members)
+        labels[m] = int(nodes[m].min())
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "component": pa.array(labels, pa.int64())})
+
+
 def strongly_connected_components(edges: Dataset, *,
                                   src: str = "src", dst: str = "dst",
                                   max_peels: int = 16,
                                   max_rounds: int = 64,
                                   n_coarse: int | None = None,
-                                  stats: dict | None = None
+                                  stats: dict | None = None,
+                                  local_below: int = 65536
                                   ) -> Dataset:
     """Directed strongly connected components → (node, component),
     component = min member id — the web-graph bowtie primitive
@@ -4124,7 +4256,14 @@ def strongly_connected_components(edges: Dataset, *,
     (labels onto edges) + ONE node-keyed coarse min per direction,
     with a change-count convergence scalar (the CC family's
     contract); peeling is one semi/anti filter per round. Labels and
-    edges are the only state; nothing graph-sized on the driver."""
+    edges are the only state; nothing graph-sized on the driver.
+
+    ``local_below`` is the ENDGAME fallback (same hybrid as
+    ``ancestor_closure_distributed``): when the deduped live edge
+    count fits, ONE Ray task runs iterative Kosaraju instead of
+    per-round exchanges whose fixed cost would dominate. Exact same
+    (node, component=min member) contract, pinned by an identity
+    pytest vs ``local_below=0``; never triggered at crawl scale."""
     from omop2obo_ray.functions.shuffle import coarse_join
 
     if n_coarse is None:
@@ -4142,6 +4281,17 @@ def strongly_connected_components(edges: Dataset, *,
                 batch_format="pyarrow", batch_size=None),
             ["u", "v"], lambda df: df.drop_duplicates(),
             n_coarse=n_coarse), pair).materialize()
+    lcount = live.count()  # metadata-only after the materialize
+    if 0 < lcount <= local_below:
+        lt = pa.concat_tables(
+            [b for b in live.iter_batches(batch_size=None,
+                                          batch_format="pyarrow")])
+        if stats is not None:
+            stats["local_finish"] = True
+        ref = _scc_local_task.remote(
+            lt["u"].to_numpy(zero_copy_only=False),
+            lt["v"].to_numpy(zero_copy_only=False))
+        return ray.data.from_arrow_refs([ref])
 
     def _nodes_of(e: Dataset) -> Dataset:
         return _sanitize_join_output(
@@ -4258,8 +4408,18 @@ def strongly_connected_components(edges: Dataset, *,
         if live.count() == 0:
             break
         nodes = _nodes_of(live).materialize()
-        fwd = _propagate(live, nodes, forward=True)
-        bwd = _propagate(live, nodes, forward=False)
+        # the two directions are independent label systems over the
+        # same (materialized) live/nodes inputs — run them
+        # CONCURRENTLY so their per-round exchanges overlap (gate
+        # profile r5: the sequential pair was ~2x the wall of either;
+        # each _propagate drives its own plans + its own sink actor,
+        # so there is no shared mutable state between the threads)
+        import concurrent.futures as _cf
+
+        with _cf.ThreadPoolExecutor(2) as _ex:
+            _ff = _ex.submit(_propagate, live, nodes, True)
+            _bf = _ex.submit(_propagate, live, nodes, False)
+            fwd, bwd = _ff.result(), _bf.result()
         both = coarse_join(fwd, bwd.map_batches(
             lambda b: pa.table({"n3": b["node"], "lab_b": b["lab"]}),
             batch_format="pyarrow", batch_size=None),

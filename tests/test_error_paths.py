@@ -210,7 +210,7 @@ def test_scc_raises_on_round_budget(ray_session):
                       "dst": list(range(9, -1, -1))})
     with pytest.raises(RuntimeError, match="did not converge"):
         strongly_connected_components(rd.from_pandas(e),
-                                      max_rounds=2)
+                                      max_rounds=2, local_below=0)
 
 
 def test_dbscan_rejects_unknown_method(ray_session):

@@ -2077,14 +2077,24 @@ def test_scc_matches_mutual_reachability_oracle(ray_session):
         scc = reach(v, adj) & reach(v, radj)
         want[v] = min(scc)
 
+    # distributed path (local_below=0 forces the exchange rounds)
     stats = {}
     got = strongly_connected_components(
-        rd.from_pandas(df).repartition(3), stats=stats).to_pandas() \
+        rd.from_pandas(df).repartition(3), stats=stats,
+        local_below=0).to_pandas() \
         .set_index("node")["component"].to_dict()
     assert got == want
     assert stats["peels"] >= 2            # the feeder forces peeling
     assert got[5] == got[6] == got[7] == 5
     assert got[20] == got[21] == 20 and got[30] == 30
+
+    # endgame local-finish (default): identical assignment, one task
+    stats2 = {}
+    got2 = strongly_connected_components(
+        rd.from_pandas(df).repartition(3), stats=stats2).to_pandas() \
+        .set_index("node")["component"].to_dict()
+    assert got2 == got
+    assert stats2.get("local_finish") is True
 
 
 def test_filter_bindings_ops(ray_session):
@@ -2371,3 +2381,27 @@ def test_wl_labels_distinguish_structure(ray_session):
     assert got[1] == got[5] and got[2] == got[4]
     assert got[10] == got[11] == got[12]
     assert got[1] != got[3] and got[10] != got[1]
+
+
+def test_closure_local_finish_identity(ray_session):
+    """ancestor_closure_distributed's endgame local-finish kernel
+    (default local_below) ≡ the per-hop exchange path (local_below=0)
+    on a diamond DAG with a shortcut and a multi-parent node."""
+    from omop2obo_ray.pipelines.graph import ancestor_closure_distributed
+
+    edges = pd.DataFrame({
+        "child": [4, 4, 2, 3, 5, 6, 6],
+        "parent": [2, 3, 1, 1, 4, 4, 1]})  # diamond 4→{2,3}→1, 6→{4,1}
+
+    for include_self in (True, False):
+        loc = ancestor_closure_distributed(
+            rd.from_pandas(edges).repartition(2),
+            include_self=include_self).to_pandas() \
+            .sort_values(["node", "anc"]).reset_index(drop=True)
+        dist = ancestor_closure_distributed(
+            rd.from_pandas(edges).repartition(2),
+            include_self=include_self, local_below=0).to_pandas() \
+            .sort_values(["node", "anc"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(loc, dist)
+    # diamond dedup: node 4 reaches root 1 via both 2 and 3 → once
+    assert ((loc["node"] == 4) & (loc["anc"] == 1)).sum() == 1

@@ -1892,3 +1892,115 @@ def test_heavy_hitters_sql_mode(ray_session):
     true = {"alpha": 200, "beta": 80, "gamma": 40}
     for _, r in out.iterrows():
         assert r["est"] >= true[r["token"]]  # CM never underestimates
+
+
+def test_jpeg_decode_baseline(ray_session):
+    """_decode_jpeg: constant blocks round-trip exactly (DC-only
+    path), arbitrary coefficients match an independent IDCT replay,
+    4:4:4 multi-MCU and 4:2:0 subsampled layouts decode correctly,
+    and malformed/progressive payloads return None."""
+    import numpy as np
+
+    from omop2obo_ray.pipelines.textpipe import (_decode_jpeg,
+                                                 _idct8x8,
+                                                 encode_jpeg_baseline)
+
+    rng = np.random.RandomState(0)
+    q1 = np.ones((8, 8), np.int32)
+
+    # constant gray blocks: exact for any sample value
+    for v in (0, 7, 128, 250, 255):
+        coef = np.zeros((8, 8), np.int64)
+        coef[0, 0] = 8 * (v - 128)
+        out = _decode_jpeg(np.frombuffer(encode_jpeg_baseline(
+            [coef], None, None, 8, 8, (1, 1), q1, q1), np.uint8))
+        assert out.shape == (8, 8) and (out == v).all(), v
+
+    # random coefficients + quant: decode == independent IDCT replay
+    q = np.full((8, 8), 3, np.int32)
+    coef = rng.randint(-9, 10, (8, 8)).astype(np.int64)
+    out = _decode_jpeg(np.frombuffer(encode_jpeg_baseline(
+        [coef], None, None, 8, 8, (1, 1), q, q), np.uint8))
+    want = np.clip(np.round(_idct8x8((coef * 3).astype(np.float64))
+                            + 128), 0, 255).astype(np.uint8)
+    assert (out == want).all()
+
+    # 4:4:4 color, 2 MCUs wide, zero chroma -> RGB = Y exactly
+    y1 = np.zeros((8, 8), np.int64)
+    y1[0, 0] = 8 * (50 - 128)
+    y2 = np.zeros((8, 8), np.int64)
+    y2[0, 0] = 8 * (200 - 128)
+    z = np.zeros((8, 8), np.int64)
+    out = _decode_jpeg(np.frombuffer(encode_jpeg_baseline(
+        [y1, y2], [z, z], [z, z], 16, 8, (1, 1), q1, q1), np.uint8))
+    assert out.shape == (8, 16, 3)
+    assert (out[:, :8] == 50).all() and (out[:, 8:] == 200).all()
+
+    # 4:2:0 16x16: Y quadrants in MCU block order TL,TR,BL,BR
+    ys = []
+    for v in (30, 60, 90, 120):
+        b = np.zeros((8, 8), np.int64)
+        b[0, 0] = 8 * (v - 128)
+        ys.append(b)
+    out = _decode_jpeg(np.frombuffer(encode_jpeg_baseline(
+        ys, [z], [z], 16, 16, (2, 2), q1, q1), np.uint8))
+    assert out.shape == (16, 16, 3)
+    assert (out[:8, :8] == 30).all() and (out[:8, 8:] == 60).all()
+    assert (out[8:, :8] == 90).all() and (out[8:, 8:] == 120).all()
+
+    # random 4:2:0 with random quant tables == full replay (chroma
+    # upsample + color transform included)
+    qy = rng.randint(1, 12, (8, 8)).astype(np.int32)
+    qc = rng.randint(1, 12, (8, 8)).astype(np.int32)
+    ys = [rng.randint(-8, 9, (8, 8)).astype(np.int64) for _ in range(4)]
+    cb = [rng.randint(-4, 5, (8, 8)).astype(np.int64)]
+    cr = [rng.randint(-4, 5, (8, 8)).astype(np.int64)]
+    jb = encode_jpeg_baseline(ys, cb, cr, 16, 16, (2, 2), qy, qc)
+    out = _decode_jpeg(np.frombuffer(jb, np.uint8))
+    Y = np.zeros((16, 16))
+    for i, bl in enumerate(ys):
+        y0, x0 = (i // 2) * 8, (i % 2) * 8
+        Y[y0:y0 + 8, x0:x0 + 8] = _idct8x8((bl * qy).astype(np.float64))
+    Cb = np.repeat(np.repeat(
+        _idct8x8((cb[0] * qc).astype(np.float64)), 2, 0), 2, 1)
+    Cr = np.repeat(np.repeat(
+        _idct8x8((cr[0] * qc).astype(np.float64)), 2, 0), 2, 1)
+    want = np.clip(np.round(np.stack(
+        [Y + 128 + 1.402 * Cr,
+         Y + 128 - 0.344136 * Cb - 0.714136 * Cr,
+         Y + 128 + 1.772 * Cb], 2)), 0, 255).astype(np.uint8)
+    assert (out == want).all()
+
+    # malformed contract: truncated / progressive / non-JPEG -> None
+    assert _decode_jpeg(np.frombuffer(jb[:20], np.uint8)) is None
+    prog = bytearray(jb)
+    i = bytes(prog).find(b"\xff\xc0")
+    prog[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    assert _decode_jpeg(np.frombuffer(bytes(prog), np.uint8)) is None
+    assert _decode_jpeg(np.frombuffer(b"\x89PNG", np.uint8)) is None
+
+
+def test_jpeg_in_image_decode_and_media_decoder(ray_session):
+    """jpeg payloads surface through image_decode (format/px_sum/
+    first_px) and MediaDecoder raw mode (real pixel features)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.textpipe import (MediaDecoder,
+                                                 encode_jpeg_baseline,
+                                                 image_decode)
+
+    q1 = np.ones((8, 8), np.int32)
+    c = np.zeros((8, 8), np.int64)
+    c[0, 0] = 8 * (77 - 128)
+    jb = encode_jpeg_baseline([c], None, None, 8, 8, (1, 1), q1, q1)
+    df = pd.DataFrame({"doc_id": [1], "payload": [jb]})
+    out = image_decode(rd.from_pandas(df)).to_pandas().iloc[0]
+    assert out["format"] == "jpeg"
+    assert out["width"] == 8 and out["height"] == 8
+    assert out["px_sum"] == 64 * 77 and out["first_px"] == 77
+
+    md = MediaDecoder(mode="raw")
+    img = md._decode(jb)
+    assert img.shape == (8, 8, 3) and (img == 77).all()

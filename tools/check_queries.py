@@ -3,6 +3,11 @@
 sf dir, compare row count + schema + order-insensitive value hash.
 
 Usage: python tools/check_queries.py [sf_dir] [query ...]
+       python tools/check_queries.py --json OUT.json [sf_dir] [query ...]
+
+``--json`` additionally writes a machine-readable per-query manifest
+(status, rows, wall seconds, check kind) — the auditable full-gate
+artifact (VERDICT r4 #6: GATE_REPLICA_r{N}.json).
 """
 
 from __future__ import annotations
@@ -51,8 +56,13 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import ray
 
@@ -73,6 +83,7 @@ def main() -> int:
     qs, sqls = E.queries(), E.oracle_sql()
     failures = 0
     times: list[tuple[float, str]] = []
+    manifest: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -82,16 +93,26 @@ def main() -> int:
         except Exception as ex:
             print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
             failures += 1
+            manifest[name] = {"status": "FAIL", "check": "raise",
+                              "error": f"{type(ex).__name__}: {ex}"}
             continue
         dt = time.perf_counter() - t0
         times.append((dt, name))
         if name not in sqls:
             print(f"ok   {name}: rows-only, {len(got)} rows  [{dt:.2f}s]")
+            manifest[name] = {"status": "PASS", "check": "rows-only",
+                              "rows": len(got), "sec": round(dt, 2)}
             continue
         want = con.sql(sqls[name]).df()
         ok_rows = len(got) == len(want)
         ok_cols = sorted(got.columns) == sorted(want.columns)
         ok_hash = ok_rows and ok_cols and value_hash(got) == value_hash(want)
+        manifest[name] = {
+            "status": "PASS" if ok_hash else "FAIL",
+            "check": "sql-hash", "rows": len(got),
+            "oracle_rows": len(want), "sec": round(dt, 2),
+            "rows_match": ok_rows, "schema_match": ok_cols,
+            "hash_match": bool(ok_hash)}
         if ok_hash:
             print(f"PASS {name}: {len(got)} rows  [{dt:.2f}s]")
         else:
@@ -109,6 +130,15 @@ def main() -> int:
               "queries; 10 slowest:")
         for dt, name in sorted(times, reverse=True)[:10]:
             print(f"  {dt:7.2f}s  {name}")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir,
+                       "n_queries": len(manifest),
+                       "n_fail": failures,
+                       "queries": manifest}, f, indent=1, sort_keys=True)
+        print(f"manifest -> {json_out}")
     ray.shutdown()
     return failures
 

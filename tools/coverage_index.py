@@ -68,7 +68,23 @@ def main() -> int:
             print("COVERAGE.md generated totals are STALE — run "
                   "python tools/coverage_index.py")
             return 1
-        print("COVERAGE.md totals up to date")
+        # VERDICT r4 #8: every queries() key must appear as a
+        # backticked reference in the HAND-WRITTEN part of
+        # COVERAGE.md — a gate entry can't land undocumented.
+        sys.path.insert(0, str(REPO))
+        import __ray_entry__ as entry
+
+        head2, rest2 = text.split(BEGIN, 1)
+        _, tail2 = rest2.split(END, 1)
+        manual = head2 + tail2
+        undocumented = sorted(
+            k for k in entry.queries() if f"`{k}`" not in manual)
+        if undocumented:
+            print("COVERAGE.md is missing table rows for gate "
+                  f"queries: {undocumented}")
+            return 1
+        print("COVERAGE.md totals up to date; all "
+              f"{len(entry.queries())} gate queries documented")
         return 0
     if new != text:
         path.write_text(new)
