@@ -5301,7 +5301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_pairs": q_simhash_near_pairs,  # pigeonhole chunks + hamming (SQL-checked)
         "langid": q_langid,  # trigram-profile argmax + quality cols (SQL-checked)
         "ivf_buckets": q_ivf_buckets,  # nearest-centroid assignment (SQL-checked)
-        "ann_ivf": q_ann_ivf,
+        "ann_ivf": q_ann_ivf,  # IVF probe top-k (SQL-checked since r5)
         "ann_pq": q_ann_pq,  # product-quantization ADC top-k (rows-only: iterative)
         "ann_ivfpq": q_ann_ivfpq,  # IVF-PQ residual ADC (rows-only: iterative)
         "embedding_near_pairs": q_embedding_near_pairs,
@@ -9223,5 +9223,38 @@ def oracle_sql() -> dict[str, str]:
             "FROM sc) "
             "SELECT vec_id, CAST(cidx AS INTEGER) AS ivf_bucket "
             "FROM b WHERE r = 1"
+        ),
+        # IVF probe search replay: same centroid rule as ivf_buckets,
+        # per-query top-3 probe buckets, candidates from probed
+        # buckets only (self excluded), cos rounded to 4 decimals
+        # BEFORE ranking (the engine's CosineTopK contract), top-5 by
+        # (cos desc, vec_id asc)
+        "ann_ivf": (
+            "WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 "
+            "AS cidx, embedding FROM (SELECT vec_id, embedding "
+            "FROM embeddings ORDER BY vec_id LIMIT 8)), "
+            "q AS (SELECT vec_id AS qid, embedding AS qe "
+            "FROM embeddings WHERE vec_id < 3), "
+            "probe AS (SELECT qid, cidx FROM ("
+            "SELECT q.qid, c.cidx, row_number() OVER "
+            "(PARTITION BY q.qid ORDER BY list_cosine_similarity("
+            "CAST(c.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) "
+            "DESC, c.cidx) AS r FROM q CROSS JOIN c) WHERE r <= 3), "
+            "assign AS (SELECT vec_id, cidx AS bucket FROM ("
+            "SELECT e.vec_id, c.cidx, row_number() OVER "
+            "(PARTITION BY e.vec_id ORDER BY list_cosine_similarity("
+            "CAST(e.embedding AS DOUBLE[]), CAST(c.embedding "
+            "AS DOUBLE[])) DESC, c.cidx) AS r "
+            "FROM embeddings e CROSS JOIN c) WHERE r = 1), "
+            "cand AS (SELECT q.qid, e.vec_id, "
+            "round(list_cosine_similarity(CAST(e.embedding "
+            "AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) AS cos "
+            "FROM q JOIN assign a ON TRUE "
+            "JOIN probe p ON p.qid = q.qid AND p.cidx = a.bucket "
+            "JOIN embeddings e ON e.vec_id = a.vec_id "
+            "WHERE e.vec_id <> q.qid) "
+            "SELECT qid, vec_id, cos FROM (SELECT qid, vec_id, cos, "
+            "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, "
+            "vec_id) AS r FROM cand) WHERE r <= 5"
         ),
     }

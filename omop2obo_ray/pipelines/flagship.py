@@ -72,13 +72,18 @@ def derive_lexicon_from_corpus(sf_dir: str, n_classes: int = 48,
     )
 
 
-def documents_as_pages(sf_dir: str, repeat: int = 1) -> Dataset:
+def documents_as_pages(sf_dir: str, repeat: int = 1,
+                       dup_urls: bool = False) -> Dataset:
     """documents → pages (input_hint shape) with the canonical HTML
     template, so the byte-identical extraction invariant is exercised.
 
     ``repeat`` deterministically replicates every document under
     distinct urls (``…/doc/{i}?r={k}``) — used by the scaling benchmark
-    to grow the same input so compute dominates fixed startup cost."""
+    to grow the same input so compute dominates fixed startup cost.
+    ``dup_urls=True`` makes consecutive repeat pairs SHARE a url
+    (identical content), producing a 50%-duplicate crawl — the input
+    shape the bucketed-assembly fallback + pre-shuffle dedup exist
+    for (VERDICT r4 #7)."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang"])
     epoch = _dt.datetime(2024, 1, 1)
@@ -89,7 +94,8 @@ def documents_as_pages(sf_dir: str, repeat: int = 1) -> Dataset:
         langs = batch["lang"].to_pylist()
         urls, tss, htmls, out_texts, out_langs = [], [], [], [], []
         for r in range(repeat):
-            suffix = "" if r == 0 else f"?r={r}"
+            rr = r // 2 if dup_urls else r
+            suffix = "" if rr == 0 else f"?r={rr}"
             for i, t, lg in zip(ids, texts, langs):
                 title = f"doc {i}"
                 urls.append(f"https://testdata.local/doc/{i}{suffix}")
@@ -116,7 +122,8 @@ def documents_as_pages(sf_dir: str, repeat: int = 1) -> Dataset:
 
 def kg_over_documents(sf_dir: str, cfg: PipelineConfig | None = None,
                       lexicon: Lexicon | None = None, repeat: int = 1,
-                      cfg_overrides: dict | None = None) -> Dataset:
+                      cfg_overrides: dict | None = None,
+                      dup_urls: bool = False) -> Dataset:
     """Full flagship: documents-as-pages → tiered linking → triples.
 
     All languages are admitted (the documents table is multi-lingual by
@@ -138,5 +145,6 @@ def kg_over_documents(sf_dir: str, cfg: PipelineConfig | None = None,
     if cfg_overrides:
         cfg = cfg.with_(**cfg_overrides)
     lexicon = lexicon or derive_lexicon_from_corpus(sf_dir)
-    pages = documents_as_pages(sf_dir, repeat=repeat)
+    pages = documents_as_pages(sf_dir, repeat=repeat,
+                               dup_urls=dup_urls)
     return build_kg(pages, lexicon, cfg)

@@ -177,3 +177,21 @@ def test_fold_in_retry_replay_is_exact(ray_session):
         rd.from_arrow(pa.concat_tables([b1, b2])))
     assert want[("pain", "hp")] == "HP_B"  # support 3 beats 2
     assert got == want  # double-counted b1 (4) would have flipped to HP_A
+
+
+def test_documents_as_pages_dup_urls(ray_session):
+    """dup_urls=True (the bench's duplicate-heavy-crawl shape,
+    VERDICT r4 #7): consecutive repeat pairs share a url with
+    byte-identical html, so exactly 50% of pages are duplicates."""
+    from omop2obo_ray.pipelines.flagship import documents_as_pages
+
+    pages = documents_as_pages("/root/testdata/sf0.001", repeat=4,
+                               dup_urls=True).to_pandas()
+    vc = pages["url"].value_counts()
+    assert (vc == 2).all()
+    assert (pages.groupby("url")["html"].nunique() == 1).all()
+    # unique mode unchanged: every url distinct
+    uniq = documents_as_pages("/root/testdata/sf0.001",
+                              repeat=4).to_pandas()
+    assert uniq["url"].is_unique
+    assert len(uniq) == len(pages)

@@ -6,6 +6,9 @@ store cannot hold.
 
 Usage:  python tools/soak.py            # REPEAT=384, 8 GiB store
         SOAK_REPEAT=512 SOAK_STORE_GB=6 python tools/soak.py
+        SOAK_MODE=corpus_sampled python tools/soak.py   # r4 #5: the
+        # recommended corpus-weighted mode at scale, soaked under the
+        # same capped store
 
 Prints ONE json line: wall, pages/s, triples, spilled bytes (peak
 spill-directory size sampled during the run — the grpc-backed
@@ -26,6 +29,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPEAT = int(os.environ.get("SOAK_REPEAT", "384"))
 STORE_GB = float(os.environ.get("SOAK_STORE_GB", "8"))
+MODE = os.environ.get("SOAK_MODE", "corpus")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 TEMP_DIR = "/tmp/ray_soak"
 
@@ -79,7 +83,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     kg_over_documents(SF_DIR, lexicon=lexicon, repeat=REPEAT,
-                      cfg_overrides={"canonical_mode": "corpus"}
+                      cfg_overrides={"canonical_mode": MODE}
                       ).write_parquet(out_dir)
     wall = round(time.perf_counter() - t0, 3)
     stop.set()
@@ -96,7 +100,7 @@ def main() -> None:
     n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
     pages = n_docs * REPEAT
     print(json.dumps({
-        "metric": "soak_corpus_mode",
+        "metric": f"soak_{MODE}_mode",
         "sf": SF_DIR, "repeat": REPEAT, "num_cpus": NUM_CPUS,
         "object_store_gb": STORE_GB,
         "wall_sec": wall, "pages": pages,
