@@ -5294,7 +5294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": q_dedup_minhash,  # MinHash+LSH verify (SQL-checked, md5 replay)
         "near_dup_join": q_near_dup_join,  # cross-corpus contamination (SQL-checked, md5 replay)
         "dup_clusters": q_dup_clusters,  # CC over verified pairs (SQL-checked, recursive CTE)
-        "remove_dup_spans": q_remove_dup_spans,  # Lee'22 substring-dedup transform (keeper election — not SQL-expressible)
+        "remove_dup_spans": q_remove_dup_spans,  # Lee'22 substring-dedup transform (SQL-checked since r5)
         "dup_clusters_distributed": q_dup_clusters_distributed,  # (SQL-checked, recursive CTE)
         "near_dedup_corpus": q_near_dedup_corpus,  # keeper election (SQL-checked)
         "simhash": q_simhash,  # 64-bit bit voting (SQL-checked, md5 replay)
@@ -6045,6 +6045,43 @@ def oracle_sql() -> dict[str, str]:
             "k % 4 + 1 AS width, k % 3 + 1 AS height, "
             "CAST(sum((k + i) % 251) AS BIGINT) AS px_sum, "
             "k % 251 AS first_px FROM px GROUP BY k"
+        ),
+        # Lee'22 duplicated-span removal replay: 5-grams per (doc,
+        # pos), duplicated when in >=2 distinct docs, min-doc keeper
+        # keeps its text, others mask the gram's 5 token positions;
+        # unaffected docs pass through byte-identical, rewritten docs
+        # join surviving ORIGINAL-CASE tokens with single spaces,
+        # fully-masked docs drop
+        "remove_dup_spans": (
+            "WITH lists AS (SELECT doc_id, text, "
+            "regexp_extract_all(lower(text), '[a-z0-9_]+') AS l, "
+            "regexp_extract_all(text, '[a-zA-Z0-9_]+') AS lo "
+            "FROM documents), "
+            "gram AS (SELECT doc_id, i AS pos, l[i+1] || ' ' || "
+            "l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] || ' ' || "
+            "l[i+5] AS g FROM (SELECT doc_id, l, len(l) AS nt, "
+            "unnest(range(len(l))) AS i FROM lists) WHERE i + 5 <= nt), "
+            "dup AS (SELECT g, min(doc_id) AS keeper FROM "
+            "(SELECT DISTINCT doc_id, g FROM gram) GROUP BY g "
+            "HAVING count(*) >= 2), "
+            "maskpos AS (SELECT DISTINCT gr.doc_id, gr.pos + o.o "
+            "AS tpos FROM gram gr JOIN dup d ON d.g = gr.g "
+            "AND d.keeper <> gr.doc_id CROSS JOIN "
+            "(SELECT unnest(range(5)) AS o) o), "
+            "aff AS (SELECT DISTINCT doc_id FROM maskpos), "
+            "surv AS (SELECT t.doc_id, t.i AS pos, t.lo[t.i+1] AS w "
+            "FROM (SELECT doc_id, lo, len(lo) AS nt, "
+            "unnest(range(len(lo))) AS i FROM lists) t "
+            "JOIN aff USING (doc_id) WHERE NOT EXISTS "
+            "(SELECT 1 FROM maskpos m WHERE m.doc_id = t.doc_id "
+            "AND m.tpos = t.i)), "
+            "rew AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) "
+            "AS text FROM surv GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(r.text, d.text) AS text "
+            "FROM documents d "
+            "LEFT JOIN aff a ON a.doc_id = d.doc_id "
+            "LEFT JOIN rew r ON r.doc_id = d.doc_id "
+            "WHERE a.doc_id IS NULL OR r.doc_id IS NOT NULL"
         ),
         "jpeg_decode": (
             "SELECT o_orderkey AS doc_id, 'jpeg' AS format, "
