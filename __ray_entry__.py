@@ -5257,7 +5257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_rank": q_window_rank,        # RANK/DENSE_RANK window family (SQL-checked)
         "window_pct": q_window_pct,          # PERCENT_RANK/CUME_DIST window family (SQL-checked)
         "ewma": q_ewma,                      # per-key exponentially weighted moving average (SQL-checked)
-        "mmr_rerank": q_mmr_rerank,          # MMR diversified top-k (rows-only: greedy argmax)
+        "mmr_rerank": q_mmr_rerank,          # MMR diversified top-k (SQL-checked since r5: k chained greedy CTEs)
         "skipgram_pairs": q_skipgram_pairs,  # item2vec context-pair counts (SQL-checked)
         "cap_per_key": q_cap_per_key,        # deterministic per-key row cap (SQL-checked)
         "scalar_quantize": q_scalar_quantize,  # SQ8 embedding codes, exact gate (SQL-checked)
@@ -5305,7 +5305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq": q_ann_pq,  # product-quantization ADC top-k (rows-only: iterative)
         "ann_ivfpq": q_ann_ivfpq,  # IVF-PQ residual ADC (rows-only: iterative)
         "embedding_near_pairs": q_embedding_near_pairs,
-        "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
+        "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,  # hyperplane LSH collide+verify (SQL-checked since r5)
         "semantic_dedup": q_semantic_dedup,  # SemDeDup (rows-only: iterative)
         "nb_classify": q_nb_classify,  # Naive Bayes train+score (SQL-checked)
         "lm_perplexity": q_lm_perplexity,  # char-bigram LM quality score (SQL-checked)
@@ -5514,6 +5514,101 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter i JOIN ssz za ON za.k = i.ka "
             "JOIN ssz zb ON zb.k = i.kb "
             "WHERE i.ni::DOUBLE / (za.ns + zb.ns - i.ni) >= 0.8)")
+
+    def _lsh_pairs_sql() -> str:
+        """Random-hyperplane LSH replay: the (dim x 32) Gaussian plane
+        matrix is a pinned CONSTANT (RandomState(424242) — same
+        instance the engine builds), inlined as VALUES rows with
+        full %.17g precision so DuckDB parses the identical doubles.
+        Sign-band codes (8 bands x 4 bits), star-capped collide,
+        round-6 cosine verify >= 0.3 on rounded values — the exact
+        engine semantics."""
+        import numpy as np
+
+        rng = np.random.RandomState(424242)
+        planes = rng.randn(64, 32)
+        vals = ", ".join(
+            f"({d}, {pl}, {v:.17g})"
+            for d in range(64) for pl, v in enumerate(planes[d]))
+        return (
+            "WITH emb2 AS MATERIALIZED (SELECT vec_id, "
+            "CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+            f"pl(d, p, v) AS (VALUES {vals}), "
+            "proj AS MATERIALIZED (SELECT e.vec_id, pl.p, "
+            "sum(e.e[pl.d + 1] * pl.v) AS x FROM emb2 e "
+            "CROSS JOIN pl GROUP BY e.vec_id, pl.p), "
+            # band code: 4 sign bits per band, bit j of band b is
+            # plane 4b+j; engine folds band into bits 56+
+            "code AS MATERIALIZED (SELECT vec_id, p // 4 AS band, "
+            "CAST(sum(CASE WHEN x >= 0 THEN 1 << CAST(p % 4 AS "
+            "INTEGER) ELSE 0 END) AS BIGINT) AS c "
+            "FROM proj GROUP BY vec_id, p // 4), "
+            "bux AS MATERIALIZED (SELECT DISTINCT band, c, vec_id "
+            "FROM code), "
+            "bsz AS (SELECT band, c, count(*) AS n, min(vec_id) AS mn "
+            "FROM bux GROUP BY band, c), "
+            "cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS doc_a, "
+            "b.vec_id AS doc_b FROM bux a JOIN bux b "
+            "ON a.band = b.band AND a.c = b.c "
+            "AND a.vec_id < b.vec_id "
+            "JOIN bsz z ON z.band = a.band AND z.c = a.c "
+            "WHERE z.n <= 256 OR a.vec_id = z.mn), "
+            "ver AS (SELECT c.doc_a, c.doc_b, "
+            "round(list_cosine_similarity(ea.e, eb.e), 6) AS cos "
+            "FROM cand c JOIN emb2 ea ON ea.vec_id = c.doc_a "
+            "JOIN emb2 eb ON eb.vec_id = c.doc_b) "
+            "SELECT doc_a, doc_b, cos FROM ver WHERE cos >= 0.3")
+
+    def _mmr_sql(k: int = 10) -> str:
+        """Greedy MMR replay as k chained CTEs: candidates = brute
+        top-50 (rounded-4 cos, self excluded), per step pick argmax
+        of lam*rel - (1-lam)*max-sim-to-selected with the engine's
+        (mmr desc, rel desc, vec_id asc) tie order. The (1-lam)
+        factor is forced through DOUBLE so it equals Python's
+        1 - 0.7 = 0.30000000000000004 bit-for-bit."""
+        head = (
+            "WITH emb2 AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) "
+            "AS e FROM embeddings), "
+            "qq AS (SELECT vec_id AS qid, e AS qe FROM emb2 "
+            "WHERE vec_id < 3), "
+            "scx AS MATERIALIZED (SELECT qq.qid, e.vec_id, "
+            "round(list_cosine_similarity(e.e, qq.qe), 4) AS rel "
+            "FROM qq JOIN emb2 e ON e.vec_id <> qq.qid), "
+            "cand AS MATERIALIZED (SELECT qid, vec_id, rel FROM (SELECT qid, "
+            "vec_id, rel, row_number() OVER (PARTITION BY qid "
+            "ORDER BY rel DESC, vec_id) AS r FROM scx) WHERE r <= 50), "
+            "simx AS MATERIALIZED (SELECT c1.qid, c1.vec_id AS a, c2.vec_id AS b, "
+            "list_cosine_similarity(e1.e, e2.e) AS s "
+            "FROM cand c1 JOIN cand c2 ON c1.qid = c2.qid "
+            "JOIN emb2 e1 ON e1.vec_id = c1.vec_id "
+            "JOIN emb2 e2 ON e2.vec_id = c2.vec_id), "
+            "p1 AS MATERIALIZED (SELECT qid, vec_id FROM (SELECT qid, vec_id, "
+            "row_number() OVER (PARTITION BY qid ORDER BY rel DESC, "
+            "vec_id) AS r FROM cand) WHERE r = 1), "
+            "s1 AS MATERIALIZED (SELECT qid, vec_id FROM p1)")
+        parts = [head]
+        lam = "0.7::DOUBLE"
+        one_m = "(1.0::DOUBLE - 0.7::DOUBLE)"
+        for t in range(1, k):
+            parts.append(
+                f", mts{t} AS MATERIALIZED (SELECT c.qid, c.vec_id, max(si.s) AS m "
+                f"FROM cand c JOIN s{t} sel ON sel.qid = c.qid "
+                f"JOIN simx si ON si.qid = c.qid AND si.a = c.vec_id "
+                f"AND si.b = sel.vec_id GROUP BY c.qid, c.vec_id)"
+                f", p{t + 1} AS MATERIALIZED (SELECT qid, vec_id FROM ("
+                f"SELECT c.qid, c.vec_id, row_number() OVER ("
+                f"PARTITION BY c.qid ORDER BY ({lam} * c.rel - "
+                f"{one_m} * m.m) DESC, c.rel DESC, c.vec_id) AS r "
+                f"FROM cand c JOIN mts{t} m ON m.qid = c.qid "
+                f"AND m.vec_id = c.vec_id WHERE NOT EXISTS ("
+                f"SELECT 1 FROM s{t} s WHERE s.qid = c.qid "
+                f"AND s.vec_id = c.vec_id)) WHERE r = 1)"
+                f", s{t + 1} AS MATERIALIZED (SELECT * FROM s{t} "
+                f"UNION ALL SELECT * FROM p{t + 1})")
+        tail = " " + " UNION ALL ".join(
+            f"SELECT qid, vec_id, CAST({t} AS BIGINT) AS mmr_rank "
+            f"FROM p{t}" for t in range(1, k + 1))
+        return "".join(parts) + tail
 
     _MINHASH_DOC = _minhash_ctes(
         "(SELECT doc_id AS k, text FROM documents)")
@@ -9294,4 +9389,6 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, "
             "vec_id) AS r FROM cand) WHERE r <= 5"
         ),
+        "mmr_rerank": _mmr_sql(10),
+        "embedding_near_pairs_lsh": _lsh_pairs_sql(),
     }
