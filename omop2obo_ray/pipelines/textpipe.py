@@ -2120,14 +2120,566 @@ def encode_jpeg_baseline(y_blocks, cb_blocks, cr_blocks, w, h,
 
 # ---------------------------------------------------------------- decoder
 
+# ---------------------------------------------------------------------------
+# progressive JPEG (SOF2) — real decode + minimal test encoder
+# ---------------------------------------------------------------------------
+# Closes the remaining "progressive JPEG is a fake" gap: full
+# spectral-selection + successive-approximation decode per ITU T.81
+# G.2 (DC first/refine, AC first/refine with EOBRUN, libjpeg's
+# decode_mcu_AC_refine correction-bit semantics), then the same
+# dequant/IDCT/upsample/color tail as the baseline path. The encoder
+# exists for tests and planted gates; it emits one-bit-per-scan
+# refinement scripts and a flat 256-symbol AC table (Annex K tables
+# carry no EOBn>0 symbols). Oracle: progressive is LOSSLESS at the
+# coefficient level — pytest round-trips random coefficient matrices
+# through encode->decode and requires exact equality.
+
+# --- progressive (SOF2) JPEG: test/gate encoder ---
+
+# The Annex K AC tables carry no EOBn (n>0) symbols — baseline never
+# uses them. Progressive scans need them, so the test encoder ships a
+# flat canonical table covering ALL 256 symbols (128 at length 8,
+# 128 at length 9 — Kraft 0.75, legal if suboptimal).
+_PROG_AC = ([0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0],
+            list(range(256)))
+
+
+class _AcFirstState:
+    def __init__(self, bw, codes, al):
+        self.bw, self.codes, self.al = bw, codes, al
+        self.eobrun = 0
+
+    def flush_eob(self):
+        if self.eobrun <= 0:
+            return
+        r = self.eobrun.bit_length() - 1
+        c, ln = self.codes[r << 4]
+        self.bw.put(c, ln)
+        if r:
+            self.bw.put(self.eobrun - (1 << r), r)
+        self.eobrun = 0
+
+    def block(self, zz):
+        al = self.al
+        vals = np.where(zz >= 0, zz >> al, -((-zz) >> al))
+        nz = np.flatnonzero(vals[1:]) + 1
+        if nz.size == 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eob()
+            return
+        self.flush_eob()
+        last = nz[-1]
+        run = 0
+        for k in range(1, last + 1):
+            v = int(vals[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = self.codes[0xF0]
+                self.bw.put(c, ln)
+                run -= 16
+            size, bits = _mag_bits(v)
+            c, ln = self.codes[(run << 4) | size]
+            self.bw.put(c, ln)
+            self.bw.put(bits, size)
+            run = 0
+        if last < 63:
+            self.eobrun += 1
+
+
+class _AcRefineState:
+    """libjpeg encode_mcu_AC_refine port (G.1.2.3)."""
+
+    def __init__(self, bw, codes, al):
+        self.bw, self.codes, self.al = bw, codes, al
+        self.eobrun = 0
+        self.be: list[int] = []  # buffered correction bits
+
+    def _emit_eobrun(self):
+        if self.eobrun <= 0:
+            # still flush pending bits that ride with next symbol? no:
+            return
+        r = self.eobrun.bit_length() - 1
+        c, ln = self.codes[r << 4]
+        self.bw.put(c, ln)
+        if r:
+            self.bw.put(self.eobrun - (1 << r), r)
+        for b in self.be:
+            self.bw.put(b, 1)
+        self.be.clear()
+        self.eobrun = 0
+
+    def block(self, zz, signs):
+        al = self.al
+        absv = np.abs(zz)
+        temp = absv >> al
+        eob = 0
+        for k in range(1, 64):
+            if temp[k] == 1:
+                eob = k
+        r = 0
+        br: list[int] = []
+        for k in range(1, 64):
+            t = int(temp[k])
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                self._emit_eobrun()
+                c, ln = self.codes[0xF0]
+                self.bw.put(c, ln)
+                r -= 16
+                for b in br:
+                    self.bw.put(b, 1)
+                br.clear()
+            if t > 1:
+                br.append(t & 1)
+                continue
+            # newly significant
+            self._emit_eobrun()
+            c, ln = self.codes[(r << 4) | 1]
+            self.bw.put(c, ln)
+            self.bw.put(0 if zz[k] < 0 else 1, 1)
+            for b in br:
+                self.bw.put(b, 1)
+            br.clear()
+            r = 0
+        if r > 0 or br:
+            self.eobrun += 1
+            self.be.extend(br)
+            if self.eobrun == 0x7FFF or len(self.be) > 900:
+                self._emit_eobrun()
+
+    def finish(self):
+        self._emit_eobrun()
+
+
+def encode_progressive(y_blocks, cb_blocks, cr_blocks, w, h, sampling,
+                      qy, qc, dc_split=1, ac_split=1):
+    """Progressive (SOF2) writer exercising all four scan kinds:
+    interleaved DC first (Al=dc_split) + DC refine, then per
+    component AC first (Ss=1..63, Al=ac_split) + AC refine.
+    Inputs are QUANTIZED coefficient blocks (natural order), Y in MCU
+    scan order, chroma in raster order."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(marker)
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    hs, vs = sampling
+    gray = cb_blocks is None
+    seg(b"\xff\xdb", bytes([0]) + bytes(qy.ravel()[_ZZ].astype(np.uint8)))
+    if not gray:
+        seg(b"\xff\xdb", bytes([1]) + bytes(qc.ravel()[_ZZ].astype(np.uint8)))
+    if gray:
+        comps = bytes([1, 0x11, 0])
+        ncomp = 1
+    else:
+        comps = bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1])
+        ncomp = 3
+    seg(b"\xff\xc2", bytes([8]) + struct.pack(">HH", h, w)
+        + bytes([ncomp]) + comps)
+    for cls, tid, (bits, vals) in (
+            [(0, 0, _STD_DC_LUM), (1, 0, _PROG_AC)] +
+            ([] if gray else [(0, 1, _STD_DC_CHR)])):
+        seg(b"\xff\xc4", bytes([(cls << 4) | tid]) + bytes(bits)
+            + bytes(vals))
+
+    dc_l = _huff_codes(*_STD_DC_LUM)
+    dc_c = _huff_codes(*_STD_DC_CHR)
+    ac_l = _huff_codes(*_PROG_AC)
+    ac_c = ac_l
+
+    comps_blocks = [y_blocks] if gray else [y_blocks, cb_blocks, cr_blocks]
+    n_mcux = (w + 8 * hs - 1) // (8 * hs)
+    n_mcuy = (h + 8 * vs - 1) // (8 * vs)
+    order = []
+    if gray:
+        order = [(0, i) for i in range(len(y_blocks))]
+    else:
+        yi = ci = 0
+        for _m in range(n_mcux * n_mcuy):
+            for _ in range(hs * vs):
+                order.append((0, yi))
+                yi += 1
+            order.append((1, ci))
+            order.append((2, ci))
+            ci += 1
+
+    # scan 1: DC first (interleaved), Ah=0 Al=dc_split
+    if gray:
+        seg(b"\xff\xda", bytes([1, 1, 0x00, 0, 0, dc_split]))
+    else:
+        seg(b"\xff\xda", bytes([3, 1, 0x00, 2, 0x11, 3, 0x11,
+                                0, 0, dc_split]))
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for comp, bi in order:
+        dct = dc_l if comp == 0 else dc_c
+        v = int(comps_blocks[comp][bi][0, 0]) >> dc_split
+        diff = v - pred[comp]
+        pred[comp] = v
+        size, bits_ = _mag_bits(diff)
+        c, ln = dct[size]
+        bw.put(c, ln)
+        if size:
+            bw.put(bits_, size)
+    out.extend(bw.flush())
+
+    # DC refinement: ONE BIT PER SCAN (Ah=d, Al=d-1), per spec
+    for d in range(dc_split, 0, -1):
+        if gray:
+            seg(b"\xff\xda", bytes([1, 1, 0x00, 0, 0,
+                                    (d << 4) | (d - 1)]))
+        else:
+            seg(b"\xff\xda", bytes([3, 1, 0x00, 2, 0x11, 3, 0x11,
+                                    0, 0, (d << 4) | (d - 1)]))
+        bw = _BitWriter()
+        for comp, bi in order:
+            bw.put((int(comps_blocks[comp][bi][0, 0]) >> (d - 1)) & 1, 1)
+        out.extend(bw.flush())
+
+    # per component AC scans (non-interleaved: the TRUE block grid,
+    # MCU padding blocks are never transmitted per spec)
+    for comp in range(ncomp):
+        acc = ac_l if comp == 0 else ac_c
+        all_blocks = comps_blocks[comp]
+        ch = hs if comp == 0 else 1
+        cv = vs if comp == 0 else 1
+        cw = -(-w * ch // hs)
+        chh = -(-h * cv // vs)
+        wb_t, hb_t = -(-cw // 8), -(-chh // 8)
+
+        def _grid_index(byy, bx, ch=ch, cv=cv):
+            my, v = byy // cv, byy % cv
+            mx, hb_ = bx // ch, bx % ch
+            return ((my * n_mcux + mx) * ch * cv + v * ch + hb_) \
+                if comp == 0 else (my * n_mcux + mx)
+
+        blocks = [all_blocks[_grid_index(byy, bx)]
+                  for byy in range(hb_t) for bx in range(wb_t)]
+        tsel = 0x00 if comp == 0 else 0x10  # dc tbl 1, ac tbl 0
+        seg(b"\xff\xda", bytes([1, comp + 1, tsel, 1, 63, ac_split]))
+        bw = _BitWriter()
+        st = _AcFirstState(bw, acc, ac_split)
+        for blk in blocks:
+            st.block(blk.ravel()[_ZZ].astype(np.int64))
+        st.flush_eob()
+        out.extend(bw.flush())
+
+        # AC refinement: one bit per scan (Ah=a, Al=a-1)
+        for a in range(ac_split, 0, -1):
+            seg(b"\xff\xda", bytes([1, comp + 1, tsel, 1, 63,
+                                    (a << 4) | (a - 1)]))
+            bw = _BitWriter()
+            st = _AcRefineState(bw, acc, a - 1)
+            for blk in blocks:
+                st.block(blk.ravel()[_ZZ].astype(np.int64), None)
+            st.finish()
+            out.extend(bw.flush())
+
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# --- progressive (SOF2) JPEG: decoder ---
+
+def decode_progressive_coeffs(buf):
+    """Parse an SOF2 stream; return per-component coefficient arrays
+    (natural-order int32 (hb, wb, 8, 8)) + header info, or None."""
+    n = len(buf)
+    if n < 4 or buf[0] != 0xFF or buf[1] != 0xD8:
+        return None
+    pos = 2
+    qt = {}
+    huff = {}
+    sof = None
+    dri = 0
+    state = None  # per-component coef storage
+    eobrun = 0
+    try:
+        while pos + 4 <= n:
+            if buf[pos] != 0xFF:
+                return None
+            marker = int(buf[pos + 1])
+            pos += 2
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue
+            if marker == 0xD9:
+                break
+            ln = (int(buf[pos]) << 8) | int(buf[pos + 1])
+            body = pos + 2
+            end = pos + ln
+            if end > n:
+                return None
+            if marker == 0xDB:
+                p = body
+                while p < end:
+                    pq, tq = int(buf[p]) >> 4, int(buf[p]) & 15
+                    p += 1
+                    if pq != 0:
+                        return None
+                    tab = np.zeros(64, np.int32)
+                    tab[_ZZ] = np.asarray(buf[p:p + 64], np.int32)
+                    qt[tq] = tab.reshape(8, 8)
+                    p += 64
+            elif marker == 0xC4:
+                p = body
+                while p < end:
+                    tc, th = int(buf[p]) >> 4, int(buf[p]) & 15
+                    p += 1
+                    bits = [int(x) for x in buf[p:p + 16]]
+                    p += 16
+                    nv = sum(bits)
+                    vals = [int(x) for x in buf[p:p + nv]]
+                    p += nv
+                    huff[(tc, th)] = _huff_decode_tables(bits, vals)
+            elif marker == 0xC2:
+                prec = int(buf[body])
+                if prec != 8:
+                    return None
+                hh = (int(buf[body + 1]) << 8) | int(buf[body + 2])
+                ww = (int(buf[body + 3]) << 8) | int(buf[body + 4])
+                nc = int(buf[body + 5])
+                comps = []
+                p = body + 6
+                for _ in range(nc):
+                    cid = int(buf[p])
+                    hv = int(buf[p + 1])
+                    tq = int(buf[p + 2])
+                    comps.append((cid, hv >> 4, hv & 15, tq))
+                    p += 3
+                sof = (ww, hh, comps)
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = (ww + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (hh + 8 * vmax - 1) // (8 * vmax)
+                state = {}
+                for cid, ch, cv, tq in comps:
+                    state[cid] = np.zeros(
+                        (mcuy * cv, mcux * ch, 64), np.int32)
+            elif marker == 0xDD:
+                dri = (int(buf[body]) << 8) | int(buf[body + 1])
+            elif marker == 0xDA:
+                if sof is None or state is None:
+                    return None
+                ns = int(buf[body])
+                scomp = []
+                p = body + 1
+                for _ in range(ns):
+                    cs = int(buf[p])
+                    td, ta = int(buf[p + 1]) >> 4, int(buf[p + 1]) & 15
+                    scomp.append((cs, td, ta))
+                    p += 2
+                ss = int(buf[p])
+                se = int(buf[p + 1])
+                ah = int(buf[p + 2]) >> 4
+                al = int(buf[p + 2]) & 15
+                pos = _prog_scan(buf, p + 3, sof, scomp, huff, state,
+                                 ss, se, ah, al, dri)
+                continue
+            pos = end
+    except (IndexError, KeyError, ValueError):
+        return None
+    if sof is None or state is None:
+        return None
+    return sof, qt, state
+
+
+def _prog_scan(buf, pos, sof, scomp, huff, state, ss, se, ah, al, dri):
+    """One progressive scan; returns stream position after it."""
+    w, h, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c[0]: c for c in comps}
+    br = _BitReader(buf, pos)
+    eobrun = 0
+    pred = {cs: 0 for cs, _, _ in scomp}
+
+    def restart_check(unit_count):
+        nonlocal eobrun
+        if dri and unit_count and unit_count % dri == 0:
+            br.align_to_marker()
+            b2 = br.buf
+            if br.pos + 1 < len(b2) and b2[br.pos] == 0xFF \
+                    and 0xD0 <= b2[br.pos + 1] <= 0xD7:
+                br.pos += 2
+            for k in pred:
+                pred[k] = 0
+            eobrun = 0
+
+    if ss == 0:
+        # DC scan (interleaved over all scan components, or single)
+        if len(scomp) > 1 or len(comps) == 1:
+            order = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for cs, td, ta in scomp:
+                        _cid, ch, cv, _tq = by_id[cs]
+                        for v in range(cv):
+                            for hb in range(ch):
+                                order.append(
+                                    (cs, td, my * cv + v,
+                                     mx * ch + hb))
+            unit = 0
+            per_mcu = sum(by_id[cs][1] * by_id[cs][2]
+                          for cs, _, _ in scomp)
+            for i, (cs, td, byy, bx) in enumerate(order):
+                if i % per_mcu == 0:
+                    restart_check(i // per_mcu)
+                coef = state[cs][byy, bx]
+                if ah == 0:
+                    s = _huff_sym(br, huff[(0, td)])
+                    diff = _extend(br.bits(s), s) if s else 0
+                    pred[cs] += diff
+                    coef[0] = pred[cs] << al
+                else:
+                    if br.bit():
+                        coef[0] |= (1 << al)
+        else:
+            raise ValueError("non-interleaved DC unsupported")
+        return br.pos
+    # AC scan: single component, true block grid
+    cs, td, ta = scomp[0]
+    _cid, ch, cv, _tq = by_id[cs]
+    cw = -(-w * ch // hmax)   # ceil(w * ch / hmax)
+    chh = -(-h * cv // vmax)
+    wb = -(-cw // 8)
+    hb = -(-chh // 8)
+    tab = huff[(1, ta)]
+    p1 = 1 << al
+    m1 = -1 << al
+    for byy in range(hb):
+        for bx in range(wb):
+            restart_check(byy * wb + bx)
+            coef = state[cs][byy, bx]
+            if ah == 0:
+                # AC first scan (F.2.2.2 w/ EOBRUN)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_sym(br, tab)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += 16
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC overflow")
+                    coef[_ZZ[k]] = _extend(br.bits(s), s) << al
+                    k += 1
+            else:
+                # AC refinement (libjpeg decode_mcu_AC_refine)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _huff_sym(br, tab)
+                        r, s = rs >> 4, rs & 15
+                        newval = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r)
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            # ZRL: r = 15, skip 16 zero-history
+                        else:
+                            if s != 1:
+                                raise ValueError("bad refine size")
+                            newval = p1 if br.bit() else m1
+                        while k <= se:
+                            c_idx = _ZZ[k]
+                            if coef[c_idx] != 0:
+                                if br.bit():
+                                    if (coef[c_idx] & p1) == 0:
+                                        coef[c_idx] += (
+                                            p1 if coef[c_idx] >= 0
+                                            else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            coef[_ZZ[k]] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        c_idx = _ZZ[k]
+                        if coef[c_idx] != 0:
+                            if br.bit():
+                                if (coef[c_idx] & p1) == 0:
+                                    coef[c_idx] += (
+                                        p1 if coef[c_idx] >= 0
+                                        else m1)
+                        k += 1
+                    eobrun -= 1
+    return br.pos
+
+
+
+
+def _decode_jpeg_progressive(buf):
+    """SOF2 pixel decode: accumulate coefficients over all scans,
+    then dequant + IDCT + upsample + color-convert (same tail as
+    baseline). Returns uint8 (h, w[, 3]) or None."""
+    got = decode_progressive_coeffs(buf)
+    if got is None:
+        return None
+    sof, qt, state = got
+    w, h, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    full = []
+    for cid, ch, cv, tq in comps:
+        arr = state[cid]
+        hb, wb = arr.shape[0], arr.shape[1]
+        plane = np.zeros((hb * 8, wb * 8), np.float64)
+        q = qt[tq].ravel()
+        for byy in range(hb):
+            for bx in range(wb):
+                blk = (arr[byy, bx].astype(np.int64) * q) \
+                    .reshape(8, 8).astype(np.float64)
+                plane[byy * 8:byy * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    _idct8x8(blk)
+        if ch != hmax or cv != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // cv, axis=0),
+                              hmax // ch, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0] + 128), 0, 255).astype(np.uint8)
+    Y, Cb, Cr = full[0] + 128, full[1], full[2]
+    rgb = np.stack([Y + 1.402 * Cr,
+                    Y - 0.344136 * Cb - 0.714136 * Cr,
+                    Y + 1.772 * Cb], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def _decode_jpeg(buf):
     """REAL baseline-sequential JPEG decode, pure numpy + stdlib.
 
-    Supported: SOF0 (baseline), 8-bit, grayscale or YCbCr with
-    4:4:4 / 4:2:2 / 4:2:0 sampling, standard or custom DQT/DHT,
-    optional DRI/RSTn restart markers. Returns (h, w) uint8 for
-    grayscale or (h, w, 3) uint8 RGB; None for non-JPEG /
-    progressive / arithmetic / 12-bit payloads.
+    Supported: SOF0 (baseline) AND SOF2 (progressive — full
+    spectral selection + successive approximation, delegated to
+    :func:`_decode_jpeg_progressive`), 8-bit, grayscale or YCbCr
+    with 4:4:4 / 4:2:2 / 4:2:0 sampling, standard or custom
+    DQT/DHT, optional DRI/RSTn restart markers. Returns (h, w)
+    uint8 for grayscale or (h, w, 3) uint8 RGB; None for
+    non-JPEG / arithmetic / lossless / 12-bit payloads.
     """
     n = len(buf)
     if n < 4 or buf[0] != 0xFF or buf[1] != 0xD8:
@@ -2191,9 +2743,12 @@ def _decode_jpeg(buf):
                     comps.append((cid, hv >> 4, hv & 15, tq))
                     p += 3
                 sof = (ww, hh, comps)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+            elif marker == 0xC2:
+                # PROGRESSIVE: re-walk with the multi-scan decoder
+                return _decode_jpeg_progressive(buf)
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                             0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline SOF
+                return None  # non-baseline/non-progressive SOF
             elif marker == 0xDD:  # DRI
                 dri = (int(buf[body]) << 8) | int(buf[body + 1])
             elif marker == 0xDA:  # SOS
@@ -2383,9 +2938,10 @@ class MediaDecoder:
 
     ``mode='raw'`` decodes FOR REAL — BMP (uncompressed 24-bit),
     PPM/PGM binary rasters, PNG (stdlib zlib + unfilter), baseline
-    JPEG (pure-numpy Huffman + IDCT), WAV PCM (the samples'
-    per-channel stats); payloads in any other format (progressive
-    JPEG, MP3, video) fall back to the deterministic fake.
+    AND progressive JPEG (pure-numpy Huffman + IDCT, full successive
+    approximation), WAV PCM (the samples' per-channel stats);
+    payloads in any other format (MP3, video) fall back to the
+    deterministic fake.
     ``mode='fake'`` is the fake for every payload — the remaining
     compressed formats need codec libraries this container doesn't
     have; swap the fallback for a real library in production.
@@ -2398,7 +2954,7 @@ class MediaDecoder:
             raise NotImplementedError(
                 "remaining compressed-format decoders (av/soundfile) "
                 "are not available in this environment; modes: 'raw' "
-                "(real BMP/PPM/PGM/PNG/baseline-JPEG/WAV-PCM + fake "
+                "(real BMP/PPM/PGM/PNG/JPEG/WAV-PCM + fake "
                 "fallback) or 'fake'"
             )
 

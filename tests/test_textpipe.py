@@ -2004,3 +2004,111 @@ def test_jpeg_in_image_decode_and_media_decoder(ray_session):
     md = MediaDecoder(mode="raw")
     img = md._decode(jb)
     assert img.shape == (8, 8, 3) and (img == 77).all()
+
+
+def test_jpeg_progressive_coeff_roundtrip(ray_session):
+    """Progressive JPEG is LOSSLESS at the coefficient level: random
+    quantized coefficient matrices round-trip encode->decode exactly,
+    across samplings, paddings and successive-approximation depths —
+    DC first/refine + AC first/refine with EOBRUN all exercised."""
+    import numpy as np
+
+    from omop2obo_ray.pipelines.textpipe import (
+        decode_progressive_coeffs, encode_progressive)
+
+    def roundtrip(w, h, sampling, gray, dc_split, ac_split, seed):
+        r = np.random.RandomState(seed)
+        hs, vs = sampling
+        mcux = (w + 8 * hs - 1) // (8 * hs)
+        mcuy = (h + 8 * vs - 1) // (8 * vs)
+        wb_t, hb_t = -(-w // 8), -(-h // 8)
+
+        def blocks(n):
+            out = []
+            for _ in range(n):
+                b = r.randint(-6, 7, (8, 8))
+                b[0, 0] = r.randint(-60, 61)
+                mask = r.rand(8, 8) < 0.2
+                mask[0, 0] = True
+                out.append((b * mask).astype(np.int64))
+            return out
+
+        ys = blocks(mcux * mcuy * hs * vs)
+        # MCU padding blocks carry DC only — zero their ACs
+        i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for v in range(vs):
+                    for hbb in range(hs):
+                        if my * vs + v >= hb_t or mx * hs + hbb >= wb_t:
+                            dcv = ys[i][0, 0]
+                            ys[i][:] = 0
+                            ys[i][0, 0] = dcv
+                        i += 1
+        cb = cr = None
+        if not gray:
+            cb, cr = blocks(mcux * mcuy), blocks(mcux * mcuy)
+        q = np.ones((8, 8), np.int32)
+        jb = encode_progressive(ys, cb, cr, w, h, sampling, q, q,
+                                dc_split, ac_split)
+        got = decode_progressive_coeffs(np.frombuffer(jb, np.uint8))
+        assert got is not None
+        _sof, _qt, st = got
+        i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for v in range(vs):
+                    for hbb in range(hs):
+                        gotb = st[1][my * vs + v, mx * hs + hbb]
+                        assert np.array_equal(gotb, ys[i].ravel()), i
+                        i += 1
+        if not gray:
+            for cid, blks in ((2, cb), (3, cr)):
+                i = 0
+                for byy in range(st[cid].shape[0]):
+                    for bx in range(st[cid].shape[1]):
+                        assert np.array_equal(
+                            st[cid][byy, bx], blks[i].ravel()), (cid, i)
+                        i += 1
+
+    roundtrip(8, 8, (1, 1), True, 1, 1, 0)
+    roundtrip(24, 16, (1, 1), True, 2, 2, 1)
+    roundtrip(16, 16, (2, 2), False, 1, 1, 2)
+    roundtrip(40, 24, (2, 2), False, 2, 3, 3)  # padded Y grid
+    roundtrip(32, 32, (1, 1), False, 1, 2, 4)
+
+
+def test_jpeg_progressive_pixels_match_baseline(ray_session):
+    """A progressive stream and a baseline stream carrying IDENTICAL
+    quantized coefficients must decode to identical pixels (shared
+    dequant/IDCT/upsample/color tail); progressive payloads surface
+    as format='jpeg' through image_decode."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.textpipe import (_decode_jpeg,
+                                                 encode_jpeg_baseline,
+                                                 encode_progressive,
+                                                 image_decode)
+
+    rng = np.random.RandomState(3)
+    qy = rng.randint(1, 10, (8, 8)).astype(np.int32)
+    qc = rng.randint(1, 10, (8, 8)).astype(np.int32)
+    ys = [rng.randint(-8, 9, (8, 8)).astype(np.int64) for _ in range(4)]
+    cb = [rng.randint(-4, 5, (8, 8)).astype(np.int64)]
+    cr = [rng.randint(-4, 5, (8, 8)).astype(np.int64)]
+    pj = encode_progressive(ys, cb, cr, 16, 16, (2, 2), qy, qc,
+                            dc_split=2, ac_split=2)
+    bj = encode_jpeg_baseline(ys, cb, cr, 16, 16, (2, 2), qy, qc)
+    po = _decode_jpeg(np.frombuffer(pj, np.uint8))
+    bo = _decode_jpeg(np.frombuffer(bj, np.uint8))
+    assert po is not None and np.array_equal(po, bo)
+
+    out = image_decode(rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1], "payload": [pj]}))).to_pandas().iloc[0]
+    assert out["format"] == "jpeg"
+    assert out["px_sum"] == int(bo.sum())
+
+    # truncated progressive -> None, not a crash
+    assert _decode_jpeg(np.frombuffer(pj[:40], np.uint8)) is None
