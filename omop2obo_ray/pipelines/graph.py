@@ -325,7 +325,8 @@ def connected_components(edges: Dataset, src: str = "src",
 def connected_components_alternating(
         edges: Dataset, src: str = "src", dst: str = "dst",
         max_iters: int = 48, n_coarse: int | None = None,
-        stats: dict | None = None) -> Dataset:
+        stats: dict | None = None,
+        local_below: int = 65536) -> Dataset:
     """Large-star/small-star connected components → (node, component),
     component = min member id. Converges in O(log n) rounds on ANY
     graph shape (vs O(diameter) for min-label propagation — a 10⁶-hop
@@ -371,9 +372,26 @@ def connected_components_alternating(
 
     cur = edges.map_batches(_init, batch_format="pyarrow",
                             batch_size=None).materialize()
-    if cur.count() == 0:
+    ccount = cur.count()
+    if ccount == 0:
         return ray.data.from_arrow(pa.table(
             {"node": pa.array([], ntype), "component": pa.array([], ntype)}))
+    if ccount <= local_below:
+        # endgame local-finish: one union-find task instead of
+        # O(log n) three-exchange rounds (identity-pinned by pytest
+        # vs local_below=0; same contract incl. self-loop drop)
+        from omop2obo_ray.pipelines.textpipe import _cc_local_task
+
+        ct = pa.concat_tables(
+            [t for t in cur.iter_batches(batch_size=None,
+                                         batch_format="pyarrow")])
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["local_finish"] = True
+        ref = _cc_local_task.remote(
+            ct["src"].to_pylist(), ct["dst"].to_pylist(),
+            ntype, "node", "component")
+        return ray.data.from_arrow_refs([ref])
 
     def _both(b: pa.Table) -> pa.Table:
         return pa.table({

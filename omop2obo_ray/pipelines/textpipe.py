@@ -1024,9 +1024,37 @@ def dup_clusters(verified_pairs, key_col: str = "doc_id") -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[key_col, "cluster_id"])
 
 
+@ray.remote
+def _cc_local_task(a: list, b: list, ntype, out_node: str,
+                   out_comp: str) -> pa.Table:
+    """Single-task union-find connected components (min-member
+    labels) — the endgame kernel behind the CC family's
+    ``local_below`` (same hybrid as graph.py's Kosaraju/closure
+    local-finish). Works for int and string keys; runs off the
+    driver."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            lo, hi = (rx, ry) if rx <= ry else (ry, rx)
+            parent[hi] = lo
+    nodes = sorted(parent)
+    return pa.table({out_node: pa.array(nodes, ntype),
+                     out_comp: pa.array([find(n) for n in nodes],
+                                        ntype)})
+
+
 def dup_clusters_distributed(pairs: Dataset, key_col: str = "doc_id",
                              num_partitions: int = 16,
-                             max_iters: int = 50) -> Dataset:
+                             max_iters: int = 50,
+                             local_below: int = 65536) -> Dataset:
     """Connected components over the verified-pair graph WITHOUT driver
     state — the 100-TB clustering path. Iterative min-label
     propagation: each round joins edge endpoints to current labels and
@@ -1056,6 +1084,18 @@ def dup_clusters_distributed(pairs: Dataset, key_col: str = "doc_id",
         pairs.select_columns(["doc_a", "doc_b"]).map_batches(
             both_dirs, batch_format="pyarrow"),
         pa.schema([("src", key_type), ("dst", key_type)]))
+    # endgame local-finish (metadata-gated; both_dirs doubled rows):
+    # one union-find task replaces per-round exchanges for small pair
+    # sets — identity-pinned vs local_below=0 by pytest
+    ecount = edges.count()
+    if 0 < ecount <= 2 * local_below:
+        et = pa.concat_tables(
+            [t for t in edges.iter_batches(batch_size=None,
+                                           batch_format="pyarrow")])
+        ref = _cc_local_task.remote(
+            et["src"].to_pylist(), et["dst"].to_pylist(),
+            key_type, key_col, "cluster_id")
+        return ray.data.from_arrow_refs([ref])
     labels = _sanitize_join_output(
         coarse_aggregate(
             edges.select_columns(["src"]), ["src"],

@@ -114,11 +114,19 @@ def test_alternating_cc_long_path(ray_session):
     edges = pd.DataFrame({"src": names[:-1], "dst": names[1:]})
     stats: dict = {}
     got = (connected_components_alternating(rd.from_pandas(edges),
-                                            n_coarse=8, stats=stats)
+                                            n_coarse=8, stats=stats,
+                                            local_below=0)
            .to_pandas().set_index("node")["component"].to_dict())
     assert got == {n: "n0000" for n in names}
     # paper bound is O(log n); allow generous slack over log2(201)≈7.7
-    assert stats["rounds"] <= 20, stats
+    assert 0 < stats["rounds"] <= 20, stats
+
+    # endgame local-finish (default): identical labels, one task
+    stats2: dict = {}
+    got2 = (connected_components_alternating(rd.from_pandas(edges),
+                                             n_coarse=8, stats=stats2)
+            .to_pandas().set_index("node")["component"].to_dict())
+    assert got2 == got and stats2.get("local_finish") is True
 
 
 def test_alternating_cc_random_matches_union_find(ray_session):

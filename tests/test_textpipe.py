@@ -2112,3 +2112,37 @@ def test_jpeg_progressive_pixels_match_baseline(ray_session):
 
     # truncated progressive -> None, not a crash
     assert _decode_jpeg(np.frombuffer(pj[:40], np.uint8)) is None
+
+
+def test_dup_clusters_distributed_local_finish_identity(ray_session):
+    """The CC family's endgame local-finish (union-find in one task)
+    ≡ the per-round min-label exchange path, for int AND string
+    keys."""
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.textpipe import dup_clusters_distributed
+
+    pairs = pd.DataFrame({
+        "doc_a": [1, 2, 9, 20, 21, 7],
+        "doc_b": [2, 3, 1, 21, 22, 7]})  # chain + cycle join + loop
+    loc = dup_clusters_distributed(
+        rd.from_pandas(pairs).repartition(2)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    dist = dup_clusters_distributed(
+        rd.from_pandas(pairs).repartition(2),
+        local_below=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(loc, dist)
+    assert loc.set_index("doc_id")["cluster_id"].to_dict()[9] == 1
+
+    spairs = pd.DataFrame({"doc_a": ["b", "c", "a"],
+                           "doc_b": ["c", "d", "z"]})
+    sloc = dup_clusters_distributed(
+        rd.from_pandas(spairs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    sdist = dup_clusters_distributed(
+        rd.from_pandas(spairs), local_below=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(sloc, sdist)
+    assert sloc.set_index("doc_id")["cluster_id"].to_dict()["d"] == "b"
