@@ -2146,6 +2146,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 batch_size=None)
         return image_decode(ds)
 
+    def q_mjpeg_frames(sf):
+        # REAL video-frame sampling (r5): plant Motion-JPEG AVIs — 6
+        # grayscale constant-block frames v_j = (k+29j)%251 — parse
+        # the RIFF container, decode each sampled frame with the real
+        # JPEG decoder, sample 3 evenly (src = i*(T-1)//(n-1) =>
+        # frames 0,2,5). Constant frames decode exactly, so f_mean =
+        # v and f_std = 0 and the oracle replays the arithmetic.
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from omop2obo_ray.pipelines.textpipe import (
+            encode_jpeg_baseline,
+            sample_frames,
+            write_avi_mjpeg,
+        )
+
+        orders = rd.read_parquet(f"{sf}/orders.parquet",
+                                 columns=["o_orderkey"])
+
+        def _mk(b: pa.Table) -> pa.Table:
+            q1 = np.ones((8, 8), np.int32)
+
+            def gray(v):
+                c = np.zeros((8, 8), np.int64)
+                c[0, 0] = 8 * (int(v) - 128)
+                return encode_jpeg_baseline([c], None, None, 8, 8,
+                                            (1, 1), q1, q1)
+
+            ks = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            payloads = [write_avi_mjpeg(
+                [gray((int(k) + 29 * j) % 251) for j in range(6)],
+                8, 8) for k in ks]
+            return pa.table({
+                "doc_id": pa.array(ks, pa.int64()),
+                "payload": pa.array(payloads, pa.binary())})
+
+        ds = orders.map_batches(_mk, batch_format="pyarrow",
+                                batch_size=None)
+        sampled = sample_frames(ds, n_frames=3, mode="mjpeg")
+
+        def _scal(b: pa.Table) -> pa.Table:
+            f = b["features"].to_pylist()
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "frame_idx": b["frame_idx"].combine_chunks()
+                .cast(pa.int64()),
+                "f_mean": pa.array([x[0] for x in f], pa.float64()),
+                "f_std": pa.array([x[1] for x in f], pa.float64())})
+
+        return sampled.map_batches(_scal, batch_format="pyarrow",
+                                   batch_size=None)
+
     def q_wav_decode(sf):
         # REAL PCM sample extraction: plant genuine 16-bit WAVs
         # (channels = k%2+1, frames = k%5+2, rate = 8000·(k%3+1))
@@ -5382,6 +5435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bmp_decode": q_bmp_decode,      # REAL BMP pixel decode (flip/BGR/padding pinned) (SQL-checked)
         "png_decode": q_png_decode,      # REAL PNG pixel decode: zlib inflate + unfilter (SQL-checked)
         "jpeg_decode": q_jpeg_decode,  # REAL baseline JPEG pixel decode (SQL-checked, exact planted bytes)
+        "mjpeg_frames": q_mjpeg_frames,  # REAL Motion-JPEG AVI frame sampling (SQL-checked, exact planted frames)
         "wav_decode": q_wav_decode,      # REAL WAV PCM sample extraction (SQL-checked)
         "closeness_centrality": q_closeness,  # bounded-radius closeness off HyperBall ball sizes (SQL-checked)
         "assoc_rules": q_assoc_rules,    # directed association rules (conf/lift) over entity co-occurrence (SQL-checked)
@@ -6197,6 +6251,13 @@ def oracle_sql() -> dict[str, str]:
             " + ((o_orderkey + 34) % 251) + ((o_orderkey + 51) % 251)) "
             "END AS BIGINT) AS px_sum, "
             "o_orderkey % 251 AS first_px FROM orders"
+        ),
+        "mjpeg_frames": (
+            "SELECT o_orderkey AS doc_id, CAST(j AS BIGINT) "
+            "AS frame_idx, "
+            "CAST((o_orderkey + 29 * ((j * 5) // 2)) % 251 "
+            "AS DOUBLE) AS f_mean, 0.0::DOUBLE AS f_std "
+            "FROM orders CROSS JOIN (SELECT unnest(range(3)) AS j)"
         ),
         # wav_decode: the engine extracts real 16-bit PCM samples via
         # the RIFF chunk walk; oracle replays the planted recurrence

@@ -2146,3 +2146,53 @@ def test_dup_clusters_distributed_local_finish_identity(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(sloc, sdist)
     assert sloc.set_index("doc_id")["cluster_id"].to_dict()["d"] == "b"
+
+
+def test_mjpeg_avi_frame_sampling(ray_session):
+    """Motion-JPEG AVI: container round-trip (write -> parse byte-
+    identical frames), real JPEG decode of evenly-sampled frames
+    (src = i*(T-1)//(n-1)), T<=n keeps every frame, corrupt frames
+    skip without crashing, non-AVI payloads fall back to the fake."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from omop2obo_ray.pipelines.textpipe import (FrameSampler,
+                                                 _parse_avi_mjpeg,
+                                                 encode_jpeg_baseline,
+                                                 sample_frames,
+                                                 write_avi_mjpeg)
+
+    q1 = np.ones((8, 8), np.int32)
+
+    def gray(v):
+        c = np.zeros((8, 8), np.int64)
+        c[0, 0] = 8 * (v - 128)
+        return encode_jpeg_baseline([c], None, None, 8, 8, (1, 1),
+                                    q1, q1)
+
+    frames = [gray(v) for v in (10, 20, 30, 40, 50, 60)]
+    avi = write_avi_mjpeg(frames, 8, 8)
+    assert _parse_avi_mjpeg(np.frombuffer(avi, np.uint8)) == frames
+
+    out = (sample_frames(rd.from_pandas(pd.DataFrame(
+        {"doc_id": [7], "payload": [avi]})), n_frames=3, mode="mjpeg")
+        .to_pandas().sort_values("frame_idx"))
+    assert len(out) == 3
+    assert [f[0] for f in out["features"]] == [10.0, 30.0, 60.0]
+    assert all(f[1] == 0.0 for f in out["features"])
+
+    # T <= n: every frame kept
+    short = write_avi_mjpeg(frames[:2], 8, 8)
+    fs = FrameSampler(mode="mjpeg", n_frames=4)
+    assert [int(i[0, 0, 0]) for i in fs._frames(short)] == [10, 20]
+
+    # a corrupt middle frame is skipped, the rest decode
+    bad = write_avi_mjpeg([frames[0], b"\xff\xd8junk", frames[2]],
+                          8, 8)
+    fs3 = FrameSampler(mode="mjpeg", n_frames=3)
+    assert [int(i[0, 0, 0]) for i in fs3._frames(bad)] == [10, 30]
+
+    # non-AVI: deterministic fake fallback (16x16x3 default target)
+    fb = fs3._frames(b"mp4 soup")
+    assert len(fb) == 3 and fb[0].shape == (16, 16, 3)
