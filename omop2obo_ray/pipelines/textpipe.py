@@ -2525,7 +2525,10 @@ def decode_progressive_coeffs(buf):
                                  ss, se, ah, al, dri)
                 continue
             pos = end
-    except (IndexError, KeyError, ValueError):
+    except (IndexError, KeyError, ValueError, OverflowError):
+        # OverflowError: a corrupt entropy stream can walk the
+        # DC predictor past int32 (fuzz-found r5) — malformed
+        # payloads must yield None, never kill the map task
         return None
     if sof is None or state is None:
         return None
@@ -2804,7 +2807,10 @@ def _decode_jpeg(buf):
                     p += 2
                 return _jpeg_scan(buf, end, sof, scomp, qt, huff, dri)
             pos = end
-    except (IndexError, KeyError, ValueError):
+    except (IndexError, KeyError, ValueError, OverflowError):
+        # OverflowError: a corrupt entropy stream can walk the
+        # DC predictor past int32 (fuzz-found r5) — malformed
+        # payloads must yield None, never kill the map task
         return None
     return None
 

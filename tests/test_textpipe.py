@@ -2196,3 +2196,57 @@ def test_mjpeg_avi_frame_sampling(ray_session):
     # non-AVI: deterministic fake fallback (16x16x3 default target)
     fb = fs3._frames(b"mp4 soup")
     assert len(fb) == 3 and fb[0].shape == (16, 16, 3)
+
+
+def test_media_decoders_never_raise_on_corrupt_bytes(ray_session):
+    """The ADVICE-r4 contract, fuzzed: every media decoder must
+    return None/fallback for arbitrary corruption — truncations,
+    byte flips, random suffixes — never raise. One bad payload in
+    real crawl data must not kill a map task."""
+    import numpy as np
+
+    from omop2obo_ray.pipelines.textpipe import (FrameSampler,
+                                                 _decode_bmp,
+                                                 _decode_jpeg,
+                                                 _decode_png,
+                                                 _decode_pnm,
+                                                 _decode_wav_pcm,
+                                                 _parse_avi_mjpeg,
+                                                 encode_jpeg_baseline,
+                                                 encode_progressive,
+                                                 write_avi_mjpeg)
+
+    rng = np.random.RandomState(11)
+    q1 = np.ones((8, 8), np.int32)
+    c = np.zeros((8, 8), np.int64)
+    c[0, 0] = 8 * (77 - 128)
+    seeds = [
+        encode_jpeg_baseline([c], None, None, 8, 8, (1, 1), q1, q1),
+        encode_progressive([c], None, None, 8, 8, (1, 1), q1, q1),
+        write_avi_mjpeg([encode_jpeg_baseline(
+            [c], None, None, 8, 8, (1, 1), q1, q1)], 8, 8),
+        b"\x89PNG\r\n\x1a\n" + bytes(rng.randint(0, 256, 64,
+                                                 dtype=np.uint8)),
+        b"RIFF" + bytes(rng.randint(0, 256, 64, dtype=np.uint8)),
+        bytes(rng.randint(0, 256, 128, dtype=np.uint8)),
+    ]
+    decoders = [_decode_jpeg, _decode_png, _decode_bmp, _decode_pnm,
+                _decode_wav_pcm, _parse_avi_mjpeg]
+    fs = FrameSampler(mode="mjpeg", n_frames=2)
+    for seed in seeds:
+        for trial in range(30):
+            b = bytearray(seed)
+            kind = trial % 3
+            if kind == 0 and len(b) > 4:        # truncate
+                b = b[:rng.randint(1, len(b))]
+            elif kind == 1:                      # flip random bytes
+                for _ in range(rng.randint(1, 6)):
+                    b[rng.randint(0, len(b))] = rng.randint(0, 256)
+            else:                                # random suffix
+                b += bytes(rng.randint(0, 256, rng.randint(1, 32),
+                                       dtype=np.uint8))
+            arr = np.frombuffer(bytes(b), np.uint8)
+            for dec in decoders:
+                dec(arr)          # any return is fine; raising fails
+            out = fs._frames(bytes(b))  # always yields frames
+            assert isinstance(out, list) and out
