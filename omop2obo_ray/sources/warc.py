@@ -90,10 +90,21 @@ def write_warc(pages: Dataset, out_dir: str, *,
                              batch_size=None).to_pandas()
 
 
-def _parse_warc_bytes(data: bytes, origin: str):
+def _parse_warc_bytes(data: bytes, origin: str,
+                      on_error: str = "raise"):
     """Walk one WARC file's records by Content-Length offsets.
-    Yields (url, ts, payload). Raises on malformed framing — silent
-    drops would break round-trip identity."""
+    Yields (url, ts, payload). ``on_error='raise'`` (default) raises
+    on malformed framing — silent drops would break round-trip
+    identity. ``on_error='skip'`` is the 100-TB crawl posture: a
+    corrupt record RESYNCS to the next ``WARC/`` banner and keeps
+    going, so one damaged segment region never kills the map task
+    or discards the rest of the file."""
+
+    def _fail(msg):
+        if on_error == "raise":
+            raise ValueError(msg)
+        return data.find(b"WARC/1.", pos + 1)  # resync or -1
+
     pos, n = 0, len(data)
     while pos < n:
         # tolerate trailing blank lines between records
@@ -103,23 +114,46 @@ def _parse_warc_bytes(data: bytes, origin: str):
             break
         hdr_end = data.find(_CRLF + _CRLF, pos)
         if hdr_end < 0:
-            raise ValueError(f"{origin}: truncated WARC header at {pos}")
-        header = data[pos:hdr_end].decode("utf-8")
+            nxt = _fail(f"{origin}: truncated WARC header at {pos}")
+            if nxt is None or nxt < 0:
+                break
+            pos = nxt
+            continue
+        try:
+            header = data[pos:hdr_end].decode("utf-8")
+        except UnicodeDecodeError:
+            nxt = _fail(f"{origin}: undecodable header at {pos}")
+            if nxt is None or nxt < 0:
+                break
+            pos = nxt
+            continue
         lines = header.split("\r\n")
         if not lines[0].startswith("WARC/"):
-            raise ValueError(f"{origin}: bad record banner {lines[0]!r}")
+            nxt = _fail(f"{origin}: bad record banner {lines[0]!r}")
+            if nxt is None or nxt < 0:
+                break
+            pos = nxt
+            continue
         fields = {}
         for ln in lines[1:]:
             k, _, v = ln.partition(":")
             fields[k.strip().lower()] = v.strip()
         try:
             length = int(fields["content-length"])
-        except KeyError:
-            raise ValueError(f"{origin}: record missing Content-Length")
+        except (KeyError, ValueError):
+            nxt = _fail(f"{origin}: record missing Content-Length")
+            if nxt is None or nxt < 0:
+                break
+            pos = nxt
+            continue
         body_start = hdr_end + 4
         payload = data[body_start:body_start + length]
         if len(payload) != length:
-            raise ValueError(f"{origin}: truncated payload at {body_start}")
+            nxt = _fail(f"{origin}: truncated payload at {body_start}")
+            if nxt is None or nxt < 0:
+                break
+            pos = nxt
+            continue
         yield (fields.get("warc-target-uri", ""),
                fields.get("warc-date", ""), payload,
                fields.get("warc-type", ""))
@@ -127,7 +161,8 @@ def _parse_warc_bytes(data: bytes, origin: str):
 
 
 def read_warc(path: str, *, responses_only: bool = False,
-              http_strip: bool = False) -> Dataset:
+              http_strip: bool = False,
+              on_error: str = "raise") -> Dataset:
     """Parse ``.warc`` files (a directory of parts or one file) back to
     (url, warc_ts, payload binary). One task per file — the CC-segment
     unit of parallelism.
@@ -139,7 +174,12 @@ def read_warc(path: str, *, responses_only: bool = False,
     pre-round-4 output, still pass); ``http_strip=True`` removes the
     wrapped HTTP status line + headers (CC response payloads are full
     HTTP messages) so the payload is the html body bytes — payloads
-    that don't start with ``HTTP/`` pass through verbatim."""
+    that don't start with ``HTTP/`` pass through verbatim.
+    ``on_error='skip'`` (crawl posture) resyncs past corrupt records
+    and drops undecompressable gzip files instead of failing the map
+    task; the default ``'raise'`` keeps round-trip identity exact."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
 
     def _parse(batch: pa.Table) -> pa.Table:
         urls, tss, payloads = [], [], []
@@ -147,9 +187,14 @@ def read_warc(path: str, *, responses_only: bool = False,
                  if "path" in batch.column_names else [""] * len(batch))
         for data, origin in zip(batch["bytes"].to_pylist(), paths):
             if data[:2] == b"\x1f\x8b":  # gzip magic: multi-member
-                data = gzip.decompress(data)  # (handles concatenation)
+                try:
+                    data = gzip.decompress(data)  # handles concatenation
+                except (OSError, EOFError):
+                    if on_error == "raise":
+                        raise
+                    continue  # skip the undecompressable file
             for u, t, p, wt in _parse_warc_bytes(
-                    data, origin or "<warc>"):
+                    data, origin or "<warc>", on_error=on_error):
                 if responses_only and wt not in ("response", ""):
                     continue
                 if http_strip and p[:5] == b"HTTP/":
@@ -171,5 +216,46 @@ def read_warc(path: str, *, responses_only: bool = False,
                          "warc_ts": pa.array(tss, pa.string()),
                          "payload": pa.array(payloads, pa.binary())})
 
+    if on_error == "skip":
+        # skip mode must see RAW bytes: Ray's read_binary_files lets
+        # Arrow auto-decompress *.gz inside the READ task (suffix
+        # inference, file_based_datasource.py:338-365), where a
+        # truncated stream raises before any guard can run. Read
+        # through pyarrow.fs directly (no compression inference);
+        # gunzip happens in _parse under the per-file guard. The
+        # driver holds only the path list (segment count, bounded).
+        from pyarrow import fs as pafs
+
+        if "://" in path:
+            fs_, root = pafs.FileSystem.from_uri(path)
+        else:
+            fs_, root = pafs.LocalFileSystem(), path
+        info = fs_.get_file_info(root)
+        if info.type == pafs.FileType.Directory:
+            paths = sorted(
+                f.path for f in fs_.get_file_info(
+                    pafs.FileSelector(root))
+                if f.type == pafs.FileType.File)
+        else:
+            paths = [root]
+
+        def _read_raw(batch: pa.Table) -> pa.Table:
+            datas, ps = [], []
+            for pth in batch["path"].to_pylist():
+                try:
+                    with fs_.open_input_stream(pth) as f:
+                        datas.append(f.read())
+                    ps.append(pth)
+                except OSError:
+                    continue  # unreadable file: skip whole
+            return pa.table({
+                "bytes": pa.array(datas, pa.large_binary()),
+                "path": pa.array(ps, pa.string())})
+
+        src = ray.data.from_items(
+            [{"path": p} for p in paths]).map_batches(
+            _read_raw, batch_format="pyarrow", batch_size=1)
+        return src.map_batches(_parse, batch_format="pyarrow",
+                               batch_size=None)
     return ray.data.read_binary_files(path, include_paths=True).map_batches(
         _parse, batch_format="pyarrow", batch_size=None)

@@ -455,3 +455,49 @@ def test_warc_real_crawl_flags(ray_session, tmp_path):
     got_lf = read_warc(str(p2), responses_only=True,
                        http_strip=True).to_pandas()
     assert got_lf.loc[0, "payload"] == html
+
+
+def test_warc_on_error_skip_resyncs(ray_session, tmp_path):
+    """on_error='skip' (the crawl posture): a corrupt record region
+    resyncs to the next WARC banner — the surrounding good records
+    survive; an undecompressable gzip file drops whole; the default
+    'raise' still fails loudly on the same input."""
+    import gzip
+
+    import pytest
+
+    from omop2obo_ray.sources.warc import read_warc
+
+    def rec(url, body):
+        return ("WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: {url}\r\n"
+                "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n").encode() \
+            + body + b"\r\n\r\n"
+
+    good1 = rec("https://a.test/", b"aaa")
+    corrupt = b"GARBAGE NOT A RECORD\r\n\r\nmore junk"
+    good2 = rec("https://b.test/", b"bbb")
+    p = tmp_path / "seg.warc"
+    p.write_bytes(good1 + corrupt + good2)
+
+    got = read_warc(str(p), on_error="skip").to_pandas()
+    assert sorted(got["url"]) == ["https://a.test/", "https://b.test/"]
+
+    with pytest.raises(Exception):
+        read_warc(str(p)).to_pandas()  # default raises
+
+    # truncated gzip member: file skipped in skip mode, raises default
+    pz = tmp_path / "bad.warc.gz"
+    pz.write_bytes(gzip.compress(good1)[:-5])
+    ok = tmp_path / "ok.warc.gz"
+    ok.write_bytes(gzip.compress(good2))
+    d = str(tmp_path / "mix")
+    import os
+    os.makedirs(d)
+    os.rename(pz, d + "/bad.warc.gz")
+    os.rename(ok, d + "/ok.warc.gz")
+    got2 = read_warc(d, on_error="skip").to_pandas()
+    assert got2["url"].tolist() == ["https://b.test/"]
+    with pytest.raises(Exception):
+        read_warc(d).to_pandas()
