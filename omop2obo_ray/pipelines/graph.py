@@ -3054,11 +3054,59 @@ def _mis_priority(nodes: np.ndarray, r: int, seed: int) -> np.ndarray:
             + np.int64(seed)) % np.int64(1_000_000_007)
 
 
+@ray.remote
+def _mis_local_task(u: np.ndarray, v: np.ndarray, seed: int,
+                    max_rounds: int, allow_partial: bool) -> pa.Table:
+    """Single-task Luby replay — the endgame kernel behind
+    ``maximal_independent_set``'s ``local_below``. The algorithm is
+    fully deterministic (pinned modular priorities, lexicographic
+    ties), so this replays the distributed rounds EXACTLY — integer
+    identity, pinned by pytest vs ``local_below=0``."""
+    from collections import defaultdict
+
+    adj: dict = defaultdict(set)
+    for a, b in zip(u.tolist(), v.tolist()):
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    live = set(adj)
+    out_n: list[int] = []
+    out_r: list[int] = []
+    for r in range(max_rounds):
+        if not live:
+            break
+        arr = np.fromiter(live, np.int64, len(live))
+        pr = dict(zip(arr.tolist(),
+                      _mis_priority(arr, r, seed).tolist()))
+        sel = [x for x in live
+               if all((pr[x], x) < (pr[w], w)
+                      for w in adj[x] if w in live)]
+        for x in sel:
+            out_n.append(x)
+            out_r.append(r)
+        dead = set(sel)
+        for x in sel:
+            dead |= (adj[x] & live)
+        live -= dead
+    else:
+        if live and not allow_partial:
+            raise RuntimeError(
+                "maximal_independent_set: live nodes remain after "
+                f"max_rounds={max_rounds}")
+    order = np.argsort(np.array(out_n, np.int64), kind="stable")
+    return pa.table({
+        "node": pa.array(np.array(out_n, np.int64)[order]
+                         if out_n else [], pa.int64()),
+        "sel_round": pa.array(np.array(out_r, np.int64)[order]
+                              if out_r else [], pa.int64())})
+
+
 def maximal_independent_set(edges: Dataset, *, src: str = "src",
                             dst: str = "dst", seed: int = 17,
                             max_rounds: int = 32,
                             allow_partial: bool = False,
-                            n_coarse: int | None = None) -> Dataset:
+                            n_coarse: int | None = None,
+                            local_below: int = 65536) -> Dataset:
     """Luby's maximal independent set over an INTEGER-id undirected
     graph → (node, sel_round): no two selected nodes share an edge,
     and every unselected node has a selected neighbor. The classic
@@ -3109,6 +3157,19 @@ def maximal_independent_set(edges: Dataset, *, src: str = "src",
         ["u", "v"], lambda df: df.drop_duplicates(),
         n_coarse=n_coarse),
         pa.schema([("u", pa.int64()), ("v", pa.int64())])).materialize()
+    # endgame local-finish: the rounds are deterministic, so a
+    # single-task replay is exact (metadata-gated; _sym doubled rows)
+    ecount = live_e.count()
+    if 0 < ecount <= 2 * local_below:
+        et = pa.concat_tables(
+            [t for t in live_e.iter_batches(batch_size=None,
+                                            batch_format="pyarrow")])
+        ref = _mis_local_task.remote(
+            et["u"].to_numpy(zero_copy_only=False),
+            et["v"].to_numpy(zero_copy_only=False),
+            seed, max_rounds, allow_partial)
+        return ray.data.from_arrow_refs([ref])
+
     live_n = _sanitize_join_output(coarse_aggregate(
         live_e.select_columns(["u"]), ["u"],
         lambda df: df.drop_duplicates().rename(columns={"u": "node"}),
@@ -3638,10 +3699,69 @@ def k_truss(edges: Dataset, k: int, *, src: str = "src",
     return und
 
 
+@ray.remote
+def _betweenness_local_task(u: np.ndarray, v: np.ndarray,
+                            seeds: list, max_hops: int) -> pa.Table:
+    """Single-task seeded Brandes (truncated at max_hops) — the
+    endgame kernel behind ``betweenness``'s ``local_below``. Same
+    contract as the distributed accumulation: per seed, BFS levels
+    1..L (level-0 seed rows excluded from output), sigma = BFS-DAG
+    path counts, delta(v) = sigma_v * sum over depth+1 successors of
+    (1+delta_w)/sigma_w, bc = per-node sum over seeds (zero-delta
+    visited nodes included). Float sums may differ from the
+    distributed path at the last ulp (association order), exactly as
+    the distributed path differs from itself across partitionings —
+    the identity pytest compares with allclose."""
+    from collections import defaultdict
+
+    adj: dict = defaultdict(list)
+    for a, b in zip(u.tolist(), v.tolist()):
+        adj[a].append(b)
+    bc: dict = defaultdict(float)
+    for s in seeds:
+        s = int(s)
+        depth = {s: 0}
+        sigma = {s: 1.0}
+        levels = [[s]]
+        for h in range(1, max_hops + 1):
+            nxt: dict = {}
+            for x in levels[-1]:
+                for w in adj.get(x, ()):
+                    if w in depth:
+                        continue
+                    nxt[w] = nxt.get(w, 0.0) + sigma[x]
+            if not nxt:
+                break
+            # mark depths only after the hop completes (a node can
+            # have several same-hop predecessors)
+            for w, sg in nxt.items():
+                depth[w] = h
+                sigma[w] = sg
+            levels.append(sorted(nxt))
+        L = len(levels) - 1
+        if L == 0:
+            continue
+        delta = {x: 0.0 for x, d in depth.items() if d >= 1}
+        for h in range(L, 1, -1):
+            for x in levels[h - 1]:
+                tot = 0.0
+                for w in adj.get(x, ()):
+                    if depth.get(w) == h:
+                        tot += (1.0 + delta[w]) / sigma[w]
+                delta[x] = sigma[x] * tot
+        for x, dl in delta.items():
+            bc[x] += dl
+    nodes = sorted(bc)
+    return pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "bc": pa.array([bc[n] for n in nodes], pa.float64())})
+
+
 def betweenness(edges: Dataset, seeds: list, *, src: str = "src",
                 dst: str = "dst", directed: bool = False,
                 max_hops: int = 8,
-                n_coarse: int | None = None) -> Dataset:
+                n_coarse: int | None = None,
+                local_below: int = 65536) -> Dataset:
     """Brandes betweenness centrality restricted to the given source
     set → (node, bc) where bc(v) = Σ_{s∈seeds} δ_s(v), the raw
     dependency sums of Brandes' accumulation (FASTER ALGORITHM FOR
@@ -3686,6 +3806,18 @@ def betweenness(edges: Dataset, seeds: list, *, src: str = "src",
                          lambda df: df.drop_duplicates(),
                          n_coarse=n_coarse),
         pa.schema([("src", pa.int64()), ("dst", pa.int64())]))
+    ecount = e.count()  # metadata-only: e is materialized refs
+    if 0 < ecount <= local_below:
+        # endgame local-finish (same hybrid as scc/closure/CC): the
+        # deduped, direction-expanded edge set fits one task
+        et = pa.concat_tables(
+            [t for t in e.iter_batches(batch_size=None,
+                                       batch_format="pyarrow")])
+        ref = _betweenness_local_task.remote(
+            et["src"].to_numpy(zero_copy_only=False),
+            et["dst"].to_numpy(zero_copy_only=False),
+            sorted({int(s) for s in seeds}), max_hops)
+        return ray.data.from_arrow_refs([ref])
 
     ss = sorted({int(s) for s in seeds})
     f_schema = pa.schema([("k", pa.int64()), ("s", pa.int64()),

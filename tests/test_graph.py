@@ -1393,6 +1393,14 @@ def test_maximal_independent_set_properties(ray_session):
         got.sort_values("node").reset_index(drop=True),
         again.sort_values("node").reset_index(drop=True))
 
+    # endgame local-finish (default) ≡ the distributed rounds
+    # EXACTLY (deterministic integer algorithm, incl. sel_round)
+    dist = maximal_independent_set(
+        rd.from_pandas(e).repartition(5), local_below=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("node").reset_index(drop=True),
+        dist.sort_values("node").reset_index(drop=True))
+
 
 def test_maximal_independent_set_star_and_guard(ray_session):
     """On a star graph the hub either wins alone round 0 or every leaf
@@ -1578,11 +1586,21 @@ def test_betweenness_matches_brandes(ray_session):
             if w != s:
                 exp[w] += delta[w]
 
+    # endgame local-finish (default) vs the independent oracle
     got = (betweenness(rd.from_pandas(df).repartition(4), seeds)
            .to_pandas().set_index("node")["bc"].to_dict())
     for v, e in exp.items():
         g = got.get(v, 0.0)
         assert abs(g - e) < 1e-9, (v, g, e)
+
+    # distributed path (local_below=0): same values (allclose — float
+    # association order differs) and the same node set
+    got_d = (betweenness(rd.from_pandas(df).repartition(4), seeds,
+                         local_below=0)
+             .to_pandas().set_index("node")["bc"].to_dict())
+    assert set(got_d) == set(got)
+    for v, g in got.items():
+        assert abs(got_d[v] - g) < 1e-9, (v, got_d[v], g)
 
 
 def test_reciprocity_matches_oracle(ray_session):
